@@ -1,13 +1,608 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Generators, Gold, Incremental, Layout, Silver, Sources}
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** Driver contract: one runnable, DuckDB-oracle-checked query per operator family
+  * from SURVEY.md §2, phrased over the driver testdata (TESTDATA.md), plus the
+  * extension operators (dedup / similarity / text analysis) over
+  * `documents`/`embeddings`.
+  *
+  * Query → operator-inventory map:
+  *  - q01_daily_sales_summary       OP-19,20,22,31,15 (gold daily KPIs via [[Gold]])
+  *  - q02_category_sales_summary    OP-23
+  *  - q03_payment_method_summary    OP-24
+  *  - q04_customer_activity_summary OP-25 (+ JSON session derivation)
+  *  - q05_device_usage_summary      OP-26
+  *  - q06_inventory_movement_summary OP-27 (+ broadcast dim join, OP-34)
+  *  - q07_inventory_net_position    OP-28,29,30 (pivot + backfill + derived col)
+  *  - q08_dedup_exact               OP-21 (keyless form; extension exact-dedup)
+  *  - q09_validation_errors         OP-11,12,16,17 (full silver clean via [[Silver]])
+  *  - q10_autofix_totals            OP-13,14,15 (conditional auto-correction)
+  *  - q11_ts_parse_coercion         OP-10
+  *  - q12_dedup_keep_first          OP-21 (order-faithful window variant)
+  *  - q13_top_customers             sort/limit (§2.6 extension)
+  *  - q14_region_revenue            multi-way broadcast join (OP-34 generalized)
+  *  - q15_union_slices              OP-5
+  *  - q16_window_running            window functions (§2.6 extension)
+  *  - q17_month_rollup              OP-3 (date-partition derivation as columns)
+  *  - q18_incremental_medallion     OP-9,35,36 (streaming AvailableNow drain; no SQL oracle)
+  *  - q20..q30                      extension surface: tokens, quality, lang-id,
+  *                                  fingerprints, MinHash/LSH, SimHash, n-gram
+  *                                  Jaccard, cosine top-k, embedding near-dup, ANN
+  *
+  * Oracle rules (SURVEY.md §7.4): every Spark column aliased identically in the
+  * DuckDB SQL; money sums rounded to 2dp only where inputs are 2dp (grid-safe);
+  * float similarity rounded to 6dp; ORDER/LIMIT queries carry explicit tie-breaks.
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects; read
+    * nanos as long and truncate to µs (`ts DIV 1000`, integer division — a double
+    * division would lose precision above 2^53 ns). DuckDB keeps full ns, so oracle
+    * SQL only compares at second-or-coarser granularity (SURVEY.md §7.4). */
+  private def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** orders mapped to the sales silver shape (valid rows) — lets the medallion
+    * gold builders run 1:1 over driver testdata. */
+  private def ordersAsSales(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(
+      col("o_orderkey").cast("string").as("sale_id"),
+      col("o_orderdate").as("timestamp"),
+      col("o_custkey").cast("string").as("customer_id"),
+      col("o_orderpriority").as("payment_method"),
+      col("o_totalprice").as("total_amount"))
+      .withColumn("is_valid", lit(true))
+
+  private def lineitemAsSales(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select(
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("sale_id"),
+      col("l_shipdate").as("timestamp"),
+      col("l_returnflag").as("category"),
+      col("l_extendedprice").as("total_amount"),
+      col("l_extendedprice").as("unit_price"))
+      .withColumn("is_valid", lit(true))
+
+  /** events mapped to the customer_events silver shape. Session id is derived from
+    * the JSON props payload — exercises JSON extraction alongside OP-25/26. */
+  private def eventsAsCustomerEvents(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k")
+    eventsTable(spark, dir).select(
+      col("event_id").cast("string").as("event_id"),
+      col("ts").as("timestamp"),
+      col("user_id").cast("string").as("customer_id"),
+      concat_ws("-", col("user_id"), k).as("session_id"),
+      col("event_type"),
+      element_at(array(lit("desktop"), lit("mobile"), lit("tablet")),
+        pmod(k.cast("int"), lit(3)) + 1).as("device_type"))
+      .withColumn("is_valid", lit(true))
+  }
+
+  /** lineitem ⋈ broadcast(part) mapped to the inventory silver shape:
+    * returnflag N/R/A ↦ inbound/outbound/adjustment. */
+  private def lineitemAsInventory(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part").select(col("p_partkey"), col("p_name"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("movement_id"),
+        col("l_shipdate").as("timestamp"),
+        col("l_partkey").cast("string").as("product_id"),
+        col("p_name").as("product_name"),
+        col("l_suppkey").cast("string").as("warehouse_id"),
+        when(col("l_returnflag") === "N", "inbound")
+          .when(col("l_returnflag") === "R", "outbound")
+          .otherwise("adjustment").as("movement_type"),
+        col("l_quantity").as("quantity"),
+        col("l_extendedprice").as("unit_cost"))
+      .withColumn("is_valid", lit(true))
+  }
+
+  /** Stopword list shared by the quality/lang queries and their oracles. */
+  private val QualityStopwords = Seq("the", "a", "of", "and", "is")
+
+  /** documents ∪ a perturbed copy (first word dropped, id + 100000) — plants known
+    * near-duplicates so LSH/SimHash queries return non-trivial, deterministic rows. */
+  private def docsWithPlantedNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+\\s*", "").as("text")))
+  }
+
+  /** embeddings (as double vectors) ∪ a uniformly shifted copy (+0.01 per
+    * component, id + 100000) — plants cosine-near-duplicates. */
+  private def embeddingsWithPlantedNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    emb.unionByName(emb.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x + 0.01).as("embedding")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_daily_sales_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q01_daily_sales_summary" -> ((s, dir) =>
+      Gold.dailySalesSummary(ordersAsSales(s, dir))),
+
+    "q02_category_sales_summary" -> ((s, dir) =>
+      Gold.categorySalesSummary(lineitemAsSales(s, dir))),
+
+    "q03_payment_method_summary" -> ((s, dir) =>
+      Gold.paymentMethodSummary(ordersAsSales(s, dir))),
+
+    "q04_customer_activity_summary" -> ((s, dir) =>
+      Gold.customerActivitySummary(eventsAsCustomerEvents(s, dir))),
+
+    "q05_device_usage_summary" -> ((s, dir) =>
+      Gold.deviceUsageSummary(eventsAsCustomerEvents(s, dir))),
+
+    "q06_inventory_movement_summary" -> ((s, dir) =>
+      Gold.inventoryMovementSummary(lineitemAsInventory(s, dir))),
+
+    "q07_inventory_net_position" -> ((s, dir) =>
+      Gold.inventoryNetPosition(lineitemAsInventory(s, dir))),
+
+    "q08_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDuplicateGroups(t(s, dir, "documents"))),
+
+    // Full silver validation pass (Silver.cleanEvents) over events with
+    // deterministic defect injection: unparseable timestamps on cheap clicks,
+    // null customer ids on cheap signups, and 'error' mapping outside the enum.
+    "q09_validation_errors" -> { (s, dir) =>
+      val mapped = eventsTable(s, dir).select(
+        col("event_id").cast("string").as("event_id"),
+        when(col("event_type") === "click" && col("value") < 20, lit("not-a-timestamp"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("timestamp"),
+        when(col("event_type") === "signup" && col("value") < 50, lit(null))
+          .otherwise(col("user_id").cast("string")).as("customer_id"),
+        concat_ws("-", col("user_id"), get_json_object(col("props"), "$.k")).as("session_id"),
+        when(col("event_type") === "view", "browse")
+          .when(col("event_type") === "click", "login")
+          .when(col("event_type") === "purchase", "checkout")
+          .when(col("event_type") === "signup", "logout")
+          .otherwise("UNKNOWN").as("event_type"))
+      Silver.cleanEvents(mapped, processedAt = lit("fixed"))
+        .groupBy(col("validation_errors"), col("is_valid"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Silver.cleanSales auto-fix: totals carry a discount-induced mismatch which
+    // the clean rewrites to round(quantity × unit_price, 2) when off by > 0.01.
+    // (l_orderkey, l_linenumber) is NOT unique in the testdata, so the dedup key
+    // is the full-row md5 — cleanSales' dropDuplicates then ≡ SELECT DISTINCT *.
+    "q10_autofix_totals" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val fullRow = md5(concat_ws("|", li.columns.map(col): _*))
+      val mapped = li.select(
+        fullRow.as("sale_id"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("timestamp"),
+        col("l_orderkey").cast("string").as("customer_id"),
+        col("l_partkey").cast("string").as("product_id"),
+        col("l_quantity").as("quantity"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("total_amount"),
+        col("l_returnflag").as("category"))
+      Silver.cleanSales(mapped, processedAt = lit("fixed"))
+        .groupBy(col("category"))
+        .agg(round(sum("total_amount"), 2).as("fixed_revenue"), count(lit(1)).as("n_rows"))
+    },
+
+    "q11_ts_parse_coercion" -> { (s, dir) =>
+      val raw = when(col("o_orderstatus") === "P", lit("not-a-ts"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"))
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), try_to_timestamp(raw).as("parsed"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(col("parsed")).as("n_parsed"), count(lit(1)).as("n_total"))
+    },
+
+    // (l_orderkey, l_linenumber) is not unique, so the keep-first ordering
+    // carries a full tie-break chain to stay a total order (SURVEY.md §7.4).
+    "q12_dedup_keep_first" -> ((s, dir) =>
+      Silver.dedupKeepFirst(t(s, dir, "lineitem"), "l_orderkey",
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))),
+
+    "q13_top_customers" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("o_custkey"))
+        .limit(10)),
+
+    "q14_region_revenue" -> { (s, dir) =>
+      val nation = broadcast(t(s, dir, "nation"))
+      val region = broadcast(t(s, dir, "region"))
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+    },
+
+    "q15_union_slices" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O")
+        .unionByName(o.filter(col("o_orderstatus") === "F"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    },
+
+    "q16_window_running" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("rn"),
+          round(sum("o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running"))
+        .filter(col("rn") <= 3)
+    },
+
+    "q17_month_rollup" -> ((s, dir) =>
+      Layout.withDatePartitions(t(s, dir, "orders"), col("o_orderdate"))
+        .filter(col("year") >= 1998)
+        .groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))),
+
+    // End-to-end incremental medallion: seeded generator batches land as bronze
+    // CSV, a Structured Streaming AvailableNow drain cleans them to silver with
+    // checkpointed exactly-once file tracking, and the gold daily KPI builder runs
+    // on the result. Filesystem side effects stay inside a fresh temp dir.
+    // Not SQL-expressible (streaming ledger) → rows-only check, sfDir-independent.
+    "q18_incremental_medallion" -> { (s, _) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-medallion-").toString
+      val bronze = Layout.bronzeDir(root, "sales")
+      (1 to 3).foreach { b =>
+        Generators.salesBatch(s, 200, seed = 42 + b, injectDuplicate = b == 2)
+          .write.option("header", "true").mode("append").csv(bronze)
+      }
+      Incremental.drainBronzeToSilver(s, "sales", bronze,
+        Layout.silverDir(root, "sales"), Layout.checkpointDir(root, "sales"))
+      Gold.dailySalesSummary(Sources.readSilver(s, Layout.silverDir(root, "sales")))
+    },
+
+    "q20_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_subword"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum("n_subword").as("total_subword_tokens"),
+          round(avg("n_chars"), 2).as("avg_chars"))),
+
+    "q21_quality_scores" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(col("text"), QualityStopwords), 6).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text"), QualityStopwords).as("quality"))),
+
+    "q22_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("detected"))
+        .groupBy(col("lang"), col("detected"))
+        .agg(count(lit(1)).as("n"))),
+
+    "q23_fingerprints" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique_fingerprints"))),
+
+    // MinHash+LSH near-dup over documents + planted perturbed copies.
+    // Not oracle-expressible (64-bit hash families) → rows-only check.
+    "q24_minhash_neardup" -> ((s, dir) =>
+      Dedup.minhashNearDuplicates(docsWithPlantedNearDups(s, dir), threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SimHash near-dup (Hamming ≤ 3 via 4×16-bit block match) — rows-only check.
+    "q25_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDuplicates(docsWithPlantedNearDups(s, dir), maxDistance = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Exact word-3-gram Jaccard between consecutive documents — oracle-checked.
+    "q26_ngram_jaccard" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(docs.select(col("doc_id").as("id_b")), "id_b")
+        .select("id_a", "id_b")
+      Dedup.pairJaccard(pairs, docs, k = 3)
+    },
+
+    "q27_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(t(s, dir, "embeddings"), queryId = 0, k = 10)),
+
+    // Brute-force cosine near-dup pairs over embeddings + planted shifted copies —
+    // the exactness baseline (oracle-checked); q29 is the LSH scale path.
+    "q28_embedding_neardup" -> ((s, dir) =>
+      Similarity.neardupPairs(embeddingsWithPlantedNearDups(s, dir), threshold = 0.9)),
+
+    // Random-hyperplane LSH buckets + exact re-score — approximate by design
+    // (bucket recall < 1) → rows-only check.
+    "q29_ann_lsh" -> ((s, dir) =>
+      Similarity.lshNeardupPairs(embeddingsWithPlantedNearDups(s, dir), threshold = 0.9, bits = 12)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Rolling-hash document fingerprint (min shingle hash) — rows-only check
+    // (xxhash64 family not reproducible in the oracle engine).
+    "q30_rolling_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")))
+  )
+
+  /** DuckDB oracle SQL, one per SQL-expressible query; column aliases match the
+    * Spark results exactly (driver hashes after sorting columns by name). */
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_daily_sales_summary" ->
+      """SELECT CAST(o_orderdate AS DATE) AS date,
+        |       ROUND(SUM(o_totalprice), 2) AS total_revenue,
+        |       COUNT(DISTINCT o_orderkey) AS order_count,
+        |       ROUND(SUM(o_totalprice), 2) / COUNT(o_totalprice) AS avg_order_value,
+        |       COUNT(DISTINCT o_custkey) AS unique_customers
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q02_category_sales_summary" ->
+      """SELECT CAST(l_shipdate AS DATE) AS date,
+        |       l_returnflag AS category,
+        |       ROUND(SUM(l_extendedprice), 2) AS category_revenue,
+        |       COUNT(DISTINCT CONCAT(l_orderkey, '-', l_linenumber)) AS category_orders,
+        |       ROUND(SUM(l_extendedprice), 2) / COUNT(l_extendedprice) AS avg_unit_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q03_payment_method_summary" ->
+      """SELECT CAST(o_orderdate AS DATE) AS date,
+        |       o_orderpriority AS payment_method,
+        |       ROUND(SUM(o_totalprice), 2) AS payment_revenue,
+        |       COUNT(DISTINCT o_orderkey) AS payment_count
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q04_customer_activity_summary" ->
+      """SELECT CAST(ts AS DATE) AS date,
+        |       event_type,
+        |       COUNT(event_id) AS event_count,
+        |       COUNT(DISTINCT user_id) AS unique_customers,
+        |       COUNT(DISTINCT CONCAT(user_id, '-', props->>'k')) AS unique_sessions
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q05_device_usage_summary" ->
+      """SELECT CAST(ts AS DATE) AS date,
+        |       CASE CAST(props->>'k' AS INT) % 3 WHEN 0 THEN 'desktop' WHEN 1 THEN 'mobile' ELSE 'tablet' END AS device_type,
+        |       COUNT(DISTINCT CONCAT(user_id, '-', props->>'k')) AS session_count,
+        |       COUNT(event_id) AS event_count
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q06_inventory_movement_summary" ->
+      """SELECT CAST(l_shipdate AS DATE) AS date,
+        |       CAST(l_partkey AS VARCHAR) AS product_id,
+        |       p_name AS product_name,
+        |       CAST(l_suppkey AS VARCHAR) AS warehouse_id,
+        |       CASE l_returnflag WHEN 'N' THEN 'inbound' WHEN 'R' THEN 'outbound' ELSE 'adjustment' END AS movement_type,
+        |       ROUND(SUM(l_quantity), 2) AS total_quantity,
+        |       ROUND(SUM(l_extendedprice), 2) AS total_cost,
+        |       COUNT(CONCAT(l_orderkey, '-', l_linenumber)) AS movement_count
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "q07_inventory_net_position" ->
+      """SELECT CAST(l_shipdate AS DATE) AS date,
+        |       CAST(l_partkey AS VARCHAR) AS product_id,
+        |       p_name AS product_name,
+        |       CAST(l_suppkey AS VARCHAR) AS warehouse_id,
+        |       SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END) AS inbound,
+        |       SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS outbound,
+        |       SUM(CASE WHEN l_returnflag NOT IN ('N', 'R') THEN l_quantity ELSE 0 END) AS adjustment,
+        |       SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END)
+        |         - SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS net_position
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q08_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS content_hash,
+        |       MIN(doc_id) AS doc_id,
+        |       COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q09_validation_errors" ->
+      """WITH mapped AS (
+        |  SELECT CASE WHEN event_type = 'click' AND value < 20 THEN TRUE ELSE FALSE END AS bad_ts,
+        |         CASE WHEN event_type = 'signup' AND value < 50 THEN TRUE ELSE FALSE END AS null_cust,
+        |         CASE event_type WHEN 'view' THEN 'browse' WHEN 'click' THEN 'login'
+        |              WHEN 'purchase' THEN 'checkout' WHEN 'signup' THEN 'logout'
+        |              ELSE 'UNKNOWN' END AS mapped_type
+        |  FROM events
+        |), flagged AS (
+        |  SELECT TRIM(CONCAT(
+        |           CASE WHEN bad_ts THEN 'NULL:timestamp; ' ELSE '' END,
+        |           CASE WHEN null_cust THEN 'NULL:customer_id; ' ELSE '' END,
+        |           CASE WHEN mapped_type NOT IN ('login','browse','add_to_cart','checkout','logout')
+        |                THEN 'INVALID_EVENT_TYPE; ' ELSE '' END)) AS validation_errors
+        |  FROM mapped
+        |)
+        |SELECT validation_errors, validation_errors = '' AS is_valid, COUNT(*) AS n
+        |FROM flagged GROUP BY 1, 2""".stripMargin,
+
+    "q10_autofix_totals" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS category,
+        |         l_quantity AS q,
+        |         l_extendedprice / l_quantity AS p,
+        |         ROUND(l_extendedprice * (1 - l_discount), 2) AS t
+        |  FROM (SELECT DISTINCT * FROM lineitem)
+        |)
+        |SELECT category,
+        |       ROUND(SUM(CASE WHEN ABS(t - ROUND(q * p, 2)) > 0.01 THEN ROUND(q * p, 2) ELSE t END), 2) AS fixed_revenue,
+        |       COUNT(*) AS n_rows
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "q11_ts_parse_coercion" ->
+      """SELECT o_orderstatus,
+        |       COUNT(TRY_CAST(CASE WHEN o_orderstatus = 'P' THEN 'not-a-ts'
+        |                           ELSE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') END AS TIMESTAMP)) AS n_parsed,
+        |       COUNT(*) AS n_total
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q12_dedup_keep_first" ->
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM (SELECT l_returnflag, l_quantity,
+        |             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |               ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |                        l_extendedprice, l_returnflag, l_shipdate) AS rn
+        |      FROM lineitem)
+        |WHERE rn = 1 GROUP BY 1""".stripMargin,
+
+    "q13_top_customers" ->
+      """SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1
+        |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q14_region_revenue" ->
+      """SELECT r_name,
+        |       ROUND(SUM(o_totalprice), 2) AS revenue,
+        |       COUNT(DISTINCT c_custkey) AS n_customers
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+
+    "q15_union_slices" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        |FROM (SELECT * FROM orders WHERE o_orderstatus = 'O'
+        |      UNION ALL
+        |      SELECT * FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY 1""".stripMargin,
+
+    "q16_window_running" ->
+      """SELECT o_custkey, o_orderkey, rn, running FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |         ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q17_month_rollup" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS year,
+        |       CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS month,
+        |       COUNT(*) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE EXTRACT(YEAR FROM o_orderdate) >= 1998
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q20_token_stats" ->
+      """SELECT lang,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_subword_tokens,
+        |       ROUND(AVG(n_chars), 2) AS avg_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q21_quality_scores" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks,
+        |         length(text) AS n_chars_txt,
+        |         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+        |  FROM documents
+        |), ratios AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CASE WHEN n_chars_txt = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars_txt END AS praw,
+        |         CASE WHEN len(toks) = 0 THEN 0.0
+        |              ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks) END AS sraw,
+        |         CAST(n_chars_txt AS DOUBLE) AS clen
+        |  FROM base
+        |)
+        |SELECT doc_id, n_tokens,
+        |       ROUND(praw, 6) AS punct_ratio,
+        |       ROUND(sraw, 6) AS stopword_ratio,
+        |       ROUND((least(clen / 500.0, 1.0) + least(sraw * 4.0, 1.0) + greatest(0.0, 1.0 - praw * 5.0)) / 3.0, 6) AS quality
+        |FROM ratios""".stripMargin,
+
+    "q22_lang_id" ->
+      """WITH hits AS (
+        |  SELECT lang,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x IN ('the','a','of','and','is'))) AS h_en,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x IN ('el','la','de','que','es'))) AS h_es,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x IN ('le','la','et','est','une'))) AS h_fr,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x IN ('der','die','und','ist','ein'))) AS h_de,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x IN ('的','是','了','在','我'))) AS h_zh
+        |  FROM documents
+        |), best AS (
+        |  SELECT lang, h_en, h_es, h_fr, h_de, h_zh,
+        |         greatest(h_en, h_es, h_fr, h_de, h_zh) AS b
+        |  FROM hits
+        |)
+        |SELECT lang,
+        |       CASE WHEN b = 0 THEN 'und'
+        |            WHEN h_en = b THEN 'en' WHEN h_es = b THEN 'es' WHEN h_fr = b THEN 'fr'
+        |            WHEN h_de = b THEN 'de' ELSE 'zh' END AS detected,
+        |       COUNT(*) AS n
+        |FROM best GROUP BY 1, 2""".stripMargin,
+
+    "q23_fingerprints" ->
+      """SELECT source,
+        |       COUNT(*) AS n_docs,
+        |       COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique_fingerprints
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q26_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 3
+        |              THEN list_distinct([array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+        |                                  for i in range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)])
+        |              ELSE [trim(text)] END AS grams
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "q27_cosine_topk" ->
+      """SELECT e.vec_id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+        |FROM embeddings e
+        |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q28_embedding_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |FROM base a JOIN base b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.9""".stripMargin
+  )
 }

@@ -1,0 +1,46 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Readers/writers for the medallion layers.
+  *
+  * Covers SURVEY.md §2.1 OP-1..OP-8: CSV sink/scan, multi-file union, Parquet
+  * silver/gold sinks, recursive silver scan. Per-file read-error tolerance
+  * (reference `pipeline/bronze_to_silver.py:205-209` try/except per file) maps to
+  * Spark's PERMISSIVE mode + `_corrupt_record` — bad rows become one quarantine-able
+  * row instead of silently dropping a whole file.
+  */
+object Sources {
+
+  /** OP-4/OP-5: scan one-or-many bronze CSVs as a single DataFrame with an explicit
+    * schema. Spark's file source unions all matched files in one scan — the
+    * `pd.concat` (reference `bronze_to_silver.py:214`) is free and distributed. */
+  def readBronzeCsv(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .csv(paths: _*)
+
+  /** OP-1: CSV sink (generator staging, reference `sales_generator.py:119`). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.option("header", "true").mode("overwrite").csv(path)
+
+  /** OP-6: silver Parquet sink, Hive-partitioned by event date
+    * (reference `local_storage.py:111-126`). Append mode = the reference's
+    * "nothing is ever deleted" contract (README.md:31). */
+  def writeSilver(df: DataFrame, path: String): Unit =
+    df.write.mode("append").partitionBy(Layout.partitionColumns: _*).parquet(path)
+
+  /** OP-7: recursive silver scan. Spark discovers `year=/month=/day=` partitions
+    * automatically and prunes them under partition filters — unlike the reference's
+    * full `rglob` re-read (`local_storage.py:129-137`). */
+  def readSilver(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** OP-8: gold snapshot sink — append a full-recompute snapshot, never overwrite
+    * (reference `local_storage.py:144-155`). */
+  def writeGoldSnapshot(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+}

@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design (the whole point at 100 TB):
+  *  - exact dedup is a hash-groupBy on a 128-bit content hash — one shuffle keyed
+  *    by `md5(text)`, never by the text itself (shuffle bytes ∝ hashes, not corpus);
+  *  - MinHash/SimHash signatures are computed by *exploding shingles/tokens and
+  *    hash-aggregating*, not by per-row higher-order lambdas: `min(hash_j)` /
+  *    `sum(±bit_j)` are plain codegen'd aggregates with map-side partial
+  *    aggregation, so the signature stage runs at scan speed and shuffles only
+  *    (id, 64·8 bytes) per document. Higher-order-function variants of the same
+  *    math exist for per-pair verification where the input is already tiny;
+  *  - LSH banding turns O(n²) near-dup search into an equi-join on
+  *    (band index, band hash): only documents sharing a bucket ever meet, and
+  *    bucket sizes are small by construction, so the join is skew-safe;
+  *  - SimHash near-dup = Hamming distance over one BIGINT; block-matching
+  *    (pigeonhole over `maxDistance+1` blocks) gives an equi-joinable index with
+  *    zero false negatives;
+  *  - LSH/blocks only *propose*; every candidate pair is verified with exact
+  *    n-gram Jaccard / Hamming before anything is dropped.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving doc id per distinct (normalized) text, plus the
+    * duplicate count. `min(doc_id)` keeps the earliest id — deterministic, unlike
+    * dropDuplicates. */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures, one row per document: `sig[j] = min over shingles s of
+    * hash_j(s)` with `hash_j(s) = xxhash64(j ‖ s)`. Implemented explode→hash-agg:
+    * `numHashes` parallel `min` aggregates over the exploded shingle stream — all
+    * codegen, partial-agg'd map-side. Output: (idCol, sig: array<bigint>). */
+  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exploded = docs.select(col(idCol),
+      explode(Shingles.wordShingles(col(textCol), k)).as("shingle"))
+    val minCols = (0 until numHashes).map(j =>
+      min(xxhash64(lit(j.toString), lit(":"), col("shingle"))).as(s"h$j"))
+    exploded.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** LSH band hashes of a MinHash signature: `bands` hashes, each over
+    * `numHashes / bands` consecutive signature slots. */
+  def bandHashes(signature: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(signature, b * lit(rows) + lit(1), lit(rows))))
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
+    *
+    * signature (explode→agg) → explode to (band, bandHash, id) → self-equi-join on
+    * the bucket → distinct candidate pairs → exact shingle-Jaccard ≥ `threshold`.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashNearDuplicates(docs: DataFrame, threshold: Double,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val sigs = minhashSignatures(docs, k, numHashes, idCol, textCol)
+    val buckets = sigs.select(col(idCol),
+      posexplode(bandHashes(col("sig"), numHashes, bands)).as(Seq("band", "band_hash")))
+    val a = buckets.as("a"); val b = buckets.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    pairJaccard(pairs, docs, k, idCol, textCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard similarity of two string arrays (treated as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** n-gram Jaccard between explicit (id_a, id_b) pairs — the verification
+    * primitive, exposed standalone (oracle-checkable in plain SQL). Shingle arrays
+    * are joined to the pair list, so the set math runs only on candidates. */
+  def pairJaccard(pairs: DataFrame, docs: DataFrame, k: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol), Shingles.wordShingles(col(textCol), k).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash signatures, one row per document, packed into a BIGINT.
+    * Charikar construction, explode→agg form: per token, bit j contributes
+    * `±1` (`2·bit_j(xxhash64(token)) − 1`); 64 parallel `sum` aggregates per doc;
+    * bit j of the signature is set iff its sum is positive (⟺ more than half the
+    * tokens set bit j). All codegen'd, map-side combinable. */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val sumCols = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j"))
+    val packed = (0 until 64).map(j =>
+        when(col(s"b$j") > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j))
+      .reduce(_ + _)
+    exploded.groupBy(col(idCol))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col(idCol), packed.as("sig"))
+  }
+
+  /** Hamming distance between two packed 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** SimHash near-duplicates with Hamming ≤ maxDistance, found by block matching:
+    * split 64 bits into `maxDistance + 1` blocks — any pair within distance d must
+    * agree on ≥ 1 block (pigeonhole), so candidates come from an equi-join on
+    * (block index, block value). Zero false negatives, no cross join. */
+  def simhashNearDuplicates(docs: DataFrame, maxDistance: Int = 3,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nBlocks = maxDistance + 1
+    val width = 64 / nBlocks
+    val sigs = simhashSignatures(docs, idCol, textCol)
+    val blocks = sigs.select(col(idCol), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(nBlocks - 1)),
+        b => call_function("shiftright", col("sig"), b * lit(width))
+          .bitwiseAND(lit((1L << width) - 1)))).as(Seq("block", "block_val")))
+    val a = blocks.as("a"); val b = blocks.as("b")
+    a.join(b,
+        col("a.block") === col("b.block") &&
+          col("a.block_val") === col("b.block_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hamming(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns with
+  * typed metadata, processed per-partition in bounded batches.
+  *
+  * The Spark-side mechanics — schema, partition sizing, batch iteration, feature
+  * schema — are real and tested; the codec itself is STUBBED (this container ships
+  * no image/audio libraries) behind [[MediaCodec]], a trait whose production
+  * implementation would wrap an actual decoder. The stub is deterministic
+  * (byte-statistics features) so tests assert exact values.
+  *
+  * Scale notes: media rows are large, so ops run via `mapPartitions` over an
+  * iterator (never materializing a partition), and callers should size input
+  * partitions by bytes (`spark.sql.files.maxPartitionBytes`), not row count.
+  * Columnar parquet keeps metadata-only queries from ever reading the blob column
+  * (column pruning: a `select(meta.*)` never touches `media`).
+  */
+object Multimodal {
+
+  /** Canonical media-table schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("sample_rate", IntegerType))))))
+
+  /** Decoded-feature schema produced by [[decodeFeatures]]. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("byte_len", LongType),
+    StructField("mean_byte", DoubleType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Pluggable decode step. Production: wrap an image/audio codec here.
+    * [[StubCodec]] is the deterministic fake used in this environment. */
+  trait MediaCodec extends Serializable {
+    /** bytes → fixed-width feature vector (e.g. pixels → embedding). */
+    def decode(bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Deterministic stand-in for a real decoder: features are byte-window means.
+    * Replace with a real codec in production — the Spark plumbing is unchanged. */
+  object StubCodec extends MediaCodec {
+    def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (bytes.nonEmpty) {
+        var i = 0
+        while (i < bytes.length) {
+          out(i % dim) += (bytes(i) & 0xff).toFloat
+          i += 1
+        }
+        val perSlot = math.max(1, bytes.length / dim)
+        var j = 0
+        while (j < dim) { out(j) /= perSlot.toFloat; j += 1 }
+      }
+      out
+    }
+  }
+
+  /** Decode/feature-extract: binary column → feature vectors, per-partition batch
+    * iteration (the Scala analog of a pandas-batched UDF — one codec instance per
+    * partition, streaming through rows). */
+  def decodeFeatures(media: DataFrame, dim: Int = 16,
+                     codec: MediaCodec = StubCodec): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("media")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val mean = if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+        Row(id, bytes.length.toLong, mean, codec.decode(bytes, dim).toSeq)
+      }
+    }
+    spark.createDataFrame(rows, featureSchema)
+  }
+
+  /** Frame sampling for video-like payloads: every `stride`-th frame's byte slice,
+    * driven entirely by metadata (`meta.n_frames`) — pure expressions, no decode. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(coalesce(col("meta.n_frames"), lit(1)) - 1, lit(0)), lit(stride))))
+      .withColumn("frame_bytes", {
+        val frameSize = (length(col("media")) / greatest(coalesce(col("meta.n_frames"), lit(1)), lit(1)))
+          .cast("int")
+        col("media").substr((col("frame_idx") * frameSize + 1).cast("int"), frameSize)
+      })
+      .select("media_id", "frame_idx", "frame_bytes")
+
+  /** Metadata-derived resize plan (target box, preserving aspect) — demonstrates
+    * typed-metadata math without touching payloads; the actual pixel resample lives
+    * behind [[MediaCodec]] in production. */
+  def resizePlan(media: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width").cast("double"); val h = col("meta.height").cast("double")
+    val scale = least(lit(maxSide) / greatest(w, h), lit(1.0))
+    media.select(col("media_id"),
+      round(w * scale).cast("int").as("target_width"),
+      round(h * scale).cast("int").as("target_height"))
+  }
+
+  /** Build a small deterministic media table from strings (tests/demos). */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val payload = (s"media-payload-$i-" * (i + 1)).getBytes("UTF-8")
+      Row(i.toLong, payload, Row("fake/raw", 64 + i, 48 + i, 4, 16000))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, math.max(1, n / 4)), mediaSchema)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.dotProduct
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Vector math runs through [[graft.functions.DotProduct]], a codegen'd Catalyst
+  * expression (tight primitive loop inside whole-stage codegen) — the
+  * higher-order-function formulation benchmarked ~40s for 500k 64-dim pairs,
+  * the expression form is orders of magnitude cheaper, with bit-identical
+  * left-to-right summation. Norms are computed once per row *before* any join, so
+  * a pairwise comparison costs exactly one dot product.
+  *
+  * Two search paths:
+  *  - brute-force top-k / all-pairs: O(n·d) / O(n²·d), embarrassingly parallel —
+  *    the correctness baseline, broadcast-joined so only the small side replicates;
+  *  - random-hyperplane LSH buckets for the 100 TB path: deterministic
+  *    hash-derived hyperplanes → sign-bit bucket id; neighbor search becomes an
+  *    equi-join on the bucket. Recall is tunable by bits/tables; candidates are
+  *    re-scored exactly before anything is reported.
+  */
+object Similarity {
+
+  /** Elementwise promotion to array<double> (float→double is exact). */
+  def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Dot product (codegen'd); inputs must be array<double> — see [[toDoubleArray]]. */
+  def dot(a: Column, b: Column): Column = dotProduct(a, b)
+
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity of two array<double> columns; 0.0 when either is all-zero.
+    * For joins, prefer precomputing norms per side (see [[neardupPairs]]) so each
+    * pair costs one dot, not three. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
+  }
+
+  /** id + double vector + precomputed norm — the join-ready projection. */
+  private def withNorm(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings.select(col(idCol), toDoubleArray(col(vecCol)).as("v"))
+      .withColumn("norm", sqrt(dotProduct(col("v"), col("v"))))
+
+  private def pairCosine(aNorm: Column, bNorm: Column, aVec: Column, bVec: Column): Column = {
+    val denom = aNorm * bNorm
+    round(when(denom === 0, lit(0.0)).otherwise(dotProduct(aVec, bVec) / denom), 6)
+  }
+
+  /** Brute-force top-k by cosine against the embedding with id `queryId`.
+    * Output: (id, cos_sim rounded to 6dp), ties broken by id — fully deterministic. */
+  def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = withNorm(embeddings, idCol, vecCol)
+    val query = base.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("norm").as("qnorm"))
+    base.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        pairCosine(col("norm"), col("qnorm"), col("v"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All pairs (id_a < id_b) with cosine ≥ threshold — embedding-space near-dup
+    * detection, brute force. Quadratic: the *baseline*; [[lshNeardupPairs]] is the
+    * scale path. Broadcasts one side; one codegen'd dot per pair. */
+  def neardupPairs(embeddings: DataFrame, threshold: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = withNorm(embeddings, idCol, vecCol)
+    val a = base.as("a"); val b = base.as("b")
+    a.join(broadcast(b), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        pairCosine(col("a.norm"), col("b.norm"), col("a.v"), col("b.v")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): hash of
+    * (plane, dim) scaled — every executor regenerates the same planes, nothing to
+    * broadcast or keep in sync. */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(concat(plane.cast("string"), lit("#"), dim.cast("string"))), lit(1000000L))
+      .cast("double") / 500000.0) - 1.0
+
+  /** Random-hyperplane LSH bucket id: `bits` sign bits packed into a BIGINT.
+    * Runs once per row (not per pair), so the interpreted higher-order projection
+    * is off the critical path. */
+  def lshBucket(vec: Column, bits: Int = 16): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), p => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") * planeComponent(p, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, bit) => acc * 2 + bit)
+
+  /** LSH-bucketed near-dup pairs: equi-join on the bucket id, then exact cosine
+    * re-score. Same output shape as [[neardupPairs]] but the join degree is the
+    * bucket occupancy, not n — this is the 100 TB variant (recall < 1 by design;
+    * raise recall with fewer bits or multiple tables). */
+  def lshNeardupPairs(embeddings: DataFrame, threshold: Double, bits: Int = 16,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = withNorm(embeddings, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("v"), bits))
+    val a = base.as("a"); val b = base.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        pairCosine(col("a.norm"), col("b.norm"), col("a.v"), col("b.v")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All pure `Column` expressions (no UDFs): language-ID (stopword-hit heuristic),
+  * quality scoring (length / punctuation / stopword ratios), token counting
+  * (whitespace + a BPE-ish regex), and document fingerprinting (md5 + rolling
+  * shingle hash). Expression-only means whole-stage codegen end-to-end and zero
+  * shuffles for the per-document stage — at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count as BIGINT (matches SQL engines' `len()` type). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword segmentation: count letter runs, digit runs, and individual
+    * punctuation marks, the way byte-pair tokenizers pre-tokenize. A proxy for
+    * "model token" counts when the real tokenizer can't ship with the engine.
+    * (Extraction-count form, not split: lookaround-free regex is portable across
+    * regex engines.) */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Characters count. */
+  def charCount(text: Column): Column = length(text).cast("long")
+
+  /** Fraction of characters that are punctuation. Guarded for empty text. */
+  def punctRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0, lit(0.0))
+      .otherwise((len - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") / len)
+  }
+
+  /** Fraction of tokens found in `stopwords` — a high ratio signals natural prose,
+    * a very low one signals tables/code/noise. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(toks))
+  }
+
+  /** Mean token length — degenerate values flag boilerplate/binary spill. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length documents with prose-like
+    * stopword density and low punctuation noise (C4/Gopher-style heuristics). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lengthTerm = least(charCount(text).cast("double") / 500.0, lit(1.0))
+    val stopTerm = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
+    val punctTerm = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    round((lengthTerm + stopTerm + punctTerm) / 3.0, 6)
+  }
+
+  /** Per-language marker stopwords for the n-gram/stopword-hit language heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "est", "une"),
+    "de" -> Seq("der", "die", "und", "ist", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Count of tokens matching one language's marker list. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit): _*))).cast("long")
+
+  /** Heuristic language ID: the language with the most marker-token hits;
+    * `und` (undetermined) when nothing matches. Ties break by list order
+    * (en first), which keeps the result deterministic. */
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.map { case (lang, markers) => (lang, markerHits(text, markers)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // fold from the last language up so earlier languages win ties
+    scored.reverse.foldLeft(lit("und")) { case (fallback, (lang, hits)) =>
+      when(hits === best && best > 0, lit(lang)).otherwise(fallback)
+    }
+  }
+
+  /** Content fingerprint: md5 of normalized text — the exact-dedup key. */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** Rolling-hash fingerprint: min of 64-bit hashes over `k`-word shingles —
+    * stable under small appends/truncations (winnowing-style), unlike md5. */
+  def rollingFingerprint(text: Column, k: Int = 3): Column = {
+    val sh = Shingles.wordShingles(text, k)
+    when(size(sh) > 0, array_min(transform(sh, s => xxhash64(s)))).otherwise(xxhash64(text))
+  }
+}
+
+/** Word k-gram shingling shared by fingerprinting and MinHash dedup. */
+object Shingles {
+  /** Distinct k-word shingles; documents shorter than k words shingle to the whole
+    * trimmed text so nothing hashes to an empty set. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
+      .otherwise(array(trim(text)))
+  }
+}

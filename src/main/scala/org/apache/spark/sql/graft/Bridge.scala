@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge.
+  *
+  * Spark 4 made the Column↔Expression converters `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`); third-party engines that ship
+  * custom Catalyst expressions conventionally expose them through a shim in the
+  * `org.apache.spark.sql` namespace — this is that shim, kept to two forwarding
+  * methods so the private-API surface stays minimal and auditable.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
