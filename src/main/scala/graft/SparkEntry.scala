@@ -271,8 +271,9 @@ object SparkEntry {
     "q18_incremental_medallion" -> { (s, _) =>
       val root = java.nio.file.Files.createTempDirectory("graft-medallion-").toString
       val bronze = Layout.bronzeDir(root, "sales")
-      (1 to 3).foreach { b =>
-        Generators.salesBatch(s, 200, seed = 42 + b, injectDuplicate = b == 2)
+      (1 to 2).foreach { b =>
+        Generators.salesBatch(s, 150, seed = 42 + b, injectDuplicate = b == 2)
+          .coalesce(1)
           .write.option("header", "true").mode("append").csv(bronze)
       }
       Incremental.drainBronzeToSilver(s, "sales", bronze,

@@ -76,7 +76,7 @@ object Multimodal {
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
         val mean = if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-        Row(id, bytes.length.toLong, mean, codec.decode(bytes, dim).toSeq)
+        Row(id, bytes.length.toLong, mean, codec.decode(bytes, dim).toIndexedSeq)
       }
     }
     spark.createDataFrame(rows, featureSchema)

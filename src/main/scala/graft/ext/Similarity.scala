@@ -71,42 +71,45 @@ object Similarity {
   def neardupPairs(embeddings: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val base = withNorm(embeddings, idCol, vecCol)
-    val a = base.as("a"); val b = base.as("b")
+    // The stream side drives the nested-loop parallelism; a single-file parquet
+    // scan is one partition, which would serialize the whole O(n²) loop onto one
+    // core. Spread it across the cluster before the join.
+    val spread = base.repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    val a = spread.as("a"); val b = base.as("b")
     a.join(broadcast(b), col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         pairCosine(col("a.norm"), col("b.norm"), col("a.v"), col("b.v")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1): hash of
-    * (plane, dim) scaled — every executor regenerates the same planes, nothing to
-    * broadcast or keep in sync. */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(concat(plane.cast("string"), lit("#"), dim.cast("string"))), lit(1000000L))
-      .cast("double") / 500000.0) - 1.0
+  /** Deterministic random hyperplanes, seeded per plane index — regenerated
+    * identically on every executor (they travel as plan literals, nothing to
+    * broadcast or keep in sync). */
+  private def hyperplanes(bits: Int, dim: Int): Array[Seq[Double]] =
+    Array.tabulate(bits) { p =>
+      val rnd = new java.util.Random(1000003L * p + 17)
+      Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+    }
 
   /** Random-hyperplane LSH bucket id: `bits` sign bits packed into a BIGINT.
-    * Runs once per row (not per pair), so the interpreted higher-order projection
-    * is off the critical path. */
-  def lshBucket(vec: Column, bits: Int = 16): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), p => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast("double") * planeComponent(p, i)),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, lit(1L)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, bit) => acc * 2 + bit)
+    * Each bit is one codegen'd dot against a literal plane array — an earlier
+    * per-row higher-order formulation (hash-derived components rebuilt per
+    * element) was interpreted and dominated the whole LSH query (~22s of a 22s
+    * plan at sf0.1); literal planes + [[graft.functions.DotProduct]] remove it
+    * from the profile entirely. */
+  def lshBucket(vec: Column, bits: Int = 16, dim: Int = 64): Column =
+    hyperplanes(bits, dim).foldLeft(lit(0L)) { (acc, plane) =>
+      acc * 2 + when(dotProduct(vec, typedlit(plane)) >= 0, lit(1L)).otherwise(lit(0L))
+    }
 
   /** LSH-bucketed near-dup pairs: equi-join on the bucket id, then exact cosine
     * re-score. Same output shape as [[neardupPairs]] but the join degree is the
     * bucket occupancy, not n — this is the 100 TB variant (recall < 1 by design;
     * raise recall with fewer bits or multiple tables). */
   def lshNeardupPairs(embeddings: DataFrame, threshold: Double, bits: Int = 16,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val base = withNorm(embeddings, idCol, vecCol)
-      .withColumn("bucket", lshBucket(col("v"), bits))
+      .withColumn("bucket", lshBucket(col("v"), bits, dim))
     val a = base.as("a"); val b = base.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),

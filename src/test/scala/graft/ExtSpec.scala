@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Shingles, Similarity, TextAnalysis}
+import graft.functions.VectorFunctions
+
+/** Extension-surface operators: text analysis, dedup (exact / MinHash / SimHash /
+  * Jaccard), similarity search, custom vector expression. */
+class ExtSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("tokenCount / bpeishTokenCount / punctRatio on known strings") {
+    import spark.implicits._
+    val out = docs((1L, "the quick, brown fox!"))
+      .select(
+        TextAnalysis.tokenCount(col("text")),
+        TextAnalysis.bpeishTokenCount(col("text")),
+        round(TextAnalysis.punctRatio(col("text")), 4))
+      .as[(Long, Long, Double)].collect().head
+    assert(out._1 == 4L)        // whitespace tokens
+    assert(out._2 == 6L)        // the|quick|,|brown|fox|!
+    assert(out._3 == 0.0952)    // 2 punct / 21 chars
+  }
+
+  test("stopwordRatio and qualityScore bounds") {
+    import spark.implicits._
+    val stop = Seq("the", "a")
+    val out = docs((1L, "the cat saw a dog"), (2L, ""))
+      .select(col("doc_id"), round(TextAnalysis.stopwordRatio(col("text"), stop), 4),
+        TextAnalysis.qualityScore(col("text"), stop))
+      .as[(Long, Double, Double)].orderBy("doc_id").collect()
+    assert(out(0)._2 == 0.4)
+    assert(out(0)._3 > 0 && out(0)._3 <= 1.0)
+    assert(out(1)._2 == 0.0)
+  }
+
+  test("langId picks the language with most marker hits; und when none") {
+    import spark.implicits._
+    val out = docs(
+      (1L, "the cat is on the mat"),
+      (2L, "el gato es de la casa que"),
+      (3L, "zzz qqq www"))
+      .select(col("doc_id"), TextAnalysis.langId(col("text")))
+      .as[(Long, String)].orderBy("doc_id").collect()
+    assert(out.map(_._2).toSeq == Seq("en", "es", "und"))
+  }
+
+  test("wordShingles builds k-grams; short docs fall back to whole text") {
+    import spark.implicits._
+    val out = docs((1L, "a b c d"), (2L, "only two"))
+      .select(col("doc_id"), Shingles.wordShingles(col("text"), 3))
+      .as[(Long, Seq[String])].orderBy("doc_id").collect()
+    assert(out(0)._2 == Seq("a b c", "b c d"))
+    assert(out(1)._2 == Seq("only two"))
+  }
+
+  test("exactDuplicateGroups keeps min id per normalized text") {
+    val out = Dedup.exactDuplicateGroups(docs(
+      (5L, "Hello World"), (2L, "  hello world "), (9L, "different")))
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("doc_id") == 2L && out(0).getAs[Long]("n_copies") == 2L)
+    assert(out(1).getAs[Long]("doc_id") == 9L && out(1).getAs[Long]("n_copies") == 1L)
+  }
+
+  test("jaccard and pairJaccard compute exact set overlap") {
+    import spark.implicits._
+    val d = docs((1L, "a b c d"), (2L, "b c d e"))
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.pairJaccard(pairs, d, k = 1).collect().head.getAs[Double]("jaccard")
+    // token sets {a,b,c,d} vs {b,c,d,e}: 3 / 5
+    assert(j == 0.6)
+  }
+
+  test("minhashNearDuplicates finds a planted near-duplicate and skips unrelated docs") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    val d = docs(
+      (1L, base),
+      (2L, base + " w21"), // near-dup of 1
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 x16 x17 x18 x19 x20"))
+    val pairs = Dedup.minhashNearDuplicates(d, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("simhash signatures: identical docs equal, near docs close, far docs far") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val d = docs((1L, base), (2L, base), (3L, base + " extra"),
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15 q16"))
+    val sigs = Dedup.simhashSignatures(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sig")).toMap
+    assert(sigs(1L) == sigs(2L))
+    val near = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val far = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(near < far, s"near=$near should be < far=$far")
+    assert(far > 16)
+  }
+
+  test("simhashNearDuplicates finds Hamming-close pairs via block match") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val d = docs((1L, base), (2L, base),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15 q16"))
+    val pairs = Dedup.simhashNearDuplicates(d, maxDistance = 3).collect()
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+      r.getAs[Long]("hamming"))).toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  private def vecs(rows: (Long, Seq[Double])*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("DotProduct expression: exact value, null propagation, HOF equivalence") {
+    import spark.implicits._
+    val df = vecs((1L, Seq(1.0, 2.0, 3.0)))
+    val dot = df.select(VectorFunctions.dotProduct(col("embedding"), col("embedding")))
+      .as[Double].collect().head
+    assert(dot == 14.0)
+    val hof = df.select(
+      aggregate(zip_with(col("embedding"), col("embedding"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)).as[Double].collect().head
+    assert(dot == hof)
+    val nul = df.select(VectorFunctions.dotProduct(lit(null).cast("array<double>"), col("embedding")))
+      .collect().head
+    assert(nul.isNullAt(0))
+  }
+
+  test("cosineTopK returns k nearest with deterministic tie-break") {
+    val d = vecs(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.01)), (2L, Seq(0.0, 1.0)), (3L, Seq(-1.0, 0.0)))
+    val out = Similarity.cosineTopK(d, queryId = 0, k = 2).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L))
+    assert(out.head.getAs[Double]("cos_sim") > 0.99)
+  }
+
+  test("neardupPairs and lshNeardupPairs find the planted near-identical pair") {
+    val d = vecs(
+      (1L, Seq(1.0, 2.0, 3.0, 4.0)), (2L, Seq(1.0, 2.0, 3.0, 4.001)),
+      (3L, Seq(-4.0, 3.0, -2.0, 1.0)))
+    val brute = Similarity.neardupPairs(d, threshold = 0.99).collect()
+    assert(brute.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet == Set((1L, 2L)))
+    val lsh = Similarity.lshNeardupPairs(d, threshold = 0.99, bits = 8, dim = 4).collect()
+    assert(lsh.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.engine.{Generators, Gold, Incremental, Layout, Sources}
+
+/** Incremental medallion layer (OP-9/35/36): streaming AvailableNow drain with
+  * checkpointed exactly-once file processing, end to end. */
+class IncrementalSpec extends SparkSpec {
+
+  test("drainBronzeToSilver processes each bronze file exactly once across drains") {
+    withTempDir { root =>
+      val bronze = Layout.bronzeDir(root, "sales")
+      val silver = Layout.silverDir(root, "sales")
+      val ckpt = Layout.checkpointDir(root, "sales")
+
+      Generators.salesBatch(spark, 50, seed = 1).coalesce(1)
+        .write.option("header", "true").mode("append").csv(bronze)
+      Incremental.drainBronzeToSilver(spark, "sales", bronze, silver, ckpt)
+      val afterFirst = Sources.readSilver(spark, silver).count()
+      assert(afterFirst == 50)
+
+      // re-drain with no new files → no reprocessing (the reference's ledger
+      // semantics, local_storage.py:90-97)
+      Incremental.drainBronzeToSilver(spark, "sales", bronze, silver, ckpt)
+      assert(Sources.readSilver(spark, silver).count() == afterFirst)
+
+      // new file lands → only it is processed
+      Generators.salesBatch(spark, 30, seed = 2).coalesce(1)
+        .write.option("header", "true").mode("append").csv(bronze)
+      Incremental.drainBronzeToSilver(spark, "sales", bronze, silver, ckpt)
+      assert(Sources.readSilver(spark, silver).count() == 80)
+    }
+  }
+
+  test("silver output is Hive-partitioned and round-trips through gold builders") {
+    withTempDir { root =>
+      val bronze = Layout.bronzeDir(root, "sales")
+      val silver = Layout.silverDir(root, "sales")
+      Generators.salesBatch(spark, 40, seed = 3).coalesce(1)
+        .write.option("header", "true").mode("append").csv(bronze)
+      Incremental.drainBronzeToSilver(spark, "sales", bronze, silver,
+        Layout.checkpointDir(root, "sales"))
+
+      val silverDf = Sources.readSilver(spark, silver)
+      assert(Seq("year", "month", "day").forall(silverDf.columns.contains))
+      // partition dirs exist on disk
+      val dirs = new java.io.File(silver).listFiles().filter(_.isDirectory).map(_.getName)
+      assert(dirs.exists(_.startsWith("year=")))
+
+      val tables = Incremental.snapshotGold(spark, "sales", silver, root + "/gold-root")
+      assert(tables.size == 3)
+      val daily = Sources.readSilver(spark, Layout.goldDir(root + "/gold-root", "daily_sales_summary"))
+      assert(daily.count() > 0)
+      assert(daily.columns.contains("generated_at"))
+    }
+  }
+
+  test("generator batches are deterministic per seed and inject expected defects") {
+    val a = Generators.salesBatch(spark, 300, seed = 7).collect()
+    val b = Generators.salesBatch(spark, 300, seed = 7).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+
+    val nullQty = a.count(_.isNullAt(a.head.fieldIndex("quantity")))
+    assert(nullQty > 0 && nullQty < 30) // ~3%
+    val dup = Generators.salesBatch(spark, 100, seed = 8, injectDuplicate = true)
+    assert(dup.count() == 101)
+    assert(dup.dropDuplicates("sale_id").count() == 100)
+
+    val ev = Generators.customerEventsBatch(spark, 300, seed = 9).collect()
+    val unknown = ev.count(_.getAs[String]("event_type") == "UNKNOWN")
+    assert(unknown > 0 && unknown < 30) // ~4%
+
+    val inv = Generators.inventoryBatch(spark, 300, seed = 10).collect()
+    val transfer = inv.count(_.getAs[String]("movement_type") == "TRANSFER")
+    assert(transfer > 0 && transfer < 30) // ~4%
+  }
+}
