@@ -31,9 +31,13 @@ import graft.ext.{Dedup, Similarity, TextAnalysis}
   *  - q16_window_running            window functions (§2.6 extension)
   *  - q17_month_rollup              OP-3 (date-partition derivation as columns)
   *  - q18_incremental_medallion     OP-9,35,36 (streaming AvailableNow drain; no SQL oracle)
+  *  - q19_semi_anti_join            left-semi / left-anti joins (§2.6 extension)
   *  - q20..q30                      extension surface: tokens, quality, lang-id,
   *                                  fingerprints, MinHash/LSH, SimHash, n-gram
   *                                  Jaccard, cosine top-k, embedding near-dup, ANN
+  *  - q31_rollup                    grouping sets / rollup (§2.6 extension)
+  *  - q32_stream_windowed           event-time window + watermark (Structured
+  *                                  Streaming, memory sink, oracle = batch rollup)
   *
   * Oracle rules (SURVEY.md §7.4): every Spark column aliased identically in the
   * DuckDB SQL; money sums rounded to 2dp only where inputs are 2dp (grid-safe);
@@ -281,6 +285,50 @@ object SparkEntry {
       Gold.dailySalesSummary(Sources.readSilver(s, Layout.silverDir(root, "sales")))
     },
 
+    // Semi/anti joins (EXISTS / NOT EXISTS): customers with vs without orders,
+    // rolled up per nation. (§2.6 noted these absent in the reference.)
+    "q19_semi_anti_join" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("with_orders"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("without_orders"))
+      semi.unionByName(anti)
+    },
+
+    // Grouping-set hierarchy via rollup (year, priority) incl. grand total.
+    "q31_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).as("year"), col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))),
+
+    // Structured Streaming event-time window + watermark, driven to completion
+    // with AvailableNow over the events parquet and collected from a memory sink —
+    // equals the equivalent batch rollup, which the DuckDB oracle checks.
+    "q32_stream_windowed" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val staticSchema = t(s, dir, "events").schema
+      // the streaming file source wants a directory: stream the sf dir itself,
+      // glob-filtered down to the events table
+      val stream = s.readStream.schema(staticSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = Incremental.windowedCounts(stream,
+        ts = expr("timestamp_micros(ts DIV 1000)"), key = col("event_type"),
+        windowDuration = "1 hour", watermarkDelay = "1 hour", valueCol = col("value"))
+      val sinkName = "graft_stream_windowed"
+      s.catalog.dropTempView(sinkName)
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sinkName).select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+    },
+
     "q20_token_stats" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("lang"), col("n_chars"),
@@ -515,6 +563,30 @@ object SparkEntry {
         |FROM orders
         |WHERE EXTRACT(YEAR FROM o_orderdate) >= 1998
         |GROUP BY 1, 2""".stripMargin,
+
+    "q19_semi_anti_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n, 'with_orders' AS kind
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT c_nationkey, COUNT(*) AS n, 'without_orders' AS kind
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+
+    "q31_rollup" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS year,
+        |       o_orderpriority AS priority,
+        |       COUNT(*) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT), o_orderpriority)""".stripMargin,
+
+    "q32_stream_windowed" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+        |       event_type,
+        |       COUNT(*) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q20_token_stats" ->
       """SELECT lang,

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -52,6 +52,21 @@ object Incremental {
       .start()
     query.awaitTermination()
   }
+
+  /** Event-time windowed aggregation with a watermark — the Structured Streaming
+    * shape the reference's file-grain incremental model lacks (SURVEY.md §2.6:
+    * no event-time windows; late data is only picked up because gold recomputes
+    * all history). With a watermark the same rollup runs incrementally with
+    * bounded state: windows older than the watermark are finalized and dropped.
+    * Works identically over a batch DataFrame (watermark is a no-op there). */
+  def windowedCounts(events: DataFrame, ts: Column, key: Column,
+                     windowDuration: String, watermarkDelay: String,
+                     valueCol: Column): DataFrame =
+    events
+      .withColumn("__ts", ts)
+      .withWatermark("__ts", watermarkDelay)
+      .groupBy(window(col("__ts"), windowDuration), key)
+      .agg(count(lit(1)).as("n"), round(sum(valueCol), 2).as("total_value"))
 
   /** Silver→gold full-recompute snapshot for every gold table of one domain
     * (reference `silver_to_gold.py:219-235`). The valid+dated base is cached once

@@ -43,4 +43,22 @@ object Sources {
     * (reference `local_storage.py:144-155`). */
   def writeGoldSnapshot(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
+
+  /** OP-2: raw-file ingest — copy staged files verbatim into the bronze landing
+    * dir (the reference's `shutil.copy2`, `local_storage.py:52-67`; "nothing is
+    * ever deleted", README.md:31). Byte-preserving Hadoop-FS copy, so it works
+    * unchanged against HDFS/S3A at scale; not a relational op. */
+  def ingestRaw(spark: SparkSession, srcGlob: String, destDir: String): Seq[String] = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(srcGlob)
+    val fs = src.getFileSystem(conf)
+    val dest = new Path(destDir)
+    fs.mkdirs(dest)
+    Option(fs.globStatus(src)).getOrElse(Array.empty).toSeq.map { st =>
+      val target = new Path(dest, st.getPath.getName)
+      FileUtil.copy(fs, st.getPath, fs, target, false, conf)
+      target.toString
+    }
+  }
 }

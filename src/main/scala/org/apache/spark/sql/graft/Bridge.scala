@@ -15,4 +15,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register the engine's SQL functions on an *existing* session (builder-time
+    * `withExtensions(new GraftExtensions)` is the front door, but `getOrCreate`
+    * ignores extensions when a session already exists — e.g. inside the driver's
+    * Verify/Bench harness or a shared test JVM). */
+  def installGraftFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => _root_.graft.functions.DotProduct(exprs(0), exprs(1)),
+      "built-in")
 }
