@@ -37,13 +37,18 @@ object Silver {
   /** Build the reference's exact error string: `"<CODE>; "` fragments appended in
     * required-column order then domain-check order, then stripped — so
     * `"NULL:a; NULL:b;"` (trailing `;` survives the strip;
-    * reference `bronze_to_silver.py:59-77`). Empty string ⇒ valid row. */
+    * reference `bronze_to_silver.py:59-77`). Empty string ⇒ valid row.
+    *
+    * Deliberately the reference's own accumulate-then-strip construction
+    * (`errors += "<CODE>; "` … `.str.strip()`) as a flat `concat` of
+    * when-fragments: pure string codegen. An earlier array_compact/array_join
+    * form cost 10s+ per 600k rows — collection higher-order expressions are
+    * interpreted and fall out of whole-stage codegen. */
   def errorString(required: Seq[String], domainChecks: Seq[(Column, String)]): Column = {
     val fragments =
-      required.map(c => when(col(c).isNull, lit(s"NULL:$c"))) ++
-        domainChecks.map { case (pred, code) => when(pred, lit(code)) }
-    val errs = array_compact(array(fragments: _*))
-    when(size(errs) > 0, concat(array_join(errs, "; "), lit(";"))).otherwise(lit(""))
+      required.map(c => when(col(c).isNull, lit(s"NULL:$c; ")).otherwise(lit(""))) ++
+        domainChecks.map { case (pred, code) => when(pred, lit(s"$code; ")).otherwise(lit("")) }
+    trim(concat(fragments: _*))
   }
 
   /** OP-12: enum-membership check — non-null value outside the allowed set
