@@ -329,6 +329,28 @@ object SparkEntry {
         col("event_type"), col("n"), col("total_value"))
     },
 
+    // SQL frontend over registered views — TPC-H Q1 shape (scan-filter pushdown
+    // + multi-aggregate hash groupBy through spark.sql).
+    "q33_sql_tpch_q1" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       SUM(l_quantity) AS sum_qty,
+          |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+          |       ROUND(SUM(l_extendedprice), 2) / COUNT(l_extendedprice) AS avg_price,
+          |       COUNT(*) AS count_order
+          |FROM lineitem_v
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    // Skew-safe two-phase (salted) aggregation: results equal the plain groupBy
+    // (oracle), but hot keys fan over `salt` reducers in phase one.
+    "q34_salted_agg" -> ((s, dir) =>
+      engine.Skew.saltedSumCount(
+        eventsTable(s, dir), key = col("event_type"), value = col("value"))
+        .select(col("key").as("event_type"), round(col("total"), 2).as("total_value"), col("n"))),
+
     "q20_token_stats" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("lang"), col("n_chars"),
@@ -580,6 +602,20 @@ object SparkEntry {
         |       ROUND(SUM(o_totalprice), 2) AS revenue
         |FROM orders
         |GROUP BY ROLLUP(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT), o_orderpriority)""".stripMargin,
+
+    "q33_sql_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |       ROUND(SUM(l_extendedprice), 2) / COUNT(l_extendedprice) AS avg_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q34_salted_agg" ->
+      """SELECT event_type, ROUND(SUM(value), 2) AS total_value, COUNT(value) AS n
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q32_stream_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,

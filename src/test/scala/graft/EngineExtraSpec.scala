@@ -34,6 +34,40 @@ class EngineExtraSpec extends SparkSpec {
     }
   }
 
+  test("saltedSumCount equals the direct groupBy (skew-safe two-phase rewrite)") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i * 0.5)).toDF("k", "v")
+    val salted = graft.engine.Skew.saltedSumCount(df, col("k"), col("v"), salt = 8)
+      .select(col("key"), round(col("total"), 2).as("total"), col("n"))
+    val direct = df.groupBy(col("k").as("key"))
+      .agg(round(sum("v"), 2).as("total"), count(col("v")).as("n"))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
+  test("bucketed tables co-locate an equi-join with no shuffle in the plan") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        df.write.bucketBy(8, "k").sortBy("k").option("path", s"$dir/t1").saveAsTable("graft_b1")
+        df.write.bucketBy(8, "k").sortBy("k").option("path", s"$dir/t2").saveAsTable("graft_b2")
+        val joined = spark.table("graft_b1").join(spark.table("graft_b2"), "k")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+        assert(joined.count() == 1000)
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS graft_b1")
+        spark.sql("DROP TABLE IF EXISTS graft_b2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      }
+    }
+  }
+
   test("approxUniques tracks exact countDistinct within rsd on realistic cardinalities") {
     import spark.implicits._
     val df = (1 to 20000).map(i => (i % 977).toString).toDF("k")
