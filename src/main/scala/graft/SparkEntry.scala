@@ -351,6 +351,12 @@ object SparkEntry {
         eventsTable(s, dir), key = col("event_type"), value = col("value"))
         .select(col("key").as("event_type"), round(col("total"), 2).as("total_value"), col("n"))),
 
+    // Batch k-NN join: top-3 cosine neighbors for each of the first 10 vectors.
+    "q35_knn_join" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnJoin(emb.filter(col("vec_id") < 10), emb, k = 3)
+    },
+
     "q20_token_stats" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("lang"), col("n_chars"),
@@ -616,6 +622,19 @@ object SparkEntry {
     "q34_salted_agg" ->
       """SELECT event_type, ROUND(SUM(value), 2) AS total_value, COUNT(value) AS n
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q35_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |         ROUND(list_cosine_similarity(qv, cv), 6) AS cos_sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC, neighbor_id) AS rank
+        |  FROM q, c WHERE query_id <> neighbor_id)
+        |WHERE rank <= 3""".stripMargin,
 
     "q32_stream_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,

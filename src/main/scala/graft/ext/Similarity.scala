@@ -102,6 +102,29 @@ object Similarity {
       acc * 2 + when(dotProduct(vec, typedlit(plane)) >= 0, lit(1L)).otherwise(lit(0L))
     }
 
+  /** Batch k-NN join: for every query vector, its `k` nearest corpus vectors by
+    * cosine. Brute force (|Q|·|C| dots) with the corpus broadcast — right when Q
+    * is small or C fits a broadcast; at scale, bucket both sides with
+    * [[lshBucket]] first and run this within buckets. Deterministic: 6-dp
+    * rounding + id tie-break. Output: (query_id, neighbor_id, rank, cos_sim). */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val c = withNorm(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.repartition(queries.sparkSession.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(c))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pairCosine(col("qnorm"), col("cnorm"), col("qv"), col("cv")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed near-dup pairs: equi-join on the bucket id, then exact cosine
     * re-score. Same output shape as [[neardupPairs]] but the join degree is the
     * bucket occupancy, not n — this is the 100 TB variant (recall < 1 by design;

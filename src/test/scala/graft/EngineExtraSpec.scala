@@ -68,6 +68,36 @@ class EngineExtraSpec extends SparkSpec {
     }
   }
 
+  test("PERMISSIVE csv scan nulls malformed fields instead of dropping the file") {
+    withTempDir { dir =>
+      val header = graft.engine.Schemas.salesBronze.fieldNames.mkString(",")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bad.csv"),
+        s"$header\nS1,2026-01-01T00:00:00,C,P,N,Cat,notanumber,5.0,10.0,pm,ok\n")
+      val r = Sources.readBronzeCsv(spark, graft.engine.Schemas.salesBronze, s"$dir/bad.csv")
+        .collect().head
+      assert(r.getAs[String]("sale_id") == "S1")
+      assert(r.isNullAt(r.fieldIndex("quantity"))) // malformed double → null, row kept
+      assert(r.getAs[Double]("unit_price") == 5.0)
+    }
+  }
+
+  test("Medallion.runOnce drains all domains and snapshots all 7 gold tables idempotently") {
+    withTempDir { root =>
+      import graft.engine.{Generators, Layout, Medallion, Sources => Src}
+      Medallion.Domains.zipWithIndex.foreach { case (d, i) =>
+        Generators.batchByDomain(d)(spark, 40, 100 + i).coalesce(1)
+          .write.option("header", "true").mode("append").csv(Layout.bronzeDir(root, d))
+      }
+      val tables = Medallion.runOnce(spark, root)
+      assert(tables.sorted == graft.engine.Gold.buildersByTable.keys.toSeq.sorted)
+      val daily1 = Src.readSilver(spark, Layout.goldDir(root, "daily_sales_summary")).count()
+      // second tick with no new bronze: silver unchanged, gold appends a snapshot
+      Medallion.runOnce(spark, root)
+      assert(Src.readSilver(spark, Layout.silverDir(root, "sales")).count() == 40)
+      assert(Src.readSilver(spark, Layout.goldDir(root, "daily_sales_summary")).count() == daily1 * 2)
+    }
+  }
+
   test("approxUniques tracks exact countDistinct within rsd on realistic cardinalities") {
     import spark.implicits._
     val df = (1 to 20000).map(i => (i % 977).toString).toDF("k")
