@@ -423,6 +423,15 @@ object SparkEntry {
       Similarity.lshNeardupPairs(embeddingsWithPlantedNearDups(s, dir), threshold = 0.9, bits = 12)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // IVF (inverted-file) ANN: Lloyd-trained centroid cells, nProbe-limited
+    // exact search — the clustered counterpart to q29's hyperplane LSH.
+    // Centroid floats are engine-specific → rows-only check.
+    "q36_ivf_ann" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val centroids = ext.IVF.train(emb, nCells = 8, iters = 2)
+      ext.IVF.search(emb, centroids, queryId = 0, k = 10, nProbe = 3)
+    },
+
     // Rolling-hash document fingerprint (min shingle hash) — rows-only check
     // (xxhash64 family not reproducible in the oracle engine).
     "q30_rolling_fingerprint" -> ((s, dir) =>

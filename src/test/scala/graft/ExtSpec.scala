@@ -138,6 +138,25 @@ class ExtSpec extends SparkSpec {
     assert(out.head.getAs[Double]("cos_sim") > 0.99)
   }
 
+  test("IVF: training separates clusters; probe-limited search finds the planted neighbor") {
+    import graft.ext.IVF
+    // two well-separated clusters around (10,0,..) and (-10,0,..), 8 vectors each
+    val rows = (0 until 8).map(i => (i.toLong, Seq(10.0 + i * 0.01, 1.0, 0.5, 0.1))) ++
+      (8 until 16).map(i => (i.toLong, Seq(-10.0 - i * 0.01, 1.0, 0.5, 0.1)))
+    val d = vecs(rows: _*)
+    val centroids = IVF.train(d, nCells = 2, iters = 3)
+    val cells = IVF.assign(d, centroids).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    // each cluster lands in one cell
+    assert((0L until 8L).map(cells).toSet.size == 1)
+    assert((8L until 16L).map(cells).toSet.size == 1)
+    assert(cells(0L) != cells(8L))
+    // nProbe=1 search for vec 0 returns only same-cluster vectors, nearest first
+    val hits = IVF.search(d, centroids, queryId = 0, k = 3, nProbe = 1).collect()
+    assert(hits.map(_.getAs[Long]("vec_id")).forall(_ < 8))
+    assert(hits.head.getAs[Double]("cos_sim") > 0.999)
+  }
+
   test("neardupPairs and lshNeardupPairs find the planted near-identical pair") {
     val d = vecs(
       (1L, Seq(1.0, 2.0, 3.0, 4.0)), (2L, Seq(1.0, 2.0, 3.0, 4.001)),
