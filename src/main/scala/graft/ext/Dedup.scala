@@ -33,16 +33,32 @@ object Dedup {
     docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+
+  /** Shingle projection shared by signatures and verification: (idCol, sh). */
+  def shingleSets(docs: DataFrame, k: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), Shingles.wordShingles(col(textCol), k).as("sh"))
+
   /** MinHash signatures, one row per document: `sig[j] = min over shingles s of
-    * hash_j(s)` with `hash_j(s) = xxhash64(j ‖ s)`. Implemented explode→hash-agg:
-    * `numHashes` parallel `min` aggregates over the exploded shingle stream — all
-    * codegen, partial-agg'd map-side. Output: (idCol, sig: array<bigint>). */
+    * xxhash64(j, xxhash64(s))`. Each shingle string is hashed ONCE; the family
+    * members rehash the resulting long with the family index — fixed-width long
+    * hashing, no per-family string building (an earlier `xxhash64(j ‖ s)` form
+    * allocated 32 concat strings per shingle and its churn dominated the whole
+    * near-dup query). Implemented explode→hash-agg: `numHashes` parallel `min`
+    * aggregates — all codegen, partial-agg'd map-side.
+    * Output: (idCol, sig: array<bigint>). */
   def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val exploded = docs.select(col(idCol),
-      explode(Shingles.wordShingles(col(textCol), k)).as("shingle"))
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minhashSignaturesFromShingles(shingleSets(docs, k, idCol, textCol), numHashes, idCol)
+
+  /** Signature computation over a precomputed (idCol, sh) projection. */
+  def minhashSignaturesFromShingles(shingles: DataFrame, numHashes: Int,
+                                    idCol: String = "doc_id"): DataFrame = {
+    val exploded = shingles
+      .select(col(idCol), explode(col("sh")).as("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("h"))
     val minCols = (0 until numHashes).map(j =>
-      min(xxhash64(lit(j.toString), lit(":"), col("shingle"))).as(s"h$j"))
+      min(xxhash64(lit(j), col("h"))).as(s"h$j"))
     exploded.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
@@ -65,7 +81,12 @@ object Dedup {
   def minhashNearDuplicates(docs: DataFrame, threshold: Double,
                             idCol: String = "doc_id", textCol: String = "text",
                             k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val sigs = minhashSignatures(docs, k, numHashes, idCol, textCol)
+    // Shingling is the expensive projection (interpreted array build per doc) and
+    // is needed by both the signature stage and the verification joins — persist
+    // it once instead of recomputing it three times.
+    val sh = shingleSets(docs, k, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignaturesFromShingles(sh, numHashes, idCol)
     val buckets = sigs.select(col(idCol),
       posexplode(bandHashes(col("sig"), numHashes, bands)).as(Seq("band", "band_hash")))
     val a = buckets.as("a"); val b = buckets.as("b")
@@ -75,7 +96,7 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    pairJaccard(pairs, docs, k, idCol, textCol).filter(col("jaccard") >= threshold)
+    pairJaccardFromShingles(pairs, sh, idCol).filter(col("jaccard") >= threshold)
   }
 
   /** Exact Jaccard similarity of two string arrays (treated as sets). */
@@ -89,11 +110,15 @@ object Dedup {
     * primitive, exposed standalone (oracle-checkable in plain SQL). Shingle arrays
     * are joined to the pair list, so the set math runs only on candidates. */
   def pairJaccard(pairs: DataFrame, docs: DataFrame, k: Int,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol), Shingles.wordShingles(col(textCol), k).as("sh"))
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    pairJaccardFromShingles(pairs, shingleSets(docs, k, idCol, textCol), idCol)
+
+  /** Pair verification over a precomputed (idCol, sh) projection. */
+  def pairJaccardFromShingles(pairs: DataFrame, shingles: DataFrame,
+                              idCol: String = "doc_id"): DataFrame = {
     pairs
-      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(shingles.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(shingles.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .select("id_a", "id_b", "jaccard")
   }
