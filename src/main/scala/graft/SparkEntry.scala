@@ -357,6 +357,17 @@ object SparkEntry {
       Similarity.knnJoin(emb.filter(col("vec_id") < 10), emb, k = 3)
     },
 
+    // Custom typed Aggregator: exact top-k per group with O(k) partial buffers
+    // (vs the window idiom's full shuffle-sort) — top-3 orders per priority.
+    "q37_topk_per_group" -> { (s, dir) =>
+      val topk = graft.functions.TopKAggregator.topK(3)
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("tk"))
+        .select(col("o_orderpriority"), explode(col("tk")).as("t"))
+        .select(col("o_orderpriority"), col("t._1").as("price"), col("t._2").as("o_orderkey"))
+    },
+
     "q20_token_stats" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("lang"), col("n_chars"),
@@ -644,6 +655,14 @@ object SparkEntry {
         |           ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC, neighbor_id) AS rank
         |  FROM q, c WHERE query_id <> neighbor_id)
         |WHERE rank <= 3""".stripMargin,
+
+    "q37_topk_per_group" ->
+      """SELECT o_orderpriority, o_totalprice AS price, o_orderkey
+        |FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3""".stripMargin,
 
     "q32_stream_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,

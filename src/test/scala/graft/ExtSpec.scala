@@ -130,6 +130,19 @@ class ExtSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("TopKAggregator keeps the k largest (value, tag) pairs across partition merges") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (if (i % 2 == 0) "even" else "odd", i.toDouble, i.toLong))
+      .toDF("g", "v", "id")
+      .repartition(7) // force partial buffers + merges
+    val topk = graft.functions.TopKAggregator.topK(3)
+    val out = df.groupBy("g").agg(topk(col("v"), col("id")).as("tk"))
+      .select(col("g"), col("tk")).as[(String, Seq[(Double, Long)])]
+      .collect().toMap
+    assert(out("even") == Seq((100.0, 100L), (98.0, 98L), (96.0, 96L)))
+    assert(out("odd") == Seq((99.0, 99L), (97.0, 97L), (95.0, 95L)))
+  }
+
   test("cosineTopK returns k nearest with deterministic tie-break") {
     val d = vecs(
       (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.01)), (2L, Seq(0.0, 1.0)), (3L, Seq(-1.0, 0.0)))
