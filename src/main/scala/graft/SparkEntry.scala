@@ -368,6 +368,24 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("t._1").as("price"), col("t._2").as("o_orderkey"))
     },
 
+    // As-of (step-function) lookup against a dimension-sized daily-rate series:
+    // per event, the latest rate dated ≤ 3 days before the event. The series
+    // travels as plan-literal arrays (broadcast-style) and each probe is an
+    // O(log n) binary search in codegen (functions.StepLookup) — no join, no
+    // shuffle. Oracle: DuckDB ASOF LEFT JOIN.
+    "q38_asof_rate" -> { (s, dir) =>
+      val ev = eventsTable(s, dir)
+      val series = ev.groupBy(to_date(col("ts")).as("d"))
+        .agg(round(sum("value"), 2).as("rate"))
+        .collect() // dimension-sized (one row per day) — an index, not data
+        .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getDouble(1))).toSeq
+      val key = datediff(date_sub(to_date(col("ts")), 3),
+        to_date(lit("1970-01-01"))).cast("long")
+      ev.withColumn("rate", graft.functions.StepLookup.asOfLookup(key, series))
+        .groupBy(col("event_type"))
+        .agg(round(sum("rate"), 2).as("total_rate"), count(col("rate")).as("n_matched"))
+    },
+
     "q20_token_stats" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("lang"), col("n_chars"),
@@ -663,6 +681,15 @@ object SparkEntry {
         |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders)
         |WHERE rn <= 3""".stripMargin,
+
+    "q38_asof_rate" ->
+      """WITH rates AS (SELECT CAST(ts AS DATE) AS d, ROUND(SUM(value), 2) AS rate
+        |               FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |       ROUND(SUM(r.rate), 2) AS total_rate,
+        |       COUNT(r.rate) AS n_matched
+        |FROM events e ASOF LEFT JOIN rates r ON (CAST(e.ts AS DATE) - 3) >= r.d
+        |GROUP BY 1""".stripMargin,
 
     "q32_stream_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,

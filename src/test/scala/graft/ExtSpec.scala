@@ -143,6 +143,27 @@ class ExtSpec extends SparkSpec {
     assert(out("odd") == Seq((99.0, 99L), (97.0, 97L), (95.0, 95L)))
   }
 
+  test("StepLookup returns latest series value ≤ key, null before the series") {
+    import spark.implicits._
+    val series = Seq((10L, 1.0), (20L, 2.0), (30L, 3.0))
+    val out = Seq(5L, 10L, 15L, 30L, 99L).toDF("k")
+      .select(col("k"), graft.functions.StepLookup.asOfLookup(col("k"), series).as("v"))
+      .orderBy("k").collect()
+    assert(out.map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))).toSeq ==
+      Seq(None, Some(1.0), Some(1.0), Some(3.0), Some(3.0)))
+  }
+
+  test("Typed: Dataset view + typed Aggregator matches the untyped aggregation") {
+    import graft.engine.{Generators, Silver, Typed}
+    val silver = Silver.cleanSales(Generators.salesBatch(spark, 100, seed = 5), lit("t"))
+    val typedRev = Typed.revenueByCategory(silver).collect().toMap
+    val untyped = silver.filter(col("is_valid"))
+      .groupBy("category").agg(sum("total_amount")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(untyped.keySet.subsetOf(typedRev.keySet))
+    untyped.foreach { case (k, v) => assert(math.abs(typedRev(k) - v) < 1e-9) }
+  }
+
   test("cosineTopK returns k nearest with deterministic tie-break") {
     val d = vecs(
       (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.01)), (2L, Seq(0.0, 1.0)), (3L, Seq(-1.0, 0.0)))
