@@ -44,6 +44,25 @@ object Sources {
   def writeGoldSnapshot(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** JSON-lines landing variant: same PERMISSIVE/explicit-schema discipline as
+    * the CSV path, for upstreams that stage JSONL instead of CSV. */
+  def readBronzeJson(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .json(paths: _*)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** ORC silver variant — columnar like Parquet (same pushdown/pruning), for
+    * lakes standardized on ORC. */
+  def writeSilverOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("append").partitionBy(Layout.partitionColumns: _*).orc(path)
+
+  def readSilverOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** OP-2: raw-file ingest — copy staged files verbatim into the bronze landing
     * dir (the reference's `shutil.copy2`, `local_storage.py:52-67`; "nothing is
     * ever deleted", README.md:31). Byte-preserving Hadoop-FS copy, so it works

@@ -98,6 +98,41 @@ class EngineExtraSpec extends SparkSpec {
     }
   }
 
+  test("JSON and ORC sources round-trip the bronze/silver schemas") {
+    withTempDir { dir =>
+      import graft.engine.{Generators, Layout, Schemas, Silver}
+      val batch = Generators.salesBatch(spark, 25, seed = 77)
+      // JSONL landing → bronze read with explicit schema
+      Sources.writeJson(batch, s"$dir/stage-json")
+      val fromJson = Sources.readBronzeJson(spark, Schemas.salesBronze, s"$dir/stage-json")
+      assert(fromJson.count() == 25)
+      assert(fromJson.schema == Schemas.salesBronze)
+      // silver as ORC, Hive-partitioned, partition columns discovered on read
+      val silver = Layout.withDatePartitions(
+        Silver.cleanSales(fromJson, org.apache.spark.sql.functions.lit("t")),
+        org.apache.spark.sql.functions.col("timestamp"))
+      Sources.writeSilverOrc(silver, s"$dir/silver-orc")
+      val back = Sources.readSilverOrc(spark, s"$dir/silver-orc")
+      assert(back.count() == silver.count())
+      assert(Seq("year", "month", "day").forall(back.columns.contains))
+    }
+  }
+
+  test("drain with maxFilesPerTrigger still processes every file exactly once") {
+    withTempDir { root =>
+      import graft.engine.{Generators, Incremental, Layout, Sources => Src}
+      val bronze = Layout.bronzeDir(root, "sales")
+      (1 to 3).foreach { b =>
+        Generators.salesBatch(spark, 20, seed = 200 + b).coalesce(1)
+          .write.option("header", "true").mode("append").csv(bronze)
+      }
+      Incremental.drainBronzeToSilver(spark, "sales", bronze,
+        Layout.silverDir(root, "sales"), Layout.checkpointDir(root, "sales"),
+        maxFilesPerTrigger = Some(1)) // bounded micro-batches, same end state
+      assert(Src.readSilver(spark, Layout.silverDir(root, "sales")).count() == 60)
+    }
+  }
+
   test("approxUniques tracks exact countDistinct within rsd on realistic cardinalities") {
     import spark.implicits._
     val df = (1 to 20000).map(i => (i % 977).toString).toDF("k")
