@@ -424,6 +424,12 @@ object SparkEntry {
       Dedup.minhashNearDuplicates(docsWithPlantedNearDups(s, dir), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Corpus-level near-dedup (keep-lowest-id): the planted perturbed copies
+    // drop, the originals survive. Rows-only (LSH-derived survivor set).
+    "q39_dedup_corpus" -> ((s, dir) =>
+      Dedup.removeNearDuplicates(docsWithPlantedNearDups(s, dir), threshold = 0.5)
+        .orderBy(col("doc_id"))),
+
     // SimHash near-dup (Hamming ≤ 3 via 4×16-bit block match) — rows-only check.
     "q25_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDuplicates(docsWithPlantedNearDups(s, dir), maxDistance = 3)

@@ -99,6 +99,20 @@ object Dedup {
     pairJaccardFromShingles(pairs, sh, idCol).filter(col("jaccard") >= threshold)
   }
 
+  /** Corpus-level near-dedup: drop every document that is the *larger-id* member
+    * of a verified near-duplicate pair (keep-lowest-id policy, the standard
+    * greedy rule in training-data dedup — for chains a→b→c both b and c drop
+    * even if (a,c) alone falls under the threshold, which errs toward removing
+    * more near-duplicates). One anti-join against the distinct loser set;
+    * deterministic. */
+  def removeNearDuplicates(docs: DataFrame, threshold: Double,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val losers = minhashNearDuplicates(docs, threshold, idCol, textCol, k, numHashes, bands)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard similarity of two string arrays (treated as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -88,6 +88,16 @@ class ExtSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("removeNearDuplicates keeps the lowest-id survivor of each near-dup group") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    val d = docs(
+      (1L, base), (2L, base + " w21"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 x16 x17 x18 x19 x20"))
+    val kept = Dedup.removeNearDuplicates(d, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
   test("simhash signatures: identical docs equal, near docs close, far docs far") {
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
     val d = docs((1L, base), (2L, base), (3L, base + " extra"),
