@@ -115,6 +115,21 @@ object SparkEntry {
   /** Stopword list shared by the quality/lang queries and their oracles. */
   private val QualityStopwords = Seq("the", "a", "of", "and", "is")
 
+  /** Temp working dir removed at JVM exit — the streaming demo query creates
+    * bronze/silver/checkpoint state whose lifetime must outlast the (lazy)
+    * returned frame, so cleanup hangs off a shutdown hook rather than a scope. */
+  private def tempDirCleanedOnExit(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir)
+    }))
+    dir.getAbsolutePath
+  }
+
   /** documents ∪ a perturbed copy (first word dropped, id + 100000) — plants known
     * near-duplicates so LSH/SimHash queries return non-trivial, deterministic rows. */
   private def docsWithPlantedNearDups(spark: SparkSession, dir: String): DataFrame = {
@@ -273,7 +288,7 @@ object SparkEntry {
     // on the result. Filesystem side effects stay inside a fresh temp dir.
     // Not SQL-expressible (streaming ledger) → rows-only check, sfDir-independent.
     "q18_incremental_medallion" -> { (s, _) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-medallion-").toString
+      val root = tempDirCleanedOnExit("graft-medallion-")
       val bronze = Layout.bronzeDir(root, "sales")
       (1 to 2).foreach { b =>
         Generators.salesBatch(s, 150, seed = 42 + b, injectDuplicate = b == 2)

@@ -118,8 +118,10 @@ object Generators {
       .withColumn("customer_id",
         when(rand(seed + 2) < 0.03, lit(null))
           .otherwise(concat(lit("CUST-"), (floor(rand(seed + 3) * 9000) + 1000).cast("int"))))
-      // ~3 concurrent sessions per batch (reference :86-87)
-      .withColumn("session_id", rowId("SESS", seed + 4 + (n % 3)))
+      // ~3 concurrent sessions per batch (reference :86-87): each row draws one
+      // of 3 stable per-batch session ids, so sessions are genuinely reused
+      .withColumn("session_id",
+        concat(lit("SESS-"), md5(concat(lit(seed), lit(":"), floor(rand(seed + 4) * 3)))))
       .withColumn("event_type",
         when(rand(seed + 5) < 0.04, lit("UNKNOWN")).otherwise(pick(Silver.ValidEventTypes, seed + 6)))
       .withColumn("product_id",

@@ -28,10 +28,14 @@ object Medallion {
     }
     domains.flatMap { d =>
       val silverPath = Layout.silverDir(root, d)
-      if (new java.io.File(silverPath).exists)
-        Incremental.snapshotGold(spark, d, silverPath, root)
-      else Seq.empty // no bronze has ever landed for this domain — skip, like the
-                     // reference's empty-frame guard (silver_to_gold.py:38-41)
+      // Hadoop-FS existence check (a local java.io.File test would silently skip
+      // gold on HDFS/S3A roots) — absent silver = no bronze has ever landed for
+      // this domain; skip, like the reference's empty-frame guard
+      // (silver_to_gold.py:38-41).
+      val p = new org.apache.hadoop.fs.Path(silverPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Incremental.snapshotGold(spark, d, silverPath, root)
+      else Seq.empty
     }
   }
 }

@@ -13,14 +13,30 @@ import org.apache.spark.sql.types.StructType
   */
 object Sources {
 
+  import org.apache.spark.sql.types.{StringType, StructField}
+
   /** OP-4/OP-5: scan one-or-many bronze CSVs as a single DataFrame with an explicit
     * schema. Spark's file source unions all matched files in one scan — the
-    * `pd.concat` (reference `bronze_to_silver.py:214`) is free and distributed. */
+    * `pd.concat` (reference `bronze_to_silver.py:214`) is free and distributed.
+    * PERMISSIVE mode nulls malformed fields and keeps the row; to retain the raw
+    * corrupt line for quarantine, use [[readBronzeCsvQuarantined]]. */
   def readBronzeCsv(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
     spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .schema(schema)
+      .csv(paths: _*)
+
+  /** OP-4 with quarantine: malformed rows keep their raw line in
+    * `_corrupt_record`, so bad input is auditable instead of silently nulled —
+    * the distributed upgrade of the reference's per-file try/except skip
+    * (`bronze_to_silver.py:205-209`). */
+  def readBronzeCsvQuarantined(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(StructType(schema.fields :+ StructField("_corrupt_record", StringType)))
       .csv(paths: _*)
 
   /** OP-1: CSV sink (generator staging, reference `sales_generator.py:119`). */

@@ -80,12 +80,20 @@ object Dedup {
     */
   def minhashNearDuplicates(docs: DataFrame, threshold: Double,
                             idCol: String = "doc_id", textCol: String = "text",
-                            k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                            k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                            cacheShingles: Boolean = true): DataFrame = {
     // Shingling is the expensive projection (interpreted array build per doc) and
     // is needed by both the signature stage and the verification joins — persist
-    // it once instead of recomputing it three times.
-    val sh = shingleSets(docs, k, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // it once instead of recomputing it three times. The cache entry is keyed by
+    // the logical plan (repeat calls on the same corpus reuse it, they don't
+    // stack), but it lives until session end: the returned frame is lazy, so
+    // there is no safe point to unpersist here. Long-lived sessions calling this
+    // per batch should pass cacheShingles=false (recompute) or
+    // spark.catalog.clearCache() between batches.
+    val shRaw = shingleSets(docs, k, idCol, textCol)
+    val sh = if (cacheShingles)
+      shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shRaw
     val sigs = minhashSignaturesFromShingles(sh, numHashes, idCol)
     val buckets = sigs.select(col(idCol),
       posexplode(bandHashes(col("sig"), numHashes, bands)).as(Seq("band", "band_hash")))

@@ -78,6 +78,11 @@ class EngineExtraSpec extends SparkSpec {
       assert(r.getAs[String]("sale_id") == "S1")
       assert(r.isNullAt(r.fieldIndex("quantity"))) // malformed double → null, row kept
       assert(r.getAs[Double]("unit_price") == 5.0)
+      // quarantined variant retains the raw corrupt line for audit
+      val q = Sources.readBronzeCsvQuarantined(spark, graft.engine.Schemas.salesBronze, s"$dir/bad.csv")
+        .collect().head
+      assert(q.getAs[String]("_corrupt_record") != null)
+      assert(q.getAs[String]("_corrupt_record").contains("notanumber"))
     }
   }
 

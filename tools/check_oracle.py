@@ -5,9 +5,9 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 For each query in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB against
 views over <sfDir>/*.parquet, load the Spark result parquet, sort columns by
-name and rows by all columns, then compare cell-by-cell (exact for
-ints/strings/dates, reporting max abs diff for floats). Exit nonzero if any
-query mismatches.
+name and rows by all columns, then compare cell-by-cell EXACTLY — floats
+included (any nonzero difference is a failure; each float failure line shows
+the absolute diff to aid debugging). Exit nonzero if any query mismatches.
 """
 import json
 import math
@@ -48,7 +48,6 @@ def compare(name, spark_df, oracle_df):
         return [f"row count mismatch: spark={len(spark_df)} oracle={len(oracle_df)}"]
     s = canon(spark_df)
     o = canon(oracle_df)
-    max_float_diff = 0.0
     for c in s.columns:
         sv, ov = s[c].tolist(), o[c].tolist()
         for i, (a, b) in enumerate(zip(sv, ov)):
@@ -56,12 +55,9 @@ def compare(name, spark_df, oracle_df):
             if a == b:
                 continue
             if isinstance(a, float) and isinstance(b, float):
-                d = abs(a - b)
-                max_float_diff = max(max_float_diff, d)
-                if d > 0:
-                    issues.append(f"float diff col={c} row={i}: {a!r} vs {b!r} (d={d:.3e})")
-                    if len(issues) > 5:
-                        return issues
+                issues.append(f"float diff col={c} row={i}: {a!r} vs {b!r} (d={abs(a - b):.3e})")
+                if len(issues) > 5:
+                    return issues
                 continue
             issues.append(f"value diff col={c} row={i}: {a!r} ({type(a).__name__}) vs {b!r} ({type(b).__name__})")
             if len(issues) > 5:
