@@ -320,6 +320,12 @@ object SparkEntry {
         .rollup(year(col("o_orderdate")).as("year"), col("o_orderpriority").as("priority"))
         .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))),
 
+    // Full grouping-set lattice via cube (adds the per-priority margin rollup lacks).
+    "q40_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))),
+
     // Structured Streaming event-time window + watermark, driven to completion
     // with AvailableNow over the events parquet and collected from a memory sink —
     // equals the equivalent batch rollup, which the DuckDB oracle checks.
@@ -659,6 +665,14 @@ object SparkEntry {
         |SELECT c_nationkey, COUNT(*) AS n, 'without_orders' AS kind
         |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY 1""".stripMargin,
+
+    "q40_cube" ->
+      """SELECT o_orderstatus AS status,
+        |       o_orderpriority AS priority,
+        |       COUNT(*) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q31_rollup" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS year,
