@@ -26,8 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local-mode Spark = driver-only: the heap is the only memory knob. 29 queries
+  // local-mode Spark = driver-only: the heap is the only memory knob. ~40 queries
   // run sequentially in one JVM; 8g caused GC-dominated run-to-run swings (3s
-  // queries ballooning to 40s). The box has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // queries ballooning to 40s), and at local[32] even 24g showed late-run GC
+  // coupling. The box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -439,21 +439,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique_fingerprints"))),
 
-    // MinHash+LSH near-dup over documents + planted perturbed copies.
-    // Not oracle-expressible (64-bit hash families) → rows-only check.
+    // MinHash+LSH near-dup over documents + planted perturbed copies, on the
+    // engine-portable md5-derived hash family — every stage (shingles →
+    // signatures → band buckets → candidate join → exact Jaccard) is replayed
+    // verbatim by the DuckDB oracle. The xxhash64 pipeline stays the scale
+    // default (one xxhash64 vs one md5 per shingle) and is spec-verified to
+    // find the same planted pairs.
     "q24_minhash_neardup" -> ((s, dir) =>
-      Dedup.minhashNearDuplicates(docsWithPlantedNearDups(s, dir), threshold = 0.4)
+      Dedup.minhashNearDuplicatesPortable(docsWithPlantedNearDups(s, dir), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Corpus-level near-dedup (keep-lowest-id): the planted perturbed copies
-    // drop, the originals survive. Rows-only (LSH-derived survivor set).
+    // drop, the originals survive. Portable family → full oracle replay.
     "q39_dedup_corpus" -> ((s, dir) =>
-      Dedup.removeNearDuplicates(docsWithPlantedNearDups(s, dir), threshold = 0.5)
+      Dedup.removeNearDuplicatesPortable(docsWithPlantedNearDups(s, dir), threshold = 0.5)
         .orderBy(col("doc_id"))),
 
-    // SimHash near-dup (Hamming ≤ 3 via 4×16-bit block match) — rows-only check.
+    // SimHash near-dup (Hamming ≤ 3 via 4×15-bit block match) on the portable
+    // 60-bit family — oracle replays signatures, blocks, and Hamming verify.
     "q25_simhash_neardup" -> ((s, dir) =>
-      Dedup.simhashNearDuplicates(docsWithPlantedNearDups(s, dir), maxDistance = 3)
+      Dedup.simhashNearDuplicatesPortable(docsWithPlantedNearDups(s, dir), maxDistance = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Exact word-3-gram Jaccard between consecutive documents — oracle-checked.
@@ -474,7 +479,10 @@ object SparkEntry {
       Similarity.neardupPairs(embeddingsWithPlantedNearDups(s, dir), threshold = 0.9)),
 
     // Random-hyperplane LSH buckets + exact re-score — approximate by design
-    // (bucket recall < 1) → rows-only check.
+    // (bucket recall < 1), but fully deterministic: the plane literals are
+    // seeded, so the oracle rebuilds the identical buckets (DuckDB's
+    // list_dot_product is bit-identical to the codegen'd sequential fold —
+    // verified over every vector × plane at sf0.01).
     "q29_ann_lsh" -> ((s, dir) =>
       Similarity.lshNeardupPairs(embeddingsWithPlantedNearDups(s, dir), threshold = 0.9, bits = 12)
         .orderBy(col("id_a"), col("id_b"))),
@@ -488,17 +496,143 @@ object SparkEntry {
       ext.IVF.search(emb, centroids, queryId = 0, k = 10, nProbe = 3)
     },
 
-    // Rolling-hash document fingerprint (min shingle hash) — rows-only check
-    // (xxhash64 family not reproducible in the oracle engine).
+    // Rolling-hash document fingerprint (min shingle hash) on the portable
+    // md5-derived hash — the oracle recomputes every fingerprint bit-for-bit.
     "q30_rolling_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), TextAnalysis.rollingFingerprintPortable(col("text")).as("fp"))
         .orderBy(col("doc_id")))
   )
+
+  // ---------------------------------------------------------------------------
+  // Oracle-SQL builders for the portable-hash pipelines. The SQL is *generated*
+  // from the same Scala constants the Spark plans use (affine coefficients,
+  // hyperplane literals), so the two engines can never drift apart.
+  // ---------------------------------------------------------------------------
+
+  /** 60-bit md5 hash in DuckDB — the mirror of [[graft.ext.PortableHash.hash60]]. */
+  private def h60Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Distinct word-3-shingles of `textExpr` (mirror of Shingles.wordShingles, k=3). */
+  private def gramsSql(textExpr: String): String =
+    s"""CASE WHEN len(regexp_split_to_array(trim($textExpr), '\\s+')) >= 3
+       |     THEN list_distinct([array_to_string(regexp_split_to_array(trim($textExpr), '\\s+')[i:i+2], ' ')
+       |                         for i in range(1, len(regexp_split_to_array(trim($textExpr), '\\s+')) - 1)])
+       |     ELSE [trim($textExpr)] END""".stripMargin
+
+  /** documents ∪ planted perturbed copies (mirror of [[docsWithPlantedNearDups]]). */
+  private val docsCorpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^\S+\s*', '') AS text FROM documents
+      |)""".stripMargin
+
+  /** Shared CTE chain for the portable MinHash pipeline: corpus → shingles →
+    * signatures → band buckets → verified pairs (exact Jaccard, 6-dp rounded). */
+  private def minhashPairsCtes: String = {
+    val p = graft.ext.PortableHash.P
+    val cs = graft.ext.PortableHash.coeffs(Dedup.PortableNumHashes, Dedup.PortableSeed)
+    val rows = Dedup.PortableNumHashes / Dedup.PortableBands
+    val sigTerms = cs.map { case (a, b) =>
+      s"list_min([($a * h + $b) % $p for h in hp])"
+    }.mkString("[\n         ", ",\n         ", "]")
+    s"""$docsCorpusSql,
+       |sh AS (
+       |  SELECT doc_id, ${gramsSql("text")} AS grams FROM corpus
+       |), hs AS (
+       |  SELECT doc_id, grams, [${h60Sql("g")} % $p for g in grams] AS hp FROM sh
+       |), sig AS (
+       |  SELECT doc_id, $sigTerms AS sig
+       |  FROM hs
+       |), bands AS (
+       |  SELECT doc_id, t.band_idx,
+       |         array_to_string(sig[t.band_idx * $rows + 1 : t.band_idx * $rows + $rows], ',') AS band_key
+       |  FROM sig, (SELECT unnest(range(0, ${Dedup.PortableBands})) AS band_idx) t
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT id_a, id_b,
+       |         ROUND(CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+       |               / len(list_distinct(list_concat(sa.grams, sb.grams))), 6) AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b
+       |)""".stripMargin
+  }
+
+  /** Portable SimHash pipeline mirror: 60-bit signatures from token hashes,
+    * 4×15-bit block candidates, Hamming verify. */
+  private def simhashPairsSql: String = {
+    s"""WITH $docsCorpusSql,
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus
+       |), hs AS (
+       |  SELECT doc_id, [${h60Sql("t")} for t in tk] AS hl FROM toks
+       |), sig AS (
+       |  SELECT doc_id,
+       |         CAST(list_sum([CASE WHEN list_sum([((h >> j) & 1) * 2 - 1 for h in hl]) > 0
+       |                             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+       |                        for j in range(0, 60)]) AS BIGINT) AS sig
+       |  FROM hs
+       |), blocks AS (
+       |  SELECT doc_id, sig, t.bi, (sig >> (t.bi * 15)) & 32767 AS bv
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS bi) t
+       |)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM blocks a JOIN blocks b
+       |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |WHERE hamming <= 3""".stripMargin
+  }
+
+  /** Hyperplane-LSH mirror for q29: the identical seeded plane literals, bucket
+    * = packed sign bits (plane 0 is the MSB, matching the Spark fold), exact
+    * cosine re-score at 6 dp. */
+  private def lshPairsSql: String = {
+    val planes = graft.ext.Similarity.hyperplanes(bits = 12, dim = 64)
+    val bucketTerms = planes.zipWithIndex.map { case (plane, pIdx) =>
+      val lits = plane.mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(v, $lits) >= 0 THEN ${1L << (11 - pIdx)} ELSE 0 END"
+    }.mkString("(\n           ", "\n         + ", ")")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) FROM embeddings
+       |), bk AS (
+       |  SELECT vec_id, v,
+       |         $bucketTerms AS bucket
+       |  FROM base
+       |)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.9""".stripMargin
+  }
 
   /** DuckDB oracle SQL, one per SQL-expressible query; column aliases match the
     * Spark results exactly (driver hashes after sorting columns by name). */
   def oracleSql: Map[String, String] = Map(
+
+    "q24_minhash_neardup" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.4""".stripMargin,
+
+    "q39_dedup_corpus" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT doc_id, text FROM corpus
+         |WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= 0.5)""".stripMargin,
+
+    "q25_simhash_neardup" -> simhashPairsSql,
+
+    "q29_ann_lsh" -> lshPairsSql,
+
+    "q30_rolling_fingerprint" ->
+      s"""SELECT doc_id,
+         |       list_min([${h60Sql("g")} for g in ${gramsSql("text")}]) AS fp
+         |FROM documents""".stripMargin,
 
     "q01_daily_sales_summary" ->
       """SELECT CAST(o_orderdate AS DATE) AS date,

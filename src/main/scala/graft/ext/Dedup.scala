@@ -24,7 +24,38 @@ import org.apache.spark.sql.functions._
   *  - LSH/blocks only *propose*; every candidate pair is verified with exact
   *    n-gram Jaccard / Hamming before anything is dropped.
   */
+/** Engine-portable hash family: 60 bits of `md5` reinterpreted as an integer,
+  * then affine maps modulo a Mersenne prime. Every step (md5, hex slice,
+  * hex→int, `(a·h + b) mod p`) is computable bit-identically in any SQL engine,
+  * so MinHash/SimHash pipelines built on it can be verified end-to-end against
+  * an independent engine — unlike `xxhash64`, whose seeded variant is
+  * Spark-specific. Costs one md5 per input vs one xxhash64: measurably slower
+  * per byte, so the xxhash64 pipelines in [[Dedup]] remain the scale default;
+  * these are the *auditable* variants. */
+object PortableHash {
+  /** 2^31 − 1 (Mersenne prime): products `a·h` with `a, h < P` stay under 2^62,
+    * so the affine family never overflows a 64-bit long (ANSI-safe). */
+  val P: Long = 2147483647L
+
+  /** First 60 bits of md5 as a non-negative BIGINT (15 hex chars < 2^60). */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Affine family coefficients (a_j ∈ [1, P), b_j ∈ [0, P)), deterministic in
+    * `seed` — the same values are inlined into oracle SQL by the verify side. */
+  def coeffs(n: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(n)((1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+}
+
 object Dedup {
+
+  /** Shared defaults for the portable MinHash pipeline — referenced by the
+    * oracle-SQL builder so both engines always agree on the family. */
+  val PortableNumHashes = 32
+  val PortableBands = 8
+  val PortableSeed = 42L
 
   /** Exact dedup: one surviving doc id per distinct (normalized) text, plus the
     * duplicate count. `min(doc_id)` keeps the earliest id — deterministic, unlike
@@ -143,6 +174,110 @@ object Dedup {
       .join(shingles.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Portable-family MinHash signatures: `sig[j] = min over shingles s of
+    * (a_j · (hash60(s) mod P) + b_j) mod P`. One md5 per shingle, then pure
+    * integer arithmetic — all codegen, map-side partial-agg'd, and reproducible
+    * verbatim in an independent SQL engine (the correctness oracle). */
+  def minhashSignaturesPortable(shingles: DataFrame, numHashes: Int = PortableNumHashes,
+                                seed: Long = PortableSeed, idCol: String = "doc_id"): DataFrame = {
+    val p = PortableHash.P
+    val exploded = shingles
+      .select(col(idCol), explode(col("sh")).as("shingle"))
+      .select(col(idCol), (PortableHash.hash60(col("shingle")) % p).as("h"))
+    val minCols = PortableHash.coeffs(numHashes, seed).zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % p).as(s"h$j")
+    }
+    exploded.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** LSH band keys as decimal strings ("v1,v2,…") — the string form is what an
+    * independent engine can rebuild exactly, unlike an engine-specific rehash. */
+  def bandKeyStrings(signature: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => array_join(slice(signature, b * lit(rows) + lit(1), lit(rows)).cast("array<string>"), ","))
+  }
+
+  /** [[minhashNearDuplicates]] on the portable hash family — identical shape
+    * (signature → band buckets → candidate equi-join → exact Jaccard ≥
+    * `threshold`), every stage reproducible in the oracle engine. */
+  def minhashNearDuplicatesPortable(docs: DataFrame, threshold: Double,
+                                    idCol: String = "doc_id", textCol: String = "text",
+                                    k: Int = 3, numHashes: Int = PortableNumHashes,
+                                    bands: Int = PortableBands, seed: Long = PortableSeed,
+                                    cacheShingles: Boolean = true): DataFrame = {
+    val shRaw = shingleSets(docs, k, idCol, textCol)
+    val sh = if (cacheShingles)
+      shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shRaw
+    val sigs = minhashSignaturesPortable(sh, numHashes, seed, idCol)
+    val buckets = sigs.select(col(idCol),
+      posexplode(bandKeyStrings(col("sig"), numHashes, bands)).as(Seq("band", "band_key")))
+    val a = buckets.as("a"); val b = buckets.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    pairJaccardFromShingles(pairs, sh, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** [[removeNearDuplicates]] on the portable family (keep-lowest-id policy). */
+  def removeNearDuplicatesPortable(docs: DataFrame, threshold: Double,
+                                   idCol: String = "doc_id", textCol: String = "text",
+                                   k: Int = 3, numHashes: Int = PortableNumHashes,
+                                   bands: Int = PortableBands, seed: Long = PortableSeed): DataFrame = {
+    val losers = minhashNearDuplicatesPortable(docs, threshold, idCol, textCol, k, numHashes, bands, seed)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Portable-family SimHash (60-bit — the full width of [[PortableHash.hash60]]):
+    * same Charikar explode→agg construction as [[simhashSignatures]], oracle-reproducible.
+    * Width matters at scale: a 32-bit variant with 8-bit blocks collided so often
+    * at 10k docs that the candidate join went quadratic (500k+ pairs); 60 bits /
+    * 15-bit blocks keeps block-collision probability at 1/32768 per block. */
+  def simhashSignaturesPortable(docs: DataFrame, idCol: String = "doc_id",
+                                textCol: String = "text", bits: Int = 60): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), PortableHash.hash60(col("tok")).as("h"))
+    val sumCols = (0 until bits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j"))
+    val packed = (0 until bits).map(j =>
+        when(col(s"b$j") > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j))
+      .reduce(_ + _)
+    exploded.groupBy(col(idCol))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col(idCol), packed.as("sig"))
+  }
+
+  /** [[simhashNearDuplicates]] on the portable 60-bit family: block matching over
+    * `maxDistance + 1` blocks (pigeonhole — no false negatives), Hamming verify. */
+  def simhashNearDuplicatesPortable(docs: DataFrame, maxDistance: Int = 3,
+                                    idCol: String = "doc_id", textCol: String = "text",
+                                    bits: Int = 60): DataFrame = {
+    val nBlocks = maxDistance + 1
+    val width = bits / nBlocks
+    val sigs = simhashSignaturesPortable(docs, idCol, textCol, bits)
+    val blocks = sigs.select(col(idCol), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(nBlocks - 1)),
+        b => call_function("shiftright", col("sig"), b * lit(width))
+          .bitwiseAND(lit((1L << width) - 1)))).as(Seq("block", "block_val")))
+    val a = blocks.as("a"); val b = blocks.as("b")
+    a.join(b,
+        col("a.block") === col("b.block") &&
+          col("a.block_val") === col("b.block_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hamming(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
   }
 
   /** 64-bit SimHash signatures, one row per document, packed into a BIGINT.

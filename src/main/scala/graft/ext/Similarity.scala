@@ -84,8 +84,9 @@ object Similarity {
 
   /** Deterministic random hyperplanes, seeded per plane index — regenerated
     * identically on every executor (they travel as plan literals, nothing to
-    * broadcast or keep in sync). */
-  private def hyperplanes(bits: Int, dim: Int): Array[Seq[Double]] =
+    * broadcast or keep in sync). Public so the correctness oracle can inline the
+    * same literals into independent-engine SQL. */
+  def hyperplanes(bits: Int, dim: Int): Array[Seq[Double]] =
     Array.tabulate(bits) { p =>
       val rnd = new java.util.Random(1000003L * p + 17)
       Seq.fill(dim)(rnd.nextDouble() * 2 - 1)

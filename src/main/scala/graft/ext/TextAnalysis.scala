@@ -94,6 +94,14 @@ object TextAnalysis {
     val sh = Shingles.wordShingles(text, k)
     when(size(sh) > 0, array_min(transform(sh, s => xxhash64(s)))).otherwise(xxhash64(text))
   }
+
+  /** [[rollingFingerprint]] on the portable md5-derived hash ([[PortableHash.hash60]])
+    * — same winnowing-style min-shingle-hash, reproducible in the oracle engine. */
+  def rollingFingerprintPortable(text: Column, k: Int = 3): Column = {
+    val sh = Shingles.wordShingles(text, k)
+    when(size(sh) > 0, array_min(transform(sh, s => PortableHash.hash60(s))))
+      .otherwise(PortableHash.hash60(text))
+  }
 }
 
 /** Word k-gram shingling shared by fingerprinting and MinHash dedup. */
