@@ -799,14 +799,22 @@ object SparkEntry {
         |       COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // `deduped` replays Silver.cleanEvents' dropDuplicates("event_id") so the
+    // oracle stays correct even on testdata with duplicate event ids. Both
+    // engines pick an arbitrary row per id, which is only deterministic when
+    // duplicate ids agree on the flag-relevant columns (event_type, value) —
+    // identical full-row duplicates trivially satisfy that; SilverSpec pins it.
     "q09_validation_errors" ->
-      """WITH mapped AS (
+      """WITH deduped AS (
+        |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id) AS __rn FROM events)
+        |  WHERE __rn = 1
+        |), mapped AS (
         |  SELECT CASE WHEN event_type = 'click' AND value < 20 THEN TRUE ELSE FALSE END AS bad_ts,
         |         CASE WHEN event_type = 'signup' AND value < 50 THEN TRUE ELSE FALSE END AS null_cust,
         |         CASE event_type WHEN 'view' THEN 'browse' WHEN 'click' THEN 'login'
         |              WHEN 'purchase' THEN 'checkout' WHEN 'signup' THEN 'logout'
         |              ELSE 'UNKNOWN' END AS mapped_type
-        |  FROM events
+        |  FROM deduped
         |), flagged AS (
         |  SELECT TRIM(CONCAT(
         |           CASE WHEN bad_ts THEN 'NULL:timestamp; ' ELSE '' END,
@@ -1051,6 +1059,89 @@ object SparkEntry {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
         |FROM base a JOIN base b ON a.vec_id < b.vec_id
-        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.9""".stripMargin
+        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.9""".stripMargin,
+
+    // Mirrors Sessionize.assignSessions/sessionSummaries bit-for-bit: micros
+    // via epoch_us (DuckDB truncates parquet NANOS→µs exactly like Spark's
+    // `ts DIV 1000`), lag ordered by (us, event_id), 30-min gap, floor-divide
+    // duration. Window ROWS frame matches Spark's running sum frame.
+    "q41_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), sess AS (
+        |  SELECT user_id, us,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+        |  FROM flagged
+        |), summaries AS (
+        |  SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |         MIN(us) AS s_us, MAX(us) AS e_us
+        |  FROM sess GROUP BY 1, 2
+        |)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |       CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |       MAX(CAST(floor((e_us - s_us) / 1000000) AS BIGINT)) AS max_duration_s
+        |FROM summaries GROUP BY user_id""".stripMargin,
+
+    // events.value is 2-dp-grid money in the testdata (checked: every value
+    // equals round(value, 2)), so ROUND(SUM(value), 2) is grid-safe per §7.4.
+    "q42_range_join" ->
+      """SELECT bracket, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        |FROM events
+        |JOIN (VALUES ('small', 0.0, 50.0), ('medium', 50.0, 200.0),
+        |             ('large', 200.0, 400.0), ('huge', 400.0, 1e18)) b(bracket, lo, hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY bracket""".stripMargin,
+
+    // Replays Merge.upsert's full-outer join + coalesce + action CASE exactly
+    // (update side wins; +10.0 stays on the 2-dp money grid).
+    "q43_merge_upsert" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |), base AS (
+        |  SELECT * FROM o WHERE o_orderkey % 2 = 0
+        |), updates AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0 AS o_totalprice
+        |  FROM o WHERE o_orderkey % 3 = 0
+        |), merged AS (
+        |  SELECT COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |         COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+        |         CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+        |              WHEN u.o_orderkey IS NULL THEN 'keep'
+        |              ELSE 'update' END AS merge_action
+        |  FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+        |)
+        |SELECT o_orderstatus, merge_action, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        |FROM merged GROUP BY 1, 2""".stripMargin,
+
+    // encode() is UTF-8 in both engines; octet_length ≡ Spark length(binary);
+    // to_base64 uses the same standard alphabet (no line wrap) as Spark base64.
+    "q44_multimodal_meta" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       COUNT(DISTINCT substr(to_base64(encode(text)), 1, 8)) AS n_headers
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // Streaming dropDuplicates(event_type, user_id) + count over the finite
+    // AvailableNow input ≡ batch COUNT(DISTINCT user_id) per event_type.
+    "q45_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // Lower median via row_number vs count; `//` ≡ Spark's `DIV`.
+    "q46_median" ->
+      """SELECT o_orderpriority, o_totalprice AS median_price FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice, o_orderkey) AS rn,
+        |         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |WHERE rn = (n + 1) // 2""".stripMargin
   )
 }
