@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through verbatim: sbt's default logger
+// prefixes every line with [info]/[error], which breaks machine parsing of
+// Bench/Verify's single JSON output line (BENCH_r0{1,2,3}.json all show
+// "parsed": null because the line arrived as `[info] {"metric":...}`).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,5 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query twice — a warm-up execution and
+  * a measured one — and prints ONE JSON line with the measured (steady-state)
+  * seconds per query.
+  *
+  * Why two passes per query: all ~47 plans run sequentially in one JVM, so a
+  * single timed run charges whichever query happens to execute first (or right
+  * after a GC-heavy neighbor) with JIT/codegen-compile/old-gen-churn costs that
+  * have nothing to do with the plan. Round-1/2 benches reported 100s+ for
+  * queries whose isolated steady-state is <5s (see PERF.md). The warm-up run
+  * absorbs codegen compilation and page-cache misses; the second run is the
+  * number that tracks plan quality round over round. `cold_total_sec` keeps the
+  * first-run total visible for anyone who wants the end-to-end-including-warmup
+  * picture.
+  *
+  * Failures are never swallowed: a query that throws reports -1 and lands in
+  * the "errors" map with its exception, so a broken plan is visible in the
+  * bench JSON instead of masquerading as a fast run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,20 +29,47 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Stable name order (not Map hash order), and drop per-query cache entries
-    // before moving on: each query is a standalone workload, and a persisted
-    // projection surviving into later queries only adds GC pressure there.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    // One execution of `name`: returns elapsed seconds, or -1 on failure
+    // (recording the exception). Cache entries are dropped before moving on:
+    // each query is a standalone workload, and a persisted projection surviving
+    // into later queries only adds GC pressure there.
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            val msg = (e.getClass.getName + ": " + Option(e.getMessage).getOrElse(""))
+              .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(300)
+            errors(name) = msg
+            false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      name -> dt
+      if (ok) dt else -1.0
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Stable name order (not Map hash order).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = runOnce(name, fn)
+      val warm = runOnce(name, fn)
+      (name, cold, warm)
+    }
+
+    def jmap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map(r => r._1 -> r._3))
+    val cold = jmap(results.map(r => r._1 -> r._2))
+    val total = results.map(_._3).filter(_ >= 0).sum
+    val coldTotal = results.map(_._2).filter(_ >= 0).sum
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"cold":$cold,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    // A failed query must fail the bench run visibly, not just in-band.
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
