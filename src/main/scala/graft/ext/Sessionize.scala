@@ -1,8 +1,19 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event on the streaming sessionization input (typed for the state fn). */
+case class SessionEvent(user_id: String, ts: java.sql.Timestamp)
+
+/** The per-user open session carried in [[GroupState]] between micro-batches. */
+case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
+/** One closed session — same shape as [[Sessionize.sessionSummaries]] output. */
+case class ClosedSession(user_id: String, session_start_us: Long,
+                         session_end_us: Long, n_events: Long, duration_s: Long)
 
 /** Gap-based sessionization — the standard clickstream/session primitive the
   * reference's event pipeline stops short of (its gold activity tables count
@@ -16,9 +27,11 @@ import org.apache.spark.sql.functions._
   * Scale: one shuffle + per-key sort, state O(1) per row — the same plan shape
   * Spark uses for any ranked window. Skewed power users are bounded by the
   * per-user event count, not corpus size. The streaming analog (true unbounded
-  * sessions with timeouts) lives in `flatMapGroupsWithState` — see
-  * StreamingSessionSpec — but for bounded/batch data this window form is the
-  * Spark-first answer: no JVM state functions, fully whole-stage codegen.
+  * sessions with timeouts) is [[Sessionize.streamSessionSummaries]]
+  * (`flatMapGroupsWithState`, event-time timeout) — equivalence with this
+  * batch form is asserted by StreamingSessionSpec. For bounded/batch data the
+  * window form is the Spark-first answer: no JVM state functions, fully
+  * whole-stage codegen.
   */
 object Sessionize {
 
@@ -53,4 +66,72 @@ object Sessionize {
         // its double→long cast truncates while other engines round — floor() is
         // the one formulation every engine computes identically on these inputs.
         floor((col("session_end_us") - col("session_start_us")) / 1000000L).cast("long"))
+
+  private def micros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Streaming sessionization over an unbounded event stream: one
+    * [[OpenSession]] of state per active user, closed (emitted) either when a
+    * later event arrives past the gap or when the event-time watermark passes
+    * `session_end + gap` (state timeout). This is the true-streaming analog of
+    * [[sessionSummaries]] — same output schema, same session boundaries.
+    *
+    * The caller owns the watermark (`events.withWatermark("ts", …)`): the
+    * watermark delay bounds how out-of-order events may be, and the timeout is
+    * set to `session_end + gap`, so a session closes as soon as the watermark
+    * proves no in-gap event can still arrive. State per user is O(1) — three
+    * longs — so total state is bounded by the active-user cardinality, not the
+    * event volume; this is what makes it safe on an unbounded 100 TB/day feed
+    * where the batch window form (which needs the full history per user in one
+    * sort) is not.
+    *
+    * Events inside one micro-batch may arrive unsorted; the state function
+    * sorts the batch's timestamps for the group before folding them in. Late
+    * events older than the watermark are dropped by Spark before reaching the
+    * function — the standard streaming contract.
+    */
+  def streamSessionSummaries(events: Dataset[SessionEvent],
+                             gapSeconds: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    def close(user: String, s: OpenSession): ClosedSession =
+      ClosedSession(user, s.startUs, s.endUs, s.n, (s.endUs - s.startUs) / 1000000L)
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, batch, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed session_end + gap: no in-gap event can arrive.
+            val done = close(user, state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val closed = List.newBuilder[ClosedSession]
+            var cur = state.getOption
+            batch.map(e => micros(e.ts)).toArray.sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.endUs <= gapUs =>
+                  cur = Some(OpenSession(s.startUs, math.max(s.endUs, t), s.n + 1))
+                case Some(s) =>
+                  closed += close(user, s)
+                  cur = Some(OpenSession(t, t, 1))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // GroupState timeouts are millisecond-granular; round UP so the
+              // timeout never fires before the full microsecond gap elapses.
+              state.setTimeoutTimestamp((s.endUs + gapUs + 999L) / 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }
