@@ -50,8 +50,9 @@ object SparkEntry {
 
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects; read
     * nanos as long and truncate to µs (`ts DIV 1000`, integer division — a double
-    * division would lose precision above 2^53 ns). DuckDB keeps full ns, so oracle
-    * SQL only compares at second-or-coarser granularity (SURVEY.md §7.4). */
+    * division would lose precision above 2^53 ns). Oracle SQL may compare at µs
+    * granularity (e.g. q41's `epoch_us`): DuckDB reads this parquet as
+    * TIMESTAMP, truncating NANOS→µs exactly like `ts DIV 1000` (SURVEY.md §7.4). */
   private def eventsTable(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
@@ -528,7 +529,13 @@ object SparkEntry {
       eventsTable(s, dir)
         .join(broadcast(brackets), col("value") >= col("lo") && col("value") < col("hi"))
         .groupBy(col("bracket"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        // Money sums accumulate as exact integer cents (value is on the 2-dp
+        // grid, so round(value*100) is exactly integral): a long sum is
+        // order-independent, so the result is identical across engines and
+        // partition counts at any scale — unlike SUM(double), whose FP error
+        // grows with group size and summation order (§7.4).
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
     },
 
     // MERGE / upsert (Delta-style WHEN MATCHED/NOT MATCHED) as a full-outer
@@ -543,7 +550,10 @@ object SparkEntry {
         .withColumn("o_totalprice", col("o_totalprice") + 10.0)
       engine.Merge.upsert(base, updates, Seq("o_orderkey"))
         .groupBy(col("o_orderstatus"), col("merge_action"))
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        // Exact integer-cents accumulation (see q42): order-independent, so
+        // identical across engines/partitionings at any group size.
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("total"))
     },
 
     // Multimodal plumbing over real binary payloads: text → binary column,
@@ -560,16 +570,22 @@ object SparkEntry {
           countDistinct(substring(base64(col("payload")), 1, 8)).as("n_headers"))
     },
 
-    // Streaming deduplication: dropDuplicates over a keyed stream with a
-    // watermark (bounded state), then a streaming aggregation — the streaming
-    // counterpart of OP-21, driven to completion with AvailableNow.
+    // Streaming deduplication: dropDuplicates over a keyed stream, then a
+    // streaming aggregation — the streaming counterpart of OP-21, driven to
+    // completion with AvailableNow. No watermark: the input is bounded and
+    // fully drained, so unbounded dedup state is safe, and it makes the
+    // batch-COUNT-DISTINCT oracle equivalence unconditional — with a
+    // watermark, input split across micro-batches (maxFilesPerTrigger,
+    // several files) could late-drop rows and diverge. On a truly unbounded
+    // feed you'd add `.withWatermark("ts", <max disorder>)` and include `ts`'s
+    // window in the dedup keys so state evicts; streamSessionSummaries shows
+    // that bounded-state discipline.
     "q45_stream_dedup" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = t(s, dir, "events").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-        .withWatermark("ts", "1 hour")
         .dropDuplicates("event_type", "user_id")
       val agg = stream.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_unique_users"))
@@ -1090,9 +1106,13 @@ object SparkEntry {
         |FROM summaries GROUP BY user_id""".stripMargin,
 
     // events.value is 2-dp-grid money in the testdata (checked: every value
-    // equals round(value, 2)), so ROUND(SUM(value), 2) is grid-safe per §7.4.
+    // equals round(value, 2)), so ROUND(value*100) is exactly integral and the
+    // BIGINT cents sum is order-independent — exact in both engines at any
+    // group size, unlike ROUND(SUM(double), 2) whose FP error is
+    // summation-order-dependent (§7.4).
     "q42_range_join" ->
-      """SELECT bracket, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+      """SELECT bracket, COUNT(*) AS n,
+        |       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
         |FROM events
         |JOIN (VALUES ('small', 0.0, 50.0), ('medium', 50.0, 200.0),
         |             ('large', 200.0, 400.0), ('huge', 400.0, 1e18)) b(bracket, lo, hi)
@@ -1117,7 +1137,8 @@ object SparkEntry {
         |              ELSE 'update' END AS merge_action
         |  FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
         |)
-        |SELECT o_orderstatus, merge_action, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        |SELECT o_orderstatus, merge_action, COUNT(*) AS n,
+        |       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
         |FROM merged GROUP BY 1, 2""".stripMargin,
 
     // encode() is UTF-8 in both engines; octet_length ≡ Spark length(binary);

@@ -15,6 +15,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+
+    // q09's Spark/DuckDB comparison is only deterministic if duplicate
+    // event_ids agree on the flag-relevant columns (both engines then pick an
+    // equivalent arbitrary row per id). That invariant lives in the testdata;
+    // check it here so a future testdata change fails LOUDLY at verify time
+    // instead of surfacing as a flaky q09 hash mismatch.
+    {
+      import org.apache.spark.sql.functions.{col, countDistinct, struct, max}
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val worst = spark.read.parquet(s"$sfDir/events.parquet")
+        .groupBy(col("event_id"))
+        .agg(countDistinct(struct(col("event_type"), col("value"))).as("variants"))
+        .agg(max(col("variants"))).head().getLong(0)
+      require(worst <= 1L,
+        s"q09 precondition violated: some event_id maps to $worst distinct " +
+          "(event_type, value) pairs — its dedup-order-insensitive oracle is invalid")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
