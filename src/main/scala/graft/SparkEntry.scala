@@ -613,6 +613,24 @@ object SparkEntry {
         .withColumn("n", count(lit(1)).over(byGroup))
         .filter(col("rn") === expr("(n + 1) DIV 2"))
         .select(col("o_orderpriority"), col("o_totalprice").as("median_price"))
+    },
+
+    // OP-31's scale variant, made driver-checkable: HLL++ sketches are
+    // engine-specific, so the two engines can never agree on the estimate
+    // itself — but they CAN agree on the exact count plus a boolean verdict
+    // that the estimate landed within its accuracy contract. approx_ok is
+    // |approx − exact| ≤ 4·rsd·exact (rsd 0.05; >4σ misses are vanishingly
+    // rare for HLL++), the oracle asserts literal TRUE, so an out-of-contract
+    // sketch hash-FAILS visibly instead of being unverifiable.
+    "q47_approx_distinct" -> { (s, dir) =>
+      val rsd = 0.05
+      eventsTable(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), rsd).as("__n_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("__n_approx") - col("n_exact")) <=
+            lit(4 * rsd) * col("n_exact")).as("approx_ok"))
     }
   )
 
@@ -1163,6 +1181,14 @@ object SparkEntry {
         |           ORDER BY o_totalprice, o_orderkey) AS rn,
         |         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
         |  FROM orders)
-        |WHERE rn = (n + 1) // 2""".stripMargin
+        |WHERE rn = (n + 1) // 2""".stripMargin,
+
+    // The sketch estimate is engine-specific; what both engines agree on is
+    // the exact count and the accuracy-contract verdict (see the q47 query
+    // comment). An out-of-tolerance Spark sketch makes approx_ok=false and
+    // the hash compare fails loudly.
+    "q47_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

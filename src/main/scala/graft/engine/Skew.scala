@@ -26,4 +26,36 @@ object Skew {
       .agg(sum(value).as("__sum"), count(value).as("__n"))
       .groupBy(col("key"))
       .agg(sum(col("__sum")).as("total"), sum(col("__n")).as("n"))
+
+  /** Full decomposable-stats variant: salted `sum`/`count`/`min`/`max` plus the
+    * derived `avg` (= combined sum / combined count — avg itself is not
+    * directly decomposable, its sum/count parts are). Same two-phase shape as
+    * [[saltedSumCount]]: wide phase on (key, salt), tiny combine phase on key.
+    */
+  def saltedStats(df: DataFrame, key: Column, value: Column, salt: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(sum(value).as("__sum"), count(value).as("__n"),
+        min(value).as("__min"), max(value).as("__max"))
+      .groupBy(col("key"))
+      .agg(sum(col("__sum")).as("total"), sum(col("__n")).as("n"),
+        min(col("__min")).as("min"), max(col("__max")).as("max"))
+      .withColumn("avg", col("total") / col("n"))
+
+  /** Exact two-phase COUNT(DISTINCT value) per key without funneling a hot
+    * key's whole value stream through one reducer.
+    *
+    * The salt is derived from the VALUE (not a row id): every occurrence of a
+    * given value lands in exactly one (key, salt) bucket, so per-bucket
+    * `count_distinct` values are disjoint and phase two can just add them.
+    * Phase one shuffles on (key, salt) — a hot key spreads over `salt`
+    * reducers, each holding ~1/salt of its distinct values; phase two combines
+    * `salt` small rows per key. (A row-id salt would double-count values that
+    * straddle buckets; this is why the salt MUST come from the value.) */
+  def saltedCountDistinct(df: DataFrame, key: Column, value: Column, salt: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(value), lit(salt)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(count_distinct(value).as("__nd"))
+      .groupBy(col("key"))
+      .agg(sum(col("__nd")).as("n_distinct"))
 }

@@ -108,6 +108,19 @@ object Dedup {
     * signature (explode→agg) → explode to (band, bandHash, id) → self-equi-join on
     * the bucket → distinct candidate pairs → exact shingle-Jaccard ≥ `threshold`.
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Hot-bucket skew: a cluster of m near-identical documents (boilerplate,
+    * templated pages) collapses into ONE bucket per band, so the self-join
+    * emits m² candidate rows from a single join key — the classic skewed-join
+    * shape. That is inherent to LSH (those m² pairs genuinely are candidates);
+    * what must not happen is all m² rows landing on one reducer. Spark's AQE
+    * skew-join (`spark.sql.adaptive.skewJoin.enabled`, on by default) splits
+    * the oversized bucket partition at runtime, so the join parallelizes
+    * without any salting here. ExtSpec's "LSH survives a hot bucket" test
+    * plants a 10% hot bucket over 10k docs and proves the pipeline under AQE.
+    * At corpus scale, ALSO cap pathological clusters upstream (drop exact
+    * duplicates first — [[exactDuplicates]] — so m counts distinct variants,
+    * not copies).
     */
   def minhashNearDuplicates(docs: DataFrame, threshold: Double,
                             idCol: String = "doc_id", textCol: String = "text",

@@ -44,6 +44,30 @@ class EngineExtraSpec extends SparkSpec {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("saltedStats equals direct sum/count/min/max/avg on skewed keys") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i * 0.5)).toDF("k", "v")
+    val salted = graft.engine.Skew.saltedStats(df, col("k"), col("v"), salt = 8)
+      .select(col("key"), round(col("total"), 2).as("total"), col("n"),
+        col("min"), col("max"), round(col("avg"), 6).as("avg"))
+    val direct = df.groupBy(col("k").as("key"))
+      .agg(round(sum("v"), 2).as("total"), count(col("v")).as("n"),
+        min(col("v")).as("min"), max(col("v")).as("max"),
+        round(sum("v") / count(col("v")), 6).as("avg"))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedCountDistinct equals direct countDistinct (value-derived salt)") {
+    import spark.implicits._
+    // hot key with many duplicated values — the case a row-id salt would
+    // double-count (same value split across buckets) and a value salt must not.
+    val df = (1 to 5000).map(i => (if (i % 10 == 0) "cold" + i else "hot", (i % 97).toLong))
+      .toDF("k", "v")
+    val salted = graft.engine.Skew.saltedCountDistinct(df, col("k"), col("v"), salt = 8)
+    val direct = df.groupBy(col("k").as("key")).agg(countDistinct(col("v")).as("n_distinct"))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
   test("bucketed tables co-locate an equi-join with no shuffle in the plan") {
     withTempDir { dir =>
       import spark.implicits._

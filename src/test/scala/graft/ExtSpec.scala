@@ -210,4 +210,32 @@ class ExtSpec extends SparkSpec {
     val lsh = Similarity.lshNeardupPairs(d, threshold = 0.99, bits = 8, dim = 4).collect()
     assert(lsh.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet == Set((1L, 2L)))
   }
+
+  test("LSH survives a hot bucket: 10k docs, 10% identical, AQE skew-join on") {
+    import spark.implicits._
+    // 1,000 identical docs collapse to ONE bucket per band => the candidate
+    // self-join emits ~500k pairs from a single join key — the worst-case
+    // skewed-bucket shape the Dedup scaladoc documents. AQE's skew-join must
+    // carry it; correctness: exactly C(1000,2) verified pairs at jaccard 1.0,
+    // none among the 9,000 distinct docs, and keep-lowest-id leaves 999 losers.
+    val rnd = new scala.util.Random(7)
+    val hot = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((0 until 1000).map(i => (i.toLong, hot)) ++
+      (1000 until 10000).map { i =>
+        (i.toLong, Seq.fill(8)("tok" + rnd.nextInt(1000000) + "x" + i).mkString(" "))
+      }).toDF("doc_id", "text")
+    val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    try {
+      val pairs = Dedup.minhashNearDuplicates(docs, threshold = 0.8,
+        numHashes = 16, bands = 4, cacheShingles = false)
+      assert(pairs.count() == 1000L * 999L / 2)
+      val survivors = Dedup.removeNearDuplicates(docs, threshold = 0.8,
+        numHashes = 16, bands = 4)
+      assert(survivors.count() == 10000 - 999)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+      spark.catalog.clearCache() // removeNearDuplicates caches 10k-doc shingles
+    }
+  }
 }
