@@ -490,11 +490,24 @@ object SparkEntry {
 
     // IVF (inverted-file) ANN: Lloyd-trained centroid cells, nProbe-limited
     // exact search — the clustered counterpart to q29's hyperplane LSH.
-    // Centroid floats are engine-specific → rows-only check.
+    // Lloyd centroid floats are engine- and partitioning-order-specific, so the
+    // IVF hit list itself can't be hash-compared; what IS checkable is the ANN
+    // accuracy contract. The query joins the IVF results against the exact
+    // brute-force top-k (q27's deterministic form) and emits the contract
+    // verdict: full result count and recall@10 ≥ 0.7 (observed 1.0; probing
+    // 3/8 cells). The oracle asserts the contract, so a recall regression
+    // hash-FAILS instead of hiding behind a rows-only check.
     "q36_ivf_ann" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val centroids = ext.IVF.train(emb, nCells = 8, iters = 2)
-      ext.IVF.search(emb, centroids, queryId = 0, k = 10, nProbe = 3)
+      val ivf = ext.IVF.search(emb, centroids, queryId = 0, k = 10, nProbe = 3)
+      val brute = Similarity.cosineTopK(emb, queryId = 0, k = 10)
+        .select(col("vec_id")).withColumn("__hit", lit(1))
+      ivf.select(col("vec_id"))
+        .join(broadcast(brute), Seq("vec_id"), "left_outer")
+        .agg(count(lit(1)).as("n_results"),
+          (sum(coalesce(col("__hit"), lit(0))) >= 7).as("recall_ok"))
+        .select(lit(0L).as("query_id"), col("n_results"), col("recall_ok"))
     },
 
     // Rolling-hash document fingerprint (min shingle hash) on the portable
@@ -980,6 +993,14 @@ object SparkEntry {
         |           ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC, neighbor_id) AS rank
         |  FROM q, c WHERE query_id <> neighbor_id)
         |WHERE rank <= 3""".stripMargin,
+
+    // The IVF hit list depends on Lloyd centroid floats (engine-specific), so
+    // the oracle pins the ANN accuracy CONTRACT the Spark side computes
+    // against exact brute-force: k results returned, recall@10 ≥ 0.7. See the
+    // q36 query comment; a recall regression fails this hash compare.
+    "q36_ivf_ann" ->
+      """SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ok""".stripMargin,
 
     "q37_topk_per_group" ->
       """SELECT o_orderpriority, o_totalprice AS price, o_orderkey
