@@ -1,0 +1,245 @@
+package graft.ext
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Real, dependency-free media codecs for [[Multimodal]]: byte-level decoders
+  * for two genuinely parseable formats — WAV/PCM audio (RIFF container,
+  * 16-bit LE samples) and BMP images (BITMAPINFOHEADER, uncompressed 24 bpp) —
+  * plus magic-byte sniffing and deterministic byte-statistics fallback for
+  * anything else. Pure JVM: this container ships no codec libraries, but these
+  * two formats are flat byte layouts a few dozen lines can decode exactly, so
+  * the decode step is no longer a stub for them.
+  *
+  * Features are real signal features, not byte statistics:
+  *  - WAV → per-window RMS amplitude of the decoded samples, normalized to
+  *    [0, 1] (the standard cheap audio envelope).
+  *  - BMP → per-window mean luminance (0.299 R + 0.587 G + 0.114 B) of the
+  *    decoded pixels in row-major top-down order, normalized to [0, 1].
+  *
+  * Both run inside [[Multimodal.decodeFeatures]]'s per-partition iteration —
+  * the plumbing (schema, batching, pruning) is unchanged; only the codec
+  * behind the [[Multimodal.MediaCodec]] boundary got real.
+  */
+object MediaCodecs {
+
+  /** Sniffed payload metadata in [[Multimodal.mediaSchema]]'s meta shape. */
+  final case class MediaMeta(format: String, width: Option[Int], height: Option[Int],
+                             nFrames: Option[Int], sampleRate: Option[Int])
+
+  private def le(bytes: Array[Byte]): ByteBuffer =
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+
+  // -------------------------------------------------------------------------
+  // WAV (RIFF/WAVE, PCM)
+  // -------------------------------------------------------------------------
+
+  /** Parsed PCM payload: format fields + raw 16-bit samples (channel-interleaved). */
+  final case class WavData(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                           samples: Array[Short])
+
+  /** Strict RIFF/WAVE walk: "RIFF"<size>"WAVE", then chunks until "fmt " and
+    * "data" are both seen. Returns None on anything malformed — callers fall
+    * back to byte statistics rather than throwing on a corrupt payload (at
+    * corpus scale some payloads WILL be truncated; a poison row must not kill
+    * the partition). */
+  def parseWav(bytes: Array[Byte]): Option[WavData] = {
+    if (bytes.length < 44) return None
+    val b = le(bytes)
+    if (b.getInt(0) != 0x46464952 /* "RIFF" LE */ ) return None
+    if (b.getInt(8) != 0x45564157 /* "WAVE" LE */ ) return None
+    var pos = 12
+    var rate, channels, bits = -1
+    var data: Array[Short] = null
+    while (pos + 8 <= bytes.length && (data == null || rate < 0)) {
+      val id = b.getInt(pos)
+      val size = b.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (id == 0x20746d66 /* "fmt " */ && size >= 16) {
+        if (b.getShort(pos + 8) != 1) return None // PCM only
+        channels = b.getShort(pos + 10).toInt
+        rate = b.getInt(pos + 12)
+        bits = b.getShort(pos + 22).toInt
+        if (channels <= 0 || rate <= 0 || bits != 16) return None
+      } else if (id == 0x61746164 /* "data" */ ) {
+        val n = size / 2
+        data = new Array[Short](n)
+        var i = 0
+        while (i < n) { data(i) = b.getShort(pos + 8 + 2 * i); i += 1 }
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (rate > 0 && data != null) Some(WavData(rate, channels, bits, data))
+    else None
+  }
+
+  /** Real audio features: `dim` windows of RMS amplitude over the decoded
+    * sample stream (channels mixed), each in [0, 1]. */
+  object WavCodec extends Multimodal.MediaCodec {
+    def decode(bytes: Array[Byte], dim: Int): Array[Float] =
+      parseWav(bytes) match {
+        case None => StubFallback.decode(bytes, dim)
+        case Some(w) =>
+          val out = new Array[Float](dim)
+          val n = w.samples.length
+          if (n > 0) {
+            val acc = new Array[Double](dim)
+            val cnt = new Array[Int](dim)
+            var i = 0
+            while (i < n) {
+              val slot = (i.toLong * dim / n).toInt
+              val s = w.samples(i) / 32768.0
+              acc(slot) += s * s; cnt(slot) += 1
+              i += 1
+            }
+            var j = 0
+            while (j < dim) {
+              out(j) = if (cnt(j) == 0) 0f else math.sqrt(acc(j) / cnt(j)).toFloat
+              j += 1
+            }
+          }
+          out
+      }
+  }
+
+  // -------------------------------------------------------------------------
+  // BMP (BITMAPINFOHEADER, uncompressed 24 bpp)
+  // -------------------------------------------------------------------------
+
+  /** Parsed image: dimensions + row-major top-down luminance in [0, 1]. */
+  final case class BmpData(width: Int, height: Int, luminance: Array[Float])
+
+  /** Decode a 24 bpp uncompressed BMP: "BM", pixel-array offset at byte 10,
+    * BITMAPINFOHEADER width/height, BGR triples in 4-byte-padded rows stored
+    * bottom-up (positive height). None on any other BMP flavor or corruption. */
+  def parseBmp(bytes: Array[Byte]): Option[BmpData] = {
+    if (bytes.length < 54) return None
+    if (bytes(0) != 'B' || bytes(1) != 'M') return None
+    val b = le(bytes)
+    val dataOffset = b.getInt(10)
+    if (b.getInt(14) < 40) return None // header older than BITMAPINFOHEADER
+    val width = b.getInt(18)
+    val height = b.getInt(22)
+    if (b.getShort(28) != 24 || b.getInt(30) != 0) return None // 24bpp, BI_RGB
+    if (width <= 0 || height <= 0) return None
+    val rowBytes = (width * 3 + 3) & ~3
+    if (dataOffset < 54 || dataOffset.toLong + rowBytes.toLong * height > bytes.length) return None
+    val lum = new Array[Float](width * height)
+    var y = 0
+    while (y < height) {
+      val row = dataOffset + (height - 1 - y) * rowBytes // bottom-up storage
+      var x = 0
+      while (x < width) {
+        val o = row + 3 * x
+        val bl = bytes(o) & 0xff; val g = bytes(o + 1) & 0xff; val r = bytes(o + 2) & 0xff
+        lum(y * width + x) = ((0.299 * r + 0.587 * g + 0.114 * bl) / 255.0).toFloat
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpData(width, height, lum))
+  }
+
+  /** Real image features: `dim` windows of mean luminance over the decoded
+    * pixels (row-major), each in [0, 1]. */
+  object BmpCodec extends Multimodal.MediaCodec {
+    def decode(bytes: Array[Byte], dim: Int): Array[Float] =
+      parseBmp(bytes) match {
+        case None => StubFallback.decode(bytes, dim)
+        case Some(img) =>
+          val out = new Array[Float](dim)
+          val n = img.luminance.length
+          if (n > 0) {
+            val acc = new Array[Double](dim)
+            val cnt = new Array[Int](dim)
+            var i = 0
+            while (i < n) {
+              val slot = (i.toLong * dim / n).toInt
+              acc(slot) += img.luminance(i); cnt(slot) += 1
+              i += 1
+            }
+            var j = 0
+            while (j < dim) {
+              out(j) = if (cnt(j) == 0) 0f else (acc(j) / cnt(j)).toFloat
+              j += 1
+            }
+          }
+          out
+      }
+  }
+
+  /** Deterministic byte-statistics fallback for formats with no real decoder
+    * here (JPEG/MP4/… would need actual codec libraries). Same math as the
+    * original stub, so sniffing never changes behavior for unknown payloads. */
+  object StubFallback extends Multimodal.MediaCodec {
+    def decode(bytes: Array[Byte], dim: Int): Array[Float] =
+      Multimodal.StubCodec.decode(bytes, dim)
+  }
+
+  /** Magic-byte dispatch: WAV and BMP decode for real; everything else falls
+    * back to byte statistics. The production drop-in for
+    * [[Multimodal.decodeFeatures]]'s codec parameter. */
+  object SniffCodec extends Multimodal.MediaCodec {
+    def decode(bytes: Array[Byte], dim: Int): Array[Float] =
+      sniffMeta(bytes).format match {
+        case "audio/wav" => WavCodec.decode(bytes, dim)
+        case "image/bmp" => BmpCodec.decode(bytes, dim)
+        case _           => StubFallback.decode(bytes, dim)
+      }
+  }
+
+  /** Identify a payload and extract its typed metadata (the meta struct of
+    * [[Multimodal.mediaSchema]]). Unknown formats report octet-stream with no
+    * dimensions. n_frames for audio = sample frames (samples / channels). */
+  def sniffMeta(bytes: Array[Byte]): MediaMeta =
+    parseWav(bytes) match {
+      case Some(w) =>
+        MediaMeta("audio/wav", None, None,
+          Some(w.samples.length / math.max(1, w.channels)), Some(w.sampleRate))
+      case None => parseBmp(bytes) match {
+        case Some(img) =>
+          MediaMeta("image/bmp", Some(img.width), Some(img.height), Some(1), None)
+        case None => MediaMeta("application/octet-stream", None, None, None, None)
+      }
+    }
+
+  // -------------------------------------------------------------------------
+  // Encoders (tests/demos: build real payloads without external tools)
+  // -------------------------------------------------------------------------
+
+  /** Minimal canonical PCM WAV file (mono unless interleaved upstream). */
+  def wavBytes(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(0x46464952).putInt(36 + dataSize).putInt(0x45564157) // RIFF size WAVE
+    buf.putInt(0x20746d66).putInt(16) // "fmt ", PCM header size
+    buf.putShort(1).putShort(channels.toShort).putInt(sampleRate)
+    buf.putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    buf.putInt(0x61746164).putInt(dataSize) // "data"
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Minimal 24 bpp bottom-up BMP; `pixel(x, y)` returns (r, g, b) with y=0 at
+    * the TOP (the encoder flips rows into BMP's bottom-up order). */
+  def bmpBytes(width: Int, height: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = (width * 3 + 3) & ~3
+    val dataSize = rowBytes * height
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize).putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+    buf.putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1 // write bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = rowBytes - width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+}

@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   * typed metadata, processed per-partition in bounded batches.
   *
   * The Spark-side mechanics — schema, partition sizing, batch iteration, feature
-  * schema — are real and tested; the codec itself is STUBBED (this container ships
-  * no image/audio libraries) behind [[MediaCodec]], a trait whose production
-  * implementation would wrap an actual decoder. The stub is deterministic
-  * (byte-statistics features) so tests assert exact values.
+  * schema — are real and tested. The codec boundary is [[MediaCodec]]; behind it,
+  * [[MediaCodecs.SniffCodec]] REALLY decodes WAV/PCM audio and 24 bpp BMP images
+  * (pure-JVM byte parsing, RMS-envelope / luminance features — see
+  * [[MediaCodecs]]) and falls back to [[StubCodec]]'s deterministic
+  * byte-statistics only for formats that would need an external codec library
+  * (JPEG, MP4, …), which this container does not ship.
   *
   * Scale notes: media rows are large, so ops run via `mapPartitions` over an
   * iterator (never materializing a partition), and callers should size input
@@ -80,6 +82,26 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rows, featureSchema)
+  }
+
+  /** Sniff real payloads into the typed meta struct: WAV and BMP are parsed
+    * for real ([[MediaCodecs.sniffMeta]] — sample rate, frame count, pixel
+    * dimensions from the actual bytes); unknown formats get format-only
+    * metadata. Codec boundary, so per-partition iteration like
+    * [[decodeFeatures]]. */
+  def extractMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("media")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val m = MediaCodecs.sniffMeta(bytes)
+        Row(id, bytes, Row(m.format,
+          m.width.map(Int.box).orNull, m.height.map(Int.box).orNull,
+          m.nFrames.map(Int.box).orNull, m.sampleRate.map(Int.box).orNull))
+      }
+    }
+    spark.createDataFrame(rows, mediaSchema)
   }
 
   /** Frame sampling for video-like payloads: every `stride`-th frame's byte slice,

@@ -48,4 +48,78 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.getAs[Int]("target_width") == 32)
     assert(plan.getAs[Int]("target_height") == 24)
   }
+
+  test("WAV codec: real RIFF/PCM parse, RMS envelope features, corrupt fallback") {
+    import graft.ext.MediaCodecs
+    // 1 second @ 8 kHz mono: first half silence, second half a full-scale
+    // square wave => envelope [0, ~1].
+    val samples = Array.tabulate[Short](8000) { i =>
+      if (i < 4000) 0 else if (i % 2 == 0) 32767 else -32767
+    }
+    val wav = MediaCodecs.wavBytes(8000, 1, samples)
+    val parsed = MediaCodecs.parseWav(wav).get
+    assert(parsed.sampleRate == 8000 && parsed.channels == 1 &&
+      parsed.bitsPerSample == 16 && parsed.samples.length == 8000)
+    assert(parsed.samples.take(4000).forall(_ == 0))
+
+    val f = MediaCodecs.WavCodec.decode(wav, 4)
+    assert(f.length == 4 && f(0) == 0f && f(1) == 0f)
+    assert(math.abs(f(2) - 1.0) < 1e-3 && math.abs(f(3) - 1.0) < 1e-3)
+
+    val meta = MediaCodecs.sniffMeta(wav)
+    assert(meta.format == "audio/wav" && meta.sampleRate.contains(8000) &&
+      meta.nFrames.contains(8000))
+    // Truncated payload: parse rejects, codec falls back to byte stats.
+    assert(MediaCodecs.parseWav(wav.take(30)).isEmpty)
+    assert(MediaCodecs.SniffCodec.decode(wav.take(30), 4).toSeq ==
+      Multimodal.StubCodec.decode(wav.take(30), 4).toSeq)
+  }
+
+  test("BMP codec: real 24bpp decode, luminance features, top-down order") {
+    import graft.ext.MediaCodecs
+    // 4x2 image: top row black, bottom row white — proves the bottom-up BMP
+    // rows are flipped back to top-down before feature windows.
+    val bmp = MediaCodecs.bmpBytes(4, 2, (_, y) => if (y == 0) (0, 0, 0) else (255, 255, 255))
+    val img = MediaCodecs.parseBmp(bmp).get
+    assert(img.width == 4 && img.height == 2)
+    assert(img.luminance.take(4).forall(_ == 0f))
+    assert(img.luminance.drop(4).forall(l => math.abs(l - 1f) < 1e-3))
+
+    val f = MediaCodecs.BmpCodec.decode(bmp, 2)
+    assert(f(0) == 0f && math.abs(f(1) - 1f) < 1e-3)
+
+    val meta = MediaCodecs.sniffMeta(bmp)
+    assert(meta.format == "image/bmp" && meta.width.contains(4) && meta.height.contains(2))
+    // 8bpp/corrupt BMPs are rejected, not mis-decoded.
+    assert(MediaCodecs.parseBmp(bmp.take(40)).isEmpty)
+  }
+
+  test("extractMeta + decodeFeatures(SniffCodec) run real codecs through the Spark plumbing") {
+    import graft.ext.MediaCodecs
+    import org.apache.spark.sql.Row
+    val wav = MediaCodecs.wavBytes(16000, 1, Array.tabulate[Short](1600)(i =>
+      (math.sin(i * 2 * math.Pi * 440 / 16000) * 16384).toShort))
+    val bmp = MediaCodecs.bmpBytes(8, 8, (x, y) => ((x * 32) % 256, (y * 32) % 256, 128))
+    val blob = "not-a-media-file".getBytes("UTF-8")
+    val rows = Seq(Row(0L, wav, null), Row(1L, bmp, null), Row(2L, blob, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+
+    val metas = Multimodal.extractMeta(df).select("media_id", "meta.*")
+      .orderBy("media_id").collect()
+    assert(metas(0).getAs[String]("format") == "audio/wav" &&
+      metas(0).getAs[Int]("sample_rate") == 16000)
+    assert(metas(1).getAs[String]("format") == "image/bmp" &&
+      metas(1).getAs[Int]("width") == 8 && metas(1).getAs[Int]("height") == 8)
+    assert(metas(2).getAs[String]("format") == "application/octet-stream")
+
+    val feats = Multimodal.decodeFeatures(df, dim = 4, codec = MediaCodecs.SniffCodec)
+      .orderBy("media_id").collect()
+    // 440 Hz sine at half scale: every window's RMS ≈ 0.5/√2 ≈ 0.3536
+    val wavFeat = feats(0).getAs[scala.collection.Seq[Float]]("feature")
+    assert(wavFeat.forall(v => math.abs(v - 0.3536f) < 0.01f))
+    // unknown format must keep byte-identical stub behavior
+    assert(feats(2).getAs[scala.collection.Seq[Float]]("feature").toSeq ==
+      Multimodal.StubCodec.decode(blob, 4).toSeq)
+  }
 }
