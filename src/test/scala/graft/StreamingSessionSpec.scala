@@ -84,4 +84,41 @@ class StreamingSessionSpec extends SparkSpec {
     val i = ts.toInstant
     i.getEpochSecond * 1000000L + i.getNano / 1000L
   }
+
+  test("two-window sessionizer matches Spark's native session_window aggregation") {
+    val s = spark
+    import s.implicits._
+    val gapSeconds = 30L
+    val rnd = new scala.util.Random(11)
+    val baseUs = 1700000000L * 1000000L
+    // Gaps of exactly `gap` are avoided: session_window's half-open window
+    // [ts, ts+gap) treats an exactly-gap successor as a NEW session, while the
+    // lag form (`diff > gap` starts new) keeps it — a real semantic edge both
+    // APIs document differently. Off-boundary data isolates the common case.
+    val events = (0 until 6).flatMap { u =>
+      var t = baseUs + rnd.nextInt(1000000)
+      (0 until 30).map { _ =>
+        t += (if (rnd.nextDouble() < 0.25) (gapSeconds * 2 + rnd.nextInt(60)) * 1000000L
+              else 1000000L + rnd.nextInt(3000000))
+        (s"user_$u", tsOf(t))
+      }
+    }.toDF("user_id", "ts")
+
+    val ours = Sessionize
+      .sessionSummaries(events, col("user_id"), unix_micros(col("ts")),
+        gapSeconds, Seq(col("ts")))
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"))
+
+    val native = events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("session_start_us"),
+        unix_micros(max(col("ts"))).as("session_end_us"))
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"))
+
+    assert(ours.exceptAll(native).isEmpty && native.exceptAll(ours).isEmpty,
+      "two-window sessionization must agree with native session_window")
+  }
 }
