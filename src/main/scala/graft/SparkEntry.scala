@@ -672,6 +672,17 @@ object SparkEntry {
       |  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^\S+\s*', '') AS text FROM documents
       |)""".stripMargin
 
+  /** Band-key polynomial fold `k ← (k·A + sig[slot]) mod P` unrolled over the
+    * band's `rows` slots — the exact SQL mirror of [[graft.ext.Dedup.bandKeys]],
+    * generated from the same `BandFoldA`/`P` constants. */
+  private def bandFoldSql(rows: Int): String = {
+    val p = graft.ext.PortableHash.P
+    val a = Dedup.BandFoldA
+    (0 until rows).foldLeft("0") { (k, j) =>
+      s"(($k * $a + sig[t.band_idx * $rows + ${j + 1}]) % $p)"
+    }
+  }
+
   /** Shared CTE chain for the portable MinHash pipeline: corpus → shingles →
     * signatures → band buckets → verified pairs (exact Jaccard, 6-dp rounded). */
   private def minhashPairsCtes: String = {
@@ -691,7 +702,7 @@ object SparkEntry {
        |  FROM hs
        |), bands AS (
        |  SELECT doc_id, t.band_idx,
-       |         array_to_string(sig[t.band_idx * $rows + 1 : t.band_idx * $rows + $rows], ',') AS band_key
+       |         ${bandFoldSql(rows)} AS band_key
        |  FROM sig, (SELECT unnest(range(0, ${Dedup.PortableBands})) AS band_idx) t
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -207,12 +207,27 @@ object Dedup {
       .select(col(idCol), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
   }
 
-  /** LSH band keys as decimal strings ("v1,v2,…") — the string form is what an
-    * independent engine can rebuild exactly, unlike an engine-specific rehash. */
-  def bandKeyStrings(signature: Column, numHashes: Int, bands: Int): Column = {
+  /** Multiplier for the band-key polynomial fold: prime, small enough that
+    * `k·A + v < 2^52` for `k, v < P` — no 64-bit overflow in any ANSI engine. */
+  val BandFoldA: Long = 1048573L
+
+  /** LSH band keys as a polynomial fold of the band's signature slots modulo
+    * [[PortableHash.P]]: `k ← (k·A + v) mod P` per slot. 8-byte integer
+    * join/shuffle keys instead of ~40-byte decimal strings (the r1–r3 form) —
+    * at corpus scale the band keys ARE the shuffle, so this is a ~4×
+    * shuffle-byte cut on the candidate join. Identical signature slices still
+    * give identical keys, so recall is unchanged; a fold collision (~2^-31
+    * per key pair) only adds a candidate that exact-Jaccard verification
+    * prunes. Unlike an engine-specific rehash (xxhash64), the fold is exactly
+    * replayable in portable SQL — SparkEntry's oracle builder generates the
+    * same fold from the same constants. */
+  def bandKeys(signature: Column, numHashes: Int, bands: Int): Column = {
     val rows = numHashes / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => array_join(slice(signature, b * lit(rows) + lit(1), lit(rows)).cast("array<string>"), ","))
+    val p = PortableHash.P
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      (0 until rows).foldLeft(lit(0L)) { (k, j) =>
+        (k * BandFoldA + element_at(signature, (b * lit(rows) + lit(j + 1)).cast("int"))) % p
+      })
   }
 
   /** [[minhashNearDuplicates]] on the portable hash family — identical shape
@@ -229,7 +244,7 @@ object Dedup {
     else shRaw
     val sigs = minhashSignaturesPortable(sh, numHashes, seed, idCol)
     val buckets = sigs.select(col(idCol),
-      posexplode(bandKeyStrings(col("sig"), numHashes, bands)).as(Seq("band", "band_key")))
+      posexplode(bandKeys(col("sig"), numHashes, bands)).as(Seq("band", "band_key")))
     val a = buckets.as("a"); val b = buckets.as("b")
     val pairs = a.join(b,
         col("a.band") === col("b.band") &&
