@@ -1,0 +1,47 @@
+package graft
+
+/** Physical-plan regression guards for the plan properties PERF.md documents
+  * as load-bearing. These string-match the executed plan of real driver
+  * queries on the sf0.001 tables — if an optimizer upgrade or a refactor
+  * silently de-broadcasts a dimension join or reintroduces interpreted
+  * PivotFirst, a spec fails rather than a benchmark quietly regressing.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q42 bracket range-join broadcasts the 4-row dimension (nested loop, not cartesian shuffle)") {
+    assert(planOf("q42_range_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q14 dimension joins are broadcast hash joins") {
+    val p = planOf("q14_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dimension join:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dimension join must not sort-merge")
+  }
+
+  test("q07 pivot compiles to conditional aggregation, not interpreted PivotFirst") {
+    assert(!planOf("q07_inventory_net_position").toLowerCase.contains("pivotfirst"))
+  }
+
+  test("q01 daily KPIs aggregate with a map-side partial pass") {
+    val p = planOf("q01_daily_sales_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("q19 semi/anti joins stay semi/anti in the physical plan") {
+    val p = planOf("q19_semi_anti_join")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+  }
+
+  test("q20 token stats scan prunes to the referenced columns only") {
+    val p = planOf("q20_token_stats")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("text") || read.contains("doc_id"), s"no ReadSchema found:\n$p")
+    assert(!read.contains("embedding"), s"scan must not read unrelated columns: $read")
+  }
+}
