@@ -644,6 +644,40 @@ object SparkEntry {
         .select(col("event_type"), col("n_exact"),
           (abs(col("__n_approx") - col("n_exact")) <=
             lit(4 * rsd) * col("n_exact")).as("approx_ok"))
+    },
+
+    // Stream-stream interval join — the remaining Structured Streaming join
+    // shape: clicks joined to same-user purchases within 30 minutes, both
+    // sides buffered in join state, driven to completion with AvailableNow
+    // and batch-aggregated into a compact cents-exact summary. No watermark,
+    // as in q45: the bounded input drains in one batch, so unbounded join
+    // state is safe and the batch-join oracle equivalence is unconditional.
+    // On an unbounded feed you'd `.withWatermark` BOTH sides — together with
+    // the event-time bound below that lets Spark evict matched-out rows, the
+    // canonical stream-stream join recipe.
+    "q48_stream_stream_join" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = t(s, dir, "events").schema
+      def side(tpe: String, pfx: String) = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${pfx}_user"), col("ts").as(s"${pfx}_ts"),
+          col("value").as(s"${pfx}_value"))
+      val joined = side("click", "c").join(side("purchase", "p"),
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
+      val sinkName = "graft_stream_stream_join"
+      s.catalog.dropTempView(sinkName)
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sinkName).agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("c_user")).as("n_users"),
+        (sum(round(col("p_value") * 100).cast("long")) / 100.0).as("total_value"))
     }
   )
 
@@ -1221,6 +1255,16 @@ object SparkEntry {
     // the hash compare fails loudly.
     "q47_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // Batch replay of the stream-stream interval join: µs arithmetic matches
+    // Spark's µs timestamps exactly; cents sum is order-independent (§7.4).
+    "q48_stream_stream_join" ->
+      """SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT c.user_id) AS n_users,
+        |       SUM(CAST(ROUND(p.value * 100) AS BIGINT)) / 100.0 AS total_value
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 1800000000""".stripMargin
   )
 }

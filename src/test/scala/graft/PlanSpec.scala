@@ -44,4 +44,26 @@ class PlanSpec extends SparkSpec {
     assert(read.contains("text") || read.contains("doc_id"), s"no ReadSchema found:\n$p")
     assert(!read.contains("embedding"), s"scan must not read unrelated columns: $read")
   }
+
+  test("Hive date-partitioned layout prunes partitions on a date-filtered read") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withTempDir { dir =>
+      val df = Seq(
+        (1L, "2024-01-01 10:00:00"), (2L, "2024-01-02 10:00:00"),
+        (3L, "2024-01-03 10:00:00")).toDF("id", "ts")
+        .withColumn("ts", to_timestamp(col("ts")))
+      graft.engine.Layout.withDatePartitions(df, col("ts"))
+        .write.partitionBy(graft.engine.Layout.partitionColumns: _*).parquet(s"$dir/t")
+      val read = spark.read.parquet(s"$dir/t")
+        .filter(col("year") === 2024 && col("month") === 1 && col("day") === 2)
+      val p = read.queryExecution.executedPlan.toString
+      // The partition predicate must reach the file index (PartitionFilters),
+      // not run as a post-scan Filter over all three day directories.
+      assert(p.contains("PartitionFilters") &&
+        "PartitionFilters: \\[[^\\]]*day".r.findFirstIn(p).isDefined,
+        s"day predicate must prune partitions:\n$p")
+      assert(read.count() == 1)
+    }
+  }
 }
