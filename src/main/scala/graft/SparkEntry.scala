@@ -678,6 +678,27 @@ object SparkEntry {
         count(lit(1)).as("n_pairs"),
         countDistinct(col("c_user")).as("n_users"),
         (sum(round(col("p_value") * 100).cast("long")) / 100.0).as("total_value"))
+    },
+
+    // Corpus TF-IDF: top-3 scoring terms per document (idf over the WHOLE
+    // corpus; output restricted to 20 docs to stay compact). Word-count-shaped
+    // shuffles; the oracle recomputes scores bit-for-bit at 6 dp.
+    "q49_tfidf_topterms" -> { (s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+        .filter(col("doc_id") < 20)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // Deterministic stratified sampling: keep iff portable-hash(salt:doc_id)
+    // mod 1000 < per-lang rate — a pure row function, so the sample is
+    // identical across partitionings, reruns, AND engines (the oracle selects
+    // the exact same rows; id_checksum pins membership, not just counts).
+    "q50_stratified_sample" -> { (s, dir) =>
+      ext.Sampling.stratifiedSample(t(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          ext.Sampling.LangRatesPerMille, ext.Sampling.DefaultRatePerMille)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_checksum"))
     }
   )
 
@@ -1265,6 +1286,44 @@ object SparkEntry {
         |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
         |JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id
-        | AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 1800000000""".stripMargin
+        | AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 1800000000""".stripMargin,
+
+    // ln() agrees with Spark's log() after the 6-dp round (libm last-ulp
+    // differences sit ~10 orders below the rounding grain).
+    "q49_tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         ROUND(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 6) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT doc_id, term, score,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, score, rank FROM ranked
+        |WHERE rank <= 3 AND doc_id < 20""".stripMargin,
+
+    "q50_stratified_sample" -> stratifiedSampleSql
   )
+
+  /** Oracle for the portable stratified sample — rate CASE and hash generated
+    * from the same [[graft.ext.Sampling]] constants the Spark plan uses. */
+  private def stratifiedSampleSql: String = {
+    val whens = graft.ext.Sampling.LangRatesPerMille.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+    val keyExpr = s"concat('${graft.ext.Sampling.SampleSalt}', ':', CAST(doc_id AS VARCHAR))"
+    s"""SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       |FROM documents
+       |WHERE ${h60Sql(keyExpr)} % 1000 <
+       |      CASE lang $whens ELSE ${graft.ext.Sampling.DefaultRatePerMille} END
+       |GROUP BY lang""".stripMargin
+  }
 }

@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * Rationale: `df.sample()` draws from partition-local RNG streams, so the
+  * selected set changes with partitioning, task retries, and engine — a
+  * training-corpus sample must instead be a pure FUNCTION of the row, so the
+  * same corpus always yields the same sample (reproducible ablations,
+  * diffable reruns, cross-engine audits). The standard trick: keep a row iff
+  * `hash(salt ‖ id) mod 1000 < rate_per_mille`, here on the portable md5
+  * family ([[PortableHash]]) so an independent SQL engine selects the
+  * IDENTICAL rows (SparkEntry's oracle replays it).
+  *
+  * Scale: a scan + codegen'd filter — no shuffle, no RNG state, trivially
+  * parallel; changing `salt` draws an independent sample.
+  */
+object Sampling {
+
+  /** Per-stratum keep rates (per-mille) used by the q50 driver query — shared
+    * with the oracle-SQL builder so both engines use identical constants. */
+  val LangRatesPerMille: Map[String, Long] =
+    Map("en" -> 500L, "de" -> 300L, "es" -> 300L, "fr" -> 300L, "zh" -> 200L)
+  val DefaultRatePerMille: Long = 100L
+  val SampleSalt: String = "sample"
+
+  /** Keep each row iff `hash60(salt:id) mod 1000 < ratesPerMille(stratum)`
+    * (falling back to `defaultPerMille` for unlisted strata). Rates are exact
+    * in expectation per stratum and the decision is per-row deterministic. */
+  def stratifiedSample(df: DataFrame, idCol: Column, stratum: Column,
+                       ratesPerMille: Map[String, Long], defaultPerMille: Long,
+                       salt: String = SampleSalt): DataFrame = {
+    // Sorted fold => deterministic plan regardless of Map iteration order.
+    val rate = ratesPerMille.toSeq.sortBy(_._1).foldLeft(lit(defaultPerMille)) {
+      case (acc, (k, v)) => when(stratum === k, lit(v)).otherwise(acc)
+    }
+    df.filter(
+      PortableHash.hash60(concat_ws(":", lit(salt), idCol.cast("string"))) % 1000L < rate)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -101,6 +102,31 @@ object TextAnalysis {
     val sh = Shingles.wordShingles(text, k)
     when(size(sh) > 0, array_min(transform(sh, s => PortableHash.hash60(s))))
       .otherwise(PortableHash.hash60(text))
+  }
+
+  /** TF-IDF top-`k` terms per document over the whole corpus.
+    *
+    * tf = term count within the document (whitespace tokens, lowercased);
+    * idf = ln((N + 1) / (df + 1)); score = round(tf · idf, 6); ties broken by
+    * term. Three hash aggregations ((doc, term) counts → per-term df → corpus
+    * N as a 1-row broadcast) plus one ranked window — every shuffle is keyed
+    * by term or doc, so it scales like any word-count: no stage ever holds
+    * more than a (doc, term) group. The 6-dp round keeps scores engine-stable
+    * (ln is libm-dependent in the last ulp).
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
   }
 }
 

@@ -211,6 +211,36 @@ class ExtSpec extends SparkSpec {
     assert(lsh.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet == Set((1L, 2L)))
   }
 
+  test("stratifiedSample is a pure row function: identical under repartitioning") {
+    import spark.implicits._
+    val langs = Seq("en", "de", "zh")
+    val docs = (0L until 900L).map(i => (i, langs((i % 3).toInt))).toDF("doc_id", "lang")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.ext.Sampling.stratifiedSample(df, col("doc_id"), col("lang"),
+        graft.ext.Sampling.LangRatesPerMille, graft.ext.Sampling.DefaultRatePerMille)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    val b = ids(docs.repartition(7))
+    assert(a == b, "sample must not depend on partitioning")
+    assert(a.nonEmpty && a.size < 900)
+    // per-stratum rates land near their per-mille targets (en 500 vs zh 200)
+    val en = a.count(_ % 3 == 0); val zh = a.count(_ % 3 == 2)
+    assert(en > zh, s"en (500 per mille, got $en) must out-sample zh (200, got $zh)")
+  }
+
+  test("tfidfTopTerms ranks a document's distinctive term first") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the log"),
+      (2L, "zebra zebra zebra the")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, k = 1)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(2L) == "zebra")
+    // "the" appears in every doc => idf ln(4/4)=0, never a top term
+    assert(!top.values.exists(_ == "the"))
+  }
+
   test("LSH survives a hot bucket: 10k docs, 10% identical, AQE skew-join on") {
     import spark.implicits._
     // 1,000 identical docs collapse to ONE bucket per band => the candidate
