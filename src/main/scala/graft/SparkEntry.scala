@@ -699,6 +699,26 @@ object SparkEntry {
           ext.Sampling.LangRatesPerMille, ext.Sampling.DefaultRatePerMille)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_checksum"))
+    },
+
+    // End-to-end corpus preparation — THE training-data composition: quality
+    // filter → exact dedup (keep-min-id) → MinHash near-dedup (portable) →
+    // deterministic stratified sample, rolled up per lang. Every stage is the
+    // already-proven operator; the pipeline is one lazy plan, and the oracle
+    // replays all four stages in SQL, so the whole composition (not just its
+    // parts) is hash-verified.
+    "q51_corpus_prep" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val quality = docs.filter(
+        TextAnalysis.qualityScore(col("text"), QualityStopwords) >= 0.5)
+      val exact = quality.join(
+        Dedup.exactDuplicateGroups(quality).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val near = Dedup.removeNearDuplicatesPortable(exact, threshold = 0.5)
+      ext.Sampling.stratifiedSample(near, col("doc_id"), col("lang"),
+          ext.Sampling.LangRatesPerMille, ext.Sampling.DefaultRatePerMille)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
     }
   )
 
@@ -739,15 +759,19 @@ object SparkEntry {
   }
 
   /** Shared CTE chain for the portable MinHash pipeline: corpus → shingles →
-    * signatures → band buckets → verified pairs (exact Jaccard, 6-dp rounded). */
-  private def minhashPairsCtes: String = {
+    * signatures → band buckets → verified pairs (exact Jaccard, 6-dp rounded).
+    * `corpusCte` must define `corpus` with at least (doc_id, text) — q24/q39
+    * use the planted corpus, q51 its quality-filtered/deduped chain. */
+  private def minhashPairsCtes: String = minhashPairsCtesOver(docsCorpusSql)
+
+  private def minhashPairsCtesOver(corpusCte: String): String = {
     val p = graft.ext.PortableHash.P
     val cs = graft.ext.PortableHash.coeffs(Dedup.PortableNumHashes, Dedup.PortableSeed)
     val rows = Dedup.PortableNumHashes / Dedup.PortableBands
     val sigTerms = cs.map { case (a, b) =>
       s"list_min([($a * h + $b) % $p for h in hp])"
     }.mkString("[\n         ", ",\n         ", "]")
-    s"""$docsCorpusSql,
+    s"""$corpusCte,
        |sh AS (
        |  SELECT doc_id, ${gramsSql("text")} AS grams FROM corpus
        |), hs AS (
@@ -1311,8 +1335,55 @@ object SparkEntry {
         |SELECT doc_id, term, score, rank FROM ranked
         |WHERE rank <= 3 AND doc_id < 20""".stripMargin,
 
-    "q50_stratified_sample" -> stratifiedSampleSql
+    "q50_stratified_sample" -> stratifiedSampleSql,
+
+    "q51_corpus_prep" -> corpusPrepSql
   )
+
+  /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
+    * formula) → keep-min-id exact dedup (q08's hash) → portable MinHash
+    * near-dedup (q39's CTE chain, parameterized over this corpus) →
+    * portable-hash stratified sample (q50's predicate). */
+  private def corpusPrepSql: String = {
+    val stop = QualityStopwords.map(s => s"'$s'").mkString(", ")
+    val whens = graft.ext.Sampling.LangRatesPerMille.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+    val keyExpr = s"concat('${graft.ext.Sampling.SampleSalt}', ':', CAST(doc_id AS VARCHAR))"
+    val corpusCte =
+      s"""qbase AS (
+         |  SELECT doc_id, text, lang,
+         |         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |         length(text) AS nc,
+         |         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+         |  FROM documents
+         |), quality AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT doc_id, text, lang,
+         |           CASE WHEN nc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / nc END AS praw,
+         |           CASE WHEN len(toks) = 0 THEN 0.0
+         |                ELSE CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks) END AS sraw,
+         |           CAST(nc AS DOUBLE) AS clen
+         |    FROM qbase)
+         |  WHERE ROUND((least(clen / 500.0, 1.0) + least(sraw * 4.0, 1.0)
+         |               + greatest(0.0, 1.0 - praw * 5.0)) / 3.0, 6) >= 0.5
+         |), corpus AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT doc_id, text, lang,
+         |           ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+         |    FROM quality)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH ${minhashPairsCtesOver(corpusCte)},
+       |kept AS (
+       |  SELECT doc_id, lang FROM corpus
+       |  WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= 0.5)
+       |)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       |FROM kept
+       |WHERE ${h60Sql(keyExpr)} % 1000 <
+       |      CASE lang $whens ELSE ${graft.ext.Sampling.DefaultRatePerMille} END
+       |GROUP BY lang""".stripMargin
+  }
 
   /** Oracle for the portable stratified sample — rate CASE and hash generated
     * from the same [[graft.ext.Sampling]] constants the Spark plan uses. */
