@@ -719,6 +719,25 @@ object SparkEntry {
           ext.Sampling.LangRatesPerMille, ext.Sampling.DefaultRatePerMille)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+    },
+
+    // Exact per-group tail percentiles (p50/p95/p99) by rank index — q46's
+    // median generalized: one window pass, conditional aggregation picks the
+    // ceil(q·n)-th value under a total order. percentile_approx (t-digest
+    // sketch, one scan, bounded memory) is the 100 TB variant; its boundary
+    // behavior is engine-specific, so the exact rank form is what the oracle
+    // pins.
+    "q52_percentiles" -> { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val wg = Window.partitionBy(col("event_type"))
+      def pick(q: Double, name: String) =
+        max(when(col("rn") === ceil(col("n") * q).cast("long"), col("value"))).as(name)
+      eventsTable(s, dir)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wg))
+        .groupBy(col("event_type"))
+        .agg(pick(0.5, "p50"), pick(0.95, "p95"), pick(0.99, "p99"))
     }
   )
 
@@ -1337,7 +1356,21 @@ object SparkEntry {
 
     "q50_stratified_sample" -> stratifiedSampleSql,
 
-    "q51_corpus_prep" -> corpusPrepSql
+    "q51_corpus_prep" -> corpusPrepSql,
+
+    // ceil(q·n) is the same IEEE double in both engines (n < 2^52), so the
+    // rank indices agree exactly; (value, event_id) totally orders ties.
+    "q52_percentiles" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |       MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN value END) AS p50,
+        |       MAX(CASE WHEN rn = CAST(CEIL(n * 0.95) AS BIGINT) THEN value END) AS p95,
+        |       MAX(CASE WHEN rn = CAST(CEIL(n * 0.99) AS BIGINT) THEN value END) AS p99
+        |FROM ranked GROUP BY event_type""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
