@@ -738,6 +738,39 @@ object SparkEntry {
         .withColumn("n", count(lit(1)).over(wg))
         .groupBy(col("event_type"))
         .agg(pick(0.5, "p50"), pick(0.95, "p95"), pick(0.99, "p99"))
+    },
+
+    // Explicit GROUPING SETS (the general form behind q31's rollup / q40's
+    // cube): chosen aggregation levels only, with grouping() disambiguating
+    // real NULL keys from subtotal rows. One shuffle; Spark expands the sets
+    // into a single Expand + hash aggregate.
+    "q53_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+          |       grouping(o_orderstatus) AS g_status,
+          |       grouping(o_orderpriority) AS g_priority,
+          |       COUNT(*) AS n_orders
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |                        (o_orderstatus), (o_orderpriority))""".stripMargin)
+    },
+
+    // INTERSECT / EXCEPT set semantics (distinct-set ops, not joins): nations
+    // having customers both with urgent and with low-priority orders, vs only
+    // urgent. Spark plans these as aggregated semi/anti joins.
+    "q54_set_ops" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val o = t(s, dir, "orders")
+      def nationsWith(priority: String) =
+        c.join(o.filter(col("o_orderpriority") === priority),
+            col("c_custkey") === col("o_custkey"))
+          .select(col("c_nationkey")).distinct()
+      val both = nationsWith("1-URGENT").intersect(nationsWith("5-LOW"))
+        .withColumn("kind", lit("both"))
+      val urgentOnly = nationsWith("1-URGENT").except(nationsWith("5-LOW"))
+        .withColumn("kind", lit("urgent_only"))
+      both.unionByName(urgentOnly)
     }
   )
 
@@ -1370,7 +1403,25 @@ object SparkEntry {
         |       MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN value END) AS p50,
         |       MAX(CASE WHEN rn = CAST(CEIL(n * 0.95) AS BIGINT) THEN value END) AS p95,
         |       MAX(CASE WHEN rn = CAST(CEIL(n * 0.99) AS BIGINT) THEN value END) AS p99
-        |FROM ranked GROUP BY event_type""".stripMargin
+        |FROM ranked GROUP BY event_type""".stripMargin,
+
+    "q53_grouping_sets" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |       grouping(o_orderstatus) AS g_status,
+        |       grouping(o_orderpriority) AS g_priority,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority))""".stripMargin,
+
+    "q54_set_ops" ->
+      """WITH u AS (SELECT DISTINCT c_nationkey FROM customer
+        |           JOIN orders ON c_custkey = o_custkey WHERE o_orderpriority = '1-URGENT'),
+        |     l AS (SELECT DISTINCT c_nationkey FROM customer
+        |           JOIN orders ON c_custkey = o_custkey WHERE o_orderpriority = '5-LOW')
+        |SELECT c_nationkey, 'both' AS kind FROM (SELECT * FROM u INTERSECT SELECT * FROM l)
+        |UNION ALL
+        |SELECT c_nationkey, 'urgent_only' AS kind FROM (SELECT * FROM u EXCEPT SELECT * FROM l)""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
