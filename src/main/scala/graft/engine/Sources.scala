@@ -96,4 +96,37 @@ object Sources {
       target.toString
     }
   }
+
+  /** Compact a parquet directory's accumulated small files into
+    * `ceil(totalBytes / targetFileBytes)` files (min 1). Returns the new file
+    * count.
+    *
+    * The medallion append pattern (one file per micro-batch, OP-6/OP-8) is
+    * exactly the small-files generator: after a year of 5-minute batches a
+    * silver domain holds ~100k files, and at 100 TB the scan's task count,
+    * file-listing latency, and footer reads are dominated by file count, not
+    * bytes. Periodic compaction is the standing fix. Rewrite goes to a
+    * sibling temp dir first, then two renames swap it in (rename is atomic on
+    * HDFS/posix; on object stores run compaction in the maintenance window
+    * the reference's DAG already has). The old data is kept at
+    * `<dir>.pre-compact` until the caller confirms and deletes — same
+    * "nothing is deleted implicitly" posture as bronze. */
+  def compactParquet(spark: SparkSession, dir: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new Path(dir)
+    val fs = path.getFileSystem(conf)
+    val totalBytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(dir + ".compacting")
+    val backup = new Path(dir + ".pre-compact")
+    fs.delete(tmp, true)
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(backup, true)
+    require(fs.rename(path, backup), s"compact: could not move $dir aside")
+    require(fs.rename(tmp, path), s"compact: could not swap in $tmp")
+    nFiles
+  }
 }

@@ -44,6 +44,25 @@ class EngineExtraSpec extends SparkSpec {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("compactParquet rewrites many small files into few, preserving rows") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val df = (1 to 10000).map(i => (i.toLong, s"payload-$i")).toDF("id", "v")
+      df.repartition(40).write.parquet(s"$dir/t") // the append-pattern mess
+      def parquetFiles = new java.io.File(s"$dir/t").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(parquetFiles == 40)
+      val n = graft.engine.Sources.compactParquet(spark, s"$dir/t",
+        targetFileBytes = 256L * 1024)
+      assert(parquetFiles == n && n < 40, s"expected few files, got $n")
+      val back = spark.read.parquet(s"$dir/t")
+      assert(back.count() == 10000 &&
+        back.agg(sum("id")).head().getLong(0) == 10000L * 10001 / 2)
+      // prior data retained for explicit cleanup, not silently deleted
+      assert(new java.io.File(s"$dir/t.pre-compact").exists)
+    }
+  }
+
   test("saltedStats equals direct sum/count/min/max/avg on skewed keys") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i * 0.5)).toDF("k", "v")
