@@ -37,8 +37,17 @@ object PortableHash {
     * so the affine family never overflows a 64-bit long (ANSI-safe). */
   val P: Long = 2147483647L
 
-  /** First 60 bits of md5 as a non-negative BIGINT (15 hex chars < 2^60). */
+  /** First 60 bits of md5 as a non-negative BIGINT (15 hex chars < 2^60).
+    * Computed by the codegen'd [[graft.functions.Md5Prefix60]] — bit-identical
+    * to the SQL form `conv(substring(md5(s), 1, 15), 16, 10)` the oracle
+    * replays (equality asserted in ExtSpec), but without the three per-row
+    * string allocations that form made (hex, substring, conv parse). */
   def hash60(s: Column): Column =
+    graft.functions.HashFunctions.md5Prefix60(s)
+
+  /** The pre-round-4 SQL formulation of [[hash60]] — kept as the reference
+    * point for the equivalence spec. */
+  def hash60Sql(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** Affine family coefficients (a_j ∈ [1, P), b_j ∈ [0, P)), deterministic in

@@ -133,8 +133,15 @@ object TextAnalysis {
 /** Word k-gram shingling shared by fingerprinting and MinHash dedup. */
 object Shingles {
   /** Distinct k-word shingles; documents shorter than k words shingle to the whole
-    * trimmed text so nothing hashes to an empty set. */
-  def wordShingles(text: Column, k: Int): Column = {
+    * trimmed text so nothing hashes to an empty set. Computed by the codegen'd
+    * [[graft.functions.WordShingleSet]] — semantics identical to [[wordShinglesSql]]
+    * (asserted in ExtSpec), ~6–36s/pass faster on the near-dedup corpus. */
+  def wordShingles(text: Column, k: Int): Column =
+    graft.functions.WordShingleSet(text, k)
+
+  /** The pure-Column (HOF) formulation — the reference point for the
+    * equivalence spec, and the shape the DuckDB oracle replays. */
+  def wordShinglesSql(text: Column, k: Int): Column = {
     val toks = TextAnalysis.tokens(text)
     when(size(toks) >= k,
       array_distinct(transform(sequence(lit(0), size(toks) - k),

@@ -27,6 +27,9 @@ object TimeQuery {
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        // Match Bench.runOnce: a rep's persisted projections must not bleed
+        // into the next rep's timing.
+        spark.catalog.clearCache()
         f"$dt%.2fs(n=$n)"
       }
       println(s"[time] $name: ${times.mkString(" ")}")

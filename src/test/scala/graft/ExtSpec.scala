@@ -268,4 +268,45 @@ class ExtSpec extends SparkSpec {
       spark.catalog.clearCache() // removeNearDuplicates caches 10k-doc shingles
     }
   }
+
+  test("WordShingleSet matches the HOF wordShingles form exactly (order included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // Adversarial: empty, pure-whitespace, tabs/newlines (trim only strips
+    // 0x20), repeated shingles (distinct order), unicode, fewer-than-k tokens,
+    // leading/trailing whitespace, plus random corpora.
+    val rows = Seq(
+      "", " ", "\t", "a", "a b", "a b c", "a b c d",
+      "  padded   with   spaces  ", "\ta leads tab", "trail\t",
+      "x y z x y z x y z", "héllo wörld ünïcode shingle test",
+      "a\nb\nc\nd", "a  b   c    d") ++
+      Seq.fill(500)(Seq.fill(rnd.nextInt(40))("w" + rnd.nextInt(8)).mkString(" "))
+    val df = rows.toDF("text")
+    val mismatches = df.filter(
+      Shingles.wordShingles(col("text"), 3) =!= Shingles.wordShinglesSql(col("text"), 3))
+    assert(mismatches.isEmpty, mismatches.collect().take(3).mkString(";"))
+    // k=1 exercises the all-tokens path, k=50 the short-document fallback
+    assert(df.filter(Shingles.wordShingles(col("text"), 1) =!=
+      Shingles.wordShinglesSql(col("text"), 1)).isEmpty)
+    assert(df.filter(Shingles.wordShingles(col("text"), 50) =!=
+      Shingles.wordShinglesSql(col("text"), 50)).isEmpty)
+  }
+
+  test("Md5Prefix60 is bit-identical to the conv(substring(md5)) SQL form") {
+    import graft.ext.PortableHash
+    import spark.implicits._
+    // Adversarial inputs: empty, unicode, long, and leading-zero-nibble digests
+    // (1000 random strings make a high-nibble-zero digest ~certain), in both
+    // codegen and interpreted paths.
+    val rnd = new scala.util.Random(11)
+    val rows = Seq("", "a", "héllo wörld", "x" * 5000) ++
+      Seq.fill(1000)(rnd.alphanumeric.take(rnd.nextInt(30) + 1).mkString)
+    val df = rows.toDF("s")
+    assert(df.filter(PortableHash.hash60(col("s")) =!= PortableHash.hash60Sql(col("s"))).isEmpty)
+    val interpreted = df.select(PortableHash.hash60(col("s")).as("h")) // eval path via collect on literal-free plan
+      .collect().map(_.getLong(0))
+    val sqlForm = df.select(PortableHash.hash60Sql(col("s")).as("h")).collect().map(_.getLong(0))
+    assert(interpreted.toSeq == sqlForm.toSeq)
+    assert(interpreted.forall(h => h >= 0 && h < (1L << 60)))
+  }
 }
