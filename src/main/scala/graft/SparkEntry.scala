@@ -771,6 +771,25 @@ object SparkEntry {
       val urgentOnly = nationsWith("1-URGENT").except(nationsWith("5-LOW"))
         .withColumn("kind", lit("urgent_only"))
       both.unionByName(urgentOnly)
+    },
+
+    // Bloom-filtered semi join: lineitem probed against a sketch of the
+    // selective order-key set before the exact semi join. False positives are
+    // removed by the exact join, so the oracle is the plain IN-subquery; the
+    // bloom probe's contribution is plan shape (scan-stage filter before the
+    // exchange), asserted in PlanSpec. Money sums in exact integer cents.
+    "q55_bloom_semi_join" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val sel = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey").as("l_orderkey"))
+      graft.engine.Joins.bloomSemiJoin(li, sel, "l_orderkey", expectedItems = 1 << 16)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
     }
   )
 
@@ -1421,7 +1440,16 @@ object SparkEntry {
         |           JOIN orders ON c_custkey = o_custkey WHERE o_orderpriority = '5-LOW')
         |SELECT c_nationkey, 'both' AS kind FROM (SELECT * FROM u INTERSECT SELECT * FROM l)
         |UNION ALL
-        |SELECT c_nationkey, 'urgent_only' AS kind FROM (SELECT * FROM u EXCEPT SELECT * FROM l)""".stripMargin
+        |SELECT c_nationkey, 'urgent_only' AS kind FROM (SELECT * FROM u EXCEPT SELECT * FROM l)""".stripMargin,
+
+    "q55_bloom_semi_join" ->
+      """SELECT count(*) AS n_rows,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0)""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

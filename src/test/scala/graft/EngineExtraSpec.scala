@@ -44,6 +44,29 @@ class EngineExtraSpec extends SparkSpec {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("bloomSemiJoin equals the exact semi join; probe never drops a true match") {
+    import spark.implicits._
+    import graft.engine.Joins
+    val large = (1L to 50000L).map(i => (i, s"row$i")).toDF("k", "v")
+    val small = (1L to 50000L by 97).map(i => (i, "x")).toDF("k", "s")
+    val viaBloom = Joins.bloomSemiJoin(large, small, "k", expectedItems = 1024)
+    val exact = large.join(small.select("k").distinct(), Seq("k"), "left_semi")
+    assert(viaBloom.exceptAll(exact).isEmpty && exact.exceptAll(viaBloom).isEmpty)
+    // No false negatives by construction: every true key passes the probe.
+    val bf = Joins.buildBloom(small, "k", expectedItems = 1024)
+    assert(small.select("k").as[Long].collect().forall(bf.mightContainLong))
+    // The probe is selective (the point of the exercise): with 516 true keys
+    // of 50k and fpp 1%, survivors must be well under a tenth of the input.
+    val survivors = large.filter(Joins.mightContain(col("k"), bf)).count()
+    assert(survivors < 5000, s"bloom probe passed $survivors of 50000 rows")
+    // String keys take the UTF-8 binary probe path — same result as longs.
+    val largeS = large.select(concat(lit("k"), col("k")).as("k"), col("v"))
+    val smallS = small.select(concat(lit("k"), col("k")).as("k"))
+    val viaBloomS = Joins.bloomSemiJoin(largeS, smallS, "k", expectedItems = 1024)
+    val exactS = largeS.join(smallS.distinct(), Seq("k"), "left_semi")
+    assert(viaBloomS.exceptAll(exactS).isEmpty && exactS.exceptAll(viaBloomS).isEmpty)
+  }
+
   test("compactParquet rewrites many small files into few, preserving rows") {
     withTempDir { dir =>
       import spark.implicits._

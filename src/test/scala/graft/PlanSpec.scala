@@ -66,4 +66,17 @@ class PlanSpec extends SparkSpec {
       assert(read.count() == 1)
     }
   }
+
+  test("q55 bloom probe runs in the scan stage, before the semi join's exchange") {
+    val p = planOf("q55_bloom_semi_join")
+    // The probe must be a Filter under the large side's scan, not post-join:
+    // in the plan string the graft_might_contain filter has to appear *below*
+    // (after, textually) the semi join operator it feeds.
+    val probeIdx = p.indexOf("graft_might_contain")
+    val joinIdx = p.indexOf("LeftSemi")
+    assert(probeIdx >= 0, s"bloom probe missing from plan:\n$p")
+    assert(joinIdx >= 0, s"exact semi join missing from plan:\n$p")
+    assert(probeIdx > joinIdx,
+      s"bloom probe must sit under the join (scan stage), not above it:\n$p")
+  }
 }
