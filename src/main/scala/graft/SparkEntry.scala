@@ -790,6 +790,44 @@ object SparkEntry {
           countDistinct(col("l_orderkey")).as("n_orders"),
           sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
           sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+    },
+
+    // Z-order (Morton-curve) clustering: lineitem rewritten clustered on
+    // (l_orderkey, l_partkey), then a two-dimensional box predicate over the
+    // rewritten copy. The oracle runs the same box aggregate on the original
+    // table — the curve must only reorder rows, never change content. The
+    // data-skipping property itself (per-file span bounded on BOTH dims) is
+    // asserted quantitatively in EngineExtraSpec.
+    "q56_zorder_layout" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
+      graft.engine.Layout.zorderBy(li, "l_orderkey", "l_partkey", 8)
+        .write.mode("overwrite").parquet(s"$tmp/t")
+      s.read.parquet(s"$tmp/t")
+        .filter(col("l_orderkey") <= 2000 && col("l_partkey") <= 400)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+    },
+
+    // Sketch percentile with an in-tolerance contract (q47's pattern): the
+    // scale path for q52's exact rank-index percentiles. percentile_approx
+    // (KLL-style mergeable sketch, O(accuracy) state per group vs q52's full
+    // sort) guarantees rank error ≤ 1/accuracy = 0.001; the verdict brackets
+    // its p95 between the EXACT 0.94/0.96 percentiles — a 10× margin. The
+    // exact percentile values themselves are hash-verified against DuckDB in
+    // q52, so the bracket endpoints are independently trusted.
+    "q57_approx_percentile" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(o_totalprice, 0.94)").as("__lo"),
+          expr("percentile(o_totalprice, 0.96)").as("__hi"),
+          percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("__p95"))
+        .select(col("o_orderpriority"), col("n"),
+          (col("__p95") >= col("__lo") && col("__p95") <= col("__hi")).as("approx_ok"))
     }
   )
 
@@ -1449,7 +1487,16 @@ object SparkEntry {
         |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
-        |                     WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0)""".stripMargin
+        |                     WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0)""".stripMargin,
+
+    "q56_zorder_layout" ->
+      """SELECT count(*) AS n_rows,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+        |FROM lineitem WHERE l_orderkey <= 2000 AND l_partkey <= 400""".stripMargin,
+
+    "q57_approx_percentile" ->
+      """SELECT o_orderpriority, count(*) AS n, TRUE AS approx_ok
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

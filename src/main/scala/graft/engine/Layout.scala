@@ -38,4 +38,54 @@ object Layout {
     df.withColumn("year", year(ts))
       .withColumn("month", month(ts))
       .withColumn("day", dayofmonth(ts))
+
+  /** Bits per dimension of the z-order key: 16 bits × 2 dims = a 32-bit key. */
+  val ZorderBits = 16
+
+  /** Morton (z-order) key over two numeric columns, each min-max scaled to
+    * 16 bits and bit-interleaved. Pure shift/and/add expressions — codegen'd,
+    * no UDF. `xMin`/`xMax`/`yMin`/`yMax` are the columns' global bounds
+    * (one cheap agg pass; 4 scalars of driver traffic at any table size). */
+  def zorderKey(x: Column, y: Column,
+                xMin: Double, xMax: Double, yMin: Double, yMax: Double): Column = {
+    val mask = (1L << ZorderBits) - 1
+    def scaled(c: Column, lo: Double, hi: Double): Column = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+      round((c.cast("double") - lo) * (mask.toDouble / span)).cast("long")
+        .bitwiseAND(lit(mask))
+    }
+    val (xb, yb) = (scaled(x, xMin, xMax), scaled(y, yMin, yMax))
+    (0 until ZorderBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(xb, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yb, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }
+  }
+
+  /** Cluster `df` along the z-order curve of two numeric columns: range-
+    * partition by the interleaved key, sort within partitions, drop the key.
+    *
+    * Linear sort on one column gives perfect min/max file pruning on that
+    * column and none on any other; the z-order curve bounds BOTH columns'
+    * span per file (≈ range/√nFiles each for 2 dims), so parquet min/max
+    * stats skip files for predicates on either column or both. This is the
+    * standing layout fix for the second-predicate scan at 100 TB: date
+    * partitioning handles time, z-ordering handles the next two selective
+    * dimensions. The span guarantee is asserted quantitatively in
+    * EngineExtraSpec; correctness of the round trip is q56's oracle check.
+    *
+    * `repartitionByRange` samples the key distribution, so skew in the raw
+    * values (which min-max scaling preserves) still yields balanced files. */
+  def zorderBy(df: DataFrame, xCol: String, yCol: String, numFiles: Int): DataFrame = {
+    val b = df.agg(
+      min(col(xCol).cast("double")), max(col(xCol).cast("double")),
+      min(col(yCol).cast("double")), max(col(yCol).cast("double"))).head()
+    require(!b.anyNull, s"zorderBy: $xCol/$yCol have no non-null values")
+    val key = zorderKey(col(xCol), col(yCol),
+      b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    df.withColumn("_zkey", key)
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+  }
 }

@@ -67,6 +67,30 @@ class EngineExtraSpec extends SparkSpec {
     assert(viaBloomS.exceptAll(exactS).isEmpty && exactS.exceptAll(viaBloomS).isEmpty)
   }
 
+  test("zorderBy bounds per-partition span on BOTH dims; linear sort does not") {
+    import spark.implicits._
+    import graft.engine.Layout
+    val rnd = new scala.util.Random(3)
+    val df = Seq.fill(40000)((rnd.nextInt(10000), rnd.nextInt(10000))).toDF("x", "y")
+      .repartition(8) // realistic multi-partition input
+    val nP = 16
+    def avgSpans(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .agg(avg("sx"), avg("sy")).as[(Double, Double)].head()
+    val (zx, zy) = avgSpans(Layout.zorderBy(df, "x", "y", nP))
+    val (_, ly) = avgSpans(df.repartitionByRange(nP, col("x")))
+    // 16 partitions = 4 key bits = 2 bits/dim → ideal span 10000/4 = 2500 on
+    // each dim; range-sampled boundaries straddle quadrants, so allow up to
+    // ~2 quadrants per partition. Linear sort on x leaves y unconstrained
+    // (~full 10000 range).
+    assert(zx < 5500 && zy < 5500, s"z-order spans too wide: x=$zx y=$zy")
+    assert(ly > 9000, s"control broken: linear sort should not bound y (got $ly)")
+    // The curve only reorders: content is exactly preserved.
+    val z = Layout.zorderBy(df, "x", "y", nP)
+    assert(z.exceptAll(df).isEmpty && df.exceptAll(z).isEmpty)
+  }
+
   test("compactParquet rewrites many small files into few, preserving rows") {
     withTempDir { dir =>
       import spark.implicits._
