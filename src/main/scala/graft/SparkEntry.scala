@@ -828,6 +828,28 @@ object SparkEntry {
           percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("__p95"))
         .select(col("o_orderpriority"), col("n"),
           (col("__p95") >= col("__lo") && col("__p95") <= col("__hi")).as("approx_ok"))
+    },
+
+    // SCD type-2 dimension merge: customers become a versioned dimension;
+    // an update batch (every 3rd key, with every 6th key actually changing
+    // segment) closes superseded versions and inserts new current ones.
+    // Exercises all three paths — changed (close+insert), identical update
+    // (no-op), untouched key (keep). Literal second-precision timestamps keep
+    // both engines hash-comparable; the oracle replays kept/closed/inserted
+    // as three SQL branches.
+    "q58_scd2_dimension" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val dim = cust.select(
+        col("c_custkey"), col("c_mktsegment"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        lit(true).as("is_current"))
+      val updates = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 6 === 0, lit("SEG_NEW"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          lit("2024-06-01 00:00:00").cast("timestamp").as("eff_ts"))
+      graft.engine.Merge.scd2Apply(dim, updates, "c_custkey", Seq("c_mktsegment"), "eff_ts")
     }
   )
 
@@ -1496,7 +1518,30 @@ object SparkEntry {
 
     "q57_approx_percentile" ->
       """SELECT o_orderpriority, count(*) AS n, TRUE AS approx_ok
-        |FROM orders GROUP BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q58_scd2_dimension" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        |  FROM customer),
+        |u AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 6 = 0 THEN 'SEG_NEW' ELSE c_mktsegment END AS c_mktsegment,
+        |         TIMESTAMP '2024-06-01 00:00:00' AS eff_ts
+        |  FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to, d.is_current
+        |FROM dim d LEFT JOIN u ON d.c_custkey = u.c_custkey
+        |WHERE u.c_custkey IS NULL OR d.c_mktsegment = u.c_mktsegment
+        |UNION ALL
+        |SELECT d.c_custkey, d.c_mktsegment, d.valid_from, u.eff_ts, FALSE
+        |FROM dim d JOIN u ON d.c_custkey = u.c_custkey
+        |WHERE d.c_mktsegment <> u.c_mktsegment
+        |UNION ALL
+        |SELECT u.c_custkey, u.c_mktsegment, u.eff_ts, CAST(NULL AS TIMESTAMP), TRUE
+        |FROM dim d JOIN u ON d.c_custkey = u.c_custkey
+        |WHERE d.c_mktsegment <> u.c_mktsegment""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -37,4 +37,50 @@ object Merge {
     b.join(u, cond, "full_outer")
       .select(keyCols ++ valCols :+ action.as("merge_action"): _*)
   }
+
+  /** SCD type-2 apply: merge a batch of attribute updates into a versioned
+    * dimension, closing changed rows and inserting new versions.
+    *
+    * `dim` carries (key, attrs..., valid_from, valid_to, is_current);
+    * `updates` carries (key, attrs..., `effTsCol`) with at most one row per
+    * key (dedup upstream — e.g. keep-latest by timestamp — if the feed can
+    * repeat keys). Per key:
+    *   - attrs unchanged (or key absent from updates) → row kept as-is;
+    *   - attrs changed → current row closed (valid_to = eff ts,
+    *     is_current = false) PLUS a new current version inserted;
+    *   - key new → inserted as current.
+    * History rows (is_current = false) pass through untouched.
+    *
+    * Shape: one join of the CURRENT slice against the update batch on the
+    * key, plus unions — history is never joined or rewritten, so the cost is
+    * O(|current| + |updates|) regardless of how deep the version history
+    * grows. At scale, partition the stored dimension by is_current (or keep
+    * current/history as separate tables) so the history scan drops out
+    * entirely; updates are typically tiny → broadcast the update side. */
+  def scd2Apply(dim: DataFrame, updates: DataFrame, key: String,
+                attrCols: Seq[String], effTsCol: String): DataFrame = {
+    val cur = dim.filter(col("is_current")).as("c")
+    val hist = dim.filter(!col("is_current"))
+    val u = updates.as("u")
+    val changed = attrCols.map(a => col(s"c.$a") =!= col(s"u.$a")).reduce(_ || _)
+    val joined = cur.join(u, col(s"c.$key") === col(s"u.$key"), "full_outer")
+
+    def dimCols(side: String) =
+      (col(s"$side.$key").as(key) +: attrCols.map(a => col(s"$side.$a").as(a)))
+    // Kept: current rows with no update or an identical update.
+    val kept = joined.filter(col(s"u.$key").isNull || (col(s"c.$key").isNotNull && !changed))
+      .select(dimCols("c") ++ Seq(col("c.valid_from").as("valid_from"),
+        col("c.valid_to").as("valid_to"), col("c.is_current").as("is_current")): _*)
+    // Closed: the superseded version of changed keys.
+    val closed = joined.filter(col(s"c.$key").isNotNull && col(s"u.$key").isNotNull && changed)
+      .select(dimCols("c") ++ Seq(col("c.valid_from").as("valid_from"),
+        col(s"u.$effTsCol").as("valid_to"), lit(false).as("is_current")): _*)
+    // Inserted: new versions of changed keys + brand-new keys.
+    val inserted = joined.filter(col(s"u.$key").isNotNull && (col(s"c.$key").isNull || changed))
+      .select(dimCols("u") ++ Seq(col(s"u.$effTsCol").as("valid_from"),
+        lit(null).cast(dim.schema("valid_to").dataType).as("valid_to"),
+        lit(true).as("is_current")): _*)
+    hist.select(kept.columns.map(col): _*)
+      .unionByName(kept).unionByName(closed).unionByName(inserted)
+  }
 }

@@ -67,6 +67,40 @@ class EngineExtraSpec extends SparkSpec {
     assert(viaBloomS.exceptAll(exactS).isEmpty && exactS.exceptAll(viaBloomS).isEmpty)
   }
 
+  test("scd2Apply versions changed keys, keeps history, and is idempotent") {
+    import spark.implicits._
+    import graft.engine.Merge
+    val dim = Seq(
+      (1L, "A", "2024-01-01 00:00:00", null.asInstanceOf[String], true),
+      (2L, "B", "2024-01-01 00:00:00", null.asInstanceOf[String], true),
+      // key 3 already has one closed version in history
+      (3L, "C0", "2023-01-01 00:00:00", "2024-01-01 00:00:00", false),
+      (3L, "C1", "2024-01-01 00:00:00", null.asInstanceOf[String], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+      .withColumn("valid_from", col("valid_from").cast("timestamp"))
+      .withColumn("valid_to", col("valid_to").cast("timestamp"))
+    val updates = Seq(
+      (1L, "A", "2024-06-01 00:00:00"),   // identical → no-op
+      (3L, "C2", "2024-06-01 00:00:00"),  // changed → close + insert
+      (4L, "D", "2024-06-01 00:00:00"))   // new key → insert
+      .toDF("k", "attr", "eff_ts").withColumn("eff_ts", col("eff_ts").cast("timestamp"))
+    val out = Merge.scd2Apply(dim, updates, "k", Seq("attr"), "eff_ts")
+    // 4 original + 1 closed-version-split (key 3 gains a row) + 1 new key
+    assert(out.count() == 6)
+    // Exactly one current version per key, and the current attrs are right.
+    val current = out.filter(col("is_current"))
+    assert(current.groupBy("k").count().filter(col("count") =!= 1).isEmpty)
+    assert(current.select("k", "attr").as[(Long, String)].collect().toSet ==
+      Set((1L, "A"), (2L, "B"), (3L, "C2"), (4L, "D")))
+    // Key 3's superseded version is closed at the effective timestamp.
+    val closed3 = out.filter(col("k") === 3 && col("attr") === "C1").head()
+    assert(!closed3.getAs[Boolean]("is_current") &&
+      closed3.getAs[java.sql.Timestamp]("valid_to").toString.startsWith("2024-06-01"))
+    // Idempotent: re-applying the same batch changes nothing.
+    val again = Merge.scd2Apply(out, updates, "k", Seq("attr"), "eff_ts")
+    assert(again.exceptAll(out).isEmpty && out.exceptAll(again).isEmpty)
+  }
+
   test("zorderBy bounds per-partition span on BOTH dims; linear sort does not") {
     import spark.implicits._
     import graft.engine.Layout
