@@ -207,7 +207,7 @@ object SparkEntry {
     // is the full-row md5 — cleanSales' dropDuplicates then ≡ SELECT DISTINCT *.
     "q10_autofix_totals" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
-      val fullRow = md5(concat_ws("|", li.columns.map(col): _*))
+      val fullRow = graft.functions.HashFunctions.md5Hex(concat_ws("|", li.columns.map(col): _*))
       val mapped = li.select(
         fullRow.as("sale_id"),
         date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("timestamp"),

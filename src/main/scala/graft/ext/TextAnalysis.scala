@@ -86,8 +86,11 @@ object TextAnalysis {
     }
   }
 
-  /** Content fingerprint: md5 of normalized text — the exact-dedup key. */
-  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+  /** Content fingerprint: md5 of normalized text — the exact-dedup key.
+    * Value-identical to `md5(lower(trim(text)))` (the shape the oracle runs)
+    * via the contention-free [[graft.functions.Md5Hex]]. */
+  def fingerprint(text: Column): Column =
+    graft.functions.HashFunctions.md5Hex(lower(trim(text)))
 
   /** Rolling-hash fingerprint: min of 64-bit hashes over `k`-word shingles —
     * stable under small appends/truncations (winnowing-style), unlike md5. */

@@ -292,6 +292,17 @@ class ExtSpec extends SparkSpec {
       Shingles.wordShinglesSql(col("text"), 50)).isEmpty)
   }
 
+  test("Md5Hex is value-identical to Spark's md5() function") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = Seq("", "a", "héllo wörld", "x" * 5000) ++
+      Seq.fill(1000)(rnd.alphanumeric.take(rnd.nextInt(40) + 1).mkString)
+    val df = rows.toDF("s")
+    val diff = df.filter(
+      graft.functions.HashFunctions.md5Hex(col("s")) =!= md5(col("s")))
+    assert(diff.isEmpty, diff.collect().take(3).mkString(";"))
+  }
+
   test("Md5Prefix60 is bit-identical to the conv(substring(md5)) SQL form") {
     import graft.ext.PortableHash
     import spark.implicits._
