@@ -850,6 +850,27 @@ object SparkEntry {
             .otherwise(col("c_mktsegment")).as("c_mktsegment"),
           lit("2024-06-01 00:00:00").cast("timestamp").as("eff_ts"))
       graft.engine.Merge.scd2Apply(dim, updates, "c_custkey", Seq("c_mktsegment"), "eff_ts")
+    },
+
+    // RANGE-frame moving window over the daily revenue series: 7-day sliding
+    // sum/count (value-based frame, so calendar gaps shrink the window —
+    // different from a ROWS frame), plus lag() day-over-day delta and
+    // ntile(4). All on exact integer cents. The global (partition-less)
+    // window is safe at any source scale because it runs over the *daily
+    // aggregate* — one row per calendar day — not the fact table; a per-key
+    // timeline at scale would add partitionBy.
+    "q59_range_window" -> { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+        .withColumn("d_days", datediff(col("d"), lit("1970-01-01").cast("date")))
+      val range7 = Window.orderBy(col("d_days")).rangeBetween(-6, 0)
+      val byDay = Window.orderBy(col("d"))
+      daily.select(col("d"), col("rev_cents"),
+          sum("rev_cents").over(range7).as("sum7_cents"),
+          count(lit(1)).over(range7).as("n7"),
+          (col("rev_cents") - lag("rev_cents", 1, 0).over(byDay)).as("delta_cents"),
+          ntile(4).over(byDay).as("quartile"))
     }
   )
 
@@ -1541,7 +1562,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT u.c_custkey, u.c_mktsegment, u.eff_ts, CAST(NULL AS TIMESTAMP), TRUE
         |FROM dim d JOIN u ON d.c_custkey = u.c_custkey
-        |WHERE d.c_mktsegment <> u.c_mktsegment""".stripMargin
+        |WHERE d.c_mktsegment <> u.c_mktsegment""".stripMargin,
+
+    "q59_range_window" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT d, rev_cents,
+        |       SUM(rev_cents) OVER (ORDER BY d
+        |         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS sum7_cents,
+        |       COUNT(*) OVER (ORDER BY d
+        |         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS n7,
+        |       rev_cents - COALESCE(LAG(rev_cents, 1) OVER (ORDER BY d), 0) AS delta_cents,
+        |       NTILE(4) OVER (ORDER BY d) AS quartile
+        |FROM daily""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

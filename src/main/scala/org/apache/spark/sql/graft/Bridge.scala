@@ -20,9 +20,24 @@ object Bridge {
     * `withExtensions(new GraftExtensions)` is the front door, but `getOrCreate`
     * ignores extensions when a session already exists — e.g. inside the driver's
     * Verify/Bench harness or a shared test JVM). */
-  def installGraftFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def installGraftFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_dot",
       exprs => _root_.graft.functions.DotProduct(exprs(0), exprs(1)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_md5_hex",
+      exprs => _root_.graft.functions.Md5Hex(exprs(0)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_md5_prefix60",
+      exprs => _root_.graft.functions.Md5Prefix60(exprs(0)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_word_shingles",
+      exprs => _root_.graft.functions.WordShingleSet(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
+  }
 }

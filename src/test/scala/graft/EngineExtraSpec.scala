@@ -17,6 +17,15 @@ class EngineExtraSpec extends SparkSpec {
     val v = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect().head.getDouble(0)
     assert(v == 11.0)
+    // The hash/shingle expressions are SQL-callable too, matching their
+    // built-in reference forms.
+    val r = spark.sql(
+      """SELECT graft_md5_hex('abc') = md5('abc') AS hex_ok,
+        |       graft_md5_prefix60('abc') =
+        |         CAST(conv(substring(md5('abc'), 1, 15), 16, 10) AS BIGINT) AS p60_ok,
+        |       graft_word_shingles('a b c d', 3) = array('a b c', 'b c d') AS sh_ok
+        |""".stripMargin).collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
   }
 
   test("ingestRaw copies staged files byte-for-byte into bronze") {
