@@ -871,6 +871,44 @@ object SparkEntry {
           count(lit(1)).over(range7).as("n7"),
           (col("rev_cents") - lag("rev_cents", 1, 0).over(byDay)).as("delta_cents"),
           ntile(4).over(byDay).as("quartile"))
+    },
+
+    // Single-pass pipeline accounting via Dataset.observe: the data-quality
+    // counters (row/invalid counts, revenue control total) ride the SAME job
+    // that computes the downstream result — no second scan of the fact table.
+    // At 100 TB this is the difference between metrics-for-free and doubling
+    // the pipeline's IO; it also closes the reference's gap of logging row
+    // counts by re-counting frames. A deterministic defect (every 50th part
+    // key loses its customer_id) exercises the invalid path; the oracle
+    // recomputes all four counters from the raw table.
+    "q60_observed_metrics" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val fullRow = graft.functions.HashFunctions.md5Hex(
+        concat_ws("|", li.columns.map(col): _*))
+      val mapped = li.select(
+        fullRow.as("sale_id"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("timestamp"),
+        when(col("l_partkey") % 50 === 0, lit(null))
+          .otherwise(col("l_orderkey").cast("string")).as("customer_id"),
+        col("l_partkey").cast("string").as("product_id"),
+        col("l_quantity").as("quantity"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("total_amount"),
+        col("l_returnflag").as("category"))
+      val obs = org.apache.spark.sql.Observation()
+      val cleaned = Silver.cleanSales(mapped, processedAt = lit("fixed"))
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(when(col("is_valid"), 0L).otherwise(1L)).as("n_invalid"),
+          sum(round(col("total_amount") * 100).cast("long")).as("revenue_cents"))
+      // The action a real pipeline would run anyway (the gold-side count);
+      // the metrics are harvested from its execution, not a second scan.
+      val nValid = cleaned.filter(col("is_valid")).count()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("n_invalid").asInstanceOf[Long],
+        m("revenue_cents").asInstanceOf[Long], nValid))
+        .toDF("n_rows", "n_invalid", "revenue_cents", "n_valid")
     }
   )
 
@@ -1576,7 +1614,21 @@ object SparkEntry {
         |         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS n7,
         |       rev_cents - COALESCE(LAG(rev_cents, 1) OVER (ORDER BY d), 0) AS delta_cents,
         |       NTILE(4) OVER (ORDER BY d) AS quartile
-        |FROM daily""".stripMargin
+        |FROM daily""".stripMargin,
+
+    "q60_observed_metrics" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN l_partkey % 50 = 0 THEN NULL ELSE l_orderkey END AS cust,
+        |         l_quantity AS q,
+        |         l_extendedprice / l_quantity AS p,
+        |         ROUND(l_extendedprice * (1 - l_discount), 2) AS t
+        |  FROM (SELECT DISTINCT * FROM lineitem))
+        |SELECT COUNT(*) AS n_rows,
+        |       SUM(CASE WHEN cust IS NULL THEN 1 ELSE 0 END) AS n_invalid,
+        |       SUM(CAST(ROUND((CASE WHEN ABS(t - ROUND(q * p, 2)) > 0.01
+        |                            THEN ROUND(q * p, 2) ELSE t END) * 100) AS BIGINT)) AS revenue_cents,
+        |       SUM(CASE WHEN cust IS NULL THEN 0 ELSE 1 END) AS n_valid
+        |FROM s""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

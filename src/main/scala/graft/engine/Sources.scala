@@ -55,6 +55,16 @@ object Sources {
   def readSilver(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema-evolved silver scan: reconciles files written under different
+    * schema versions (a column added mid-history is null-backfilled for old
+    * files). `mergeSchema` unions footer schemas across files — an extra
+    * footer pass at planning time, which is why it is a separate entry point
+    * and not the default read: on an unevolved 100k-file table it is pure
+    * overhead, and after [[compactParquet]] rewrites history under the latest
+    * schema the plain [[readSilver]] suffices again. */
+  def readSilverEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** OP-8: gold snapshot sink — append a full-recompute snapshot, never overwrite
     * (reference `local_storage.py:144-155`). */
   def writeGoldSnapshot(df: DataFrame, path: String): Unit =
@@ -122,7 +132,11 @@ object Sources {
     val tmp = new Path(dir + ".compacting")
     val backup = new Path(dir + ".pre-compact")
     fs.delete(tmp, true)
-    spark.read.parquet(dir).repartition(nFiles)
+    // mergeSchema: a compaction must never lose a column that only newer
+    // files carry (see readSilverEvolved) — the rewrite normalizes history
+    // to the unioned schema. The extra footer pass is noise on a
+    // maintenance-window operation.
+    spark.read.option("mergeSchema", "true").parquet(dir).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(backup, true)
     require(fs.rename(path, backup), s"compact: could not move $dir aside")

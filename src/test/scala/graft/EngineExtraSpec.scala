@@ -76,6 +76,26 @@ class EngineExtraSpec extends SparkSpec {
     assert(viaBloomS.exceptAll(exactS).isEmpty && exactS.exceptAll(viaBloomS).isEmpty)
   }
 
+  test("readSilverEvolved null-backfills columns added mid-history") {
+    import spark.implicits._
+    withTempDir { dir =>
+      // v1 files lack the `channel` column; v2 files carry it.
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount")
+        .write.mode("append").parquet(s"$dir/t")
+      Seq((3L, 30.0, "web"), (4L, 40.0, "app")).toDF("id", "amount", "channel")
+        .write.mode("append").parquet(s"$dir/t")
+      val merged = graft.engine.Sources.readSilverEvolved(spark, s"$dir/t")
+      assert(merged.columns.sorted.toSeq == Seq("amount", "channel", "id"))
+      val rows = merged.orderBy("id")
+        .select("id", "channel").as[(Long, Option[String])].collect().toSeq
+      assert(rows == Seq((1L, None), (2L, None), (3L, Some("web")), (4L, Some("app"))))
+      // compaction under the merged schema normalizes history back to one version
+      graft.engine.Sources.compactParquet(spark, s"$dir/t") // plain read post-compact
+      // plain (non-merging) read now sees the full schema on every file
+      assert(spark.read.parquet(s"$dir/t").columns.length == 3)
+    }
+  }
+
   test("scd2Apply versions changed keys, keeps history, and is idempotent") {
     import spark.implicits._
     import graft.engine.Merge
