@@ -909,6 +909,43 @@ object SparkEntry {
       Seq((m("n_rows").asInstanceOf[Long], m("n_invalid").asInstanceOf[Long],
         m("revenue_cents").asInstanceOf[Long], nValid))
         .toDF("n_rows", "n_invalid", "revenue_cents", "n_valid")
+    },
+
+    // Benchmark-contamination report: every 100th original document plays the
+    // benchmark; the planted perturbed copies of those documents are the
+    // guaranteed leaks the check must find (≥5 shared 3-shingles). Portable
+    // hash family → the whole report (shingles, hashes, overlap counts)
+    // replays in DuckDB.
+    "q61_contamination" -> { (s, dir) =>
+      val corpus = docsWithPlantedNearDups(s, dir)
+      val isBench = col("doc_id") % 100 === 0 && col("doc_id") < 100000
+      Dedup.contaminationReport(
+        corpus.filter(!isBench), corpus.filter(isBench), minOverlap = 5)
+    },
+
+    // PII scrub: deterministic injected emails/phones (every 7th / 11th doc),
+    // redacted by the portable regex chain; per-language counts plus an
+    // order-independent xor checksum of hash60(doc_id:redacted_text) proving
+    // the redacted CONTENT (not just the counts) matches the oracle's replay
+    // of the same scrub. bit_xor instead of sum keeps the checksum overflow-
+    // free under ANSI at any corpus size.
+    "q62_pii_redaction" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val withPii = docs.withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 555-123-4567")).otherwise(lit(""))))
+      withPii
+        .withColumn("redacted", TextAnalysis.redactPii(col("text2")))
+        .withColumn("h", graft.ext.PortableHash.hash60(
+          concat(col("doc_id").cast("string"), lit(":"), col("redacted"))))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("text2").rlike(TextAnalysis.EmailRe), 1L).otherwise(0L)).as("n_email"),
+          sum(when(col("text2").rlike(TextAnalysis.PhoneRe), 1L).otherwise(0L)).as("n_phone"),
+          expr("bit_xor(h)").as("checksum"))
     }
   )
 
@@ -1042,6 +1079,45 @@ object SparkEntry {
     "q24_minhash_neardup" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.4""".stripMargin,
+
+    "q61_contamination" ->
+      s"""WITH $docsCorpusSql,
+         |tsh AS (
+         |  SELECT doc_id AS train_id, ${h60Sql("unnest(" + gramsSql("text") + ")")} AS h
+         |  FROM corpus WHERE NOT (doc_id % 100 = 0 AND doc_id < 100000)),
+         |bsh AS (
+         |  SELECT doc_id AS bench_id, ${h60Sql("unnest(" + gramsSql("text") + ")")} AS h
+         |  FROM corpus WHERE doc_id % 100 = 0 AND doc_id < 100000),
+         |ov AS (
+         |  SELECT train_id, bench_id, count(*) AS overlap
+         |  FROM tsh JOIN bsh USING (h)
+         |  GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT train_id, count(*) AS n_bench_hits, max(overlap) AS max_overlap
+         |FROM ov GROUP BY 1""".stripMargin,
+
+    "q62_pii_redaction" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, lang,
+         |         text ||
+         |         CASE WHEN doc_id % 7 = 0
+         |              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |              ELSE '' END ||
+         |         CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END AS text2
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, text2,
+         |         regexp_replace(
+         |           regexp_replace(text2,
+         |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         |           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+         |  FROM p)
+         |SELECT lang, count(*) AS n_docs,
+         |       SUM(CASE WHEN regexp_matches(text2,
+         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS n_email,
+         |       SUM(CASE WHEN regexp_matches(text2,
+         |         '[0-9]{3}-[0-9]{3}-[0-9]{4}') THEN 1 ELSE 0 END) AS n_phone,
+         |       bit_xor(${h60Sql("CAST(doc_id AS VARCHAR) || ':' || redacted")}) AS checksum
+         |FROM r GROUP BY 1""".stripMargin,
 
     "q39_dedup_corpus" ->
       s"""WITH $minhashPairsCtes

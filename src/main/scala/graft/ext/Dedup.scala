@@ -264,6 +264,39 @@ object Dedup {
     pairJaccardFromShingles(pairs, sh, idCol).filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark-contamination report: train documents sharing at least
+    * `minOverlap` distinct k-word shingles with any benchmark document.
+    *
+    * The standing eval-hygiene check for a training corpus: n-gram overlap
+    * against held-out benchmarks (the methodology GPT-3/PaLM-style dataset
+    * papers describe) rather than exact match, so paraphrased or partially
+    * quoted leakage is caught too. Shingles are compared through
+    * [[PortableHash.hash60]], so the whole report replays in the oracle
+    * engine; a hash collision (~2⁻⁶⁰ per pair) could only add one phantom
+    * shingle to an overlap count, identically in both engines.
+    *
+    * Scale shape: each side reduces to distinct (doc, shingle-hash) pairs —
+    * shuffle ∝ shingle count, never corpus bytes. The benchmark side is
+    * small by nature (eval sets, not corpora) and is broadcast, so the probe
+    * is a map-side hash join against the train side's scan; the only
+    * aggregation is per (train, bench) pair on the matches. Output:
+    * (train_id, n_bench_hits, max_overlap). */
+  def contaminationReport(train: DataFrame, bench: DataFrame, minOverlap: Long,
+                          k: Int = 3, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    def shingleHashes(docs: DataFrame, as: String) =
+      shingleSets(docs, k, idCol, textCol)
+        .select(col(idCol).as(as), explode(col("sh")).as("s"))
+        .select(col(as), PortableHash.hash60(col("s")).as("h"))
+    shingleHashes(train, "train_id")
+      .join(broadcast(shingleHashes(bench, "bench_id")), "h")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_bench_hits"), max("overlap").as("max_overlap"))
+  }
+
   /** [[removeNearDuplicates]] on the portable family (keep-lowest-id policy). */
   def removeNearDuplicatesPortable(docs: DataFrame, threshold: Double,
                                    idCol: String = "doc_id", textCol: String = "text",

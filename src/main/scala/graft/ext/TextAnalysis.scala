@@ -86,6 +86,21 @@ object TextAnalysis {
     }
   }
 
+  /** Email pattern for PII scrubbing — no lookaround, no \w/\d shorthand, so
+    * it means the same thing in Java regex (Spark) and RE2 (other engines). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NNN-NNN-NNNN phone pattern, same portability constraints. */
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub: replace every email / phone occurrence with a typed redaction
+    * marker. Pure codegen'd regexp_replace chain — runs at scan speed, the
+    * standard pre-training scrubbing pass. Patterns are deliberately
+    * dialect-portable (see [[EmailRe]]) so the scrub is reproducible outside
+    * the engine (and by the correctness oracle). */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
+
   /** Content fingerprint: md5 of normalized text — the exact-dedup key.
     * Value-identical to `md5(lower(trim(text)))` (the shape the oracle runs)
     * via the contention-free [[graft.functions.Md5Hex]]. */

@@ -269,6 +269,34 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("redactPii replaces every email/phone occurrence and nothing else") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail a@b.co and c.d+e@f-g.org now",     // two emails, one line
+      "call 555-123-4567 or 555-765-4321",     // two phones
+      "mixed x@y.io then 111-222-3333 end",
+      "clean text with no pii at all",
+      "not-a-phone 12-345-6789 not-an-email a@b")
+      .toDF("text")
+    val out = rows.select(TextAnalysis.redactPii(col("text")).as("r")).as[String].collect()
+    assert(out(0) == "mail [EMAIL] and [EMAIL] now")
+    assert(out(1) == "call [PHONE] or [PHONE]")
+    assert(out(2) == "mixed [EMAIL] then [PHONE] end")
+    assert(out(3) == "clean text with no pii at all")
+    assert(out(4) == "not-a-phone 12-345-6789 not-an-email a@b")
+  }
+
+  test("contaminationReport flags a planted leak and ignores disjoint docs") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "XX beta gamma delta epsilon zeta eta theta"), // near-copy → ≥5 shared shingles
+      (11L, "totally different words in this one here now")).toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(train, bench, minOverlap = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 1L, 5L)))
+  }
+
   test("WordShingleSet matches the HOF wordShingles form exactly (order included)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
