@@ -946,6 +946,17 @@ object SparkEntry {
           sum(when(col("text2").rlike(TextAnalysis.EmailRe), 1L).otherwise(0L)).as("n_email"),
           sum(when(col("text2").rlike(TextAnalysis.PhoneRe), 1L).otherwise(0L)).as("n_phone"),
           expr("bit_xor(h)").as("checksum"))
+    },
+
+    // Domain balancing: cap documents per source at 30, selected by
+    // deterministic hash priority (portable family), then summarize per
+    // source with an id checksum proving the SAME rows were kept in both
+    // engines — not just the same counts.
+    "q63_domain_cap" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      graft.ext.Sampling.capPerGroup(docs, col("source"), col("doc_id"), cap = 30)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
     }
   )
 
@@ -1118,6 +1129,15 @@ object SparkEntry {
          |         '[0-9]{3}-[0-9]{3}-[0-9]{4}') THEN 1 ELSE 0 END) AS n_phone,
          |       bit_xor(${h60Sql("CAST(doc_id AS VARCHAR) || ':' || redacted")}) AS checksum
          |FROM r GROUP BY 1""".stripMargin,
+
+    "q63_domain_cap" ->
+      s"""SELECT source, count(*) AS n_kept, sum(doc_id) AS id_checksum
+         |FROM (
+         |  SELECT source, doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY ${h60Sql(s"'${graft.ext.Sampling.SampleSalt}' || ':' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 30 GROUP BY 1""".stripMargin,
 
     "q39_dedup_corpus" ->
       s"""WITH $minhashPairsCtes

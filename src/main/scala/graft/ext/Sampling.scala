@@ -39,4 +39,26 @@ object Sampling {
     df.filter(
       PortableHash.hash60(concat_ws(":", lit(salt), idCol.cast("string"))) % 1000L < rate)
   }
+
+  /** Domain balancing: keep at most `cap` rows per group (e.g. source
+    * domain), chosen by deterministic hash priority instead of "whichever
+    * rows a scan happens to meet first".
+    *
+    * Web corpora are power-law distributed over domains; without a cap the
+    * top domains drown the tail. Ranking by `hash60(salt:id)` (ties by id)
+    * makes the kept set a pure function of the data — stable under
+    * repartitioning, retries, and engines (the oracle replays it as a
+    * ROW_NUMBER window). One shuffle on the group key; the per-group state is
+    * the rank counter. With a heavy-hitter domain the window partition is
+    * skewed — for that shape, pre-filter with [[stratifiedSample]] at an
+    * estimated rate first so the exact cap only trims the remainder. */
+  def capPerGroup(df: DataFrame, groupCol: Column, idCol: Column, cap: Int,
+                  salt: String = SampleSalt): DataFrame = {
+    val pri = PortableHash.hash60(concat_ws(":", lit(salt), idCol.cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(pri, idCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
 }

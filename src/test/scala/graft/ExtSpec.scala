@@ -228,6 +228,20 @@ class ExtSpec extends SparkSpec {
     assert(en > zh, s"en (500 per mille, got $en) must out-sample zh (200, got $zh)")
   }
 
+  test("capPerGroup keeps exactly min(cap, group size) rows, partition-invariantly") {
+    import spark.implicits._
+    // domain sizes 5 / 40 / 400: below, at-ish, and far above the cap of 20
+    val docs = ((0L until 5L).map((_, "tiny")) ++ (100L until 140L).map((_, "mid")) ++
+      (1000L until 1400L).map((_, "big"))).toDF("doc_id", "source")
+    def kept(df: org.apache.spark.sql.DataFrame): Map[String, Set[Long]] =
+      graft.ext.Sampling.capPerGroup(df, col("source"), col("doc_id"), cap = 20)
+        .collect().map(r => r.getString(1) -> r.getLong(0)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+    val a = kept(docs)
+    assert(a("tiny").size == 5 && a("mid").size == 20 && a("big").size == 20)
+    assert(kept(docs.repartition(11)) == a, "kept set must not depend on partitioning")
+  }
+
   test("tfidfTopTerms ranks a document's distinctive term first") {
     import spark.implicits._
     val docs = Seq(
