@@ -139,4 +139,53 @@ object Incremental {
       tables
     } finally base.unpersist()
   }
+
+  /** Streaming MERGE: drain a stream of keyed updates and upsert each
+    * micro-batch into a parquet-backed state table via [[Merge.upsert]].
+    *
+    * Exactly-once without a transaction log: every batch writes the merged
+    * state as a NEW snapshot directory named by the micro-batch id
+    * (`v=<batchId>`), and [[latestUpsertState]] reads the highest complete
+    * version. A retried batch re-runs with the SAME id and overwrites its own
+    * directory — idempotent — while the checkpoint guarantees each input file
+    * feeds exactly one batch id. This is the standard `foreachBatch` MERGE
+    * recipe; on a table format with a log (Delta/Iceberg) the snapshot dir
+    * becomes a real MERGE INTO and the idempotence key is `txnVersion`.
+    *
+    * Scale: each batch costs one key-shuffle join of state × batch (broadcast
+    * the batch side when small) plus a full state rewrite — the no-log price;
+    * partition the state table and rewrite only touched partitions (as
+    * [[incrementalGold]] does) once state outgrows a single rewrite. */
+  def streamingUpsert(spark: SparkSession, updates: DataFrame, keys: Seq[String],
+                      stateDir: String, checkpointDir: String): Unit = {
+    val query = updates.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val merged = latestUpsertState(spark, stateDir) match {
+            case Some(cur) => Merge.upsert(cur, batch, keys).drop("merge_action")
+            case None => batch
+          }
+          merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** The latest committed upsert snapshot under `stateDir`, if any. */
+  def latestUpsertState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val versions = fs.listStatus(path).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName.stripPrefix("v=").toLong)
+      if (versions.isEmpty) None
+      else Some(spark.read.parquet(s"$stateDir/v=${versions.max}"))
+    }
+  }
 }

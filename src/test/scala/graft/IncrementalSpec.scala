@@ -31,6 +31,39 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("streamingUpsert merges each drained batch into versioned state exactly once") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    withTempDir { root =>
+      val in = s"$root/updates"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("v", StringType)))
+      def drain(): Unit = Incremental.streamingUpsert(spark,
+        spark.readStream.schema(schema).parquet(in), Seq("k"), state, ckpt)
+
+      // wave 1: initial keys
+      Seq((1L, "a1"), (2L, "b1")).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(in)
+      drain()
+      val s1 = Incremental.latestUpsertState(spark, state).get
+      assert(s1.as[(Long, String)].collect().toSet == Set((1L, "a1"), (2L, "b1")))
+
+      // no new files → no new snapshot version
+      val versionsBefore = new java.io.File(state).listFiles().count(_.getName.startsWith("v="))
+      drain()
+      assert(new java.io.File(state).listFiles().count(_.getName.startsWith("v=")) == versionsBefore)
+
+      // wave 2: update one key, insert another — update wins, untouched kept
+      Seq((2L, "b2"), (3L, "c1")).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(in)
+      drain()
+      val s2 = Incremental.latestUpsertState(spark, state).get
+      assert(s2.as[(Long, String)].collect().toSet ==
+        Set((1L, "a1"), (2L, "b2"), (3L, "c1")))
+    }
+  }
+
   test("silver output is Hive-partitioned and round-trips through gold builders") {
     withTempDir { root =>
       val bronze = Layout.bronzeDir(root, "sales")
