@@ -957,6 +957,29 @@ object SparkEntry {
       graft.ext.Sampling.capPerGroup(docs, col("source"), col("doc_id"), cap = 30)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
+    },
+
+    // Distributed as-of join (large × large): every order picks up the
+    // latest per-customer rate effective on or before its order date, via the
+    // union-and-carry window — one key shuffle, no broadcast limit; the scale
+    // path past q38's collected-series StepLookup. Two deterministic rate
+    // epochs per customer; 1992-93 orders predate both → unmatched (nulls),
+    // exercising the left-join edge. Oracle = DuckDB's native ASOF LEFT JOIN.
+    "q64_asof_distributed" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val rates = cust.select(col("c_custkey").as("k"),
+          lit("1994-01-01").cast("date").as("rd"),
+          (col("c_custkey") % 500).as("rate_cents"))
+        .unionByName(cust.select(col("c_custkey").as("k"),
+          lit("1996-06-15").cast("date").as("rd"),
+          ((col("c_custkey") * 7) % 500).as("rate_cents")))
+      val orders = t(s, dir, "orders").select(col("o_custkey").as("k"),
+        col("o_orderdate").cast("date").as("rd"), col("o_orderpriority"))
+      graft.engine.Joins.asofJoin(orders, rates, "k", "rd", Seq("rate_cents"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          count(col("rate_cents")).as("n_matched"),
+          sum(col("rate_cents")).as("rate_sum"))
     }
   )
 
@@ -1138,6 +1161,21 @@ object SparkEntry {
          |           ORDER BY ${h60Sql(s"'${graft.ext.Sampling.SampleSalt}' || ':' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 30 GROUP BY 1""".stripMargin,
+
+    "q64_asof_distributed" ->
+      """WITH rates AS (
+        |  SELECT c_custkey AS k, DATE '1994-01-01' AS rd, c_custkey % 500 AS rate_cents
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, DATE '1996-06-15', (c_custkey * 7) % 500 FROM customer),
+        |o AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS rd, o_orderpriority
+        |      FROM orders)
+        |SELECT o.o_orderpriority,
+        |       COUNT(*) AS n_orders,
+        |       COUNT(r.rate_cents) AS n_matched,
+        |       SUM(r.rate_cents) AS rate_sum
+        |FROM o ASOF LEFT JOIN rates r ON o.k = r.k AND o.rd >= r.rd
+        |GROUP BY 1""".stripMargin,
 
     "q39_dedup_corpus" ->
       s"""WITH $minhashPairsCtes

@@ -3,6 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
@@ -81,5 +82,40 @@ object Joins {
     val bf = buildBloom(small, key, expectedItems, fpp)
     large.filter(mightContain(col(key), bf))
       .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+
+  /** Distributed as-of (left) join: each left row picks up the `valCols` of the
+    * latest right row with the same `key` and `right.ts <= left.ts`; left rows
+    * with no such row keep nulls.
+    *
+    * Implementation is the union-and-carry trick: tag each side, union on the
+    * shared (key, ts, valCols) shape, and run `last(value, ignoreNulls)` over a
+    * (key)-partitioned window ordered by (ts, side) — right rows sort before
+    * left rows at equal ts, so the match is inclusive. One shuffle on the key,
+    * both sides arbitrary size: this is the scale path past
+    * [[graft.functions.StepLookup]], which evaluates a *collected* series
+    * (perfect for small reference curves, impossible for a per-key series that
+    * doesn't fit the driver). Skewed keys behave like any skewed window
+    * (salt the key or split hot entities upstream).
+    *
+    * If several right rows share (key, ts), the one sorting last by `valCols`
+    * wins — deterministic, and mirrored by the oracle's max-value tiebreak. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               valCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(valCols.contains),
+      s"asofJoin: value columns ${valCols.mkString(",")} collide with the left side")
+    val l = left.select(
+      leftCols.map(col) ++ valCols.map(c => lit(null).as(c)) :+ lit(1).as("__side"): _*)
+    val r = right.select(
+      leftCols.map(c => if (c == key || c == ts) col(c) else lit(null).as(c)) ++
+        valCols.map(col) :+ lit(0).as("__side"): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy((col(ts) +: col("__side") +: valCols.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__side")
   }
 }

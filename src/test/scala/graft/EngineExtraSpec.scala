@@ -53,6 +53,31 @@ class EngineExtraSpec extends SparkSpec {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("asofJoin matches a brute-force latest-row-at-or-before reference") {
+    import spark.implicits._
+    import graft.engine.Joins
+    val rnd = new scala.util.Random(23)
+    // 200 keys × ~10 left rows; right series of 0-5 points per key (some keys
+    // have NO right rows; equal-timestamp matches included via ts rounding).
+    val left = (1 to 2000).map { i =>
+      (i.toLong % 200, rnd.nextInt(100).toLong, s"L$i")
+    }.toDF("k", "ts", "payload")
+    val right = (0L until 200L).flatMap { k =>
+      Seq.fill(rnd.nextInt(6))((k, rnd.nextInt(100).toLong))
+    }.distinct.map { case (k, ts) => (k, ts, k * 1000 + ts) }
+      .toDF("k", "ts", "v")
+    val out = Joins.asofJoin(left, right, "k", "ts", Seq("v"))
+    // Brute force: all pairs with r.ts <= l.ts, keep max r.ts per left row.
+    val brute = left.as("l")
+      .join(right.as("r"), col("l.k") === col("r.k") && col("r.ts") <= col("l.ts"), "left")
+      .groupBy(col("l.k").as("k"), col("l.ts").as("ts"), col("l.payload").as("payload"))
+      .agg(max_by(col("r.v"), col("r.ts")).as("v"))
+    assert(out.exceptAll(brute).isEmpty && brute.exceptAll(out).isEmpty)
+    // Unmatched left rows must survive with null v (left-join semantics).
+    assert(out.filter(col("v").isNull).count() ==
+      brute.filter(col("v").isNull).count())
+  }
+
   test("bloomSemiJoin equals the exact semi join; probe never drops a true match") {
     import spark.implicits._
     import graft.engine.Joins
