@@ -980,6 +980,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           count(col("rate_cents")).as("n_matched"),
           sum(col("rate_cents")).as("rate_sum"))
+    },
+
+    // Near-dup pairs → dedup GROUPS via connected components (hash-min label
+    // propagation): the transitive closure q39's pairwise keep-lowest-id
+    // approximates — A~B and B~C must group A,C even if (A,C) fell below
+    // threshold. Oracle replays the same closure as a recursive CTE over the
+    // portable-family pairs.
+    "q65_dedup_components" -> { (s, dir) =>
+      val pairs = Dedup.minhashNearDuplicatesPortable(
+          docsWithPlantedNearDups(s, dir), threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      graft.ext.Graph.connectedComponents(pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
     }
   )
 
@@ -1161,6 +1174,19 @@ object SparkEntry {
          |           ORDER BY ${h60Sql(s"'${graft.ext.Sampling.SampleSalt}' || ':' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 30 GROUP BY 1""".stripMargin,
+
+    "q65_dedup_components" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |e AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+         |        UNION SELECT id_b, id_a FROM e),
+         |walk(id, lab) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, w.lab FROM walk w JOIN sym s ON w.id = s.src)
+         |SELECT component, COUNT(*) AS n_members
+         |FROM (SELECT id, MIN(lab) AS component FROM walk GROUP BY id)
+         |GROUP BY 1""".stripMargin,
 
     "q64_asof_distributed" ->
       """WITH rates AS (

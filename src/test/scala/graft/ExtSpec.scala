@@ -283,6 +283,21 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents finds transitive groups, incl. a long path graph") {
+    import spark.implicits._
+    // Two components via transitivity (1-2-3 with no 1-3 edge, 10-11), plus a
+    // 6-node path (diameter 5 → needs several propagation rounds).
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L))
+      .toDF("id_a", "id_b")
+    val cc = graft.ext.Graph.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert((20L to 25L).forall(cc(_) == 20L), s"path graph mislabeled: $cc")
+    assert(cc.size == 11)
+  }
+
   test("redactPii replaces every email/phone occurrence and nothing else") {
     import spark.implicits._
     val rows = Seq(
