@@ -993,6 +993,26 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
       graft.ext.Graph.connectedComponents(pairs)
         .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+    },
+
+    // Large×large point-in-interval join, bucketized to an equi-join: events
+    // against 120 synthetic 90-minute maintenance windows (one every 6h over
+    // the events month), bucket width 2h ⇒ ≤2 buckets per interval, exactly
+    // 1 per event. All arithmetic in epoch µs (matches DuckDB's NANOS→µs
+    // truncation); inclusive bounds on both engines.
+    "q66_interval_join" -> { (s, dir) =>
+      val sixH = 21600000000L; val ninetyMin = 5400000000L; val twoH = 7200000000L
+      val t0 = 1704067200000000L // epoch µs of 2024-01-01 00:00:00 UTC
+      val wins = s.range(0, 120).select(
+        col("id").as("win_id"),
+        (lit(t0) + col("id") * sixH).as("start_us"),
+        (lit(t0) + col("id") * sixH + ninetyMin).as("end_us"))
+      val ev = eventsTable(s, dir)
+        .select(unix_micros(col("ts")).as("us"), col("value"))
+      graft.engine.Joins.bucketedIntervalJoin(ev, "us", wins, "start_us", "end_us", twoH)
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
     }
   )
 
@@ -1187,6 +1207,18 @@ object SparkEntry {
          |SELECT component, COUNT(*) AS n_members
          |FROM (SELECT id, MIN(lab) AS component FROM walk GROUP BY id)
          |GROUP BY 1""".stripMargin,
+
+    "q66_interval_join" ->
+      """WITH w AS (
+        |  SELECT i AS win_id,
+        |         epoch_us(TIMESTAMP '2024-01-01 00:00:00') + i * 21600000000 AS start_us,
+        |         epoch_us(TIMESTAMP '2024-01-01 00:00:00') + i * 21600000000 + 5400000000 AS end_us
+        |  FROM range(0, 120) t(i)),
+        |e AS (SELECT epoch_us(ts) AS us, value FROM events)
+        |SELECT win_id, COUNT(*) AS n_events,
+        |       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+        |FROM w JOIN e ON e.us BETWEEN w.start_us AND w.end_us
+        |GROUP BY 1""".stripMargin,
 
     "q64_asof_distributed" ->
       """WITH rates AS (

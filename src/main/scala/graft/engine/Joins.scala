@@ -118,4 +118,34 @@ object Joins {
     }
     carried.filter(col("__side") === 1).drop("__side")
   }
+
+  /** Point-in-interval join without a broadcast: bucketize time so the match
+    * becomes an equi-join.
+    *
+    * Spark plans `point BETWEEN start AND end` against a non-broadcastable
+    * interval side as a nested-loop/cartesian — O(|points|·|intervals|).
+    * Flooring both sides to `bucketWidth` turns it into: explode each
+    * interval over the buckets it covers (`(end-start)/W + 1` rows, ≈2 when W
+    * is chosen near the interval length), map each point to its single
+    * bucket, equi-join on the bucket, then apply the exact BETWEEN. Each
+    * point lives in exactly one bucket, so no post-join dedup is needed.
+    * Shuffle is |points| + ~2·|intervals| rows on an 8-byte key — the same
+    * shape as any large equi-join, skew-handled by AQE. (The q42 broadcast
+    * nested-loop stays the right plan when one side is tiny; this is the
+    * both-sides-large path.)
+    *
+    * `ptCol`/`startCol`/`endCol` are int64 in the same unit (e.g. epoch µs);
+    * bounds are inclusive. */
+  def bucketedIntervalJoin(points: DataFrame, ptCol: String,
+                           intervals: DataFrame, startCol: String, endCol: String,
+                           bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketedIntervalJoin: bucketWidth must be positive")
+    val ib = intervals.withColumn("__bucket",
+      explode(sequence(expr(s"$startCol DIV $bucketWidth"),
+        expr(s"$endCol DIV $bucketWidth"))))
+    points.withColumn("__bucket", expr(s"$ptCol DIV $bucketWidth"))
+      .join(ib, "__bucket")
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__bucket")
+  }
 }

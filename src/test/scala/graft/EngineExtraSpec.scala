@@ -78,6 +78,24 @@ class EngineExtraSpec extends SparkSpec {
       brute.filter(col("v").isNull).count())
   }
 
+  test("bucketedIntervalJoin equals the naive BETWEEN join, incl. boundary points") {
+    import spark.implicits._
+    import graft.engine.Joins
+    val rnd = new scala.util.Random(29)
+    val intervals = (0L until 50L).map { i =>
+      val s = rnd.nextInt(10000).toLong; (i, s, s + 30 + rnd.nextInt(400))
+    }.toDF("win_id", "s", "e")
+    // random points plus exact start/end boundary hits (inclusive bounds)
+    val points = (Seq.fill(3000)(rnd.nextInt(11000).toLong) ++
+      intervals.collect().flatMap(r => Seq(r.getLong(1), r.getLong(2)))).toDF("p")
+    val bucketed = Joins.bucketedIntervalJoin(points, "p", intervals, "s", "e", 128L)
+      .select("p", "win_id")
+    val naive = points.join(intervals, col("p") >= col("s") && col("p") <= col("e"))
+      .select("p", "win_id")
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+    assert(naive.count() > 0)
+  }
+
   test("bloomSemiJoin equals the exact semi join; probe never drops a true match") {
     import spark.implicits._
     import graft.engine.Joins
