@@ -49,6 +49,10 @@ object Bench {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // clearCache only drops SQL-cached plans; localCheckpoint/persist RDD
+      // blocks (e.g. the connected-components rounds) survive it and would
+      // hold storage memory into later queries' timings.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       if (ok) dt else -1.0
     }
 

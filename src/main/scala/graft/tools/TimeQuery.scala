@@ -30,6 +30,7 @@ object TimeQuery {
         // Match Bench.runOnce: a rep's persisted projections must not bleed
         // into the next rep's timing.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         f"$dt%.2fs(n=$n)"
       }
       println(s"[time] $name: ${times.mkString(" ")}")
