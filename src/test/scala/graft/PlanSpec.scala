@@ -67,6 +67,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q64 as-of join plans as one windowed pass, not a nested loop") {
+    val p = planOf("q64_asof_distributed")
+    assert(p.contains("Window"), s"expected union-and-carry window:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of must not degenerate to a loop join:\n$p")
+  }
+
+  test("q66 interval join plans as an equi-join on the bucket, not a loop join") {
+    val p = planOf("q66_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketized interval join must be an equi-join:\n$p")
+  }
+
   test("q55 bloom probe runs in the scan stage, before the semi join's exchange") {
     val p = planOf("q55_bloom_semi_join")
     // The probe must be a Filter under the large side's scan, not post-join:
