@@ -1013,6 +1013,25 @@ object SparkEntry {
         .groupBy(col("win_id"))
         .agg(count(lit(1)).as("n_events"),
           sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    },
+
+    // JSON scalar extraction over the events props column, with a deliberate
+    // malformed-document path (every 13th event): extraction is null-safe on
+    // bad JSON in both engines, and the per-type stats hash-match. The typed
+    // from_json path (schema'd struct) is equivalence-tested in ExtSpec; the
+    // query uses get_json_object, whose null-on-malformed semantics DuckDB's
+    // json_valid guard mirrors exactly.
+    "q67_json_extract" -> { (s, dir) =>
+      val ev = eventsTable(s, dir)
+      ev.withColumn("p2",
+          when(col("event_id") % 13 === 0, lit("{broken")).otherwise(col("props")))
+        .withColumn("k", get_json_object(col("p2"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"))
     }
   )
 
@@ -1207,6 +1226,21 @@ object SparkEntry {
          |SELECT component, COUNT(*) AS n_members
          |FROM (SELECT id, MIN(lab) AS component FROM walk GROUP BY id)
          |GROUP BY 1""".stripMargin,
+
+    "q67_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 13 = 0 THEN '{broken' ELSE props END AS p2
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type,
+        |         CASE WHEN json_valid(p2)
+        |              THEN CAST(json_extract_string(p2, '$.k') AS BIGINT) END AS k
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n,
+        |       SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_bad,
+        |       SUM(k) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
+        |FROM x GROUP BY 1""".stripMargin,
 
     "q66_interval_join" ->
       """WITH w AS (

@@ -283,6 +283,19 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("from_json typed parse agrees with get_json_object incl. malformed docs") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val rows = Seq("""{"k": 7}""", """{"k": 0}""", "{broken", """{"other": 1}""", null)
+      .toDF("props")
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val out = rows.select(
+      from_json(col("props"), schema).getField("k").as("typed"),
+      get_json_object(col("props"), "$.k").cast("long").as("scalar"))
+    assert(out.filter(not(col("typed") <=> col("scalar"))).isEmpty,
+      out.collect().mkString(";"))
+  }
+
   test("connectedComponents finds transitive groups, incl. a long path graph") {
     import spark.implicits._
     // Two components via transitivity (1-2-3 with no 1-3 edge, 10-11), plus a
