@@ -122,7 +122,8 @@ object Sources {
     * `<dir>.pre-compact` until the caller confirms and deletes — same
     * "nothing is deleted implicitly" posture as bronze. */
   def compactParquet(spark: SparkSession, dir: String,
-                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+                     targetFileBytes: Long = 128L * 1024 * 1024,
+                     partitionBy: Seq[String] = Nil): Int = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new Path(dir)
@@ -136,8 +137,16 @@ object Sources {
     // files carry (see readSilverEvolved) — the rewrite normalizes history
     // to the unioned schema. The extra footer pass is noise on a
     // maintenance-window operation.
-    spark.read.option("mergeSchema", "true").parquet(dir).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
+    //
+    // For a Hive-partitioned table (silver's year=/month=/day=), pass the
+    // partition columns: omitting them would rewrite the tree flat, turning
+    // directory-pruned reads into full scans. With partitions, the file
+    // count target applies per write (repartition spreads rows before the
+    // partitioned write splits them by directory).
+    val base = spark.read.option("mergeSchema", "true").parquet(dir).repartition(nFiles)
+    val writer = base.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(tmp.toString)
     fs.delete(backup, true)
     require(fs.rename(path, backup), s"compact: could not move $dir aside")
     require(fs.rename(tmp, path), s"compact: could not swap in $tmp")

@@ -216,6 +216,24 @@ class EngineExtraSpec extends SparkSpec {
     }
   }
 
+  test("compactParquet preserves Hive partition directories when asked") {
+    import spark.implicits._
+    withTempDir { dir =>
+      (1 to 300).map(i => (i.toLong, 2024, (i % 3) + 1)).toDF("id", "year", "month")
+        .repartition(12).write.partitionBy("year", "month").parquet(s"$dir/t")
+      graft.engine.Sources.compactParquet(spark, s"$dir/t",
+        targetFileBytes = 64L * 1024, partitionBy = Seq("year", "month"))
+      // partition dirs survive the rewrite → pruned reads still prune
+      assert(new java.io.File(s"$dir/t/year=2024/month=2").exists)
+      val read = spark.read.parquet(s"$dir/t").filter(col("month") === 2)
+      val plan = read.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*month".r.findFirstIn(plan).isDefined,
+        s"month predicate must prune partitions post-compact:\n$plan")
+      assert(read.count() == 100)
+      assert(spark.read.parquet(s"$dir/t").count() == 300)
+    }
+  }
+
   test("saltedStats equals direct sum/count/min/max/avg on skewed keys") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i * 0.5)).toDF("k", "v")
