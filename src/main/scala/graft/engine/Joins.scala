@@ -105,18 +105,26 @@ object Joins {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(valCols.contains),
       s"asofJoin: value columns ${valCols.mkString(",")} collide with the left side")
-    val l = left.select(
-      leftCols.map(col) ++ valCols.map(c => lit(null).as(c)) :+ lit(1).as("__side"): _*)
+    // Values are carried as ONE struct, not per-column: carrying each column
+    // independently with ignoreNulls would backfill a NULL in the matched
+    // right row's column from an OLDER right row — a combined row that never
+    // existed. The struct itself is non-null exactly on right rows, so a
+    // single ignoreNulls carry moves the whole matched row atomically (and a
+    // legitimately NULL value inside it stays NULL).
+    val packed = struct(valCols.map(col): _*)
     val r = right.select(
-      leftCols.map(c => if (c == key || c == ts) col(c) else lit(null).as(c)) ++
-        valCols.map(col) :+ lit(0).as("__side"): _*)
+      leftCols.map(c => if (c == key || c == ts) col(c) else lit(null).as(c)) :+
+        packed.as("__v") :+ lit(0).as("__side"): _*)
+    val l = left.select(
+      leftCols.map(col) :+
+        lit(null).cast(r.schema("__v").dataType).as("__v") :+ lit(1).as("__side"): _*)
     val w = Window.partitionBy(col(key))
-      .orderBy((col(ts) +: col("__side") +: valCols.map(col)): _*)
+      .orderBy(col(ts), col("__side"), col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
+    l.unionByName(r, allowMissingColumns = false)
+      .withColumn("__v", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ valCols.map(c => col(s"__v.$c").as(c)): _*)
   }
 
   /** Point-in-interval join without a broadcast: bucketize time so the match
