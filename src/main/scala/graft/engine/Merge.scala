@@ -62,7 +62,10 @@ object Merge {
     val cur = dim.filter(col("is_current")).as("c")
     val hist = dim.filter(!col("is_current"))
     val u = updates.as("u")
-    val changed = attrCols.map(a => col(s"c.$a") =!= col(s"u.$a")).reduce(_ || _)
+    // Null-SAFE comparison: with =!=, a NULL attribute on either side makes
+    // `changed` NULL and the key falls out of kept, closed, AND inserted —
+    // the row would silently vanish from the dimension.
+    val changed = attrCols.map(a => !(col(s"c.$a") <=> col(s"u.$a"))).reduce(_ || _)
     val joined = cur.join(u, col(s"c.$key") === col(s"u.$key"), "full_outer")
 
     def dimCols(side: String) =
