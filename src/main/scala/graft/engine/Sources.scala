@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Readers/writers for the medallion layers.
@@ -140,10 +141,18 @@ object Sources {
     //
     // For a Hive-partitioned table (silver's year=/month=/day=), pass the
     // partition columns: omitting them would rewrite the tree flat, turning
-    // directory-pruned reads into full scans. With partitions, the file
-    // count target applies per write (repartition spreads rows before the
-    // partitioned write splits them by directory).
-    val base = spark.read.option("mergeSchema", "true").parquet(dir).repartition(nFiles)
+    // directory-pruned reads into full scans. The shuffle must hash on the
+    // PARTITION columns then — a round-robin repartition(n) would put every
+    // directory's rows in every task, so each task writes one file into
+    // every directory: n × nDirs files, i.e. a compaction that multiplies
+    // the small-file count. Hashing on the partition columns concentrates
+    // each directory in one task (~1 file per directory; a directory larger
+    // than the target stays one file — split such a partition's key upstream
+    // if that matters).
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    val base =
+      if (partitionBy.nonEmpty) merged.repartition(nFiles, partitionBy.map(c => col(c)): _*)
+      else merged.repartition(nFiles)
     val writer = base.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
