@@ -20,20 +20,24 @@ object Graph {
     * needed = graph diameter, and near-dup graphs are shallow (dup clusters
     * are cliques or near-cliques, diameter ≤ 2-3), so 3-5 rounds close most
     * corpora. The driver only orchestrates — per-round work is fully
-    * distributed, and `localCheckpoint` truncates the growing lineage so
-    * round N's plan doesn't replay rounds 1..N-1 (at scale, checkpoint to
-    * reliable storage instead). `maxIter` bounds the worst case (a path
-    * graph); the loop exits early on convergence, detected by a count of
-    * changed labels — one extra action per round, same asymptotics. */
+    * distributed. Each round's labels are persisted so round N's plan is one
+    * level on top of round N-1's cache (bounded depth), and the SUPERSEDED
+    * round is unpersisted as soon as the next one materializes — an earlier
+    * localCheckpoint version leaked every round's blocks for the JVM's
+    * lifetime, inflating unrelated queries 3-6× (PERF.md). At cluster scale,
+    * `df.checkpoint()` to reliable storage also survives executor loss.
+    * `maxIter` bounds the worst case (a path graph); the loop exits early on
+    * convergence, detected by a count of changed labels. */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(edges.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .persist(level)
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+      .persist(level)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -42,15 +46,17 @@ object Graph {
         .select(col("src").as("id"), col("component"))
       val next = labels.unionByName(viaNeighbor)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(true)
+        .persist(level)
       val changed = labels.as("a")
         .join(next.as("b"), col("a.id") === col("b.id"))
         .filter(col("a.component") =!= col("b.component"))
-        .count()
+        .count() // materializes `next`, so the old round can be dropped
+      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist(blocking = false)
     labels
   }
 }
