@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Single source of truth for the engine's SQL-callable expressions.
+  *
+  * Both installers — builder-time `plans.GraftExtensions` and the
+  * existing-session `Bridge.installGraftFunctions` — consume this list, so a
+  * new expression registers on both paths at once and argument validation
+  * (e.g. the shingle k must be an int literal) behaves identically everywhere.
+  */
+object GraftFunctionRegistry {
+
+  /** (SQL name, implementing class, builder). */
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct],
+      (c: Seq[Expression]) => DotProduct(c(0), c(1))),
+    ("graft_md5_hex", classOf[Md5Hex],
+      (c: Seq[Expression]) => Md5Hex(c(0))),
+    ("graft_md5_prefix60", classOf[Md5Prefix60],
+      (c: Seq[Expression]) => Md5Prefix60(c(0))),
+    ("graft_word_shingles", classOf[WordShingleSet],
+      (c: Seq[Expression]) => {
+        val k = c(1).eval() match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"graft_word_shingles: k must be an int literal, got $other")
+        }
+        WordShingleSet(c(0), k)
+      }))
+}

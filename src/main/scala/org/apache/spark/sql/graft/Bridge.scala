@@ -22,22 +22,8 @@ object Bridge {
     * Verify/Bench harness or a shared test JVM). */
   def installGraftFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_dot",
-      exprs => _root_.graft.functions.DotProduct(exprs(0), exprs(1)),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_md5_hex",
-      exprs => _root_.graft.functions.Md5Hex(exprs(0)),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_md5_prefix60",
-      exprs => _root_.graft.functions.Md5Prefix60(exprs(0)),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_word_shingles",
-      exprs => _root_.graft.functions.WordShingleSet(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]),
-      "built-in")
+    _root_.graft.functions.GraftFunctionRegistry.all.foreach { case (name, _, build) =>
+      reg.createOrReplaceTempFunction(name, exprs => build(exprs), "built-in")
+    }
   }
 }
