@@ -161,7 +161,12 @@ object Incremental {
     val query = updates.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val merged = latestUpsertState(spark, stateDir) match {
+          // Merge against the latest snapshot STRICTLY BEFORE this batch id:
+          // a batch retried after a crash-between-write-and-commit would
+          // otherwise read its own (possibly partial) v=<batchId> output —
+          // either failing on overwrite-what-you-read or merging against
+          // truncated state. Reading < batchId makes the retry a clean redo.
+          val merged = latestUpsertStateBefore(spark, stateDir, batchId) match {
             case Some(cur) => Merge.upsert(cur, batch, keys).drop("merge_action")
             case None => batch
           }
@@ -175,7 +180,12 @@ object Incremental {
   }
 
   /** The latest committed upsert snapshot under `stateDir`, if any. */
-  def latestUpsertState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+  def latestUpsertState(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    latestUpsertStateBefore(spark, stateDir, Long.MaxValue)
+
+  /** The latest snapshot with version strictly below `beforeVersion`. */
+  def latestUpsertStateBefore(spark: SparkSession, stateDir: String,
+                              beforeVersion: Long): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val path = new Path(stateDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -184,6 +194,7 @@ object Incremental {
       val versions = fs.listStatus(path).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
         .map(_.getPath.getName.stripPrefix("v=").toLong)
+        .filter(_ < beforeVersion)
       if (versions.isEmpty) None
       else Some(spark.read.parquet(s"$stateDir/v=${versions.max}"))
     }
