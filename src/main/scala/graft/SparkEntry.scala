@@ -802,13 +802,23 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
       val tmp = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
-      graft.engine.Layout.zorderBy(li, "l_orderkey", "l_partkey", 8)
-        .write.mode("overwrite").parquet(s"$tmp/t")
-      s.read.parquet(s"$tmp/t")
-        .filter(col("l_orderkey") <= 2000 && col("l_partkey") <= 400)
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+      try {
+        graft.engine.Layout.zorderBy(li, "l_orderkey", "l_partkey", 8)
+          .write.mode("overwrite").parquet(s"$tmp/t")
+        // Materialize the box aggregate eagerly so the rewritten copy can be
+        // deleted before returning — Bench/Verify run this repeatedly, and
+        // leaking a full lineitem copy to /tmp per run fills the disk.
+        val r = s.read.parquet(s"$tmp/t")
+          .filter(col("l_orderkey") <= 2000 && col("l_partkey") <= 400)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+          .collect().head
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1))).toDF("n_rows", "price_cents")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
     },
 
     // Sketch percentile with an in-tolerance contract (q47's pattern): the

@@ -78,6 +78,20 @@ class EngineExtraSpec extends SparkSpec {
       brute.filter(col("v").isNull).count())
   }
 
+  test("asofJoin carries the matched row atomically when a value column is NULL") {
+    import spark.implicits._
+    import graft.engine.Joins
+    // right series: ts=1 has (a=1,b=1); ts=2 has (a=2,b=NULL). A left row at
+    // ts=3 must take BOTH values from the ts=2 row — (2, NULL) — not backfill
+    // b=1 from the older row (a mixed row that never existed).
+    val right = Seq((7L, 1L, Some(1L), Some(1L)), (7L, 2L, Some(2L), None))
+      .toDF("k", "ts", "a", "b")
+    val left = Seq((7L, 3L)).toDF("k", "ts")
+    val out = Joins.asofJoin(left, right, "k", "ts", Seq("a", "b"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(out == Seq((7L, 3L, Some(2L), None)), s"got $out")
+  }
+
   test("bucketedIntervalJoin equals the naive BETWEEN join, incl. boundary points") {
     import spark.implicits._
     import graft.engine.Joins
@@ -173,6 +187,29 @@ class EngineExtraSpec extends SparkSpec {
     assert(again.exceptAll(out).isEmpty && out.exceptAll(again).isEmpty)
   }
 
+  test("scd2Apply handles NULL attribute values null-safely (no vanishing keys)") {
+    import spark.implicits._
+    import graft.engine.Merge
+    val dim = Seq((1L, null.asInstanceOf[String]), (2L, "B"), (3L, null.asInstanceOf[String]))
+      .toDF("k", "attr")
+      .withColumn("valid_from", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val updates = Seq(
+      (1L, "X"),                        // NULL → X : must close + insert
+      (2L, null.asInstanceOf[String]),  // B → NULL : must close + insert
+      (3L, null.asInstanceOf[String]))  // NULL → NULL : identical, no-op
+      .toDF("k", "attr")
+      .withColumn("eff_ts", lit("2024-06-01 00:00:00").cast("timestamp"))
+    val out = Merge.scd2Apply(dim, updates, "k", Seq("attr"), "eff_ts")
+    // keys 1,2 split into closed+new; key 3 untouched → 5 rows, no key lost
+    assert(out.count() == 5)
+    val current = out.filter(col("is_current"))
+    assert(current.count() == 3)
+    assert(current.select("k", "attr").as[(Long, Option[String])].collect().toSet ==
+      Set((1L, Some("X")), (2L, None), (3L, None)))
+  }
+
   test("zorderBy bounds per-partition span on BOTH dims; linear sort does not") {
     import spark.implicits._
     import graft.engine.Layout
@@ -225,6 +262,14 @@ class EngineExtraSpec extends SparkSpec {
         targetFileBytes = 64L * 1024, partitionBy = Seq("year", "month"))
       // partition dirs survive the rewrite → pruned reads still prune
       assert(new java.io.File(s"$dir/t/year=2024/month=2").exists)
+      // and the rewrite CONCENTRATES each directory (hash on partition cols),
+      // instead of fanning every task into every directory
+      def filesIn(p: String) = new java.io.File(p).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      (1 to 3).foreach { m =>
+        assert(filesIn(s"$dir/t/year=2024/month=$m") <= 2,
+          s"month=$m fanned out to ${filesIn(s"$dir/t/year=2024/month=$m")} files")
+      }
       val read = spark.read.parquet(s"$dir/t").filter(col("month") === 2)
       val plan = read.queryExecution.executedPlan.toString
       assert("PartitionFilters: \\[[^\\]]*month".r.findFirstIn(plan).isDefined,
