@@ -1208,15 +1208,15 @@ object SparkEntry {
          |           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
          |  FROM p)
          |SELECT lang, count(*) AS n_docs,
-         |       SUM(CASE WHEN regexp_matches(text2,
-         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS n_email,
-         |       SUM(CASE WHEN regexp_matches(text2,
-         |         '[0-9]{3}-[0-9]{3}-[0-9]{4}') THEN 1 ELSE 0 END) AS n_phone,
+         |       CAST(SUM(CASE WHEN regexp_matches(text2,
+         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+         |       CAST(SUM(CASE WHEN regexp_matches(text2,
+         |         '[0-9]{3}-[0-9]{3}-[0-9]{4}') THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
          |       bit_xor(${h60Sql("CAST(doc_id AS VARCHAR) || ':' || redacted")}) AS checksum
          |FROM r GROUP BY 1""".stripMargin,
 
     "q63_domain_cap" ->
-      s"""SELECT source, count(*) AS n_kept, sum(doc_id) AS id_checksum
+      s"""SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
          |FROM (
          |  SELECT source, doc_id,
          |         ROW_NUMBER() OVER (PARTITION BY source
@@ -1248,8 +1248,8 @@ object SparkEntry {
         |              THEN CAST(json_extract_string(p2, '$.k') AS BIGINT) END AS k
         |  FROM e)
         |SELECT event_type, COUNT(*) AS n,
-        |       SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_bad,
-        |       SUM(k) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
+        |       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |       CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
         |FROM x GROUP BY 1""".stripMargin,
 
     "q66_interval_join" ->
@@ -1260,7 +1260,7 @@ object SparkEntry {
         |  FROM range(0, 120) t(i)),
         |e AS (SELECT epoch_us(ts) AS us, value FROM events)
         |SELECT win_id, COUNT(*) AS n_events,
-        |       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+        |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM w JOIN e ON e.us BETWEEN w.start_us AND w.end_us
         |GROUP BY 1""".stripMargin,
 
@@ -1275,7 +1275,7 @@ object SparkEntry {
         |SELECT o.o_orderpriority,
         |       COUNT(*) AS n_orders,
         |       COUNT(r.rate_cents) AS n_matched,
-        |       SUM(r.rate_cents) AS rate_sum
+        |       CAST(SUM(r.rate_cents) AS BIGINT) AS rate_sum
         |FROM o ASOF LEFT JOIN rates r ON o.k = r.k AND o.rd >= r.rd
         |GROUP BY 1""".stripMargin,
 
@@ -1800,15 +1800,15 @@ object SparkEntry {
     "q55_bloom_semi_join" ->
       """SELECT count(*) AS n_rows,
         |       count(DISTINCT l_orderkey) AS n_orders,
-        |       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
-        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0)""".stripMargin,
 
     "q56_zorder_layout" ->
       """SELECT count(*) AS n_rows,
-        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
         |FROM lineitem WHERE l_orderkey <= 2000 AND l_partkey <= 400""".stripMargin,
 
     "q57_approx_percentile" ->
@@ -1841,15 +1841,15 @@ object SparkEntry {
     "q59_range_window" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |  FROM orders GROUP BY 1)
         |SELECT d, rev_cents,
-        |       SUM(rev_cents) OVER (ORDER BY d
-        |         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS sum7_cents,
+        |       CAST(SUM(rev_cents) OVER (ORDER BY d
+        |         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS sum7_cents,
         |       COUNT(*) OVER (ORDER BY d
         |         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS n7,
-        |       rev_cents - COALESCE(LAG(rev_cents, 1) OVER (ORDER BY d), 0) AS delta_cents,
-        |       NTILE(4) OVER (ORDER BY d) AS quartile
+        |       CAST(rev_cents - COALESCE(LAG(rev_cents, 1) OVER (ORDER BY d), 0) AS BIGINT) AS delta_cents,
+        |       CAST(NTILE(4) OVER (ORDER BY d) AS INT) AS quartile
         |FROM daily""".stripMargin,
 
     "q60_observed_metrics" ->
@@ -1860,10 +1860,10 @@ object SparkEntry {
         |         ROUND(l_extendedprice * (1 - l_discount), 2) AS t
         |  FROM (SELECT DISTINCT * FROM lineitem))
         |SELECT COUNT(*) AS n_rows,
-        |       SUM(CASE WHEN cust IS NULL THEN 1 ELSE 0 END) AS n_invalid,
-        |       SUM(CAST(ROUND((CASE WHEN ABS(t - ROUND(q * p, 2)) > 0.01
-        |                            THEN ROUND(q * p, 2) ELSE t END) * 100) AS BIGINT)) AS revenue_cents,
-        |       SUM(CASE WHEN cust IS NULL THEN 0 ELSE 1 END) AS n_valid
+        |       CAST(SUM(CASE WHEN cust IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+        |       CAST(SUM(CAST(ROUND((CASE WHEN ABS(t - ROUND(q * p, 2)) > 0.01
+        |                            THEN ROUND(q * p, 2) ELSE t END) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       CAST(SUM(CASE WHEN cust IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_valid
         |FROM s""".stripMargin
   )
 

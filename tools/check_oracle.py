@@ -1,13 +1,26 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's DuckDB-oracle correctness check.
+"""Local replica of the driver's DuckDB-oracle correctness check — TYPE-STRICT.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 For each query in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB against
-views over <sfDir>/*.parquet, load the Spark result parquet, sort columns by
-name and rows by all columns, then compare cell-by-cell EXACTLY — floats
-included (any nonzero difference is a failure; each float failure line shows
-the absolute diff to aid debugging). Exit nonzero if any query mismatches.
+views over <sfDir>/*.parquet, load the Spark result parquet, and compare
+
+  1. arrow column TYPES (strict: decimal128 vs int64, int32 vs int64, float vs
+     double all FAIL — this is the class the driver's type-sensitive hash sees
+     and that value-level comparison cannot, cf. round-4 verdict: 9 queries
+     passed a value compare locally and hash-failed on the driver because
+     DuckDB SUM(int) returns HUGEINT=decimal128(38,0) while Spark returns
+     int64),
+  2. values, cell-by-cell EXACTLY after sorting columns by name and rows by
+     all columns — floats included (any nonzero diff fails).
+
+A built-in self-test runs first on every invocation: a deliberately un-cast
+DuckDB SUM(int) probe against an int64 Spark-like column MUST be flagged as a
+type mismatch, otherwise the checker aborts — so the gate can never silently
+regress back to type-blindness.
+
+Exit nonzero if any query mismatches.
 """
 import json
 import math
@@ -15,9 +28,47 @@ import sys
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def type_key(t: pa.DataType) -> str:
+    """Canonical key for an arrow type. Only equivalences PROVEN driver-equal
+    are collapsed — i.e. type pairs that occur in queries hash-GREEN in
+    CORRECTNESS_r04/r05:
+      - integer widths (q49 rank int32 vs BIGINT, q53 grouping() int8 vs
+        BIGINT, both green) — consistent with pandas value hashing, where
+        every int width hashes by value;
+      - timestamp units, tz-naive (q58 ts[ns] vs ts[us], green) — pandas
+        converts both to datetime64;
+      - string vs large_string / binary vs large_binary (reader-side artifact).
+    Everything else stays distinct: decimal128 vs int64 is exactly the class
+    that hash-failed 9 queries in r04 (DuckDB HUGEINT SUM), and float32 vs
+    float64 has no green evidence so it stays strict."""
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[tz={t.tz}]"
+    return str(t)
+
+
+def schema_diff(name, spark_schema: pa.Schema, oracle_schema: pa.Schema):
+    s = {f.name: f.type for f in spark_schema}
+    o = {f.name: f.type for f in oracle_schema}
+    if sorted(s) != sorted(o):
+        return [f"column mismatch: spark={sorted(s)} oracle={sorted(o)}"]
+    out = []
+    for c in sorted(s):
+        if type_key(s[c]) != type_key(o[c]):
+            out.append(f"TYPE mismatch col={c}: spark={s[c]} oracle={o[c]}")
+    return out
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -27,23 +78,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def norm_cell(v):
+    """Value-level canonicalization ONLY (types are checked separately above):
+    dates/timestamps to iso strings so pandas Timestamp == datetime.date works."""
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return None
     if hasattr(v, "isoformat"):
         return v.isoformat()[:10] if type(v).__name__ == "date" else v.isoformat()
-    if isinstance(v, bool):
-        return bool(v)
-    if isinstance(v, int):
-        return int(v)
     return v
 
 
-def compare(name, spark_df, oracle_df):
+def compare_values(spark_df, oracle_df):
     issues = []
-    s_cols = sorted(spark_df.columns)
-    o_cols = sorted(oracle_df.columns)
-    if s_cols != o_cols:
-        return [f"column mismatch: spark={s_cols} oracle={o_cols}"]
     if len(spark_df) != len(oracle_df):
         return [f"row count mismatch: spark={len(spark_df)} oracle={len(oracle_df)}"]
     s = canon(spark_df)
@@ -65,9 +110,27 @@ def compare(name, spark_df, oracle_df):
     return issues
 
 
+def self_test(con):
+    """The checker must flag an un-cast DuckDB SUM(int) (HUGEINT) vs int64."""
+    probe = con.execute("SELECT SUM(x) AS s FROM (VALUES (1), (2)) t(x)").arrow()
+    sparklike = pa.table({"s": pa.array([3], type=pa.int64())})
+    diff = schema_diff("selftest", sparklike.schema, probe.schema)
+    if not any("TYPE mismatch" in d for d in diff):
+        print("SELF-TEST FAILED: un-cast SUM(int) probe was NOT flagged — "
+              "checker is type-blind, refusing to run")
+        sys.exit(2)
+    # and a cast one must pass
+    probe2 = con.execute(
+        "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1), (2)) t(x)").arrow()
+    if schema_diff("selftest2", sparklike.schema, probe2.schema):
+        print("SELF-TEST FAILED: CAST(SUM(..) AS BIGINT) flagged as mismatch")
+        sys.exit(2)
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    self_test(con)
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -75,25 +138,27 @@ def main():
     for name in sorted(oracle_sql):
         sql = oracle_sql[name]
         try:
-            odf = con.execute(sql).arrow().to_pandas()
+            otab = con.execute(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         try:
-            sdf = pd.read_parquet(f"{out_dir}/{name}")
+            stab = pq.read_table(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             n_fail += 1
             continue
-        issues = compare(name, sdf, odf)
+        issues = schema_diff(name, stab.schema, otab.schema)
+        if not issues:
+            issues = compare_values(stab.to_pandas(), otab.to_pandas())
         if issues:
-            print(f"FAIL {name}: rows={len(sdf)}")
+            print(f"FAIL {name}: rows={stab.num_rows}")
             for msg in issues[:6]:
                 print(f"   {msg}")
             n_fail += 1
         else:
-            print(f"OK   {name}: rows={len(sdf)}, cols={sorted(sdf.columns)}")
+            print(f"OK   {name}: rows={stab.num_rows}, cols={sorted(stab.schema.names)}")
     # rows-only queries (no oracle)
     import os
     for name in sorted(os.listdir(out_dir)):
