@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph primitives over edge DataFrames.
@@ -16,23 +16,36 @@ object Graph {
   /** Hash-min label propagation: every vertex converges to the smallest
     * vertex id reachable from it. Returns (id, component).
     *
-    * Each iteration is one shuffle (neighbor join + min-aggregate); rounds
-    * needed = graph diameter, and near-dup graphs are shallow (dup clusters
-    * are cliques or near-cliques, diameter ≤ 2-3), so 3-5 rounds close most
-    * corpora. The driver only orchestrates — per-round work is fully
-    * distributed. Each round's labels are persisted so round N's plan is one
-    * level on top of round N-1's cache (bounded depth), and the SUPERSEDED
-    * round is unpersisted as soon as the next one materializes — an earlier
+    * Each iteration is ONE shuffle job (neighbor join + min-aggregate);
+    * rounds needed = graph diameter, and near-dup graphs are shallow (dup
+    * clusters are cliques or near-cliques, diameter ≤ 2-3), so 3-5 rounds
+    * close most corpora. The driver only orchestrates — per-round work is
+    * fully distributed.
+    *
+    * Two costs that earlier versions paid are gone:
+    *   - symmetrization is one `explode` pass over `edges` instead of a
+    *     two-branch union: `edges` is typically an unpersisted candidate-pair
+    *     pipeline (MinHash verify), and a union of two selects over it ran
+    *     that whole upstream pipeline twice in the materializing job;
+    *   - convergence detection rides the round's own aggregation via
+    *     `observe` (changed-label count as a side metric of the min-agg job)
+    *     instead of a separate labels×next join + count job per round.
+    *
+    * Each round's labels are persisted so round N's plan is one level on top
+    * of round N-1's cache (bounded depth), and the SUPERSEDED round is
+    * unpersisted as soon as the next one materializes — an earlier
     * localCheckpoint version leaked every round's blocks for the JVM's
     * lifetime, inflating unrelated queries 3-6× (PERF.md). At cluster scale,
     * `df.checkpoint()` to reliable storage also survives executor loss.
     * `maxIter` bounds the worst case (a path graph); the loop exits early on
-    * convergence, detected by a count of changed labels. */
+    * convergence. */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(edges.select(col(idB).as("src"), col(idA).as("dst")))
+    val sym = edges.select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(level)
     var labels = sym.select(col("src").as("id")).distinct()
@@ -43,17 +56,30 @@ object Graph {
     while (!converged && iter < maxIter) {
       val viaNeighbor = sym
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
-        .select(col("src").as("id"), col("component"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("id").agg(min("component").as("component"))
+        .select(col("src").as("id"), col("component"), lit(false).as("orig"))
+      // Every id appears exactly once with orig=true (labels is keyed by id),
+      // so min(when(orig)) recovers the round's incoming label and the
+      // changed-count is computable inside the same aggregation.
+      val merged = labels.select(col("id"), col("component"), lit(true).as("orig"))
+        .unionByName(viaNeighbor)
+        .groupBy("id")
+        .agg(min("component").as("component"),
+          min(when(col("orig"), col("component"))).as("prev"))
+      val obs = Observation(s"cc_round_$iter")
+      val next = merged
+        .observe(obs, sum(when(col("component") =!= col("prev"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("id"), col("component"))
         .persist(level)
-      val changed = labels.as("a")
-        .join(next.as("b"), col("a.id") === col("b.id"))
-        .filter(col("a.component") =!= col("b.component"))
-        .count() // materializes `next`, so the old round can be dropped
+      next.count() // materializes `next` AND completes the observation
+      val changed = obs.get.getOrElse("changed", null) match {
+        case null => 0L // empty graph: sum over zero rows is null
+        case l: java.lang.Long => l.longValue()
+        case other => other.toString.toLong
+      }
       labels.unpersist(blocking = false)
       labels = next
-      converged = changed == 0
+      converged = changed == 0L
       iter += 1
     }
     sym.unpersist(blocking = false)
