@@ -38,6 +38,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Same per-query cleanup as Bench: a persisted projection (e.g. the
+      // MinHash shingle cache, Dedup.scala) surviving into later queries only
+      // competes for storage memory there — cache lifetime is one query.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst
 import org.apache.spark.sql.functions._
 
 /** Medallion directory layout + Hive-style date partitioning.
@@ -48,17 +49,34 @@ object Layout {
     * (one cheap agg pass; 4 scalars of driver traffic at any table size). */
   def zorderKey(x: Column, y: Column,
                 xMin: Double, xMax: Double, yMin: Double, yMax: Double): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(zorderKeyExpr(
+      Bridge.expression(x), Bridge.expression(y), xMin, xMax, yMin, yMax))
+  }
+
+  /** Catalyst form of [[zorderKey]] — the single source of truth; the Column
+    * API above and the `graft_zorder_key` SQL function both delegate here.
+    * Built from resolved catalyst nodes (not the Column DSL) so it is usable
+    * from `FunctionRegistry` injection, where Column-DSL trees would carry
+    * unresolvable ColumnNode wrappers. */
+  def zorderKeyExpr(x: catalyst.expressions.Expression, y: catalyst.expressions.Expression,
+                    xMin: Double, xMax: Double, yMin: Double, yMax: Double)
+      : catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
     val mask = (1L << ZorderBits) - 1
-    def scaled(c: Column, lo: Double, hi: Double): Column = {
+    def scaled(e: Expression, lo: Double, hi: Double): Expression = {
       val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
-      round((c.cast("double") - lo) * (mask.toDouble / span)).cast("long")
-        .bitwiseAND(lit(mask))
+      BitwiseAnd(
+        Cast(new Round(Multiply(Subtract(Cast(e, DoubleType), Literal(lo)),
+          Literal(mask.toDouble / span))), LongType),
+        Literal(mask))
     }
     val (xb, yb) = (scaled(x, xMin, xMax), scaled(y, yMin, yMax))
-    (0 until ZorderBits).foldLeft(lit(0L)) { (acc, i) =>
-      acc +
-        shiftleft(shiftright(xb, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(yb, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    (0 until ZorderBits).foldLeft(Literal(0L): Expression) { (acc, i) =>
+      Add(Add(acc,
+        ShiftLeft(BitwiseAnd(ShiftRight(xb, Literal(i)), Literal(1L)), Literal(2 * i))),
+        ShiftLeft(BitwiseAnd(ShiftRight(yb, Literal(i)), Literal(1L)), Literal(2 * i + 1)))
     }
   }
 

@@ -27,5 +27,26 @@ object GraftFunctionRegistry {
             s"graft_word_shingles: k must be an int literal, got $other")
         }
         WordShingleSet(c(0), k)
+      }),
+    // Composed (not a single Expression class): the Morton key of
+    // engine.Layout.zorderKey, so layout rewrites are SQL-invokable —
+    // `ORDER BY graft_zorder_key(x, y, xmin, xmax, ymin, ymax)`. The four
+    // bounds must be numeric literals (they come from a prior 1-row agg).
+    ("graft_zorder_key", graft.engine.Layout.getClass,
+      (c: Seq[Expression]) => {
+        require(c.length == 6,
+          "graft_zorder_key(x, y, xmin, xmax, ymin, ymax) takes 6 arguments")
+        def bound(e: Expression, name: String): Double = {
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"graft_zorder_key: $name must be a numeric literal")
+          e.eval() match {
+            case n: java.lang.Number => n.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_zorder_key: $name must be numeric, got $other")
+          }
+        }
+        graft.engine.Layout.zorderKeyExpr(c(0), c(1),
+          bound(c(2), "xmin"), bound(c(3), "xmax"),
+          bound(c(4), "ymin"), bound(c(5), "ymax"))
       }))
 }

@@ -26,6 +26,22 @@ class EngineExtraSpec extends SparkSpec {
         |       graft_word_shingles('a b c d', 3) = array('a b c', 'b c d') AS sh_ok
         |""".stripMargin).collect().head
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    // graft_zorder_key (composed expression) must agree with the Column API.
+    import spark.implicits._
+    val df = Seq((0.0, 0.0), (3.0, 7.0), (10.0, 10.0)).toDF("x", "y")
+    val viaSql = df.createOrReplaceTempView("zt")
+    val sqlKeys = spark.sql(
+      "SELECT graft_zorder_key(x, y, 0.0d, 10.0d, 0.0d, 10.0d) AS k FROM zt")
+      .collect().map(_.getLong(0)).toSeq
+    val apiKeys = df.select(graft.engine.Layout.zorderKey(
+        col("x"), col("y"), 0.0, 10.0, 0.0, 10.0).as("k"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(sqlKeys == apiKeys)
+    // non-literal bounds must be rejected, not silently mis-evaluated
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_zorder_key(x, y, x, 10.0d, 0.0d, 10.0d) FROM zt"))
+    assert(err.getMessage.contains("numeric literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("numeric literal")))
   }
 
   test("ingestRaw copies staged files byte-for-byte into bronze") {
