@@ -311,6 +311,12 @@ class ExtSpec extends SparkSpec {
     assert(cc.size == 11)
   }
 
+  test("connectedComponents handles an empty edge set (observe sum is null)") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.ext.Graph.connectedComponents(edges).count() == 0L)
+  }
+
   test("redactPii replaces every email/phone occurrence and nothing else") {
     import spark.implicits._
     val rows = Seq(
