@@ -1042,6 +1042,31 @@ object SparkEntry {
           sum(col("k")).as("k_sum"),
           min(col("k")).as("k_min"),
           max(col("k")).as("k_max"))
+    },
+
+    // File-level data skipping (engine.Skipping): z-order-cluster a lineitem
+    // copy, record per-file min/max stats, then answer a range scan opening
+    // only files the stats can't rule out. The pruned read must equal the
+    // plain filtered scan — that equivalence is the oracle; the fact that
+    // files actually get skipped is SkippingSpec's assertion. Like q56, the
+    // rewritten copy is aggregated eagerly and deleted before returning.
+    "q68_stats_pruned_scan" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-skip-").toString
+      try {
+        graft.engine.Layout.zorderBy(li, "l_orderkey", "l_partkey", 8)
+          .write.mode("overwrite").parquet(s"$tmp/t")
+        graft.engine.Skipping.writeStats(s, s"$tmp/t", Seq("l_orderkey", "l_partkey"))
+        val r = graft.engine.Skipping.readRange(s, s"$tmp/t", "l_orderkey", 1000L, 3000L)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+          .collect().head
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1))).toDF("n_rows", "price_cents")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
     }
   )
 
@@ -1810,6 +1835,11 @@ object SparkEntry {
       """SELECT count(*) AS n_rows,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
         |FROM lineitem WHERE l_orderkey <= 2000 AND l_partkey <= 400""".stripMargin,
+
+    "q68_stats_pruned_scan" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000""".stripMargin,
 
     "q57_approx_percentile" ->
       """SELECT o_orderpriority, count(*) AS n, TRUE AS approx_ok

@@ -1,0 +1,78 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level data skipping over plain parquet — the file-pruning half of a
+  * Delta/Iceberg transaction log (see README "Table format" section; the
+  * other half, concurrent-writer commits, is out of scope for the
+  * single-writer medallion layout the reference operates).
+  *
+  * [[writeStats]] makes one distributed pass over a table and records, per
+  * physical file, row count and min/max/null-count for the requested columns
+  * — the same per-file stats a Delta log's `stats` JSON carries. The stats
+  * table is tiny (a few scalars per FILE, independent of row count: a 100 TB
+  * table in 1 GB files is ~100k stats rows) and lands in an
+  * underscore-prefixed subdirectory, which Spark's file listing ignores, so
+  * normal reads of the table are unaffected.
+  *
+  * [[readRange]] prunes driver-side on that metadata — exactly where Spark's
+  * own partition pruning runs — and hands the surviving file list to the
+  * scan. Parquet footer min/max then skips row groups WITHIN each kept file;
+  * this module skips whole files without opening them, which is the win that
+  * matters when most files are irrelevant (clustered layouts: date
+  * partitioning + [[Layout.zorderBy]] make per-file ranges tight, so a
+  * 2-dimensional range predicate keeps O(√nFiles) of them).
+  */
+object Skipping {
+
+  /** Stats subdirectory name. The leading underscore makes Hadoop/Spark file
+    * listings treat it as hidden metadata (same convention as `_SUCCESS`,
+    * Delta's `_delta_log`), so `spark.read.parquet(tablePath)` never sees it. */
+  val StatsDir = "_graft_stats"
+
+  /** One pass over `tablePath`, grouped by physical file: rows, and
+    * min/max/null-count per requested column. Overwrites any prior stats.
+    * Shuffle payload is one row per (file × column set) — metadata-sized. */
+  def writeStats(spark: SparkSession, tablePath: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "writeStats: need at least one column to index")
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    }
+    spark.read.parquet(tablePath)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"), aggs: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tablePath/$StatsDir")
+  }
+
+  /** The stats table written by [[writeStats]]. */
+  def stats(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(s"$tablePath/$StatsDir")
+
+  /** Files whose `[min_c, max_c]` interval intersects `[lo, hi]`. Files where
+    * the column is entirely null have null min/max and are correctly skipped:
+    * a range predicate never matches null. Comparison happens in Spark SQL,
+    * so `lo`/`hi` get the same type coercion the real filter would. */
+  def candidateFiles(spark: SparkSession, tablePath: String, c: String,
+                     lo: Any, hi: Any): Seq[String] =
+    stats(spark, tablePath)
+      .filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+      .select(col("file"))
+      .collect().map(_.getString(0)).toSeq
+
+  /** Range scan that opens only files the stats can't rule out, then applies
+    * the exact predicate (stats pruning is conservative, never authoritative).
+    * An empty candidate list short-circuits to an empty relation with the
+    * table's schema — no file is opened at all. */
+  def readRange(spark: SparkSession, tablePath: String, c: String,
+                lo: Any, hi: Any): DataFrame = {
+    val exact = col(c) >= lit(lo) && col(c) <= lit(hi)
+    val files = candidateFiles(spark, tablePath, c, lo, hi)
+    if (files.isEmpty)
+      spark.read.parquet(tablePath).filter(lit(false)) // schema-only, folds to empty
+    else
+      spark.read.parquet(files: _*).filter(exact)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Layout, Skipping}
+
+/** File-level data-skipping stats: correctness (pruned ≡ full-scan filter),
+  * actual pruning on a clustered layout, null handling, and stats-dir
+  * invisibility to normal reads. */
+class SkippingSpec extends SparkSpec {
+
+  test("readRange equals full-scan filter and actually prunes files on a clustered layout") {
+    import spark.implicits._
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val df = (0L until 10000L).map(i => (i, i % 97, s"v$i")).toDF("k", "d", "v")
+      // Range-clustered on k → tight per-file [min_k, max_k] spans.
+      Layout.zorderBy(df, "k", "d", 8).write.parquet(table)
+      Skipping.writeStats(spark, table, Seq("k", "d"))
+
+      val nFiles = Skipping.stats(spark, table).count()
+      assert(nFiles >= 4, s"expected multiple files, got $nFiles")
+
+      val pruned = Skipping.readRange(spark, table, "k", 100L, 300L)
+      val full = spark.read.parquet(table).filter(col("k") >= 100L && col("k") <= 300L)
+      assert(pruned.sort("k").collect().toSeq == full.sort("k").collect().toSeq)
+
+      val kept = Skipping.candidateFiles(spark, table, "k", 100L, 300L)
+      assert(kept.nonEmpty && kept.size < nFiles,
+        s"no pruning: kept ${kept.size} of $nFiles files for a narrow k-range")
+
+      // Out-of-domain range: zero candidates, empty result, schema preserved.
+      val none = Skipping.readRange(spark, table, "k", 1000000L, 2000000L)
+      assert(none.count() == 0L)
+      assert(none.columns.toSeq == Seq("k", "d", "v"))
+      assert(Skipping.candidateFiles(spark, table, "k", 1000000L, 2000000L).isEmpty)
+    }
+  }
+
+  test("all-null files are skipped for range predicates; nulls_ counts recorded") {
+    import spark.implicits._
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val withNulls = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"))
+        .toDF("k", "v")
+      val allNulls = Seq[(java.lang.Long, String)]((null, "x"), (null, "y"))
+        .toDF("k", "v")
+      withNulls.coalesce(1).write.parquet(table)
+      allNulls.coalesce(1).write.mode("append").parquet(table)
+      Skipping.writeStats(spark, table, Seq("k"))
+
+      val st = Skipping.stats(spark, table).sort("nulls_k").collect()
+      assert(st.length == 2)
+      assert(st.map(_.getAs[Long]("nulls_k")).toSeq == Seq(0L, 2L))
+
+      // The all-null file can never satisfy a range predicate — skipped.
+      val kept = Skipping.candidateFiles(spark, table, "k", 0L, 10L)
+      assert(kept.size == 1)
+      assert(Skipping.readRange(spark, table, "k", 0L, 10L).count() == 2L)
+    }
+  }
+
+  test("stats dir is invisible to normal table reads") {
+    import spark.implicits._
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      (0 until 100).map(i => (i, s"r$i")).toDF("k", "v").write.parquet(table)
+      val before = spark.read.parquet(table).count()
+      Skipping.writeStats(spark, table, Seq("k"))
+      assert(spark.read.parquet(table).count() == before,
+        "_graft_stats leaked into the table's own file listing")
+    }
+  }
+}
