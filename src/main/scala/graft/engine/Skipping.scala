@@ -67,9 +67,25 @@ object Skipping {
     * An empty candidate list short-circuits to an empty relation with the
     * table's schema — no file is opened at all. */
   def readRange(spark: SparkSession, tablePath: String, c: String,
-                lo: Any, hi: Any): DataFrame = {
-    val exact = col(c) >= lit(lo) && col(c) <= lit(hi)
-    val files = candidateFiles(spark, tablePath, c, lo, hi)
+                lo: Any, hi: Any): DataFrame =
+    readRanges(spark, tablePath, Seq((c, lo, hi)))
+
+  /** Conjunctive multi-column range scan: a file survives only if EVERY
+    * `(column, lo, hi)` interval intersects its stats. This is where z-order
+    * clustering pays off — [[Layout.zorderBy]] bounds BOTH clustered columns'
+    * span per file, so a 2-D predicate over the curve keeps O(√nFiles) files
+    * where a 1-D sort would keep all of them for the second column. */
+  def readRanges(spark: SparkSession, tablePath: String,
+                 ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "readRanges: need at least one (column, lo, hi)")
+    val keep = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    val files = stats(spark, tablePath).filter(keep)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val exact = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
     if (files.isEmpty)
       spark.read.parquet(tablePath).filter(lit(false)) // schema-only, folds to empty
     else

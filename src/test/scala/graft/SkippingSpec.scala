@@ -34,6 +34,15 @@ class SkippingSpec extends SparkSpec {
       assert(none.count() == 0L)
       assert(none.columns.toSeq == Seq("k", "d", "v"))
       assert(Skipping.candidateFiles(spark, table, "k", 1000000L, 2000000L).isEmpty)
+
+      // 2-D conjunctive pruning over the z-order curve: equals the full
+      // filter, and the intersection keeps no more files than either
+      // single-column candidate set.
+      val ranges = Seq[(String, Any, Any)](("k", 100L, 3000L), ("d", 10L, 30L))
+      val pruned2 = Skipping.readRanges(spark, table, ranges)
+      val full2 = spark.read.parquet(table)
+        .filter(col("k").between(100L, 3000L) && col("d").between(10L, 30L))
+      assert(pruned2.sort("k").collect().toSeq == full2.sort("k").collect().toSeq)
     }
   }
 
