@@ -28,7 +28,13 @@ object Skipping {
 
   /** Stats subdirectory name. The leading underscore makes Hadoop/Spark file
     * listings treat it as hidden metadata (same convention as `_SUCCESS`,
-    * Delta's `_delta_log`), so `spark.read.parquet(tablePath)` never sees it. */
+    * Delta's `_delta_log`), so `spark.read.parquet(tablePath)` never sees it.
+    *
+    * Stats are a snapshot of the file set at [[writeStats]] time: any rewrite
+    * of the table (compaction, z-order re-clustering, appends) must re-run
+    * [[writeStats]] — exactly as a Delta log rewrites its stats on OPTIMIZE.
+    * Pruning against stale stats is detected, not silent: a manifest file
+    * that no longer exists fails the scan loudly. */
   val StatsDir = "_graft_stats"
 
   /** One pass over `tablePath`, grouped by physical file: rows, and
@@ -69,6 +75,19 @@ object Skipping {
   def readRange(spark: SparkSession, tablePath: String, c: String,
                 lo: Any, hi: Any): DataFrame =
     readRanges(spark, tablePath, Seq((c, lo, hi)))
+
+  /** `col IS NULL` scan using the recorded null counts: only files with at
+    * least one null in `c` are opened. The mirror of range pruning — range
+    * predicates skip all-null files, null-seeking reads skip no-null files. */
+  def readNulls(spark: SparkSession, tablePath: String, c: String): DataFrame = {
+    val files = stats(spark, tablePath)
+      .filter(col(s"nulls_$c") > 0L)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    if (files.isEmpty)
+      spark.read.parquet(tablePath).filter(lit(false))
+    else
+      spark.read.parquet(files: _*).filter(col(c).isNull)
+  }
 
   /** Conjunctive multi-column range scan: a file survives only if EVERY
     * `(column, lo, hi)` interval intersects its stats. This is where z-order

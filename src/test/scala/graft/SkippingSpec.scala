@@ -66,6 +66,11 @@ class SkippingSpec extends SparkSpec {
       val kept = Skipping.candidateFiles(spark, table, "k", 0L, 10L)
       assert(kept.size == 1)
       assert(Skipping.readRange(spark, table, "k", 0L, 10L).count() == 2L)
+
+      // Null-seeking read: only the file that HAS nulls is opened.
+      val nulls = Skipping.readNulls(spark, table, "k")
+      assert(nulls.count() == 2L)
+      assert(nulls.select("v").collect().map(_.getString(0)).toSet == Set("x", "y"))
     }
   }
 
