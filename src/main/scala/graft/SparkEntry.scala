@@ -1058,9 +1058,12 @@ object SparkEntry {
         graft.engine.Layout.zorderBy(li, "l_orderkey", "l_partkey", 8)
           .write.mode("overwrite").parquet(s"$tmp/t")
         graft.engine.Skipping.writeStats(s, s"$tmp/t", Seq("l_orderkey", "l_partkey"))
+        // coalesce: SUM over zero matching rows is null on both engines; pin
+        // it to 0 here AND in the oracle so a smaller fixture can't NPE this.
         val r = graft.engine.Skipping.readRange(s, s"$tmp/t", "l_orderkey", 1000L, 3000L)
           .agg(count(lit(1)).as("n_rows"),
-            sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+            coalesce(sum(round(col("l_extendedprice") * 100).cast("long")), lit(0L))
+              .as("price_cents"))
           .collect().head
         import s.implicits._
         Seq((r.getLong(0), r.getLong(1))).toDF("n_rows", "price_cents")
@@ -1838,7 +1841,7 @@ object SparkEntry {
 
     "q68_stats_pruned_scan" ->
       """SELECT count(*) AS n_rows,
-        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |       CAST(COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT) AS price_cents
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000""".stripMargin,
 
     "q57_approx_percentile" ->

@@ -33,9 +33,47 @@ object Skipping {
     * Stats are a snapshot of the file set at [[writeStats]] time: any rewrite
     * of the table (compaction, z-order re-clustering, appends) must re-run
     * [[writeStats]] — exactly as a Delta log rewrites its stats on OPTIMIZE.
-    * Pruning against stale stats is detected, not silent: a manifest file
-    * that no longer exists fails the scan loudly. */
+    * Pruning against stale stats is detected, not silent, in BOTH directions:
+    * every pruned read first compares the stats manifest's file set against
+    * the table's current listing (driver-side metadata, no data read) and
+    * fails loudly on any added OR removed file — without the check, files
+    * appended after [[writeStats]] would be silently omitted from results. */
   val StatsDir = "_graft_stats"
+
+  /** `input_file_name()` (and `DataFrame.inputFiles`) return URL-encoded
+    * URIs — a path with a space arrives as `file:...%20...`. Everything
+    * driver-side (freshness compare, handing paths back to
+    * `spark.read.parquet`) works in DECODED path space so encoded and raw
+    * spellings of the same file can never alias apart. Non-URI strings pass
+    * through untouched. */
+  private def decodePath(uri: String): String =
+    try {
+      val p = new java.net.URI(uri).getPath
+      if (p == null || p.isEmpty) uri else p
+    } catch { case _: java.net.URISyntaxException => uri }
+
+  /** Loads the stats table once, verifies the recorded file set still equals
+    * the table's current listing, and returns the decoded paths of files the
+    * `keep` predicate can't rule out. A null predicate result (all-null
+    * min/max stats against a range) counts as "ruled out" — a range predicate
+    * never matches null. */
+  private def prunedFiles(spark: SparkSession, tablePath: String,
+                          keep: org.apache.spark.sql.Column): Seq[String] = {
+    val rows = stats(spark, tablePath)
+      .select(col("file"), coalesce(keep, lit(false)).as("keep"))
+      .collect()
+    val recorded = rows.map(r => decodePath(r.getString(0))).toSet
+    val current = spark.read.parquet(tablePath).inputFiles.map(decodePath).toSet
+    if (recorded != current) {
+      val added = current -- recorded
+      val removed = recorded -- current
+      throw new IllegalStateException(
+        s"Skipping: stats under $tablePath/$StatsDir are stale — " +
+          s"${added.size} file(s) added and ${removed.size} removed since writeStats " +
+          s"(e.g. ${(added ++ removed).take(3).mkString(", ")}); re-run writeStats")
+    }
+    rows.filter(_.getBoolean(1)).map(r => decodePath(r.getString(0))).toSeq
+  }
 
   /** One pass over `tablePath`, grouped by physical file: rows, and
     * min/max/null-count per requested column. Overwrites any prior stats.
@@ -63,10 +101,7 @@ object Skipping {
     * so `lo`/`hi` get the same type coercion the real filter would. */
   def candidateFiles(spark: SparkSession, tablePath: String, c: String,
                      lo: Any, hi: Any): Seq[String] =
-    stats(spark, tablePath)
-      .filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
-      .select(col("file"))
-      .collect().map(_.getString(0)).toSeq
+    prunedFiles(spark, tablePath, col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
 
   /** Range scan that opens only files the stats can't rule out, then applies
     * the exact predicate (stats pruning is conservative, never authoritative).
@@ -80,9 +115,7 @@ object Skipping {
     * least one null in `c` are opened. The mirror of range pruning — range
     * predicates skip all-null files, null-seeking reads skip no-null files. */
   def readNulls(spark: SparkSession, tablePath: String, c: String): DataFrame = {
-    val files = stats(spark, tablePath)
-      .filter(col(s"nulls_$c") > 0L)
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val files = prunedFiles(spark, tablePath, col(s"nulls_$c") > 0L)
     if (files.isEmpty)
       spark.read.parquet(tablePath).filter(lit(false))
     else
@@ -100,8 +133,7 @@ object Skipping {
     val keep = ranges.map { case (c, lo, hi) =>
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
-    val files = stats(spark, tablePath).filter(keep)
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val files = prunedFiles(spark, tablePath, keep)
     val exact = ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)

@@ -72,7 +72,14 @@ object Graph {
         .select(col("id"), col("component"))
         .persist(level)
       next.count() // materializes `next` AND completes the observation
-      val changed = obs.get.getOrElse("changed", null) match {
+      // A MISSING metric must fail loudly: treating it as 0 would declare
+      // convergence after one round and return wrong components. Only an
+      // explicitly-null value (SUM over the empty relation) legitimately
+      // means "nothing changed".
+      val metrics = obs.get
+      require(metrics.contains("changed"),
+        s"connectedComponents: observation cc_round_$iter surfaced no 'changed' metric (got keys ${metrics.keys.mkString(",")})")
+      val changed = metrics("changed") match {
         case null => 0L // empty graph: sum over zero rows is null
         case l: java.lang.Long => l.longValue()
         case other => other.toString.toLong

@@ -74,6 +74,53 @@ class SkippingSpec extends SparkSpec {
     }
   }
 
+  test("appending files after writeStats fails pruned reads loudly") {
+    import spark.implicits._
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      (0 until 100).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+        .coalesce(1).write.parquet(table)
+      Skipping.writeStats(spark, table, Seq("k"))
+      assert(Skipping.readRange(spark, table, "k", 0L, 10L).count() == 11L)
+
+      // New rows land in a file the stats never saw: without the freshness
+      // check the pruned read would silently omit them.
+      Seq((5L, "late")).toDF("k", "v").coalesce(1).write.mode("append").parquet(table)
+      val ex = intercept[IllegalStateException] {
+        Skipping.readRange(spark, table, "k", 0L, 10L).count()
+      }
+      assert(ex.getMessage.contains("stale"))
+      assert(intercept[IllegalStateException] {
+        Skipping.readNulls(spark, table, "k").count()
+      }.getMessage.contains("stale"))
+
+      // Re-running writeStats repairs the manifest.
+      Skipping.writeStats(spark, table, Seq("k"))
+      assert(Skipping.readRange(spark, table, "k", 0L, 10L).count() == 12L)
+    }
+  }
+
+  test("table paths with URL-encodable characters round-trip through the stats") {
+    import spark.implicits._
+    withTempDir { dir =>
+      // input_file_name() returns a URL-encoded URI ("%20" for the space);
+      // pruning must decode before comparing listings / re-opening files.
+      val table = s"$dir/with space/t"
+      (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(4, col("k")).write.parquet(table)
+      Skipping.writeStats(spark, table, Seq("k"))
+
+      val nFiles = Skipping.stats(spark, table).count()
+      val kept = Skipping.candidateFiles(spark, table, "k", 0L, 100L)
+      assert(kept.nonEmpty && kept.size < nFiles,
+        s"no pruning under encoded path: kept ${kept.size} of $nFiles")
+      assert(kept.forall(f => f.contains("with space") && !f.contains("%20")),
+        s"candidate paths must be decoded, got: ${kept.take(2).mkString(", ")}")
+      val pruned = Skipping.readRange(spark, table, "k", 0L, 100L)
+      assert(pruned.count() == 101L)
+    }
+  }
+
   test("stats dir is invisible to normal table reads") {
     import spark.implicits._
     withTempDir { dir =>
