@@ -133,7 +133,7 @@ object SparkEntry {
 
   /** documents ∪ a perturbed copy (first word dropped, id + 100000) — plants known
     * near-duplicates so LSH/SimHash queries return non-trivial, deterministic rows. */
-  private def docsWithPlantedNearDups(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithPlantedNearDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
     docs.unionByName(docs.select(
       (col("doc_id") + 100000).as("doc_id"),

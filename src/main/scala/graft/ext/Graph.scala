@@ -42,15 +42,35 @@ object Graph {
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = edges.select(explode(array(
+    val spark = edges.sparkSession
+    // Plan-truncating rebind. persist() short-circuits EXECUTION but leaves the
+    // full LOGICAL plan in place, so round N's tree would embed the entire
+    // edge-producing pipeline (for q65: the whole MinHash candidate+verify
+    // plan, thousands of expression nodes) ~2^N times — and
+    // analysis/canonicalization, which runs over the whole tree on every
+    // action, doubles in cost per round. Measured on the q65 pipeline: rounds
+    // went 4.8s → 10.1s while touching only ~12k cached rows; with the rebind
+    // each round is <1s. createDataFrame(df.rdd, schema) wraps the *physical*
+    // RDD (which still reads the persisted blocks, and can still recompute
+    // from RDD lineage if evicted) in a constant-size LogicalRDD plan.
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val symC = edges.select(explode(array(
         struct(col(idA).as("src"), col(idB).as("dst")),
         struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(level)
-    var labels = sym.select(col("src").as("id")).distinct()
+    // Materialize eagerly: folding the (possibly expensive) upstream build
+    // into round 0's join job serializes cache construction behind the join's
+    // stage scheduling — measured 5-10× slower than giving it its own job.
+    symC.count()
+    val sym = truncated(symC)
+    var labelsC = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .persist(level)
+    labelsC.count()
+    var labels = truncated(labelsC)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -84,12 +104,13 @@ object Graph {
         case l: java.lang.Long => l.longValue()
         case other => other.toString.toLong
       }
-      labels.unpersist(blocking = false)
-      labels = next
+      labelsC.unpersist(blocking = false)
+      labelsC = next
+      labels = truncated(next)
       converged = changed == 0L
       iter += 1
     }
-    sym.unpersist(blocking = false)
+    symC.unpersist(blocking = false)
     labels
   }
 }
