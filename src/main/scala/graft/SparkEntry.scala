@@ -1070,6 +1070,104 @@ object SparkEntry {
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
+    },
+
+    // Sequence packing (ext.Packing): route documents to hash buckets, pack
+    // each bucket's id-ordered stream into 256-token bins by running total,
+    // report per-bucket fill. One shuffle on the bucket key; the oracle
+    // replays the identical window arithmetic.
+    "q69_sequence_packing" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val packed = graft.ext.Packing.packByBudget(docs, col("doc_id"),
+        graft.ext.TextAnalysis.tokenCount(col("text")), budget = 256, buckets = 8)
+      graft.ext.Packing.binFill(packed)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("bin_tokens")).as("total_tokens"),
+          max(col("bin_tokens")).as("max_bin_tokens"))
+    },
+
+    // Incremental corpus dedup: a NEW batch (perturbed near-dup copies of
+    // every 10th doc, exact copies of every 7th≡3 doc) deduped AGAINST the
+    // existing corpus via the cross-set band join — candidates ∝ batch, the
+    // growing-corpus shape. Output: per batch doc, how many corpus docs it
+    // near-duplicates and the best Jaccard.
+    "q70_cross_corpus_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      Dedup.crossCorpusNearDuplicatesPortable(docs, batch, threshold = 0.5)
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_jaccard"))
+    },
+
+    // Gopher-style repetition signals: duplicate-word mass and top-word
+    // dominance per document, thresholded in EXACT integer arithmetic
+    // (dup fraction > 1/5 ⟺ (n_words − n_distinct)·5 > n_words) so the
+    // flagged sets match across engines bit-for-bit.
+    "q71_repetition_quality" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      graft.ext.TextAnalysis.repetitionStats(docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when((col("n_words") - col("n_distinct_words")) * 5 > col("n_words"), 1L)
+            .otherwise(0L)).as("n_repetitive"),
+          sum(when(col("top_word_count") * 10 > col("n_words"), 1L)
+            .otherwise(0L)).as("n_top_heavy"),
+          sum(col("top_word_count")).as("top_count_sum"))
+    },
+
+    // Balanced (temperature-flattened) sampling: ~50 docs per language in
+    // expectation, whatever each language's raw share — the α→0 temperature
+    // limit with an integer-exact keep rule. The id checksum proves the SAME
+    // rows were kept in both engines.
+    "q72_balanced_sample" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ext.Sampling.balancedSample(docs, col("lang"), col("doc_id"), target = 50)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
+    },
+
+    // Data profiling (engine.Profile): null/distinct/min/max per column in
+    // ONE pass (multi-count-distinct via Expand, then stack to long format).
+    // Only exactly-mirrorable column types go through the oracle; date/float
+    // profiling rides ProfileSpec.
+    "q73_profile_table" -> { (s, dir) =>
+      graft.engine.Profile.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    },
+
+    // Bloom point lookup (engine.Skipping.writeBloomIndex/readPoint): the
+    // needle query — files clustered by ship date, probed by a high-
+    // cardinality UNCLUSTERED key that min/max stats cannot prune. Bloom
+    // pruning assertions live in SkippingSpec; the oracle is result
+    // equivalence with the plain filtered scan (coalesce-0 keeps the probe
+    // key's absence at larger SFs well-defined).
+    "q74_bloom_point_lookup" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("uniq_key"),
+        col("l_shipdate"), col("l_extendedprice"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bloom-").toString
+      try {
+        li.repartitionByRange(8, col("l_shipdate"))
+          .write.mode("overwrite").parquet(s"$tmp/t")
+        graft.engine.Skipping.writeBloomIndex(s, s"$tmp/t", "uniq_key",
+          expectedItemsPerFile = 100000)
+        val r = graft.engine.Skipping.readPoint(s, s"$tmp/t", "uniq_key", 1001L)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(round(col("l_extendedprice") * 100).cast("long")), lit(0L))
+              .as("price_cents"))
+          .collect().head
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1))).toDF("n_rows", "price_cents")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
     }
   )
 
@@ -1146,6 +1244,46 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** Cross-corpus mirror of [[graft.ext.Dedup.crossCorpusNearDuplicatesPortable]]:
+    * callers supply CTEs defining `corpusc` and `batchc` (doc_id, text); the
+    * builder adds per-side shingles → signatures → band keys, the CROSS-SET
+    * candidate join, and `cpairs` (corpus_id, batch_id, jaccard) — all from the
+    * same Scala constants the Spark plan uses. */
+  private def minhashCrossCtes(corpusCte: String, batchCte: String): String = {
+    val p = graft.ext.PortableHash.P
+    val cs = graft.ext.PortableHash.coeffs(Dedup.PortableNumHashes, Dedup.PortableSeed)
+    val rows = Dedup.PortableNumHashes / Dedup.PortableBands
+    val sigTerms = cs.map { case (a, b) =>
+      s"list_min([($a * h + $b) % $p for h in hp])"
+    }.mkString("[\n         ", ",\n         ", "]")
+    def side(name: String, src: String) =
+      s"""sh_$name AS (
+         |  SELECT doc_id, ${gramsSql("text")} AS grams FROM $src
+         |), hs_$name AS (
+         |  SELECT doc_id, grams, [${h60Sql("g")} % $p for g in grams] AS hp FROM sh_$name
+         |), sig_$name AS (
+         |  SELECT doc_id, $sigTerms AS sig FROM hs_$name
+         |), bands_$name AS (
+         |  SELECT doc_id, t.band_idx, ${bandFoldSql(rows)} AS band_key
+         |  FROM sig_$name, (SELECT unnest(range(0, ${Dedup.PortableBands})) AS band_idx) t
+         |)""".stripMargin
+    s"""$corpusCte,
+       |$batchCte,
+       |${side("c", "corpusc")},
+       |${side("b", "batchc")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS batch_id
+       |  FROM bands_c a JOIN bands_b b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |), cpairs AS (
+       |  SELECT corpus_id, batch_id,
+       |         ROUND(CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+       |               / len(list_distinct(list_concat(sa.grams, sb.grams))), 6) AS jaccard
+       |  FROM cand JOIN sh_c sa ON sa.doc_id = cand.corpus_id
+       |            JOIN sh_b sb ON sb.doc_id = cand.batch_id
+       |)""".stripMargin
+  }
+
   /** Portable SimHash pipeline mirror: 60-bit signatures from token hashes,
     * 4×15-bit block candidates, Hamming verify. */
   private def simhashPairsSql: String = {
@@ -1199,6 +1337,79 @@ object SparkEntry {
   /** DuckDB oracle SQL, one per SQL-expressible query; column aliases match the
     * Spark results exactly (driver hashes after sorting columns by name). */
   def oracleSql: Map[String, String] = Map(
+
+    "q69_sequence_packing" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS tokens,
+         |         ${h60Sql(s"'${graft.ext.Packing.PackSalt}' || ':' || CAST(doc_id AS VARCHAR)")} % 8 AS bucket
+         |  FROM documents),
+         |r AS (
+         |  SELECT bucket, tokens,
+         |         SUM(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         |  FROM d),
+         |f AS (
+         |  SELECT bucket, (running - tokens) // 256 AS bin,
+         |         COUNT(*) AS n_docs, SUM(tokens) AS bin_tokens
+         |  FROM r GROUP BY 1, 2)
+         |SELECT bucket, COUNT(*) AS n_bins, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |       CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens
+         |FROM f GROUP BY 1""".stripMargin,
+
+    "q70_cross_corpus_dedup" ->
+      s"""WITH ${minhashCrossCtes(
+             "corpusc AS (SELECT doc_id, text FROM documents)",
+             """batchc AS (
+               |  SELECT doc_id + 200000 AS doc_id, regexp_replace(text, '^\S+\s*', '') AS text
+               |  FROM documents WHERE doc_id % 10 = 0
+               |  UNION ALL
+               |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 7 = 3)""".stripMargin)}
+         |SELECT batch_id, COUNT(*) AS n_matches, MAX(jaccard) AS best_jaccard
+         |FROM cpairs WHERE jaccard >= 0.5 GROUP BY 1""".stripMargin,
+
+    "q71_repetition_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+        |st AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |         COUNT(*) AS n_distinct_words, CAST(MAX(c) AS BIGINT) AS top_word_count
+        |  FROM c GROUP BY 1)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN (n_words - n_distinct_words) * 5 > n_words
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+        |       CAST(SUM(CASE WHEN top_word_count * 10 > n_words
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_top_heavy,
+        |       CAST(SUM(top_word_count) AS BIGINT) AS top_count_sum
+        |FROM st JOIN documents USING (doc_id) GROUP BY 1""".stripMargin,
+
+    "q72_balanced_sample" ->
+      s"""SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM (
+         |  SELECT lang, doc_id,
+         |         ${h60Sql(s"'${graft.ext.Sampling.SampleSalt}' || ':' || CAST(doc_id AS VARCHAR)")} % 1048576 AS h,
+         |         COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents)
+         |WHERE h * n < 50 * 1048576
+         |GROUP BY 1""".stripMargin,
+
+    "q73_profile_table" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |       COUNT(DISTINCT $c) AS n_distinct,
+           |       CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+
+    "q74_bloom_point_lookup" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT) AS price_cents
+        |FROM lineitem WHERE l_orderkey * 10 + l_linenumber = 1001""".stripMargin,
 
     "q24_minhash_neardup" ->
       s"""WITH $minhashPairsCtes

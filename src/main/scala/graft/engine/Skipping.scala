@@ -52,6 +52,22 @@ object Skipping {
       if (p == null || p.isEmpty) uri else p
     } catch { case _: java.net.URISyntaxException => uri }
 
+  /** Fails loudly if `recorded` (a stats/index manifest's file set) no longer
+    * equals the table's current listing — the append/rewrite staleness guard
+    * shared by every pruned read. Driver-side metadata only, no data read. */
+  private def requireFresh(spark: SparkSession, tablePath: String,
+                           recorded: Set[String], manifest: String): Unit = {
+    val current = spark.read.parquet(tablePath).inputFiles.map(decodePath).toSet
+    if (recorded != current) {
+      val added = current -- recorded
+      val removed = recorded -- current
+      throw new IllegalStateException(
+        s"Skipping: $manifest under $tablePath is stale — " +
+          s"${added.size} file(s) added and ${removed.size} removed since it was written " +
+          s"(e.g. ${(added ++ removed).take(3).mkString(", ")}); re-run the index build")
+    }
+  }
+
   /** Loads the stats table once, verifies the recorded file set still equals
     * the table's current listing, and returns the decoded paths of files the
     * `keep` predicate can't rule out. A null predicate result (all-null
@@ -62,16 +78,7 @@ object Skipping {
     val rows = stats(spark, tablePath)
       .select(col("file"), coalesce(keep, lit(false)).as("keep"))
       .collect()
-    val recorded = rows.map(r => decodePath(r.getString(0))).toSet
-    val current = spark.read.parquet(tablePath).inputFiles.map(decodePath).toSet
-    if (recorded != current) {
-      val added = current -- recorded
-      val removed = recorded -- current
-      throw new IllegalStateException(
-        s"Skipping: stats under $tablePath/$StatsDir are stale — " +
-          s"${added.size} file(s) added and ${removed.size} removed since writeStats " +
-          s"(e.g. ${(added ++ removed).take(3).mkString(", ")}); re-run writeStats")
-    }
+    requireFresh(spark, tablePath, rows.map(r => decodePath(r.getString(0))).toSet, StatsDir)
     rows.filter(_.getBoolean(1)).map(r => decodePath(r.getString(0))).toSeq
   }
 
@@ -141,5 +148,55 @@ object Skipping {
       spark.read.parquet(tablePath).filter(lit(false)) // schema-only, folds to empty
     else
       spark.read.parquet(files: _*).filter(exact)
+  }
+
+  /** Bloom index directory for column `c` (underscore-hidden, like
+    * [[StatsDir]]). */
+  def bloomDir(c: String): String = s"_graft_bloom_$c"
+
+  /** Per-file bloom index over column `c` — the point-lookup complement to
+    * [[writeStats]]' min/max ranges. Min/max pruning needs the column
+    * CLUSTERED (each file spans a narrow range); a bloom answers "is this
+    * exact key in this file?" for a HIGH-CARDINALITY, UNCLUSTERED column —
+    * the needle-in-100TB lookup (find one document id, one order, one user)
+    * where every file's min/max straddles the probe and range stats keep
+    * everything. Same idea as Delta/Iceberg optional bloom column indexes.
+    *
+    * One distributed pass: keys are `xxhash64`-hashed in the scan, the
+    * grouped [[graft.functions.BloomAggregator]] ORs partial sketches
+    * map-side, and the index lands as one row of `(file, bloom)` bytes per
+    * data file — `expectedItemsPerFile` sizes each sketch (~1.2 KB per 1k
+    * items at fpp 0.01), so the whole index stays metadata-sized. */
+  def writeBloomIndex(spark: SparkSession, tablePath: String, c: String,
+                      expectedItemsPerFile: Long, fpp: Double = 0.01): Unit = {
+    val agg = graft.functions.BloomAggregator.bloomAgg(expectedItemsPerFile, fpp)
+    spark.read.parquet(tablePath)
+      .groupBy(input_file_name().as("file"))
+      .agg(agg(xxhash64(col(c))).as("bloom"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tablePath/${bloomDir(c)}")
+  }
+
+  /** Point lookup `c = value` opening only files whose bloom might contain
+    * the key. The probe value is cast to the table's column type before
+    * hashing so build and probe hash identical bytes (an int literal against
+    * a bigint column would otherwise xxhash differently). False positives
+    * open a file and find nothing; the exact filter keeps the result
+    * correct. Same staleness guard as the range reads. */
+  def readPoint(spark: SparkSession, tablePath: String, c: String, value: Any): DataFrame = {
+    val idx = spark.read.parquet(s"$tablePath/${bloomDir(c)}")
+      .select(col("file"), col("bloom")).collect()
+    requireFresh(spark, tablePath, idx.map(r => decodePath(r.getString(0))).toSet, bloomDir(c))
+    val colType = spark.read.parquet(tablePath).schema(c).dataType
+    val hashed = spark.range(1)
+      .select(xxhash64(lit(value).cast(colType)).as("h")).head().getLong(0)
+    val files = idx
+      .filter(r => graft.functions.BloomAggregator.fromBytes(
+        r.getAs[Array[Byte]]("bloom")).mightContainLong(hashed))
+      .map(r => decodePath(r.getString(0))).toSeq
+    if (files.isEmpty)
+      spark.read.parquet(tablePath).filter(lit(false))
+    else
+      spark.read.parquet(files: _*).filter(col(c) === lit(value).cast(colType))
   }
 }

@@ -297,6 +297,46 @@ object Dedup {
       .agg(count(lit(1)).as("n_bench_hits"), max("overlap").as("max_overlap"))
   }
 
+  /** Incremental (cross-corpus) near-dedup: find the NEW-batch documents that
+    * are near-duplicates of an EXISTING corpus — the shape every growing
+    * training corpus needs (each crawl/delivery is deduped against what is
+    * already kept, without re-deduping the corpus against itself).
+    *
+    * Same portable MinHash machinery as [[minhashNearDuplicatesPortable]],
+    * but the band-bucket join is CROSS-SET (corpus bands × batch bands), so
+    * candidate count ∝ |batch|'s collisions, not |corpus|²: the corpus side
+    * contributes one scan for signatures and the equi-join. At scale the
+    * corpus band table is the thing to precompute and store sorted/bucketed
+    * by band key, making each new batch an append-only probe — this function
+    * takes the two corpora as DataFrames so callers can pass exactly that
+    * persisted band table workflow through it.
+    *
+    * Returns (corpus_id, batch_id, jaccard) with jaccard ≥ `threshold`; ids
+    * come from the two sides' own `idCol` and may overlap numerically (they
+    * are different namespaces). */
+  def crossCorpusNearDuplicatesPortable(corpus: DataFrame, batch: DataFrame,
+                                        threshold: Double,
+                                        idCol: String = "doc_id", textCol: String = "text",
+                                        k: Int = 3, numHashes: Int = PortableNumHashes,
+                                        bands: Int = PortableBands,
+                                        seed: Long = PortableSeed): DataFrame = {
+    val shC = shingleSets(corpus, k, idCol, textCol)
+    val shB = shingleSets(batch, k, idCol, textCol)
+    def buckets(sh: DataFrame) =
+      minhashSignaturesPortable(sh, numHashes, seed, idCol).select(col(idCol),
+        posexplode(bandKeys(col("sig"), numHashes, bands)).as(Seq("band", "band_key")))
+    val pairs = buckets(shC).as("a").join(buckets(shB).as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key"))
+      .select(col(s"a.$idCol").as("corpus_id"), col(s"b.$idCol").as("batch_id"))
+      .distinct()
+    pairs
+      .join(shC.select(col(idCol).as("corpus_id"), col("sh").as("sh_a")), "corpus_id")
+      .join(shB.select(col(idCol).as("batch_id"), col("sh").as("sh_b")), "batch_id")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .select("corpus_id", "batch_id", "jaccard")
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** [[removeNearDuplicates]] on the portable family (keep-lowest-id policy). */
   def removeNearDuplicatesPortable(docs: DataFrame, threshold: Double,
                                    idCol: String = "doc_id", textCol: String = "text",

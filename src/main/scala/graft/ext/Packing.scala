@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training-data preparation: assign documents to
+  * fixed token-budget bins ("sequences") so a downstream trainer reads full
+  * sequences instead of one padded sequence per document.
+  *
+  * True first-fit bin packing is inherently sequential; the distributed,
+  * deterministic formulation used here (and in practice by corpus-prep
+  * pipelines) is BUCKETED RUNNING-TOTAL packing:
+  *
+  *   1. route each document to one of `buckets` streams by a deterministic
+  *      hash of its id (portable [[PortableHash]] family, so an independent
+  *      SQL engine routes identically);
+  *   2. within a bucket, order documents by id (a total order — ids are
+  *      unique) and take the running token total;
+  *   3. bin index = `(runningTotal − tokens) DIV budget` — a document starts
+  *      a new bin exactly when the previous documents' total has crossed the
+  *      next budget boundary.
+  *
+  * Every step is a window function over the bucket, so the whole operator is
+  * ONE shuffle on the bucket key; buckets are independent, so at corpus scale
+  * parallelism = `buckets` (pick ≥ cluster cores; the per-bucket window state
+  * is a single running sum, and no bucket ever needs another bucket's data —
+  * unlike a global sort, there is no cross-partition carry). A document
+  * larger than `budget` overflows its bin rather than being split — bins are
+  * at least `budget` tokens apart in start offset, and the trainer-side
+  * truncation policy stays downstream.
+  *
+  * Output: the input columns plus (`bucket`, `bin`, `tokens`). Fully
+  * deterministic: a pure function of (id, tokens) — stable under
+  * repartitioning, retries, and engines.
+  */
+object Packing {
+
+  val PackSalt: String = "pack"
+
+  /** Assign each row to a (bucket, bin) with the running-total rule above.
+    * `tokensCol` must be a non-negative integer column (e.g.
+    * [[TextAnalysis.tokenCount]]). */
+  def packByBudget(docs: DataFrame, idCol: Column, tokensCol: Column,
+                   budget: Long, buckets: Int, salt: String = PackSalt): DataFrame = {
+    require(budget > 0, "packByBudget: budget must be positive")
+    require(buckets > 0, "packByBudget: buckets must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("tokens", tokensCol.cast("long"))
+      .withColumn("bucket",
+        pmod(PortableHash.hash60(concat_ws(":", lit(salt), idCol.cast("string"))),
+          lit(buckets.toLong)))
+      .withColumn("__running", sum(col("tokens")).over(w))
+      // Integer DIV keeps the bin index exact for arbitrarily large running
+      // totals (a double division would round above 2^53).
+      .withColumn("bin", expr(s"(__running - tokens) DIV $budget"))
+      .drop("__running")
+  }
+
+  /** Per-bin rollup of a packed corpus: documents and token fill per
+    * (bucket, bin). The fill distribution is the packing-quality metric
+    * (ideal = every bin close to `budget`). */
+  def binFill(packed: DataFrame): DataFrame =
+    packed.groupBy(col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
+}

@@ -61,4 +61,29 @@ object Sampling {
       .filter(col("__rn") <= cap)
       .drop("__rn")
   }
+
+  /** Balanced (temperature-flattened) sampling: keep each row with probability
+    * `min(1, target / n_stratum)`, so every stratum lands ~`target` rows in
+    * expectation regardless of its raw share — the α→0 limit of the
+    * `p_s ∝ count_s^α` temperature-sampling family used to stop a dominant
+    * language/domain from drowning the tail. (Intermediate α needs float
+    * `pow`; this limit keeps the keep decision in exact integer arithmetic:
+    * `(hash60(salt:id) mod 2^20) · n_stratum < target · 2^20`, products
+    * < 2^62 for strata under ~4×10^12 rows, so an independent engine selects
+    * the IDENTICAL rows.)
+    *
+    * Versus [[capPerGroup]] (exact cap, window shuffle over ALL rows): this
+    * is a tiny stratum-count aggregate broadcast back onto a scan-speed
+    * filter — no full-data shuffle, the right trade when "~target in
+    * expectation" is acceptable and the corpus is huge. */
+  def balancedSample(df: DataFrame, stratum: Column, idCol: Column, target: Long,
+                     salt: String = SampleSalt): DataFrame = {
+    require(target >= 0, "balancedSample: target must be non-negative")
+    val counts = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val h = PortableHash.hash60(concat_ws(":", lit(salt), idCol.cast("string")))
+    df.join(broadcast(counts), stratum === col("__stratum"))
+      .filter((h % 1048576L) * col("__n") < lit(target) * 1048576L)
+      .drop("__stratum", "__n")
+  }
 }

@@ -146,6 +146,28 @@ object TextAnalysis {
         Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))))
       .filter(col("rank") <= k)
   }
+
+  /** Per-document word-repetition statistics — the Gopher-style repetition
+    * signals (duplicate-word mass, single-word dominance) that flag
+    * boilerplate, keyword-stuffed, and auto-generated text.
+    *
+    * Output: (idCol, n_words, n_distinct_words, top_word_count) where
+    * `top_word_count` is the frequency of the document's most frequent word.
+    * All three are integers so downstream thresholds can be evaluated
+    * EXACTLY in integer arithmetic ("duplicate fraction > 1/5" ⟺
+    * `(n_words − n_distinct_words) · 5 > n_words`) — no cross-engine float
+    * drift in the kept set.
+    *
+    * Shape: explode → two hash aggregations keyed by (doc, word) then doc —
+    * word-count shuffle economics, map-side combinable, no windows. */
+  def repetitionStats(docs: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("c")).as("top_word_count"))
 }
 
 /** Word k-gram shingling shared by fingerprinting and MinHash dedup. */
