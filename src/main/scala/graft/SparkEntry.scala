@@ -1168,6 +1168,137 @@ object SparkEntry {
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
+    },
+
+    // Snapshot CDC (engine.Cdc.snapshotDiff): row-level insert/delete/update
+    // delta between two published versions of the orders table — one
+    // full-outer key join, output ∝ churn. The two "versions" are derived
+    // deterministically from orders (v_old drops keys ≡0 mod 5; v_new drops
+    // ≡0 mod 7 and bumps every ≡0-mod-3 price by 10).
+    "q75_snapshot_cdc" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val vOld = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      val vNew = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          round(when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 10)
+            .otherwise(col("o_totalprice")) * 100).cast("long").as("price_cents"))
+      graft.engine.Cdc.snapshotDiff(vOld, vNew, Seq("o_orderkey"))
+    },
+
+    // Sub-document boilerplate dedup (Dedup.dropBoilerplateChunks): an
+    // 8-word "terms of service" header is planted on every 4th document;
+    // chunks appearing in > 10 distinct docs are dropped corpus-wide and
+    // each document is re-assembled in original chunk order. Whole-document
+    // dedup can't see this — the documents differ pairwise.
+    "q76_chunk_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("terms of service apply to this page always "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.dropBoilerplateChunks(docs, width = 8, maxDocFreq = 10)
+    },
+
+    // Bigram language-model scoring (TextAnalysis.bigramModelScore): build a
+    // bigram frequency table from the even-id half of the corpus, score each
+    // odd-id document's bigrams against it — the distributed, integer-exact
+    // stand-in for KenLM perplexity filtering.
+    "q77_bigram_lm_score" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      TextAnalysis.bigramModelScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    },
+
+    // Product-quantization ANN (ext.PQ): 64-dim floats → 4 byte-codes, ADC
+    // lookup-table scan, exact re-rank of the top-50 candidates. Like q36
+    // (IVF) the oracle pins the accuracy CONTRACT — 10 results, recall@10
+    // ≥ 0.7 vs exact brute force — so a quantization regression hash-fails.
+    "q78_pq_ann" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      // rerank=200: the ADC candidate pool before exact re-rank. At sf0.1
+      // (5000 vecs) 50 was too tight for the ≥0.7 recall contract — 4-byte
+      // codes blur within-cluster ranking; 200 (4% of the corpus) restores
+      // recall 1.0 at every SF while keeping the exact pass candidate-bound.
+      val books = ext.PQ.train(emb, m = 4, k = 16, iters = 2)
+      val pq = ext.PQ.search(emb, books, queryId = 1, k = 10, rerank = 200)
+      val brute = Similarity.cosineTopK(emb, queryId = 1, k = 10)
+        .select(col("vec_id")).withColumn("__hit", lit(1))
+      pq.select(col("vec_id"))
+        .join(broadcast(brute), Seq("vec_id"), "left_outer")
+        .agg(count(lit(1)).as("n_results"),
+          (sum(coalesce(col("__hit"), lit(0))) >= 7).as("recall_ok"))
+        .select(lit(1L).as("query_id"), col("n_results"), col("recall_ok"))
+    },
+
+    // Declarative expectations (engine.Expectations): four named rules over
+    // events evaluated in ONE scan + aggregate — the DLT/Great-Expectations
+    // shape. pass_rate is float-typed so it rides ExpectationsSpec; the
+    // oracle checks the integer counts.
+    "q79_expectations" -> { (s, dir) =>
+      import graft.engine.Expectations.Rule
+      val ev = eventsTable(s, dir)
+      graft.engine.Expectations.report(ev, Seq(
+          Rule("value_non_negative", col("value") >= 0.0),
+          Rule("value_under_400", col("value") <= 400.0),
+          Rule("known_event_type",
+            col("event_type").isin("click", "view", "purchase", "signup")),
+          Rule("first_half_of_month",
+            col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))))
+        .select(col("rule"), col("rows_checked"), col("violations"))
+    },
+
+    // Deterministic global shuffle + sharding (Sampling.shardForExport):
+    // every document gets a pure-function shard id and sort key; per-shard
+    // counts, bit_xor checksum (overflow-free) and key range prove both
+    // engines dealt the identical permutation.
+    "q80_shard_export" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ext.Sampling.shardForExport(docs, col("doc_id"), numShards = 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          bit_xor(col("sort_key")).as("key_checksum"),
+          min(col("sort_key")).as("min_key"),
+          max(col("sort_key")).as("max_key"))
+    },
+
+    // Versioned-store time travel: three snapshot versions are committed
+    // (base, segment relabel, balance bump) via Merge.upsert into the same
+    // v=<n> layout streamingUpsert writes; the query then reads AS OF
+    // version 1 — while v=2 is the latest — through
+    // Incremental.latestUpsertStateBefore. The oracle replays base+update1
+    // directly, so the time-traveled read must equal the version-1 state.
+    "q81_time_travel" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tt-").toString
+      try {
+        val state = s"$tmp/state"
+        cust.write.mode("overwrite").parquet(s"$state/v=0")
+        val u1 = cust.filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_mktsegment", lit("SEG_V1"))
+        val v0 = graft.engine.Incremental.latestUpsertStateBefore(s, state, 1L).get
+        graft.engine.Merge.upsert(v0, u1, Seq("c_custkey")).drop("merge_action")
+          .write.mode("overwrite").parquet(s"$state/v=1")
+        val u2 = cust.filter(col("c_custkey") % 5 === 0)
+          .withColumn("bal_cents", col("bal_cents") + 777L)
+        val v1 = graft.engine.Incremental.latestUpsertStateBefore(s, state, 2L).get
+        graft.engine.Merge.upsert(v1, u2, Seq("c_custkey")).drop("merge_action")
+          .write.mode("overwrite").parquet(s"$state/v=2")
+        // Aggregate eagerly: the temp state dir is deleted on exit, so the
+        // result must not be a lazy plan over it (q56/q68/q74 discipline).
+        val rows = graft.engine.Incremental.latestUpsertStateBefore(s, state, 2L).get
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("bal_cents")).as("bal_sum_cents"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        import s.implicits._
+        rows.toDF("c_mktsegment", "n", "bal_sum_cents")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
     }
   )
 
@@ -1410,6 +1541,104 @@ object SparkEntry {
       """SELECT COUNT(*) AS n_rows,
         |       CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT) AS price_cents
         |FROM lineitem WHERE l_orderkey * 10 + l_linenumber = 1001""".stripMargin,
+
+    "q75_snapshot_cdc" ->
+      """WITH v_old AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |v_new AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         CAST(ROUND((CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+        |                          ELSE o_totalprice END) * 100) AS BIGINT) AS price_cents
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |            WHEN n.o_orderkey IS NULL THEN 'delete'
+        |            ELSE 'update' END AS change_type,
+        |       o.status AS old_status, o.price_cents AS old_price_cents,
+        |       n.status AS new_status, n.price_cents AS new_price_cents
+        |FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.status <> n.status OR o.price_cents <> n.price_cents""".stripMargin,
+
+    "q76_chunk_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 4 = 0
+        |              THEN 'terms of service apply to this page always ' || text
+        |              ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM d),
+        |c AS (SELECT doc_id,
+        |             [struct_pack(pos := i, chunk := array_to_string(toks[(i*8+1):(i*8+8)], ' '))
+        |              for i in range(0, (len(toks)-1)//8 + 1)] AS pairs
+        |      FROM t),
+        |u AS (SELECT doc_id, unnest(pairs) AS p FROM c),
+        |ch AS (SELECT doc_id, p.pos AS pos, p.chunk AS chunk FROM u),
+        |freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+        |       CAST(SUM(CASE WHEN f.df <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       COALESCE(string_agg(CASE WHEN f.df <= 10 THEN ch.chunk END,
+        |                           ' ' ORDER BY ch.pos), '') AS clean_text
+        |FROM ch JOIN freq f USING (chunk)
+        |GROUP BY 1""".stripMargin,
+
+    "q77_bigram_lm_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |                             THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+        |                             ELSE [] END) AS bg
+        |  FROM tk),
+        |model AS (
+        |  SELECT bg, COUNT(*) AS ref_freq FROM bg WHERE doc_id % 2 = 0 GROUP BY 1)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |       CAST(SUM(CASE WHEN m.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+        |       CAST(SUM(COALESCE(m.ref_freq, 0)) AS BIGINT) AS known_freq_sum
+        |FROM bg b LEFT JOIN model m USING (bg)
+        |WHERE b.doc_id % 2 = 1
+        |GROUP BY 1""".stripMargin,
+
+    // Like q36: PQ hit lists depend on Lloyd centroid floats, so the oracle
+    // pins the accuracy CONTRACT (10 results, recall@10 ≥ 0.7 vs brute force).
+    "q78_pq_ann" ->
+      """SELECT CAST(1 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ok""".stripMargin,
+
+    "q79_expectations" -> {
+      def one(rule: String, failWhen: String) =
+        s"""SELECT '$rule' AS rule, COUNT(*) AS rows_checked,
+           |       CAST(SUM(CASE WHEN $failWhen THEN 1 ELSE 0 END) AS BIGINT) AS violations
+           |FROM events""".stripMargin
+      Seq(
+        one("value_non_negative", "NOT (value >= 0)"),
+        one("value_under_400", "NOT (value <= 400)"),
+        one("known_event_type",
+          "event_type NOT IN ('click', 'view', 'purchase', 'signup')"),
+        one("first_half_of_month", "NOT (ts < TIMESTAMP '2024-01-16 00:00:00')")
+      ).mkString("\nUNION ALL\n")
+    },
+
+    "q80_shard_export" ->
+      s"""WITH h AS (
+         |  SELECT ${h60Sql("'shard' || ':' || CAST(doc_id AS VARCHAR)")} AS k
+         |  FROM documents)
+         |SELECT k % 16 AS shard, COUNT(*) AS n_docs,
+         |       bit_xor(k) AS key_checksum,
+         |       MIN(k) AS min_key, MAX(k) AS max_key
+         |FROM h GROUP BY 1""".stripMargin,
+
+    "q81_time_travel" ->
+      """WITH base AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 3 = 0 THEN 'SEG_V1' ELSE c_mktsegment END AS c_mktsegment,
+        |         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer)
+        |SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(bal_cents) AS BIGINT) AS bal_sum_cents
+        |FROM base GROUP BY 1""".stripMargin,
 
     "q24_minhash_neardup" ->
       s"""WITH $minhashPairsCtes

@@ -435,4 +435,52 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }
+
+  /** Non-overlapping `width`-word chunks of `text`, in order — the
+    * "paragraph" unit for sub-document dedup when a corpus has no hard
+    * paragraph breaks. A trailing remainder shorter than `width` words is its
+    * own chunk, so every word belongs to exactly one chunk. */
+  def textChunks(text: Column, width: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    // Column./ is DOUBLE division — cast back so `sequence` gets integers.
+    transform(sequence(lit(0), ((size(toks) - 1) / width).cast("int")),
+      i => array_join(slice(toks, i * width + 1, lit(width)), " "))
+  }
+
+  /** Sub-document (paragraph-level) dedup, CCNet/Gopher-style: a chunk seen
+    * in more than `maxDocFreq` DISTINCT documents is boilerplate (headers,
+    * navigation, license blurbs) and is dropped from EVERY document; the
+    * survivors are re-joined in original order.
+    *
+    * Whole-document dedup ([[minhashNearDuplicatesPortable]]) can't catch
+    * this — boilerplate-heavy pages differ pairwise but share the template.
+    * Returns (id, n_chunks, n_kept, clean_text).
+    *
+    * Scale: explode → distinct-doc count per chunk (map-side combinable word
+    * count economics) → join back on the chunk string → re-assemble with one
+    * doc-keyed aggregation. Three shuffles total, all on hash keys, no
+    * windows and no driver state. The frequency table is corpus-global; at
+    * 100 TB the heavy chunk keys are exactly the boilerplate ones — their
+    * count rows are tiny (count ∝ distinct chunks) and AQE's skew handling
+    * covers the join-back.
+    */
+  def dropBoilerplateChunks(docs: DataFrame, width: Int, maxDocFreq: Long,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = docs.select(col(idCol),
+        posexplode(textChunks(col(textCol), width)).as(Seq("pos", "chunk")))
+    val freq = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    chunks.join(freq, "chunk")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__df") <= maxDocFreq, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls `when` leaves for boilerplate chunks;
+        // array_sort orders the survivor structs by pos (first field), so the
+        // rebuilt text preserves original chunk order deterministically.
+        array_join(transform(
+            array_sort(collect_list(
+              when(col("__df") <= maxDocFreq, struct(col("pos"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("clean_text"))
+  }
 }

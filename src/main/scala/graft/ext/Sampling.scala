@@ -86,4 +86,28 @@ object Sampling {
       .filter((h % 1048576L) * col("__n") < lit(target) * 1048576L)
       .drop("__stratum", "__n")
   }
+
+  /** Deterministic global shuffle + sharding for training export.
+    *
+    * Training ingestion wants the corpus (a) split into N roughly-equal
+    * shards and (b) in an order UNCORRELATED with ingestion order (crawl
+    * order clusters domains/dates; training on sorted data biases early
+    * steps) — yet fully REPRODUCIBLE, so a re-export after an upstream fix
+    * yields the identical shard layout. `df.repartition + rand` gives
+    * neither: partition-local RNG changes with task retries and parallelism.
+    *
+    * Here both the shard id and the within-shard order are pure functions of
+    * the row: `shard = hash60(salt:id) mod numShards`, order by the SAME
+    * hash (ties by id). Adds `shard` and `sort_key` columns; callers write
+    * with `.repartition(numShards, col("shard")).sortWithinPartitions("sort_key")`
+    * — ONE shuffle, each shard a single partition, no skew (md5 is uniform).
+    * Changing `salt` re-deals the corpus into an independent permutation
+    * (epoch reshuffling at export time). */
+  def shardForExport(df: DataFrame, idCol: Column, numShards: Int,
+                     salt: String = "shard"): DataFrame = {
+    require(numShards > 0, "shardForExport: numShards must be positive")
+    val h = PortableHash.hash60(concat_ws(":", lit(salt), idCol.cast("string")))
+    df.withColumn("sort_key", h)
+      .withColumn("shard", pmod(col("sort_key"), lit(numShards.toLong)))
+  }
 }

@@ -168,6 +168,48 @@ object TextAnalysis {
       .agg(sum(col("c")).as("n_words"),
         count(lit(1)).as("n_distinct_words"),
         max(col("c")).as("top_word_count"))
+
+  /** Ordered word bigrams of `text` ("w1 w2", "w2 w3", …); a one-word
+    * document yields no bigrams. */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** N-gram language-model scoring of `target` documents against a bigram
+    * table built from a `reference` corpus — the cheap, distributed stand-in
+    * for KenLM-style perplexity filtering in training-data pipelines (docs
+    * whose n-grams the reference model has never seen are likely noise).
+    *
+    * All outputs are INTEGERS so the kept set is cross-engine exact:
+    * `n_bigrams` (total, with multiplicity), `n_known` (bigrams present in
+    * the reference table), and `known_freq_sum` (Σ reference-frequency of
+    * each target bigram occurrence — the integer analogue of a corpus
+    * log-likelihood; rank by `known_freq_sum / n_bigrams` downstream).
+    *
+    * Scale: build = explode + one hash count keyed by bigram (map-side
+    * combinable); score = explode + equi-join on the bigram string + one
+    * doc-keyed re-aggregation. The model table is ∝ distinct bigrams (zipf:
+    * far smaller than the corpus) and broadcastable when it fits; otherwise
+    * the join shuffles both sides by bigram — either way no windows, no
+    * driver state, the same economics as word count.
+    */
+  def bigramModelScore(reference: DataFrame, target: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val model = reference
+      .select(explode(bigrams(lower(col(textCol)))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("ref_freq"))
+    target
+      .select(col(idCol), explode(bigrams(lower(col(textCol)))).as("bg"))
+      .join(model, Seq("bg"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("ref_freq").isNotNull, 1L).otherwise(0L)).as("n_known"),
+        sum(coalesce(col("ref_freq"), lit(0L))).as("known_freq_sum"))
+  }
 }
 
 /** Word k-gram shingling shared by fingerprinting and MinHash dedup. */
