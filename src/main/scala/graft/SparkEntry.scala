@@ -1299,6 +1299,99 @@ object SparkEntry {
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
+    },
+
+    // Weighted corpus mixing (ext.Sampling.mixtureUpsample): src0 at 2.5
+    // epochs, src1 at 0.25, src2 dropped, everything else at 0.75. The
+    // checksum weights each copy by (epoch+1) so a wrong copy-count or a
+    // wrong epoch numbering is caught, not just a wrong row-count.
+    "q82_mixture_sample" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      graft.ext.Sampling.mixtureUpsample(docs, col("source"), col("doc_id"),
+          Map("src0" -> 2500000L, "src1" -> 250000L, "src2" -> 0L),
+          defaultPerMillion = 750000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("epoch")).as("epoch_sum"),
+          sum(col("doc_id") * (col("epoch") + 1L)).as("id_checksum"))
+    },
+
+    // Semantic dedup (ext.Similarity.semanticDedup) over embeddings ∪ planted
+    // +0.01-shifted copies: LSH buckets from the q29 seeded planes, cosine
+    // ≥ 0.9 within buckets, keep-lowest-id. The oracle replays the identical
+    // plane literals, so survivors must match exactly.
+    "q83_semantic_dedup" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val base = emb.unionByName(emb.select(
+        (col("vec_id") + 100000).as("vec_id"), col("label"),
+        transform(col("embedding"), x => x + 0.01).as("embedding")))
+      graft.ext.Similarity.semanticDedup(base, threshold = 0.9, bits = 12)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("id_checksum"))
+    },
+
+    // Melt (engine.Gold.meltWide — native unpivot/Expand, §2.6): pivot orders
+    // revenue wide by status via conditional aggregation, then unpivot back
+    // to long (o_orderpriority, o_orderstatus, price_cents) rows.
+    "q84_unpivot" -> { (s, dir) =>
+      val wide = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F",
+            round(col("o_totalprice") * 100).cast("long")).otherwise(0L)).as("status_F"),
+          sum(when(col("o_orderstatus") === "O",
+            round(col("o_totalprice") * 100).cast("long")).otherwise(0L)).as("status_O"),
+          sum(when(col("o_orderstatus") === "P",
+            round(col("o_totalprice") * 100).cast("long")).otherwise(0L)).as("status_P"))
+      graft.engine.Gold.meltWide(wide, Seq("o_orderpriority"),
+        Seq("status_F", "status_O", "status_P"), "o_orderstatus", "price_cents")
+    },
+
+    // Corpus trigram vocabulary (ext.TextAnalysis.topNgrams): top 50 word
+    // trigrams by frequency, count-desc / ngram-asc tie-break —
+    // TakeOrderedAndProject, no global sort.
+    "q85_top_ngrams" -> { (s, dir) =>
+      graft.ext.TextAnalysis.topNgrams(
+        t(s, dir, "documents"), col("text"), n = 3, k = 50)
+    },
+
+    // Winsorized robust stats (engine.Profile.winsorizedSums): clamp order
+    // totals into each priority's exact [P1, P99] rank band (integer-ceiling
+    // indices — no float interpolation) and sum the clamped cents.
+    "q86_winsorized_stats" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      graft.engine.Profile.winsorizedSums(o, "o_orderpriority", "cents",
+        "o_orderkey", pLowPct = 1, pHighPct = 99)
+    },
+
+    // Incremental aggregate maintenance (engine.Cdc.applyDeltaToSums): a
+    // deterministic churn (delete %13, bump cents on %7, MOVE %11 to a new
+    // group, insert clones of %17) is diffed with snapshotDiff, and the
+    // delta is applied to the pre-churn gold. The oracle RECOMPUTES the
+    // post-churn gold from scratch — so the maintained aggregate must equal
+    // the full recompute, including cross-group moves and the new group.
+    "q87_cdc_agg_maintenance" -> { (s, dir) =>
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val newDf = base.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("cents",
+          when(col("o_orderkey") % 7 === 0, col("cents") + 555L).otherwise(col("cents")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 11 === 0, lit("9-MOVED")).otherwise(col("o_orderpriority")))
+        .unionByName(base.filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderpriority"), (col("cents") + 1L).as("cents")))
+      val gold = base.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      val changes = graft.engine.Cdc.snapshotDiff(base, newDf, Seq("o_orderkey"))
+      graft.engine.Cdc.applyDeltaToSums(changes = changes, goldAgg = gold,
+        groupCol = "o_orderpriority", valueCol = "cents",
+        nCol = "n", sumCol = "sum_cents")
     }
   )
 
@@ -1463,6 +1556,35 @@ object SparkEntry {
        |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
        |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.9""".stripMargin
+  }
+
+  /** Semantic-dedup mirror for q83: the q29 plane literals and planted corpus
+    * with `label` carried, losers = higher id of any within-bucket pair at
+    * cosine ≥ 0.9, survivors aggregated per label. */
+  private def semanticDedupSql: String = {
+    val planes = graft.ext.Similarity.hyperplanes(bits = 12, dim = 64)
+    val bucketTerms = planes.zipWithIndex.map { case (plane, pIdx) =>
+      val lits = plane.mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(v, $lits) >= 0 THEN ${1L << (11 - pIdx)} ELSE 0 END"
+    }.mkString("(\n           ", "\n         + ", ")")
+    s"""WITH base AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, label,
+       |         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
+       |  FROM embeddings
+       |), bk AS (
+       |  SELECT vec_id, label, v,
+       |         $bucketTerms AS bucket
+       |  FROM base
+       |), losers AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+       |)
+       |SELECT label, COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+       |FROM bk WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+       |GROUP BY 1""".stripMargin
   }
 
   /** DuckDB oracle SQL, one per SQL-expressible query; column aliases match the
@@ -1639,6 +1761,91 @@ object SparkEntry {
         |  FROM customer)
         |SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(bal_cents) AS BIGINT) AS bal_sum_cents
         |FROM base GROUP BY 1""".stripMargin,
+
+    "q82_mixture_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CASE source WHEN 'src0' THEN 2500000
+         |                     WHEN 'src1' THEN 250000
+         |                     WHEN 'src2' THEN 0
+         |                     ELSE 750000 END AS w,
+         |         ${h60Sql(s"'${graft.ext.Sampling.MixSalt}' || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 AS hm
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source,
+         |         w // 1000000 + CASE WHEN hm < w % 1000000 THEN 1 ELSE 0 END AS copies
+         |  FROM d),
+         |e AS (
+         |  SELECT doc_id, source, unnest(range(copies)) AS epoch
+         |  FROM c WHERE copies > 0)
+         |SELECT source, COUNT(*) AS n_rows,
+         |       CAST(SUM(epoch) AS BIGINT) AS epoch_sum,
+         |       CAST(SUM(doc_id * (epoch + 1)) AS BIGINT) AS id_checksum
+         |FROM e GROUP BY 1""".stripMargin,
+
+    "q83_semantic_dedup" -> semanticDedupSql,
+
+    "q84_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS status_F,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS status_O,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS status_P
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, 'status_F' AS o_orderstatus, status_F AS price_cents FROM wide
+        |UNION ALL
+        |SELECT o_orderpriority, 'status_O', status_O FROM wide
+        |UNION ALL
+        |SELECT o_orderpriority, 'status_P', status_P FROM wide""".stripMargin,
+
+    "q85_top_ngrams" ->
+      """WITH w AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |g AS (
+        |  SELECT unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS ngram
+        |  FROM w WHERE len(w) >= 3)
+        |SELECT ngram, COUNT(*) AS n_occurrences FROM g GROUP BY 1
+        |ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
+
+    "q86_winsorized_stats" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS g, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderkey AS id
+        |  FROM orders),
+        |r AS (
+        |  SELECT g, cents,
+        |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY cents, id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM v),
+        |b AS (
+        |  SELECT g,
+        |         MIN(CASE WHEN rn = (1 * n + 99) // 100 THEN cents END) AS lo_val,
+        |         MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS hi_val
+        |  FROM r GROUP BY 1)
+        |SELECT g AS o_orderpriority, COUNT(*) AS n_rows,
+        |       CAST(MIN(lo_val) AS BIGINT) AS lo_val,
+        |       CAST(MAX(hi_val) AS BIGINT) AS hi_val,
+        |       CAST(SUM(LEAST(GREATEST(cents, lo_val), hi_val)) AS BIGINT) AS wins_sum
+        |FROM r JOIN b USING (g) GROUP BY 1""".stripMargin,
+
+    "q87_cdc_agg_maintenance" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |newt AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN '9-MOVED' ELSE o_orderpriority END AS o_orderpriority,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN cents + 555 ELSE cents END AS cents
+        |  FROM base WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderpriority, cents + 1
+        |  FROM base WHERE o_orderkey % 17 = 0)
+        |SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM newt GROUP BY 1""".stripMargin,
 
     "q24_minhash_neardup" ->
       s"""WITH $minhashPairsCtes

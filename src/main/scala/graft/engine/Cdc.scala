@@ -56,4 +56,44 @@ object Cdc {
           valueCols.map(c => col(s"__old.$c").as(s"old_$c")) ++
           valueCols.map(c => col(s"__new.$c").as(s"new_$c")): _*)
   }
+
+  /** Incremental view maintenance for additive aggregates: apply a
+    * [[snapshotDiff]] changeset to a pre-aggregated
+    * `groupBy(groupCol).agg(count AS nCol, sum(valueCol) AS sumCol)` gold
+    * table, producing the post-change gold WITHOUT re-reading the base table.
+    *
+    * Each change row contributes its old image negatively (delete + update's
+    * before-image, attributed to the OLD group) and its new image positively
+    * (insert + update's after-image, attributed to the NEW group) — so an
+    * update that MOVES a row across groups debits one group and credits the
+    * other. The per-group deltas are aggregated and outer-joined onto the
+    * gold; groups whose count reaches zero are dropped, groups that first
+    * appear in the changeset are created.
+    *
+    * Scale: cost ∝ |changes| (narrow projections + one small aggregation)
+    * plus one join against the |groups|-sized gold — at 100 TB with 0.1%
+    * daily churn that is a ~100 GB maintenance job instead of a 100 TB
+    * recompute. Only ADDITIVE aggregates are maintainable this way
+    * (count/sum, and avg = sum/count downstream); MIN/MAX need the base
+    * (a deleted maximum requires the second-best, which the delta lacks).
+    */
+  def applyDeltaToSums(goldAgg: DataFrame, changes: DataFrame, groupCol: String,
+                       valueCol: String, nCol: String, sumCol: String): DataFrame = {
+    val minus = changes
+      .filter(col("change_type").isin("delete", "update"))
+      .select(col(s"old_$groupCol").as(groupCol),
+        lit(-1L).as("__dn"), (-col(s"old_$valueCol")).as("__dv"))
+    val plus = changes
+      .filter(col("change_type").isin("insert", "update"))
+      .select(col(s"new_$groupCol").as(groupCol),
+        lit(1L).as("__dn"), col(s"new_$valueCol").as("__dv"))
+    val delta = minus.unionByName(plus)
+      .groupBy(col(groupCol))
+      .agg(sum(col("__dn")).as("__dn"), sum(col("__dv")).as("__dv"))
+    goldAgg.join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col(nCol), lit(0L)) + coalesce(col("__dn"), lit(0L))).as(nCol),
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col("__dv"), lit(0L))).as(sumCol))
+      .filter(col(nCol) > 0)
+  }
 }

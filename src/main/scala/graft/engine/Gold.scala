@@ -130,6 +130,18 @@ object Gold {
       .na.fill(0.0, Silver.ValidMovementTypes)
       .withColumn("net_position", col("inbound") - col("outbound"))
 
+  /** Melt — the inverse of OP-28's pivot (§2.6 extension): turn a wide
+    * one-column-per-category table back into long `(variable, value)` rows,
+    * e.g. to re-normalize a published pivot snapshot for a consumer that
+    * wants one row per (key, category). Uses the native `Dataset.unpivot`,
+    * which compiles to a single `Expand` (each input row emitted once per
+    * value column) — a pure map-side operator: NO shuffle, no join, output
+    * = rows × |values|, so it scales linearly at any corpus size. */
+  def meltWide(wide: DataFrame, ids: Seq[String], values: Seq[String],
+               variableColumnName: String, valueColumnName: String): DataFrame =
+    wide.unpivot(ids.map(col).toArray, values.map(col).toArray,
+      variableColumnName, valueColumnName)
+
   /** OP-18: gold audit stamp (reference `silver_to_gold.py:58,72,...`). Split from
     * the builders so oracle-compared outputs stay deterministic. */
   def withGeneratedAt(gold: DataFrame, at: Column = Silver.nowIso): DataFrame =

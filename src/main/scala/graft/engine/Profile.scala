@@ -42,4 +42,48 @@ object Profile {
       .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
         col("min_val"), col("max_val"))
   }
+
+  /** Winsorized (tail-clipped) per-group sums — the robust-statistics pass a
+    * pipeline runs when a handful of corrupt extreme values would otherwise
+    * dominate a mean: clamp each value into the group's
+    * [pLowPct, pHighPct] percentile band, then aggregate the clamped values.
+    *
+    * Percentile bounds are EXACT and engine-portable: rows are ranked
+    * `row_number() over (partition by group order by value, id)` (the id
+    * tie-break makes the rank total and deterministic), and the bound
+    * indices use pure integer ceiling `(p·n + 99) DIV 100` — no float
+    * interpolation, so DuckDB/Spark/anything agree bit-for-bit (quantile
+    * INTERPOLATION differs across engines; rank selection does not).
+    *
+    * `valueCol` must be integer-typed (cents-style). Output per group:
+    * `(n_rows, lo_val, hi_val, wins_sum)`.
+    *
+    * Scale: ONE shuffle on the group key (the rank window); the bounds
+    * aggregation reuses that partitioning, and the per-group bounds table
+    * (|groups| rows) broadcasts back onto the ranked rows. A skewed group
+    * serializes its window partition — for power-law groups pre-aggregate
+    * with [[graft.ext.Sampling.stratifiedSample]] or switch to the sketch
+    * path (`approx_percentile`, q57) and accept approximate bounds. */
+  def winsorizedSums(df: DataFrame, groupCol: String, valueCol: String,
+                     idCol: String, pLowPct: Int = 1, pHighPct: Int = 99): DataFrame = {
+    require(0 < pLowPct && pLowPct < pHighPct && pHighPct <= 100,
+      s"winsorizedSums: need 0 < pLowPct < pHighPct <= 100, got ($pLowPct, $pHighPct)")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df.select(col(groupCol), col(valueCol), col(idCol))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val bounds = ranked.groupBy(col(groupCol))
+      .agg(
+        min(when(col("__rn") === expr(s"($pLowPct * __n + 99) DIV 100"), col(valueCol)))
+          .as("lo_val"),
+        min(when(col("__rn") === expr(s"($pHighPct * __n + 99) DIV 100"), col(valueCol)))
+          .as("hi_val"))
+    ranked.join(broadcast(bounds), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("lo_val")).as("lo_val"),
+        max(col("hi_val")).as("hi_val"),
+        sum(least(greatest(col(valueCol), col("lo_val")), col("hi_val"))).as("wins_sum"))
+  }
 }

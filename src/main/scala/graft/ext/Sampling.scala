@@ -87,6 +87,45 @@ object Sampling {
       .drop("__stratum", "__n")
   }
 
+  val MixSalt: String = "mix"
+
+  /** Weighted corpus mixing with fractional EPOCHS: replicate or subsample
+    * each group (source/corpus) to hit a target mixing weight, the way a
+    * training-data recipe specifies "2.5 epochs of src0, 0.25 of src1".
+    *
+    * `weightsPerMillion(group) = w` keeps/creates `w / 1e6` copies of each
+    * row in expectation: `w DIV 1e6` guaranteed full copies, plus one more
+    * iff `hash60(salt:id) mod 1e6 < w mod 1e6` — the same portable-hash
+    * Bernoulli draw as [[stratifiedSample]], so the realized mixture is a
+    * pure function of the data (reproducible across engines, retries, and
+    * partitionings; the oracle replays it row-for-row). Copies are numbered
+    * by an `epoch` column (0-based) so downstream shuffling/sharding can
+    * decorrelate them.
+    *
+    * Scale: a scan + codegen'd filter + generator — NO shuffle; output size
+    * ∝ Σ w_g·|g|. The generate (explode) is row-local, and upsampled rows
+    * carry distinct (id, epoch) pairs so a later [[shardForExport]] spreads
+    * copies across shards. */
+  def mixtureUpsample(df: DataFrame, groupCol: Column, idCol: Column,
+                      weightsPerMillion: Map[String, Long], defaultPerMillion: Long,
+                      salt: String = MixSalt): DataFrame = {
+    require(defaultPerMillion >= 0, "mixtureUpsample: default weight must be non-negative")
+    require(weightsPerMillion.values.forall(_ >= 0), "mixtureUpsample: weights must be non-negative")
+    // Sorted fold => deterministic plan regardless of Map iteration order.
+    val w = weightsPerMillion.toSeq.sortBy(_._1).foldLeft(lit(defaultPerMillion)) {
+      case (acc, (k, v)) => when(groupCol === k, lit(v)).otherwise(acc)
+    }
+    val h = PortableHash.hash60(concat_ws(":", lit(salt), idCol.cast("string")))
+    df.withColumn("__w", w)
+      // hash60 is non-negative (60-bit), so % == pmod here.
+      .withColumn("__copies",
+        expr("__w DIV 1000000") +
+          when(h % 1000000L < col("__w") % 1000000L, lit(1L)).otherwise(lit(0L)))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__w", "__copies")
+  }
+
   /** Deterministic global shuffle + sharding for training export.
     *
     * Training ingestion wants the corpus (a) split into N roughly-equal

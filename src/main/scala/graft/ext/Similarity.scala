@@ -140,4 +140,33 @@ object Similarity {
         pairCosine(col("a.norm"), col("b.norm"), col("a.v"), col("b.v")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): remove documents whose EMBEDDINGS are near-identical,
+    * catching paraphrases and re-renderings that lexical MinHash/SimHash miss.
+    * The published recipe clusters embeddings (k-means) and drops
+    * within-cluster pairs above a cosine threshold; here the clusters are
+    * deterministic hyperplane-LSH buckets ([[lshBucket]]) — no training pass,
+    * no driver-held centroids, and an independent engine reproduces the exact
+    * same partition of the corpus from the seeded plane literals.
+    *
+    * Within each bucket, every pair with cosine ≥ `threshold` marks the
+    * HIGHER id a loser (the keep-lowest-id convention shared with
+    * [[graft.ext.Dedup.removeNearDuplicatesPortable]]); survivors are the
+    * anti-join against the distinct loser set. Like any single-table LSH,
+    * recall < 1 by design — near-dup pairs split across buckets survive;
+    * raise recall with fewer bits or a second salted table.
+    *
+    * Scale: bucket assignment is scan-speed codegen (bits × dim
+    * multiply-adds per row); the self-join degree is bucket occupancy
+    * (corpus/2^bits expected), not corpus size; the anti-join is one key
+    * shuffle ∝ losers. The full-corpus shapes (no broadcast ceiling). */
+  def semanticDedup(embeddings: DataFrame, threshold: Double, bits: Int = 16,
+                    dim: Int = 64, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val losers = lshNeardupPairs(embeddings, threshold, bits, dim, idCol, vecCol)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    embeddings.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -169,6 +169,38 @@ object TextAnalysis {
         count(lit(1)).as("n_distinct_words"),
         max(col("c")).as("top_word_count"))
 
+  /** Ordered word n-grams of `text`; a document shorter than `n` words
+    * yields no n-grams. Generalizes [[bigrams]]. */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1, "ngrams: n must be positive")
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus n-gram vocabulary: the `k` most frequent word n-grams with a full
+    * deterministic tie-break (count DESC, then n-gram ASC) — the counting
+    * pass behind vocabulary induction, stopword mining, and boilerplate
+    * discovery.
+    *
+    * Scale: explode + hash-aggregate is map-side partial-agg'd (the shuffle
+    * carries one row per DISTINCT n-gram per partition, zipf-truncated, not
+    * one per occurrence), and the `orderBy(...).limit(k)` pair compiles to
+    * `TakeOrderedAndProject` — each partition keeps only its local top-k and
+    * the driver merges P·k rows, so NO global sort materializes. The plan
+    * survives a 100 TB corpus with driver memory ∝ k. */
+  def topNgrams(docs: DataFrame, textCol: Column, n: Int, k: Int): DataFrame = {
+    require(k >= 1, "topNgrams: k must be positive")
+    docs
+      .select(explode(ngrams(lower(textCol), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** Ordered word bigrams of `text` ("w1 w2", "w2 w3", …); a one-word
     * document yields no bigrams. */
   def bigrams(text: Column): Column = {
