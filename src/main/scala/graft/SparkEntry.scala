@@ -1392,6 +1392,60 @@ object SparkEntry {
       graft.engine.Cdc.applyDeltaToSums(changes = changes, goldAgg = gold,
         groupCol = "o_orderpriority", valueCol = "cents",
         nCol = "n", sumCol = "sum_cents")
+    },
+
+    // Equi-width histogram (engine.Profile.histogram): 16 integer-edged bins
+    // over lineitem price cents; bin arithmetic is pure integer DIV so both
+    // engines draw identical edges.
+    "q88_histogram" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      graft.engine.Profile.histogram(li, "cents", nBuckets = 16)
+    },
+
+    // Ordered conversion funnel (ext.Sessionize.funnelCounts): users whose
+    // first view is after their first click, and first purchase after that
+    // first ordered view — sequential-min semantics, one row per stage even
+    // when empty.
+    "q89_event_funnel" -> { (s, dir) =>
+      val ev = eventsTable(s, dir)
+      graft.ext.Sessionize.funnelCounts(ev, user = col("user_id"),
+        tsMicros = unix_micros(col("ts")), stageCol = col("event_type"),
+        stages = Seq("click", "view", "purchase"))
+    },
+
+    // Quantile binning (engine.Profile.rankBins): per-language length deciles
+    // over documents; NTILE over the (n_chars, doc_id) total order is exact
+    // and engine-portable.
+    "q90_decile_bins" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.engine.Profile.rankBins(docs, "lang", "n_chars", "doc_id", nBins = 10)
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("doc_id")).as("id_checksum"))
+    },
+
+    // Embedding int8 quantization (functions.Int8Quantize — codegen): the
+    // storage-compression pass before ANN indexing. The checksum aggregates
+    // per-vector code sums/extremes, so one wrong code anywhere flips the
+    // result; the oracle replays the identical x*127/max|x| IEEE arithmetic.
+    "q91_int8_quantize" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+        .select(col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      emb.select(col("label"),
+          graft.functions.VectorFunctions.int8Quantize(col("v")).as("codes"))
+        .select(col("label"),
+          expr("aggregate(codes, 0L, (acc, x) -> acc + x)").as("code_sum"),
+          array_min(col("codes")).cast("long").as("code_min"),
+          array_max(col("codes")).cast("long").as("code_max"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("code_sum")).as("sum_codes"),
+          min(col("code_min")).as("min_code"),
+          max(col("code_max")).as("max_code"))
     }
   )
 
@@ -1846,6 +1900,62 @@ object SparkEntry {
         |  FROM base WHERE o_orderkey % 17 = 0)
         |SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM newt GROUP BY 1""".stripMargin,
+
+    "q88_histogram" ->
+      """WITH v AS (
+        |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |mm AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM v)
+        |SELECT ((cents - mn) * 16) // (mx - mn + 1) AS bucket,
+        |       COUNT(*) AS n_rows,
+        |       CAST(MIN(cents) AS BIGINT) AS lo, CAST(MAX(cents) AS BIGINT) AS hi
+        |FROM v CROSS JOIN mm GROUP BY 1""".stripMargin,
+
+    "q89_event_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s0 AS (
+        |  SELECT user_id, MIN(us) AS t FROM ev WHERE event_type = 'click' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, MIN(e.us) AS t
+        |  FROM ev e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.us > s0.t GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.us) AS t
+        |  FROM ev e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us > s1.t GROUP BY 1)
+        |SELECT 0 AS stage_idx, 'click' AS stage, COUNT(*) AS n_users FROM s0
+        |UNION ALL
+        |SELECT 1, 'view', COUNT(*) FROM s1
+        |UNION ALL
+        |SELECT 2, 'purchase', COUNT(*) FROM s2""".stripMargin,
+
+    "q90_decile_bins" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin
+        |  FROM documents)
+        |SELECT lang, bin, COUNT(*) AS n_docs,
+        |       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q91_int8_quantize" ->
+      """WITH v AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (
+        |  SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+        |c AS (
+        |  SELECT label,
+        |         CASE WHEN mx > 0
+        |              THEN list_transform(v, x -> CAST(ROUND(x * 127.0 / mx) AS BIGINT))
+        |              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+        |  FROM m)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |       CAST(SUM(list_sum(codes)) AS BIGINT) AS sum_codes,
+        |       CAST(MIN(list_min(codes)) AS BIGINT) AS min_code,
+        |       CAST(MAX(list_max(codes)) AS BIGINT) AS max_code
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q24_minhash_neardup" ->
       s"""WITH $minhashPairsCtes

@@ -43,6 +43,50 @@ object Profile {
         col("min_val"), col("max_val"))
   }
 
+  /** Equi-width histogram of an integer column: `nBuckets` equal-width bins
+    * spanning [min, max], bucket index
+    * `(v − min) · nBuckets DIV (max − min + 1)` — pure integer arithmetic,
+    * so bin edges are identical on every engine (float bin edges drift).
+    * NULLs are excluded. Output: `(bucket, n_rows, lo, hi)` where lo/hi are
+    * the observed extremes inside each bucket.
+    *
+    * Scale: one tiny min/max aggregate (broadcast back as a 1-row cross
+    * join — not a driver collect, so the plan stays lazy end-to-end) plus
+    * one scan + hash-aggregate over ≤ nBuckets groups: two passes total,
+    * both map-side-combined, no wide shuffle. The standard profiling
+    * histogram for a 100 TB column. */
+  def histogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "histogram: nBuckets must be positive")
+    val mm = df.filter(col(valueCol).isNotNull)
+      .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        expr(s"(($valueCol - __mn) * $nBuckets) DIV (__mx - __mn + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
+  /** Quantile binning: assign each row its `nBins`-quantile bin (1-based)
+    * WITHIN a stratum — the feature-bucketing pass behind "quality deciles
+    * per language" style corpus reports. The `(value, id)` ordering makes the
+    * rank total, so bin assignment is deterministic and engine-portable
+    * (NTILE over a total order is exact; no interpolation is involved).
+    *
+    * Scale: one shuffle on the stratum key; each stratum's window is
+    * independent. A single dominant stratum serializes its partition — for
+    * GLOBAL deciles over a 100 TB column use the sketch path
+    * (`approx_percentile` cutpoints, q57) instead of a one-partition window. */
+  def rankBins(df: DataFrame, stratum: String, valueCol: String, idCol: String,
+               nBins: Int): DataFrame = {
+    require(nBins > 0, "rankBins: nBins must be positive")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("bin", ntile(nBins).over(
+      Window.partitionBy(col(stratum)).orderBy(col(valueCol), col(idCol)))
+      .cast("long"))
+  }
+
   /** Winsorized (tail-clipped) per-group sums — the robust-statistics pass a
     * pipeline runs when a handful of corrupt extreme values would otherwise
     * dominate a mean: clamp each value into the group's

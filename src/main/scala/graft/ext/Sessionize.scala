@@ -35,6 +35,49 @@ case class ClosedSession(user_id: String, session_start_us: Long,
   */
 object Sessionize {
 
+  /** Ordered conversion funnel: for a stage sequence (e.g. click → view →
+    * purchase), count the users who reached each stage IN ORDER — a user
+    * counts for stage i only if their earliest qualifying stage-i event is
+    * strictly after their earliest qualifying stage-(i−1) event. This is the
+    * sequential-min formulation every product-analytics engine uses; an
+    * unordered "did all three ever happen" count overstates conversion.
+    *
+    * Output: one row per stage — `(stage_idx, stage, n_users)` — with a row
+    * even for stages no user reached (n_users = 0), so the funnel shape is
+    * always complete.
+    *
+    * Scale: stage i is a semi-filtered scan joined to the stage-(i−1)
+    * reached-set on the user key and min-aggregated — every shuffle in the
+    * chain is on the SAME key, so a 1000-executor run re-partitions once and
+    * the subsequent stages reuse the exchange; reached-sets only shrink.
+    * The final per-stage counts are 1-row aggregates unioned lazily (no
+    * driver-side loop of actions). */
+  def funnelCounts(events: DataFrame, user: Column, tsMicros: Column,
+                   stageCol: Column, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelCounts: need at least one stage")
+    require(stages.distinct.size == stages.size, "funnelCounts: stages must be distinct")
+    val base = events.select(user.as("__u"), stageCol.as("__stage"), tsMicros.as("__us"))
+    val reachedPerStage = stages.zipWithIndex.map { case (st, i) =>
+      (st, i)
+    }.scanLeft(Option.empty[(String, Int, DataFrame)]) {
+      case (prev, (st, i)) =>
+        val mine = base.filter(col("__stage") === st)
+        val reached = prev match {
+          case None =>
+            mine.groupBy(col("__u")).agg(min(col("__us")).as("__t"))
+          case Some((_, _, prevReached)) =>
+            mine.join(prevReached.select(col("__u"), col("__t").as("__tprev")), Seq("__u"))
+              .filter(col("__us") > col("__tprev"))
+              .groupBy(col("__u")).agg(min(col("__us")).as("__t"))
+        }
+        Some((st, i, reached))
+    }.flatten
+    reachedPerStage.map { case (st, i, reached) =>
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("stage_idx"), lit(st).as("stage"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Assign `session_idx` (0-based, per user, in time order) to every event.
     * `orderCols` must extend `ts` to a total order (deterministic lag). */
   def assignSessions(events: DataFrame, user: Column, tsMicros: Column,

@@ -15,6 +15,8 @@ object GraftFunctionRegistry {
   val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("graft_dot", classOf[DotProduct],
       (c: Seq[Expression]) => DotProduct(c(0), c(1))),
+    ("graft_int8_quantize", classOf[Int8Quantize],
+      (c: Seq[Expression]) => Int8Quantize(c(0))),
     ("graft_md5_hex", classOf[Md5Hex],
       (c: Seq[Expression]) => Md5Hex(c(0))),
     ("graft_md5_prefix60", classOf[Md5Prefix60],

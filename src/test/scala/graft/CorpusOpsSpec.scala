@@ -130,6 +130,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rb.getLong(4) < vals.sum) // clamped sum strictly below raw sum
   }
 
+  // --- functions.Int8Quantize ----------------------------------------------
+
+  test("Int8Quantize: max-abs scaling, half-away rounding, zero vector, SQL name") {
+    val df = Seq(
+      (1L, Seq(1.0, -2.0, 4.0)), // mx=4: 31.75→32, -63.5→-64, 127
+      (2L, Seq(0.0, 0.0)), // zero vector → zero codes, no NaN
+      (3L, Seq(-5.0)) // single negative → -127
+    ).toDF("id", "v")
+    val out = df.select(col("id"),
+        graft.functions.VectorFunctions.int8Quantize(col("v")).as("c"))
+      .orderBy("id").as[(Long, Seq[Int])].collect()
+    assert(out(0)._2 === Seq(32, -64, 127))
+    assert(out(1)._2 === Seq(0, 0))
+    assert(out(2)._2 === Seq(-127))
+    // interpreted path (eval without codegen) agrees
+    val interp = df.filter(col("id") === 1)
+      .select(graft.functions.VectorFunctions.int8Quantize(col("v")).as("c"))
+      .head().getSeq[Int](0)
+    assert(interp === Seq(32, -64, 127))
+    // SQL-callable via the registry
+    org.apache.spark.sql.graft.Bridge.installGraftFunctions(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_int8_quantize(array(1.0d, -2.0d, 4.0d)) AS c")
+      .head().getSeq[Int](0)
+    assert(viaSql === Seq(32, -64, 127))
+  }
+
   // --- Cdc.applyDeltaToSums ------------------------------------------------
 
   test("applyDeltaToSums: equals full recompute incl. group moves, births, deaths") {
@@ -152,6 +179,64 @@ class CorpusOpsSpec extends SparkSpec {
     assert(maintained === recomputed)
     assert(!maintained.exists(_._1 == "c")) // emptied group dropped
     assert(maintained.exists(_._1 == "d")) // new group created
+  }
+
+  // --- Profile.histogram / rankBins ----------------------------------------
+
+  test("histogram: integer edges cover the range, counts add up, nulls excluded") {
+    val df = ((1L to 100L).map(Option(_)) :+ Option.empty[Long]).toDF("v")
+    val out = Profile.histogram(df, "v", nBuckets = 4)
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect()
+    // span = 100, width 25: buckets [1,25] [26,50] [51,75] [76,100]
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_._2).sum === 100L) // the null row is excluded
+    assert(out.map(r => (r._3, r._4)).toSeq ===
+      Seq((1L, 25L), (26L, 50L), (51L, 75L), (76L, 100L)))
+  }
+
+  test("histogram: constant column lands in one bucket") {
+    val df = Seq.fill(7)(42L).toDF("v")
+    val out = Profile.histogram(df, "v", nBuckets = 16).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 0L)
+    assert(out.head.getLong(1) === 7L)
+  }
+
+  test("rankBins: per-stratum deciles are balanced and deterministic") {
+    val df = (1L to 100L).map(i => (i, "a", i * 3 % 97)).toDF("id", "g", "v")
+    val out = Profile.rankBins(df, "g", "v", "id", nBins = 10)
+    val sizes = out.groupBy("bin").count().orderBy("bin").as[(Long, Long)].collect()
+    assert(sizes.map(_._1).toSeq === (1L to 10L)) // NTILE is 1-based
+    assert(sizes.forall(_._2 == 10L)) // 100 rows, 10 even bins
+    // bin boundaries respect the value order: every bin-1 value < every bin-10 value
+    val b1max = out.filter(col("bin") === 1).agg(max("v")).as[Long].head()
+    val b10min = out.filter(col("bin") === 10).agg(min("v")).as[Long].head()
+    assert(b1max < b10min)
+  }
+
+  // --- Sessionize.funnelCounts ---------------------------------------------
+
+  test("funnelCounts: strict ordering — later-stage events before the prior stage don't count") {
+    // u1: click@10, view@20, purchase@30 → all three stages.
+    // u2: view@5, click@10, view@8 → view BEFORE first click only: stage 2 not reached.
+    // u3: click@10, purchase@5 → purchase before click: stage 3 not reached, no view anyway.
+    val ev = Seq(
+      (1L, "click", 10L), (1L, "view", 20L), (1L, "purchase", 30L),
+      (2L, "view", 5L), (2L, "click", 10L), (2L, "view", 8L),
+      (3L, "click", 10L), (3L, "purchase", 5L)
+    ).toDF("user_id", "event_type", "us")
+    val out = graft.ext.Sessionize.funnelCounts(ev, col("user_id"), col("us"),
+      col("event_type"), Seq("click", "view", "purchase"))
+      .orderBy("stage_idx").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((0L, "click", 3L), (1L, "view", 1L), (2L, "purchase", 1L)))
+  }
+
+  test("funnelCounts: unreached stages still report a zero row") {
+    val ev = Seq((1L, "click", 10L)).toDF("user_id", "event_type", "us")
+    val out = graft.ext.Sessionize.funnelCounts(ev, col("user_id"), col("us"),
+      col("event_type"), Seq("click", "view", "purchase"))
+      .orderBy("stage_idx").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((0L, "click", 1L), (1L, "view", 0L), (2L, "purchase", 0L)))
   }
 
   test("applyDeltaToSums: empty changeset is the identity") {
