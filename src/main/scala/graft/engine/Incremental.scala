@@ -179,6 +179,50 @@ object Incremental {
     query.awaitTermination()
   }
 
+  /** Streaming incremental view maintenance: keep a
+    * `groupBy(groupCol).agg(count AS nCol, sum AS sumCol)` gold table current
+    * against a STREAM of CDC changesets ([[Cdc.snapshotDiff]] rows:
+    * `change_type` + `old_`/`new_` images) without ever re-reading the base
+    * table — each micro-batch applies [[Cdc.applyDeltaToSums]] to the
+    * previous gold version and commits the result as `v=<batchId>`.
+    *
+    * Same exactly-once discipline as [[streamingUpsert]]: the batch merges
+    * against the latest version STRICTLY BEFORE its own id, so a retried
+    * batch is a clean redo instead of double-applying its delta. Because the
+    * deltas telescope (−old₁+new₁ −old₂+new₂ … nets to −old₁+newₙ), a batch
+    * that lumps several pending changesets still lands on the same gold.
+    * Seed the one-time full gold build BELOW the stream's first batch id
+    * (batch ids start at 0, so `v=-1`); with no seed, maintenance starts
+    * from an empty gold and the first changeset's inserts build it.
+    *
+    * Scale: per-batch cost ∝ |changeset| + |groups| — the 100 TB base is
+    * touched ZERO times after the initial gold build. This is the streaming
+    * shape of incremental view maintenance: a day of 0.1% churn costs ~0.1%
+    * of the recompute, not 100%. */
+  def streamingAggMaintenance(spark: SparkSession, changes: DataFrame,
+                              groupCol: String, valueCol: String,
+                              nCol: String, sumCol: String,
+                              goldDir: String, checkpointDir: String): Unit = {
+    val query = changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions._
+          val prev = latestUpsertStateBefore(spark, goldDir, batchId)
+            .getOrElse(batch
+              .select(col(s"new_$groupCol").as(groupCol))
+              .limit(0)
+              .withColumn(nCol, lit(0L))
+              .withColumn(sumCol, lit(0L)))
+          Cdc.applyDeltaToSums(prev, batch, groupCol, valueCol, nCol, sumCol)
+            .write.mode("overwrite").parquet(s"$goldDir/v=$batchId")
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   /** The latest committed upsert snapshot under `stateDir`, if any. */
   def latestUpsertState(spark: SparkSession, stateDir: String): Option[DataFrame] =
     latestUpsertStateBefore(spark, stateDir, Long.MaxValue)

@@ -248,4 +248,53 @@ class CorpusOpsSpec extends SparkSpec {
       .orderBy("g").as[(String, Long, Long)].collect().toSeq
     assert(out === gold.orderBy("g").as[(String, Long, Long)].collect().toSeq)
   }
+
+  // --- Incremental.streamingAggMaintenance ---------------------------------
+
+  test("streamingAggMaintenance: streamed CDC batches maintain gold ≡ recompute, exactly once") {
+    import org.apache.spark.sql.types._
+    import graft.engine.Incremental
+    withTempDir { root =>
+      val in = s"$root/changes"; val gold = s"$root/gold"; val ckpt = s"$root/ckpt"
+      val snap0 = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)).toDF("k", "g", "v")
+      val snap1 = Seq((1L, "a", 15L), (2L, "b", 20L), (3L, "b", 30L), (4L, "c", 40L))
+        .toDF("k", "g", "v") // update, group move, insert
+      val snap2 = Seq((1L, "a", 15L), (2L, "b", 25L), (4L, "c", 41L))
+        .toDF("k", "g", "v") // delete 3, two value updates
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("change_type", StringType),
+        StructField("old_g", StringType), StructField("old_v", LongType),
+        StructField("new_g", StringType), StructField("new_v", LongType)))
+      def drain(): Unit = Incremental.streamingAggMaintenance(spark,
+        spark.readStream.schema(schema).parquet(in),
+        groupCol = "g", valueCol = "v", nCol = "n", sumCol = "s",
+        goldDir = gold, checkpointDir = ckpt)
+
+      // seed gold below the first stream batch id (batch ids start at 0):
+      // the one-time full build lands at v=-1
+      snap0.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .write.mode("overwrite").parquet(s"$gold/v=-1")
+
+      Cdc.snapshotDiff(snap0, snap1, Seq("k")).coalesce(1)
+        .write.mode("append").parquet(in)
+      drain()
+      val g1 = Incremental.latestUpsertState(spark, gold).get
+        .orderBy("g").as[(String, Long, Long)].collect().toSeq
+      assert(g1 === snap1.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .orderBy("g").as[(String, Long, Long)].collect().toSeq)
+
+      // re-drain with no new files: no new version, state unchanged
+      val versions = new java.io.File(gold).listFiles().count(_.getName.startsWith("v="))
+      drain()
+      assert(new java.io.File(gold).listFiles().count(_.getName.startsWith("v=")) === versions)
+
+      Cdc.snapshotDiff(snap1, snap2, Seq("k")).coalesce(1)
+        .write.mode("append").parquet(in)
+      drain()
+      val g2 = Incremental.latestUpsertState(spark, gold).get
+        .orderBy("g").as[(String, Long, Long)].collect().toSeq
+      assert(g2 === snap2.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .orderBy("g").as[(String, Long, Long)].collect().toSeq)
+    }
+  }
 }
