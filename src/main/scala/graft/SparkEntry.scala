@@ -1446,6 +1446,40 @@ object SparkEntry {
           sum(col("code_sum")).as("sum_codes"),
           min(col("code_min")).as("min_code"),
           max(col("code_max")).as("max_code"))
+    },
+
+    // One-pass correlation/regression sufficient stats
+    // (engine.Profile.sufficientStats): (n, Σx, Σy, Σx², Σy², Σxy) per
+    // return flag over (quantity, whole-dollar price) — Pearson r and OLS
+    // derive downstream; the stored stats stay integer-exact.
+    "q92_sufficient_stats" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      graft.engine.Profile.sufficientStats(li, "l_returnflag", "x", "y")
+    },
+
+    // Schema-evolving MERGE (engine.Merge.upsertEvolving): an update batch
+    // arrives with a NEW loyalty_tier column plus inserts; pre-existing rows
+    // take NULL for the new column, matched rows take the updated balance.
+    // The oracle replays the same full-outer coalesce semantics.
+    "q93_schema_evolution" -> { (s, dir) =>
+      val base = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val upd = base.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("bal_cents") + 1000L).as("bal_cents"),
+          (col("c_custkey") % 5).as("loyalty_tier"))
+        .unionByName(base.filter(col("c_custkey") % 9 === 0)
+          .select((col("c_custkey") + 9000000L).as("c_custkey"),
+            col("c_mktsegment"), col("bal_cents"),
+            (col("c_custkey") % 5).as("loyalty_tier")))
+      graft.engine.Merge.upsertEvolving(base, upd, Seq("c_custkey"))
+        .groupBy(col("loyalty_tier"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal_cents")).as("bal_sum_cents"),
+          sum(when(col("merge_action") === "insert", 1L).otherwise(0L)).as("n_inserted"))
     }
   )
 
@@ -1956,6 +1990,39 @@ object SparkEntry {
         |       CAST(MIN(list_min(codes)) AS BIGINT) AS min_code,
         |       CAST(MAX(list_max(codes)) AS BIGINT) AS max_code
         |FROM c GROUP BY 1""".stripMargin,
+
+    "q92_sufficient_stats" ->
+      """WITH v AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+        |       CAST(SUM(x*x) AS BIGINT) AS sum_xx, CAST(SUM(y*y) AS BIGINT) AS sum_yy,
+        |       CAST(SUM(x*y) AS BIGINT) AS sum_xy
+        |FROM v GROUP BY 1""".stripMargin,
+
+    "q93_schema_evolution" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_mktsegment, bal_cents + 1000 AS bal_cents,
+        |         c_custkey % 5 AS loyalty_tier
+        |  FROM base WHERE c_custkey % 4 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 9000000, c_mktsegment, bal_cents, c_custkey % 5
+        |  FROM base WHERE c_custkey % 9 = 0),
+        |m AS (
+        |  SELECT COALESCE(u.bal_cents, b.bal_cents) AS bal_cents,
+        |         u.loyalty_tier,
+        |         CASE WHEN b.c_custkey IS NULL THEN 1 ELSE 0 END AS ins
+        |  FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey)
+        |SELECT loyalty_tier, COUNT(*) AS n,
+        |       CAST(SUM(bal_cents) AS BIGINT) AS bal_sum_cents,
+        |       CAST(SUM(ins) AS BIGINT) AS n_inserted
+        |FROM m GROUP BY 1""".stripMargin,
 
     "q24_minhash_neardup" ->
       s"""WITH $minhashPairsCtes

@@ -223,6 +223,34 @@ object Incremental {
     query.awaitTermination()
   }
 
+  /** Retention for the versioned store: delete all but the newest `keep`
+    * version directories under `stateDir`. Returns the deleted version ids.
+    *
+    * Each `v=<n>` snapshot is a full state copy, so storage grows linearly
+    * with history; vacuuming bounds it at `keep` copies. Time travel
+    * ([[latestUpsertStateBefore]]) below the retention horizon fails with a
+    * missing path afterwards — loudly, not with silently wrong data. The
+    * latest version is never deleted (`keep` ≥ 1 enforced), so readers and
+    * the next [[streamingUpsert]]/[[streamingAggMaintenance]] batch are
+    * unaffected; deletion order is oldest-first so a crash mid-vacuum leaves
+    * a contiguous recent history. */
+  def vacuumVersions(spark: SparkSession, stateDir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "vacuumVersions: keep must be >= 1")
+    import org.apache.hadoop.fs.Path
+    val path = new Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else {
+      val versions = fs.listStatus(path).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName.stripPrefix("v=").toLong)
+        .sorted
+      val doomed = versions.dropRight(keep)
+      doomed.foreach(v => fs.delete(new Path(s"$stateDir/v=$v"), true))
+      doomed
+    }
+  }
+
   /** The latest committed upsert snapshot under `stateDir`, if any. */
   def latestUpsertState(spark: SparkSession, stateDir: String): Option[DataFrame] =
     latestUpsertStateBefore(spark, stateDir, Long.MaxValue)

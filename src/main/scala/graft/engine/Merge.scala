@@ -38,6 +38,31 @@ object Merge {
       .select(keyCols ++ valCols :+ action.as("merge_action"): _*)
   }
 
+  /** [[upsert]] with SCHEMA EVOLUTION (Delta `mergeSchema` semantics): the
+    * sides may carry different column sets, as when an upstream producer adds
+    * a field mid-stream. Output schema = union of both schemas; base rows take
+    * NULL for columns only the updates have, and matched rows keep their base
+    * value for columns the updates lack (insert rows take NULL there).
+    *
+    * Key columns must exist on both sides. Like [[upsert]], an update cannot
+    * deliberately null out an existing value — NULL in an update column means
+    * "no change" (coalesce semantics), the documented MERGE trade-off.
+    *
+    * Scale: identical plan to [[upsert]] (the null-padding is a zero-cost
+    * projection); evolution costs nothing at read time because parquet
+    * snapshots are self-describing. */
+  def upsertEvolving(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val baseCols = base.columns.toSet
+    val updCols = updates.columns.toSet
+    require(keys.forall(k => baseCols(k) && updCols(k)),
+      s"upsertEvolving: keys ${keys.mkString(",")} must exist on both sides")
+    val b2 = updates.schema.fields.filterNot(f => baseCols(f.name))
+      .foldLeft(base)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val u2 = base.schema.fields.filterNot(f => updCols(f.name))
+      .foldLeft(updates)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    upsert(b2, u2.select(b2.columns.map(col).toSeq: _*), keys)
+  }
+
   /** SCD type-2 apply: merge a batch of attribute updates into a versioned
     * dimension, closing changed rows and inserting new versions.
     *

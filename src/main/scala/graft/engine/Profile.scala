@@ -68,6 +68,27 @@ object Profile {
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
 
+  /** One-pass sufficient statistics for correlation / simple regression per
+    * group: `(n, Σx, Σy, Σx², Σy², Σxy)` over two integer-typed columns.
+    * Pearson r, OLS slope/intercept, and variances all derive from these six
+    * numbers downstream — shipping the sufficient statistics instead of the
+    * final ratio keeps the aggregate EXACT and engine-portable (the division
+    * is the consumer's choice of precision, not baked into stored output).
+    *
+    * Scale: a single map-side-combined hash aggregate — the cheapest possible
+    * shape. Overflow bound: Σx² fits int64 while `n · max(x)² < 2⁶³`
+    * (~10⁹ rows of 5-digit values); beyond that, cast the products to
+    * `decimal(38,0)` for the same plan at ~2× the aggregation cost. */
+  def sufficientStats(df: DataFrame, groupCol: String, xCol: String,
+                      yCol: String): DataFrame = {
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sum_x"), sum(y).as("sum_y"),
+        sum(x * x).as("sum_xx"), sum(y * y).as("sum_yy"),
+        sum(x * y).as("sum_xy"))
+  }
+
   /** Quantile binning: assign each row its `nBins`-quantile bin (1-based)
     * WITHIN a stratum — the feature-bucketing pass behind "quality deciles
     * per language" style corpus reports. The `(value, id)` ordering makes the

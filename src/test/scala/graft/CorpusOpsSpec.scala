@@ -249,6 +249,66 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out === gold.orderBy("g").as[(String, Long, Long)].collect().toSeq)
   }
 
+  // --- Profile.sufficientStats ---------------------------------------------
+
+  test("sufficientStats: six sums reproduce Pearson r exactly on a known set") {
+    // perfectly correlated pairs (x, 2x): r must be exactly 1
+    val df = (1L to 10L).map(i => ("g", i, 2 * i)).toDF("grp", "x", "y")
+    val r = Profile.sufficientStats(df, "grp", "x", "y").head()
+    val (n, sx, sy, sxx, syy, sxy) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    assert((n, sx, sy) === (10L, 55L, 110L))
+    assert(sxx === (1L to 10L).map(i => i * i).sum)
+    assert(sxy === 2 * sxx && syy === 4 * sxx)
+    val num = (n * sxy - sx * sy).toDouble
+    val den = math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    assert(num / den === 1.0)
+  }
+
+  // --- Merge.upsertEvolving ------------------------------------------------
+
+  test("upsertEvolving: new column null-backfilled, missing column kept from base") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "v")
+    val upd = Seq((2L, 25L, "gold"), (3L, 30L, "silver")).toDF("k", "v", "tier")
+    val out = graft.engine.Merge.upsertEvolving(base, upd, Seq("k"))
+      .orderBy("k").collect()
+    assert(out.map(_.getAs[String]("merge_action")).toSeq === Seq("keep", "update", "insert"))
+    // row 1 untouched, tier null; row 2 updated v, keeps base s, gains tier;
+    // row 3 inserted with null s
+    assert(out.map(r => (r.getAs[Long]("k"), r.getAs[String]("s"),
+      r.getAs[Long]("v"), r.getAs[String]("tier"))).toSeq ===
+      Seq((1L, "a", 10L, null), (2L, "b", 25L, "gold"), (3L, null, 30L, "silver")))
+  }
+
+  test("upsertEvolving: identical schemas degrade to plain upsert") {
+    val base = Seq((1L, 10L)).toDF("k", "v")
+    val upd = Seq((1L, 11L)).toDF("k", "v")
+    val out = graft.engine.Merge.upsertEvolving(base, upd, Seq("k")).collect()
+    assert(out.length === 1 && out.head.getAs[Long]("v") === 11L)
+  }
+
+  // --- Incremental.vacuumVersions ------------------------------------------
+
+  test("vacuumVersions: keeps newest K, deletes the rest, latest still readable") {
+    import graft.engine.Incremental
+    withTempDir { root =>
+      val state = s"$root/state"
+      (0L to 3L).foreach { v =>
+        Seq((v, s"v$v")).toDF("k", "s").write.parquet(s"$state/v=$v")
+      }
+      val deleted = Incremental.vacuumVersions(spark, state, keep = 2)
+      assert(deleted === Seq(0L, 1L))
+      val left = new java.io.File(state).listFiles().map(_.getName).toSet
+      assert(left.filter(_.startsWith("v=")) === Set("v=2", "v=3"))
+      assert(Incremental.latestUpsertState(spark, state).get
+        .as[(Long, String)].head() === ((3L, "v3")))
+      // below-horizon time travel fails loudly (missing version)
+      assert(Incremental.latestUpsertStateBefore(spark, state, 2L).isEmpty)
+      // vacuum with keep >= current count is a no-op
+      assert(Incremental.vacuumVersions(spark, state, keep = 5) === Seq.empty)
+    }
+  }
+
   // --- Incremental.streamingAggMaintenance ---------------------------------
 
   test("streamingAggMaintenance: streamed CDC batches maintain gold ≡ recompute, exactly once") {
