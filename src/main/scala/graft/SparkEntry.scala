@@ -1480,6 +1480,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("bal_cents")).as("bal_sum_cents"),
           sum(when(col("merge_action") === "insert", 1L).otherwise(0L)).as("n_inserted"))
+    },
+
+    // Triangle stats (ext.Graph.triangleStats) over the q24 near-dup pair
+    // graph: clique-density diagnostic separating real dup clusters from
+    // borderline-match chains. The oracle replays the same canonical-edge
+    // joins over the portable MinHash pairs.
+    "q94_triangle_stats" -> { (s, dir) =>
+      val pairs = graft.ext.Dedup.minhashNearDuplicatesPortable(
+        docsWithPlantedNearDups(s, dir), threshold = 0.4)
+      graft.ext.Graph.triangleStats(pairs)
     }
   )
 
@@ -2027,6 +2037,23 @@ object SparkEntry {
     "q24_minhash_neardup" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.4""".stripMargin,
+
+    "q94_triangle_stats" ->
+      s"""WITH $minhashPairsCtes,
+         |e AS (
+         |  SELECT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+         |  FROM pairs WHERE jaccard >= 0.4 AND id_a <> id_b
+         |  GROUP BY 1, 2),
+         |w AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a),
+         |t AS (
+         |  SELECT COUNT(*) AS n_triangles
+         |  FROM w JOIN e e3 ON w.x = e3.a AND w.z = e3.b)
+         |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+         |       (SELECT COUNT(*) FROM w) AS n_wedges,
+         |       n_triangles
+         |FROM t""".stripMargin,
 
     "q61_contamination" ->
       s"""WITH $docsCorpusSql,

@@ -113,4 +113,35 @@ object Graph {
     symC.unpersist(blocking = false)
     labels
   }
+
+  /** Triangle count over an undirected edge set — the standard clustering
+    * diagnostic for a near-dup graph: true duplicate clusters are
+    * near-cliques (triangle-dense), while chains of borderline matches are
+    * triangle-free, so triangles/edges separates "real dup groups" from
+    * "threshold artifacts" before any dedup is applied.
+    *
+    * The edge-iterator formulation with canonical orientation: edges are
+    * deduplicated as (a < b), wedges join on the shared middle vertex with
+    * the a < b < c order enforced, and a third join closes them — each
+    * triangle counted exactly once. Output: one row
+    * (n_edges, n_wedges, n_triangles).
+    *
+    * Scale: two equi-joins shuffling on vertex keys; wedge count is
+    * Σ deg(v)², so at web scale cap hub degrees first (a vertex in more
+    * near-dup pairs than any plausible clique is boilerplate — cap or drop
+    * it, the same mitigation every production triangle counter uses). */
+  def triangleStats(edges: DataFrame, idA: String = "id_a",
+                    idB: String = "id_b"): DataFrame = {
+    val e = edges
+      .select(least(col(idA), col(idB)).as("a"), greatest(col(idA), col(idB)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val closed = wedges.join(e.as("e3"),
+      col("x") === col("e3.a") && col("z") === col("e3.b"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
 }

@@ -249,6 +249,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out === gold.orderBy("g").as[(String, Long, Long)].collect().toSeq)
   }
 
+  // --- Graph.triangleStats -------------------------------------------------
+
+  test("triangleStats: counts each triangle once, canonicalizes duplicates/reversals") {
+    // triangle 1-2-3, pendant 3-4, chain 5-6-7; (2,1) duplicates (1,2) reversed
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val r = graft.ext.Graph.triangleStats(edges).head()
+    assert(r.getLong(0) === 6L) // n_edges after canonical dedup
+    assert(r.getLong(1) === 4L) // wedges: (1,2,3) (1,3,4) (2,3,4) (5,6,7)
+    assert(r.getLong(2) === 1L) // only 1-2-3 closes
+  }
+
   // --- Profile.sufficientStats ---------------------------------------------
 
   test("sufficientStats: six sums reproduce Pearson r exactly on a known set") {
