@@ -1490,6 +1490,44 @@ object SparkEntry {
       val pairs = graft.ext.Dedup.minhashNearDuplicatesPortable(
         docsWithPlantedNearDups(s, dir), threshold = 0.4)
       graft.ext.Graph.triangleStats(pairs)
+    },
+
+    // Null-aware anti join — ANSI `NOT IN (subquery)` three-valued logic,
+    // which Spark plans as a NULL-aware anti join (a DIFFERENT operator from
+    // q19's left_anti/NOT EXISTS): one NULL in the subquery makes `x NOT IN`
+    // never-true, so the poisoned count collapses to 0 while the clean count
+    // does not. Both engines implement the same standard, so the pair of
+    // counts is the oracle.
+    "q95_null_aware_anti" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT
+          (SELECT COUNT(*) FROM orders_v WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM customer_v WHERE c_mktsegment = 'MACHINERY'))
+            AS n_not_in,
+          (SELECT COUNT(*) FROM orders_v WHERE o_custkey NOT IN
+             (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END
+              FROM customer_v WHERE c_mktsegment = 'MACHINERY'))
+            AS n_null_poisoned""")
+    },
+
+    // Ordered string aggregation: per priority, the 5 smallest order keys as
+    // a comma-joined string. collect_list is unordered by contract, so the
+    // deterministic form is array_sort BEFORE join — mirroring DuckDB's
+    // string_agg(... ORDER BY ...). Top-5 via per-group row_number keeps the
+    // window shuffle the only exchange.
+    "q96_ordered_string_agg" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 5)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          array_join(transform(array_sort(collect_list(col("o_orderkey"))),
+            x => x.cast("string")), ",").as("keys_csv"))
     }
   )
 
@@ -2054,6 +2092,25 @@ object SparkEntry {
          |       (SELECT COUNT(*) FROM w) AS n_wedges,
          |       n_triangles
          |FROM t""".stripMargin,
+
+    "q95_null_aware_anti" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'))
+        |    AS n_not_in,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+        |     (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END
+        |      FROM customer WHERE c_mktsegment = 'MACHINERY'))
+        |    AS n_null_poisoned""".stripMargin,
+
+    "q96_ordered_string_agg" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_csv
+        |FROM r WHERE rn <= 5 GROUP BY 1""".stripMargin,
 
     "q61_contamination" ->
       s"""WITH $docsCorpusSql,
