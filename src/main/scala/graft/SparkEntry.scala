@@ -1528,6 +1528,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           array_join(transform(array_sort(collect_list(col("o_orderkey"))),
             x => x.cast("string")), ",").as("keys_csv"))
+    },
+
+    // Time-to-convert distribution (ext.Sessionize.conversionLags): exact
+    // rank-index median and p90 of click→view lag over CONVERTERS. The rank
+    // window is global but runs over the per-user lag table — already
+    // aggregated to |converters| rows, not raw events — so the one-partition
+    // sort is bounded (q46's exact-vs-sketch trade documented there).
+    "q97_conversion_lag" -> { (s, dir) =>
+      val lags = graft.ext.Sessionize.conversionLags(eventsTable(s, dir),
+        user = col("user_id"), tsMicros = unix_micros(col("ts")),
+        stageCol = col("event_type"), fromStage = "click", toStage = "view")
+      val byLag = Window.orderBy(col("lag_us"), col("user_id"))
+      lags
+        .withColumn("rn", row_number().over(byLag))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("lag_us")).as("min_lag_us"),
+          max(col("lag_us")).as("max_lag_us"),
+          min(when(col("rn") === expr("(cnt + 1) DIV 2"), col("lag_us"))).as("median_lag_us"),
+          min(when(col("rn") === expr("(9 * cnt + 9) DIV 10"), col("lag_us"))).as("p90_lag_us"))
     }
   )
 
@@ -2111,6 +2131,27 @@ object SparkEntry {
         |SELECT o_orderpriority, COUNT(*) AS n,
         |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_csv
         |FROM r WHERE rn <= 5 GROUP BY 1""".stripMargin,
+
+    "q97_conversion_lag" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (
+        |  SELECT user_id, MIN(us) AS t_from FROM ev WHERE event_type = 'click' GROUP BY 1),
+        |lg AS (
+        |  SELECT e.user_id, MIN(e.us) - MIN(t_from) AS lag_us
+        |  FROM ev e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.us > t1.t_from GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, lag_us,
+        |         ROW_NUMBER() OVER (ORDER BY lag_us, user_id) AS rn,
+        |         COUNT(*) OVER () AS cnt
+        |  FROM lg)
+        |SELECT COUNT(*) AS n_users,
+        |       CAST(MIN(lag_us) AS BIGINT) AS min_lag_us,
+        |       CAST(MAX(lag_us) AS BIGINT) AS max_lag_us,
+        |       CAST(MIN(CASE WHEN rn = (cnt + 1) // 2 THEN lag_us END) AS BIGINT) AS median_lag_us,
+        |       CAST(MIN(CASE WHEN rn = (9 * cnt + 9) // 10 THEN lag_us END) AS BIGINT) AS p90_lag_us
+        |FROM r""".stripMargin,
 
     "q61_contamination" ->
       s"""WITH $docsCorpusSql,

@@ -78,6 +78,29 @@ object Sessionize {
     }.reduce(_.unionByName(_))
   }
 
+  /** Per-user conversion LAG between two funnel stages: for users who reach
+    * `toStage` in order (first qualifying event strictly after their first
+    * `fromStage` event — [[funnelCounts]] semantics), the elapsed µs between
+    * the two firsts. The input to time-to-convert distributions; users who
+    * never convert simply don't appear (measure conversion RATE with
+    * [[funnelCounts]], time only over converters).
+    *
+    * Scale: same shape as one funnel stage — a filtered scan joined to the
+    * from-stage firsts on the user key, min-aggregated; all shuffles on
+    * `user_id`. Output: (user_id, lag_us). */
+  def conversionLags(events: DataFrame, user: Column, tsMicros: Column,
+                     stageCol: Column, fromStage: String, toStage: String): DataFrame = {
+    val base = events.select(user.as("user_id"), stageCol.as("__stage"), tsMicros.as("__us"))
+    val from = base.filter(col("__stage") === fromStage)
+      .groupBy(col("user_id")).agg(min(col("__us")).as("__t_from"))
+    base.filter(col("__stage") === toStage)
+      .join(from, Seq("user_id"))
+      .filter(col("__us") > col("__t_from"))
+      .groupBy(col("user_id"))
+      // __t_from is constant per user; min() just carries it through the agg
+      .agg((min(col("__us")) - min(col("__t_from"))).as("lag_us"))
+  }
+
   /** Assign `session_idx` (0-based, per user, in time order) to every event.
     * `orderCols` must extend `ts` to a total order (deterministic lag). */
   def assignSessions(events: DataFrame, user: Column, tsMicros: Column,

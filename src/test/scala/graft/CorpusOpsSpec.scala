@@ -231,6 +231,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out === Seq((0L, "click", 3L), (1L, "view", 1L), (2L, "purchase", 1L)))
   }
 
+  test("conversionLags: lag from first from-stage to first ordered to-stage, converters only") {
+    // u1 converts (click@10 → first view after = 25, not the pre-click view@5);
+    // u2 never views after clicking; u3 has no click.
+    val ev = Seq(
+      (1L, "view", 5L), (1L, "click", 10L), (1L, "view", 25L), (1L, "view", 30L),
+      (2L, "click", 10L), (2L, "view", 3L),
+      (3L, "view", 7L)
+    ).toDF("user_id", "event_type", "us")
+    val out = graft.ext.Sessionize.conversionLags(ev, col("user_id"), col("us"),
+      col("event_type"), "click", "view").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 15L)))
+  }
+
   test("funnelCounts: unreached stages still report a zero row") {
     val ev = Seq((1L, "click", 10L)).toDF("user_id", "event_type", "us")
     val out = graft.ext.Sessionize.funnelCounts(ev, col("user_id"), col("us"),
