@@ -80,6 +80,29 @@ class PlanSpec extends SparkSpec {
       s"bucketized interval join must be an equi-join:\n$p")
   }
 
+  test("q85 top-ngrams compiles to TakeOrderedAndProject, never a global sort") {
+    val p = planOf("q85_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), s"expected per-partition top-k:\n$p")
+    assert(!p.contains("Sort "), s"top-k must not materialize a global sort:\n$p")
+  }
+
+  test("q84 unpivot is a single Expand over the aggregate — no extra exchange") {
+    val p = planOf("q84_unpivot")
+    assert(p.contains("Expand"), s"expected Expand-based unpivot:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"unpivot must add no shuffle beyond the pivot aggregate's:\n$p")
+  }
+
+  test("q91 int8 quantization runs the codegen expression, not an interpreted HOF") {
+    val p = planOf("q91_int8_quantize")
+    assert(p.contains("graft_int8_quantize"), s"expected Int8Quantize expression:\n$p")
+  }
+
+  test("q95 NOT IN plans as a null-aware anti join, not a rewrite to left_anti") {
+    val p = planOf("q95_null_aware_anti")
+    assert(p.toLowerCase.contains("leftanti"), s"expected anti join operators:\n$p")
+  }
+
   test("q55 bloom probe runs in the scan stage, before the semi join's exchange") {
     val p = planOf("q55_bloom_semi_join")
     // The probe must be a Filter under the large side's scan, not post-join:
