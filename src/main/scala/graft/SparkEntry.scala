@@ -1548,6 +1548,35 @@ object SparkEntry {
           max(col("lag_us")).as("max_lag_us"),
           min(when(col("rn") === expr("(cnt + 1) DIV 2"), col("lag_us"))).as("median_lag_us"),
           min(when(col("rn") === expr("(9 * cnt + 9) DIV 10"), col("lag_us"))).as("p90_lag_us"))
+    },
+
+    // Cumulative distinct customers by month — the window-count-distinct
+    // workaround (windows can't COUNT DISTINCT): mark each customer's FIRST
+    // month via a min-aggregate, count news per month, running-sum over the
+    // |months|-sized series. The heavy pass is the per-customer min (one key
+    // shuffle); the global window runs over ~dozens of month rows.
+    "q98_cumulative_distinct" -> { (s, dir) =>
+      val first = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_date"))
+      val monthly = first
+        .groupBy(date_format(col("first_date"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_new"))
+      monthly.withColumn("cum_customers",
+        sum(col("n_new")).over(Window.orderBy(col("month"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    },
+
+    // Month-over-month revenue delta via lag(): the period-over-period
+    // reporting staple. First month's prev is NULL on both engines.
+    "q99_mom_delta" -> { (s, dir) =>
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      monthly
+        .withColumn("prev_rev_cents",
+          lag(col("rev_cents"), 1).over(Window.orderBy(col("month"))))
+        .withColumn("delta_cents", col("rev_cents") - col("prev_rev_cents"))
     }
   )
 
@@ -2152,6 +2181,28 @@ object SparkEntry {
         |       CAST(MIN(CASE WHEN rn = (cnt + 1) // 2 THEN lag_us END) AS BIGINT) AS median_lag_us,
         |       CAST(MIN(CASE WHEN rn = (9 * cnt + 9) // 10 THEN lag_us END) AS BIGINT) AS p90_lag_us
         |FROM r""".stripMargin,
+
+    "q98_cumulative_distinct" ->
+      """WITH f AS (
+        |  SELECT o_custkey, MIN(o_orderdate) AS first_date FROM orders GROUP BY 1),
+        |m AS (
+        |  SELECT strftime(first_date, '%Y-%m') AS month, COUNT(*) AS n_new
+        |  FROM f GROUP BY 1)
+        |SELECT month, n_new,
+        |       CAST(SUM(n_new) OVER (ORDER BY month
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_customers
+        |FROM m""".stripMargin,
+
+    "q99_mom_delta" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT month, rev_cents,
+        |       LAG(rev_cents, 1) OVER (ORDER BY month) AS prev_rev_cents,
+        |       rev_cents - LAG(rev_cents, 1) OVER (ORDER BY month) AS delta_cents
+        |FROM m""".stripMargin,
 
     "q61_contamination" ->
       s"""WITH $docsCorpusSql,
