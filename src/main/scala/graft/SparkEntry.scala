@@ -1577,6 +1577,23 @@ object SparkEntry {
         .withColumn("prev_rev_cents",
           lag(col("rev_cents"), 1).over(Window.orderBy(col("month"))))
         .withColumn("delta_cents", col("rev_cents") - col("prev_rev_cents"))
+    },
+
+    // Export-side composition capstone: deterministic stratified sample →
+    // token-budget sequence packing → per-bucket export report, one lazy
+    // plan (q50 + q69 machinery chained; the oracle replays both stages, so
+    // the COMPOSITION is hash-verified like q51 is for the filter side).
+    "q100_export_prep" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val sampled = ext.Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+        ext.Sampling.LangRatesPerMille, ext.Sampling.DefaultRatePerMille)
+      graft.ext.Packing.packByBudget(sampled, col("doc_id"),
+          TextAnalysis.tokenCount(col("text")), budget = 256, buckets = 8)
+        .groupBy(col("bucket"))
+        .agg(countDistinct(col("bin")).as("n_bins"),
+          count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("total_tokens"),
+          sum(col("doc_id")).as("id_checksum"))
     }
   )
 
@@ -2793,6 +2810,8 @@ object SparkEntry {
 
     "q51_corpus_prep" -> corpusPrepSql,
 
+    "q100_export_prep" -> exportPrepSql,
+
     // ceil(q·n) is the same IEEE double in both engines (n < 2^52), so the
     // rank indices agree exactly; (value, event_id) totally orders ties.
     "q52_percentiles" ->
@@ -2956,5 +2975,32 @@ object SparkEntry {
        |WHERE ${h60Sql(keyExpr)} % 1000 <
        |      CASE lang $whens ELSE ${graft.ext.Sampling.DefaultRatePerMille} END
        |GROUP BY lang""".stripMargin
+  }
+
+  /** q100 mirror: q50's sample predicate feeding q69's packing window. */
+  private def exportPrepSql: String = {
+    val whens = graft.ext.Sampling.LangRatesPerMille.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+    val sampleKey = s"concat('${graft.ext.Sampling.SampleSalt}', ':', CAST(doc_id AS VARCHAR))"
+    val packKey = s"'${graft.ext.Packing.PackSalt}' || ':' || CAST(doc_id AS VARCHAR)"
+    s"""WITH sampled AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE ${h60Sql(sampleKey)} % 1000 <
+       |        CASE lang $whens ELSE ${graft.ext.Sampling.DefaultRatePerMille} END),
+       |d AS (
+       |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS tokens,
+       |         ${h60Sql(packKey)} % 8 AS bucket
+       |  FROM sampled),
+       |r AS (
+       |  SELECT bucket, doc_id, tokens,
+       |         SUM(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+       |  FROM d)
+       |SELECT bucket,
+       |       COUNT(DISTINCT (running - tokens) // 256) AS n_bins,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+       |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       |FROM r GROUP BY 1""".stripMargin
   }
 }
