@@ -194,6 +194,29 @@ class CorpusOpsSpec extends SparkSpec {
       Seq((1L, 25L), (26L, 50L), (51L, 75L), (76L, 100L)))
   }
 
+  test("histogram: negative-spanning range keeps integer edges exact") {
+    val df = (-50L to 49L).toDF("v")
+    val out = Profile.histogram(df, "v", nBuckets = 4)
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.forall(_._2 == 25L))
+    assert(out.head._3 === -50L && out.last._4 === 49L)
+  }
+
+  test("rankBins: more bins than rows still yields one distinct bin per row") {
+    val df = (1L to 3L).map(i => (i, "g", i * 7)).toDF("id", "g", "v")
+    val bins = Profile.rankBins(df, "g", "v", "id", nBins = 10)
+      .select("bin").as[Long].collect().sorted.toSeq
+    assert(bins === Seq(1L, 2L, 3L))
+  }
+
+  test("mixtureUpsample: unlisted group falls back to the default weight") {
+    val df = (1L to 500L).map(i => (i, "other")).toDF("id", "g")
+    val n = Sampling.mixtureUpsample(df, col("g"), col("id"),
+      Map("a" -> 0L), defaultPerMillion = 2000000L).count()
+    assert(n === 1000L) // exactly 2 epochs of every row
+  }
+
   test("histogram: constant column lands in one bucket") {
     val df = Seq.fill(7)(42L).toDF("v")
     val out = Profile.histogram(df, "v", nBuckets = 16).collect()
