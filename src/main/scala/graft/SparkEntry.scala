@@ -1594,6 +1594,34 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(col("tokens")).as("total_tokens"),
           sum(col("doc_id")).as("id_checksum"))
+    },
+
+    // Three-dimensional z-order (engine.Layout.zorderByN): cluster lineitem
+    // on (orderkey, partkey, suppkey), collect per-file stats on all three,
+    // then range-read the THIRD dimension — the column a 2-dim layout gives
+    // zero pruning for. The oracle is a plain filtered scan; q56/q68
+    // temp-dir and coalesce discipline.
+    "q101_zorder3_scan" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-z3-").toString
+      try {
+        graft.engine.Layout.zorderByN(li,
+            Seq("l_orderkey", "l_partkey", "l_suppkey"), numFiles = 8)
+          .write.mode("overwrite").parquet(s"$tmp/t")
+        graft.engine.Skipping.writeStats(s, s"$tmp/t",
+          Seq("l_orderkey", "l_partkey", "l_suppkey"))
+        val r = graft.engine.Skipping.readRange(s, s"$tmp/t", "l_suppkey", 10L, 40L)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(round(col("l_extendedprice") * 100).cast("long")), lit(0L))
+              .as("price_cents"))
+          .collect().head
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1))).toDF("n_rows", "price_cents")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
     }
   )
 
@@ -2811,6 +2839,12 @@ object SparkEntry {
     "q51_corpus_prep" -> corpusPrepSql,
 
     "q100_export_prep" -> exportPrepSql,
+
+    "q101_zorder3_scan" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       COALESCE(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT), 0)
+        |         AS price_cents
+        |FROM lineitem WHERE l_suppkey BETWEEN 10 AND 40""".stripMargin,
 
     // ceil(q·n) is the same IEEE double in both engines (n < 2^52), so the
     // rank indices agree exactly; (value, event_id) totally orders ties.

@@ -61,10 +61,29 @@ object Layout {
     * unresolvable ColumnNode wrappers. */
   def zorderKeyExpr(x: catalyst.expressions.Expression, y: catalyst.expressions.Expression,
                     xMin: Double, xMax: Double, yMin: Double, yMax: Double)
+      : catalyst.expressions.Expression =
+    zorderKeyNExpr(Seq(x, y), Seq((xMin, xMax), (yMin, yMax)), ZorderBits)
+
+  /** N-dimensional Morton key: each column min-max scaled to `bits` bits,
+    * bits interleaved round-robin (dimension d contributes bit i at key
+    * position `n·i + d` — for n = 2 this is exactly the classic x-even /
+    * y-odd interleave, so the 2-dim API is bit-identical to its original
+    * form). LATER-listed columns occupy higher key significance and cluster
+    * tighter per file — list columns in ascending order of how selective
+    * their predicates are. `bits · n` must fit a signed long. More
+    * dimensions at fixed key width means fewer bits each and weaker
+    * per-dimension clustering — the standard z-order trade; 2–4 selective
+    * columns is the practical sweet spot at any scale. */
+  def zorderKeyNExpr(es: Seq[catalyst.expressions.Expression],
+                     bounds: Seq[(Double, Double)], bits: Int)
       : catalyst.expressions.Expression = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.{DoubleType, LongType}
-    val mask = (1L << ZorderBits) - 1
+    require(es.nonEmpty && es.length == bounds.length,
+      s"zorderKeyN: ${es.length} columns vs ${bounds.length} bounds")
+    require(bits > 0 && bits * es.length <= 63,
+      s"zorderKeyN: $bits bits × ${es.length} dims must fit a signed long")
+    val mask = (1L << bits) - 1
     def scaled(e: Expression, lo: Double, hi: Double): Expression = {
       val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
       BitwiseAnd(
@@ -72,11 +91,13 @@ object Layout {
           Literal(mask.toDouble / span))), LongType),
         Literal(mask))
     }
-    val (xb, yb) = (scaled(x, xMin, xMax), scaled(y, yMin, yMax))
-    (0 until ZorderBits).foldLeft(Literal(0L): Expression) { (acc, i) =>
-      Add(Add(acc,
-        ShiftLeft(BitwiseAnd(ShiftRight(xb, Literal(i)), Literal(1L)), Literal(2 * i))),
-        ShiftLeft(BitwiseAnd(ShiftRight(yb, Literal(i)), Literal(1L)), Literal(2 * i + 1)))
+    val scaledEs = es.zip(bounds).map { case (e, (lo, hi)) => scaled(e, lo, hi) }
+    val n = es.length
+    (0 until bits).foldLeft(Literal(0L): Expression) { (acc, i) =>
+      scaledEs.zipWithIndex.foldLeft(acc) { case (a, (se, d)) =>
+        Add(a, ShiftLeft(BitwiseAnd(ShiftRight(se, Literal(i)), Literal(1L)),
+          Literal(n * i + d)))
+      }
     }
   }
 
@@ -94,13 +115,22 @@ object Layout {
     *
     * `repartitionByRange` samples the key distribution, so skew in the raw
     * values (which min-max scaling preserves) still yields balanced files. */
-  def zorderBy(df: DataFrame, xCol: String, yCol: String, numFiles: Int): DataFrame = {
-    val b = df.agg(
-      min(col(xCol).cast("double")), max(col(xCol).cast("double")),
-      min(col(yCol).cast("double")), max(col(yCol).cast("double"))).head()
-    require(!b.anyNull, s"zorderBy: $xCol/$yCol have no non-null values")
-    val key = zorderKey(col(xCol), col(yCol),
-      b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+  def zorderBy(df: DataFrame, xCol: String, yCol: String, numFiles: Int): DataFrame =
+    zorderByN(df, Seq(xCol, yCol), numFiles)
+
+  /** [[zorderBy]] over N columns — bits per dimension shrink automatically
+    * (`min(16, 63/n)`) so the key always fits a long. */
+  def zorderByN(df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    require(cols.nonEmpty, "zorderByN: need at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!b.anyNull, s"zorderByN: ${cols.mkString(",")} have no non-null values")
+    val bounds = cols.indices.map(i => (b.getDouble(2 * i), b.getDouble(2 * i + 1)))
+    val bits = math.min(ZorderBits, 63 / cols.length)
+    val key = Bridge.column(zorderKeyNExpr(
+      cols.map(c => Bridge.expression(col(c))), bounds, bits))
     df.withColumn("_zkey", key)
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions("_zkey")

@@ -335,6 +335,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.length === 1 && out.head.getAs[Long]("v") === 11L)
   }
 
+  // --- Layout.zorderByN ----------------------------------------------------
+
+  test("zorderKeyN: n=2 is bit-identical to the original 2-dim interleave") {
+    import org.apache.spark.sql.graft.Bridge
+    val df = Seq((0.0, 0.0), (3.0, 7.0), (5.5, 2.2), (10.0, 10.0)).toDF("x", "y")
+    val two = df.select(graft.engine.Layout.zorderKey(
+      col("x"), col("y"), 0.0, 10.0, 0.0, 10.0).as("k")).as[Long].collect().toSeq
+    val n = df.select(Bridge.column(graft.engine.Layout.zorderKeyNExpr(
+      Seq(Bridge.expression(col("x")), Bridge.expression(col("y"))),
+      Seq((0.0, 10.0), (0.0, 10.0)), graft.engine.Layout.ZorderBits)).as("k"))
+      .as[Long].collect().toSeq
+    assert(two === n)
+  }
+
+  test("zorderByN: 3-dim clustering shrinks every dimension's mean partition span") {
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(4096)((rnd.nextInt(1024), rnd.nextInt(1024), rnd.nextInt(1024)))
+      .toDF("a", "b", "c")
+    val parts = graft.engine.Layout.zorderByN(df, Seq("a", "b", "c"), numFiles = 64)
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("pid")
+      .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"),
+        (max("c") - min("c")).as("sc"))
+      .as[(Int, Int, Int, Int)].collect()
+    assert(parts.length === 64)
+    // Random (unclustered) layout: every partition spans ~the full 1023 range
+    // in every dimension. The curve must cut MEAN spans well below that;
+    // later-listed columns carry higher key significance and cluster tighter
+    // (measured means ≈ 461/338/284 at this seed), so the bounds step down.
+    def mean(f: ((Int, Int, Int, Int)) => Int) = parts.map(f).sum.toDouble / parts.length
+    assert(mean(_._2) <= 650, s"dim a mean span ${mean(_._2)} — no clustering")
+    assert(mean(_._3) <= 550, s"dim b mean span ${mean(_._3)} — no clustering")
+    assert(mean(_._4) <= 450, s"dim c mean span ${mean(_._4)} — no clustering")
+  }
+
   // --- Incremental.vacuumVersions ------------------------------------------
 
   test("vacuumVersions: keeps newest K, deletes the rest, latest still readable") {
