@@ -210,6 +210,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bins === Seq(1L, 2L, 3L))
   }
 
+  test("mixtureUpsample: arbitrary weights give per-id copies of floor(w) or floor(w)+1") {
+    // sweep a few representative weights; for each, every id's copy count
+    // must be exactly floor or floor+1 of the weight, and epochs contiguous
+    val df = (1L to 300L).map(i => (i, "g")).toDF("id", "g")
+    for (wPpm <- Seq(100000L, 999999L, 1000001L, 1750000L, 3250000L)) {
+      val out = Sampling.mixtureUpsample(df, col("g"), col("id"), Map("g" -> wPpm), 0L)
+        .groupBy("id").agg(count(lit(1)).as("c"), max("epoch").as("me"))
+        .as[(Long, Long, Long)].collect()
+      val base = wPpm / 1000000L
+      out.foreach { case (id, c, me) =>
+        assert(c == base || c == base + 1, s"w=$wPpm id=$id copies=$c")
+        assert(me === c - 1, s"w=$wPpm id=$id epochs not contiguous") // 0..c-1
+      }
+      val total = out.map(_._2).sum
+      val expected = 300.0 * wPpm / 1000000.0
+      assert(math.abs(total - expected) <= 300 * 0.35 + 1,
+        s"w=$wPpm total=$total expected≈$expected")
+    }
+  }
+
   test("mixtureUpsample: unlisted group falls back to the default weight") {
     val df = (1L to 500L).map(i => (i, "other")).toDF("id", "g")
     val n = Sampling.mixtureUpsample(df, col("g"), col("id"),
