@@ -1622,6 +1622,66 @@ object SparkEntry {
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
+    },
+
+    // Streaming incremental view maintenance, oracle-proven (upgrades the
+    // CorpusOpsSpec proof): two CDC changesets (q87's churn, then a second
+    // wave) stream through Incremental.streamingAggMaintenance as separate
+    // micro-batches against a v=-1 seeded gold; the oracle RECOMPUTES the
+    // final snapshot from scratch, so the twice-maintained gold must equal
+    // it exactly. Eager collect before the temp dir dies (q81 discipline).
+    "q102_streaming_ivm" -> { (s, dir) =>
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val snap1 = base.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("cents",
+          when(col("o_orderkey") % 7 === 0, col("cents") + 555L).otherwise(col("cents")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 11 === 0, lit("9-MOVED")).otherwise(col("o_orderpriority")))
+        .unionByName(base.filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderpriority"), (col("cents") + 1L).as("cents")))
+      val snap2 = snap1.filter(col("o_orderkey") % 19 =!= 0)
+        .withColumn("cents",
+          when(col("o_orderkey") % 23 === 0, col("cents") + 333L).otherwise(col("cents")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sivm-").toString
+      try {
+        val in = s"$tmp/in"; val gold = s"$tmp/gold"; val ckpt = s"$tmp/ckpt"
+        base.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+          .write.mode("overwrite").parquet(s"$gold/v=-1")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("old_o_orderpriority",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("old_cents",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("new_o_orderpriority",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("new_cents",
+            org.apache.spark.sql.types.LongType)))
+        def drain(): Unit = graft.engine.Incremental.streamingAggMaintenance(s,
+          s.readStream.schema(schema).parquet(in),
+          groupCol = "o_orderpriority", valueCol = "cents",
+          nCol = "n", sumCol = "sum_cents", goldDir = gold, checkpointDir = ckpt)
+        graft.engine.Cdc.snapshotDiff(base, snap1, Seq("o_orderkey"))
+          .coalesce(1).write.mode("append").parquet(in)
+        drain()
+        graft.engine.Cdc.snapshotDiff(snap1, snap2, Seq("o_orderkey"))
+          .coalesce(1).write.mode("append").parquet(in)
+        drain()
+        val rows = graft.engine.Incremental.latestUpsertState(s, gold).get
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        import s.implicits._
+        rows.toDF("o_orderpriority", "n", "sum_cents")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
     }
   )
 
@@ -2845,6 +2905,26 @@ object SparkEntry {
         |       COALESCE(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT), 0)
         |         AS price_cents
         |FROM lineitem WHERE l_suppkey BETWEEN 10 AND 40""".stripMargin,
+
+    "q102_streaming_ivm" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |s1 AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN '9-MOVED' ELSE o_orderpriority END AS o_orderpriority,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN cents + 555 ELSE cents END AS cents
+        |  FROM base WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderpriority, cents + 1
+        |  FROM base WHERE o_orderkey % 17 = 0),
+        |s2 AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 23 = 0 THEN cents + 333 ELSE cents END AS cents
+        |  FROM s1 WHERE o_orderkey % 19 <> 0)
+        |SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM s2 GROUP BY 1""".stripMargin,
 
     // ceil(q·n) is the same IEEE double in both engines (n < 2^52), so the
     // rank indices agree exactly; (value, event_id) totally orders ties.
