@@ -1682,6 +1682,37 @@ object SparkEntry {
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
+    },
+
+    // Point-in-time (PIT) join: facts enriched with the dimension version
+    // VALID AT fact time — the canonical consumer of an SCD2 dimension
+    // (q58 builds one; this query joins against it). Each order matches
+    // exactly one version because validity windows partition time per key.
+    // Plan note: this stays a plain EQUI-join on the customer key with the
+    // validity window as a post-join filter — per-key version counts are
+    // small and bounded, so no interval-join machinery is needed; the
+    // shuffle is the key join's, same as any fact-dim join at 100 TB.
+    "q103_pit_join" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val dim0 = cust.select(col("c_custkey"), col("c_mktsegment"),
+        lit("1990-01-01 00:00:00").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        lit(true).as("is_current"))
+      val updates = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 6 === 0, lit("SEG_NEW"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          lit("1995-06-01 00:00:00").cast("timestamp").as("eff_ts"))
+      val dim = graft.engine.Merge.scd2Apply(dim0, updates, "c_custkey",
+        Seq("c_mktsegment"), "eff_ts")
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(dim, col("o_custkey") === col("c_custkey") &&
+          col("o_orderdate") >= col("valid_from") &&
+          (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
     }
   )
 
@@ -2925,6 +2956,39 @@ object SparkEntry {
         |  FROM s1 WHERE o_orderkey % 19 <> 0)
         |SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM s2 GROUP BY 1""".stripMargin,
+
+    "q103_pit_join" ->
+      """WITH dim0 AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+        |         CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM customer),
+        |u AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 6 = 0 THEN 'SEG_NEW' ELSE c_mktsegment END AS c_mktsegment,
+        |         TIMESTAMP '1995-06-01 00:00:00' AS eff_ts
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |dim AS (
+        |  SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to
+        |  FROM dim0 d LEFT JOIN u ON d.c_custkey = u.c_custkey
+        |  WHERE u.c_custkey IS NULL OR d.c_mktsegment = u.c_mktsegment
+        |  UNION ALL
+        |  SELECT d.c_custkey, d.c_mktsegment, d.valid_from, u.eff_ts
+        |  FROM dim0 d JOIN u ON d.c_custkey = u.c_custkey
+        |  WHERE d.c_mktsegment <> u.c_mktsegment
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.c_mktsegment, u.eff_ts, CAST(NULL AS TIMESTAMP)
+        |  FROM dim0 d JOIN u ON d.c_custkey = u.c_custkey
+        |  WHERE d.c_mktsegment <> u.c_mktsegment),
+        |o AS (
+        |  SELECT o_custkey, o_orderdate,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT d.c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |FROM o JOIN dim d ON o.o_custkey = d.c_custkey
+        |  AND o.o_orderdate >= d.valid_from
+        |  AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+        |GROUP BY 1""".stripMargin,
 
     // ceil(q·n) is the same IEEE double in both engines (n < 2^52), so the
     // rank indices agree exactly; (value, event_id) totally orders ties.
