@@ -1713,6 +1713,25 @@ object SparkEntry {
           (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+    },
+
+    // Survivorship / golden records (ext.Dedup.goldenRecords): near-dup
+    // pairs → connected components → one canonical row per group, winner =
+    // longest text (ties to highest id), singletons included. Completes the
+    // dedup story: q24 finds pairs, q65 forms groups, this emits the merged
+    // record per group. The oracle replays the recursive-CTE components and
+    // the same argmax.
+    "q104_golden_records" -> { (s, dir) =>
+      val corpus = docsWithPlantedNearDups(s, dir)
+        .withColumn("len", length(col("text")).cast("long"))
+      val pairs = Dedup.minhashNearDuplicatesPortable(
+          docsWithPlantedNearDups(s, dir), threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val labels = graft.ext.Graph.connectedComponents(pairs)
+      Dedup.goldenRecords(corpus.select(col("doc_id"), col("len")), labels,
+          "doc_id", col("len"))
+        .select(col("component"), col("n_members"),
+          col("winner_doc_id"), col("winner_len"))
     }
   )
 
@@ -2400,6 +2419,29 @@ object SparkEntry {
          |SELECT component, COUNT(*) AS n_members
          |FROM (SELECT id, MIN(lab) AS component FROM walk GROUP BY id)
          |GROUP BY 1""".stripMargin,
+
+    "q104_golden_records" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |e AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+         |        UNION SELECT id_b, id_a FROM e),
+         |walk(id, lab) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, w.lab FROM walk w JOIN sym s ON w.id = s.src),
+         |labd AS (SELECT id, MIN(lab) AS component FROM walk GROUP BY id),
+         |fulld AS (
+         |  SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS len,
+         |         COALESCE(l.component, c.doc_id) AS component
+         |  FROM corpus c LEFT JOIN labd l ON c.doc_id = l.id),
+         |r AS (
+         |  SELECT component, doc_id, len,
+         |         ROW_NUMBER() OVER (PARTITION BY component
+         |           ORDER BY len DESC, doc_id DESC) AS rn,
+         |         COUNT(*) OVER (PARTITION BY component) AS n_members
+         |  FROM fulld)
+         |SELECT component, n_members, doc_id AS winner_doc_id, len AS winner_len
+         |FROM r WHERE rn = 1""".stripMargin,
 
     "q67_json_extract" ->
       """WITH e AS (

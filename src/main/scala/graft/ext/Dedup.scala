@@ -483,4 +483,33 @@ object Dedup {
             s => s.getField("chunk")),
           " ").as("clean_text"))
   }
+
+  /** Survivorship / golden record: collapse every dedup GROUP to one
+    * canonical row — the step after [[graft.ext.Graph.connectedComponents]]
+    * turns near-dup pairs into groups. The winner per group maximizes
+    * `(priority, id)` — e.g. longest text, ties to the highest id — via
+    * `max(struct(priority, id, record))`: struct ordering is lexicographic
+    * by field, so one map-side-combined AGGREGATE picks the winner and
+    * carries its whole record, with no window function and no second join
+    * back to the data. Records absent from `labels` (never in any pair) are
+    * their own singleton component.
+    *
+    * Output: `(component, n_members, winner_<every record column>)`.
+    *
+    * Scale: one left join on the id (labels is ∝ matched ids, typically a
+    * small fraction of the corpus — broadcastable) and one hash aggregate
+    * on the component key; shuffle payload is one struct per record. */
+  def goldenRecords(records: DataFrame, labels: DataFrame, idCol: String,
+                    priority: Column): DataFrame = {
+    val recCols = records.columns.toSeq
+    val lab = labels.select(col("id").as("__lid"), col("component"))
+    records.join(lab, col(idCol) === col("__lid"), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(priority.as("__p") +: col(idCol).as("__tie") +:
+          recCols.map(c => col(c)): _*)).as("__w"))
+      .select(col("component") +: col("n_members") +:
+        recCols.map(c => col(s"__w.$c").as(s"winner_$c")): _*)
+  }
 }

@@ -317,6 +317,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getLong(2) === 1L) // only 1-2-3 closes
   }
 
+  // --- Dedup.goldenRecords -------------------------------------------------
+
+  test("goldenRecords: argmax winner per group, singletons kept, payload carried") {
+    val records = Seq(
+      (1L, "short", 5L), (2L, "the longest text", 16L), (3L, "mid text", 8L),
+      (9L, "loner", 5L)
+    ).toDF("doc_id", "text", "len")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "component")
+    val out = graft.ext.Dedup.goldenRecords(records, labels, "doc_id", col("len"))
+      .orderBy("component")
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    // group 1: winner is doc 2 (longest); loner 9 is its own singleton
+    assert(out === Seq(
+      (1L, 3L, 2L, "the longest text", 16L),
+      (9L, 1L, 9L, "loner", 5L)))
+  }
+
+  test("goldenRecords: priority ties break to the HIGHEST id deterministically") {
+    val records = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("doc_id", "len")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "component")
+    val out = graft.ext.Dedup.goldenRecords(records, labels, "doc_id", col("len"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(out === ((1L, 3L, 3L, 7L)))
+  }
+
   // --- Profile.sufficientStats ---------------------------------------------
 
   test("sufficientStats: six sums reproduce Pearson r exactly on a known set") {
