@@ -801,8 +801,7 @@ object SparkEntry {
     "q56_zorder_layout" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
-      try {
+      graft.engine.Scratch.withTempDir("graft-zorder-") { tmp =>
         graft.engine.Layout.zorderBy(li, "l_orderkey", "l_partkey", 8)
           .write.mode("overwrite").parquet(s"$tmp/t")
         // Materialize the box aggregate eagerly so the rewritten copy can be
@@ -816,8 +815,6 @@ object SparkEntry {
           .collect().head
         import s.implicits._
         Seq((r.getLong(0), r.getLong(1))).toDF("n_rows", "price_cents")
-      } finally {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
     },
 
@@ -1053,8 +1050,7 @@ object SparkEntry {
     "q68_stats_pruned_scan" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-skip-").toString
-      try {
+      graft.engine.Scratch.withTempDir("graft-skip-") { tmp =>
         graft.engine.Layout.zorderBy(li, "l_orderkey", "l_partkey", 8)
           .write.mode("overwrite").parquet(s"$tmp/t")
         graft.engine.Skipping.writeStats(s, s"$tmp/t", Seq("l_orderkey", "l_partkey"))
@@ -1067,8 +1063,6 @@ object SparkEntry {
           .collect().head
         import s.implicits._
         Seq((r.getLong(0), r.getLong(1))).toDF("n_rows", "price_cents")
-      } finally {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
     },
 
@@ -1152,8 +1146,7 @@ object SparkEntry {
       val li = t(s, dir, "lineitem").select(
         (col("l_orderkey") * 10 + col("l_linenumber")).as("uniq_key"),
         col("l_shipdate"), col("l_extendedprice"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bloom-").toString
-      try {
+      graft.engine.Scratch.withTempDir("graft-bloom-") { tmp =>
         li.repartitionByRange(8, col("l_shipdate"))
           .write.mode("overwrite").parquet(s"$tmp/t")
         graft.engine.Skipping.writeBloomIndex(s, s"$tmp/t", "uniq_key",
@@ -1165,8 +1158,6 @@ object SparkEntry {
           .collect().head
         import s.implicits._
         Seq((r.getLong(0), r.getLong(1))).toDF("n_rows", "price_cents")
-      } finally {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
     },
 
@@ -1273,8 +1264,7 @@ object SparkEntry {
       val cust = t(s, dir, "customer").select(col("c_custkey"),
         col("c_mktsegment"),
         round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-tt-").toString
-      try {
+      graft.engine.Scratch.withTempDir("graft-tt-") { tmp =>
         val state = s"$tmp/state"
         cust.write.mode("overwrite").parquet(s"$state/v=0")
         val u1 = cust.filter(col("c_custkey") % 3 === 0)
@@ -1296,8 +1286,6 @@ object SparkEntry {
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         import s.implicits._
         rows.toDF("c_mktsegment", "n", "bal_sum_cents")
-      } finally {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
     },
 
@@ -1531,23 +1519,24 @@ object SparkEntry {
     },
 
     // Time-to-convert distribution (ext.Sessionize.conversionLags): exact
-    // rank-index median and p90 of click→view lag over CONVERTERS. The rank
-    // window is global but runs over the per-user lag table — already
-    // aggregated to |converters| rows, not raw events — so the one-partition
-    // sort is bounded (q46's exact-vs-sketch trade documented there).
+    // rank-index min/median/p90/max of click→view lag over CONVERTERS, via
+    // ext.Rank.valueAtRanks — distributed rank selection (range partition +
+    // per-partition offsets), NOT a global `Window.orderBy`: converters grow
+    // with users, so the former one-partition rank sort was the suite's last
+    // single-reducer plan. min/max are just ranks 1 and n, so the whole
+    // result is one selection pass; the oracle's rank arithmetic is
+    // unchanged. PlanSpec asserts the selection plan stays partition-local.
     "q97_conversion_lag" -> { (s, dir) =>
       val lags = graft.ext.Sessionize.conversionLags(eventsTable(s, dir),
         user = col("user_id"), tsMicros = unix_micros(col("ts")),
         stageCol = col("event_type"), fromStage = "click", toStage = "view")
-      val byLag = Window.orderBy(col("lag_us"), col("user_id"))
-      lags
-        .withColumn("rn", row_number().over(byLag))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
-        .agg(count(lit(1)).as("n_users"),
-          min(col("lag_us")).as("min_lag_us"),
-          max(col("lag_us")).as("max_lag_us"),
-          min(when(col("rn") === expr("(cnt + 1) DIV 2"), col("lag_us"))).as("median_lag_us"),
-          min(when(col("rn") === expr("(9 * cnt + 9) DIV 10"), col("lag_us"))).as("p90_lag_us"))
+      graft.ext.Rank.valueAtRanks(lags, Seq("lag_us", "user_id"), "lag_us",
+        n => Seq(
+          "min_lag_us" -> 1L,
+          "max_lag_us" -> n,
+          "median_lag_us" -> ((n + 1L) / 2L),
+          "p90_lag_us" -> ((9L * n + 9L) / 10L)),
+        countName = "n_users")
     },
 
     // Cumulative distinct customers by month — the window-count-distinct
@@ -1605,8 +1594,7 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_extendedprice"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-z3-").toString
-      try {
+      graft.engine.Scratch.withTempDir("graft-z3-") { tmp =>
         graft.engine.Layout.zorderByN(li,
             Seq("l_orderkey", "l_partkey", "l_suppkey"), numFiles = 8)
           .write.mode("overwrite").parquet(s"$tmp/t")
@@ -1619,8 +1607,6 @@ object SparkEntry {
           .collect().head
         import s.implicits._
         Seq((r.getLong(0), r.getLong(1))).toDF("n_rows", "price_cents")
-      } finally {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
     },
 
@@ -1645,8 +1631,7 @@ object SparkEntry {
       val snap2 = snap1.filter(col("o_orderkey") % 19 =!= 0)
         .withColumn("cents",
           when(col("o_orderkey") % 23 === 0, col("cents") + 333L).otherwise(col("cents")))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sivm-").toString
-      try {
+      graft.engine.Scratch.withTempDir("graft-sivm-") { tmp =>
         val in = s"$tmp/in"; val gold = s"$tmp/gold"; val ckpt = s"$tmp/ckpt"
         base.groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
@@ -1679,8 +1664,6 @@ object SparkEntry {
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         import s.implicits._
         rows.toDF("o_orderpriority", "n", "sum_cents")
-      } finally {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
     },
 

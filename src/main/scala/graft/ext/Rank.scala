@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Exact distributed order statistics — value-at-rank selection with NO
+  * global sort and NO single-partition window anywhere in the plan.
+  *
+  * The naive exact-percentile query (`row_number() OVER (ORDER BY ...)`,
+  * empty PARTITION BY) funnels the whole table through one reducer — the
+  * classic last single-reducer plan in an otherwise distributed suite. The
+  * standard distributed replacement, implemented here:
+  *
+  *   1. range-repartition the rows on the order key (a shuffle that
+  *      PARTITIONS by range but never sorts within partitions);
+  *   2. materialize once to scratch parquet, freezing the sampled range
+  *      boundaries — re-executing a range exchange can re-sample different
+  *      boundaries across actions, which would break the offset arithmetic;
+  *   3. per-partition row counts, collected to the driver as partition
+  *      METADATA (one row per partition — cluster-sized, not data-sized,
+  *      the same license as the IVF/PQ centroid collects) → cumulative
+  *      offsets;
+  *   4. global rank r lives in the unique partition whose [offset+1,
+  *      offset+count] interval contains r — only THOSE partitions are
+  *      re-read (parquet min/max on the partition-id column prunes the
+  *      rest) and locally ranked with a `Window.partitionBy(pid)` — every
+  *      sort in the plan is partition-local;
+  *   5. filter local rank = r − offset; a handful of rows survive.
+  *
+  * Scale: two data-parallel shuffles (range exchange, per-pid window over
+  * only the hit partitions), O(numPartitions) driver state. At 100 TB the
+  * input should already be the selection table (e.g. per-user lags), and
+  * `numPartitions` sized so a partition fits an executor; the sort in step 4
+  * then touches ~1/numPartitions of the data per requested rank.
+  * `percentile_approx` (q57) remains the sketch alternative when 1e-3 rank
+  * error is acceptable; this is the EXACT path.
+  */
+object Rank {
+
+  /** One row: `n` (total count, column name `countName`) plus, for each
+    * `(name, rank)` in `namedRanks(n)`, the value of `value` at that 1-based
+    * global rank of `df` ordered by `orderCols` (which must be existing
+    * column names forming a total order — determinism needs no ties). Ranks
+    * outside [1, n] yield NULL (so callers need no n=0 special case).
+    *
+    * EAGER — runs its own jobs against a scratch materialization, like the
+    * layout queries (q56/q101); the returned frame is a local literal.
+    */
+  def valueAtRanks(df: DataFrame, orderCols: Seq[String], value: String,
+                   namedRanks: Long => Seq[(String, Long)],
+                   countName: String = "n",
+                   numPartitions: Int = 32): DataFrame = {
+    require(orderCols.nonEmpty, "Rank.valueAtRanks: need at least one order column")
+    val spark = df.sparkSession
+    val valueType = df.schema(value).dataType
+    graft.engine.Scratch.withTempDir("graft-rank-") { tmp =>
+      df.repartitionByRange(numPartitions, orderCols.map(col): _*)
+        .withColumn("__pid", spark_partition_id())
+        .write.mode("overwrite").parquet(s"$tmp/t")
+      val parts = spark.read.parquet(s"$tmp/t")
+
+      // Partition metadata: (pid, count) sorted by pid, cumulative offsets.
+      val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+
+      val wanted = namedRanks(n)
+      val targets = wanted.map(_._2).distinct.filter(r => r >= 1 && r <= n)
+      val picked: Map[Long, Any] =
+        if (targets.isEmpty) Map.empty
+        else selection(parts, orderCols, value, counts, offsets, targets)
+          .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+
+      val row = Row.fromSeq(n +: wanted.map { case (_, r) => picked.get(r).orNull })
+      val schema = StructType(
+        StructField(countName, LongType, nullable = false) +:
+          wanted.map { case (name, _) => StructField(name, valueType, nullable = true) })
+      spark.createDataFrame(java.util.Arrays.asList(row), schema)
+    }
+  }
+
+  /** The lazy selection plan of step 4–5 — package-private so PlanSpec can
+    * assert it contains no single-partition exchange / global sort. `parts`
+    * must carry the `__pid` column; `offsets` maps pid → rows before it. */
+  private[graft] def selection(parts: DataFrame, orderCols: Seq[String],
+                               value: String, counts: Seq[(Int, Long)],
+                               offsets: Seq[(Int, Long)],
+                               targets: Seq[Long]): DataFrame = {
+    val spark = parts.sparkSession
+    val offByPid = offsets.toMap
+    // Only partitions whose rank interval contains a target need ranking —
+    // at scale this prunes the window to ~|targets| partitions.
+    val hitPids = counts.collect {
+      case (pid, c) if targets.exists(r => r > offByPid(pid) && r <= offByPid(pid) + c) => pid
+    }
+    val offsetsDf = spark.createDataFrame(
+      offsets.filter(o => hitPids.contains(o._1)).toList).toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+    parts
+      .filter(col("__pid").isin(hitPids: _*))
+      .withColumn("__lrn", row_number().over(w))
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn("__rn", col("__off") + col("__lrn"))
+      .filter(col("__rn").isin(targets: _*))
+      .select(col("__rn"), col(value))
+  }
+}

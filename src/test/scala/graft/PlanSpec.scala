@@ -103,6 +103,36 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("leftanti"), s"expected anti join operators:\n$p")
   }
 
+  test("q97 rank selection stays partition-local — no single-partition exchange or global sort") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withTempDir { dir =>
+      // Materialize a parts table the way Rank.valueAtRanks does, then assert
+      // the selection plan (the piece that replaced q97's global rank window)
+      // never funnels data through one partition.
+      (1 to 1000).map(i => ((i * 37) % 1000L, s"u$i")).toDF("lag_us", "user_id")
+        .repartitionByRange(8, col("lag_us"), col("user_id"))
+        .withColumn("__pid", spark_partition_id())
+        .write.parquet(s"$dir/t")
+      val parts = spark.read.parquet(s"$dir/t")
+      val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+      val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+      val sel = graft.ext.Rank.selection(parts, Seq("lag_us", "user_id"), "lag_us",
+        counts, offsets, targets = Seq(1L, 500L, 900L, 1000L))
+      val p = sel.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange SinglePartition"),
+        s"rank selection must not gather to one partition:\n$p")
+      assert(!p.contains("], true, 0"), s"rank selection must not global-sort:\n$p")
+      assert(p.contains("Window"), s"expected per-partition rank window:\n$p")
+      // And the selected values are the exact order statistics.
+      val got = sel.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sorted = (1 to 1000).map(i => (i * 37) % 1000L).sorted
+      assert(got == Map(1L -> sorted(0), 500L -> sorted(499), 900L -> sorted(899),
+        1000L -> sorted(999)))
+    }
+  }
+
   test("q55 bloom probe runs in the scan stage, before the semi join's exchange") {
     val p = planOf("q55_bloom_semi_join")
     // The probe must be a Filter under the large side's scan, not post-join:
