@@ -1266,17 +1266,19 @@ object SparkEntry {
         round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
       graft.engine.Scratch.withTempDir("graft-tt-") { tmp =>
         val state = s"$tmp/state"
-        cust.write.mode("overwrite").parquet(s"$state/v=0")
+        graft.engine.Incremental.commitVersion(cust, state, 0L)
         val u1 = cust.filter(col("c_custkey") % 3 === 0)
           .withColumn("c_mktsegment", lit("SEG_V1"))
         val v0 = graft.engine.Incremental.latestUpsertStateBefore(s, state, 1L).get
-        graft.engine.Merge.upsert(v0, u1, Seq("c_custkey")).drop("merge_action")
-          .write.mode("overwrite").parquet(s"$state/v=1")
+        graft.engine.Incremental.commitVersion(
+          graft.engine.Merge.upsert(v0, u1, Seq("c_custkey")).drop("merge_action"),
+          state, 1L)
         val u2 = cust.filter(col("c_custkey") % 5 === 0)
           .withColumn("bal_cents", col("bal_cents") + 777L)
         val v1 = graft.engine.Incremental.latestUpsertStateBefore(s, state, 2L).get
-        graft.engine.Merge.upsert(v1, u2, Seq("c_custkey")).drop("merge_action")
-          .write.mode("overwrite").parquet(s"$state/v=2")
+        graft.engine.Incremental.commitVersion(
+          graft.engine.Merge.upsert(v1, u2, Seq("c_custkey")).drop("merge_action"),
+          state, 2L)
         // Aggregate eagerly: the temp state dir is deleted on exit, so the
         // result must not be a lazy plan over it (q56/q68/q74 discipline).
         val rows = graft.engine.Incremental.latestUpsertStateBefore(s, state, 2L).get
@@ -1633,9 +1635,10 @@ object SparkEntry {
           when(col("o_orderkey") % 23 === 0, col("cents") + 333L).otherwise(col("cents")))
       graft.engine.Scratch.withTempDir("graft-sivm-") { tmp =>
         val in = s"$tmp/in"; val gold = s"$tmp/gold"; val ckpt = s"$tmp/ckpt"
-        base.groupBy(col("o_orderpriority"))
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
-          .write.mode("overwrite").parquet(s"$gold/v=-1")
+        graft.engine.Incremental.commitVersion(
+          base.groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents")),
+          gold, -1L)
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("o_orderkey",
             org.apache.spark.sql.types.LongType),
@@ -1715,6 +1718,54 @@ object SparkEntry {
           "doc_id", col("len"))
         .select(col("component"), col("n_members"),
           col("winner_doc_id"), col("winner_len"))
+    },
+
+    // Vacuum retention, oracle-proven (upgrades the CorpusOpsSpec-only proof
+    // the round-7 verdict flagged): four committed versions of a
+    // customer-derived upsert state (q81's update chain + one more wave),
+    // vacuum keep-2, then report WHICH versions survived and time-travel-read
+    // the OLDEST kept version (v=2). Retention destroys data, so the proof
+    // must show both sides: the deleted set is exactly the pre-horizon ids
+    // AND the kept snapshot is still bit-correct — the oracle recomputes the
+    // v=2 state (base + u1 + u2) from scratch in SQL. Scale: vacuum is a
+    // driver-side manifest walk + O(deleted) directory deletes; no data read.
+    "q105_vacuum_retention" -> { (s, dir) =>
+      val I = graft.engine.Incremental
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      graft.engine.Scratch.withTempDir("graft-vac-") { tmp =>
+        val state = s"$tmp/state"
+        I.commitVersion(cust, state, 0L)
+        val u1 = cust.filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_mktsegment", lit("SEG_V1"))
+        I.commitVersion(graft.engine.Merge.upsert(
+          I.latestUpsertStateBefore(s, state, 1L).get, u1, Seq("c_custkey"))
+          .drop("merge_action"), state, 1L)
+        val u2 = cust.filter(col("c_custkey") % 5 === 0)
+          .withColumn("bal_cents", col("bal_cents") + 777L)
+        I.commitVersion(graft.engine.Merge.upsert(
+          I.latestUpsertStateBefore(s, state, 2L).get, u2, Seq("c_custkey"))
+          .drop("merge_action"), state, 2L)
+        val u3 = cust.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_mktsegment", lit("SEG_V3"))
+        I.commitVersion(graft.engine.Merge.upsert(
+          I.latestUpsertStateBefore(s, state, 3L).get, u3, Seq("c_custkey"))
+          .drop("merge_action"), state, 3L)
+
+        val deleted = I.vacuumVersions(s, state, keep = 2)
+        val kept = I.committedVersions(s, state)
+        val r = I.latestUpsertStateBefore(s, state, 3L).get
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("bal_cents")).as("bal_sum_cents"),
+            sum(when(col("c_mktsegment") === "SEG_V1", 1L).otherwise(0L))
+              .as("n_seg_v1"))
+          .collect().head
+        import s.implicits._
+        Seq((kept.mkString(","), deleted.length.toLong,
+          r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("kept_versions_csv", "n_deleted", "n_rows", "bal_sum_cents", "n_seg_v1")
+      }
     }
   )
 
@@ -2425,6 +2476,25 @@ object SparkEntry {
          |  FROM fulld)
          |SELECT component, n_members, doc_id AS winner_doc_id, len AS winner_len
          |FROM r WHERE rn = 1""".stripMargin,
+
+    // v=2 state = base + u1 (%3 → SEG_V1) + u2 (%5 → original row, bal+777);
+    // u2 overwrites u1's segment for keys divisible by 15. kept/deleted ids
+    // are the deterministic keep-2 outcome over versions 0..3.
+    "q105_vacuum_retention" ->
+      """WITH v2 AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment
+        |              WHEN c_custkey % 3 = 0 THEN 'SEG_V1'
+        |              ELSE c_mktsegment END AS seg,
+        |         CAST(ROUND(c_acctbal * 100) AS BIGINT)
+        |           + CASE WHEN c_custkey % 5 = 0 THEN 777 ELSE 0 END AS bal_cents
+        |  FROM customer)
+        |SELECT '2,3' AS kept_versions_csv,
+        |       CAST(2 AS BIGINT) AS n_deleted,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(bal_cents) AS BIGINT) AS bal_sum_cents,
+        |       CAST(SUM(CASE WHEN seg = 'SEG_V1' THEN 1 ELSE 0 END) AS BIGINT) AS n_seg_v1
+        |FROM v2""".stripMargin,
 
     "q67_json_extract" ->
       """WITH e AS (

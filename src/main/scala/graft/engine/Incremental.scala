@@ -170,7 +170,7 @@ object Incremental {
             case Some(cur) => Merge.upsert(cur, batch, keys).drop("merge_action")
             case None => batch
           }
-          merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+          commitVersion(merged, stateDir, batchId)
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -213,8 +213,9 @@ object Incremental {
               .limit(0)
               .withColumn(nCol, lit(0L))
               .withColumn(sumCol, lit(0L)))
-          Cdc.applyDeltaToSums(prev, batch, groupCol, valueCol, nCol, sumCol)
-            .write.mode("overwrite").parquet(s"$goldDir/v=$batchId")
+          commitVersion(
+            Cdc.applyDeltaToSums(prev, batch, groupCol, valueCol, nCol, sumCol),
+            goldDir, batchId)
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -223,31 +224,94 @@ object Incremental {
     query.awaitTermination()
   }
 
+  /** Name of the per-version commit manifest — the versioned store's
+    * one-file transaction log entry (see [[commitVersion]]). */
+  val CommitManifest = "_graft_commit.json"
+
+  /** Write `df` as version `v` of a versioned store and COMMIT it atomically:
+    * data files first, then a `_graft_commit.json` manifest (written to a
+    * temp name and renamed — atomic on local/HDFS semantics) listing the
+    * member files. Readers ([[latestUpsertStateBefore]], time travel) only
+    * see versions whose manifest exists, and only the files it lists — so a
+    * crash between the multi-file snapshot write and its commit exposes
+    * NOTHING to a concurrent reader, and a retried micro-batch's `overwrite`
+    * wipes the partial files along with any stale manifest. This is the
+    * minimal commit protocol that closes the non-atomic write+publish gap the
+    * reference has at `storage/local_storage.py:216-217` (silver write and
+    * ledger update are two separate unguarded steps); a full table format
+    * (Delta/Iceberg) generalizes the same idea to a multi-version log. */
+  def commitVersion(df: DataFrame, stateDir: String, v: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val dir = s"$stateDir/v=$v"
+    df.write.mode("overwrite").parquet(dir)
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("part-")).sorted
+    val json = files.map(f => "\"" + f + "\"")
+      .mkString(s"""{"version":$v,"files":[""", ",", "]}")
+    val tmp = new Path(path, "._graft_commit.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(path, CommitManifest)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    require(fs.rename(tmp, dest), s"commitVersion: rename to $dest failed")
+  }
+
+  /** Committed version ids under `stateDir`, ascending. Uncommitted `v=` dirs
+    * (no manifest — a writer crashed mid-snapshot) are invisible. */
+  def committedVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
+        fs.exists(new Path(s.getPath, CommitManifest)))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
+  }
+
   /** Retention for the versioned store: delete all but the newest `keep`
-    * version directories under `stateDir`. Returns the deleted version ids.
+    * COMMITTED version directories under `stateDir`. Returns deleted ids.
     *
     * Each `v=<n>` snapshot is a full state copy, so storage grows linearly
     * with history; vacuuming bounds it at `keep` copies. Time travel
-    * ([[latestUpsertStateBefore]]) below the retention horizon fails with a
-    * missing path afterwards — loudly, not with silently wrong data. The
-    * latest version is never deleted (`keep` ≥ 1 enforced), so readers and
-    * the next [[streamingUpsert]]/[[streamingAggMaintenance]] batch are
-    * unaffected; deletion order is oldest-first so a crash mid-vacuum leaves
-    * a contiguous recent history. */
+    * ([[latestUpsertStateBefore]]) below the retention horizon fails with an
+    * empty result afterwards — loudly, not with silently wrong data.
+    *
+    * `keep` ≥ 2 is ENFORCED, not advisory: the newest committed version and
+    * its predecessor must both survive, because a `foreachBatch` writer can
+    * crash after committing `v=N` but before the checkpoint records batch N —
+    * the retry then merges against the latest version strictly below N, and
+    * if vacuum had taken N−1 the retry would silently rebuild gold from the
+    * lone changeset. Keeping two committed versions makes vacuum safe to run
+    * concurrently with the streaming writers. Uncommitted (crashed) dirs
+    * below the retention horizon are garbage-collected too; deletion order is
+    * oldest-first so a crash mid-vacuum leaves a contiguous recent history. */
   def vacuumVersions(spark: SparkSession, stateDir: String, keep: Int): Seq[Long] = {
-    require(keep >= 1, "vacuumVersions: keep must be >= 1")
+    require(keep >= 2,
+      "vacuumVersions: keep must be >= 2 — the newest committed version's " +
+        "predecessor is the recovery point for an uncheckpointed streaming batch")
     import org.apache.hadoop.fs.Path
     val path = new Path(stateDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Seq.empty
     else {
-      val versions = fs.listStatus(path).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-        .map(_.getPath.getName.stripPrefix("v=").toLong)
-        .sorted
-      val doomed = versions.dropRight(keep)
-      doomed.foreach(v => fs.delete(new Path(s"$stateDir/v=$v"), true))
-      doomed
+      val committed = committedVersions(spark, stateDir)
+      if (committed.isEmpty) Seq.empty
+      else {
+        val horizon = committed.takeRight(keep).head
+        val doomed = fs.listStatus(path).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+          .map(_.getPath.getName.stripPrefix("v=").toLong)
+          .filter(_ < horizon)
+          .sorted
+        doomed.foreach(v => fs.delete(new Path(s"$stateDir/v=$v"), true))
+        doomed
+      }
     }
   }
 
@@ -255,20 +319,23 @@ object Incremental {
   def latestUpsertState(spark: SparkSession, stateDir: String): Option[DataFrame] =
     latestUpsertStateBefore(spark, stateDir, Long.MaxValue)
 
-  /** The latest snapshot with version strictly below `beforeVersion`. */
+  /** The latest COMMITTED snapshot with version strictly below
+    * `beforeVersion`. Reads exactly the files the commit manifest lists, so
+    * concurrent writers/vacuums and leftover partial files are invisible. */
   def latestUpsertStateBefore(spark: SparkSession, stateDir: String,
                               beforeVersion: Long): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
-    val path = new Path(stateDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) None
+    val versions = committedVersions(spark, stateDir).filter(_ < beforeVersion)
+    if (versions.isEmpty) None
     else {
-      val versions = fs.listStatus(path).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-        .map(_.getPath.getName.stripPrefix("v=").toLong)
-        .filter(_ < beforeVersion)
-      if (versions.isEmpty) None
-      else Some(spark.read.parquet(s"$stateDir/v=${versions.max}"))
+      val dir = s"$stateDir/v=${versions.max}"
+      val path = new Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new Path(path, CommitManifest))
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val files = "\"(part-[^\"]+)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq
+      if (files.isEmpty) Some(spark.read.parquet(dir).limit(0))
+      else Some(spark.read.parquet(files.map(f => s"$dir/$f"): _*))
     }
   }
 }

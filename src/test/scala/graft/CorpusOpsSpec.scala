@@ -422,7 +422,7 @@ class CorpusOpsSpec extends SparkSpec {
     withTempDir { root =>
       val state = s"$root/state"
       (0L to 3L).foreach { v =>
-        Seq((v, s"v$v")).toDF("k", "s").write.parquet(s"$state/v=$v")
+        Incremental.commitVersion(Seq((v, s"v$v")).toDF("k", "s"), state, v)
       }
       val deleted = Incremental.vacuumVersions(spark, state, keep = 2)
       assert(deleted === Seq(0L, 1L))
@@ -460,8 +460,8 @@ class CorpusOpsSpec extends SparkSpec {
 
       // seed gold below the first stream batch id (batch ids start at 0):
       // the one-time full build lands at v=-1
-      snap0.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"))
-        .write.mode("overwrite").parquet(s"$gold/v=-1")
+      Incremental.commitVersion(
+        snap0.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s")), gold, -1L)
 
       Cdc.snapshotDiff(snap0, snap1, Seq("k")).coalesce(1)
         .write.mode("append").parquet(in)

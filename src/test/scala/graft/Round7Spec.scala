@@ -147,13 +147,15 @@ class Round7Spec extends SparkSpec {
     withTempDir { dir =>
       val state = s"$dir/state"
       val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
-      base.write.parquet(s"$state/v=0")
+      Incremental.commitVersion(base, state, 0L)
       val u1 = Seq((2L, "B2"), (3L, "c")).toDF("k", "s")
-      Merge.upsert(Incremental.latestUpsertStateBefore(spark, state, 1L).get, u1, Seq("k"))
-        .drop("merge_action").write.parquet(s"$state/v=1")
+      Incremental.commitVersion(
+        Merge.upsert(Incremental.latestUpsertStateBefore(spark, state, 1L).get, u1, Seq("k"))
+          .drop("merge_action"), state, 1L)
       val u2 = Seq((1L, "A3")).toDF("k", "s")
-      Merge.upsert(Incremental.latestUpsertStateBefore(spark, state, 2L).get, u2, Seq("k"))
-        .drop("merge_action").write.parquet(s"$state/v=2")
+      Incremental.commitVersion(
+        Merge.upsert(Incremental.latestUpsertStateBefore(spark, state, 2L).get, u2, Seq("k"))
+          .drop("merge_action"), state, 2L)
 
       def snap(before: Long) =
         Incremental.latestUpsertStateBefore(spark, state, before).get

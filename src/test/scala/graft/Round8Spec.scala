@@ -1,0 +1,74 @@
+package graft
+
+import graft.engine.Incremental
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: the versioned store's atomic commit manifest and the
+  * vacuum safety contract around it. */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("uncommitted version dirs (crash before manifest) are invisible to readers") {
+    withTempDir { root =>
+      val state = s"$root/state"
+      Incremental.commitVersion(Seq((1L, "a")).toDF("k", "s"), state, 0L)
+      // Simulate a writer that crashed between the snapshot write and its
+      // commit: data files land, no manifest follows.
+      Seq((1L, "PARTIAL")).toDF("k", "s").write.parquet(s"$state/v=1")
+      assert(Incremental.committedVersions(spark, state) === Seq(0L))
+      assert(Incremental.latestUpsertState(spark, state).get
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "a")))
+      // The retry (same batch id) overwrites the partial dir and commits;
+      // only then does v=1 become the latest.
+      Incremental.commitVersion(Seq((1L, "a2")).toDF("k", "s"), state, 1L)
+      assert(Incremental.committedVersions(spark, state) === Seq(0L, 1L))
+      assert(Incremental.latestUpsertState(spark, state).get
+        .collect().map(r => r.getString(1)).toSeq === Seq("a2"))
+    }
+  }
+
+  test("readers use the manifest's file list — unlisted files in a committed dir are ignored") {
+    withTempDir { root =>
+      val state = s"$root/state"
+      Incremental.commitVersion(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), state, 0L)
+      // A concurrent/stale writer drops an extra parquet file into the dir.
+      Seq((99L, "JUNK")).toDF("k", "s").write.parquet(s"$root/junk")
+      val junk = new java.io.File(s"$root/junk").listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.copy(junk.toPath,
+        java.nio.file.Paths.get(s"$state/v=0/part-junk-unlisted.snappy.parquet"))
+      val got = Incremental.latestUpsertState(spark, state).get
+        .collect().map(_.getLong(0)).toSet
+      assert(got === Set(1L, 2L), "unlisted file must not be read")
+    }
+  }
+
+  test("vacuumVersions refuses keep < 2 (the predecessor is the streaming recovery point)") {
+    withTempDir { root =>
+      val state = s"$root/state"
+      Incremental.commitVersion(Seq((1L, "a")).toDF("k", "s"), state, 0L)
+      val e = intercept[IllegalArgumentException] {
+        Incremental.vacuumVersions(spark, state, keep = 1)
+      }
+      assert(e.getMessage.contains("keep must be >= 2"))
+    }
+  }
+
+  test("vacuum counts only committed versions and garbage-collects crashed dirs below horizon") {
+    withTempDir { root =>
+      val state = s"$root/state"
+      (0L to 3L).foreach(v =>
+        Incremental.commitVersion(Seq((v, s"v$v")).toDF("k", "s"), state, v))
+      // Make v=1 look crashed (data written, commit never happened).
+      val manifest = new java.io.File(s"$state/v=1/${Incremental.CommitManifest}")
+      assert(manifest.exists())
+      assert(manifest.delete())
+      val deleted = Incremental.vacuumVersions(spark, state, keep = 2)
+      // committed = 0,2,3; horizon = 2 ⇒ committed 0 and uncommitted 1 go
+      assert(deleted === Seq(0L, 1L))
+      assert(Incremental.committedVersions(spark, state) === Seq(2L, 3L))
+      assert(Incremental.latestUpsertStateBefore(spark, state, 2L).isEmpty,
+        "below-horizon time travel must fail empty, not read stale dirs")
+    }
+  }
+}
