@@ -1475,11 +1475,16 @@ object SparkEntry {
     // Triangle stats (ext.Graph.triangleStats) over the q24 near-dup pair
     // graph: clique-density diagnostic separating real dup clusters from
     // borderline-match chains. The oracle replays the same canonical-edge
-    // joins over the portable MinHash pairs.
+    // joins over the portable MinHash pairs. Runs WITH the hub-degree cap
+    // engaged (the 100 TB posture — one boilerplate hub otherwise
+    // quadratizes the wedge join); the cap is far above this graph's max
+    // degree, so the counts equal the uncapped oracle while the degree
+    // pass + anti-join path is hash-exercised. CorpusOpsSpec's star-graph
+    // case proves the cap actually bounds wedges when exceeded.
     "q94_triangle_stats" -> { (s, dir) =>
       val pairs = graft.ext.Dedup.minhashNearDuplicatesPortable(
         docsWithPlantedNearDups(s, dir), threshold = 0.4)
-      graft.ext.Graph.triangleStats(pairs)
+      graft.ext.Graph.triangleStats(pairs, maxDegree = Some(1000000L))
     },
 
     // Null-aware anti join — ANSI `NOT IN (subquery)` three-valued logic,

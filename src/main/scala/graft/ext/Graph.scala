@@ -124,18 +124,39 @@ object Graph {
     * deduplicated as (a < b), wedges join on the shared middle vertex with
     * the a < b < c order enforced, and a third join closes them — each
     * triangle counted exactly once. Output: one row
-    * (n_edges, n_wedges, n_triangles).
+    * (n_edges, n_wedges, n_triangles). `n_wedges` counts ORDERED wedges —
+    * open paths x–y–z with x < y < z through the middle vertex y — the
+    * denominator matching the once-per-triangle numerator; the classic
+    * Σ C(deg(v), 2) "all wedges" figure is larger and NOT what this reports.
     *
-    * Scale: two equi-joins shuffling on vertex keys; wedge count is
-    * Σ deg(v)², so at web scale cap hub degrees first (a vertex in more
-    * near-dup pairs than any plausible clique is boilerplate — cap or drop
-    * it, the same mitigation every production triangle counter uses). */
+    * Scale: two equi-joins shuffling on vertex keys. The wedge join's output
+    * is bounded above by Σ deg(v)² over canonical out-degrees, so one hub
+    * vertex (a boilerplate document in more near-dup pairs than any
+    * plausible clique) quadratizes the job — pass `maxDegree` to DROP
+    * vertices above the cap (with all their edges) before wedge formation,
+    * the same mitigation every production triangle counter uses. The degree
+    * pass and the anti-joins shuffle on the same vertex keys as the wedge
+    * join. Counts then describe the capped subgraph, which is the right
+    * diagnostic: hub structure is noise for clique-density questions. */
   def triangleStats(edges: DataFrame, idA: String = "id_a",
-                    idB: String = "id_b"): DataFrame = {
-    val e = edges
+                    idB: String = "id_b",
+                    maxDegree: Option[Long] = None): DataFrame = {
+    val all = edges
       .select(least(col(idA), col(idB)).as("a"), greatest(col(idA), col(idB)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    val e = maxDegree match {
+      case None => all
+      case Some(cap) =>
+        require(cap >= 1L, s"triangleStats: maxDegree must be >= 1, got $cap")
+        val hubs = all.select(col("a").as("v"))
+          .unionAll(all.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("__deg"))
+          .filter(col("__deg") > cap)
+          .select(col("v"))
+        all.join(hubs, col("a") === col("v"), "left_anti")
+          .join(hubs, col("b") === col("v"), "left_anti")
+    }
     val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
     val closed = wedges.join(e.as("e3"),

@@ -317,6 +317,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getLong(2) === 1L) // only 1-2-3 closes
   }
 
+  test("triangleStats: hub-degree cap drops the hub and bounds the wedge count") {
+    // Star with hub 50 (degree 100) placed mid-range so it is a wedge MIDDLE
+    // (x < 50 < z), plus an untouched low-degree triangle 200-201-202.
+    val star = (1L to 49L).map(i => (i, 50L)) ++ (51L to 100L).map(j => (50L, j))
+    val tri = Seq((200L, 201L), (201L, 202L), (200L, 202L))
+    val edges = (star ++ tri).toDF("id_a", "id_b")
+    val uncapped = graft.ext.Graph.triangleStats(edges).head()
+    assert(uncapped.getLong(0) === 102L)
+    assert(uncapped.getLong(1) === 49L * 50L + 1L, "star quadratizes the wedge join")
+    assert(uncapped.getLong(2) === 1L)
+    // cap below the hub's degree: hub and all its edges go, triangle survives
+    val capped = graft.ext.Graph.triangleStats(edges, maxDegree = Some(10L)).head()
+    assert(capped.getLong(0) === 3L)
+    assert(capped.getLong(1) === 1L)
+    assert(capped.getLong(2) === 1L)
+    // cap at exactly the max degree: nothing dropped, counts unchanged (q94's mode)
+    val atMax = graft.ext.Graph.triangleStats(edges, maxDegree = Some(100L)).head()
+    assert(atMax.getLong(0) === 102L && atMax.getLong(1) === 49L * 50L + 1L
+      && atMax.getLong(2) === 1L)
+  }
+
   // --- Dedup.goldenRecords -------------------------------------------------
 
   test("goldenRecords: argmax winner per group, singletons kept, payload carried") {
