@@ -1771,6 +1771,40 @@ object SparkEntry {
           r.getLong(0), r.getLong(1), r.getLong(2)))
           .toDF("kept_versions_csv", "n_deleted", "n_rows", "bal_sum_cents", "n_seg_v1")
       }
+    },
+
+    // Column-level survivorship (ext.Dedup.goldenRecordsByColumn): the MDM
+    // step beyond q104's whole-row winner — two derived "source systems" per
+    // customer, then each golden column elects independently: segment from
+    // the most RECENT non-null source, name from the LONGEST non-null,
+    // balance greatest. One aggregate, all policies as max(struct) in the
+    // same pass (no per-column windows); the oracle replays each policy as
+    // a ranked window with the identical (non-null, order, id) key.
+    "q106_column_survivorship" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val recA = cust.select(
+        (col("c_custkey") * 2).cast("long").as("rec_id"),
+        col("c_custkey").cast("long").as("entity"),
+        when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("segment"),
+        col("c_name").as("name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+        (col("c_custkey") % 100).cast("long").as("rec_ts"))
+      val recB = cust.select(
+        (col("c_custkey") * 2 + 1).cast("long").as("rec_id"),
+        col("c_custkey").cast("long").as("entity"),
+        when(col("c_custkey") % 4 === 0, lit("SEG_B"))
+          .otherwise(lit(null).cast("string")).as("segment"),
+        when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+          .otherwise(substring(col("c_name"), 1, 10)).as("name"),
+        (round(col("c_acctbal") * 100).cast("long") - 500L).as("bal_cents"),
+        ((col("c_custkey") * 7) % 100).cast("long").as("rec_ts"))
+      val records = recA.unionByName(recB)
+      val labels = records.select(col("rec_id").as("id"), col("entity").as("component"))
+      graft.ext.Dedup.goldenRecordsByColumn(records, labels, "rec_id", Seq(
+        ("segment", "segment", col("rec_ts")),
+        ("name", "name", length(col("name"))),
+        ("bal_cents", "bal_cents", col("bal_cents"))))
     }
   )
 
@@ -2500,6 +2534,43 @@ object SparkEntry {
         |       CAST(SUM(bal_cents) AS BIGINT) AS bal_sum_cents,
         |       CAST(SUM(CASE WHEN seg = 'SEG_V1' THEN 1 ELSE 0 END) AS BIGINT) AS n_seg_v1
         |FROM v2""".stripMargin,
+
+    "q106_column_survivorship" ->
+      """WITH recs AS (
+        |  SELECT CAST(c_custkey * 2 AS BIGINT) AS rec_id,
+        |         CAST(c_custkey AS BIGINT) AS entity,
+        |         CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS segment,
+        |         c_name AS name,
+        |         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |         CAST(c_custkey % 100 AS BIGINT) AS rec_ts
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(c_custkey * 2 + 1 AS BIGINT),
+        |         CAST(c_custkey AS BIGINT),
+        |         CASE WHEN c_custkey % 4 = 0 THEN 'SEG_B' ELSE NULL END,
+        |         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE substr(c_name, 1, 10) END,
+        |         CAST(ROUND(c_acctbal * 100) AS BIGINT) - 500,
+        |         CAST((c_custkey * 7) % 100 AS BIGINT)
+        |  FROM customer),
+        |seg AS (
+        |  SELECT entity, segment, ROW_NUMBER() OVER (PARTITION BY entity
+        |    ORDER BY (segment IS NOT NULL) DESC, rec_ts DESC, rec_id DESC) AS rn
+        |  FROM recs),
+        |com AS (
+        |  SELECT entity, name, ROW_NUMBER() OVER (PARTITION BY entity
+        |    ORDER BY (name IS NOT NULL) DESC, length(name) DESC, rec_id DESC) AS rn
+        |  FROM recs),
+        |bal AS (
+        |  SELECT entity, bal_cents, ROW_NUMBER() OVER (PARTITION BY entity
+        |    ORDER BY (bal_cents IS NOT NULL) DESC, bal_cents DESC, rec_id DESC) AS rn
+        |  FROM recs),
+        |cnt AS (SELECT entity, COUNT(*) AS n_members FROM recs GROUP BY 1)
+        |SELECT cnt.entity AS component, cnt.n_members,
+        |       seg.segment, com.name, bal.bal_cents
+        |FROM cnt
+        |JOIN seg ON cnt.entity = seg.entity AND seg.rn = 1
+        |JOIN com ON cnt.entity = com.entity AND com.rn = 1
+        |JOIN bal ON cnt.entity = bal.entity AND bal.rn = 1""".stripMargin,
 
     "q67_json_extract" ->
       """WITH e AS (

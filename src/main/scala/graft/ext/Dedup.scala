@@ -512,4 +512,38 @@ object Dedup {
       .select(col("component") +: col("n_members") +:
         recCols.map(c => col(s"__w.$c").as(s"winner_$c")): _*)
   }
+
+  /** Column-level survivorship — the standard MDM step beyond
+    * [[goldenRecords]]'s whole-row argmax: each OUTPUT COLUMN picks its own
+    * winner, so the golden record can take its segment from the most
+    * recently updated source, its free-text from the longest non-null
+    * value, and its balance from a third rule — merging fields across
+    * source rows instead of electing one row wholesale.
+    *
+    * Each policy is `(outputName, valueCol, orderBy)`: the output column is
+    * `valueCol` from the group row maximizing
+    * `(valueCol IS NOT NULL, orderBy, id)` — non-null always beats null,
+    * then the policy's order decides, then the id breaks ties (total order
+    * ⇒ deterministic). All-null groups yield NULL. Common policies are just
+    * order expressions: most-recent non-null → `col("updated_at")`; longest
+    * non-null → `length(col(c))`; greatest → `col(c)` itself.
+    *
+    * Scale: identical shape to [[goldenRecords]] — one left join on the id
+    * plus ONE map-side-combinable aggregate; every policy is a `max(struct)`
+    * in the same pass, no windows, no per-column self-joins (the naive MDM
+    * formulation runs one ranked window per column — N shuffles where this
+    * does one). */
+  def goldenRecordsByColumn(records: DataFrame, labels: DataFrame, idCol: String,
+                            policies: Seq[(String, String, Column)]): DataFrame = {
+    require(policies.nonEmpty, "goldenRecordsByColumn: need at least one policy")
+    val lab = labels.select(col("id").as("__lid"), col("component"))
+    val grouped = records.join(lab, col(idCol) === col("__lid"), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .groupBy(col("component"))
+    val aggs = count(lit(1)).as("n_members") +: policies.map { case (out, vc, ord) =>
+      max(struct(col(vc).isNotNull.as("nn"), ord.as("o"),
+        col(idCol).as("tie"), col(vc).as("v"))).getField("v").as(out)
+    }
+    grouped.agg(aggs.head, aggs.tail: _*)
+  }
 }

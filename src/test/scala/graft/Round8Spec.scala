@@ -54,6 +54,33 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("goldenRecordsByColumn: each column elects its own winner; all-null and singleton groups behave") {
+    // group 1: seg newest non-null is id=2's (ts 9); longest name is id=1's;
+    //          id=3 has the newest ts but a NULL seg — non-null must win.
+    // group 2: all segs null → NULL survives. id=9: singleton, no label row.
+    val records = Seq(
+      (1L, Option("old-seg"), Option("a much longer name"), 5L),
+      (2L, Option("new-seg"), Option("short"), 9L),
+      (3L, Option.empty[String], Option("mid name x"), 99L),
+      (7L, Option.empty[String], Option("n7"), 1L),
+      (8L, Option.empty[String], Option.empty[String], 2L),
+      (9L, Option("solo-seg"), Option("solo"), 3L)
+    ).toDF("id", "seg", "name", "ts")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 2L), (8L, 2L))
+      .toDF("id", "component")
+    val out = graft.ext.Dedup.goldenRecordsByColumn(records, labels, "id", Seq(
+        ("seg", "seg", col("ts")),
+        ("name", "name", length(col("name"))),
+        ("max_ts", "ts", col("ts"))))
+      .orderBy("component")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), Option(r.getString(3)), r.getLong(4))).toSeq
+    assert(out === Seq(
+      (1L, 3L, Some("new-seg"), Some("a much longer name"), 99L),
+      (2L, 2L, None, Some("n7"), 2L),
+      (9L, 1L, Some("solo-seg"), Some("solo"), 3L)))
+  }
+
   test("vacuum counts only committed versions and garbage-collects crashed dirs below horizon") {
     withTempDir { root =>
       val state = s"$root/state"
