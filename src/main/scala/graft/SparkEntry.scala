@@ -1805,6 +1805,35 @@ object SparkEntry {
         ("segment", "segment", col("rec_ts")),
         ("name", "name", length(col("name"))),
         ("bal_cents", "bal_cents", col("bal_cents"))))
+    },
+
+    // MIN/MAX-aware incremental view maintenance
+    // (engine.Cdc.applyDeltaWithExtremes): q87's churn against a gold that
+    // also stores per-group min/max — the non-additive aggregates a pure
+    // delta can't maintain. Groups whose removals touch a stored extreme are
+    // rebuilt from the new base behind a group semi-join (the %13 deletes
+    // are sure to clip some group's extreme); everything else stays delta
+    // arithmetic. The oracle recomputes the post-churn gold from scratch,
+    // so the mixed maintain/rebuild result must equal the full recompute.
+    "q107_minmax_ivm" -> { (s, dir) =>
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val newDf = base.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("cents",
+          when(col("o_orderkey") % 7 === 0, col("cents") + 555L).otherwise(col("cents")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 11 === 0, lit("9-MOVED")).otherwise(col("o_orderpriority")))
+        .unionByName(base.filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderpriority"), (col("cents") + 1L).as("cents")))
+      val gold = base.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      val changes = graft.engine.Cdc.snapshotDiff(base, newDf, Seq("o_orderkey"))
+      graft.engine.Cdc.applyDeltaWithExtremes(gold, changes, newDf,
+        groupCol = "o_orderpriority", valueCol = "cents",
+        nCol = "n", sumCol = "sum_cents", minCol = "min_cents", maxCol = "max_cents")
     }
   )
 
@@ -2571,6 +2600,23 @@ object SparkEntry {
         |JOIN seg ON cnt.entity = seg.entity AND seg.rn = 1
         |JOIN com ON cnt.entity = com.entity AND com.rn = 1
         |JOIN bal ON cnt.entity = bal.entity AND bal.rn = 1""".stripMargin,
+
+    "q107_minmax_ivm" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |newt AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN '9-MOVED' ELSE o_orderpriority END AS o_orderpriority,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN cents + 555 ELSE cents END AS cents
+        |  FROM base WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderpriority, cents + 1
+        |  FROM base WHERE o_orderkey % 17 = 0)
+        |SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |       CAST(MIN(cents) AS BIGINT) AS min_cents, CAST(MAX(cents) AS BIGINT) AS max_cents
+        |FROM newt GROUP BY 1""".stripMargin,
 
     "q67_json_extract" ->
       """WITH e AS (

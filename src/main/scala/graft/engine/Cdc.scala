@@ -74,8 +74,13 @@ object Cdc {
     * plus one join against the |groups|-sized gold — at 100 TB with 0.1%
     * daily churn that is a ~100 GB maintenance job instead of a 100 TB
     * recompute. Only ADDITIVE aggregates are maintainable this way
-    * (count/sum, and avg = sum/count downstream); MIN/MAX need the base
-    * (a deleted maximum requires the second-best, which the delta lacks).
+    * (count/sum, and avg = sum/count downstream); for MIN/MAX use
+    * [[applyDeltaWithExtremes]], which rebuilds just the affected groups.
+    *
+    * `valueCol` must be NON-NULL (true of every current caller — the value
+    * is always derived from a non-null source): a group whose values are all
+    * NULL has a NULL sum under recompute, but the maintained gold coalesces
+    * the stored sum to 0, so such a group would drift to `0 + delta`.
     */
   def applyDeltaToSums(goldAgg: DataFrame, changes: DataFrame, groupCol: String,
                        valueCol: String, nCol: String, sumCol: String): DataFrame = {
@@ -95,5 +100,63 @@ object Cdc {
         (coalesce(col(nCol), lit(0L)) + coalesce(col("__dn"), lit(0L))).as(nCol),
         (coalesce(col(sumCol), lit(0L)) + coalesce(col("__dv"), lit(0L))).as(sumCol))
       .filter(col(nCol) > 0)
+  }
+
+  /** Incremental view maintenance WITH non-additive extremes: keep a
+    * `groupBy(groupCol).agg(count, sum, min, max)` gold current against a
+    * [[snapshotDiff]] changeset, reading the new base ONLY for groups whose
+    * extreme might have shrunk.
+    *
+    * count/sum go through [[applyDeltaToSums]]. MIN/MAX are additive only in
+    * the GROWING direction — an inserted value extends the stored extreme
+    * via `least`/`greatest`, but a removed value equal to the stored extreme
+    * needs the runner-up, which no delta carries. So the changeset's
+    * removals are tested against the stored extremes (null-safely; the test
+    * is conservative — any removal EQUAL to the extreme flags the group,
+    * even if a twin value survives), and only flagged groups are rebuilt
+    * from `newBase` behind a semi-join on the group key; everything else is
+    * pure delta arithmetic.
+    *
+    * Scale: the rebuild is a group-pruned recompute — partition or cluster
+    * the base on `groupCol` and the semi-join reads only at-risk partitions;
+    * a churn wave whose removals never touch a stored extreme reads ZERO
+    * base rows. This is the textbook IVM treatment of non-distributive
+    * aggregates: maintain what telescopes, recompute (narrowly) what
+    * doesn't. */
+  def applyDeltaWithExtremes(goldAgg: DataFrame, changes: DataFrame,
+                             newBase: DataFrame, groupCol: String,
+                             valueCol: String, nCol: String, sumCol: String,
+                             minCol: String, maxCol: String): DataFrame = {
+    val sums = applyDeltaToSums(goldAgg.select(col(groupCol), col(nCol), col(sumCol)),
+      changes, groupCol, valueCol, nCol, sumCol)
+    val ins = changes.filter(col("change_type").isin("insert", "update"))
+      .groupBy(col(s"new_$groupCol").as(groupCol))
+      .agg(min(col(s"new_$valueCol")).as("__ins_min"),
+        max(col(s"new_$valueCol")).as("__ins_max"))
+    val rem = changes.filter(col("change_type").isin("delete", "update"))
+      .groupBy(col(s"old_$groupCol").as(groupCol))
+      .agg(count(lit(1)).as("__rem_n"),
+        min(col(s"old_$valueCol")).as("__rem_min"),
+        max(col(s"old_$valueCol")).as("__rem_max"))
+    val marked = goldAgg.select(col(groupCol), col(minCol), col(maxCol))
+      .join(ins, Seq(groupCol), "full_outer")
+      .join(rem, Seq(groupCol), "full_outer")
+      .withColumn("__risk", col("__rem_n").isNotNull &&
+        ((col("__rem_min") <=> col(minCol)) || (col("__rem_max") <=> col(maxCol))))
+    // Safe groups: extremes only grow — least/greatest skip nulls, so a
+    // group absent from gold (all-new) takes the inserted extremes and a
+    // group absent from the changeset keeps its stored ones.
+    val safe = marked.filter(!col("__risk"))
+      .select(col(groupCol),
+        least(col(minCol), col("__ins_min")).as("__min"),
+        greatest(col(maxCol), col("__ins_max")).as("__max"))
+    val rebuilt = newBase.select(col(groupCol), col(valueCol))
+      .join(marked.filter(col("__risk")).select(col(groupCol)),
+        Seq(groupCol), "left_semi")
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("__min"), max(col(valueCol)).as("__max"))
+    sums.join(safe.unionByName(rebuilt), Seq(groupCol), "left")
+      .select(col(groupCol), col(nCol), col(sumCol),
+        col("__min").as(minCol), col("__max").as(maxCol))
   }
 }
