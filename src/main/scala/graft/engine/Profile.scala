@@ -54,15 +54,21 @@ object Profile {
     * join — not a driver collect, so the plan stays lazy end-to-end) plus
     * one scan + hash-aggregate over ≤ nBuckets groups: two passes total,
     * both map-side-combined, no wide shuffle. The standard profiling
-    * histogram for a 100 TB column. */
+    * histogram for a 100 TB column. Overflow bound: the bucket numerator is
+    * `(max − min) · nBuckets`, which must fit a signed long — fine for any
+    * real profiling width (e.g. a full 2⁴⁸ value range with 32k buckets);
+    * a column actually spanning ~2⁶³ needs pre-scaling, not more buckets. */
   def histogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "histogram: nBuckets must be positive")
     val mm = df.filter(col(valueCol).isNotNull)
       .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
     df.filter(col(valueCol).isNotNull)
       .crossJoin(broadcast(mm))
+      // `__v` pins the value to a controlled name: the DIV expression never
+      // embeds the caller's column name, so names needing backticks work.
+      .withColumn("__v", col(valueCol))
       .withColumn("bucket",
-        expr(s"(($valueCol - __mn) * $nBuckets) DIV (__mx - __mn + 1)"))
+        expr(s"((__v - __mn) * $nBuckets) DIV (__mx - __mn + 1)"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))

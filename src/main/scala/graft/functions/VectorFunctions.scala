@@ -116,13 +116,14 @@ case class Int8Quantize(child: Expression)
       val n = ctx.freshName("n")
       val mx = ctx.freshName("mx")
       val q = ctx.freshName("q")
+      val v = ctx.freshName("v")
       val out = ctx.freshName("out")
       s"""
          |int $n = $a.numElements();
          |double $mx = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double v = Math.abs($a.getDouble($i));
-         |  if (v > $mx) $mx = v;
+         |  double $v = Math.abs($a.getDouble($i));
+         |  if ($v > $mx) $mx = $v;
          |}
          |int[] $out = new int[$n];
          |if ($mx > 0.0) {

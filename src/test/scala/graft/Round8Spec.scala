@@ -81,6 +81,60 @@ class Round8Spec extends SparkSpec {
       (9L, 1L, Some("solo-seg"), Some("solo"), 3L)))
   }
 
+  test("applyDeltaWithExtremes: deleted maximum forces a group-pruned rebuild equal to recompute") {
+    import graft.engine.Cdc
+    def goldOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val base = Seq(
+      ("a", 1L, 1L), ("a", 2L, 5L), ("a", 3L, 9L),   // delete the 9: max shrinks
+      ("b", 4L, 10L), ("b", 5L, 20L),                // insert 30: max grows, no rebuild
+      ("c", 6L, 7L),                                 // untouched
+      ("d", 7L, 2L), ("d", 8L, 2L)                   // delete ONE of twin minima
+    ).toDF("g", "k", "v")
+    val newDf = Seq(
+      ("a", 1L, 1L), ("a", 2L, 5L),
+      ("b", 4L, 10L), ("b", 5L, 20L), ("b", 9L, 30L),
+      ("c", 6L, 7L),
+      ("d", 8L, 2L),
+      ("e", 10L, 42L)                                // brand-new group
+    ).toDF("g", "k", "v")
+    val changes = Cdc.snapshotDiff(base.select(col("k"), col("g"), col("v")),
+      newDf.select(col("k"), col("g"), col("v")), Seq("k"))
+    val out = Cdc.applyDeltaWithExtremes(goldOf(base), changes, newDf,
+        "g", "v", "n", "s", "mn", "mx")
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    val expect = goldOf(newDf)
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === expect)
+    assert(out.find(_._1 == "a").get._5 === 5L, "rebuilt max must be the runner-up")
+    assert(out.find(_._1 == "d").get._4 === 2L, "twin-min survivor keeps the extreme")
+  }
+
+  test("applyDeltaWithExtremes: cross-group move debits one extreme set and credits the other") {
+    import graft.engine.Cdc
+    def goldOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val base = Seq(("a", 1L, 9L), ("a", 2L, 5L), ("b", 3L, 1L)).toDF("g", "k", "v")
+    // the max of `a` MOVES to `b`, where it becomes the new max
+    val newDf = Seq(("b", 1L, 9L), ("a", 2L, 5L), ("b", 3L, 1L)).toDF("g", "k", "v")
+    val changes = Cdc.snapshotDiff(base.select(col("k"), col("g"), col("v")),
+      newDf.select(col("k"), col("g"), col("v")), Seq("k"))
+    val out = Cdc.applyDeltaWithExtremes(goldOf(base), changes, newDf,
+        "g", "v", "n", "s", "mn", "mx")
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === goldOf(newDf).orderBy("g")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq)
+  }
+
+  test("histogram works on column names that need backticks") {
+    val df = Seq(0L, 1L, 7L, 15L).toDF("weird name-col")
+    val out = graft.engine.Profile.histogram(df, "weird name-col", nBuckets = 2)
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 3L, 0L, 7L), (1L, 1L, 15L, 15L)))
+  }
+
   test("vacuum counts only committed versions and garbage-collects crashed dirs below horizon") {
     withTempDir { root =>
       val state = s"$root/state"
