@@ -103,6 +103,14 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("leftanti"), s"expected anti join operators:\n$p")
   }
 
+  test("q103 point-in-time join stays a hash equi-join, never a nested loop") {
+    val p = planOf("q103_pit_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected a hash equi-join on the key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the validity window must stay a post-join filter, not join machinery:\n$p")
+  }
+
   test("q97 rank selection stays partition-local — no single-partition exchange or global sort") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
