@@ -1834,6 +1834,71 @@ object SparkEntry {
       graft.engine.Cdc.applyDeltaWithExtremes(gold, changes, newDf,
         groupCol = "o_orderpriority", valueCol = "cents",
         nCol = "n", sumCol = "sum_cents", minCol = "min_cents", maxCol = "max_cents")
+    },
+
+    // Bucketed co-located join (storage-level shuffle elimination): both
+    // sides written bucketBy(8, <orderkey>) + sortBy, then joined on the
+    // bucket key — each bucket pair reads co-located, so the join itself
+    // needs NO exchange and no per-query sort on either side (PlanSpec
+    // asserts the shuffle-free plan with broadcast disabled). The 100 TB
+    // posture for a fact-fact join run repeatedly on one key: pay the
+    // clustering once at write time, then every downstream join on that
+    // key is exchange-free — the same contract Hive/Iceberg bucket
+    // transforms carry. The oracle replays the plain join; content must be
+    // identical, bucketing may only relocate rows.
+    "q108_bucketed_join" -> { (s, dir) =>
+      graft.engine.Scratch.withTempDir("graft-bkt-") { tmp =>
+        s.sql("DROP TABLE IF EXISTS graft_q108_li")
+        s.sql("DROP TABLE IF EXISTS graft_q108_ord")
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$tmp/li").saveAsTable("graft_q108_li")
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$tmp/ord").saveAsTable("graft_q108_ord")
+        try {
+          val rows = s.table("graft_q108_li")
+            .join(s.table("graft_q108_ord"), col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+            .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          import s.implicits._
+          rows.toDF("o_orderpriority", "n", "cents_sum")
+        } finally {
+          s.sql("DROP TABLE IF EXISTS graft_q108_li")
+          s.sql("DROP TABLE IF EXISTS graft_q108_ord")
+        }
+      }
+    },
+
+    // Mergeable distinct-count sketch table (Datasketches HLL): per-day
+    // hll_sketch_agg over the customer key, then hll_union_agg across days —
+    // the pre-aggregation shape where each day stores a KB-sized sketch and
+    // "distinct over any date range" becomes a sketch union instead of a
+    // re-scan of raw data. The contract (q47's pattern): the union-of-daily-
+    // sketches estimate AND the direct whole-table sketch estimate must both
+    // sit within 5% of exact (lgConfigK=12 ⇒ ~1.6% rsd; HLL is RNG-free, so
+    // the booleans are deterministic). Scale: the sketch column is the
+    // canonical mergeable-state pattern — partial aggregation map-side,
+    // union associative/commutative, so a 1000-executor rollup ships
+    // sketches, never keys.
+    "q109_hll_sketch_table" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val daily = o.groupBy(col("o_orderdate"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val merged = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val direct = o.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est_direct"))
+      o.agg(countDistinct(col("o_custkey")).as("n_exact"))
+        .crossJoin(merged).crossJoin(direct)
+        .select(col("n_exact"),
+          (abs(col("est_merged") - col("n_exact")) <= lit(0.05) * col("n_exact"))
+            .as("merged_ok"),
+          (abs(col("est_direct") - col("n_exact")) <= lit(0.05) * col("n_exact"))
+            .as("direct_ok"))
     }
   )
 
@@ -2617,6 +2682,17 @@ object SparkEntry {
         |SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
         |       CAST(MIN(cents) AS BIGINT) AS min_cents, CAST(MAX(cents) AS BIGINT) AS max_cents
         |FROM newt GROUP BY 1""".stripMargin,
+
+    "q108_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q109_hll_sketch_table" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_exact,
+        |       TRUE AS merged_ok, TRUE AS direct_ok
+        |FROM orders""".stripMargin,
 
     "q67_json_extract" ->
       """WITH e AS (

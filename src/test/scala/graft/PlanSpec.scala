@@ -103,6 +103,38 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("leftanti"), s"expected anti join operators:\n$p")
   }
 
+  test("q108 bucketed join reads co-located buckets — no exchange, no per-query sort") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withTempDir { dir =>
+      spark.sql("DROP TABLE IF EXISTS graft_plan_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_plan_bkt_b")
+      try {
+        (1L to 200L).map(k => (k, k * 10)).toDF("k", "v")
+          .write.bucketBy(4, "k").sortBy("k")
+          .option("path", s"$dir/a").saveAsTable("graft_plan_bkt_a")
+        (1L to 200L).map(k => (k, s"s$k")).toDF("k", "s")
+          .write.bucketBy(4, "k").sortBy("k")
+          .option("path", s"$dir/b").saveAsTable("graft_plan_bkt_b")
+        // Disable broadcast so the co-location, not a broadcast, kills the shuffle.
+        val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val joined = spark.table("graft_plan_bkt_a")
+            .join(spark.table("graft_plan_bkt_b"), "k")
+          val p = joined.queryExecution.executedPlan.toString
+          assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+          assert(!p.contains("Exchange"),
+            s"bucketed sides must satisfy the join's distribution without a shuffle:\n$p")
+          assert(joined.count() === 200L)
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS graft_plan_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS graft_plan_bkt_b")
+      }
+    }
+  }
+
   test("q103 point-in-time join stays a hash equi-join, never a nested loop") {
     val p = planOf("q103_pit_join")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
