@@ -1899,6 +1899,25 @@ object SparkEntry {
             .as("merged_ok"),
           (abs(col("est_direct") - col("n_exact")) <= lit(0.05) * col("n_exact"))
             .as("direct_ok"))
+    },
+
+    // Salted replicated join (engine.Skew.saltedJoin): lineitem joined to a
+    // 3-row dimension on l_returnflag — a maximally hot key (a third of the
+    // table per key). The big side salts on the unique line id, the dim
+    // replicates 16×, the join key becomes (flag, salt): each hot key
+    // spreads over 16 tasks instead of one. The oracle replays the PLAIN
+    // join, so the salted form must lose/duplicate nothing — the exact
+    // equivalence that makes salting a rewrite, not an approximation.
+    "q110_salted_join" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("line_id"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val dim = li.select(col("l_returnflag")).distinct()
+        .withColumn("flag_label", concat(lit("RF_"), col("l_returnflag")))
+      graft.engine.Skew.saltedJoin(li, dim, Seq("l_returnflag"),
+          discriminator = col("line_id"), salt = 16)
+        .groupBy(col("flag_label"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
     }
   )
 
@@ -2693,6 +2712,13 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT o_custkey) AS n_exact,
         |       TRUE AS merged_ok, TRUE AS direct_ok
         |FROM orders""".stripMargin,
+
+    // The plain (unsalted) join the salted rewrite must equal; the dim is
+    // derived from the fact, so it reduces to a grouped scan.
+    "q110_salted_join" ->
+      """SELECT 'RF_' || l_returnflag AS flag_label, COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q67_json_extract" ->
       """WITH e AS (

@@ -58,4 +58,29 @@ object Skew {
       .agg(count_distinct(value).as("__nd"))
       .groupBy(col("key"))
       .agg(sum(col("__nd")).as("n_distinct"))
+
+  /** Salted replicated join for a hot-key equi-join: the big side salts each
+    * row deterministically (hash of `discriminator`, which must vary within
+    * a key — a line number, a row id column), the small side is replicated
+    * once per salt value, and the join key becomes (keys, salt) — so a hot
+    * key's rows spread over `salt` tasks instead of funneling through one.
+    * Exactly equivalent to the plain inner join: each big row matches
+    * precisely the one replica carrying its salt, so nothing is lost or
+    * double-counted; keys absent from `small` drop on both forms.
+    *
+    * When to use which skew tool: AQE's skew-join split repairs a skewed
+    * SORT-MERGE join at runtime by splitting oversized partitions; explicit
+    * salting is the static guarantee for when the small side is replicable
+    * (dimension-sized × salt must still broadcast/fit), when AQE's
+    * post-shuffle view can't see the skew (e.g. skew created by the join
+    * itself), or when a pipeline must behave identically with AQE off.
+    * Aggregation skew stays with [[saltedSumCount]]/[[saltedStats]]. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 discriminator: Column, salt: Int = 16): DataFrame = {
+    require(salt >= 1, s"saltedJoin: salt must be >= 1, got $salt")
+    val salted = big.withColumn("__salt", pmod(xxhash64(discriminator), lit(salt)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -128,6 +128,22 @@ class Round8Spec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().toSeq)
   }
 
+  test("saltedJoin equals the plain inner join, including keys missing from the small side") {
+    val big = Seq(
+      ("hot", 1L, 10L), ("hot", 2L, 20L), ("hot", 3L, 30L), ("hot", 4L, 40L),
+      ("cold", 5L, 50L),
+      ("orphan", 6L, 60L) // key absent from small: dropped by both forms
+    ).toDF("k", "id", "v")
+    val small = Seq(("hot", "H"), ("cold", "C"), ("unused", "U")).toDF("k", "label")
+    val salted = graft.engine.Skew.saltedJoin(big, small, Seq("k"),
+        discriminator = col("id"), salt = 4)
+      .orderBy("id").as[(String, Long, Long, String)].collect().toSeq
+    val plain = big.join(small, Seq("k"))
+      .orderBy("id").as[(String, Long, Long, String)].collect().toSeq
+    assert(salted === plain)
+    assert(salted.map(_._2) === Seq(1L, 2L, 3L, 4L, 5L), "orphan key must drop")
+  }
+
   test("histogram works on column names that need backticks") {
     val df = Seq(0L, 1L, 7L, 15L).toDF("weird name-col")
     val out = graft.engine.Profile.histogram(df, "weird name-col", nBuckets = 2)
