@@ -1918,6 +1918,43 @@ object SparkEntry {
           discriminator = col("line_id"), salt = 16)
         .groupBy(col("flag_label"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+    },
+
+    // Change feed (engine.Incremental.changeFeed): the row-level delta a
+    // consumer that last saw version 0 must apply to reach version 2 —
+    // derived on demand by diffing the two committed snapshots (upsert
+    // deltas telescope, so the direct diff IS the net feed), the
+    // versioned-parquet analog of Delta's change data feed. q81's update
+    // chain supplies the versions; the oracle recomputes the expected net
+    // updates (segment rewrites on %3 keys, +777-cent bumps on %5 keys)
+    // straight from customer arithmetic.
+    "q111_change_feed" -> { (s, dir) =>
+      val I = graft.engine.Incremental
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      graft.engine.Scratch.withTempDir("graft-feed-") { tmp =>
+        val state = s"$tmp/state"
+        I.commitVersion(cust, state, 0L)
+        val u1 = cust.filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_mktsegment", lit("SEG_V1"))
+        I.commitVersion(graft.engine.Merge.upsert(
+          I.latestUpsertStateBefore(s, state, 1L).get, u1, Seq("c_custkey"))
+          .drop("merge_action"), state, 1L)
+        val u2 = cust.filter(col("c_custkey") % 5 === 0)
+          .withColumn("bal_cents", col("bal_cents") + 777L)
+        I.commitVersion(graft.engine.Merge.upsert(
+          I.latestUpsertStateBefore(s, state, 2L).get, u2, Seq("c_custkey"))
+          .drop("merge_action"), state, 2L)
+        val rows = I.changeFeed(s, state, Seq("c_custkey"), fromV = 0L, toV = 2L)
+          .groupBy(col("change_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("new_bal_cents"), lit(0L))
+              - coalesce(col("old_bal_cents"), lit(0L))).as("bal_delta_cents"))
+          .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        import s.implicits._
+        rows.toDF("change_type", "n", "bal_delta_cents")
+      }
     }
   )
 
@@ -2719,6 +2756,15 @@ object SparkEntry {
       """SELECT 'RF_' || l_returnflag AS flag_label, COUNT(*) AS n,
         |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // Net v0→v2 feed: every %3 key changed segment, every %5 key gained 777
+    // cents; upserts touch only existing keys, so the feed is updates-only.
+    "q111_change_feed" ->
+      """SELECT 'update' AS change_type, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN c_custkey % 5 = 0 THEN 777 ELSE 0 END) AS BIGINT)
+        |         AS bal_delta_cents
+        |FROM customer
+        |WHERE c_custkey % 3 = 0 OR c_custkey % 5 = 0""".stripMargin,
 
     "q67_json_extract" ->
       """WITH e AS (

@@ -319,6 +319,34 @@ object Incremental {
   def latestUpsertState(spark: SparkSession, stateDir: String): Option[DataFrame] =
     latestUpsertStateBefore(spark, stateDir, Long.MaxValue)
 
+  /** Change feed between two committed versions of the versioned store: the
+    * row-level delta (insert/delete/update with old/new images) a downstream
+    * consumer needs to catch up from version `fromV` to version `toV`
+    * without re-reading either full snapshot into its own diff logic — the
+    * versioned-parquet analog of Delta's change data feed, derived on
+    * demand with [[Cdc.snapshotDiff]] instead of stored per commit.
+    *
+    * Both versions must be committed and still within the vacuum horizon
+    * (loud failure otherwise — a feed that silently diffed against the
+    * wrong surviving version would corrupt every downstream consumer).
+    * Because upsert deltas telescope, diffing v_from directly against v_to
+    * yields exactly the NET changes a consumer that last saw v_from must
+    * apply, regardless of how many versions lie between.
+    *
+    * Scale: one full-outer key join of the two snapshots (Cdc.snapshotDiff's
+    * plan) — output ∝ net churn between the versions. */
+  def changeFeed(spark: SparkSession, stateDir: String, keys: Seq[String],
+                 fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"changeFeed: fromV=$fromV must be < toV=$toV")
+    val committed = committedVersions(spark, stateDir).toSet
+    require(committed.contains(fromV) && committed.contains(toV),
+      s"changeFeed: versions $fromV and $toV must both be committed and " +
+        s"unvacuumed (have ${committed.toSeq.sorted.mkString(",")})")
+    val from = latestUpsertStateBefore(spark, stateDir, fromV + 1).get
+    val to = latestUpsertStateBefore(spark, stateDir, toV + 1).get
+    Cdc.snapshotDiff(from, to, keys)
+  }
+
   /** The latest COMMITTED snapshot with version strictly below
     * `beforeVersion`. Reads exactly the files the commit manifest lists, so
     * concurrent writers/vacuums and leftover partial files are invisible. */

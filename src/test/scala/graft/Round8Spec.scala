@@ -128,6 +128,26 @@ class Round8Spec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().toSeq)
   }
 
+  test("changeFeed nets inserts/deletes/updates across versions and refuses vacuumed endpoints") {
+    withTempDir { root =>
+      val state = s"$root/state"
+      Incremental.commitVersion(
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), state, 0L)
+      Incremental.commitVersion(            // drop 3, add 4, rewrite 2
+        Seq((1L, "a"), (2L, "B1"), (4L, "d")).toDF("k", "s"), state, 1L)
+      Incremental.commitVersion(            // rewrite 2 back to its v0 value
+        Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "s"), state, 2L)
+      val feed = Incremental.changeFeed(spark, state, Seq("k"), 0L, 2L)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // 2's rewrite TELESCOPES away (v2 value == v0 value): net feed is 3-del, 4-ins
+      assert(feed === Map(3L -> "delete", 4L -> "insert"))
+      val e = intercept[IllegalArgumentException] {
+        Incremental.changeFeed(spark, state, Seq("k"), 0L, 5L)
+      }
+      assert(e.getMessage.contains("must both be committed"))
+    }
+  }
+
   test("saltedJoin equals the plain inner join, including keys missing from the small side") {
     val big = Seq(
       ("hot", 1L, 10L), ("hot", 2L, 20L), ("hot", 3L, 30L), ("hot", 4L, 40L),
