@@ -1955,6 +1955,33 @@ object SparkEntry {
         import s.implicits._
         rows.toDF("change_type", "n", "bal_delta_cents")
       }
+    },
+
+    // Small-file compaction (engine.Layout.compact, the OPTIMIZE analog):
+    // orders scattered into 64 tiny files — the landing-zone pathology the
+    // reference's 10-row generator batches create — compacted by narrow
+    // coalesce into ~256 KB bins. Output: surviving file count (must
+    // collapse) + content aggregates over the compacted copy; the oracle
+    // computes the same aggregates from the original table, so compaction
+    // provably only relocates rows. n_files is environment-deterministic:
+    // ceil(scattered bytes / target) is fixed by the parquet encoding of
+    // this slice, asserted < 64 in Round8Spec rather than pinned here —
+    // the query returns the CONTENT proof plus the collapse boolean.
+    "q112_compaction" -> { (s, dir) =>
+      graft.engine.Scratch.withTempDir("graft-compact-") { tmp =>
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        o.repartition(64).write.mode("overwrite").parquet(s"$tmp/scattered")
+        val n = graft.engine.Layout.compact(s, s"$tmp/scattered", s"$tmp/compact",
+          targetFileBytes = 256L * 1024)
+        val r = s.read.parquet(s"$tmp/compact")
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"),
+            sum(col("o_orderkey")).as("key_checksum"))
+          .collect().head
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2), n < 64))
+          .toDF("n_rows", "cents_sum", "key_checksum", "collapsed")
+      }
     }
   )
 
@@ -2765,6 +2792,13 @@ object SparkEntry {
         |         AS bal_delta_cents
         |FROM customer
         |WHERE c_custkey % 3 = 0 OR c_custkey % 5 = 0""".stripMargin,
+
+    "q112_compaction" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+        |       TRUE AS collapsed
+        |FROM orders""".stripMargin,
 
     "q67_json_extract" ->
       """WITH e AS (

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst
 import org.apache.spark.sql.functions._
 
@@ -135,5 +135,35 @@ object Layout {
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions("_zkey")
       .drop("_zkey")
+  }
+
+  /** Bin-packing small-file compaction — the OPTIMIZE analog for a landing
+    * zone that accretes tiny files (the reference's generators write 10-row
+    * CSVs; [[Incremental]]'s scale note names this the real 100 TB
+    * bottleneck: a streaming file source's seen-log and every scan's task
+    * count are O(files)). Rewrites `srcDir`'s parquet into
+    * `ceil(bytes / targetFileBytes)` files at `destDir` and returns that
+    * count.
+    *
+    * Plan shape: `coalesce`, not `repartition` — merging many small files
+    * into few big ones is a NARROW dependency (no shuffle; each output task
+    * reads a run of input files). The trade: coalesce inherits any
+    * input-file skew into the merged files, which is exactly acceptable for
+    * compaction (the goal is fewer files, not perfect balance); use
+    * [[zorderByN]] when the rewrite should also cluster. Content must be
+    * byte-identical in aggregate — compaction may only relocate rows — and
+    * the write goes to a NEW directory so a crash mid-compact leaves the
+    * source untouched (swap is the caller's rename). */
+  def compact(spark: SparkSession, srcDir: String, destDir: String,
+              targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0, "compact: targetFileBytes must be positive")
+    import org.apache.hadoop.fs.Path
+    val path = new Path(srcDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(srcDir).coalesce(n)
+      .write.mode("overwrite").parquet(destDir)
+    n
   }
 }

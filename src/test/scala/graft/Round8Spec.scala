@@ -128,6 +128,25 @@ class Round8Spec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().toSeq)
   }
 
+  test("compact collapses scattered files into byte-targeted bins without touching content") {
+    withTempDir { root =>
+      val df = (1L to 20000L).map(i => (i, s"row-$i-payload")).toDF("id", "payload")
+      df.repartition(50).write.parquet(s"$root/scattered")
+      def parts(d: String) = new java.io.File(d).listFiles()
+        .count(_.getName.startsWith("part-"))
+      assert(parts(s"$root/scattered") === 50)
+      val n = graft.engine.Layout.compact(spark, s"$root/scattered",
+        s"$root/compact", targetFileBytes = 10L * 1024 * 1024)
+      assert(n === 1, "20k rows fit one 10MB-target file")
+      assert(parts(s"$root/compact") === 1)
+      val got = spark.read.parquet(s"$root/compact")
+        .orderBy("id").as[(Long, String)].collect().toSeq
+      assert(got === (1L to 20000L).map(i => (i, s"row-$i-payload")))
+      // source untouched (crash-safe: swap is the caller's rename)
+      assert(parts(s"$root/scattered") === 50)
+    }
+  }
+
   test("changeFeed nets inserts/deletes/updates across versions and refuses vacuumed endpoints") {
     withTempDir { root =>
       val state = s"$root/state"
