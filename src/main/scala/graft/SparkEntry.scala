@@ -1982,6 +1982,34 @@ object SparkEntry {
         Seq((r.getLong(0), r.getLong(1), r.getLong(2), n < 64))
           .toDF("n_rows", "cents_sum", "key_checksum", "collapsed")
       }
+    },
+
+    // Merge-on-read row-level delete (engine.Tombstones): two overlapping
+    // delete batches are appended as key-only tombstone logs (no data
+    // rewrite), then compactApply folds them into a rewritten copy. The
+    // aggregates are computed over the COMPACTED output, so the hash proves
+    // the whole lifecycle — anti-join semantics (overlap counted once) AND
+    // rewrite fidelity — against the oracle's plain WHERE NOT filter.
+    "q113_merge_on_read_delete" -> { (s, dir) =>
+      graft.engine.Scratch.withTempDir("graft-mor-") { tmp =>
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        o.write.parquet(s"$tmp/data")
+        graft.engine.Tombstones.append(
+          o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"), s"$tmp/tomb", 0L)
+        graft.engine.Tombstones.append( // overlaps batch 0 where key%7=0 too
+          o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 10 < 3)
+            .select("o_orderkey"), s"$tmp/tomb", 1L)
+        graft.engine.Tombstones.compactApply(s, s"$tmp/data", s"$tmp/tomb",
+          s"$tmp/compact", targetFileBytes = 1L << 20)
+        val r = s.read.parquet(s"$tmp/compact") // eager: tmp dies with this block
+          .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("cents_sum"),
+            sum(col("o_orderkey")).as("key_checksum"))
+          .collect().head
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("n_live", "cents_sum", "key_checksum")
+      }
     }
   )
 
@@ -2799,6 +2827,14 @@ object SparkEntry {
         |       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
         |       TRUE AS collapsed
         |FROM orders""".stripMargin,
+
+    "q113_merge_on_read_delete" ->
+      """SELECT COUNT(*) AS n_live,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+        |FROM orders
+        |WHERE NOT (o_orderkey % 7 = 0
+        |           OR (o_orderstatus = 'F' AND o_orderkey % 10 < 3))""".stripMargin,
 
     "q67_json_extract" ->
       """WITH e AS (

@@ -147,6 +147,38 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("tombstones: uncommitted batches invisible, overlap idempotent, append-only enforced") {
+    withTempDir { root =>
+      import graft.engine.Tombstones
+      val data = s"$root/data"
+      val tomb = s"$root/tomb"
+      (1L to 100L).map(i => (i, s"p$i")).toDF("k", "payload").write.parquet(data)
+      // No tombstones: the live view IS the base scan.
+      assert(Tombstones.readMergeOnRead(spark, data, tomb, Seq("k")).count() === 100)
+      Tombstones.append(Seq(1L, 2L, 3L).toDF("k"), tomb, 0L)
+      // Overlapping re-delete of 2 and 3 plus new 4: counted once each.
+      Tombstones.append(Seq(2L, 3L, 4L).toDF("k"), tomb, 1L)
+      val live = Tombstones.readMergeOnRead(spark, data, tomb, Seq("k"))
+      assert(live.count() === 96)
+      assert(live.agg(min(col("k"))).head.getLong(0) === 5L)
+      // Crashed writer: batch dir without _SUCCESS must stay invisible.
+      Seq(99L).toDF("k").write.parquet(s"$tomb/d=2")
+      new java.io.File(s"$tomb/d=2/_SUCCESS").delete()
+      assert(Tombstones.committedBatches(spark, tomb) === Seq(0L, 1L))
+      assert(Tombstones.readMergeOnRead(spark, data, tomb, Seq("k")).count() === 96)
+      // Append-only: reusing a committed batch id is refused.
+      intercept[IllegalArgumentException] {
+        Tombstones.append(Seq(5L).toDF("k"), tomb, 0L)
+      }
+      // compactApply folds the log into a rewritten copy equal to the live view.
+      val n = Tombstones.compactApply(spark, data, tomb, s"$root/compact",
+        targetFileBytes = 10L * 1024 * 1024)
+      assert(n === 1)
+      assert(spark.read.parquet(s"$root/compact").orderBy("k")
+        .select("k").as[Long].collect().toSeq === (5L to 100L))
+    }
+  }
+
   test("changeFeed nets inserts/deletes/updates across versions and refuses vacuumed endpoints") {
     withTempDir { root =>
       val state = s"$root/state"
