@@ -2010,6 +2010,23 @@ object SparkEntry {
         Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
           .toDF("n_live", "cents_sum", "key_checksum")
       }
+    },
+
+    // Mergeable percentile table (engine.Profile.percentileSketchTable /
+    // percentilesFromSketch — the HdrHistogram pattern): quantized bucket
+    // counts are pre-aggregated PER PRIORITY, then p50/p90/p99 are answered
+    // over a two-priority subset by merging bucket counts — no raw re-scan.
+    // Exact to the declared $1000 bucket; the oracle replays the identical
+    // integer quantization + ceiling-rank arithmetic.
+    "q114_percentile_sketch" -> { (s, dir) =>
+      val cents = t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val sketch = graft.engine.Profile.percentileSketchTable(
+        cents, Seq("o_orderpriority"), "cents", bucketWidth = 100000L)
+      graft.engine.Profile.percentilesFromSketch(
+        sketch.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+        Seq(50, 90, 99), bucketWidth = 100000L)
     }
   )
 
@@ -2835,6 +2852,26 @@ object SparkEntry {
         |FROM orders
         |WHERE NOT (o_orderkey % 7 = 0
         |           OR (o_orderstatus = 'F' AND o_orderkey % 10 < 3))""".stripMargin,
+
+    "q114_percentile_sketch" ->
+      """WITH t AS (
+        |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000 AS bucket,
+        |         COUNT(*) AS n
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT bucket,
+        |         SUM(n) OVER (ORDER BY bucket
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(n) OVER () AS tot
+        |  FROM t)
+        |SELECT p.pct,
+        |       CAST(MIN(c.bucket) AS BIGINT) AS bucket,
+        |       CAST(MIN(c.bucket) * 100000 AS BIGINT) AS lo_value
+        |FROM (VALUES (50), (90), (99)) p(pct), c
+        |WHERE c.cum >= (c.tot * p.pct + 99) // 100
+        |GROUP BY p.pct""".stripMargin,
 
     "q67_json_extract" ->
       """WITH e AS (

@@ -157,4 +157,65 @@ object Profile {
         max(col("hi_val")).as("hi_val"),
         sum(least(greatest(col(valueCol), col("lo_val")), col("hi_val"))).as("wins_sum"))
   }
+
+  /** Mergeable percentile PRE-AGGREGATION (the HdrHistogram pattern): count
+    * rows per `(group, bucket)` where `bucket = value DIV bucketWidth` —
+    * pure integer arithmetic, so the table is bit-identical on every engine.
+    *
+    * This is the percentile analog of the q109 HLL sketch table: build it
+    * once per partition/day/group, then answer "p99 over ANY subset of
+    * groups" by summing bucket counts ([[percentilesFromSketch]]) — no
+    * re-scan of raw data, and unlike a t-digest the merge is plain integer
+    * addition with NO approximation beyond the declared quantization (the
+    * answer is exact to ±bucketWidth, a bound chosen up front rather than a
+    * data-dependent sketch error). `valueCol` must be integer-typed and
+    * non-negative (cents-style).
+    *
+    * Scale: one map-side-combined hash aggregate; output size is
+    * |groups| · (range/bucketWidth) — metadata, independent of row count. */
+  def percentileSketchTable(df: DataFrame, groupCols: Seq[String],
+                            valueCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "percentileSketchTable: bucketWidth must be positive")
+    val bucket = df.filter(col(valueCol).isNotNull)
+      .withColumn("__v", col(valueCol)) // pinned name: backtick-hostile safe
+      .withColumn("bucket", expr(s"__v DIV $bucketWidth"))
+    bucket.groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Exact rank-percentiles over a MERGED [[percentileSketchTable]]: sum the
+    * bucket counts of every row in `table` (the caller pre-filters to the
+    * group subset of interest), cumulate over buckets, and for each
+    * percentile `p` return the first bucket whose cumulative count reaches
+    * `ceil(p% · total)` — integer ceiling `(tot·p + 99) DIV 100`, no float
+    * interpolation, so any engine replays it bit-for-bit. Output:
+    * `(pct, bucket, lo_value = bucket · bucketWidth)` per requested pct.
+    *
+    * Scale: the merge is a hash aggregate over bucket ids; the cumulative
+    * window then runs on the MERGED bucket table, whose size is
+    * range/bucketWidth — bounded by the quantization choice, NOT by data
+    * volume (4k rows for a $0–$4M range at $1k buckets), so the
+    * single-partition window is over metadata, the same class as the IVF
+    * centroid table. That boundedness is the whole design: the one
+    * unavoidable sequential step (cumulating) runs on the sketch, never the
+    * data. */
+  def percentilesFromSketch(table: DataFrame, pcts: Seq[Int],
+                            bucketWidth: Long): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentilesFromSketch: pcts must be within [1, 100]")
+    import org.apache.spark.sql.expressions.Window
+    val spark = table.sparkSession
+    import spark.implicits._
+    val merged = table.groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+    val cum = merged
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(merged.agg(sum(col("n")).as("tot"))))
+    cum.join(broadcast(pcts.toDF("pct")),
+        col("cum") >= expr("(tot * pct + 99) DIV 100"))
+      .groupBy(col("pct"))
+      .agg(min(col("bucket")).as("bucket"))
+      .withColumn("lo_value", col("bucket") * lit(bucketWidth))
+  }
 }

@@ -179,6 +179,23 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("percentile sketch: per-group tables merge to the whole-table answer, ranks exact") {
+    import graft.engine.Profile
+    val df = (0L until 1000L).map(i => (if (i % 2 == 0) "a" else "b", i)).toDF("g", "v")
+    val perGroup = Profile.percentileSketchTable(df, Seq("g"), "v", bucketWidth = 10L)
+    // Merging the two per-group sketches must equal the sketch built in one go.
+    val mergedCounts = perGroup.groupBy("bucket").agg(sum("n").as("n"))
+    val whole = Profile.percentileSketchTable(
+      df.withColumn("g", lit("all")), Seq("g"), "v", bucketWidth = 10L)
+      .select("bucket", "n")
+    assert(mergedCounts.orderBy("bucket").collect().toSeq ===
+      whole.orderBy("bucket").collect().toSeq)
+    // 0..999 at width 10: p50 target=500 → bucket 49; p99 target=990 → bucket 98.
+    val p = Profile.percentilesFromSketch(perGroup, Seq(50, 99), bucketWidth = 10L)
+      .orderBy("pct").as[(Int, Long, Long)].collect().toSeq
+    assert(p === Seq((50, 49L, 490L), (99, 98L, 980L)))
+  }
+
   test("changeFeed nets inserts/deletes/updates across versions and refuses vacuumed endpoints") {
     withTempDir { root =>
       val state = s"$root/state"
