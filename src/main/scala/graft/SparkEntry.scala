@@ -2027,6 +2027,18 @@ object SparkEntry {
       graft.engine.Profile.percentilesFromSketch(
         sketch.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
         Seq(50, 90, 99), bucketWidth = 100000L)
+    },
+
+    // Weighted sampling without replacement (ext.Sampling.weightedSample):
+    // Efraimidis–Spirakis via integer exponential races — race key = min of
+    // w portable hashes, top-200 smallest win. Weight = 1 + doc_id % 5
+    // (deterministic quality-tier stand-in). The oracle replays the exact
+    // race in DuckDB, so the SELECTED SET — not just its size — must match.
+    "q115_weighted_sample" -> { (s, dir) =>
+      ext.Sampling.weightedSample(t(s, dir, "documents"), col("doc_id"),
+          lit(1L) + col("doc_id") % 5, k = 200)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_checksum"))
     }
   )
 
@@ -2873,6 +2885,8 @@ object SparkEntry {
         |WHERE c.cum >= (c.tot * p.pct + 99) // 100
         |GROUP BY p.pct""".stripMargin,
 
+    "q115_weighted_sample" -> weightedSampleSql,
+
     "q67_json_extract" ->
       """WITH e AS (
         |  SELECT event_type,
@@ -3625,6 +3639,20 @@ object SparkEntry {
        |WHERE ${h60Sql(keyExpr)} % 1000 <
        |      CASE lang $whens ELSE ${graft.ext.Sampling.DefaultRatePerMille} END
        |GROUP BY lang""".stripMargin
+  }
+
+  /** q115 mirror: the integer exponential race, replayed list-wise. */
+  private def weightedSampleSql: String = {
+    val key = s"concat('${graft.ext.Sampling.WeightedSalt}', ':', " +
+      "CAST(doc_id AS VARCHAR), ':', CAST(j AS VARCHAR))"
+    s"""WITH r AS (
+       |  SELECT doc_id, lang,
+       |         list_min(list_transform(generate_series(1, 1 + doc_id % 5),
+       |                                 j -> ${h60Sql(key)})) AS race
+       |  FROM documents),
+       |s AS (SELECT * FROM r ORDER BY race, doc_id LIMIT 200)
+       |SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       |FROM s GROUP BY lang""".stripMargin
   }
 
   /** q100 mirror: q50's sample predicate feeding q69's packing window. */

@@ -149,4 +149,42 @@ object Sampling {
     df.withColumn("sort_key", h)
       .withColumn("shard", pmod(col("sort_key"), lit(numShards.toLong)))
   }
+
+  /** Salt for [[weightedSample]], shared with the oracle-SQL builder. */
+  val WeightedSalt: String = "wsample"
+
+  /** Weighted sampling WITHOUT replacement, deterministic and
+    * engine-portable: draw the `k` rows with the smallest race key
+    * `r(row) = min over j in 1..w of hash60(salt:id:j)` where `w` is the
+    * row's positive INTEGER weight.
+    *
+    * Why this is the real thing, not a heuristic: the minimum of `w` i.i.d.
+    * uniforms is distributionally an exponential race at rate `w`
+    * (`P(min > x) = (1-x)^w`), which is exactly the Efraimidis–Spirakis
+    * weighted-reservoir construction — a weight-2 row is precisely twice as
+    * likely to beat a weight-1 row to any prefix of the order. Running the
+    * race on raw 60-bit hashes keeps every comparison in INTEGER space: no
+    * `pow(u, 1/w)` floats whose last-ulp rounding could disagree across
+    * engines, so an independent SQL engine replays the identical sample
+    * (the q115 oracle does).
+    *
+    * Scale: per-row cost is `w` hash evaluations — weights are quality
+    * TIERS (1..10), not scores; re-scale large weights down first. The
+    * top-k itself is `orderBy(race, id).limit(k)` which Spark plans as
+    * TakeOrderedAndProject: per-partition heaps then a k-row merge — no
+    * global sort, the q85 pattern. */
+  def weightedSample(df: DataFrame, idCol: Column, weightCol: Column, k: Int,
+                     salt: String = WeightedSalt): DataFrame = {
+    require(k > 0, "weightedSample: k must be positive")
+    // Explicit +1 step: a weight < 1 makes sequence() throw instead of
+    // silently generating a DESCENDING [1, 0] range (the default step is
+    // direction-inferred), so bad weights fail loudly, not probabilistically.
+    val race = array_min(transform(
+      sequence(lit(1L), weightCol.cast("long"), lit(1L)),
+      j => PortableHash.hash60(
+        concat_ws(":", lit(salt), idCol.cast("string"), j.cast("string")))))
+    df.withColumn("race", race)
+      .orderBy(col("race"), idCol)
+      .limit(k)
+  }
 }

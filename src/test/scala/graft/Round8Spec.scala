@@ -196,6 +196,26 @@ class Round8Spec extends SparkSpec {
     assert(p === Seq((50, 49L, 490L), (99, 98L, 980L)))
   }
 
+  test("weighted sample: deterministic under repartition, k rows, bad weights fail loudly") {
+    import graft.ext.Sampling
+    val df = (1L to 400L).map(i => (i, 1L + i % 4)).toDF("id", "w")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(d, col("id"), col("w"), k = 50)
+        .select("id").as[Long].collect().toSeq
+    val a = ids(df.repartition(1))
+    val b = ids(df.repartition(13, col("w")))
+    assert(a === b, "the selected set is a pure function of the data")
+    assert(a.size === 50)
+    // Higher weight ⇒ more races: the weight-4 tier should outnumber the
+    // weight-1 tier in any non-degenerate draw of 50 from a uniform id pool.
+    val byTier = df.filter(col("id").isin(a: _*)).groupBy("w").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byTier.getOrElse(4L, 0L) > byTier.getOrElse(1L, 0L))
+    intercept[Exception] { // weight 0: sequence(1, 0, step=1) throws
+      ids(df.withColumn("w", when(col("id") === 7L, 0L).otherwise(col("w"))))
+    }
+  }
+
   test("changeFeed nets inserts/deletes/updates across versions and refuses vacuumed endpoints") {
     withTempDir { root =>
       val state = s"$root/state"
