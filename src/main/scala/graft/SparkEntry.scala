@@ -2039,6 +2039,27 @@ object SparkEntry {
           lit(1L) + col("doc_id") % 5, k = 200)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_checksum"))
+    },
+
+    // Count-min frequency sketch table (ext.CountMin): per-event-type sketch
+    // rows, merged over a two-type subset by cell summation, then per-user
+    // frequency estimates = min over depth rows. The oracle rebuilds EVERY
+    // cell with the same portable hashes, so est is bit-exact — and the
+    // overestimates column re-proves the CM "never undercounts" guarantee
+    // against the true counts.
+    "q116_countmin_sketch" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val sketch = ext.CountMin.sketchTable(ev, Seq("event_type"), col("user_id"))
+      val subset = sketch.filter(col("event_type").isin("click", "purchase"))
+      val items = s.range(1, 11).select(col("id").as("user_id"))
+      val exact = ev.filter(col("event_type").isin("click", "purchase") &&
+          col("user_id").between(1, 10))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      ext.CountMin.estimate(subset, items, "user_id")
+        .join(exact, Seq("user_id"), "left")
+        .select(col("user_id"), col("est"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          (col("est") >= coalesce(col("n_exact"), lit(0L))).as("overestimates"))
     }
   )
 
@@ -2887,6 +2908,8 @@ object SparkEntry {
 
     "q115_weighted_sample" -> weightedSampleSql,
 
+    "q116_countmin_sketch" -> countMinSql,
+
     "q67_json_extract" ->
       """WITH e AS (
         |  SELECT event_type,
@@ -3653,6 +3676,44 @@ object SparkEntry {
        |s AS (SELECT * FROM r ORDER BY race, doc_id LIMIT 200)
        |SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
        |FROM s GROUP BY lang""".stripMargin
+  }
+
+  /** q116 mirror: every count-min cell rebuilt from the same hash family. */
+  private def countMinSql: String = {
+    val p = graft.ext.PortableHash.P
+    val cs = graft.ext.PortableHash.coeffs(
+      graft.ext.CountMin.Depth, graft.ext.CountMin.Seed)
+    val w = graft.ext.CountMin.Width
+    val salt = graft.ext.CountMin.Salt
+    val cellSelects = cs.zipWithIndex.map { case ((a, b), d) =>
+      s"SELECT $d AS d, (($a * h + $b) % $p) % $w AS bucket, COUNT(*) AS n FROM hx GROUP BY 2"
+    }.mkString("\n  UNION ALL ")
+    val candSelects = cs.zipWithIndex.map { case ((a, b), d) =>
+      s"SELECT user_id, $d AS d, (($a * h + $b) % $p) % $w AS bucket FROM cand"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ev AS (
+       |  SELECT user_id FROM events WHERE event_type IN ('click', 'purchase')),
+       |hx AS (
+       |  SELECT user_id,
+       |         ${h60Sql(s"concat('$salt', ':', CAST(user_id AS VARCHAR))")} % $p AS h
+       |  FROM ev),
+       |cells AS (
+       |  $cellSelects),
+       |cand AS (
+       |  SELECT range AS user_id,
+       |         ${h60Sql(s"concat('$salt', ':', CAST(range AS VARCHAR))")} % $p AS h
+       |  FROM range(1, 11)),
+       |cbuck AS (
+       |  $candSelects),
+       |est AS (
+       |  SELECT user_id, MIN(COALESCE(cells.n, 0)) AS est
+       |  FROM cbuck LEFT JOIN cells USING (d, bucket) GROUP BY 1),
+       |exact AS (
+       |  SELECT user_id, COUNT(*) AS n_exact FROM ev
+       |  WHERE user_id BETWEEN 1 AND 10 GROUP BY 1)
+       |SELECT e.user_id, e.est, COALESCE(x.n_exact, 0) AS n_exact,
+       |       e.est >= COALESCE(x.n_exact, 0) AS overestimates
+       |FROM est e LEFT JOIN exact x USING (user_id)""".stripMargin
   }
 
   /** q100 mirror: q50's sample predicate feeding q69's packing window. */

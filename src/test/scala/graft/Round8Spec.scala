@@ -216,6 +216,25 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("count-min: group sketches merge to the whole-table sketch; estimates never undercount") {
+    import graft.ext.CountMin
+    val df = (1L to 300L).map(i => (if (i % 3 == 0) "a" else "b", i % 20)).toDF("g", "item")
+    val perGroup = CountMin.sketchTable(df, Seq("g"), col("item"))
+    val mergedCells = perGroup.groupBy("d", "bucket").agg(sum("n").as("n"))
+    val whole = CountMin.sketchTable(df.withColumn("g", lit("all")), Seq("g"), col("item"))
+      .select("d", "bucket", "n")
+    assert(mergedCells.orderBy("d", "bucket").collect().toSeq ===
+      whole.orderBy("d", "bucket").collect().toSeq)
+    val est = CountMin.estimate(perGroup, (0L to 20L).toDF("item"), "item")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = df.groupBy("item").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 20L).foreach { i =>
+      assert(est(i) >= exact.getOrElse(i, 0L), s"CM must never undercount item $i")
+    }
+    assert(est(20L) >= 0L && !exact.contains(20L)) // absent item: cells may collide, never negative
+  }
+
   test("changeFeed nets inserts/deletes/updates across versions and refuses vacuumed endpoints") {
     withTempDir { root =>
       val state = s"$root/state"
