@@ -173,6 +173,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q115 weighted sample top-k is TakeOrderedAndProject, never a global sort") {
+    val p = planOf("q115_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"expected distributed top-k:\n$p")
+  }
+
+  test("q116 count-min estimate probes via a broadcast hash join on (d, bucket)") {
+    val p = planOf("q116_countmin_sketch")
+    assert(p.contains("BroadcastHashJoin"), s"merged sketch must broadcast:\n$p")
+  }
+
+  test("tombstone merge-on-read subtracts via a broadcast anti join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withTempDir { root =>
+      (1L to 5000L).toDF("k").write.parquet(s"$root/data")
+      graft.engine.Tombstones.append(Seq(1L, 2L).toDF("k"), s"$root/tomb", 0L)
+      val p = graft.engine.Tombstones
+        .readMergeOnRead(spark, s"$root/data", s"$root/tomb", Seq("k"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"small tombstone set must broadcast, not shuffle the table:\n$p")
+    }
+  }
+
   test("q55 bloom probe runs in the scan stage, before the semi join's exchange") {
     val p = planOf("q55_bloom_semi_join")
     // The probe must be a Filter under the large side's scan, not post-join:
