@@ -2060,6 +2060,24 @@ object SparkEntry {
         .select(col("user_id"), col("est"),
           coalesce(col("n_exact"), lit(0L)).as("n_exact"),
           (col("est") >= coalesce(col("n_exact"), lit(0L))).as("overestimates"))
+    },
+
+    // Vocabulary coverage (ext.Rank.weightedPrefixThreshold): how many
+    // distinct tokens cover 50% / 90% of all token occurrences — the
+    // vocab-sizing question of tokenizer training. The cumulative-share scan
+    // over the frequency-sorted vocabulary is distributed with the q97 rank
+    // machinery (weight-prefix variant): range-partition by (cnt DESC,
+    // token), per-partition weight sums as metadata, local cumsum only in
+    // the partition holding each threshold — no global sort anywhere.
+    "q117_vocab_coverage" -> { (s, dir) =>
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .withColumn("neg_cnt", -col("cnt"))
+      ext.Rank.weightedPrefixThreshold(vocab, Seq("neg_cnt", "token"), "cnt",
+          totalW => Seq("50" -> (totalW * 50 + 99) / 100, "90" -> (totalW * 90 + 99) / 100))
+        .select(col("tname").cast("int").as("pct"), col("k").as("k_tokens"),
+          col("cum").as("cum_count"), col("total").as("total_tokens"))
     }
   )
 
@@ -2909,6 +2927,26 @@ object SparkEntry {
     "q115_weighted_sample" -> weightedSampleSql,
 
     "q116_countmin_sketch" -> countMinSql,
+
+    "q117_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |o AS (
+        |  SELECT cnt,
+        |         SUM(cnt) OVER (ORDER BY cnt DESC, token
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+        |         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS k,
+        |         SUM(cnt) OVER () AS tot
+        |  FROM v)
+        |SELECT p.pct,
+        |       CAST(MIN(o.k) AS BIGINT) AS k_tokens,
+        |       CAST(MIN(o.run) AS BIGINT) AS cum_count,
+        |       CAST(MAX(o.tot) AS BIGINT) AS total_tokens
+        |FROM (VALUES (50), (90)) p(pct), o
+        |WHERE o.run >= (o.tot * p.pct + 99) // 100
+        |GROUP BY p.pct""".stripMargin,
 
     "q67_json_extract" ->
       """WITH e AS (

@@ -82,6 +82,87 @@ object Rank {
     }
   }
 
+  /** Weighted prefix-threshold selection, the cumulative-share sibling of
+    * [[valueAtRanks]]: for each `(name, target)` in
+    * `namedTargets(totalWeight)`, find the FIRST row — in `orderCols`
+    * order — at which the running sum of `weightCol` reaches `target`, and
+    * report its 1-based global rank `k` and the running sum there. This is
+    * the "how many vocabulary entries cover 90% of the corpus" question
+    * asked distributively: same range-partition + frozen-scratch +
+    * partition-metadata machinery, with per-partition WEIGHT sums giving
+    * cumulative weight offsets, so each target cumulates inside exactly one
+    * partition — no global sort, no single-partition window.
+    *
+    * `weightCol` must be integer-typed and non-negative (counts). Output:
+    * one row per requested name — `(tname, k, cum, total)`; targets outside
+    * [1, totalWeight] yield NULL k/cum. EAGER, like [[valueAtRanks]]. */
+  def weightedPrefixThreshold(df: DataFrame, orderCols: Seq[String],
+                              weightCol: String,
+                              namedTargets: Long => Seq[(String, Long)],
+                              numPartitions: Int = 32): DataFrame = {
+    require(orderCols.nonEmpty, "Rank.weightedPrefixThreshold: need order columns")
+    val spark = df.sparkSession
+    graft.engine.Scratch.withTempDir("graft-prefix-") { tmp =>
+      df.withColumn("__w", col(weightCol).cast("long"))
+        .repartitionByRange(numPartitions, orderCols.map(col): _*)
+        .withColumn("__pid", spark_partition_id())
+        .write.mode("overwrite").parquet(s"$tmp/t")
+      val parts = spark.read.parquet(s"$tmp/t")
+
+      // Partition metadata: (pid, rows, weight) ascending, both prefixes.
+      val meta = parts.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("__c"), sum(col("__w")).as("__ws"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val totalW = meta.map(_._3).sum
+      val cntOff = meta.map(_._1).zip(meta.map(_._2).scanLeft(0L)(_ + _).init).toMap
+      val wOff = meta.map(_._1).zip(meta.map(_._3).scanLeft(0L)(_ + _).init).toMap
+
+      val wanted = namedTargets(totalW)
+      val targets = wanted.map(_._2).distinct.filter(t => t >= 1 && t <= totalW)
+      val picked: Map[Long, (Long, Long)] =
+        if (targets.isEmpty) Map.empty
+        else {
+          // Each target lives in the unique partition whose weight interval
+          // contains it; only those partitions run the local cumsum window.
+          val tp = targets.map { t =>
+            val pid = meta.collectFirst {
+              case (p, _, ws) if wOff(p) < t && wOff(p) + ws >= t => p
+            }.getOrElse(sys.error(s"weightedPrefixThreshold: no partition holds $t"))
+            (t, pid)
+          }
+          val hit = tp.map(_._2).distinct
+          val tdf = spark.createDataFrame(tp.toList).toDF("__t", "__tpid")
+          val odf = spark.createDataFrame(
+            hit.map(p => (p, cntOff(p), wOff(p))).toList).toDF("__pid", "__coff", "__woff")
+          val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+          parts.filter(col("__pid").isin(hit: _*))
+            .withColumn("__lrn", row_number().over(w))
+            .withColumn("__lrun", sum(col("__w")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .join(broadcast(odf), Seq("__pid"))
+            .join(broadcast(tdf), col("__pid") === col("__tpid"))
+            .filter(col("__woff") + col("__lrun") >= col("__t"))
+            .groupBy(col("__t"))
+            // run is monotone within the ordered partition, so min rank and
+            // min running sum both belong to the same (first) qualifying row.
+            .agg(min(col("__coff") + col("__lrn")).as("__k"),
+              min(col("__woff") + col("__lrun")).as("__cum"))
+            .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        }
+
+      val rows = wanted.map { case (name, t) =>
+        val hitRow = picked.get(t)
+        Row(name, hitRow.map(_._1).orNull, hitRow.map(_._2).orNull, totalW)
+      }
+      val schema = StructType(Seq(
+        StructField("tname", org.apache.spark.sql.types.StringType, nullable = false),
+        StructField("k", LongType, nullable = true),
+        StructField("cum", LongType, nullable = true),
+        StructField("total", LongType, nullable = false)))
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }
+  }
+
   /** The lazy selection plan of step 4–5 — package-private so PlanSpec can
     * assert it contains no single-partition exchange / global sort. `parts`
     * must carry the `__pid` column; `offsets` maps pid → rows before it. */

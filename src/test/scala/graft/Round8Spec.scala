@@ -235,6 +235,25 @@ class Round8Spec extends SparkSpec {
     assert(est(20L) >= 0L && !exact.contains(20L)) // absent item: cells may collide, never negative
   }
 
+  test("weighted prefix threshold: exact first-crossing ranks across partition boundaries") {
+    import graft.ext.Rank
+    // Zipf-ish: item i has weight 101-i, i = 1..100; total = 5050.
+    val df = (1L to 100L).map(i => (i, 101L - i)).toDF("item", "w")
+      .withColumn("neg_w", -col("w"))
+    val got = Rank.weightedPrefixThreshold(df, Seq("neg_w", "item"), "w",
+        tot => Seq("half" -> (tot + 1) / 2, "all" -> tot, "over" -> (tot + 1)),
+        numPartitions = 7)
+      .collect().map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)), r.getLong(3))).toMap
+    // Sorted desc: 100, 99, ... running sums 100, 199, ...; first >= 2525
+    // is the reference answer computed directly here.
+    val weightsDesc = (1L to 100L).map(101L - _).sorted.reverse
+    val runs = weightsDesc.scanLeft(0L)(_ + _).tail
+    val kHalf = runs.indexWhere(_ >= 2525L) + 1
+    assert(got("half") === ((Some(kHalf.toLong), Some(runs(kHalf - 1)), 5050L)))
+    assert(got("all") === ((Some(100L), Some(5050L), 5050L)))
+    assert(got("over") === ((None, None, 5050L)), "target beyond total yields NULLs")
+  }
+
   test("changeFeed nets inserts/deletes/updates across versions and refuses vacuumed endpoints") {
     withTempDir { root =>
       val state = s"$root/state"
