@@ -2078,6 +2078,31 @@ object SparkEntry {
           totalW => Seq("50" -> (totalW * 50 + 99) / 100, "90" -> (totalW * 90 + 99) / 100))
         .select(col("tname").cast("int").as("pct"), col("k").as("k_tokens"),
           col("cum").as("cum_count"), col("total").as("total_tokens"))
+    },
+
+    // SCD2 delete (engine.Merge.scd2Delete) on top of q58's merge: keys
+    // leaving the universe get their CURRENT version closed at the delete
+    // timestamp — history intact, nothing inserted. Composes both SCD2
+    // writers in one lineage; the oracle replays merge then delete as SQL
+    // branches over the same literal timestamps.
+    "q118_scd2_delete" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val dim = cust.select(
+        col("c_custkey"), col("c_mktsegment"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        lit(true).as("is_current"))
+      val updates = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 6 === 0, lit("SEG_NEW"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          lit("2024-06-01 00:00:00").cast("timestamp").as("eff_ts"))
+      val merged = graft.engine.Merge.scd2Apply(
+        dim, updates, "c_custkey", Seq("c_mktsegment"), "eff_ts")
+      val deletes = cust.filter(col("c_custkey") % 7 === 1)
+        .select(col("c_custkey"),
+          lit("2024-09-01 00:00:00").cast("timestamp").as("del_ts"))
+      graft.engine.Merge.scd2Delete(merged, deletes, "c_custkey", "del_ts")
     }
   )
 
@@ -2927,6 +2952,40 @@ object SparkEntry {
     "q115_weighted_sample" -> weightedSampleSql,
 
     "q116_countmin_sketch" -> countMinSql,
+
+    "q118_scd2_delete" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        |  FROM customer),
+        |u AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 6 = 0 THEN 'SEG_NEW' ELSE c_mktsegment END AS c_mktsegment,
+        |         TIMESTAMP '2024-06-01 00:00:00' AS eff_ts
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |after AS (
+        |  SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to, d.is_current
+        |  FROM dim d LEFT JOIN u ON d.c_custkey = u.c_custkey
+        |  WHERE u.c_custkey IS NULL OR d.c_mktsegment = u.c_mktsegment
+        |  UNION ALL
+        |  SELECT d.c_custkey, d.c_mktsegment, d.valid_from, u.eff_ts, FALSE
+        |  FROM dim d JOIN u ON d.c_custkey = u.c_custkey
+        |  WHERE d.c_mktsegment <> u.c_mktsegment
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.c_mktsegment, u.eff_ts, CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM dim d JOIN u ON d.c_custkey = u.c_custkey
+        |  WHERE d.c_mktsegment <> u.c_mktsegment),
+        |del AS (
+        |  SELECT c_custkey, TIMESTAMP '2024-09-01 00:00:00' AS del_ts
+        |  FROM customer WHERE c_custkey % 7 = 1)
+        |SELECT a.c_custkey, a.c_mktsegment, a.valid_from, a.valid_to, a.is_current
+        |FROM after a LEFT JOIN del ON a.c_custkey = del.c_custkey
+        |WHERE NOT a.is_current OR del.c_custkey IS NULL
+        |UNION ALL
+        |SELECT a.c_custkey, a.c_mktsegment, a.valid_from, del.del_ts, FALSE
+        |FROM after a JOIN del ON a.c_custkey = del.c_custkey
+        |WHERE a.is_current""".stripMargin,
 
     "q117_vocab_coverage" ->
       """WITH tok AS (

@@ -111,4 +111,33 @@ object Merge {
     hist.select(kept.columns.map(col): _*)
       .unionByName(kept).unionByName(closed).unionByName(inserted)
   }
+
+  /** SCD type-2 delete: a key leaving the source universe (account closed,
+    * product retired, GDPR erasure of the ENTITY — for row purging see
+    * [[graft.engine.Tombstones]]) does not vanish from a versioned
+    * dimension; its CURRENT version is closed at the delete's effective
+    * timestamp and no new version is inserted, so point-in-time joins keep
+    * resolving historical facts while post-deletion lookups find nothing
+    * current.
+    *
+    * `deletes` carries (key, `effTsCol`), at most one row per key. Shape:
+    * like [[scd2Apply]], only the current slice is touched — one equi-join
+    * (delete batches are tiny → broadcast) plus an anti join; history rows
+    * pass through unjoined, so cost is O(|current| + |deletes|). */
+  def scd2Delete(dim: DataFrame, deletes: DataFrame, key: String,
+                 effTsCol: String): DataFrame = {
+    val cur = dim.filter(col("is_current"))
+    val hist = dim.filter(!col("is_current"))
+    val d = deletes.select(col(key), col(effTsCol).as("__eff"))
+    val closed = cur.join(d, Seq(key))
+      .select(dim.columns.map {
+        case "valid_to"   => col("__eff").as("valid_to")
+        case "is_current" => lit(false).as("is_current")
+        case c            => col(c)
+      }.toSeq: _*)
+    val kept = cur.join(d.select(col(key)), Seq(key), "left_anti")
+      .select(dim.columns.map(col).toSeq: _*)
+    hist.select(dim.columns.map(col).toSeq: _*)
+      .unionByName(kept).unionByName(closed)
+  }
 }

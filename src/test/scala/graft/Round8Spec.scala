@@ -254,6 +254,25 @@ class Round8Spec extends SparkSpec {
     assert(got("over") === ((None, None, 5050L)), "target beyond total yields NULLs")
   }
 
+  test("scd2Delete closes only current versions, leaves history, ignores unknown keys") {
+    import graft.engine.Merge
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val dim = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), ts("2024-06-01 00:00:00"), false), // history
+      (1L, "a2", ts("2024-06-01 00:00:00"), null.asInstanceOf[java.sql.Timestamp], true),
+      (2L, "b", ts("2024-01-01 00:00:00"), null.asInstanceOf[java.sql.Timestamp], true)
+    ).toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val deletes = Seq((1L, ts("2024-09-01 00:00:00")), (99L, ts("2024-09-01 00:00:00")))
+      .toDF("k", "del_ts")
+    val out = Merge.scd2Delete(dim, deletes, "k", "del_ts")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getTimestamp(3)).map(_.toString), r.getBoolean(4))).toSet
+    assert(out === Set(
+      (1L, "a", Some("2024-06-01 00:00:00.0"), false),   // history untouched
+      (1L, "a2", Some("2024-09-01 00:00:00.0"), false),  // current closed at del_ts
+      (2L, "b", None, true)))                            // undeleted key stays current
+  }
+
   test("changeFeed nets inserts/deletes/updates across versions and refuses vacuumed endpoints") {
     withTempDir { root =>
       val state = s"$root/state"
