@@ -2103,6 +2103,39 @@ object SparkEntry {
         .select(col("c_custkey"),
           lit("2024-09-01 00:00:00").cast("timestamp").as("del_ts"))
       graft.engine.Merge.scd2Delete(merged, deletes, "c_custkey", "del_ts")
+    },
+
+    // Overlapping sliding-window chunking (ext.Dedup.slidingChunks — the
+    // embedding/RAG unit, stride 20 < width 30 so consecutive chunks share
+    // 10 tokens), rolled up per lang. Pure per-row expression at scan
+    // speed; the oracle rebuilds every window with DuckDB list slicing.
+    "q119_sliding_chunks" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          explode(graft.ext.Dedup.slidingChunks(col("text"), width = 30, stride = 20))
+            .as("chunk"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk")).as("n_distinct_chunks"),
+          sum(size(split(col("chunk"), " ")).cast("long")).as("chunk_tokens"))
+    },
+
+    // Leakage-safe target encoding (leave-one-out): each customer's segment
+    // statistics EXCLUDING its own row — the standard categorical-feature
+    // encode that must not leak the row's own label. Ships exact integer
+    // sufficient stats (loo_n, loo_sum_cents) instead of a ratio, q92-style.
+    // One segment aggregate (5 rows) broadcast back onto the scan.
+    "q120_target_encoding" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val seg = cust.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("seg_n"), sum(col("bal_cents")).as("seg_sum"))
+      cust.filter(col("c_custkey") <= 50)
+        .join(broadcast(seg), Seq("c_mktsegment"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("seg_n") - 1L).as("loo_n"),
+          (col("seg_sum") - col("bal_cents")).as("loo_sum_cents"))
     }
   )
 
@@ -2986,6 +3019,34 @@ object SparkEntry {
         |SELECT a.c_custkey, a.c_mktsegment, a.valid_from, del.del_ts, FALSE
         |FROM after a JOIN del ON a.c_custkey = del.c_custkey
         |WHERE a.is_current""".stripMargin,
+
+    "q119_sliding_chunks" ->
+      """WITH d AS (
+        |  SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |ch AS (
+        |  SELECT lang,
+        |         unnest([array_to_string(toks[s*20+1 : s*20+30], ' ')
+        |                 for s in range(0, ((len(toks)-1)//20) + 1)]) AS chunk
+        |  FROM d)
+        |SELECT lang, COUNT(*) AS n_chunks,
+        |       COUNT(DISTINCT chunk) AS n_distinct_chunks,
+        |       CAST(SUM(len(string_split(chunk, ' '))) AS BIGINT) AS chunk_tokens
+        |FROM ch GROUP BY 1""".stripMargin,
+
+    "q120_target_encoding" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |seg AS (
+        |  SELECT c_mktsegment, COUNT(*) AS seg_n,
+        |         CAST(SUM(bal_cents) AS BIGINT) AS seg_sum
+        |  FROM c GROUP BY 1)
+        |SELECT c.c_custkey, c.c_mktsegment,
+        |       CAST(seg.seg_n - 1 AS BIGINT) AS loo_n,
+        |       CAST(seg.seg_sum - c.bal_cents AS BIGINT) AS loo_sum_cents
+        |FROM c JOIN seg USING (c_mktsegment)
+        |WHERE c.c_custkey <= 50""".stripMargin,
 
     "q117_vocab_coverage" ->
       """WITH tok AS (

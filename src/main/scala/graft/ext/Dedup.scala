@@ -447,6 +447,20 @@ object Dedup {
       i => array_join(slice(toks, i * width + 1, lit(width)), " "))
   }
 
+  /** OVERLAPPING `width`-word windows every `stride` words — the chunking
+    * unit of embedding/RAG pipelines, where overlap preserves context across
+    * boundaries (vs [[textChunks]]' partition for dedup). Window starts are
+    * 0, stride, 2·stride, … strictly below the token count, each window
+    * takes up to `width` tokens; `stride < width` ⇒ consecutive windows
+    * share `width − stride` tokens. Pure per-row expression — explodes to
+    * ~n/stride chunk rows at scan speed, no shuffle. */
+  def slidingChunks(text: Column, width: Int, stride: Int): Column = {
+    require(width > 0 && stride > 0, "slidingChunks: width and stride must be positive")
+    val toks = TextAnalysis.tokens(text)
+    transform(sequence(lit(0), ((size(toks) - 1) / stride).cast("int")),
+      i => array_join(slice(toks, i * stride + 1, lit(width)), " "))
+  }
+
   /** Sub-document (paragraph-level) dedup, CCNet/Gopher-style: a chunk seen
     * in more than `maxDocFreq` DISTINCT documents is boilerplate (headers,
     * navigation, license blurbs) and is dropped from EVERY document; the

@@ -273,6 +273,16 @@ class Round8Spec extends SparkSpec {
       (2L, "b", None, true)))                            // undeleted key stays current
   }
 
+  test("slidingChunks overlap by width-stride and cover every token") {
+    import graft.ext.Dedup
+    val df = Seq("a b c d e f g", "x").toDF("text")
+      .select(Dedup.slidingChunks(col("text"), width = 4, stride = 2).as("chunks"))
+    val got = df.as[Seq[String]].collect().toSeq
+    // 7 tokens, starts 0/2/4/6: last two windows clamp at the tail.
+    assert(got(0) === Seq("a b c d", "c d e f", "e f g", "g"))
+    assert(got(1) === Seq("x"), "short doc is a single chunk")
+  }
+
   test("changeFeed nets inserts/deletes/updates across versions and refuses vacuumed endpoints") {
     withTempDir { root =>
       val state = s"$root/state"
