@@ -2136,6 +2136,33 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_mktsegment"),
           (col("seg_n") - 1L).as("loo_n"),
           (col("seg_sum") - col("bal_cents")).as("loo_sum_cents"))
+    },
+
+    // Stream-static enrichment join: the streaming events feed joined to a
+    // STATIC customer dimension inside the micro-batch plan — the standard
+    // streaming enrichment shape (static side re-resolved per batch,
+    // broadcast into each micro-batch; no state store, unlike q48's
+    // stream-stream join). Driven to completion with AvailableNow; the
+    // oracle is the equivalent batch join, so enrichment must lose nothing.
+    "q121_stream_static_join" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val staticSchema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(staticSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val agg = stream.join(broadcast(dim), Seq("user_id"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      val sinkName = "graft_stream_static"
+      s.catalog.dropTempView(sinkName)
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sinkName)
+        .select(col("c_mktsegment"), col("event_type"), col("n"), col("value_cents"))
     }
   )
 
@@ -3019,6 +3046,12 @@ object SparkEntry {
         |SELECT a.c_custkey, a.c_mktsegment, a.valid_from, del.del_ts, FALSE
         |FROM after a JOIN del ON a.c_custkey = del.c_custkey
         |WHERE a.is_current""".stripMargin,
+
+    "q121_stream_static_join" ->
+      """SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q119_sliding_chunks" ->
       """WITH d AS (
