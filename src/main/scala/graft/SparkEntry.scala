@@ -2163,6 +2163,73 @@ object SparkEntry {
       q.awaitTermination()
       s.table(sinkName)
         .select(col("c_mktsegment"), col("event_type"), col("n"), col("value_cents"))
+    },
+
+    // Leakage-safe train/val/test split (ext.Sampling.groupAwareSplit): the
+    // split is a pure function of the SOURCE key, so near-duplicate /
+    // same-source docs can never straddle train and test. n_sources counted
+    // per split proves groups stay whole (Σ n_sources over splits =
+    // distinct sources — the oracle replays the hash, so the exact
+    // assignment is pinned, not just the counts).
+    "q122_group_split" -> { (s, dir) =>
+      ext.Sampling.groupAwareSplit(t(s, dir, "documents"), col("source"),
+          Seq("train" -> 800L, "val" -> 900L, "test" -> 1000L))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("doc_id")).as("id_checksum"))
+    },
+
+    // Majority-vote label aggregation (ext.Labels.majorityVote): items are
+    // vec_id mod 200 (simulating ~25 annotations per item), gold label =
+    // most-voted with smallest-label tie-break. Rolled up per winning label
+    // with an item checksum + unanimity count, so the per-item winners are
+    // membership-pinned.
+    "q123_majority_vote" -> { (s, dir) =>
+      val votes = t(s, dir, "embeddings")
+        .select(pmod(col("vec_id"), lit(200L)).as("item"), col("label"))
+      ext.Labels.majorityVote(votes, col("item"), col("label"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("item")).as("item_checksum"),
+          sum(when(col("n_votes") === col("n_total"), 1L).otherwise(0L))
+            .as("n_unanimous"))
+    },
+
+    // Rolling 7-row aggregates per user ordered by (ts, event_id) — the
+    // moving-average feature staple. Cents-quantized so the rolling sum is
+    // integer-exact; ships (sum, n) sufficient stats instead of an FP mean.
+    // The window is per-user (key-partitioned, no global sort); state is the
+    // 7-row frame.
+    "q124_rolling_window" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val frame = w.rowsBetween(-6, Window.currentRow)
+      eventsTable(s, dir)
+        .filter(col("user_id") <= 10)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("roll7_cents", sum(col("cents")).over(frame))
+        .withColumn("roll7_n", count(lit(1)).over(frame))
+        .withColumn("roll7_max", max(col("cents")).over(frame))
+        .drop("cents", "ts")
+    },
+
+    // Temporal windowed dedup (ext.Dedup.dedupWithinWindow): one event per
+    // (user, type) per 1-hour tumbling window, survivor = earliest
+    // (ts, event_id). Kept event_ids are checksum-pinned per type, and
+    // n_collapsed re-counts the input so nothing is silently dropped.
+    "q125_windowed_dedup" -> { (s, dir) =>
+      val kept = graft.ext.Dedup.dedupWithinWindow(
+        eventsTable(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us")),
+        keyCols = Seq("user_id", "event_type"), tsMicros = col("ts_us"),
+        tieCol = "event_id", windowMicros = 3600L * 1000000L)
+      kept.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_collapsed")).as("n_input"),
+          sum(col("event_id")).as("id_checksum"))
     }
   )
 
@@ -3794,7 +3861,72 @@ object SparkEntry {
         |       CAST(SUM(CAST(ROUND((CASE WHEN ABS(t - ROUND(q * p, 2)) > 0.01
         |                            THEN ROUND(q * p, 2) ELSE t END) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |       CAST(SUM(CASE WHEN cust IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_valid
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "q122_group_split" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |         ${h60Sql("concat('split:', source)")} % 1000 AS hb
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN hb < 800 THEN 'train'
+        |              WHEN hb < 900 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM d)
+        |SELECT split, COUNT(*) AS n_docs,
+        |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "q123_majority_vote" ->
+      """WITH v AS (
+        |  SELECT vec_id % 200 AS item, label FROM embeddings),
+        |c AS (
+        |  SELECT item, label, COUNT(*) AS n_votes FROM v GROUP BY 1, 2),
+        |r AS (
+        |  SELECT item, label, n_votes,
+        |         CAST(SUM(n_votes) OVER (PARTITION BY item) AS BIGINT) AS n_total,
+        |         ROW_NUMBER() OVER (PARTITION BY item
+        |                            ORDER BY n_votes DESC, label ASC) AS rr
+        |  FROM c)
+        |SELECT label, COUNT(*) AS n_items,
+        |       CAST(SUM(item) AS BIGINT) AS item_checksum,
+        |       CAST(SUM(CASE WHEN n_votes = n_total THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_unanimous
+        |FROM r WHERE rr = 1 GROUP BY 1""".stripMargin,
+
+    "q124_rolling_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id <= 10)
+        |SELECT user_id, event_id,
+        |       CAST(ROW_NUMBER() OVER win AS BIGINT) AS rn,
+        |       CAST(SUM(cents) OVER win7 AS BIGINT) AS roll7_cents,
+        |       CAST(COUNT(*) OVER win7 AS BIGINT) AS roll7_n,
+        |       MAX(cents) OVER win7 AS roll7_max
+        |FROM e
+        |WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id),
+        |       win7 AS (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q125_windowed_dedup" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |         epoch_us(ts) // 3600000000 AS time_bucket
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type, time_bucket
+        |                            ORDER BY ts_us, event_id) AS rr,
+        |         COUNT(*) OVER (PARTITION BY user_id, event_type, time_bucket)
+        |           AS cell_n
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n_kept,
+        |       CAST(SUM(cell_n) AS BIGINT) AS n_input,
+        |       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+        |FROM r WHERE rr = 1 GROUP BY 1""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -74,6 +74,38 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
 
+  /** Temporal windowed dedup: keep ONE row per key per tumbling time window —
+    * the standard log/event compaction step (retries, at-least-once producers,
+    * and crawler revisits emit near-identical rows minutes apart; an unbounded
+    * key-level dedup would collapse legitimately recurring events).
+    *
+    * The window is `tsMicros DIV windowMicros` (tumbling, epoch-aligned) and
+    * the survivor is the row with the smallest `(tsMicros, tieCol)` in its
+    * (keys, window) cell — a total order, so the kept set is deterministic
+    * (dropDuplicates is not) and an independent engine replays it.
+    *
+    * Scale: one map-side-combinable `groupBy(keys, window)` whose state is a
+    * single min-struct per cell — no row lists, no window function, and the
+    * shuffle key includes the time bucket so a hot key spreads over its
+    * windows instead of one reducer. */
+  def dedupWithinWindow(df: DataFrame, keyCols: Seq[String], tsMicros: Column,
+                        tieCol: String, windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, "dedupWithinWindow: windowMicros must be positive")
+    // tieCol first among payload fields so the struct-min order is
+    // (ts, tie, <arbitrary-but-unused rest>); (ts, tie) is unique per row in
+    // every caller, making min(struct) a total order regardless of the rest.
+    val keep = struct(tsMicros.as("__ts") +:
+      df.columns.sortBy(c => if (c == tieCol) 0 else 1).map(col): _*)
+    // `expr(.. DIV ..)` not `/`: Column./ on longs is DOUBLE division, whose
+    // rounding can land a boundary timestamp in the wrong bucket.
+    df.withColumn("__ts_us", tsMicros.cast("long"))
+      .withColumn("time_bucket", expr(s"__ts_us DIV ${windowMicros}L"))
+      .groupBy((keyCols.map(col) :+ col("time_bucket")): _*)
+      .agg(min(keep).as("__keep"), count(lit(1)).as("n_collapsed"))
+      .select(col("time_bucket") +: col("n_collapsed") +:
+        df.columns.map(c => col(s"__keep.$c").as(c)): _*)
+  }
+
   /** Shingle projection shared by signatures and verification: (idCol, sh). */
   def shingleSets(docs: DataFrame, k: Int,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -150,6 +150,40 @@ object Sampling {
       .withColumn("shard", pmod(col("sort_key"), lit(numShards.toLong)))
   }
 
+  /** Salt for [[groupAwareSplit]], shared with the oracle-SQL builder. */
+  val SplitSalt: String = "split"
+
+  /** Leakage-safe train/val/test assignment: the split is a pure function of
+    * the GROUP key (source domain, near-dup cluster id, author…), so every
+    * row of a group lands in the same split by construction — the standard
+    * guard against train/test contamination through near-duplicates or
+    * same-source documents that a row-level split would scatter across
+    * splits.
+    *
+    * `bounds` are cumulative per-mille fences over `hash60(salt:group) mod
+    * 1000`: `Seq("train" -> 800, "val" -> 900, "test" -> 1000)` sends a
+    * group to the first split whose fence exceeds its hash bucket. Adds a
+    * `split` column; deterministic across engines, partitionings, and
+    * retries ([[PortableHash]]), so the oracle replays the exact assignment.
+    *
+    * Scale: a per-row codegen'd expression — NO shuffle, no group-list
+    * materialization; the group key is hashed in place on each row. */
+  def groupAwareSplit(df: DataFrame, groupCol: Column,
+                      bounds: Seq[(String, Long)],
+                      salt: String = SplitSalt): DataFrame = {
+    require(bounds.nonEmpty && bounds.last._2 == 1000L,
+      "groupAwareSplit: bounds must be cumulative per-mille fences ending at 1000")
+    require(bounds.map(_._2) == bounds.map(_._2).sorted,
+      "groupAwareSplit: bounds must be non-decreasing")
+    val h = PortableHash.hash60(concat_ws(":", lit(salt), groupCol.cast("string"))) % 1000L
+    // Reverse fold so earlier fences take precedence: the first fence whose
+    // bound exceeds the hash bucket wins.
+    val split = bounds.reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, (name, bound)) => when(h < bound, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", split)
+  }
+
   /** Salt for [[weightedSample]], shared with the oracle-SQL builder. */
   val WeightedSalt: String = "wsample"
 

@@ -326,6 +326,60 @@ class Round8Spec extends SparkSpec {
     assert(out === Seq((0L, 3L, 0L, 7L), (1L, 1L, 15L, 15L)))
   }
 
+  test("groupAwareSplit: every group lands whole in exactly one split; bad bounds fail loudly") {
+    val df = (1L to 400L).map(i => (i, s"src${i % 40}")).toDF("id", "source")
+    val out = graft.ext.Sampling.groupAwareSplit(df, col("source"),
+      Seq("train" -> 800L, "val" -> 900L, "test" -> 1000L))
+    // Leakage-proof by construction: no source may appear under two splits.
+    val straddlers = out.groupBy("source")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(straddlers === 0L)
+    // Assignment is a pure row function: repartitioning must not change it.
+    val again = graft.ext.Sampling.groupAwareSplit(df.repartition(7), col("source"),
+      Seq("train" -> 800L, "val" -> 900L, "test" -> 1000L))
+    assert(out.orderBy("id").collect().toSeq === again.orderBy("id").collect().toSeq)
+    // All rows get a split (fences end at 1000 ⇒ no null branch survives).
+    assert(out.filter(col("split").isNull).count() === 0L)
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.groupAwareSplit(df, col("source"), Seq("train" -> 900L))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.groupAwareSplit(df, col("source"),
+        Seq("a" -> 900L, "b" -> 800L, "c" -> 1000L))
+    }
+  }
+
+  test("majorityVote: majority wins, ties break to smallest label, totals count all votes") {
+    val votes = Seq(
+      (1L, "B"), (1L, "B"), (1L, "A"),            // clear majority B
+      (2L, "C"), (2L, "A"), (2L, "C"), (2L, "A"), // 2-2 tie -> A (smallest)
+      (3L, "Z")                                   // singleton -> unanimous Z
+    ).toDF("item", "label")
+    val out = graft.ext.Labels.majorityVote(votes, col("item"), col("label"))
+      .orderBy("item").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, "B", 2L, 3L), (2L, "A", 2L, 4L), (3L, "Z", 1L, 1L)))
+  }
+
+  test("dedupWithinWindow: earliest row per key per window survives; boundaries are exact") {
+    val us = 1000000L // 1s windows in micros
+    val rows = Seq(
+      // key k1, window 0: two rows -> earliest (ts=100) survives
+      (1L, "k1", 100L), (2L, "k1", 900000L),
+      // ts exactly at the boundary opens the NEXT window (DIV semantics)
+      (3L, "k1", us),
+      // same ts, different id -> tie broken by smaller id
+      (4L, "k2", 500L), (5L, "k2", 500L)
+    ).toDF("event_id", "k", "ts_us")
+    val kept = graft.ext.Dedup.dedupWithinWindow(rows, Seq("k"), col("ts_us"),
+        tieCol = "event_id", windowMicros = us)
+      .orderBy("time_bucket", "k")
+      .select("time_bucket", "n_collapsed", "event_id", "k")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(kept === Seq((0L, 2L, 1L, "k1"), (0L, 2L, 4L, "k2"), (1L, 1L, 3L, "k1")))
+    assert(kept.map(_._2).sum === rows.count())
+  }
+
   test("vacuum counts only committed versions and garbage-collects crashed dirs below horizon") {
     withTempDir { root =>
       val state = s"$root/state"
