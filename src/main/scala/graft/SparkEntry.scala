@@ -2230,6 +2230,54 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_collapsed")).as("n_input"),
           sum(col("event_id")).as("id_checksum"))
+    },
+
+    // BM25 keyword retrieval (ext.TextAnalysis.bm25TopDocs): top-15 docs for
+    // a 3-term query. Per-term contributions are micro-unit integers before
+    // the per-doc sum, so the scores (not just the ranking) are bit-stable
+    // and the oracle replays them exactly.
+    "q126_bm25" -> { (s, dir) =>
+      graft.ext.TextAnalysis.bm25TopDocs(t(s, dir, "documents"),
+        Seq("scan", "merge", "vector"), k = 15)
+    },
+
+    // Fixed-point PageRank (ext.Graph.pageRankIterations), 3 power
+    // iterations over the symmetrized supplier–part bipartite graph (part
+    // nodes shifted by 1e6 to keep the id spaces disjoint). Integer
+    // micro-unit ranks make the fixpoint reproducible on a cluster — the
+    // oracle unrolls the same three iterations in SQL.
+    "q127_pagerank" -> { (s, dir) =>
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("a"),
+          (col("l_partkey").cast("long") + 1000000L).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      graft.ext.Graph.pageRankIterations(edges, iters = 3)
+        .orderBy(col("rank_micros").desc, col("node"))
+        .limit(20)
+    },
+
+    // Prefix-containment dedup (ext.Dedup.prefixDuplicates): planted 50-char
+    // truncations must all be flagged as contained (or exact copies when the
+    // original is already <= 50 chars). One range-partitioned sorted pass +
+    // partition-seam metadata — no global sort, no all-pairs join; the
+    // oracle replays the successor test with a plain window.
+    "q128_prefix_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.union(docs.select(
+        (col("doc_id") + 200000L).as("doc_id"),
+        substring(col("text"), 1, 50).as("text")))
+      graft.ext.Dedup.prefixDuplicates(corpus) { flagged =>
+        val agg = flagged.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("succ_starts_with"), 1L).otherwise(0L)).as("n_contained"),
+          sum(when(col("succ_equal"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("succ_starts_with"), col("doc_id")).otherwise(0L))
+            .as("contained_id_checksum"))
+        val rows = agg.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      }
     }
   )
 
@@ -3926,7 +3974,84 @@ object SparkEntry {
         |SELECT event_type, COUNT(*) AS n_kept,
         |       CAST(SUM(cell_n) AS BIGINT) AS n_input,
         |       CAST(SUM(event_id) AS BIGINT) AS id_checksum
-        |FROM r WHERE rr = 1 GROUP BY 1""".stripMargin
+        |FROM r WHERE rr = 1 GROUP BY 1""".stripMargin,
+
+    // NB every FP literal carries e0 (DOUBLE): a bare 0.5 is DECIMAL in
+    // DuckDB, and decimal arithmetic would diverge from Spark's doubles.
+    "q126_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |                 CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |       WHERE term IN ('scan', 'merge', 'vector') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |         CAST(ROUND(
+        |           ln(1e0 + (stats.n - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0))
+        |           * (tf.tf * 2.2e0)
+        |           / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0
+        |                * (dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n))))
+        |           * 1000000e0) AS BIGINT) AS c
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micros
+        |FROM c GROUP BY 1
+        |ORDER BY score_micros DESC, doc_id LIMIT 15""".stripMargin,
+
+    "q127_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+        |         CAST(l_partkey AS BIGINT) + 1000000 AS b
+        |  FROM lineitem),
+        |e AS (SELECT a AS src, b AS dst FROM pairs
+        |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outd FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |i1 AS (SELECT e.dst AS node, CAST(SUM(r0.r // o.outd) AS BIGINT) AS in_sum
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN outdeg o ON o.src = e.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |              CAST(150000 + (850 * COALESCE(i1.in_sum, 0)) // 1000 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN i1 USING (node)),
+        |i2 AS (SELECT e.dst AS node, CAST(SUM(r1.r // o.outd) AS BIGINT) AS in_sum
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN outdeg o ON o.src = e.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |              CAST(150000 + (850 * COALESCE(i2.in_sum, 0)) // 1000 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN i2 USING (node)),
+        |i3 AS (SELECT e.dst AS node, CAST(SUM(r2.r // o.outd) AS BIGINT) AS in_sum
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN outdeg o ON o.src = e.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT n.node,
+        |              CAST(150000 + (850 * COALESCE(i3.in_sum, 0)) // 1000 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN i3 USING (node))
+        |SELECT node, r AS rank_micros FROM r3
+        |ORDER BY rank_micros DESC, node LIMIT 20""".stripMargin,
+
+    "q128_prefix_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, substr(text, 1, 50) AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |         lead(text) OVER (ORDER BY text, doc_id) AS succ
+        |  FROM corpus)
+        |SELECT COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN succ IS NOT NULL AND starts_with(succ, text)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
+        |       CAST(SUM(CASE WHEN succ = text THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_exact,
+        |       CAST(SUM(CASE WHEN succ IS NOT NULL AND starts_with(succ, text)
+        |                     THEN doc_id ELSE 0 END) AS BIGINT)
+        |         AS contained_id_checksum
+        |FROM s""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -592,4 +592,68 @@ object Dedup {
     }
     grouped.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Prefix-containment dedup: flag every document whose text is a PREFIX of
+    * another document's text (truncated re-crawls, partial mirrors, cut-off
+    * exports) — containment that shingle-Jaccard under-scores when the
+    * lengths differ a lot, and that exact-hash dedup misses entirely.
+    *
+    * The trick that makes this one sorted pass instead of all-pairs: if
+    * A ≤ B ≤ C lexicographically and A is a prefix of C, then A is a prefix
+    * of B. So A is a prefix of SOME other doc iff A is a prefix of its
+    * immediate lexicographic successor — a neighbor test, not a join.
+    * (Successor equality ⇔ A has an exact copy; strict-prefix and exact-dup
+    * are reported separately.)
+    *
+    * Distributed WITHOUT a global sort (the q97/Rank discipline): range-
+    * partition by (text, id), freeze the layout to scratch parquet (range
+    * boundary sampling is re-drawn per action otherwise), take the
+    * per-partition successor with a PARTITION-LOCAL `lead()`, and close the
+    * partition seams with each partition's first (text, id) — partition-count
+    * METADATA rows, collected and broadcast back (the same license as the
+    * Rank/IVF metadata collects). EAGER like [[graft.ext.Rank.valueAtRanks]]:
+    * `consume` must drain the flagged frame inside the scope (the scratch
+    * files are deleted on exit).
+    *
+    * Output columns: the input's, plus `succ_starts_with` (successor exists
+    * and starts with this text) and `succ_equal` (successor IS this text —
+    * an exact duplicate). */
+  def prefixDuplicates[T](docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", numPartitions: Int = 32)
+                         (consume: DataFrame => T): T = {
+    val spark = docs.sparkSession
+    graft.engine.Scratch.withTempDir("graft-prefix-") { tmp =>
+      docs.repartitionByRange(numPartitions, col(textCol), col(idCol))
+        .withColumn("__pid", spark_partition_id())
+        .write.mode("overwrite").parquet(s"$tmp/t")
+      val parts = spark.read.parquet(s"$tmp/t")
+
+      // First (text, id) of each partition — one row per partition.
+      val firsts = parts.groupBy(col("__pid"))
+        .agg(min(struct(col(textCol).as("t"), col(idCol).as("i"))).as("f"))
+        .collect().map(r => (r.getInt(0), r.getStruct(1).getString(0)))
+        .sortBy(_._1)
+      // Successor partition's first text, for each partition's LAST row.
+      // Empty partitions never appear in `firsts`, so the lookup naturally
+      // skips them.
+      val nextFirst = firsts.map { case (pid, _) =>
+        (pid, firsts.collectFirst { case (p2, t2) if p2 > pid => t2 }.orNull)
+      }
+      val nextDf = spark.createDataFrame(nextFirst.toList)
+        .toDF("__pid", "__next_text")
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__pid")).orderBy(col(textCol), col(idCol))
+      val flagged = parts
+        .withColumn("__succ_local", lead(col(textCol), 1).over(w))
+        .join(broadcast(nextDf), Seq("__pid"))
+        .withColumn("__succ", coalesce(col("__succ_local"), col("__next_text")))
+        .withColumn("succ_starts_with",
+          col("__succ").isNotNull && col("__succ").startsWith(col(textCol)))
+        .withColumn("succ_equal",
+          col("__succ").isNotNull && col("__succ") === col(textCol))
+        .drop("__pid", "__succ_local", "__next_text", "__succ")
+      consume(flagged)
+    }
+  }
 }

@@ -147,6 +147,48 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** BM25 relevance of every matching document to a fixed query-term set —
+    * the keyword-retrieval standard (quality-scoring seed sets, contamination
+    * probes, eval-set mining all rank by it).
+    *
+    * Per (doc, term): `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`, k1 = 1.2, b = 0.75. Each
+    * term's contribution is rounded to integer MICRO-units before the
+    * per-document sum: summing doubles across terms would depend on reduce
+    * order (not reproducible on a cluster), while the integer sum is
+    * commutative — bit-stable across partitionings and engines, so the
+    * oracle replays the exact scores. ln() itself is evaluated once per
+    * TERM (corpus-constant), keeping libm last-ulp exposure negligible.
+    *
+    * Shape: word-count aggregations ((doc,term) tf keyed by doc+term, dl
+    * keyed by doc, df keyed by term) + a broadcast of the |terms|-row df
+    * table and the 1-row corpus stats — the only shuffles are word-count
+    * economics; the final top-k is TakeOrdered (per-partition heaps), no
+    * global sort. */
+  def bm25TopDocs(docs: DataFrame, queryTerms: Seq[String], k: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopDocs: need at least one query term")
+    val tok = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_tokens"))
+    val tf = tok.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // Expression shapes below mirror the oracle SQL token-for-token (same
+    // association order), so every FP step is the same IEEE op on both sides.
+    val avgdl = col("total_tokens").cast("double") / col("n")
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))
+    val contrib = round(idf * (col("tf") * lit(2.2)) / denom * lit(1000000.0)).cast("long")
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), contrib.as("c"))
+      .groupBy(col(idCol)).agg(sum(col("c")).as("score_micros"))
+      .orderBy(col("score_micros").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-document word-repetition statistics — the Gopher-style repetition
     * signals (duplicate-word mass, single-word dominance) that flag
     * boilerplate, keyword-stuffed, and auto-generated text.

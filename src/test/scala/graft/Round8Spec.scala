@@ -380,6 +380,47 @@ class Round8Spec extends SparkSpec {
     assert(kept.map(_._2).sum === rows.count())
   }
 
+  test("bm25TopDocs: tf ordering at equal length, absent-term docs excluded, repartition-stable") {
+    val docs = Seq(
+      (1L, "a a a b"), (2L, "a b c d"), (3L, "x y z w")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.bm25TopDocs(docs, Seq("a"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.map(_._1) === Seq(1L, 2L), "only docs containing the term, higher tf first")
+    assert(out(0)._2 > out(1)._2)
+    val again = graft.ext.TextAnalysis.bm25TopDocs(docs.repartition(5), Seq("a"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(out === again, "micro-unit scores must be partition-invariant")
+  }
+
+  test("pageRankIterations: hand-computed star-graph fixpoint in integer micro-units") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val out = graft.ext.Graph.pageRankIterations(edges, iters = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // iter1: hub gets 150000 + 850*3e6 DIV 1000 = 2700000; leaves get
+    // 150000 + 850*(1e6 DIV 3) DIV 1000 = 433333. iter2: hub 150000 +
+    // 850*(3*433333) DIV 1000 = 1254999; leaves 150000 + 850*(2700000 DIV 3)
+    // DIV 1000 = 915000.
+    assert(out === Seq((1L, 1254999L), (2L, 915000L), (3L, 915000L), (4L, 915000L)))
+  }
+
+  test("prefixDuplicates: strict prefixes and exact copies flagged, partition seams exact") {
+    val docs = Seq(
+      (1L, "abc"), (2L, "abcd"), (3L, "abx"), (4L, "zz"), (5L, "zz")
+    ).toDF("doc_id", "text")
+    def run(np: Int) = graft.ext.Dedup.prefixDuplicates(docs, numPartitions = np) {
+      flagged =>
+        flagged.orderBy("doc_id")
+          .select("doc_id", "succ_starts_with", "succ_equal")
+          .as[(Long, Boolean, Boolean)].collect().toSeq
+    }
+    val expect = Seq((1L, true, false), (2L, false, false), (3L, false, false),
+      (4L, true, true), (5L, false, false))
+    assert(run(3) === expect, "seam between range partitions must still see the successor")
+    assert(run(1) === expect)
+  }
+
   test("vacuum counts only committed versions and garbage-collects crashed dirs below horizon") {
     withTempDir { root =>
       val state = s"$root/state"
