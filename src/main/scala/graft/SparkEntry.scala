@@ -2278,6 +2278,96 @@ object SparkEntry {
         val rows = agg.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
       }
+    },
+
+    // Edit-distance similarity join (ext.Fuzzy.editDistanceJoin, PassJoin
+    // signature scheme): a deterministically dirtied supplier list matched
+    // back to the clean dimension at distance <= 2 via block-signature
+    // EQUI-join candidates + Levenshtein verify — never all-pairs. The
+    // DuckDB oracle IS the naive quadratic join, so the blocked plan is
+    // proven complete (same pairs), not just plausible.
+    "q129_fuzzy_join" -> { (s, dir) =>
+      val clean = t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("clean_id"), col("s_name"))
+      val dirty = clean.select(col("clean_id").as("dirty_id"),
+        when(pmod(col("clean_id"), lit(3L)) === 0,
+            expr("replace(s_name, 'Supplier', 'Suplier')"))
+          .when(pmod(col("clean_id"), lit(3L)) === 1,
+            expr("replace(s_name, '#', '-#')"))
+          .otherwise(col("s_name")).as("d_name"))
+      graft.ext.Fuzzy.editDistanceJoin(dirty, clean,
+          "dirty_id", "d_name", "clean_id", "s_name", maxDist = 2)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("dist")).as("dist_sum"),
+          sum(col("dirty_id") * col("clean_id")).as("pair_checksum"),
+          sum(when(col("dirty_id") === col("clean_id"), 1L).otherwise(0L))
+            .as("n_self"))
+    },
+
+    // BFS k-hop neighborhood (ext.Graph.kHopDistances): exact hop distances
+    // from a 3-supplier seed set over the symmetrized supplier–part graph —
+    // hop 1 = their parts, hop 2 = co-suppliers of those parts. The oracle
+    // unrolls both frontier expansions with NOT IN exclusions.
+    "q130_k_hop" -> { (s, dir) =>
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("a"),
+          (col("l_partkey").cast("long") + 1000000L).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = s.range(1, 4).select(col("id").as("node"))
+      graft.ext.Graph.kHopDistances(edges, seeds, hops = 2)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_checksum"))
+    },
+
+    // Cohort retention — the product-analytics staple: users cohorted by
+    // first-active DAY (epoch-day index; the testdata spans one month),
+    // activity counted per (cohort, day offset). Two keyed aggregations;
+    // the (user, day) distinct is the only data-sized shuffle.
+    "q131_cohort_retention" -> { (s, dir) =>
+      val um = eventsTable(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("d", expr("us DIV 86400000000"))
+        .drop("us")
+        .distinct()
+      val first = um.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      um.join(first, "user_id")
+        .groupBy(col("d0").as("cohort_day"), (col("d") - col("d0")).as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+    },
+
+    // Inverted-index build (posting lists) for the 10 highest-df tokens:
+    // token -> first-15 sorted doc ids as CSV + document frequency — the
+    // search-index construction step. Explode → df count → broadcast top
+    // tokens back onto the postings; per-token truncation via a window over
+    // only the 10 surviving tokens.
+    "q132_posting_lists" -> { (s, dir) =>
+      val td = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(lower(col("text"))))).as("token"))
+      val dfreq = td.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val top = dfreq.orderBy(col("df").desc, col("token")).limit(10)
+      td.join(broadcast(top), "token")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("token")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= 15)
+        .groupBy(col("token"), col("df"))
+        .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("posting_csv"))
+    },
+
+    // Referential-integrity audit (engine.Expectations.orphanCount): orphan
+    // counts for two fk->pk relationships against deliberately PRUNED
+    // dimensions (every 10th customer / 7th part removed), composed into one
+    // audit row — each arm an independent 1-row aggregate, empty-safe.
+    "q133_ri_audit" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").filter(col("c_custkey") % 10 =!= 0)
+      val part = t(s, dir, "part").filter(col("p_partkey") % 7 =!= 0)
+      graft.engine.Expectations.orphanCount(
+          t(s, dir, "orders"), "o_custkey", cust, "c_custkey", "orders_cust")
+        .crossJoin(graft.engine.Expectations.orphanCount(
+          t(s, dir, "lineitem"), "l_partkey", part, "p_partkey", "lineitem_part"))
     }
   )
 
@@ -4051,7 +4141,89 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN succ IS NOT NULL AND starts_with(succ, text)
         |                     THEN doc_id ELSE 0 END) AS BIGINT)
         |         AS contained_id_checksum
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "q129_fuzzy_join" ->
+      """WITH clean AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS clean_id, s_name FROM supplier),
+        |dirty AS (
+        |  SELECT clean_id AS dirty_id,
+        |         CASE WHEN clean_id % 3 = 0
+        |                THEN replace(s_name, 'Supplier', 'Suplier')
+        |              WHEN clean_id % 3 = 1
+        |                THEN replace(s_name, '#', '-#')
+        |              ELSE s_name END AS d_name
+        |  FROM clean),
+        |p AS (
+        |  SELECT dirty_id, clean_id, levenshtein(d_name, s_name) AS dist
+        |  FROM dirty CROSS JOIN clean
+        |  WHERE levenshtein(d_name, s_name) <= 2)
+        |SELECT COUNT(*) AS n_pairs,
+        |       CAST(SUM(dist) AS BIGINT) AS dist_sum,
+        |       CAST(SUM(dirty_id * clean_id) AS BIGINT) AS pair_checksum,
+        |       CAST(SUM(CASE WHEN dirty_id = clean_id THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_self
+        |FROM p""".stripMargin,
+
+    "q130_k_hop" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+        |         CAST(l_partkey AS BIGINT) + 1000000 AS b
+        |  FROM lineitem),
+        |e AS (SELECT a AS src, b AS dst FROM pairs
+        |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |h0 AS (SELECT CAST(i AS BIGINT) AS node FROM range(1, 4) t(i)),
+        |n1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN h0 ON e.src = h0.node
+        |       WHERE e.dst NOT IN (SELECT node FROM h0)),
+        |n2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN n1 ON e.src = n1.node
+        |       WHERE e.dst NOT IN (SELECT node FROM h0)
+        |         AND e.dst NOT IN (SELECT node FROM n1)),
+        |v AS (SELECT node, 0 AS dist FROM h0
+        |      UNION ALL SELECT node, 1 FROM n1
+        |      UNION ALL SELECT node, 2 FROM n2)
+        |SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_nodes,
+        |       CAST(SUM(node) AS BIGINT) AS node_checksum
+        |FROM v GROUP BY 1""".stripMargin,
+
+    "q131_cohort_retention" ->
+      """WITH um AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(d) AS d0 FROM um GROUP BY 1)
+        |SELECT f.d0 AS cohort_day, um.d - f.d0 AS day_offset,
+        |       COUNT(*) AS n_active
+        |FROM um JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q132_posting_lists" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id,
+        |           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |    FROM documents)),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM td GROUP BY 1),
+        |top AS (SELECT * FROM dfreq ORDER BY df DESC, token LIMIT 10),
+        |sel AS (
+        |  SELECT td.token, td.doc_id FROM td JOIN top USING (token)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY td.token ORDER BY td.doc_id) <= 15)
+        |SELECT sel.token, CAST(top.df AS BIGINT) AS df,
+        |       string_agg(CAST(sel.doc_id AS VARCHAR), ',' ORDER BY sel.doc_id)
+        |         AS posting_csv
+        |FROM sel JOIN top ON sel.token = top.token
+        |GROUP BY sel.token, top.df""".stripMargin,
+
+    "q133_ri_audit" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders) AS orders_cust_checked,
+        |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |     (SELECT 1 FROM customer c
+        |      WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 10 <> 0))
+        |    AS orders_cust_orphans,
+        |  (SELECT COUNT(*) FROM lineitem) AS lineitem_part_checked,
+        |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |     (SELECT 1 FROM part p
+        |      WHERE p.p_partkey = l.l_partkey AND p.p_partkey % 7 <> 0))
+        |    AS lineitem_part_orphans""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

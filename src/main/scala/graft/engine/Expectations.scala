@@ -56,4 +56,24 @@ object Expectations {
       .reduce(_ && _)
     (df.filter(allPass), df.filter(!allPass))
   }
+
+  /** One cross-table referential-integrity check: child rows whose
+    * `fk` value has no match in `parent[pk]`, as a 1-row frame
+    * `(<name>_checked, <name>_orphans)`. NULL fks are counted as orphans
+    * (an unjoinable row is a broken reference for audit purposes — note
+    * this is NOT SQL `NOT IN` semantics, which a NULL poisons to empty;
+    * see q95 for that contract).
+    *
+    * The check is a LEFT ANTI join on the fk — at scale that is a shuffle
+    * (or broadcast, for dimension-sized parents) hash join, the same cost
+    * as the production join it is guarding. Several checks compose with
+    * `crossJoin` into a single audit row (each arm is an independent 1-row
+    * aggregate — q89's empty-safe pattern). */
+  def orphanCount(child: DataFrame, fk: String,
+                  parent: DataFrame, pk: String, name: String): DataFrame = {
+    val orphans = child.select(col(fk))
+      .join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+    child.agg(count(lit(1)).as(s"${name}_checked"))
+      .crossJoin(orphans.agg(count(lit(1)).as(s"${name}_orphans")))
+  }
 }

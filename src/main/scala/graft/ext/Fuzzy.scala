@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (Levenshtein) similarity join — the entity-resolution /
+  * record-linkage primitive (dirty catalog names, OCR'd titles, user-typed
+  * identifiers vs a clean dimension).
+  *
+  * The naive form is an all-pairs nested loop — quadratic, unusable at
+  * scale. This is the partition-signature ("PassJoin") scheme: split each
+  * right-side string into `maxDist + 1` contiguous blocks; by pigeonhole, if
+  * `lev(l, r) <= maxDist` then at least ONE block of `r` survives unedited,
+  * so it appears in `l` as an exact substring at a position shifted by at
+  * most `maxDist`. Candidates are therefore found with an EQUI-join on
+  * (block index, block text, right length) — shuffle-partitionable like any
+  * hash join — and only candidates pay the O(len²) Levenshtein verify.
+  * (Scheme from the published PassJoin line of work; implemented from the
+  * pigeonhole argument, no reference code.)
+  *
+  * Per left row the signature fan-out is bounded: (2·maxDist + 1) lengths ×
+  * (maxDist + 1) blocks × (2·maxDist + 1) shifts — ~75 short substrings at
+  * maxDist = 2, independent of data size. Keep `maxDist` small (1–3): the
+  * fan-out grows cubically.
+  *
+  * Right strings SHORTER than `maxDist + 1` have an empty block, voiding the
+  * pigeonhole argument (two 2-char strings are within distance 2 with no
+  * shared block), so they take a separate length-banded path: such strings
+  * come from a bounded space (|alphabet|^maxDist), so the band join stays
+  * small at any corpus size.
+  *
+  * Output: (left id, right id, dist), distinct pairs, dist <= maxDist.
+  */
+object Fuzzy {
+
+  def editDistanceJoin(left: DataFrame, right: DataFrame,
+                       leftId: String, leftStr: String,
+                       rightId: String, rightStr: String,
+                       maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"editDistanceJoin: maxDist must be in [1, 3], got $maxDist")
+    val k = maxDist + 1 // number of blocks
+
+    val lBase = left.select(col(leftId).as("__lid"), col(leftStr).as("__ls"))
+      .withColumn("__ll", length(col("__ls")))
+    val rBase = right.select(col(rightId).as("__rid"), col(rightStr).as("__rs"))
+      .withColumn("__rl", length(col("__rs")))
+
+    // ---- main path: right strings long enough that every block is non-empty.
+    val r = rBase.filter(col("__rl") >= k)
+      .withColumn("__b", explode(expr(
+        s"""transform(sequence(0, ${k - 1}), i -> named_struct(
+           |  'i', i,
+           |  'start', i * __rl DIV $k,
+           |  'len', (i + 1) * __rl DIV $k - i * __rl DIV $k))""".stripMargin)))
+      .select(col("__rid"), col("__rs"), col("__rl"), col("__b.i").as("__ri"),
+        expr("substring(__rs, __b.start + 1, __b.len)").as("__sig"))
+
+    // Left side: for every plausible right length L2 (|L2 − len(l)| <=
+    // maxDist, L2 >= k), every block index, every start within ±maxDist of
+    // the block's home position. Shifts are enumerated unconditionally
+    // (fixed ±maxDist band — Spark's sequence() cannot take an empty range)
+    // and invalid starts are filtered AFTER, from the recomputed block
+    // length.
+    val l = lBase
+      .withColumn("__c", explode(expr(
+        s"""flatten(transform(sequence(greatest(__ll - $maxDist, $k), __ll + $maxDist), L2 ->
+           |  flatten(transform(sequence(0, ${k - 1}), i ->
+           |    transform(sequence(-$maxDist, $maxDist), s ->
+           |      named_struct('L2', L2, 'i', i, 'p', i * L2 DIV $k + s))))))""".stripMargin)))
+      .withColumn("__blen",
+        expr(s"(__c.i + 1) * __c.L2 DIV $k - __c.i * __c.L2 DIV $k"))
+      .filter(col("__c.p") >= 0 && col("__c.p") + col("__blen") <= col("__ll"))
+      .select(col("__lid"), col("__ls"),
+        col("__c.L2").as("__L2"), col("__c.i").as("__li"),
+        expr("substring(__ls, __c.p + 1, __blen)").as("__sub"))
+
+    val mainPairs = l.join(r,
+        col("__L2") === col("__rl") && col("__li") === col("__ri")
+          && col("__sub") === col("__sig"))
+      .select(col("__lid"), col("__rid"), col("__ls"), col("__rs"))
+
+    // ---- short path: right strings with len < k, banded by |len diff| <=
+    // maxDist (a necessary condition for lev <= maxDist).
+    val rShort = rBase.filter(col("__rl") < k)
+    val lShort = lBase.filter(col("__ll") < lit(k + maxDist))
+    val shortPairs = lShort.join(rShort,
+        abs(col("__ll") - col("__rl")) <= maxDist)
+      .select(col("__lid"), col("__rid"), col("__ls"), col("__rs"))
+
+    mainPairs.union(shortPairs)
+      .distinct()
+      .withColumn("dist", levenshtein(col("__ls"), col("__rs")))
+      .filter(col("dist") <= maxDist)
+      .select(col("__lid").as(leftId), col("__rid").as(rightId), col("dist"))
+  }
+}

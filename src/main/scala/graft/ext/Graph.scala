@@ -237,4 +237,54 @@ object Graph {
     }
     ranks
   }
+
+  /** Breadth-first k-hop neighborhood from a seed set: every node reachable
+    * in at most `hops` directed steps, labeled with its exact hop distance
+    * (0 = seed). The expansion primitive behind "everything within 2 links
+    * of these domains", blast-radius queries, and semi-supervised label
+    * spreading.
+    *
+    * Per hop: one equi-join frontier→edges (shuffle on the edge key), one
+    * distinct, one anti-join against the visited set — BFS costed as hash
+    * joins, never per-node iteration. Visited/frontier are persisted and the
+    * plan REBOUND each hop ([[connectedComponents]]'s truncation note), so
+    * plan size is O(1) in `hops`; `df.checkpoint()` is the cluster-grade
+    * swap for executor loss. Frontiers are node-sets (≤ |V| rows); `hops` is
+    * expected small (1–4) — at social-graph diameters the frontier IS the
+    * graph and a connected-components formulation fits better. */
+  def kHopDistances(edges: DataFrame, seeds: DataFrame, hops: Int,
+                    srcCol: String = "src", dstCol: String = "dst",
+                    seedCol: String = "node"): DataFrame = {
+    require(hops >= 0, s"kHopDistances: hops must be >= 0, got $hops")
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+
+    val eC = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist(level)
+    eC.count()
+    val e = truncated(eC)
+
+    var visitedC = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)).persist(level)
+    visitedC.count()
+    var visited = truncated(visitedC)
+    var frontier = visited
+    for (h <- 1 to hops) {
+      val nextC = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+        .persist(level)
+      nextC.count()
+      val grownC = visited.union(truncated(nextC)).persist(level)
+      grownC.count()
+      visitedC.unpersist(blocking = false)
+      visitedC = grownC
+      visited = truncated(grownC)
+      frontier = truncated(nextC)
+    }
+    visited
+  }
 }

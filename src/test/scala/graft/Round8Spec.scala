@@ -421,6 +421,40 @@ class Round8Spec extends SparkSpec {
     assert(run(1) === expect)
   }
 
+  test("editDistanceJoin: blocked candidates equal the naive quadratic join, incl. short strings") {
+    val left = Seq((1L, "kitten"), (2L, "sitting"), (3L, "ab"), (4L, ""), (5L, "saturday"))
+      .toDF("lid", "ls")
+    val right = Seq((10L, "mitten"), (11L, "sittin"), (12L, "xy"), (13L, "a"),
+      (14L, "sunday"), (15L, "kitten")).toDF("rid", "rs")
+    val blocked = graft.ext.Fuzzy.editDistanceJoin(left, right, "lid", "ls", "rid", "rs", 2)
+      .orderBy("lid", "rid").as[(Long, Long, Int)].collect().toSeq
+    val naive = left.crossJoin(right)
+      .withColumn("dist", levenshtein(col("ls"), col("rs")))
+      .filter(col("dist") <= 2).select("lid", "rid", "dist")
+      .orderBy("lid", "rid").as[(Long, Long, Int)].collect().toSeq
+    assert(blocked === naive)
+    assert(naive.nonEmpty, "test data must actually produce matches")
+    assert(naive.contains((3L, 12L, 2)), "short-string path must catch ab~xy")
+    assert(naive.contains((4L, 13L, 1)), "empty-string edge must survive")
+  }
+
+  test("kHopDistances: exact hop labels on a path graph; revisits excluded") {
+    // 1 -> 2 -> 3 -> 4 -> 5 plus a back-edge 3 -> 1 (must not relabel node 1)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = graft.ext.Graph.kHopDistances(edges, seeds, hops = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
+  }
+
+  test("orphanCount: null fks and unmatched fks are orphans; checked counts all rows") {
+    val child = Seq(Some(1L), Some(2L), None, Some(9L)).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = graft.engine.Expectations.orphanCount(child, "fk", parent, "pk", "t")
+      .as[(Long, Long)].collect().head
+    assert(out === ((4L, 2L)), "null fk and fk=9 are the two orphans")
+  }
+
   test("vacuum counts only committed versions and garbage-collects crashed dirs below horizon") {
     withTempDir { root =>
       val state = s"$root/state"
