@@ -81,11 +81,15 @@ object Fuzzy {
       .select(col("__lid"), col("__rid"), col("__ls"), col("__rs"))
 
     // ---- short path: right strings with len < k, banded by |len diff| <=
-    // maxDist (a necessary condition for lev <= maxDist).
+    // maxDist (a necessary condition for lev <= maxDist). The band is
+    // expressed as an EQUI-join on the right length — the left explodes its
+    // <= 2·maxDist+1 plausible short lengths — so this stays a hash join
+    // (a raw |len(l) − len(r)| <= d predicate would plan as a nested-loop).
     val rShort = rBase.filter(col("__rl") < k)
-    val lShort = lBase.filter(col("__ll") < lit(k + maxDist))
-    val shortPairs = lShort.join(rShort,
-        abs(col("__ll") - col("__rl")) <= maxDist)
+    val shortPairs = lBase.filter(col("__ll") < lit(k + maxDist))
+      .withColumn("__L2", explode(expr(
+        s"sequence(greatest(__ll - $maxDist, 0), least(__ll + $maxDist, ${k - 1}))")))
+      .join(rShort, col("__L2") === col("__rl"))
       .select(col("__lid"), col("__rid"), col("__ls"), col("__rs"))
 
     mainPairs.union(shortPairs)

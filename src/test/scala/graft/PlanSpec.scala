@@ -210,4 +210,20 @@ class PlanSpec extends SparkSpec {
     assert(probeIdx > joinIdx,
       s"bloom probe must sit under the join (scan stage), not above it:\n$p")
   }
+
+  test("q129 fuzzy join: both candidate paths are hash equi-joins, never nested loops") {
+    val p = planOf("q129_fuzzy_join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected equi-join candidate generation:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"PassJoin signatures and the short-string length band must equi-join:\n$p")
+  }
+
+  test("q132 posting lists: top-token pruning is a broadcast join; window only after pruning") {
+    val p = planOf("q132_posting_lists")
+    assert(p.contains("BroadcastHashJoin"),
+      s"10-token top list must broadcast back onto the postings:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 token selection must be TakeOrdered, not a global sort:\n$p")
+  }
 }
