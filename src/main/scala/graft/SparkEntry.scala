@@ -2368,6 +2368,34 @@ object SparkEntry {
           t(s, dir, "orders"), "o_custkey", cust, "c_custkey", "orders_cust")
         .crossJoin(graft.engine.Expectations.orphanCount(
           t(s, dir, "lineitem"), "l_partkey", part, "p_partkey", "lineitem_part"))
+    },
+
+    // Robust outliers via median/MAD (ext.Rank.madOutliers): |cents − median|
+    // > 3·MAD over event value cents. Two distributed rank selections (the
+    // naive plan is row_number() over a global ORDER BY — twice) plus one
+    // aggregate; outlier ids are checksum-pinned.
+    "q134_mad_outliers" -> { (s, dir) =>
+      val e = eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      graft.ext.Rank.madOutliers(e, "event_id", "cents", k = 3L)
+    },
+
+    // Group-median imputation (engine.Profile.imputeGroupMedian): every 10th
+    // event's value is deterministically nulled, then repaired with the
+    // per-type EXACT lower median of the surviving values. Per-type sums over
+    // the filled column prove the repair itself, not just its row count.
+    "q141_median_impute" -> { (s, dir) =>
+      val e = eventsTable(s, dir)
+        .select(col("event_id"), col("event_type"),
+          when(pmod(col("event_id"), lit(10L)) === 0, lit(null).cast("long"))
+            .otherwise(round(col("value") * 100).cast("long")).as("cents"))
+      graft.engine.Profile.imputeGroupMedian(e, "event_type", "cents", "event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("imputed_flag"), 1L).otherwise(0L)).as("n_imputed"),
+          max(when(col("imputed_flag"), col("value_filled"))).as("imputed_value"),
+          sum(col("value_filled")).as("filled_sum"))
     }
   )
 
@@ -4223,7 +4251,57 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
         |     (SELECT 1 FROM part p
         |      WHERE p.p_partkey = l.l_partkey AND p.p_partkey % 7 <> 0))
-        |    AS lineitem_part_orphans""".stripMargin
+        |    AS lineitem_part_orphans""".stripMargin,
+
+    "q134_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT cents AS med FROM (
+        |    SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, event_id) AS rn,
+        |           COUNT(*) OVER () AS n FROM e)
+        |  WHERE rn = (n + 1) // 2),
+        |d AS (SELECT event_id, ABS(cents - (SELECT med FROM m)) AS adev FROM e),
+        |md AS (
+        |  SELECT adev AS mad FROM (
+        |    SELECT adev, event_id, ROW_NUMBER() OVER (ORDER BY adev, event_id) AS rn,
+        |           COUNT(*) OVER () AS n FROM d)
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |       (SELECT med FROM m) AS median,
+        |       (SELECT mad FROM md) AS mad,
+        |       CAST(SUM(CASE WHEN adev > 3 * (SELECT mad FROM md)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       CAST(SUM(CASE WHEN adev > 3 * (SELECT mad FROM md)
+        |                     THEN event_id ELSE 0 END) AS BIGINT)
+        |         AS outlier_id_checksum
+        |FROM d""".stripMargin,
+
+    "q141_median_impute" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |         CASE WHEN event_id % 10 = 0 THEN NULL
+        |              ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents
+        |  FROM events),
+        |nn AS (
+        |  SELECT event_type, cents, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY cents, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e WHERE cents IS NOT NULL),
+        |med AS (SELECT event_type, cents AS m FROM nn WHERE rn = (n + 1) // 2),
+        |f AS (
+        |  SELECT e.event_type,
+        |         (e.cents IS NULL AND m.m IS NOT NULL) AS imputed_flag,
+        |         COALESCE(e.cents, m.m) AS value_filled
+        |  FROM e LEFT JOIN med m USING (event_type))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CASE WHEN imputed_flag THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_imputed,
+        |       MAX(CASE WHEN imputed_flag THEN value_filled END) AS imputed_value,
+        |       CAST(SUM(value_filled) AS BIGINT) AS filled_sum
+        |FROM f GROUP BY 1""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

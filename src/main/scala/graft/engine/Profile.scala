@@ -158,6 +158,39 @@ object Profile {
         sum(least(greatest(col(valueCol), col("lo_val")), col("hi_val"))).as("wins_sum"))
   }
 
+  /** Missing-value imputation with the per-group EXACT lower median — the
+    * repair pass run before a numeric column feeds features or KPIs: NULLs
+    * in `valueCol` are replaced by the median of the group's non-null
+    * values. The lower median (value at rank `(n+1) DIV 2` of the total
+    * order `(value, id)`) keeps imputation integer-exact and
+    * engine-portable — no midpoint interpolation, same rank arithmetic as
+    * [[winsorizedSums]].
+    *
+    * Output: the input rows plus `(imputed_flag, value_filled)`; groups with
+    * NO non-null values keep NULL (nothing defensible to impute).
+    *
+    * Scale: one shuffle on the group key for the rank window over NON-NULL
+    * rows only, a |groups|-sized median table broadcast back — the join adds
+    * no shuffle. A dominant group serializes its window partition; at that
+    * point swap in the sketch median (`approx_percentile`, q57) or
+    * [[percentileSketchTable]] for the same repair at declared
+    * quantization. */
+  def imputeGroupMedian(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nn = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol), col(idCol))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val medians = nn.filter(col("__rn") === expr("(__n + 1) DIV 2"))
+      .select(col(groupCol), col(valueCol).as("__med"))
+    df.join(broadcast(medians), Seq(groupCol), "left")
+      .withColumn("imputed_flag", col(valueCol).isNull && col("__med").isNotNull)
+      .withColumn("value_filled", coalesce(col(valueCol), col("__med")))
+      .drop("__med")
+  }
+
   /** Mergeable percentile PRE-AGGREGATION (the HdrHistogram pattern): count
     * rows per `(group, bucket)` where `bucket = value DIV bucketWidth` —
     * pure integer arithmetic, so the table is bit-identical on every engine.

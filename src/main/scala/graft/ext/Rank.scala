@@ -163,6 +163,46 @@ object Rank {
     }
   }
 
+  /** Robust outlier detection via median / MAD (median absolute deviation) —
+    * the standard-deviation-free outlier rule (`|x − median| > k · MAD`) that
+    * survives the corrupt extreme values which would inflate a mean/stddev
+    * gate, composed from two [[valueAtRanks]] selections:
+    *
+    *   1. median = value at global rank `(n+1) DIV 2` of `valueCol` ordered
+    *      by `(valueCol, idCol)` — the LOWER median, which keeps every
+    *      quantity integer-exact (no midpoint interpolation);
+    *   2. MAD = lower median of `|value − median|`, same rank arithmetic;
+    *   3. one ordinary aggregate counts rows with `absdev > k · MAD` and
+    *      checksums their ids.
+    *
+    * `valueCol` must be integer-typed (cents-style) and `idCol` a unique
+    * tie-break, so every step is deterministic and engine-portable. EAGER
+    * (two rank selections run their own jobs, like the layout queries);
+    * the returned one-row frame is
+    * `(n, median, mad, n_outliers, outlier_id_checksum)`.
+    *
+    * Scale: two range-exchange selections + one map-side-combined aggregate
+    * — each pass data-parallel, no global sort anywhere (the whole point:
+    * the naive form is `row_number() OVER (ORDER BY v)` twice). */
+  def madOutliers(df: DataFrame, idCol: String, valueCol: String,
+                  k: Long = 3L, numPartitions: Int = 32): DataFrame = {
+    require(k >= 1, s"Rank.madOutliers: k must be >= 1, got $k")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol), col(valueCol))
+    val median = valueAtRanks(vals, Seq(valueCol, idCol), valueCol,
+        n => Seq("med" -> ((n + 1) / 2)), numPartitions = numPartitions)
+      .head().getAs[Long]("med")
+    val dev = vals.withColumn("__adev", abs(col(valueCol) - lit(median)))
+    val mad = valueAtRanks(dev, Seq("__adev", idCol), "__adev",
+        n => Seq("mad" -> ((n + 1) / 2)), numPartitions = numPartitions)
+      .head().getAs[Long]("mad")
+    dev.agg(count(lit(1)).as("n"),
+      lit(median).as("median"), lit(mad).as("mad"),
+      sum(when(col("__adev") > lit(k * mad), 1L).otherwise(0L)).as("n_outliers"),
+      sum(when(col("__adev") > lit(k * mad), col(idCol)).otherwise(0L))
+        .as("outlier_id_checksum"))
+  }
+
   /** The lazy selection plan of step 4–5 — package-private so PlanSpec can
     * assert it contains no single-partition exchange / global sort. `parts`
     * must carry the `__pid` column; `offsets` maps pid → rows before it. */

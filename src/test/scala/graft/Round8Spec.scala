@@ -472,4 +472,49 @@ class Round8Spec extends SparkSpec {
         "below-horizon time travel must fail empty, not read stale dirs")
     }
   }
+
+  test("madOutliers: hand-checked median/MAD and partition-count invariance") {
+    // values: 10,12,14,16,100 → lower median 14; |dev| = 4,2,0,2,86 →
+    // sorted 0,2,2,4,86, lower median (MAD) = 2; k=3 ⇒ threshold 6 ⇒ only
+    // the 86 deviation (id 5, value 100) is an outlier.
+    val df = Seq((1L, 10L), (2L, 12L), (3L, 14L), (4L, 16L), (5L, 100L))
+      .toDF("id", "v")
+    for (parts <- Seq(1, 7)) {
+      val got = graft.ext.Rank.madOutliers(df.repartition(parts), "id", "v",
+        k = 3L, numPartitions = 4).head()
+      assert(got.getAs[Long]("n") === 5L)
+      assert(got.getAs[Long]("median") === 14L)
+      assert(got.getAs[Long]("mad") === 2L)
+      assert(got.getAs[Long]("n_outliers") === 1L)
+      assert(got.getAs[Long]("outlier_id_checksum") === 5L)
+    }
+  }
+
+  test("madOutliers: constant column has MAD 0 — every deviation flags at > 0") {
+    val df = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 9L)).toDF("id", "v")
+    val got = graft.ext.Rank.madOutliers(df, "id", "v", k = 3L).head()
+    assert(got.getAs[Long]("median") === 7L)
+    assert(got.getAs[Long]("mad") === 0L)
+    // threshold 3·0 = 0: the single 9 (deviation 2 > 0) is the outlier.
+    assert(got.getAs[Long]("n_outliers") === 1L)
+    assert(got.getAs[Long]("outlier_id_checksum") === 4L)
+  }
+
+  test("imputeGroupMedian: lower median fills NULLs; all-null group stays NULL") {
+    val df = Seq[(String, java.lang.Long, Long)](
+      ("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 3L), ("a", 40L, 4L),
+      ("a", null, 5L),
+      ("b", null, 6L), ("b", null, 7L))
+      .toDF("g", "v", "id")
+    val got = graft.engine.Profile.imputeGroupMedian(df, "g", "v", "id")
+      .select(col("id"), col("imputed_flag"), col("value_filled"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    // even count → LOWER median = 20 (rank (4+1) DIV 2 = 2)
+    assert(got(5L) === (true, Some(20L)))
+    assert(got(1L) === (false, Some(10L)))
+    // group with no non-null values: flag false, value stays NULL
+    assert(got(6L) === (false, None))
+    assert(got(7L) === (false, None))
+  }
 }
