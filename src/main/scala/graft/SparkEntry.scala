@@ -2396,6 +2396,34 @@ object SparkEntry {
           sum(when(col("imputed_flag"), 1L).otherwise(0L)).as("n_imputed"),
           max(when(col("imputed_flag"), col("value_filled"))).as("imputed_value"),
           sum(col("value_filled")).as("filled_sum"))
+    },
+
+    // Time-series gap fill + forward fill (ext.TimeSeries.gapFillForwardFill):
+    // per-user daily cents densified to every day in the user's observed span,
+    // missing days carried forward (LOCF). The full filled grid is the
+    // result — every generated row and fill value is hash-checked.
+    "q135_gap_fill" -> { (s, dir) =>
+      val daily = eventsTable(s, dir)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("d"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("user_id"), col("d"))
+        .agg(sum(col("cents")).as("day_cents"))
+      graft.ext.TimeSeries.gapFillForwardFill(daily, "user_id", "d", "day_cents")
+        .select(col("user_id"), col("d"), col("value_filled"), col("was_gap"))
+    },
+
+    // Integer-exact EWMA per user (ext.TimeSeries.ewmaPerKey): decay 850‰
+    // folded over each user's cents in (ts, event_id) order, seeded with the
+    // first value. The oracle replays the identical fold with list_reduce —
+    // per-mille integer arithmetic is what makes the two engines agree
+    // bit-for-bit (a float EWMA would drift in association order).
+    "q140_ewma" -> { (s, dir) =>
+      val e = eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.ext.TimeSeries.ewmaPerKey(e, "user_id", Seq("us", "event_id"), "cents")
     }
   )
 
@@ -4301,7 +4329,38 @@ object SparkEntry {
         |         AS n_imputed,
         |       MAX(CASE WHEN imputed_flag THEN value_filled END) AS imputed_value,
         |       CAST(SUM(value_filled) AS BIGINT) AS filled_sum
-        |FROM f GROUP BY 1""".stripMargin
+        |FROM f GROUP BY 1""".stripMargin,
+
+    "q135_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 20),
+        |daily AS (
+        |  SELECT user_id, d, CAST(SUM(cents) AS BIGINT) AS day_cents
+        |  FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+        |dense AS (SELECT user_id, unnest(generate_series(d0, d1)) AS d FROM span),
+        |j AS (SELECT dense.user_id, dense.d, day_cents
+        |      FROM dense LEFT JOIN daily USING (user_id, d))
+        |SELECT user_id, d,
+        |       last_value(day_cents IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY d
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |       (day_cents IS NULL) AS was_gap
+        |FROM j""".stripMargin,
+
+    "q140_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT user_id, list(cents ORDER BY us, event_id) AS vals
+        |      FROM e GROUP BY 1)
+        |SELECT user_id, CAST(len(vals) AS BIGINT) AS n_points,
+        |       CAST(list_reduce(vals,
+        |         (acc, x) -> (850 * acc + 150 * x) // 1000) AS BIGINT) AS ewma
+        |FROM s""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

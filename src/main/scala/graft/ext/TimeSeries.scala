@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid time-series repair and smoothing over keyed series — the
+  * "make the sensor/usage table analyzable" passes that precede any
+  * per-entity feature computation: densify missing periods, carry forward
+  * the last observation, exponentially smooth.
+  *
+  * Everything here is per-key windowed (shuffles on the key, never a global
+  * sort) and integer-exact (cents-style values, per-mille decay weights), so
+  * results are deterministic and replayable bit-for-bit on any engine.
+  */
+object TimeSeries {
+
+  /** Densify each key's series to EVERY integer time step in its observed
+    * `[min, max]` span, then forward-fill missing values with the last
+    * observation (the standard gap-fill + LOCF repair). Input must have at
+    * most one row per `(key, time)` — pre-aggregate first. Output: the dense
+    * grid with `was_gap` (no input row for this step — or a NULL input
+    * value) and `value_filled` (LOCF; a key's leading value is never NULL
+    * because the span starts at an observation).
+    *
+    * Scale: the span aggregate and the dense `sequence` explode both shuffle
+    * on the key only; the LOCF window is key-partitioned. Generated rows per
+    * key = its span length — bound the grid by choosing the time unit (days
+    * here, not micros). */
+  def gapFillForwardFill(df: DataFrame, keyCol: String, timeCol: String,
+                         valueCol: String): DataFrame = {
+    val span = df.groupBy(col(keyCol))
+      .agg(min(col(timeCol)).as("__t0"), max(col(timeCol)).as("__t1"))
+    val dense = span.select(col(keyCol),
+      explode(sequence(col("__t0"), col("__t1"))).as(timeCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(df, Seq(keyCol, timeCol), "left")
+      .withColumn("was_gap", col(valueCol).isNull)
+      .withColumn("value_filled", last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Per-key exponentially weighted moving average, INTEGER-exact: the fold
+    * `acc' = (decay·acc + (1000−decay)·x) DIV 1000` over the key's values in
+    * `orderCols` order, seeded with the first value. Per-mille weights and
+    * integer division make the fixpoint identical on every engine — a float
+    * EWMA replayed in a different association order drifts in the last ulp.
+    * Output: `(key, n_points, ewma)`.
+    *
+    * Scale: one shuffle (the groupBy); the fold runs on a per-key collected
+    * array, so per-key cardinality must be bounded — for unbounded streams
+    * bucket the key by day first (the sketch-table pattern) or move to
+    * `flatMapGroupsWithState`, which keeps the same integer recurrence as
+    * running state. Overflow bound: `decay · acc` must fit int64 — values up
+    * to ~9·10¹⁵ at per-mille weights. */
+  def ewmaPerKey(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                 valueCol: String, decayPerMille: Long = 850L): DataFrame = {
+    require(decayPerMille >= 0 && decayPerMille <= 1000,
+      s"TimeSeries.ewmaPerKey: decay must be in [0, 1000] per-mille, got $decayPerMille")
+    val d = decayPerMille; val u = 1000L - decayPerMille
+    df.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(
+        struct((orderCols.map(col) :+ col(valueCol)): _*))).as("__seq"))
+      .withColumn("__vals", expr(s"transform(__seq, r -> r.$valueCol)"))
+      .select(col(keyCol),
+        size(col("__vals")).cast("long").as("n_points"),
+        expr(s"aggregate(slice(__vals, 2, size(__vals) - 1), __vals[0], " +
+          s"(acc, x) -> ($d * acc + $u * x) DIV 1000)").as("ewma"))
+  }
+}

@@ -517,4 +517,31 @@ class Round8Spec extends SparkSpec {
     assert(got(6L) === (false, None))
     assert(got(7L) === (false, None))
   }
+
+  test("gapFillForwardFill: densifies the span, LOCF fills, leading value present") {
+    // key a observed at t=2 (v 10) and t=5 (v 40): grid 2,3,4,5 with
+    // 3 and 4 carried forward from 10.
+    val df = Seq(("a", 2L, 10L), ("a", 5L, 40L), ("b", 7L, 70L))
+      .toDF("k", "t", "v")
+    val got = graft.ext.TimeSeries.gapFillForwardFill(df, "k", "t", "v")
+      .select(col("k"), col("t"), col("value_filled"), col("was_gap"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got === Map(
+      ("a", 2L) -> (10L, false), ("a", 3L) -> (10L, true),
+      ("a", 4L) -> (10L, true), ("a", 5L) -> (40L, false),
+      ("b", 7L) -> (70L, false)))
+  }
+
+  test("ewmaPerKey: hand-checked fold, order columns respected, single point = itself") {
+    // decay 850: seed 1000000, then 500000 → (850*1000000+150*500000)/1000
+    // = 925000; then 200000 → (850*925000+150*200000)/1000 = 816250.
+    val df = Seq(("u", 1L, 1000000L), ("u", 3L, 200000L), ("u", 2L, 500000L),
+      ("w", 9L, 42L)).toDF("k", "ts", "v")
+    val got = graft.ext.TimeSeries.ewmaPerKey(df, "k", Seq("ts"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got("u") === (3L, 816250L))
+    assert(got("w") === (1L, 42L))
+  }
 }
