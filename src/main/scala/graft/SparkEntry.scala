@@ -2424,6 +2424,35 @@ object SparkEntry {
         .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
           round(col("value") * 100).cast("long").as("cents"))
       graft.ext.TimeSeries.ewmaPerKey(e, "user_id", Seq("us", "event_id"), "cents")
+    },
+
+    // Last-touch attribution (ext.Sessionize.lastTouchAttribution): every
+    // purchase credited to the user's most recent preceding touch event
+    // (click/view/signup), 'direct' when none precedes. One key-partitioned
+    // window, no self-join; conversion ids are checksum-pinned per channel.
+    "q138_attribution" -> { (s, dir) =>
+      val e = eventsTable(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      graft.ext.Sessionize.lastTouchAttribution(e, col("user_id"),
+          col("event_type"), col("event_id"), Seq(col("us"), col("event_id")),
+          touchStages = Seq("click", "view", "signup"), convStage = "purchase")
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_conversions"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("conv_id")).as("conv_id_checksum"))
+    },
+
+    // First-order Markov transition counts (ext.Sessionize.transitionCounts):
+    // consecutive event-type pairs per user in (ts, event_id) order — the
+    // empirical transition matrix. Ties between duplicate rows are harmless
+    // by the q09 testdata invariant (dup event_ids share their type).
+    "q142_transitions" -> { (s, dir) =>
+      val e = eventsTable(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      graft.ext.Sessionize.transitionCounts(e, col("user_id"),
+        col("event_type"), Seq(col("us"), col("event_id")))
     }
   )
 
@@ -4360,7 +4389,35 @@ object SparkEntry {
         |SELECT user_id, CAST(len(vals) AS BIGINT) AS n_points,
         |       CAST(list_reduce(vals,
         |         (acc, x) -> (850 * acc + 150 * x) // 1000) AS BIGINT) AS ewma
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "q138_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+        |t AS (
+        |  SELECT user_id, event_type, event_id,
+        |         last_value(CASE WHEN event_type IN ('click','view','signup')
+        |                         THEN event_type END IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM e)
+        |SELECT COALESCE(touch, 'direct') AS channel,
+        |       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(SUM(event_id) AS BIGINT) AS conv_id_checksum
+        |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    "q142_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+        |t AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY us, event_id) AS next_type
+        |  FROM e)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_transitions
+        |FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

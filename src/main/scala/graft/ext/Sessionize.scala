@@ -101,6 +101,53 @@ object Sessionize {
       .agg((min(col("__us")) - min(col("__t_from"))).as("lag_us"))
   }
 
+  /** Last-touch attribution: each conversion event is credited to the most
+    * recent PRECEDING touch event of the user (channel = the touch's stage
+    * value), or `defaultChannel` when no touch precedes it — the standard
+    * marketing-attribution rule. Output: one row per conversion event,
+    * `(user_id, conv_id, channel)`.
+    *
+    * Scale: one key-partitioned window (`last(..., ignoreNulls)` over rows
+    * strictly before the current one) — a single shuffle on the user key, no
+    * self-join; first-touch is the same window with `first`. `orderCols`
+    * must extend the timestamp to a total order. */
+  def lastTouchAttribution(events: DataFrame, user: Column, stageCol: Column,
+                           idCol: Column, orderCols: Seq[Column],
+                           touchStages: Seq[String], convStage: String,
+                           defaultChannel: String = "direct"): DataFrame = {
+    require(touchStages.nonEmpty, "lastTouchAttribution: need touch stages")
+    require(!touchStages.contains(convStage),
+      "lastTouchAttribution: conversion stage cannot also be a touch stage")
+    val w = Window.partitionBy(col("__u")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.select(Seq(user.as("__u"), stageCol.as("__stage"),
+        idCol.as("__id")) ++ orderCols: _*)
+      .withColumn("__touch",
+        last(when(col("__stage").isin(touchStages.map(lit): _*), col("__stage")),
+          ignoreNulls = true).over(w))
+      .filter(col("__stage") === convStage)
+      .select(col("__u").as("user_id"), col("__id").as("conv_id"),
+        coalesce(col("__touch"), lit(defaultChannel)).as("channel"))
+  }
+
+  /** First-order transition counts between consecutive event types per user —
+    * the empirical Markov matrix behind "what do users do after X" analyses
+    * and sequence-model sanity checks. Output:
+    * `(from_type, to_type, n_transitions)`.
+    *
+    * Scale: one key-partitioned `lead` window (single shuffle on the user
+    * key) + a map-side-combined count over ≤ |types|² groups. `orderCols`
+    * must extend the timestamp to a total order. */
+  def transitionCounts(events: DataFrame, user: Column, stageCol: Column,
+                       orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col("__u")).orderBy(orderCols: _*)
+    events.select(Seq(user.as("__u"), stageCol.as("__stage")) ++ orderCols: _*)
+      .withColumn("__next", lead(col("__stage"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("__stage").as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Assign `session_idx` (0-based, per user, in time order) to every event.
     * `orderCols` must extend `ts` to a total order (deterministic lag). */
   def assignSessions(events: DataFrame, user: Column, tsMicros: Column,

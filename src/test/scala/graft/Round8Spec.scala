@@ -544,4 +544,29 @@ class Round8Spec extends SparkSpec {
     assert(got("u") === (3L, 816250L))
     assert(got("w") === (1L, 42L))
   }
+
+  test("lastTouchAttribution: most recent preceding touch wins; no touch = default") {
+    import org.apache.spark.sql.functions.col
+    // u1: view(1) click(2) buy(3) buy(4) → both buys credit 'click'
+    // u2: buy(1) view(2) buy(3) → first buy 'direct', second 'view'
+    val df = Seq(
+      ("u1", 1L, "view"), ("u1", 2L, "click"), ("u1", 3L, "buy"), ("u1", 4L, "buy"),
+      ("u2", 1L, "buy"), ("u2", 2L, "view"), ("u2", 3L, "buy"))
+      .toDF("u", "ts", "et")
+    val got = graft.ext.Sessionize.lastTouchAttribution(df, col("u"), col("et"),
+        col("ts"), Seq(col("ts")), Seq("view", "click"), "buy")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got === Map(("u1", 3L) -> "click", ("u1", 4L) -> "click",
+      ("u2", 1L) -> "direct", ("u2", 3L) -> "view"))
+  }
+
+  test("transitionCounts: consecutive pairs per user, last event emits none") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "a"),
+      ("u2", 1L, "a"), ("u2", 2L, "b")).toDF("u", "ts", "et")
+    val got = graft.ext.Sessionize.transitionCounts(df, col("u"), col("et"),
+        Seq(col("ts")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+  }
 }
