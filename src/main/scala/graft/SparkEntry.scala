@@ -2453,6 +2453,30 @@ object SparkEntry {
           unix_micros(col("ts")).as("us"))
       graft.ext.Sessionize.transitionCounts(e, col("user_id"),
         col("event_type"), Seq(col("us"), col("event_id")))
+    },
+
+    // Token-distribution drift (ext.TextAnalysis.tokenDrift) between the
+    // even- and odd-numbered document sources: per token, occurrence counts
+    // plus the integer-scaled proportion difference |cntA·totB − cntB·totA|
+    // (cross-multiplied — never divides, so the drift ranking is exact),
+    // top-20 drifted tokens. The corpus-mix check before a refreshed crawl
+    // feeds training.
+    "q136_token_drift" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ext.TextAnalysis.tokenDrift(
+        docs.filter(expr("CAST(substr(source, 4) AS INT) % 2 = 0")),
+        docs.filter(expr("CAST(substr(source, 4) AS INT) % 2 = 1")),
+        "text", k = 20)
+    },
+
+    // Exact join-output sizing WITHOUT executing the join
+    // (engine.Joins.joinCardinalities): all four join types' output row
+    // counts for the many-to-many events⋈orders user join, from two key
+    // histograms. The "will this join explode" check before committing
+    // cluster hours.
+    "q137_join_size" -> { (s, dir) =>
+      graft.engine.Joins.joinCardinalities(
+        eventsTable(s, dir), "user_id", t(s, dir, "orders"), "o_custkey")
     }
   )
 
@@ -4417,7 +4441,52 @@ object SparkEntry {
         |  FROM e)
         |SELECT event_type AS from_type, next_type AS to_type,
         |       CAST(COUNT(*) AS BIGINT) AS n_transitions
-        |FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+        |FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q136_token_drift" ->
+      """WITH a AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 0),
+        |b AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 1),
+        |ca AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM a GROUP BY 1),
+        |cb AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM b GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(ca.token, cb.token) AS token,
+        |         COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS ta,
+        |             CAST(SUM(cnt_b) AS BIGINT) AS tb FROM m)
+        |SELECT token, cnt_a, cnt_b,
+        |       ABS(cnt_a * (SELECT tb FROM t) - cnt_b * (SELECT ta FROM t))
+        |         AS drift_scaled
+        |FROM m
+        |ORDER BY drift_scaled DESC, token ASC
+        |LIMIT 20""".stripMargin,
+
+    "q137_join_size" ->
+      """WITH ca AS (
+        |  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS ca
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |cb AS (
+        |  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS matched,
+        |         CAST(COALESCE(SUM(CASE WHEN cb IS NOT NULL THEN ca END), 0)
+        |              AS BIGINT) AS ma,
+        |         CAST(COALESCE(SUM(CASE WHEN ca IS NOT NULL THEN cb END), 0)
+        |              AS BIGINT) AS mb
+        |  FROM ca FULL OUTER JOIN cb USING (k)),
+        |t AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS na,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS nb)
+        |SELECT matched AS n_inner,
+        |       matched + na - ma AS n_left_outer,
+        |       matched + nb - mb AS n_right_outer,
+        |       matched + na - ma + nb - mb AS n_full_outer
+        |FROM m, t""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -156,4 +156,43 @@ object Joins {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Exact join-output cardinalities WITHOUT executing the join — the sizing
+    * pass a pipeline runs before committing cluster hours to a join that may
+    * explode (a many-to-many key nobody noticed turns a 100 TB equi-join into
+    * a 10 PB write; this catches it for the cost of two aggregates).
+    *
+    * Returns one row `(n_inner, n_left_outer, n_right_outer, n_full_outer)`
+    * — each EXACT, derived from per-key counts: matched output is
+    * `Σ cntL(k)·cntR(k)` over shared non-null keys; outer variants add the
+    * unmatched row counts (NULL keys never match, per SQL semantics, but do
+    * survive their own side's outer join — both facts are reproduced here).
+    *
+    * Scale: two map-side-combined key aggregates (vocab-sized, the same
+    * shuffle a group-by on the key costs), a vocab-sized merge, and 1-row
+    * broadcasts — never the join itself. Overflow: Σ cntL·cntR < 2⁶³ caps the
+    * *estimate*, not the inputs; a sum that would overflow int64 is itself
+    * the "do not run this join" answer. */
+  def joinCardinalities(left: DataFrame, leftKey: String,
+                        right: DataFrame, rightKey: String): DataFrame = {
+    val ca = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__ca"))
+    val cb = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__cb"))
+    // One full-outer merge of the two count tables; matched_a / matched_b are
+    // the row counts that found a partner, so unmatched = total − matched.
+    val m = ca.join(cb, Seq("__k"), "full_outer")
+      .agg(
+        coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("__matched"),
+        coalesce(sum(when(col("__cb").isNotNull, col("__ca"))), lit(0L)).as("__ma"),
+        coalesce(sum(when(col("__ca").isNotNull, col("__cb"))), lit(0L)).as("__mb"))
+    val totals = left.agg(count(lit(1)).as("__na"))
+      .crossJoin(right.agg(count(lit(1)).as("__nb")))
+    m.crossJoin(broadcast(totals)).select(
+      col("__matched").as("n_inner"),
+      (col("__matched") + col("__na") - col("__ma")).as("n_left_outer"),
+      (col("__matched") + col("__nb") - col("__mb")).as("n_right_outer"),
+      (col("__matched") + col("__na") - col("__ma")
+        + col("__nb") - col("__mb")).as("n_full_outer"))
+  }
 }

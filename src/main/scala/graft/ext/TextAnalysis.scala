@@ -20,6 +20,42 @@ object TextAnalysis {
   /** Token count as BIGINT (matches SQL engines' `len()` type). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Token-distribution drift between two corpora — the "did the new crawl
+    * change the data mix" check run before a refreshed corpus feeds training:
+    * per token, occurrence counts in A and B plus the INTEGER-scaled
+    * proportion difference `|cntA·totB − cntB·totA|` (the cross-multiplied
+    * form of `|cntA/totA − cntB/totB|`, kept exact by never dividing; divide
+    * by `totA·totB` downstream for the float rate). Top drifted tokens
+    * surface what shifted. Output: `(token, cnt_a, cnt_b, drift_scaled)`,
+    * top `k` by `(drift_scaled DESC, token ASC)`.
+    *
+    * Scale: explode + one hash aggregate per corpus side on the token key
+    * (map-side combined), a full-outer merge of the two |vocab|-sized count
+    * tables, 1-row totals broadcast, and a TakeOrdered top-k — no global
+    * sort. Overflow bound: `cnt·tot < 2⁶³` holds through ~3·10⁹ total tokens;
+    * past that, pre-quantize proportions to parts-per-billion and difference
+    * those instead (same plan, declared precision). */
+  def tokenDrift(corpusA: DataFrame, corpusB: DataFrame, textCol: String,
+                 k: Int): DataFrame = {
+    require(k > 0, "TextAnalysis.tokenDrift: k must be positive")
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val a = counts(corpusA); val b = counts(corpusB)
+    val merged = a.withColumnRenamed("cnt", "cnt_a")
+      .join(b.withColumnRenamed("cnt", "cnt_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = merged.agg(sum(col("cnt_a")).as("__ta"), sum(col("cnt_b")).as("__tb"))
+    merged.crossJoin(broadcast(totals))
+      .withColumn("drift_scaled",
+        abs(col("cnt_a") * col("__tb") - col("cnt_b") * col("__ta")))
+      .select(col("token"), col("cnt_a"), col("cnt_b"), col("drift_scaled"))
+      .orderBy(col("drift_scaled").desc, col("token"))
+      .limit(k)
+  }
+
   /** BPE-ish subword segmentation: count letter runs, digit runs, and individual
     * punctuation marks, the way byte-pair tokenizers pre-tokenize. A proxy for
     * "model token" counts when the real tokenizer can't ship with the engine.

@@ -569,4 +569,34 @@ class Round8Spec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got === Map(("a", "b") -> 2L, ("b", "a") -> 1L))
   }
+
+  test("tokenDrift: cross-multiplied drift is exact; absent tokens count 0") {
+    // A: "x x y" (tot 3), B: "x z" (tot 2).
+    //   x: |2*2 - 1*3| = 1;  y: |1*2 - 0*3| = 2;  z: |0*2 - 1*3| = 3
+    val a = Seq("x x y").toDF("text")
+    val b = Seq("x z").toDF("text")
+    val got = graft.ext.TextAnalysis.tokenDrift(a, b, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("z", 0L, 1L, 3L), ("y", 1L, 0L, 2L), ("x", 2L, 1L, 1L)))
+    // k smaller than vocab truncates after the tie-broken ordering.
+    val top1 = graft.ext.TextAnalysis.tokenDrift(a, b, "text", k = 1).collect()
+    assert(top1.map(_.getString(0)).toSeq === Seq("z"))
+  }
+
+  test("joinCardinalities equals the executed joins, incl. null keys and empty sides") {
+    import org.apache.spark.sql.functions.col
+    // Many-to-many, null keys on both sides, keys unique to each side.
+    val l = Seq(Some(1L), Some(1L), Some(2L), Some(3L), None).toDF("k")
+    val r = Seq(Some(1L), Some(1L), Some(1L), Some(3L), Some(9L), None, None).toDF("j")
+    val got = graft.engine.Joins.joinCardinalities(l, "k", r, "j").head()
+    val exp = Seq("inner", "left_outer", "right_outer", "full_outer")
+      .map(t => l.join(r, l("k") === r("j"), t).count())
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      === ((exp(0), exp(1), exp(2), exp(3))))
+    // Empty right side: inner = 0, left_outer = |L|.
+    val empty = Seq.empty[Option[Long]].toDF("j")
+    val g2 = graft.engine.Joins.joinCardinalities(l, "k", empty, "j").head()
+    assert((g2.getLong(0), g2.getLong(1), g2.getLong(2), g2.getLong(3))
+      === ((0L, 5L, 0L, 5L)))
+  }
 }
