@@ -2477,6 +2477,40 @@ object SparkEntry {
     "q137_join_size" -> { (s, dir) =>
       graft.engine.Joins.joinCardinalities(
         eventsTable(s, dir), "user_id", t(s, dir, "orders"), "o_custkey")
+    },
+
+    // Streaming bounded-state dedup (engine.Incremental.streamingDedup,
+    // dropDuplicatesWithinWatermark): the events file is replayed as TWO
+    // micro-batches (an at-least-once upstream redelivering the whole file);
+    // the keyed state store drops every batch-2 row and every within-batch
+    // duplicate, so the append-mode output is exactly one row per event_id.
+    // Columns are projected to the (event_type, value) pair the testdata
+    // guarantees is unique per event_id (the Verify precondition), making
+    // the survivor row deterministic. Oracle = batch DISTINCT.
+    "q139_streaming_dedup" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val root = tempDirCleanedOnExit("graft-sdedup-")
+      val in = new java.io.File(root, "in"); in.mkdirs()
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      java.nio.file.Files.copy(src, java.nio.file.Paths.get(in.getPath, "replay1.parquet")): Unit
+      java.nio.file.Files.copy(src, java.nio.file.Paths.get(in.getPath, "replay2.parquet")): Unit
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.getPath)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"),
+          expr("timestamp_micros(ts DIV 1000)").as("__ts"))
+      val deduped = graft.engine.Incremental.streamingDedup(
+        stream, Seq("event_id"), "__ts", "3650 days")
+      val sinkName = "graft_streaming_dedup"
+      s.catalog.dropTempView(sinkName)
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", new java.io.File(root, "ckpt").getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sinkName)
+        .select(col("event_id"), col("event_type"), col("value_cents"))
     }
   )
 
@@ -4486,7 +4520,12 @@ object SparkEntry {
         |       matched + na - ma AS n_left_outer,
         |       matched + nb - mb AS n_right_outer,
         |       matched + na - ma + nb - mb AS n_full_outer
-        |FROM m, t""".stripMargin
+        |FROM m, t""".stripMargin,
+
+    "q139_streaming_dedup" ->
+      """SELECT DISTINCT event_id, event_type,
+        |       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        |FROM events""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

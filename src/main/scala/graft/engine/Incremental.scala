@@ -68,6 +68,28 @@ object Incremental {
       .groupBy(window(col("__ts"), windowDuration), key)
       .agg(count(lit(1)).as("n"), round(sum(valueCol), 2).as("total_value"))
 
+  /** Streaming exact dedup with BOUNDED state: first arrival per key is
+    * emitted, replays within the watermark horizon are dropped, and the state
+    * store evicts keys older than the watermark — so state is ∝ keys seen per
+    * horizon, not per stream lifetime. The standard defense against at-least-
+    * once upstream delivery (a replayed file, a redelivered Kafka batch),
+    * where an unbounded `dropDuplicates` would grow state forever.
+    *
+    * The horizon is the correctness/memory dial: a key replayed AFTER
+    * `watermarkDelay` has passed its event time re-emits (its state was
+    * evicted). Size it to the upstream's maximum redelivery lag. `eventTime`
+    * must already be a timestamp column on `stream`.
+    *
+    * Scale: one shuffle on the dedup keys into the keyed state store; no
+    * output amplification (it's a filter, not an aggregation — append mode,
+    * rows emit immediately). Works identically over a batch frame, where it
+    * degrades to plain `dropDuplicates` semantics. */
+  def streamingDedup(stream: DataFrame, keys: Seq[String], eventTime: String,
+                     watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(eventTime, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Incremental gold: the scale-path replacement for the reference's
     * full-history recompute (`silver_to_gold.py:219-235`, O(history) per run and
     * growing without bound).

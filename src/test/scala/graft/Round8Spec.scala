@@ -599,4 +599,38 @@ class Round8Spec extends SparkSpec {
     assert((g2.getLong(0), g2.getLong(1), g2.getLong(2), g2.getLong(3))
       === ((0L, 5L, 0L, 5L)))
   }
+
+  test("streamingDedup: batch-2 replays drop via keyed state, new keys survive") {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.engine.Scratch.withTempDir("graft-sdedup-spec-") { root =>
+      val in = new java.io.File(root, "in"); in.mkdirs()
+      // Batch 1: keys 1,2 (2 a dup within the batch). Batch 2: full replay + key 3.
+      val b1 = Seq((1L, 10L), (2L, 20L), (2L, 20L)).toDF("k", "ts_s")
+      val b2 = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "ts_s")
+      b1.coalesce(1).write.parquet(s"$root/stage1")
+      b2.coalesce(1).write.parquet(s"$root/stage2")
+      def move(stage: String, name: String): Unit = {
+        val part = new java.io.File(s"$root/$stage").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(in.getPath, name)): Unit
+      }
+      move("stage1", "a.parquet"); move("stage2", "b.parquet")
+      val stream = spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.getPath)
+        .withColumn("__ts", expr("timestamp_seconds(ts_s)"))
+      val out = graft.engine.Incremental.streamingDedup(
+        stream, Seq("k"), "__ts", "1000 days")
+      val sink = "sdedup_spec"
+      spark.catalog.dropTempView(sink)
+      val q = out.writeStream.outputMode("append").format("memory").queryName(sink)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // File order a<b is the source's discovery order: 3 batches of state later,
+      // only the first arrival of each key remains.
+      val got = spark.table(sink).select(col("k")).collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === Seq(1L, 2L, 3L))
+    }
+  }
 }
