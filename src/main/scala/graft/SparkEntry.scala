@@ -2511,6 +2511,18 @@ object SparkEntry {
       q.awaitTermination()
       s.table(sinkName)
         .select(col("event_id"), col("event_type"), col("value_cents"))
+    },
+
+    // Per-document novelty vs a reference corpus (ext.Dedup.shingleNovelty):
+    // every 20th document scored against the rest — distinct shingles and
+    // how many already exist anywhere in the reference. The decontamination
+    // check run on eval sets and fresh crawls; integer counts, the ratio is
+    // the consumer's division.
+    "q143_novelty" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ext.Dedup.shingleNovelty(
+        docs.filter(col("doc_id") % 20 === 0),
+        docs.filter(col("doc_id") % 20 =!= 0))
     }
   )
 
@@ -4525,7 +4537,23 @@ object SparkEntry {
     "q139_streaming_dedup" ->
       """SELECT DISTINCT event_id, event_type,
         |       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q143_novelty" ->
+      s"""WITH cand AS (
+         |  SELECT doc_id, ${gramsSql("text")} AS g
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |ch AS (
+         |  SELECT doc_id, ${h60Sql("unnest(g)")} AS h FROM cand),
+         |rh AS (
+         |  SELECT DISTINCT ${h60Sql("unnest(" + gramsSql("text") + ")")} AS h
+         |  FROM documents WHERE doc_id % 20 <> 0),
+         |seen AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+         |  FROM ch WHERE h IN (SELECT h FROM rh) GROUP BY 1)
+         |SELECT c.doc_id, CAST(len(c.g) AS BIGINT) AS n_shingles,
+         |       COALESCE(s.n_seen, 0) AS n_seen
+         |FROM cand c LEFT JOIN seen s USING (doc_id)""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

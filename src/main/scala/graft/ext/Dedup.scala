@@ -329,6 +329,37 @@ object Dedup {
       .agg(count(lit(1)).as("n_bench_hits"), max("overlap").as("max_overlap"))
   }
 
+  /** Per-document novelty vs a reference corpus: how much of each candidate
+    * document's content already exists in the reference — the decontamination
+    * / near-verbatim-memorization check run on eval sets and fresh crawls
+    * (inverse framing of [[contaminationReport]]: per-DOC coverage, not
+    * per-PAIR overlap). Returns `(idCol, n_shingles, n_seen)` — distinct
+    * word-k-shingle count and how many of those appear anywhere in the
+    * reference. The novelty ratio `1 − n_seen/n_shingles` is the consumer's
+    * division; shipping the integers keeps the output exact (q92 policy).
+    *
+    * Scale: the reference collapses to a DISTINCT 60-bit shingle-hash set —
+    * one hash-agg — and candidates probe it with a shuffle semi-join on the
+    * hash key (deliberately NOT broadcast: the reference is corpus-sized;
+    * AQE may still choose broadcast when it measures small). Cost is the
+    * same equi-join shape as the LSH band join, never all-pairs. */
+  def shingleNovelty(candidates: DataFrame, reference: DataFrame, k: Int = 3,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val candSets = shingleSets(candidates, k, idCol, textCol)
+    val candH = candSets.select(col(idCol), explode(col("sh")).as("s"))
+      .select(col(idCol), PortableHash.hash60(col("s")).as("h"))
+    val refH = shingleSets(reference, k, idCol, textCol)
+      .select(explode(col("sh")).as("s"))
+      .select(PortableHash.hash60(col("s")).as("h"))
+      .distinct()
+    val seen = candH.join(refH, Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_seen"))
+    candSets.select(col(idCol), size(col("sh")).cast("long").as("n_shingles"))
+      .join(seen, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+  }
+
   /** Incremental (cross-corpus) near-dedup: find the NEW-batch documents that
     * are near-duplicates of an EXISTING corpus — the shape every growing
     * training corpus needs (each crawl/delivery is deduped against what is

@@ -633,4 +633,17 @@ class Round8Spec extends SparkSpec {
       assert(got.toSeq === Seq(1L, 2L, 3L))
     }
   }
+
+  test("shingleNovelty: verbatim copy fully seen, fresh doc fully novel, overlap partial") {
+    // Reference: one doc "a b c d e" → shingles {abc, bcd, cde}.
+    val ref = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "a b c d e"),   // exact copy: 3/3 seen
+      (2L, "x y z w"),     // disjoint: 0/2 seen
+      (3L, "a b c x y")    // shares only "a b c": 1/3 seen
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.shingleNovelty(cand, ref)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((3L, 3L)), 2L -> ((2L, 0L)), 3L -> ((3L, 1L))))
+  }
 }
