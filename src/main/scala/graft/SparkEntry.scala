@@ -2523,6 +2523,20 @@ object SparkEntry {
       graft.ext.Dedup.shingleNovelty(
         docs.filter(col("doc_id") % 20 === 0),
         docs.filter(col("doc_id") % 20 =!= 0))
+    },
+
+    // Subject erasure audit (engine.Erasure.audit): every 50th customer files
+    // a forget-me request; the audit reports, per table carrying the key,
+    // how many rows the erasure removes vs keeps. Subjects broadcast; each
+    // table pays one scan-speed semi-join — the accounting record a GDPR
+    // erasure must produce before the purge runs.
+    "q144_erasure_audit" -> { (s, dir) =>
+      val subjects = t(s, dir, "customer")
+        .filter(col("c_custkey") % 50 === 0).select(col("c_custkey"))
+      graft.engine.Erasure.audit(subjects, "c_custkey", Seq(
+        ("customer", t(s, dir, "customer"), "c_custkey"),
+        ("orders", t(s, dir, "orders"), "o_custkey"),
+        ("events", eventsTable(s, dir), "user_id")))
     }
   )
 
@@ -4553,7 +4567,25 @@ object SparkEntry {
          |  FROM ch WHERE h IN (SELECT h FROM rh) GROUP BY 1)
          |SELECT c.doc_id, CAST(len(c.g) AS BIGINT) AS n_shingles,
          |       COALESCE(s.n_seen, 0) AS n_seen
-         |FROM cand c LEFT JOIN seen s USING (doc_id)""".stripMargin
+         |FROM cand c LEFT JOIN seen s USING (doc_id)""".stripMargin,
+
+    "q144_erasure_audit" ->
+      """WITH s AS (
+        |  SELECT DISTINCT c_custkey AS sk FROM customer WHERE c_custkey % 50 = 0)
+        |SELECT 'customer' AS table_name,
+        |       CAST((SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT sk FROM s)) AS BIGINT) AS n_purged,
+        |       CAST((SELECT COUNT(*) FROM customer) -
+        |            (SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT sk FROM s)) AS BIGINT) AS n_kept
+        |UNION ALL
+        |SELECT 'orders',
+        |       CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT sk FROM s)) AS BIGINT),
+        |       CAST((SELECT COUNT(*) FROM orders) -
+        |            (SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT sk FROM s)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'events',
+        |       CAST((SELECT COUNT(*) FROM events WHERE user_id IN (SELECT sk FROM s)) AS BIGINT),
+        |       CAST((SELECT COUNT(*) FROM events) -
+        |            (SELECT COUNT(*) FROM events WHERE user_id IN (SELECT sk FROM s)) AS BIGINT)""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

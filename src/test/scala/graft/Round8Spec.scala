@@ -646,4 +646,20 @@ class Round8Spec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got === Map(1L -> ((3L, 3L)), 2L -> ((2L, 0L)), 3L -> ((3L, 1L))))
   }
+
+  test("erasure: audit counts match purge's complement; null FKs kept; empty table arm") {
+    import org.apache.spark.sql.functions.col
+    val subjects = Seq(1L, 2L).toDF("uid")
+    val orders = Seq(Some(1L), Some(1L), Some(3L), None).toDF("fk")
+    val empty = Seq.empty[Option[Long]].toDF("fk")
+    val purged = graft.engine.Erasure.purge(orders, "fk", subjects, "uid")
+    // Null FK references no subject — it must survive the purge.
+    assert(purged.collect().map(r => Option(r.get(0))).toSet
+      === Set(Some(3L), None: Option[Any]))
+    val audit = graft.engine.Erasure.audit(subjects, "uid",
+        Seq(("orders", orders, "fk"), ("none", empty, "fk")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(audit === Map("orders" -> ((2L, 2L)), "none" -> ((0L, 0L))))
+    assert(audit("orders")._2 === purged.count())
+  }
 }
