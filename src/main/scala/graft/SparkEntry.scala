@@ -2537,6 +2537,32 @@ object SparkEntry {
         ("customer", t(s, dir, "customer"), "c_custkey"),
         ("orders", t(s, dir, "orders"), "o_custkey"),
         ("events", eventsTable(s, dir), "user_id")))
+    },
+
+    // Write-audit-publish gate (engine.Incremental.writeAuditPublish):
+    // attempt 1 stages raw events against a "no error events" expectation —
+    // the audit fails, the staged files stay uncommitted and invisible;
+    // attempt 2 stages the filtered feed — audit passes, manifest publishes.
+    // Output: both attempts' audit rows + published flag; the query also
+    // asserts only v=2 is committed (fails loudly otherwise).
+    "q145_wap" -> { (s, dir) =>
+      import graft.engine.{Expectations, Incremental}
+      graft.engine.Scratch.withTempDir("graft-wap-") { root =>
+        val rules = Seq(Expectations.Rule("no_error_events",
+          col("event_type") =!= "error"))
+        val e = eventsTable(s, dir)
+        val (pub1, rep1) = Incremental.writeAuditPublish(e, rules, root, 1L)
+        val (pub2, rep2) = Incremental.writeAuditPublish(
+          e.filter(col("event_type") =!= "error"), rules, root, 2L)
+        require(Incremental.committedVersions(s, root) == Seq(2L),
+          "q145: expected exactly v=2 committed")
+        // Reports are driver-materialized; the union below survives the
+        // temp dir's deletion (Scratch's eager-consumption discipline).
+        rep1.select(lit(1L).as("attempt"), col("rule"), col("rows_checked"),
+            col("violations"), lit(pub1).as("published"))
+          .unionByName(rep2.select(lit(2L).as("attempt"), col("rule"),
+            col("rows_checked"), col("violations"), lit(pub2).as("published")))
+      }
     }
   )
 
@@ -4585,7 +4611,19 @@ object SparkEntry {
         |SELECT 'events',
         |       CAST((SELECT COUNT(*) FROM events WHERE user_id IN (SELECT sk FROM s)) AS BIGINT),
         |       CAST((SELECT COUNT(*) FROM events) -
-        |            (SELECT COUNT(*) FROM events WHERE user_id IN (SELECT sk FROM s)) AS BIGINT)""".stripMargin
+        |            (SELECT COUNT(*) FROM events WHERE user_id IN (SELECT sk FROM s)) AS BIGINT)""".stripMargin,
+
+    "q145_wap" ->
+      """SELECT CAST(1 AS BIGINT) AS attempt, 'no_error_events' AS rule,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS rows_checked,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+        |        WHERE event_type = 'error' OR event_type IS NULL) AS violations,
+        |       FALSE AS published
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'no_error_events',
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+        |        WHERE event_type <> 'error'),
+        |       CAST(0 AS BIGINT), TRUE""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -263,10 +263,15 @@ object Incremental {
     * ledger update are two separate unguarded steps); a full table format
     * (Delta/Iceberg) generalizes the same idea to a multi-version log. */
   def commitVersion(df: DataFrame, stateDir: String, v: Long): Unit = {
-    import org.apache.hadoop.fs.Path
-    val spark = df.sparkSession
     val dir = s"$stateDir/v=$v"
     df.write.mode("overwrite").parquet(dir)
+    writeCommitManifest(df.sparkSession, dir, v)
+  }
+
+  /** The commit step alone: manifest the `part-` files already staged under
+    * `dir` (temp-write + rename, atomic on local/HDFS semantics). */
+  private def writeCommitManifest(spark: SparkSession, dir: String, v: Long): Unit = {
+    import org.apache.hadoop.fs.Path
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(path).toSeq.map(_.getPath.getName)
@@ -280,6 +285,33 @@ object Incremental {
     val dest = new Path(path, CommitManifest)
     if (fs.exists(dest)) fs.delete(dest, false)
     require(fs.rename(tmp, dest), s"commitVersion: rename to $dest failed")
+  }
+
+  /** Write-audit-publish: stage `df` as version `v`, audit WHAT WAS STAGED
+    * (the files are read back — the gate sees exactly the bytes a reader
+    * would, not the input plan re-evaluated), and write the commit manifest
+    * only if every rule passes. A failing audit leaves the staged files
+    * uncommitted — invisible to every reader by the manifest protocol, and
+    * wiped by the next attempt's overwrite or by [[vacuumVersions]]'s
+    * crashed-dir sweep. This is the WAP gate pattern (Iceberg popularized
+    * the name) built from the pieces this store already has: expectations
+    * as the audit, the manifest as the atomic publish.
+    *
+    * Returns (published, report): the long-format [[Expectations.report]]
+    * of the staged data plus whether the manifest was written. The report is
+    * driver-materialized, so it stays valid after the state dir is cleaned.
+    *
+    * Scale: the audit is one aggregate pass over the staged files — the
+    * cost of reading the snapshot once; publication itself is one rename. */
+  def writeAuditPublish(df: DataFrame, rules: Seq[Expectations.Rule],
+                        stateDir: String, v: Long): (Boolean, DataFrame) = {
+    val dir = s"$stateDir/v=$v"
+    df.write.mode("overwrite").parquet(dir)
+    val spark = df.sparkSession
+    val report = Expectations.report(spark.read.parquet(dir), rules)
+    val ok = report.filter(col("violations") > 0L).isEmpty
+    if (ok) writeCommitManifest(spark, dir, v)
+    (ok, report)
   }
 
   /** Committed version ids under `stateDir`, ascending. Uncommitted `v=` dirs

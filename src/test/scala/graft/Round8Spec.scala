@@ -662,4 +662,27 @@ class Round8Spec extends SparkSpec {
     assert(audit === Map("orders" -> ((2L, 2L)), "none" -> ((0L, 0L))))
     assert(audit("orders")._2 === purged.count())
   }
+
+  test("writeAuditPublish: failed audit stays invisible; fixed retry of the same version publishes") {
+    import org.apache.spark.sql.functions.col
+    import graft.engine.{Expectations, Incremental}
+    graft.engine.Scratch.withTempDir("graft-wap-spec-") { root =>
+      val rules = Seq(Expectations.Rule("positive", col("v") > 0L))
+      val bad = Seq(("a", 1L), ("b", -5L)).toDF("k", "v")
+      val (pub1, rep1) = Incremental.writeAuditPublish(bad, rules, root, 1L)
+      assert(!pub1)
+      assert(rep1.head().getLong(2) === 1L) // one violating row
+      // Staged-but-unpublished version is invisible to every reader.
+      assert(Incremental.committedVersions(spark, root).isEmpty)
+      assert(Incremental.latestUpsertState(spark, root).isEmpty)
+      // The fixed retry OVERWRITES the same version slot and publishes.
+      val good = Seq(("a", 1L), ("b", 5L)).toDF("k", "v")
+      val (pub2, _) = Incremental.writeAuditPublish(good, rules, root, 1L)
+      assert(pub2)
+      assert(Incremental.committedVersions(spark, root) === Seq(1L))
+      val state = Incremental.latestUpsertState(spark, root).get
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(state === Map("a" -> 1L, "b" -> 5L))
+    }
+  }
 }
