@@ -2563,6 +2563,20 @@ object SparkEntry {
           .unionByName(rep2.select(lit(2L).as("attempt"), col("rule"),
             col("rows_checked"), col("violations"), lit(pub2).as("published")))
       }
+    },
+
+    // Numeric distribution drift (engine.Profile.histogramDrift): order
+    // totals before vs after 1998, bucketed with SHARED equi-width integer
+    // edges, proportion shift as the cross-multiplied integer — the
+    // per-release "did the feature distribution move" monitoring gate,
+    // numeric twin of q136.
+    "q146_histogram_drift" -> { (s, dir) =>
+      val o = t(s, dir, "orders").withColumn("cents",
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+      graft.engine.Profile.histogramDrift(
+        o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+        "cents", nBuckets = 16)
     }
   )
 
@@ -4623,7 +4637,36 @@ object SparkEntry {
         |SELECT CAST(2 AS BIGINT), 'no_error_events',
         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
         |        WHERE event_type <> 'error'),
-        |       CAST(0 AS BIGINT), TRUE""".stripMargin
+        |       CAST(0 AS BIGINT), TRUE""".stripMargin,
+
+    "q146_histogram_drift" ->
+      """WITH av AS (
+        |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |bv AS (
+        |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+        |mm AS (
+        |  SELECT MIN(v) AS mn, MAX(v) AS mx
+        |  FROM (SELECT v FROM av UNION ALL SELECT v FROM bv)),
+        |ca AS (
+        |  SELECT ((v - mn) * 16) // (mx - mn + 1) AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt_a
+        |  FROM av, mm GROUP BY 1),
+        |cb AS (
+        |  SELECT ((v - mn) * 16) // (mx - mn + 1) AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt_b
+        |  FROM bv, mm GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+        |         COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket),
+        |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS ta,
+        |             CAST(SUM(cnt_b) AS BIGINT) AS tb FROM m)
+        |SELECT bucket, cnt_a, cnt_b,
+        |       ABS(cnt_a * (SELECT tb FROM t) - cnt_b * (SELECT ta FROM t))
+        |         AS drift_scaled
+        |FROM m""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -74,6 +74,45 @@ object Profile {
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
 
+  /** Distribution drift of an integer column between two snapshots — the
+    * numeric monitoring twin of token drift (ext.TextAnalysis.tokenDrift):
+    * both sides are bucketed with SHARED equi-width edges (joint min/max, the
+    * [[histogram]] integer bucket formula), counts merged per bucket, and the
+    * proportion shift reported as the cross-multiplied integer
+    * `|cntA·totB − cntB·totA|` — never divides, so the drift ranking is
+    * exact; consumers divide by `totA·totB` (or feed the counts to a PSI /
+    * chi-squared routine) at their own precision. Output:
+    * `(bucket, cnt_a, cnt_b, drift_scaled)`.
+    *
+    * Scale: one joint min/max (1-row broadcast), one scan + ≤nBuckets-group
+    * aggregate per side, a bucket-keyed merge, 1-row totals broadcast — the
+    * per-release "did the feature distribution move" gate for a 100 TB
+    * column at two-scans cost. Same int64 bounds as [[histogram]] plus
+    * `cnt·tot < 2⁶³` from tokenDrift. */
+  def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
+                     nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "histogramDrift: nBuckets must be positive")
+    val va = a.filter(col(valueCol).isNotNull).select(col(valueCol).as("__v"))
+    val vb = b.filter(col(valueCol).isNotNull).select(col(valueCol).as("__v"))
+    val mm = va.unionByName(vb)
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    def counts(v: DataFrame, as: String) = v.crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        expr(s"((__v - __mn) * $nBuckets) DIV (__mx - __mn + 1)"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val merged = counts(va, "cnt_a")
+      .join(counts(vb, "cnt_b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = merged.agg(sum(col("cnt_a")).as("__ta"),
+      sum(col("cnt_b")).as("__tb"))
+    merged.crossJoin(broadcast(totals))
+      .withColumn("drift_scaled",
+        abs(col("cnt_a") * col("__tb") - col("cnt_b") * col("__ta")))
+      .select(col("bucket"), col("cnt_a"), col("cnt_b"), col("drift_scaled"))
+  }
+
   /** One-pass sufficient statistics for correlation / simple regression per
     * group: `(n, Σx, Σy, Σx², Σy², Σxy)` over two integer-typed columns.
     * Pearson r, OLS slope/intercept, and variances all derive from these six

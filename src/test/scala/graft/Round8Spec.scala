@@ -685,4 +685,16 @@ class Round8Spec extends SparkSpec {
       assert(state === Map("a" -> 1L, "b" -> 5L))
     }
   }
+
+  test("histogramDrift: shared edges, one-sided buckets, exact cross-multiplied drift") {
+    // Joint range [0, 9], 2 buckets of width 5: bucket 0 = 0..4, bucket 1 = 5..9.
+    // A = {0, 1, 9} (2 low, 1 high; totA=3), B = {5, 6} (0 low, 2 high; totB=2).
+    //   bucket 0: |2*2 - 0*3| = 4;  bucket 1: |1*2 - 2*3| = 4
+    val a = Seq(0L, 1L, 9L).toDF("v")
+    val b = Seq(5L, 6L).toDF("v")
+    val got = graft.engine.Profile.histogramDrift(a, b, "v", nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(0L -> ((2L, 0L, 4L)), 1L -> ((1L, 2L, 4L))))
+  }
 }
