@@ -226,4 +226,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-10 token selection must be TakeOrdered, not a global sort:\n$p")
   }
+
+  test("q136 token drift: top-k is TakeOrdered and totals broadcast — no global sort") {
+    val p = planOf("q136_token_drift")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k drifted tokens must be TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row totals must broadcast, not cartesian-shuffle:\n$p")
+  }
+
+  test("q137 join sizing never executes the sized join or funnels to one partition") {
+    val p = planOf("q137_join_size")
+    // The only joins allowed are the vocab-sized count-table merge and the
+    // 1-row totals broadcast; the sized many-to-many join itself must not run.
+    assert(!p.contains("CartesianProduct"),
+      s"1-row totals must broadcast, not cartesian-shuffle:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final key-count aggregates on both sides:\n$p")
+  }
+
+  test("q143 novelty probe is a semi join on the shingle hash, never a nested loop") {
+    val p = planOf("q143_novelty")
+    assert(p.contains("LeftSemi"), s"reference probe must stay a semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"novelty must never go all-pairs:\n$p")
+  }
+
+  test("q144 erasure audit broadcasts the subject set into scan-speed semi joins") {
+    val p = planOf("q144_erasure_audit")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"subjects must broadcast; each table pays one scan-speed semi join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no data-table shuffle is acceptable for a request-sized subject set:\n$p")
+  }
 }
