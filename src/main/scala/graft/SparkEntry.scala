@@ -2577,6 +2577,36 @@ object SparkEntry {
         o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
         o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
         "cents", nBuckets = 16)
+    },
+
+    // Blocked record linkage (ext.Fuzzy.linkageScores): customers matched
+    // against a deterministically perturbed copy (case-mangled names, swapped
+    // email domains, drifted balances), blocked on nation, scored by weighted
+    // null-safe field agreement (name 4, email 3, segment 2, balance 1),
+    // keep score >= 6 — the Fellegi–Sunter scoring core as one block
+    // equi-join + codegen arithmetic.
+    "q147_record_linkage" -> { (s, dir) =>
+      def base(df: DataFrame) = df.select(
+        col("c_custkey"), col("c_nationkey"), col("c_name"),
+        concat(lit("u"), col("c_custkey").cast("string"), lit("@x.com"))
+          .as("email"),
+        col("c_mktsegment").as("seg"),
+        expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      val l = base(t(s, dir, "customer"))
+      val r = base(t(s, dir, "customer")).select(
+        (col("c_custkey") + 100000L).as("c_custkey"), col("c_nationkey"),
+        when(col("c_custkey") % 3 === 0, upper(col("c_name")))
+          .otherwise(col("c_name")).as("c_name"),
+        when(col("c_custkey") % 5 === 0,
+            concat(lit("u"), col("c_custkey").cast("string"), lit("@y.com")))
+          .otherwise(col("email")).as("email"),
+        col("seg"),
+        (col("bal_cents") + when(col("c_custkey") % 2 === 0, 1L).otherwise(0L))
+          .as("bal_cents"))
+      graft.ext.Fuzzy.linkageScores(l, "c_custkey", r, "c_custkey",
+        "c_nationkey",
+        Seq(("c_name", 4L), ("email", 3L), ("seg", 2L), ("bal_cents", 1L)),
+        threshold = 6L)
     }
   )
 
@@ -4666,7 +4696,39 @@ object SparkEntry {
         |SELECT bucket, cnt_a, cnt_b,
         |       ABS(cnt_a * (SELECT tb FROM t) - cnt_b * (SELECT ta FROM t))
         |         AS drift_scaled
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q147_record_linkage" ->
+      """WITH l AS (
+        |  SELECT c_custkey, c_nationkey, c_name,
+        |         'u' || CAST(c_custkey AS VARCHAR) || '@x.com' AS email,
+        |         c_mktsegment AS seg,
+        |         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |r AS (
+        |  SELECT c_custkey + 100000 AS rid, c_nationkey,
+        |         CASE WHEN c_custkey % 3 = 0 THEN upper(c_name)
+        |              ELSE c_name END AS c_name,
+        |         CASE WHEN c_custkey % 5 = 0
+        |              THEN 'u' || CAST(c_custkey AS VARCHAR) || '@y.com'
+        |              ELSE 'u' || CAST(c_custkey AS VARCHAR) || '@x.com'
+        |         END AS email,
+        |         c_mktsegment AS seg,
+        |         CAST(ROUND(c_acctbal * 100) AS BIGINT)
+        |           + CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS bal_cents
+        |  FROM customer)
+        |SELECT l.c_custkey AS left_id, r.rid AS right_id,
+        |       CAST(CASE WHEN l.c_name IS NOT DISTINCT FROM r.c_name THEN 4 ELSE 0 END
+        |          + CASE WHEN l.email IS NOT DISTINCT FROM r.email THEN 3 ELSE 0 END
+        |          + CASE WHEN l.seg IS NOT DISTINCT FROM r.seg THEN 2 ELSE 0 END
+        |          + CASE WHEN l.bal_cents IS NOT DISTINCT FROM r.bal_cents THEN 1 ELSE 0 END
+        |          AS BIGINT) AS score
+        |FROM l JOIN r ON l.c_nationkey = r.c_nationkey
+        |WHERE CASE WHEN l.c_name IS NOT DISTINCT FROM r.c_name THEN 4 ELSE 0 END
+        |    + CASE WHEN l.email IS NOT DISTINCT FROM r.email THEN 3 ELSE 0 END
+        |    + CASE WHEN l.seg IS NOT DISTINCT FROM r.seg THEN 2 ELSE 0 END
+        |    + CASE WHEN l.bal_cents IS NOT DISTINCT FROM r.bal_cents THEN 1 ELSE 0 END
+        |    >= 6""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

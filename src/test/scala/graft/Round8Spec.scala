@@ -697,4 +697,26 @@ class Round8Spec extends SparkSpec {
       .toMap
     assert(got === Map(0L -> ((2L, 0L, 4L)), 1L -> ((1L, 2L, 4L))))
   }
+
+  test("linkageScores: null-safe agreement, block exclusion, threshold") {
+    val l = Seq(
+      (1L, "b1", Some("ann"), Some("a@x")),   // full match with r10
+      (2L, "b1", None, Some("b@x")),          // name NULL<=>NULL agrees with r20
+      (3L, "b2", Some("cat"), Some("c@x"))    // same fields as r30 but other block
+    ).toDF("id", "blk", "name", "email")
+    val r = Seq(
+      (10L, "b1", Some("ann"), Some("a@x")),
+      (20L, "b1", None, Some("z@z")),         // email disagrees: score 4 < 6
+      (30L, "b3", Some("cat"), Some("c@x"))
+    ).toDF("id", "blk", "name", "email")
+    val got = graft.ext.Fuzzy.linkageScores(l, "id", r, "id", "blk",
+        Seq(("name", 4L), ("email", 3L)), threshold = 6L)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+    assert(got.toSeq === Seq((1L, 10L, 7L)))
+    // Lowering the threshold admits the NULL<=>NULL name agreement (score 4).
+    val loose = graft.ext.Fuzzy.linkageScores(l, "id", r, "id", "blk",
+        Seq(("name", 4L), ("email", 3L)), threshold = 4L)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSet
+    assert(loose === Set((1L, 10L, 7L), (2L, 20L, 4L)))
+  }
 }
