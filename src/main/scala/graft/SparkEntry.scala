@@ -2607,6 +2607,27 @@ object SparkEntry {
         "c_nationkey",
         Seq(("c_name", 4L), ("email", 3L), ("seg", 2L), ("bal_cents", 1L)),
         threshold = 6L)
+    },
+
+    // Semi-supervised label propagation (ext.Graph.labelPropagation) over
+    // the supplier–part bipartite graph (q127/q130's edges): every 10th
+    // supplier seeds one of 3 classes; two rounds of frozen majority-vote
+    // spreading (ties → smallest label). Output aggregated per (label,
+    // round) — counts + node checksum pin the exact assignment.
+    "q148_label_propagation" -> { (s, dir) =>
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("a"),
+          (col("l_partkey").cast("long") + 1000000L).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 10 === 0)
+        .select(col("s_suppkey").cast("long").as("node"),
+          (col("s_suppkey") % 3).cast("long").as("label"))
+      graft.ext.Graph.labelPropagation(edges, seeds, iters = 2)
+        .groupBy(col("label"), col("round"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_checksum"))
     }
   )
 
@@ -4728,7 +4749,47 @@ object SparkEntry {
         |    + CASE WHEN l.email IS NOT DISTINCT FROM r.email THEN 3 ELSE 0 END
         |    + CASE WHEN l.seg IS NOT DISTINCT FROM r.seg THEN 2 ELSE 0 END
         |    + CASE WHEN l.bal_cents IS NOT DISTINCT FROM r.bal_cents THEN 1 ELSE 0 END
-        |    >= 6""".stripMargin
+        |    >= 6""".stripMargin,
+
+    "q148_label_propagation" ->
+      """WITH p AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+        |         CAST(l_partkey AS BIGINT) + 1000000 AS b FROM lineitem),
+        |e AS (
+        |  SELECT a AS src, b AS dst FROM p
+        |  UNION
+        |  SELECT b AS src, a AS dst FROM p),
+        |l0 AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS node,
+        |         CAST(s_suppkey % 3 AS BIGINT) AS label, CAST(0 AS BIGINT) AS round
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |v1 AS (
+        |  SELECT e.dst, l.label, COUNT(*) AS votes
+        |  FROM e JOIN l0 l ON e.src = l.node
+        |  WHERE e.dst NOT IN (SELECT node FROM l0)
+        |  GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT dst AS node, label, CAST(1 AS BIGINT) AS round
+        |  FROM (SELECT dst, label,
+        |               ROW_NUMBER() OVER (PARTITION BY dst
+        |                                  ORDER BY votes DESC, label ASC) AS rn
+        |        FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM a1),
+        |v2 AS (
+        |  SELECT e.dst, l.label, COUNT(*) AS votes
+        |  FROM e JOIN l1 l ON e.src = l.node
+        |  WHERE e.dst NOT IN (SELECT node FROM l1)
+        |  GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT dst AS node, label, CAST(2 AS BIGINT) AS round
+        |  FROM (SELECT dst, label,
+        |               ROW_NUMBER() OVER (PARTITION BY dst
+        |                                  ORDER BY votes DESC, label ASC) AS rn
+        |        FROM v2) WHERE rn = 1),
+        |l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM a2)
+        |SELECT label, round, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |       CAST(SUM(node) AS BIGINT) AS node_checksum
+        |FROM l2 GROUP BY 1, 2""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

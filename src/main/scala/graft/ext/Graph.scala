@@ -141,10 +141,23 @@ object Graph {
   def triangleStats(edges: DataFrame, idA: String = "id_a",
                     idB: String = "id_b",
                     maxDegree: Option[Long] = None): DataFrame = {
-    val all = edges
+    // The edge list is referenced 4–7 times below (wedge self-joins, the
+    // closure join, counts, and the cap's degree pass). Materialize it ONCE
+    // — persist + count + plan-truncating rebind, the connectedComponents
+    // idiom — or an expensive upstream producer (q94 feeds the whole MinHash
+    // near-dup pipeline in here) re-executes per reference: the cap's
+    // anti-joins make the subplans non-identical, which defeats Spark's
+    // ReusedExchange and cost a measured ~10× on q94 before this persist.
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val allC = edges
       .select(least(col(idA), col(idB)).as("a"), greatest(col(idA), col(idB)).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
+      .distinct().persist(level)
+    allC.count()
+    val all = truncated(allC)
     val e = maxDegree match {
       case None => all
       case Some(cap) =>
@@ -154,8 +167,12 @@ object Graph {
           .groupBy(col("v")).agg(count(lit(1)).as("__deg"))
           .filter(col("__deg") > cap)
           .select(col("v"))
-        all.join(hubs, col("a") === col("v"), "left_anti")
+        val cappedC = all.join(hubs, col("a") === col("v"), "left_anti")
           .join(hubs, col("b") === col("v"), "left_anti")
+          .persist(level)
+        cappedC.count()
+        allC.unpersist(blocking = false)
+        truncated(cappedC)
     }
     val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
@@ -281,5 +298,63 @@ object Graph {
       frontier = truncated(nextC)
     }
     visited
+  }
+
+  /** Semi-supervised label propagation: seed nodes carry hard labels; each
+    * round, every still-unlabeled node adjacent to labeled ones adopts the
+    * MAJORITY label among its labeled neighbors (ties → smallest label), and
+    * is then frozen. The classic cheap classifier over a similarity / dup /
+    * citation graph — label 1% of a corpus by hand, spread over near-dup
+    * edges to label the rest. Freezing makes the process monotone (no
+    * oscillation) and each round's output deterministic. Output:
+    * `(node, label, round)` with round 0 = seeds.
+    *
+    * Per round: one frontier equi-join labeled→edges, one anti-join to keep
+    * only unlabeled adoptees, one (node,label) vote count, one
+    * `max(struct)` argmax — all shuffles on node keys, no per-node driver
+    * iteration. Iterative-DataFrame hygiene as [[connectedComponents]]:
+    * persisted rounds, plan-truncating rebind, superseded-round unpersist;
+    * swap `df.checkpoint()` in for executor-loss tolerance at cluster
+    * scale. `iters` is expected small (graph diameter-ish). */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, iters: Int,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       nodeCol: String = "node", labelCol: String = "label"): DataFrame = {
+    require(iters >= 0, s"labelPropagation: iters must be >= 0, got $iters")
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+
+    val eC = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist(level)
+    eC.count()
+    val e = truncated(eC)
+
+    var labeledC = seeds
+      .select(col(nodeCol).as("node"), col(labelCol).cast("long").as("label"))
+      .distinct().withColumn("round", lit(0L)).persist(level)
+    labeledC.count()
+    var labeled = truncated(labeledC)
+    for (i <- 1 to iters) {
+      val adoptedC = e
+        .join(labeled.select(col("node").as("src"), col("label")), "src")
+        .join(labeled.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        // Majority label, ties to the SMALLEST label: argmax over
+        // (votes, -label) — one aggregate, no rank window.
+        .groupBy(col("dst"))
+        .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("w"))
+        .select(col("dst").as("node"), (-col("w.nl")).as("label"),
+          lit(i.toLong).as("round"))
+        .persist(level)
+      adoptedC.count()
+      val grownC = labeled.union(truncated(adoptedC)).persist(level)
+      grownC.count()
+      labeledC.unpersist(blocking = false)
+      labeledC = grownC
+      labeled = truncated(grownC)
+    }
+    labeled
   }
 }
