@@ -719,4 +719,24 @@ class Round8Spec extends SparkSpec {
       .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSet
     assert(loose === Set((1L, 10L, 7L), (2L, 20L, 4L)))
   }
+
+  test("labelPropagation: majority wins, ties take smallest label, labels freeze") {
+    import org.apache.spark.sql.functions.col
+    // Node 10 has labeled neighbors 1(label 0), 2(label 2), 3(label 2) →
+    // majority label 2. Node 20 has neighbors 1(0) and 2(2) → tie → label 0.
+    // Node 30 only reaches labels via node 10 in round 2 — and node 10 is
+    // frozen at its round-1 label.
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (2L, 20L),
+      (10L, 30L)).toDF("src", "dst")
+    val und = edges.union(edges.select(col("dst"), col("src")))
+    val seeds = Seq((1L, 0L), (2L, 2L), (3L, 2L)).toDF("node", "label")
+    val got = graft.ext.Graph.labelPropagation(und, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> ((0L, 0L)), 2L -> ((2L, 0L)), 3L -> ((2L, 0L)),
+      10L -> ((2L, 1L)), 20L -> ((0L, 1L)), 30L -> ((2L, 2L))))
+    // iters = 0 returns the seeds untouched.
+    val none = graft.ext.Graph.labelPropagation(und, seeds, iters = 0).count()
+    assert(none === 3L)
+  }
 }
