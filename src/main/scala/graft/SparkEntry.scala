@@ -48,14 +48,56 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects; read
-    * nanos as long and truncate to µs (`ts DIV 1000`, integer division — a double
-    * division would lose precision above 2^53 ns). Oracle SQL may compare at µs
-    * granularity (e.g. q41's `epoch_us`): DuckDB reads this parquet as
-    * TIMESTAMP, truncating NANOS→µs exactly like `ts DIV 1000` (SURVEY.md §7.4). */
-  private def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+  /** `events.ts` has shipped in two physical parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark's vectorized reader only
+    * accepts as a raw long via `nanosAsLong` — and plain TIMESTAMP(MICROS),
+    * which arrives as TIMESTAMP_NTZ (footer has isAdjustedToUTC=false). A real
+    * engine reads what the footer says rather than assuming one encoding
+    * forever, so this branches on the REPORTED type:
+    *  - LongType (nanos-as-long): truncate to µs with integer division
+    *    (`ts DIV 1000`; a double division would lose precision above 2^53 ns);
+    *  - TIMESTAMP / TIMESTAMP_NTZ (micros): cast to session-TZ timestamp — the
+    *    session TZ is pinned UTC everywhere (Verify/Bench/specs), so the
+    *    NTZ→LTZ cast is value-identical.
+    * Either way the oracle side needs nothing: DuckDB reads NANOS truncated to
+    * µs exactly like `ts DIV 1000` and MICROS as-is, so every `epoch_us`-based
+    * oracle holds under both encodings (SURVEY.md §7.4). */
+  private[graft] def eventsTsColumn(dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts DIV 1000)")
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast("timestamp")
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — expected long " +
+          "(nanos-as-long), timestamp, or timestamp_ntz")
+    }
+
+  private[graft] def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+    // harmless for MICROS footers; required to read NANOS footers at all
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = t(spark, dir, "events")
+    raw.withColumn("ts", eventsTsColumn(raw.schema("ts").dataType))
+  }
+
+  /** Streaming counterpart of [[eventsTable]] — the ONE reader every streaming
+    * query over events goes through (q32/q45/q48/q121/q139), so a future
+    * encoding drift is absorbed in one place instead of five. Streams
+    * `streamPath` (defaults to the sf dir glob-filtered to the events file;
+    * q139 points it at a replay directory) with `ts` normalized to
+    * TimestampType(µs) — the type watermarks require. */
+  private[graft] def eventsStream(spark: SparkSession, sfDir: String,
+      streamPath: String = null,
+      options: Map[String, String] = Map("pathGlobFilter" -> "events.parquet"))
+      : DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = t(spark, sfDir, "events").schema
+    val reader = options.foldLeft(spark.readStream.schema(schema)) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    reader.parquet(Option(streamPath).getOrElse(sfDir))
+      .withColumn("ts", eventsTsColumn(schema("ts").dataType))
   }
 
   /** orders mapped to the sales silver shape (valid rows) — lets the medallion
@@ -331,14 +373,11 @@ object SparkEntry {
     // with AvailableNow over the events parquet and collected from a memory sink —
     // equals the equivalent batch rollup, which the DuckDB oracle checks.
     "q32_stream_windowed" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val staticSchema = t(s, dir, "events").schema
-      // the streaming file source wants a directory: stream the sf dir itself,
-      // glob-filtered down to the events table
-      val stream = s.readStream.schema(staticSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // the streaming file source wants a directory: eventsStream streams the
+      // sf dir itself, glob-filtered down to the events table
+      val stream = eventsStream(s, dir)
       val agg = Incremental.windowedCounts(stream,
-        ts = expr("timestamp_micros(ts DIV 1000)"), key = col("event_type"),
+        ts = col("ts"), key = col("event_type"),
         windowDuration = "1 hour", watermarkDelay = "1 hour", valueCol = col("value"))
       val sinkName = "graft_stream_windowed"
       s.catalog.dropTempView(sinkName)
@@ -594,11 +633,7 @@ object SparkEntry {
     // window in the dedup keys so state evicts; streamSessionSummaries shows
     // that bounded-state discipline.
     "q45_stream_dedup" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = t(s, dir, "events").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val stream = eventsStream(s, dir)
         .dropDuplicates("event_type", "user_id")
       val agg = stream.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_unique_users"))
@@ -656,11 +691,7 @@ object SparkEntry {
     // the event-time bound below that lets Spark evict matched-out rows, the
     // canonical stream-stream join recipe.
     "q48_stream_stream_join" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = t(s, dir, "events").schema
-      def side(tpe: String, pfx: String) = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      def side(tpe: String, pfx: String) = eventsStream(s, dir)
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${pfx}_user"), col("ts").as(s"${pfx}_ts"),
           col("value").as(s"${pfx}_value"))
@@ -1935,17 +1966,22 @@ object SparkEntry {
         round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
       graft.engine.Scratch.withTempDir("graft-feed-") { tmp =>
         val state = s"$tmp/state"
-        I.commitVersion(cust, state, 0L)
+        // Fixture writes are KB-sized snapshots: coalesce(1) so the bench
+        // measures the feed (one endpoint diff), not ~96 tiny setup files at
+        // 32 shuffle partitions. The feed itself stays width-preserving — at
+        // real scale the snapshots would be written wide and the diff would
+        // shuffle on the key as usual (PERF.md known fixed costs).
+        I.commitVersion(cust.coalesce(1), state, 0L)
         val u1 = cust.filter(col("c_custkey") % 3 === 0)
           .withColumn("c_mktsegment", lit("SEG_V1"))
         I.commitVersion(graft.engine.Merge.upsert(
           I.latestUpsertStateBefore(s, state, 1L).get, u1, Seq("c_custkey"))
-          .drop("merge_action"), state, 1L)
+          .drop("merge_action").coalesce(1), state, 1L)
         val u2 = cust.filter(col("c_custkey") % 5 === 0)
           .withColumn("bal_cents", col("bal_cents") + 777L)
         I.commitVersion(graft.engine.Merge.upsert(
           I.latestUpsertStateBefore(s, state, 2L).get, u2, Seq("c_custkey"))
-          .drop("merge_action"), state, 2L)
+          .drop("merge_action").coalesce(1), state, 2L)
         val rows = I.changeFeed(s, state, Seq("c_custkey"), fromV = 0L, toV = 2L)
           .groupBy(col("change_type"))
           .agg(count(lit(1)).as("n"),
@@ -2145,10 +2181,7 @@ object SparkEntry {
     // stream-stream join). Driven to completion with AvailableNow; the
     // oracle is the equivalent batch join, so enrichment must lose nothing.
     "q121_stream_static_join" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val staticSchema = t(s, dir, "events").schema
-      val stream = s.readStream.schema(staticSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = eventsStream(s, dir)
       val dim = t(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
       val agg = stream.join(broadcast(dim), Seq("user_id"))
@@ -2488,18 +2521,16 @@ object SparkEntry {
     // guarantees is unique per event_id (the Verify precondition), making
     // the survivor row deterministic. Oracle = batch DISTINCT.
     "q139_streaming_dedup" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val root = tempDirCleanedOnExit("graft-sdedup-")
       val in = new java.io.File(root, "in"); in.mkdirs()
       val src = java.nio.file.Paths.get(s"$dir/events.parquet")
       java.nio.file.Files.copy(src, java.nio.file.Paths.get(in.getPath, "replay1.parquet")): Unit
       java.nio.file.Files.copy(src, java.nio.file.Paths.get(in.getPath, "replay2.parquet")): Unit
-      val schema = t(s, dir, "events").schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(in.getPath)
+      val stream = eventsStream(s, dir, streamPath = in.getPath,
+          options = Map("maxFilesPerTrigger" -> "1"))
         .select(col("event_id"), col("event_type"),
           round(col("value") * 100).cast("long").as("value_cents"),
-          expr("timestamp_micros(ts DIV 1000)").as("__ts"))
+          col("ts").as("__ts"))
       val deduped = graft.engine.Incremental.streamingDedup(
         stream, Seq("event_id"), "__ts", "3650 days")
       val sinkName = "graft_streaming_dedup"

@@ -43,6 +43,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Leave a loud per-query marker so a crashed query shows up in the
+        // correctness artifact as a red row instead of a silently-missing key
+        // (round 8: 30 crashed queries vanished from CORRECTNESS_r08.json).
+        val d = new java.io.File(s"$outDir/$name"); d.mkdirs()
+        Files.writeString(Paths.get(d.getPath, "_error.txt"),
+          s"$name: ${e.getClass.getName}: ${e.getMessage}\n")
       }
       // Same per-query cleanup as Bench: a persisted projection (e.g. the
       // MinHash shingle cache, Dedup.scala) surviving into later queries only
