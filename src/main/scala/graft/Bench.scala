@@ -64,8 +64,16 @@ object Bench {
       if (ok) dt else -1.0
     }
 
+    // Optional comma-separated name filter for targeted iteration
+    // (SPARK_GRAFT_BENCH_ONLY=q111_change_feed,q127_pagerank); the driver
+    // never sets it, so the per-round artifact always covers every query.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+
     // Stable name order (not Map hash order).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val cold = runOnce(name, fn)
       val reps = Seq(runOnce(name, fn), runOnce(name, fn))
       val warm = reps.filter(_ >= 0) match {

@@ -259,4 +259,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"no data-table shuffle is acceptable for a request-sized subject set:\n$p")
   }
+
+  test("q127 pagerank: plan depth is constant across iterations (rebind, no lineage blowup)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+    def depth(iters: Int): Int =
+      graft.ext.Graph.pageRankIterations(edges, iters)
+        .queryExecution.executedPlan.toString.linesIterator.size
+    val d1 = depth(1)
+    val d4 = depth(4)
+    assert(d4 == d1,
+      s"pagerank plan grew with iteration count ($d1 lines at 1 iter, $d4 at 4) — " +
+        "the per-round rebind must keep the analyzed plan O(1) in iters")
+  }
+
+  test("q148 label propagation: plan depth is constant across rounds") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq((1L, 0L), (5L, 1L)).toDF("node", "label")
+    def depth(iters: Int): Int =
+      graft.ext.Graph.labelPropagation(edges, seeds, iters)
+        .queryExecution.executedPlan.toString.linesIterator.size
+    val d1 = depth(1)
+    val d3 = depth(3)
+    assert(d3 == d1,
+      s"label propagation plan grew with rounds ($d1 lines at 1, $d3 at 3) — " +
+        "the persisted-union rebind must keep the plan O(1) in rounds")
+  }
+
+  test("q131 cohort retention: pruned scan, partial aggs, no loop join, no 1-partition funnel") {
+    val p = planOf("q131_cohort_retention")
+    assert(p.contains("ReadSchema: struct<ts:") && !p.contains("props"),
+      s"events scan must prune to (ts, user_id):\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_min"),
+      s"both aggregations must combine map-side before their exchange:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"first-touch join must stay a hash equi-join on user_id:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"cohort rollup must never funnel through one partition:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3,
+      s"expected at most 3 hash exchanges (distinct, first-touch partial, rollup), got $exchanges:\n$p")
+  }
 }
