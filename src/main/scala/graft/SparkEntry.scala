@@ -2659,6 +2659,71 @@ object SparkEntry {
       graft.ext.Graph.labelPropagation(edges, seeds, iters = 2)
         .groupBy(col("label"), col("round"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_checksum"))
+    },
+
+    // BPE merge learning (ext.TextAnalysis.bpeMerges) — 4 rounds of the
+    // tokenizer-training loop over the UNIQUE-WORD frequency table
+    // (vocabulary-sized, not corpus-sized): per round one pair explode +
+    // map-side-combined count, one TakeOrdered top-1 (count DESC, pair asc —
+    // deterministic), one literal merge replace. The oracle replays the same
+    // four rounds as chained DuckDB CTEs.
+    "q149_bpe_merges" -> { (s, dir) =>
+      graft.ext.TextAnalysis.bpeMerges(t(s, dir, "documents"), col("text"),
+        rounds = 4)
+    },
+
+    // Exact 7-day rolling distinct users per day
+    // (ext.TimeSeries.rollingDistinct): dedupe to (user, active-day) pairs,
+    // contribute each pair to its ≤7 trailing window days (bounded sequence
+    // explode), dedupe, count — no COUNT(DISTINCT) OVER and no per-day
+    // re-scan self-join. The DAU/WAU query at 100 TB; sketch sibling = daily
+    // HLL tables (q109) merged across the window.
+    "q150_rolling_active" -> { (s, dir) =>
+      graft.ext.TimeSeries.rollingDistinct(
+        eventsTable(s, dir), "user_id", "ts", windowDays = 7)
+    },
+
+    // Exact heavy hitters by Misra–Gries candidates + exact recount
+    // (ext.HeavyHitters.exactHeavyHitters): tokens holding > 1/31 of the
+    // corpus token stream. Pass 1 carries 30 counters per partition (the
+    // mergeable MG summary — order-dependent residuals, order-INDEPENDENT
+    // superset guarantee); pass 2 recounts only the ≤30 candidates, so the
+    // output is exactly the full groupBy answer at sketch cost.
+    "q151_heavy_hitters" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      graft.ext.HeavyHitters.exactHeavyHitters(toks, col("tok"),
+        capacity = 30, keyName = "token")
+    },
+
+    // Exact two-sample Kolmogorov–Smirnov drift (ext.Rank.ksDrift) between
+    // early (< 1995-06-01) and late order-value distributions, in integer
+    // cents: max |cumA·nB − cumB·nA| over the merged value order, computed
+    // with the range-exchange + partition-offset machinery — the running sum
+    // never runs in a single-partition window. The "did the numeric
+    // distribution drift between snapshots" gate, exact.
+    "q152_ks_drift" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.ext.Rank.ksDrift(
+        o.filter(col("o_orderdate") < lit("1995-06-01")),
+        o.filter(col("o_orderdate") >= lit("1995-06-01")),
+        "cents")
+    },
+
+    // Contiguous total-order sharding (ext.Rank.orderedShards): documents in
+    // (n_chars DESC, doc_id) curriculum order cut into 16 equal contiguous
+    // shards — global ordinals from range exchange + broadcast partition
+    // offsets + per-partition row_number, never a global-sort window. Output
+    // proves the full assignment at metadata size: per shard, count,
+    // ordinal interval (contiguity) and doc-id checksum (content).
+    "q153_ordered_shards" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("neg_chars", -col("n_chars"))
+      graft.ext.Rank.orderedShards(docs, Seq("neg_chars", "doc_id"), "doc_id",
+        numShards = 16)
     }
   )
 
@@ -2671,6 +2736,43 @@ object SparkEntry {
   /** 60-bit md5 hash in DuckDB — the mirror of [[graft.ext.PortableHash.hash60]]. */
   private def h60Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** q149's oracle, generated for `rounds` rounds: the same BPE trainer loop
+    * as [[graft.ext.TextAnalysis.bpeMerges]] replayed as chained DuckDB CTEs
+    * — pair counts from the unique-word table (list-comprehension adjacency),
+    * top-1 by (cnt DESC, l, r), literal boundary-delimited merge replace. */
+  private def bpeOracleSql(rounds: Int): String = {
+    def pairs(s: String) =
+      s"""  SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest([struct_pack(l := syms[i], r := syms[i+1])
+         |                         for i in range(1, len(syms))]) AS p
+         |    FROM (SELECT freq, list_filter(string_split(seq, '·'), x -> x <> '') AS syms
+         |          FROM $s) t) u
+         |  GROUP BY 1, 2""".stripMargin
+    def apply(s: String, m: String) =
+      s"""  SELECT freq, replace(seq,
+         |    '·' || (SELECT l FROM $m) || '·' || (SELECT r FROM $m) || '·',
+         |    '·' || (SELECT l FROM $m) || (SELECT r FROM $m) || '·') AS seq FROM $s""".stripMargin
+    val head =
+      """WITH w AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        |    FROM documents) t
+        |  WHERE regexp_matches(word, '^[a-z0-9]+$') GROUP BY 1),
+        |s0 AS (SELECT freq, regexp_replace(word, '(.)', '·\1', 'g') || '·' AS seq FROM w)""".stripMargin
+    val body = (1 to rounds).map { i =>
+      val step = s",\np$i AS (\n${pairs(s"s${i - 1}")}),\n" +
+        s"m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"
+      if (i < rounds) step + s",\ns$i AS (\n${apply(s"s${i - 1}", s"m$i")})"
+      else step
+    }.mkString
+    val sel = (1 to rounds).map { i =>
+      if (i == 1)
+        s"SELECT CAST(1 AS INTEGER) AS round, l AS left_sym, r AS right_sym, cnt AS pair_cnt FROM m1"
+      else s"SELECT $i, l, r, cnt FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"$head$body\n$sel"
+  }
 
   /** Distinct word-3-shingles of `textExpr` (mirror of Shingles.wordShingles, k=3). */
   private def gramsSql(textExpr: String): String =
@@ -4820,7 +4922,68 @@ object SparkEntry {
         |l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM a2)
         |SELECT label, round, CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |       CAST(SUM(node) AS BIGINT) AS node_checksum
-        |FROM l2 GROUP BY 1, 2""".stripMargin
+        |FROM l2 GROUP BY 1, 2""".stripMargin,
+
+    "q149_bpe_merges" -> bpeOracleSql(rounds = 4),
+
+    "q150_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT d FROM ud),
+        |w AS (
+        |  SELECT DISTINCT ud.user_id, days.d AS wd
+        |  FROM ud JOIN days ON ud.d BETWEEN days.d - 6 AND days.d)
+        |SELECT wd AS window_day, CAST(COUNT(*) AS BIGINT) AS active_7d
+        |FROM w GROUP BY 1""".stripMargin,
+
+    "q151_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks WHERE tok <> '' GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+        |SELECT token, cnt FROM c WHERE cnt * 31 > (SELECT n FROM t)""".stripMargin,
+
+    "q152_ks_drift" ->
+      """WITH a AS (
+        |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderdate < DATE '1995-06-01'),
+        |b AS (
+        |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderdate >= DATE '1995-06-01'),
+        |ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ca FROM a GROUP BY 1),
+        |cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cb FROM b GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+        |             CAST(COUNT(*) AS BIGINT) AS nv FROM m),
+        |c AS (
+        |  SELECT v, CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+        |         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b FROM m),
+        |d AS (
+        |  SELECT v, ABS(cum_a * (SELECT nb FROM t) - cum_b * (SELECT na FROM t)) AS diff
+        |  FROM c),
+        |top AS (SELECT diff, v FROM d ORDER BY diff DESC, v ASC LIMIT 1)
+        |SELECT (SELECT na FROM t) AS n_a, (SELECT nb FROM t) AS n_b,
+        |       (SELECT nv FROM t) AS n_values,
+        |       (SELECT CAST(diff AS BIGINT) FROM top) AS ks_num,
+        |       (SELECT v FROM top) AS ks_at""".stripMargin,
+
+    "q153_ordered_shards" ->
+      """WITH r AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS ord
+        |  FROM documents),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r)
+        |SELECT CAST((ord - 1) * 16 // (SELECT n FROM t) AS INTEGER) AS shard,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(MIN(ord) AS BIGINT) AS min_ordinal,
+        |       CAST(MAX(ord) AS BIGINT) AS max_ordinal,
+        |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM r GROUP BY 1""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

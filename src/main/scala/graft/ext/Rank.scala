@@ -203,6 +203,138 @@ object Rank {
         .as("outlier_id_checksum"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov distance between the integer-typed
+    * `valueCol` distributions of `a` and `b`, computed distributively with NO
+    * global sort: KS = max over values v of |ECDF_a(v) − ECDF_b(v)|, kept as
+    * the exact integer numerator `|cumA(v)·nB − cumB(v)·nA|` over the common
+    * denominator nA·nB (cross-multiplied — never divides, same discipline as
+    * tokenDrift/histogramDrift, so the maximum and its location are exact).
+    *
+    * The naive plan is a running sum over the FULL value order — an empty
+    * PARTITION BY window, i.e. the single-reducer shape this file exists to
+    * kill. Here the per-value count table (vocabulary-sized, ≪ data) goes
+    * through the same range-exchange + frozen-scratch + partition-metadata
+    * machinery as [[valueAtRanks]]: per-partition count sums collect as
+    * metadata (one row per partition), cumulative offsets broadcast back, and
+    * the running sums complete inside a `Window.partitionBy(__pid)` — every
+    * sort partition-local.
+    *
+    * Output, one row: `(n_a, n_b, n_values, ks_num, ks_at)` where `ks_num` is
+    * the max numerator and `ks_at` the SMALLEST value achieving it (ties
+    * broken toward min value — deterministic). KS itself = ks_num / (nA·nB).
+    * EAGER like [[valueAtRanks]]. */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String,
+              numPartitions: Int = 32): DataFrame = {
+    val spark = a.sparkSession
+    def cnts(df: DataFrame, out: String) =
+      df.filter(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("long").as("__v"))
+        .groupBy(col("__v")).agg(count(lit(1)).as(out))
+    val m = cnts(a, "__ca").join(cnts(b, "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    graft.engine.Scratch.withTempDir("graft-ks-") { tmp =>
+      m.repartitionByRange(numPartitions, col("__v"))
+        .withColumn("__pid", spark_partition_id())
+        .write.mode("overwrite").parquet(s"$tmp/t")
+      val parts = spark.read.parquet(s"$tmp/t")
+      val meta = parts.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("__n"), sum(col("__ca")).as("__sa"),
+          sum(col("__cb")).as("__sb"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val nA = meta.map(_._3).sum
+      val nB = meta.map(_._4).sum
+      val nVals = meta.map(_._2).sum
+      val outSchema = StructType(Seq(
+        StructField("n_a", LongType, nullable = false),
+        StructField("n_b", LongType, nullable = false),
+        StructField("n_values", LongType, nullable = false),
+        StructField("ks_num", LongType, nullable = false),
+        StructField("ks_at", LongType, nullable = true)))
+      if (nVals == 0) {
+        spark.createDataFrame(
+          java.util.Arrays.asList(Row(0L, 0L, 0L, 0L, null)), outSchema)
+      } else {
+        val offA = meta.map(_._1).zip(meta.map(_._3).scanLeft(0L)(_ + _).init)
+        val offB = meta.map(_._1).zip(meta.map(_._4).scanLeft(0L)(_ + _).init)
+        val offsetsDf = spark.createDataFrame(
+          offA.zip(offB).map { case ((p, oa), (_, ob)) => (p, oa, ob) }.toList)
+          .toDF("__pid", "__offa", "__offb")
+        val w = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val best = parts
+          .withColumn("__ra", sum(col("__ca")).over(w))
+          .withColumn("__rb", sum(col("__cb")).over(w))
+          .join(broadcast(offsetsDf), Seq("__pid"))
+          .select(col("__v"),
+            abs((col("__offa") + col("__ra")) * nB
+              - (col("__offb") + col("__rb")) * nA).as("__d"))
+          // max diff, ties → smallest v: lexicographic max of (diff, -v).
+          .agg(max(struct(col("__d"), (-col("__v")).as("__nv"))).as("__m"))
+          .select(col("__m.__d").as("ks_num"), (-col("__m.__nv")).as("ks_at"))
+          .head()
+        spark.createDataFrame(java.util.Arrays.asList(
+          Row(nA, nB, nVals, best.getLong(0), best.getLong(1))), outSchema)
+      }
+    }
+  }
+
+  /** Contiguous total-order sharding for corpus export: assign every row of
+    * `df` its global 1-based ordinal in `orderCols` order (a total order —
+    * determinism needs no ties), cut the sequence into `numShards` contiguous
+    * shards of near-equal size (`shard = ((ordinal−1)·numShards) DIV n`, the
+    * balanced-split formula, sizes differing by ≤ 1), and return one summary
+    * row per shard: `(shard, n_rows, min_ordinal, max_ordinal, id_checksum)`
+    * with `id_checksum = sum(idCol)` over the shard's rows.
+    *
+    * This is q80's hash-sharding sibling for the exports that need ORDER —
+    * curriculum-ordered training shards, length-bucketed eval splits — where
+    * the naive `row_number() OVER (ORDER BY …)` is the canonical single-
+    * reducer scale-killer. Same machinery as [[valueAtRanks]]: range
+    * exchange, frozen scratch, per-partition counts as metadata → offsets,
+    * ordinal = broadcast offset + partition-local `row_number`. At 100 TB the
+    * per-shard output would be the written files themselves; the summary row
+    * proves the assignment (contiguity: max−min+1 = n_rows; content: the id
+    * checksum) at metadata size. EAGER like [[valueAtRanks]]. */
+  def orderedShards(df: DataFrame, orderCols: Seq[String], idCol: String,
+                    numShards: Int, numPartitions: Int = 32): DataFrame = {
+    require(orderCols.nonEmpty, "Rank.orderedShards: need order columns")
+    require(numShards >= 1, s"Rank.orderedShards: numShards must be >= 1")
+    val spark = df.sparkSession
+    graft.engine.Scratch.withTempDir("graft-shard-") { tmp =>
+      df.repartitionByRange(numPartitions, orderCols.map(col): _*)
+        .withColumn("__pid", spark_partition_id())
+        .write.mode("overwrite").parquet(s"$tmp/t")
+      val parts = spark.read.parquet(s"$tmp/t")
+      val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+      val offsetsDf = spark.createDataFrame(offsets.toList).toDF("__pid", "__off")
+      val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+      val rows = parts
+        .withColumn("__lrn", row_number().over(w))
+        .join(broadcast(offsetsDf), Seq("__pid"))
+        .withColumn("__ord", col("__off") + col("__lrn"))
+        // integer DIV, not double `/` — bit-exact at any n
+        .withColumn("shard", expr(s"CAST(((__ord - 1) * $numShards) DIV $n AS INT)"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("__ord")).as("min_ordinal"),
+          max(col("__ord")).as("max_ordinal"),
+          sum(col(idCol).cast("long")).as("id_checksum"))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          StructField("shard", org.apache.spark.sql.types.IntegerType, nullable = true),
+          StructField("n_rows", LongType, nullable = false),
+          StructField("min_ordinal", LongType, nullable = true),
+          StructField("max_ordinal", LongType, nullable = true),
+          StructField("id_checksum", LongType, nullable = true))))
+    }
+  }
+
   /** The lazy selection plan of step 4–5 — package-private so PlanSpec can
     * assert it contains no single-partition exchange / global sort. `parts`
     * must carry the `__pid` column; `offsets` maps pid → rows before it. */

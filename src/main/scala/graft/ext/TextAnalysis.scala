@@ -249,6 +249,68 @@ object TextAnalysis {
 
   /** Ordered word n-grams of `text`; a document shorter than `n` words
     * yields no n-grams. Generalizes [[bigrams]]. */
+  /** Byte-pair-encoding merge learning — the tokenizer-training primitive —
+    * run the way a distributed BPE trainer actually runs: NOT over the raw
+    * character stream (that explodes 100 TB of text into 100 TB of pairs per
+    * round) but over the UNIQUE-WORD FREQUENCY TABLE, which is
+    * vocabulary-sized (≪ corpus) and carries each word's count as the pair
+    * weight. Each round is then: one explode of adjacent symbol pairs over
+    * the vocabulary, one map-side-combined `groupBy(pair).sum(freq)`, one
+    * top-1 `TakeOrderedAndProject` (count DESC, then pair lexicographic — a
+    * total order, so the learned merge sequence is deterministic), and one
+    * narrow literal `replace` applying the merge. Driver state per round is
+    * ONE collected row (the winning pair — metadata-sized).
+    *
+    * Symbol sequences are boundary-delimited strings (`·a·b·c·` for "abc");
+    * a merge of (l,r) is the literal replace of `·l·r·` with `·lr·` — one
+    * left-to-right non-overlapping pass per round, the semantics BOTH
+    * engines' literal `replace` implement identically (a run like `aaa`
+    * therefore merges once per round, not cascade-within-round; documented so
+    * the oracle — the same chained replaces in DuckDB — agrees exactly).
+    * Words are restricted to `^[a-z0-9]+$` after lowercasing so the `(.)`
+    * char-split regex and the `·` delimiter behave identically across
+    * engines (no multi-code-unit surprises).
+    *
+    * Returns one row per learned merge: `(round, left_sym, right_sym,
+    * pair_cnt)` — EAGER (each round runs one small job; the chained lazy
+    * plan over the persisted vocabulary stays `rounds`-bounded). */
+  def bpeMerges(docs: DataFrame, textCol: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bpeMerges: rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val words = docs
+      .select(explode(tokens(lower(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("seq", concat(regexp_replace(col("w"), "(.)", "·$1"), lit("·")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cur = words.select(col("freq"), col("seq"))
+      val learned = (1 to rounds).map { round =>
+        val top = cur
+          .select(col("freq"),
+            expr("filter(split(seq, '·'), x -> x != '')").as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(desc("cnt"), asc("l"), asc("r"))
+          .limit(1).collect()
+        require(top.nonEmpty, s"bpeMerges: no pairs left at round $round")
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        cur = cur.withColumn("seq",
+          expr(s"replace(seq, '·${l}·${r}·', '·${l}${r}·')"))
+        (round, l, r, cnt)
+      }
+      spark.createDataFrame(learned.toList)
+        .toDF("round", "left_sym", "right_sym", "pair_cnt")
+    } finally words.unpersist(blocking = false)
+  }
+
   def ngrams(text: Column, n: Int): Column = {
     require(n >= 1, "ngrams: n must be positive")
     val toks = tokens(text)
