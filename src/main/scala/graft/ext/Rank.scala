@@ -261,19 +261,7 @@ object Rank {
         val offsetsDf = spark.createDataFrame(
           offA.zip(offB).map { case ((p, oa), (_, ob)) => (p, oa, ob) }.toList)
           .toDF("__pid", "__offa", "__offb")
-        val w = Window.partitionBy(col("__pid")).orderBy(col("__v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val best = parts
-          .withColumn("__ra", sum(col("__ca")).over(w))
-          .withColumn("__rb", sum(col("__cb")).over(w))
-          .join(broadcast(offsetsDf), Seq("__pid"))
-          .select(col("__v"),
-            abs((col("__offa") + col("__ra")) * nB
-              - (col("__offb") + col("__rb")) * nA).as("__d"))
-          // max diff, ties → smallest v: lexicographic max of (diff, -v).
-          .agg(max(struct(col("__d"), (-col("__v")).as("__nv"))).as("__m"))
-          .select(col("__m.__d").as("ks_num"), (-col("__m.__nv")).as("ks_at"))
-          .head()
+        val best = ksAssembly(parts, offsetsDf, nA, nB).head()
         spark.createDataFrame(java.util.Arrays.asList(
           Row(nA, nB, nVals, best.getLong(0), best.getLong(1))), outSchema)
       }
@@ -312,19 +300,8 @@ object Rank {
       val n = counts.map(_._2).sum
       val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
       val offsetsDf = spark.createDataFrame(offsets.toList).toDF("__pid", "__off")
-      val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
-      val rows = parts
-        .withColumn("__lrn", row_number().over(w))
-        .join(broadcast(offsetsDf), Seq("__pid"))
-        .withColumn("__ord", col("__off") + col("__lrn"))
-        // integer DIV, not double `/` — bit-exact at any n
-        .withColumn("shard", expr(s"CAST(((__ord - 1) * $numShards) DIV $n AS INT)"))
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("__ord")).as("min_ordinal"),
-          max(col("__ord")).as("max_ordinal"),
-          sum(col(idCol).cast("long")).as("id_checksum"))
-        .collect()
+      val rows =
+        shardAssembly(parts, offsetsDf, orderCols, idCol, numShards, n).collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*),
         StructType(Seq(
           StructField("shard", org.apache.spark.sql.types.IntegerType, nullable = true),
@@ -333,6 +310,47 @@ object Rank {
           StructField("max_ordinal", LongType, nullable = true),
           StructField("id_checksum", LongType, nullable = true))))
     }
+  }
+
+  /** The lazy running-sum + argmax plan of [[ksDrift]] — package-private so
+    * PlanSpec can assert the running sums stay inside per-`__pid` windows
+    * (no global sort). `parts` carries (__v, __ca, __cb, __pid); `offsetsDf`
+    * carries (__pid, __offa, __offb). One row out: (ks_num, ks_at). */
+  private[graft] def ksAssembly(parts: DataFrame, offsetsDf: DataFrame,
+                                nA: Long, nB: Long): DataFrame = {
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts
+      .withColumn("__ra", sum(col("__ca")).over(w))
+      .withColumn("__rb", sum(col("__cb")).over(w))
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .select(col("__v"),
+        abs((col("__offa") + col("__ra")) * nB
+          - (col("__offb") + col("__rb")) * nA).as("__d"))
+      // max diff, ties → smallest v: lexicographic max of (diff, -v).
+      .agg(max(struct(col("__d"), (-col("__v")).as("__nv"))).as("__m"))
+      .select(col("__m.__d").as("ks_num"), (-col("__m.__nv")).as("ks_at"))
+  }
+
+  /** The lazy ordinal + shard-summary plan of [[orderedShards]] —
+    * package-private for PlanSpec: the only window is per-`__pid`, no global
+    * sort anywhere. `parts` carries the data + `__pid`; `offsetsDf` carries
+    * (__pid, __off). */
+  private[graft] def shardAssembly(parts: DataFrame, offsetsDf: DataFrame,
+                                   orderCols: Seq[String], idCol: String,
+                                   numShards: Int, n: Long): DataFrame = {
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+    parts
+      .withColumn("__lrn", row_number().over(w))
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn("__ord", col("__off") + col("__lrn"))
+      // integer DIV, not double `/` — bit-exact at any n
+      .withColumn("shard", expr(s"CAST(((__ord - 1) * $numShards) DIV $n AS INT)"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__ord")).as("min_ordinal"),
+        max(col("__ord")).as("max_ordinal"),
+        sum(col(idCol).cast("long")).as("id_checksum"))
   }
 
   /** The lazy selection plan of step 4–5 — package-private so PlanSpec can

@@ -287,18 +287,7 @@ object TextAnalysis {
     try {
       var cur = words.select(col("freq"), col("seq"))
       val learned = (1 to rounds).map { round =>
-        val top = cur
-          .select(col("freq"),
-            expr("filter(split(seq, '·'), x -> x != '')").as("syms"))
-          .filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), " +
-              "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
-            .as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(desc("cnt"), asc("l"), asc("r"))
-          .limit(1).collect()
+        val top = bpePairTop(cur).collect()
         require(top.nonEmpty, s"bpeMerges: no pairs left at round $round")
         val (l, r, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
@@ -310,6 +299,23 @@ object TextAnalysis {
         .toDF("round", "left_sym", "right_sym", "pair_cnt")
     } finally words.unpersist(blocking = false)
   }
+
+  /** One BPE round's winning pair as a lazy plan — package-private so
+    * PlanSpec can assert the top-1 compiles to `TakeOrderedAndProject`
+    * (never a global sort) and the pair count aggregates map-side.
+    * `cur` carries (freq, seq); one row out: (l, r, cnt). */
+  private[graft] def bpePairTop(cur: DataFrame): DataFrame = cur
+    .select(col("freq"),
+      expr("filter(split(seq, '·'), x -> x != '')").as("syms"))
+    .filter(size(col("syms")) >= 2)
+    .select(col("freq"), explode(expr(
+      "transform(sequence(1, size(syms) - 1), " +
+        "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+      .as("p"))
+    .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+    .agg(sum(col("freq")).as("cnt"))
+    .orderBy(desc("cnt"), asc("l"), asc("r"))
+    .limit(1)
 
   def ngrams(text: Column, n: Int): Column = {
     require(n >= 1, "ngrams: n must be positive")

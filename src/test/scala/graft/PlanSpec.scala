@@ -301,4 +301,65 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3,
       s"expected at most 3 hash exchanges (distinct, first-touch partial, rollup), got $exchanges:\n$p")
   }
+
+  test("q149 BPE pair top-1 is TakeOrderedAndProject over a map-side-combined count") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cur = Seq((2L, "·a·b·"), (1L, "·a·b·c·")).toDF("freq", "seq")
+    val p = graft.ext.TextAnalysis.bpePairTop(cur)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"BPE round winner must be TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("partial_sum"),
+      s"pair counts must combine map-side before the exchange:\n$p")
+  }
+
+  test("q150 rolling distinct: explode + hash aggregates, no loop join, no 1-partition funnel") {
+    val p = planOf("q150_rolling_active")
+    assert(p.contains("Generate explode"), s"expected bounded window-day explode:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"active-day semi join must stay a hash/broadcast equi-join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-day counts must never funnel through one partition:\n$p")
+  }
+
+  test("q151 heavy hitters: recount pass pushes the candidate filter into the scan") {
+    val out = SparkEntry.queries("q151_heavy_hitters")(spark, sf)
+    val p = out.queryExecution.executedPlan.toString
+    // The second pass filters to ≤ capacity candidate keys before its one
+    // hash aggregate — no join, no second full-table pass shape.
+    assert(p.contains("HashAggregate"), s"expected hash-aggregate recount:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate recount must be a filter, not a join:\n$p")
+  }
+
+  test("q152/q153 assemblies: running sums and ordinals stay inside per-partition windows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withTempDir { dir =>
+      (1 to 500).map(i => (i.toLong, (i % 7).toLong, ((i * 3) % 5).toLong))
+        .toDF("__v", "__ca", "__cb")
+        .repartitionByRange(6, col("__v"))
+        .withColumn("__pid", spark_partition_id())
+        .write.parquet(s"$dir/t")
+      val parts = spark.read.parquet(s"$dir/t")
+      val offs = (0 until 6).map(p => (p, p * 10L, p * 20L))
+        .toDF("__pid", "__offa", "__offb")
+      val ks = graft.ext.Rank.ksAssembly(parts, offs, 100L, 100L)
+        .queryExecution.executedPlan.toString
+      assert(!ks.contains("], true, 0"), s"KS running sum must not global-sort:\n$ks")
+      assert(ks.contains("Window") && ks.contains("windowspecdefinition(__pid"),
+        s"expected per-__pid running-sum window:\n$ks")
+
+      val shardOffs = (0 until 6).map(p => (p, p * 10L)).toDF("__pid", "__off")
+      val sh = graft.ext.Rank.shardAssembly(parts.withColumnRenamed("__ca", "id"),
+        shardOffs, Seq("__v"), "id", numShards = 4, n = 500L)
+        .queryExecution.executedPlan.toString
+      assert(!sh.contains("], true, 0"), s"ordinal pass must not global-sort:\n$sh")
+      assert(!sh.contains("Exchange SinglePartition") || sh.contains("HashAggregate"),
+        s"shard summary must not funnel data rows through one partition:\n$sh")
+      assert(sh.contains("windowspecdefinition(__pid"),
+        s"expected per-__pid row_number window:\n$sh")
+    }
+  }
 }

@@ -1,0 +1,207 @@
+package graft
+
+import graft.ext.{HeavyHitters, Rank, TextAnalysis, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions: BPE merge learning, exact rolling distinct, Misra–Gries
+  * heavy hitters, KS drift, and contiguous total-order sharding. */
+class Round9Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- BPE
+
+  test("bpeMerges learns the hand-checkable merge sequence of a tiny corpus") {
+    // Corpus: "abab abab ab" → words {abab:2, ab:1}.
+    // Round 1 pairs: (a,b) weight 2·2+1=5... wait: abab has pairs (a,b),(b,a),(a,b)
+    //   → (a,b): 2 per 'abab' ×2 + 1 per 'ab' = 5; (b,a): 1 ×2 = 2. Winner (a,b).
+    // Applying ·a·b·→·ab·: 'abab' = ·a·b·a·b· → first match consumes [0,5) →
+    //   continue from 'a·b·' (no leading ·) → ·ab·a·b·? NO: the remainder
+    //   "a·b·" is appended verbatim, so seq = ·ab·a·b·. One merge per pass —
+    //   the second (a,b) survives to round 2.
+    // Round 2 pairs over {·ab·a·b·:2, ·ab·:1}: (ab,a):2, (a,b):2, (b,ab)? none.
+    //   Tie 2 vs 2 → lexicographic: (a,b) < (ab,a) → winner (a,b) again.
+    val docs = Seq("abab abab ab").toDF("text")
+    val got = TextAnalysis.bpeMerges(docs, col("text"), rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got(0) === ((1, "a", "b", 5L)))
+    assert(got(1) === ((2, "a", "b", 2L)))
+  }
+
+  test("bpeMerges merged symbols participate as single units in later rounds") {
+    // "xy xy xyz": round 1 merges (x,y) cnt 3. Round 2 the only adjacent pair
+    // left is (xy, z) cnt 1 — the merged symbol must act as one unit.
+    val docs = Seq("xy xy xyz").toDF("text")
+    val got = TextAnalysis.bpeMerges(docs, col("text"), rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got(0) === ((1, "x", "y", 3L)))
+    assert(got(1) === ((2, "xy", "z", 1L)))
+  }
+
+  test("bpeMerges ignores non-[a-z0-9] words and uses word frequency as weight") {
+    // 'Héllo' is dropped by the ascii filter; 'aa' ×3 dominates.
+    val docs = Seq("aa aa", "aa Héllo!!").toDF("text")
+    val got = TextAnalysis.bpeMerges(docs, col("text"), rounds = 1).collect()
+    assert(got.map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      === Seq(("a", "a", 3L)))
+  }
+
+  // ------------------------------------------------- rolling distinct
+
+  test("rollingDistinct counts an entity once per window even with many active days") {
+    // u1 active on d1, d2, d3 (all within one 7-day window); u2 on d1 only.
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 10:00:00"),
+      (1L, "2024-01-03 10:00:00"), (2L, "2024-01-01 23:59:59"))
+      .toDF("u", "ts").withColumn("ts", to_timestamp(col("ts")))
+    val got = TimeSeries.rollingDistinct(df, "u", "ts", windowDays = 7)
+      .orderBy("window_day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    // Window days = the 3 active days; u1 contributes to all, u2 to all
+    // (d1+6 covers them), so each day counts 2.
+    assert(got === Array(("2024-01-01", 2L), ("2024-01-02", 2L), ("2024-01-03", 2L)))
+  }
+
+  test("rollingDistinct expires entities outside the trailing window") {
+    val df = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-09 00:00:00"))
+      .toDF("u", "ts").withColumn("ts", to_timestamp(col("ts")))
+    val got = TimeSeries.rollingDistinct(df, "u", "ts", windowDays = 7)
+      .orderBy("window_day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    // Jan 9 is 8 days after Jan 1 — u1 has aged out.
+    assert(got === Array(("2024-01-01", 1L), ("2024-01-09", 1L)))
+  }
+
+  test("rollingDistinct matches the naive per-day count-distinct on random data") {
+    val rnd = new scala.util.Random(9)
+    val rows = Seq.fill(400)((rnd.nextInt(25).toLong,
+      s"2024-02-${"%02d".format(1 + rnd.nextInt(28))} 12:00:00"))
+    val df = rows.toDF("u", "ts").withColumn("ts", to_timestamp(col("ts")))
+    val got = TimeSeries.rollingDistinct(df, "u", "ts", windowDays = 7)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    val byDay = rows.map { case (u, ts) => (u, ts.take(10)) }.distinct
+    val days = byDay.map(_._2).distinct
+    val naive = days.map { d =>
+      d -> byDay.filter { case (_, ad) =>
+        ad <= d && java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(ad), java.time.LocalDate.parse(d)) <= 6
+      }.map(_._1).distinct.size.toLong
+    }.toMap
+    assert(got === naive)
+  }
+
+  // ---------------------------------------------------- heavy hitters
+
+  test("MisraGries summary is a superset of true heavy keys under adversarial order") {
+    // Stream engineered so rare keys arrive between heavy runs: 3 heavy keys
+    // (freq 40 each) + 80 singletons, n = 200, capacity 4 → guarantee
+    // threshold n/5 = 40: every key with freq > 40... use 50 to be clearly
+    // above. Shuffle deterministically; the summary must retain the heavy keys
+    // whatever the partition/merge order.
+    val heavy = Seq.fill(50)("h1") ++ Seq.fill(50)("h2") ++ Seq.fill(50)("h3")
+    val noise = (1 to 50).map(i => s"r$i")
+    val stream = new scala.util.Random(7).shuffle(heavy ++ noise)
+    val df = stream.toDF("k").repartition(7) // force multi-partition merges
+    val summary = df.agg(HeavyHitters.misraGries(4)(col("k"))).head()
+      .getAs[Map[String, Long]](0)
+    assert(summary.size <= 4)
+    assert(Set("h1", "h2", "h3").subsetOf(summary.keySet),
+      s"heavy keys missing from $summary")
+  }
+
+  test("exactHeavyHitters equals the full groupBy answer (pruning regime)") {
+    val rnd = new scala.util.Random(11)
+    // Zipf-ish: key i appears ~ 1000/i times, many distinct keys, capacity 10.
+    val stream = (1 to 60).flatMap(i => Seq.fill(1000 / i)(s"k$i"))
+    val df = rnd.shuffle(stream).toDF("k").repartition(5)
+    val got = HeavyHitters.exactHeavyHitters(df, col("k"), capacity = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val n = stream.size
+    val expected = stream.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      .filter { case (_, c) => c * 11 > n }.toSet
+    assert(expected.nonEmpty, "test must exercise a nonempty answer")
+    assert(got === expected)
+  }
+
+  test("exactHeavyHitters on an empty stream returns an empty typed frame") {
+    val df = Seq.empty[String].toDF("k")
+    val out = HeavyHitters.exactHeavyHitters(df, col("k"), capacity = 5,
+      keyName = "token")
+    assert(out.columns.toSeq === Seq("token", "cnt"))
+    assert(out.count() === 0)
+  }
+
+  // --------------------------------------------------------- KS drift
+
+  test("ksDrift is zero for identical distributions and maximal for disjoint ones") {
+    val a = (1L to 100L).toDF("v")
+    val same = Rank.ksDrift(a, (1L to 100L).toDF("v"), "v", numPartitions = 4).head()
+    assert(same.getAs[Long]("ks_num") === 0L)
+    val b = (101L to 200L).toDF("v")
+    val disj = Rank.ksDrift(a, b, "v", numPartitions = 4).head()
+    // At v=100: cumA=100, cumB=0 → |100·100 − 0·100| = 10000 = nA·nB (KS=1).
+    assert(disj.getAs[Long]("ks_num") === 10000L)
+    assert(disj.getAs[Long]("ks_at") === 100L)
+    assert(disj.getAs[Long]("n_values") === 200L)
+  }
+
+  test("ksDrift matches the single-partition window oracle on random data") {
+    val rnd = new scala.util.Random(13)
+    val a = Seq.fill(500)(rnd.nextInt(40).toLong).toDF("v")
+    val b = Seq.fill(300)((rnd.nextInt(40) + rnd.nextInt(10)).toLong).toDF("v")
+    val got = Rank.ksDrift(a, b, "v", numPartitions = 5).head()
+    // Naive oracle: global-order running sums in one window.
+    val ca = a.groupBy("v").count().withColumnRenamed("count", "ca")
+    val cb = b.groupBy("v").count().withColumnRenamed("count", "cb")
+    val m = ca.join(cb, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = m.withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+      .withColumn("diff", abs(col("cuma") * 300L - col("cumb") * 500L))
+      .orderBy(desc("diff"), asc("v")).limit(1).head()
+    assert(got.getAs[Long]("ks_num") === naive.getAs[Long]("diff"))
+    assert(got.getAs[Long]("ks_at") === naive.getAs[Long]("v"))
+  }
+
+  // ----------------------------------------------------- ordered shards
+
+  test("orderedShards covers 1..n contiguously with balanced sizes") {
+    val df = (1L to 103L).map(i => (i, 1000L - i)).toDF("id", "key")
+    val shards = Rank.orderedShards(df, Seq("key", "id"), "id",
+      numShards = 8, numPartitions = 4)
+      .orderBy("shard").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(shards.map(_._1).toSeq === (0 until 8))
+    // Contiguity: each shard's ordinal interval is exactly its row count and
+    // chains onto the previous one.
+    shards.foldLeft(0L) { case (prevMax, (_, nRows, minOrd, maxOrd, _)) =>
+      assert(minOrd === prevMax + 1)
+      assert(maxOrd - minOrd + 1 === nRows)
+      maxOrd
+    }
+    assert(shards.map(_._2).sum === 103L)
+    // Balanced: sizes differ by at most 1.
+    val sizes = shards.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    // Order: key ascending = id descending, so shard 0 holds the LARGEST ids.
+    assert(shards.head._5 === (91L to 103L).sum)
+  }
+
+  test("orderedShards ordinal assignment matches a global row_number") {
+    val rnd = new scala.util.Random(17)
+    val df = (1L to 200L).map(i => (i, rnd.nextInt(1000).toLong * 1000L + i))
+      .toDF("id", "key")
+    val shards = Rank.orderedShards(df, Seq("key", "id"), "id",
+      numShards = 5, numPartitions = 6).collect()
+      .map(r => (r.getInt(0), r.getLong(4))).toMap
+    val sorted = df.orderBy("key", "id").collect().map(_.getLong(0))
+    val expected = sorted.zipWithIndex
+      .groupBy { case (_, idx) => (idx.toLong * 5L / 200L).toInt }
+      .map { case (s, rows) => s -> rows.map(_._1).sum }
+    assert(shards === expected)
+  }
+}
