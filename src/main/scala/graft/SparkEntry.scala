@@ -2724,6 +2724,17 @@ object SparkEntry {
         .withColumn("neg_chars", -col("n_chars"))
       graft.ext.Rank.orderedShards(docs, Seq("neg_chars", "doc_id"), "doc_id",
         numShards = 16)
+    },
+
+    // Corpus similarity map from per-label centroid embeddings
+    // (ext.Similarity.centroidSimilarityMap): one data pass reduces each
+    // label to an integer-quantized centroid sum vector; all 45 pairwise
+    // cosines run on the 10×64 centroid table (metadata-sized) and are
+    // emitted as exact integer dot ingredients — the "which sources overlap
+    // in embedding space" input to mixture design.
+    "q154_centroid_similarity" -> { (s, dir) =>
+      graft.ext.Similarity.centroidSimilarityMap(
+        t(s, dir, "embeddings"), "label", "embedding")
     }
   )
 
@@ -4983,7 +4994,30 @@ object SparkEntry {
         |       CAST(MIN(ord) AS BIGINT) AS min_ordinal,
         |       CAST(MAX(ord) AS BIGINT) AS max_ordinal,
         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
-        |FROM r GROUP BY 1""".stripMargin
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q154_centroid_similarity" ->
+      """WITH q AS (
+        |  SELECT CAST(label AS BIGINT) AS lab,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS e,
+        |         unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT lab, i, CAST(SUM(CAST(ROUND(e * 1000.0) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM q GROUP BY 1, 2),
+        |n AS (SELECT CAST(label AS BIGINT) AS lab, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM embeddings GROUP BY 1),
+        |d AS (
+        |  SELECT a.lab AS la, b.lab AS lb, CAST(SUM(a.sv * b.sv) AS BIGINT) AS dot
+        |  FROM s a JOIN s b ON a.i = b.i GROUP BY 1, 2)
+        |SELECT x.la AS label_a, x.lb AS label_b, na.n AS n_a, nb.n AS n_b,
+        |       x.dot AS dot_ab, aa.dot AS dot_aa, bb.dot AS dot_bb
+        |FROM d x
+        |JOIN d aa ON aa.la = x.la AND aa.lb = x.la
+        |JOIN d bb ON bb.la = x.lb AND bb.lb = x.lb
+        |JOIN n na ON na.lab = x.la
+        |JOIN n nb ON nb.lab = x.lb
+        |WHERE x.la < x.lb""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

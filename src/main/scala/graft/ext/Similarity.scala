@@ -169,4 +169,55 @@ object Similarity {
       .distinct()
     embeddings.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Corpus/source similarity map from per-group centroid embeddings — the
+    * mixture-design question "which sources cover the same embedding space"
+    * answered without any vector-to-vector join: ONE pass over the data
+    * reduces each group to its centroid SUM vector, and all pairwise
+    * similarity runs on the groups×dims table (metadata-sized — 10 sources ×
+    * 64 dims here, still driver-trivial at thousands of sources).
+    *
+    * Exactness discipline: float means are association-order-dependent, so
+    * sums are computed over PRE-QUANTIZED integers (`round(x·scale)` per
+    * element, double arithmetic, round-half-away — the q91 convention DuckDB
+    * mirrors bit-exactly) — integer sums commute, so the centroid table is
+    * engine- and partition-order-exact. Cosine is emitted as its integer
+    * ingredients `(dot_ab, dot_aa, dot_bb)` (cos² = dot_ab²/(aa·bb)); no
+    * square root ever taken, so the output hash-compares.
+    *
+    * Scale shape: posexplode multiplies rows ×dims but partial-aggregates
+    * map-side, so the shuffle carries groups×dims rows; the pairwise stage is
+    * a broadcast join over the group table only. Overflow bound: each sum
+    * component ≤ scale·n·max|x|, and dots square that — with scale 10³,
+    * |x| ≤ ~4 and 64 dims, safe to ~10⁷ rows per group; raise partitions
+    * or drop scale for more.
+    *
+    * Output: one row per unordered group pair (a < b):
+    * `(label_a, label_b, n_a, n_b, dot_ab, dot_aa, dot_bb)`. */
+  def centroidSimilarityMap(emb: DataFrame, labelCol: String, vecCol: String,
+                            scale: Long = 1000L): DataFrame = {
+    val q = emb.select(col(labelCol).cast("long").as("__lab"),
+      expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale.0) AS BIGINT))")
+        .as("__q"))
+    val sums = q.select(col("__lab"), posexplode(col("__q")).as(Seq("__i", "__x")))
+      .groupBy(col("__lab"), col("__i"))
+      .agg(sum(col("__x")).as("__s"))
+    val cents = sums.groupBy(col("__lab"))
+      .agg(expr("transform(array_sort(collect_list(struct(__i, __s))), r -> r.__s)")
+        .as("__c"))
+      .join(q.groupBy(col("__lab")).agg(count(lit(1)).as("__n")), Seq("__lab"))
+    val a = cents.select(col("__lab").as("label_a"), col("__c").as("__ca"),
+      col("__n").as("n_a"))
+    val b = cents.select(col("__lab").as("label_b"), col("__c").as("__cb"),
+      col("__n").as("n_b"))
+    // groups×groups pair table — metadata-sized, so the loop join is fine.
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        expr("aggregate(zip_with(__ca, __cb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("dot_ab"),
+        expr("aggregate(transform(__ca, x -> x * x), 0L, (acc, v) -> acc + v)")
+          .as("dot_aa"),
+        expr("aggregate(transform(__cb, x -> x * x), 0L, (acc, v) -> acc + v)")
+          .as("dot_bb"))
+  }
 }

@@ -191,6 +191,38 @@ class Round9Spec extends SparkSpec {
     assert(shards.head._5 === (91L to 103L).sum)
   }
 
+  // ---------------------------------------------- centroid similarity
+
+  test("centroidSimilarityMap emits exact integer dot ingredients per pair") {
+    val emb = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.0f)), // label 0 sum → [2000, 0]
+      (1, Seq(0.0f, 2.0f)),                       // label 1 sum → [0, 2000]
+      (2, Seq(1.0f, 2.0f)))                       // label 2 sum → [1000, 2000]
+      .toDF("label", "embedding")
+    val got = graft.ext.Similarity
+      .centroidSimilarityMap(emb, "label", "embedding")
+      .orderBy("label_a", "label_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got === Array(
+      (0L, 1L, 2L, 1L, 0L, 4000000L, 4000000L),        // orthogonal
+      (0L, 2L, 2L, 1L, 2000000L, 4000000L, 5000000L),
+      (1L, 2L, 1L, 1L, 4000000L, 4000000L, 5000000L)))
+  }
+
+  test("centroidSimilarityMap is partition-order invariant (integer sums commute)") {
+    val rnd = new scala.util.Random(19)
+    val emb = Seq.fill(120)((rnd.nextInt(4),
+      Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("label", "embedding")
+    val once = graft.ext.Similarity
+      .centroidSimilarityMap(emb, "label", "embedding")
+      .orderBy("label_a", "label_b").collect().toSeq
+    val again = graft.ext.Similarity
+      .centroidSimilarityMap(emb.repartition(7), "label", "embedding")
+      .orderBy("label_a", "label_b").collect().toSeq
+    assert(once === again)
+  }
+
   test("orderedShards ordinal assignment matches a global row_number") {
     val rnd = new scala.util.Random(17)
     val df = (1L to 200L).map(i => (i, rnd.nextInt(1000).toLong * 1000L + i))
