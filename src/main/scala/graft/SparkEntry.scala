@@ -2735,6 +2735,38 @@ object SparkEntry {
     "q154_centroid_similarity" -> { (s, dir) =>
       graft.ext.Similarity.centroidSimilarityMap(
         t(s, dir, "embeddings"), "label", "embedding")
+    },
+
+    // Token co-occurrence with lift (ext.TextAnalysis.cooccurrenceLift):
+    // top-20 token pairs by document co-occurrence, with exact integer lift
+    // ingredients (n_ab·n_docs vs n_a·n_b) — association mining for query
+    // expansion / boilerplate-template detection. Pairs explode per-document
+    // from the DISTINCT token set (bounded by per-doc vocabulary, no
+    // token×token shuffle join).
+    "q155_cooccurrence_lift" -> { (s, dir) =>
+      graft.ext.TextAnalysis.cooccurrenceLift(
+        t(s, dir, "documents"), "doc_id", col("text"), k = 20)
+    },
+
+    // Hybrid-retrieval reciprocal-rank fusion (ext.TextAnalysis.rrfFuse):
+    // lexical BM25 top-20 (q126's scorer) fused with semantic cosine top-20
+    // (q27's scorer, vec_id ≡ doc_id in the testdata) via integer RRF
+    // (10⁶ DIV (60 + rank), summed). The rankings are deterministic (micro-
+    // integer BM25; 6dp-rounded cosine, id tie-breaks), so the fused list
+    // hash-compares. Rank windows run over the already-bounded top-k lists.
+    "q156_hybrid_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.ext.TextAnalysis.bm25TopDocs(t(s, dir, "documents"),
+          Seq("scan", "merge", "vector"), k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score_micros"), asc("doc_id"))).cast("long"))
+      val sem = graft.ext.Similarity.cosineTopK(t(s, dir, "embeddings"),
+          queryId = 0, k = 20)
+        .withColumnRenamed("vec_id", "doc_id")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("cos_sim"), asc("doc_id"))).cast("long"))
+      graft.ext.TextAnalysis.rrfFuse(lex.select(col("doc_id"), col("rank")),
+        sem.select(col("doc_id"), col("rank")), "doc_id", k = 10)
     }
   )
 
@@ -5017,7 +5049,75 @@ object SparkEntry {
         |JOIN d bb ON bb.la = x.lb AND bb.lb = x.lb
         |JOIN n na ON na.lab = x.la
         |JOIN n nb ON nb.lab = x.lb
-        |WHERE x.la < x.lb""".stripMargin
+        |WHERE x.la < x.lb""".stripMargin,
+
+    "q155_cooccurrence_lift" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |dt2 AS (SELECT doc_id, tok FROM dt WHERE tok <> ''),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM dt2),
+        |tot AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS na FROM dt2 GROUP BY 1),
+        |p AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM dt2 a JOIN dt2 b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2)
+        |SELECT tok_a, tok_b, n_ab, ta.na AS n_a, tb.na AS n_b,
+        |       (SELECT nd FROM nd) AS n_docs,
+        |       n_ab * (SELECT nd FROM nd) AS lift_num,
+        |       ta.na * tb.na AS lift_den
+        |FROM p
+        |JOIN tot ta ON ta.tok = tok_a
+        |JOIN tot tb ON tb.tok = tok_b
+        |ORDER BY n_ab DESC, tok_a ASC, tok_b ASC LIMIT 20""".stripMargin,
+
+    "q156_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |                 CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |       WHERE term IN ('scan', 'merge', 'vector') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |cb AS (
+        |  SELECT tf.doc_id,
+        |         CAST(ROUND(
+        |           ln(1e0 + (stats.n - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0))
+        |           * (tf.tf * 2.2e0)
+        |           / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0
+        |                * (dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n))))
+        |           * 1000000e0) AS BIGINT) AS c
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |bmtop AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micros
+        |  FROM cb GROUP BY 1
+        |  ORDER BY score_micros DESC, doc_id LIMIT 20),
+        |lex AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id)
+        |           AS rank_lex
+        |  FROM bmtop),
+        |costop AS (
+        |  SELECT e.vec_id AS doc_id,
+        |         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY cos_sim DESC, e.vec_id LIMIT 20),
+        |sem AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id)
+        |           AS rank_sem
+        |  FROM costop)
+        |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+        |       rank_lex, rank_sem,
+        |       COALESCE(1000000 // (60 + rank_lex), 0)
+        |         + COALESCE(1000000 // (60 + rank_sem), 0) AS rrf_micros
+        |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        |ORDER BY rrf_micros DESC, doc_id ASC LIMIT 10""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

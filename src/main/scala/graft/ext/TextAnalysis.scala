@@ -300,6 +300,70 @@ object TextAnalysis {
     } finally words.unpersist(blocking = false)
   }
 
+  /** Token co-occurrence with lift — the association-mining question "which
+    * token pairs appear together more than their solo frequencies predict"
+    * (query-expansion, collocation discovery, template detection in a crawl).
+    *
+    * Shape: per-document DISTINCT token sets (array_distinct before any
+    * explode), pairs generated per document from the sorted set — the
+    * per-document explode is bounded by the document's VOCABULARY squared,
+    * not its length, and there is no token×token self-join shuffle; pair
+    * counts and solo counts are both map-side-combined aggregates. Lift is
+    * emitted exactly as integer ingredients: `lift_num = n_ab·n_docs`,
+    * `lift_den = n_a·n_b` (lift = num/den — never divided, so ranking and
+    * hashing stay exact). Top `k` pairs by support `(n_ab DESC, pair asc)` —
+    * a TakeOrdered, never a global sort. */
+  def cooccurrenceLift(docs: DataFrame, idCol: String, textCol: Column,
+                       k: Int): DataFrame = {
+    val toksOf = array_sort(array_distinct(
+      filter(tokens(lower(textCol)), x => x =!= "")))
+    val dt = docs.select(col(idCol).as("__doc"), explode(toksOf).as("tok"))
+    val nDocs = dt.select(col("__doc")).distinct().agg(count(lit(1)).as("__nd"))
+    val totals = dt.groupBy(col("tok")).agg(count(lit(1)).as("__na"))
+    docs.select(col(idCol).as("__doc"), toksOf.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(__t) - 1), " +
+          "i -> transform(slice(__t, i + 1, size(__t) - i), " +
+          "y -> struct(element_at(__t, i) AS a, y AS b))))")).as("p"))
+      .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(totals.select(col("tok").as("tok_a"), col("__na").as("n_a")), Seq("tok_a"))
+      .join(totals.select(col("tok").as("tok_b"), col("__na").as("n_b")), Seq("tok_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("__nd").as("n_docs"),
+        (col("n_ab") * col("__nd")).as("lift_num"),
+        (col("n_a") * col("n_b")).as("lift_den"))
+      .orderBy(desc("n_ab"), asc("tok_a"), asc("tok_b"))
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion of two ranked retrieval lists — the standard
+    * hybrid-search combiner (lexical BM25 + semantic cosine): each list
+    * contributes `scale DIV (c + rank)` to a document's fused score, summed.
+    * Integer throughout (`scale` = 10⁶ micros), so fusion is exact and
+    * engine-portable; a document present in only one list simply gets no
+    * contribution from the other (the standard RRF convention).
+    *
+    * Inputs are top-k lists — already bounded — so the full-outer merge and
+    * final TakeOrdered run on ≤ |A|+|B| rows (metadata-sized); the heavy
+    * lifting happened in the upstream retrieval queries. Output:
+    * `(id, rank_lex, rank_sem, rrf_micros)` top `k` by
+    * `(rrf_micros DESC, id)`. */
+  def rrfFuse(rankedLex: DataFrame, rankedSem: DataFrame, idCol: String,
+              k: Int, c: Long = 60L, scale: Long = 1000000L): DataFrame = {
+    val a = rankedLex.select(col(idCol), col("rank").as("rank_lex"))
+    val b = rankedSem.select(col(idCol), col("rank").as("rank_sem"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol), col("rank_lex"), col("rank_sem"),
+        (coalesce(expr(s"$scale DIV ($c + rank_lex)"), lit(0L))
+          + coalesce(expr(s"$scale DIV ($c + rank_sem)"), lit(0L)))
+          .as("rrf_micros"))
+      .orderBy(desc("rrf_micros"), asc(idCol))
+      .limit(k)
+  }
+
   /** One BPE round's winning pair as a lazy plan — package-private so
     * PlanSpec can assert the top-1 compiles to `TakeOrderedAndProject`
     * (never a global sort) and the pair count aggregates map-side.

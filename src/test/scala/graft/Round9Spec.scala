@@ -167,6 +167,30 @@ class Round9Spec extends SparkSpec {
     assert(got.getAs[Long]("ks_at") === naive.getAs[Long]("v"))
   }
 
+  // ------------------------------------------- co-occurrence + fusion
+
+  test("cooccurrenceLift counts each pair once per document with exact lift terms") {
+    // d1 {a,b}, d2 {a,b,c}, d3 {b,c} — 'a a b' proves within-doc dedupe.
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "b c")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis
+      .cooccurrenceLift(docs, "doc_id", col("text"), k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got === Array(
+      ("a", "b", 2L, 2L, 3L, 3L, 6L, 6L),
+      ("b", "c", 2L, 3L, 2L, 3L, 6L, 6L),
+      ("a", "c", 1L, 2L, 2L, 3L, 3L, 4L)))
+  }
+
+  test("rrfFuse sums integer reciprocal ranks and handles one-list documents") {
+    val lex = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val sem = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val got = graft.ext.TextAnalysis.rrfFuse(lex, sem, "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // doc2: 10⁶/62 + 10⁶/61 = 16129 + 16393; doc1: 10⁶/61; doc3: 10⁶/62.
+    assert(got === Array((2L, 32522L), (1L, 16393L), (3L, 16129L)))
+  }
+
   // ----------------------------------------------------- ordered shards
 
   test("orderedShards covers 1..n contiguously with balanced sizes") {
