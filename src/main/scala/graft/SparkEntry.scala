@@ -2767,6 +2767,18 @@ object SparkEntry {
           Window.orderBy(desc("cos_sim"), asc("doc_id"))).cast("long"))
       graft.ext.TextAnalysis.rrfFuse(lex.select(col("doc_id"), col("rank")),
         sem.select(col("doc_id"), col("rank")), "doc_id", k = 10)
+    },
+
+    // Exact set-similarity self-join via prefix filtering
+    // (ext.Dedup.prefixFilterJaccardPairs, the PPJoin principle): ALL pairs
+    // with 3-shingle Jaccard ≥ 0.6 over the planted-near-dup corpus —
+    // guaranteed-complete recall (the deterministic sibling of q24's MinHash
+    // banding), candidates from a rarest-first prefix-token EQUI-join, exact
+    // integer verify. The oracle is the naive quadratic join: completeness
+    // of the blocking scheme is hash-proven, not argued (q129 discipline).
+    "q157_prefix_jaccard_join" -> { (s, dir) =>
+      graft.ext.Dedup.prefixFilterJaccardPairs(
+        docsWithPlantedNearDups(s, dir), k = 3, tauMilli = 600L)
     }
   )
 
@@ -5117,7 +5129,21 @@ object SparkEntry {
         |       COALESCE(1000000 // (60 + rank_lex), 0)
         |         + COALESCE(1000000 // (60 + rank_sem), 0) AS rrf_micros
         |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
-        |ORDER BY rrf_micros DESC, doc_id ASC LIMIT 10""".stripMargin
+        |ORDER BY rrf_micros DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q157_prefix_jaccard_join" ->
+      s"""WITH $docsCorpusSql,
+         |sh AS (
+         |  SELECT doc_id, ${gramsSql("text")} AS grams
+         |  FROM corpus)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter_size,
+         |       CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT)
+         |         AS union_size
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) * 1000
+         |      >= CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) * 600"""
+      .stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

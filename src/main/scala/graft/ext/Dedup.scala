@@ -687,4 +687,66 @@ object Dedup {
       consume(flagged)
     }
   }
+
+  /** EXACT set-similarity self-join by prefix filtering — all document pairs
+    * with shingle-Jaccard ≥ τ, with GUARANTEED complete recall (the
+    * deterministic counterpart to MinHash banding, whose recall is
+    * probabilistic). Implemented from the published prefix-filter principle
+    * (Chaudhuri et al. 2006 / PPJoin, Xiao et al. 2008 — the pigeonhole
+    * argument, no reference code):
+    *
+    * order every document's shingles by a GLOBAL total order (corpus
+    * frequency ascending, then shingle — rarest first, fewest candidates) and
+    * keep only the first `|x| − ⌈τ·|x|⌉ + 1` as the document's PREFIX. If
+    * Jaccard(x,y) ≥ τ then `|x∩y| ≥ τ·|x∪y| ≥ τ·max(|x|,|y|)`, so fewer than
+    * `|x| − ⌈τ·|x|⌉ + 1` of x's tokens lie outside the intersection — every
+    * qualifying pair therefore shares at least one PREFIX token, and the
+    * candidate set from the prefix-token equi-join is complete. Candidates
+    * additionally pass the length filter (`1000·min(n) ≥ τ‰·max(n)` — a
+    * Jaccard ≥ τ pair cannot differ in size by more than τ) before the exact
+    * integer verify `1000·|x∩y| ≥ τ‰·|x∪y|`.
+    *
+    * Scale shape: the prefix join is an EQUI-join on shingle strings whose
+    * left/right sizes are prefix-token rows (≈ (1−τ)·corpus shingles), never
+    * an all-pairs product; frequency ordering puts the rarest shingles in
+    * prefixes, so candidate fan-out per token is small; the verify runs set
+    * intersection ONLY on surviving candidates. The oracle is the naive
+    * quadratic join, so completeness is hash-PROVEN each round, not argued
+    * (the q129 discipline). All comparisons integer — τ in per-mille.
+    *
+    * Output: `(id_a, id_b, inter_size, union_size)` for every pair with
+    * `id_a < id_b` and Jaccard ≥ τ. */
+  def prefixFilterJaccardPairs(docs: DataFrame, k: Int, tauMilli: Long,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame = {
+    require(tauMilli >= 1 && tauMilli <= 1000,
+      s"prefixFilterJaccardPairs: tau must be in (0, 1] per-mille, got $tauMilli")
+    val sh = shingleSets(docs, k, idCol, textCol)
+    val toks = sh.select(col(idCol), explode(col("sh")).as("s"))
+    val freq = toks.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    // Rarest-first sorted shingles per doc, cut to the prefix length
+    // n − ceil(τ·n) + 1 (integer ceil: (τ‰·n + 999) DIV 1000).
+    val prefixes = toks.join(freq, Seq("s"))
+      .groupBy(col(idCol))
+      .agg(expr("transform(array_sort(collect_list(struct(f, s))), r -> r.s)")
+        .as("__ord"))
+      .select(col(idCol), size(col("__ord")).as("n"),
+        explode(expr(s"slice(__ord, 1, " +
+          s"size(__ord) - CAST(($tauMilli * size(__ord) + 999) DIV 1000 AS INT) + 1)"))
+          .as("s"))
+    val candidates = prefixes.select(col(idCol).as("id_a"), col("n").as("na"), col("s"))
+      .join(prefixes.select(col(idCol).as("id_b"), col("n").as("nb"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("na"), col("nb")) * 1000L
+        >= greatest(col("na"), col("nb")) * tauMilli)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter_size"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("union_size"))
+      .filter(col("inter_size") * 1000L >= col("union_size") * tauMilli)
+  }
 }

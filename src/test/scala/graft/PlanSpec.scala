@@ -333,6 +333,13 @@ class PlanSpec extends SparkSpec {
       s"candidate recount must be a filter, not a join:\n$p")
   }
 
+  test("q157 prefix-filter join: candidates and verify are hash equi-joins, never nested loops") {
+    val p = planOf("q157_prefix_jaccard_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"prefix-token candidate join must stay an equi-join on the shingle:\n$p")
+    assert(p.contains("HashAggregate"), s"expected map-combined frequency/distinct aggs:\n$p")
+  }
+
   test("q152/q153 assemblies: running sums and ordinals stay inside per-partition windows") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -191,6 +191,52 @@ class Round9Spec extends SparkSpec {
     assert(got === Array((2L, 32522L), (1L, 16393L), (3L, 16129L)))
   }
 
+  // ------------------------------------------- prefix-filter Jaccard
+
+  test("prefixFilterJaccardPairs finds the hand-checkable qualifying pairs") {
+    val docs = Seq(
+      (1L, "w x y z"),       // shingles {wxy, xyz}
+      (2L, "w x y z"),       // identical → J = 1
+      (3L, "a b c d e"),     // {abc, bcd, cde}
+      (4L, "b c d e"),       // {bcd, cde} → inter 2, union 3, J = 2/3 ≥ 0.6
+      (5L, "p q r s"))       // unrelated
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup
+      .prefixFilterJaccardPairs(docs, k = 3, tauMilli = 600L)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array((1L, 2L, 2L, 2L), (3L, 4L, 2L, 3L)))
+  }
+
+  test("prefixFilterJaccardPairs equals the naive quadratic join on random corpora") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val base = (1L to 40L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // Planted truncated copies guarantee qualifying pairs; random base docs
+    // exercise the organic (mostly sub-threshold) background.
+    val docs = (base ++ base.take(12).map { case (i, t) =>
+      (i + 1000L, t.split(" ").drop(1).mkString(" "))
+    }).toDF("doc_id", "text")
+    val fast = graft.ext.Dedup
+      .prefixFilterJaccardPairs(docs, k = 3, tauMilli = 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val sh = graft.ext.Dedup.shingleSets(docs, 3)
+    val naive = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("i"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("u"))
+      .filter(col("i") * 1000L >= col("u") * 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(naive.nonEmpty, "test must exercise qualifying pairs")
+    assert(fast === naive)
+  }
+
   // ----------------------------------------------------- ordered shards
 
   test("orderedShards covers 1..n contiguously with balanced sizes") {
