@@ -721,6 +721,10 @@ object Dedup {
                                textCol: String = "text"): DataFrame = {
     require(tauMilli >= 1 && tauMilli <= 1000,
       s"prefixFilterJaccardPairs: tau must be in (0, 1] per-mille, got $tauMilli")
+    // The shingle projection feeds the frequency table, the prefixes, and the
+    // verify joins; recomputing it per consumer measured FASTER than a
+    // persisted copy here (columnar cache of short array<string> rows broke
+    // join codegen for no scan savings — the parquet scan is trivial).
     val sh = shingleSets(docs, k, idCol, textCol)
     val toks = sh.select(col(idCol), explode(col("sh")).as("s"))
     val freq = toks.groupBy(col("s")).agg(count(lit(1)).as("f"))
