@@ -2779,6 +2779,37 @@ object SparkEntry {
     "q157_prefix_jaccard_join" -> { (s, dir) =>
       graft.ext.Dedup.prefixFilterJaccardPairs(
         docsWithPlantedNearDups(s, dir), k = 3, tauMilli = 600L)
+    },
+
+    // Incremental JOIN-view maintenance (engine.Cdc.maintainJoinView) — the
+    // join sibling of q87/q102/q107's aggregate IVM: customer⋈orders view
+    // kept current against a two-sided delta batch (segment updates on
+    // customers, price corrections on orders) by re-joining ONLY the
+    // affected key slice; untouched view rows survive a scan-speed
+    // broadcast anti join. Output = segment rollup of the MAINTAINED view;
+    // the oracle computes the full post-delta join from scratch, so
+    // maintained ≡ recomputed is hash-proven.
+    "q158_join_view_maintenance" -> { (s, dir) =>
+      val a0 = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val b0 = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v0 = a0.join(b0, Seq("c_custkey"))
+      val dA = a0.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment", lit("SEG_NEW"))
+      val dB = b0.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("cents", col("cents") + 500L)
+      val a1 = graft.engine.Merge.upsert(a0, dA, Seq("c_custkey"))
+        .drop("merge_action")
+      val b1 = graft.engine.Merge.upsert(b0, dB, Seq("o_orderkey"))
+        .drop("merge_action")
+      val touched = dA.select("c_custkey").union(dB.select("c_custkey"))
+      graft.engine.Cdc.maintainJoinView(v0, a1, b1, touched, Seq("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"),
+          sum(col("o_orderkey")).as("key_checksum"))
     }
   )
 
@@ -5143,7 +5174,24 @@ object SparkEntry {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) * 1000
          |      >= CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) * 600"""
-      .stripMargin
+      .stripMargin,
+
+    "q158_join_view_maintenance" ->
+      """WITH a1 AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 7 = 0 THEN 'SEG_NEW' ELSE c_mktsegment END
+        |           AS c_mktsegment
+        |  FROM customer),
+        |b1 AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |           + CASE WHEN o_orderkey % 11 = 0 THEN 500 ELSE 0 END AS cents
+        |  FROM orders)
+        |SELECT a1.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(b1.cents) AS BIGINT) AS cents_sum,
+        |       CAST(SUM(b1.o_orderkey) AS BIGINT) AS key_checksum
+        |FROM a1 JOIN b1 ON b1.o_custkey = a1.c_custkey
+        |GROUP BY 1""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

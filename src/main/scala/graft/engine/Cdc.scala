@@ -159,4 +159,35 @@ object Cdc {
       .select(col(groupCol), col(nCol), col(sumCol),
         col("__min").as(minCol), col("__max").as(maxCol))
   }
+
+  /** Incremental maintenance of an EQUI-JOIN view `V = A ⋈ B` on `keys` —
+    * the JOIN sibling of [[applyDeltaToSums]]'s aggregate IVM. Given the
+    * previous view, both NEW snapshots, and the set of join-key values
+    * touched by either side's delta, the new view is
+    *
+    *   V₁ = (V₀ anti-join K)  ∪  ((A₁ semi-join K) ⋈ (B₁ semi-join K))
+    *
+    * — untouched rows survive verbatim; only the affected key SLICE is
+    * re-joined from the new snapshots. Correct for inserts, updates, and
+    * deletes on either side (a deleted key simply re-joins to nothing), as
+    * long as `deltaKeys` covers every key whose A- or B-rows changed —
+    * for an update that MOVES a row across join keys, that means both the
+    * old and the new key (the [[snapshotDiff]] changeset carries both).
+    *
+    * Scale: `deltaKeys` is delta-sized and broadcast into all three
+    * prunes, so maintenance cost is one scan of V₀ (scan-speed anti join)
+    * plus a join over the affected slices only — NEVER a full A₁ ⋈ B₁
+    * recompute. With V₀ and the snapshots clustered on the join key, the
+    * semi joins prune to the affected files (the q74/q144 skipping path).
+    * This is the standard delta-join algebra folded to its stable form:
+    * ΔV = (A⋈B) restricted to changed keys, applied as replace-by-key. */
+  def maintainJoinView(prevView: DataFrame, newA: DataFrame, newB: DataFrame,
+                       deltaKeys: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "maintainJoinView: need at least one join key")
+    val k = broadcast(deltaKeys.select(keys.map(col): _*).distinct())
+    prevView.join(k, keys, "left_anti")
+      .unionByName(
+        newA.join(k, keys, "left_semi")
+          .join(newB.join(k, keys, "left_semi"), keys, "inner"))
+  }
 }

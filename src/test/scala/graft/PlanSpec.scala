@@ -340,6 +340,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected map-combined frequency/distinct aggs:\n$p")
   }
 
+  test("q158 join-view maintenance prunes via broadcast key joins, never a loop join") {
+    val p = planOf("q158_join_view_maintenance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"delta-key anti/semi prunes must broadcast the touched-key set:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"maintenance must stay hash equi-joins:\n$p")
+  }
+
   test("q152/q153 assemblies: running sums and ordinals stay inside per-partition windows") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -191,6 +191,33 @@ class Round9Spec extends SparkSpec {
     assert(got === Array((2L, 32522L), (1L, 16393L), (3L, 16129L)))
   }
 
+  // --------------------------------------- join-view maintenance
+
+  test("maintainJoinView equals the full recomputed join under mixed deltas") {
+    val rnd = new scala.util.Random(29)
+    val a0 = (1L to 40L).map(k => (k, s"seg${k % 5}")).toDF("k", "seg")
+    val b0 = (1L to 120L).map(i => (1L + rnd.nextInt(40).toLong, i, i * 10L))
+      .toDF("k", "ok", "v")
+    val v0 = a0.join(b0, Seq("k"))
+    // Mixed delta: segment updates on A, value updates on B, a full DELETE
+    // of key 7 from A, and a B row MOVED from key 9 to key 10.
+    val a1 = a0.filter(col("k") =!= 7L)
+      .withColumn("seg", when(col("k") % 4 === 0, lit("SEG_D")).otherwise(col("seg")))
+    val b1 = b0.withColumn("v", when(col("ok") % 6 === 0, col("v") + 1L).otherwise(col("v")))
+      .withColumn("k", when(col("k") === 9L, 10L).otherwise(col("k")))
+    val touched = (Seq(7L, 9L, 10L) ++ (1L to 40L).filter(_ % 4 == 0)
+      ++ b0.filter(col("ok") % 6 === 0).select("k").collect().map(_.getLong(0)))
+      .distinct.toDF("k")
+    val maintained = graft.engine.Cdc.maintainJoinView(v0, a1, b1, touched, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val full = a1.join(b1, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(maintained === full)
+    assert(!full.exists(_._1 == 7L), "deleted key must vanish from the view")
+  }
+
   // ------------------------------------------- prefix-filter Jaccard
 
   test("prefixFilterJaccardPairs finds the hand-checkable qualifying pairs") {
