@@ -2810,6 +2810,18 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"),
           sum(col("o_orderkey")).as("key_checksum"))
+    },
+
+    // Top event-type PATHS (ext.Sessionize.topPaths) — q142's transition
+    // counts generalized to 3-step paths: two stacked leads in ONE per-user
+    // window pass, path count map-combined, TakeOrdered top-10. The
+    // "what do users actually do in three steps" product-analytics query.
+    "q159_top_paths" -> { (s, dir) =>
+      val e = eventsTable(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      graft.ext.Sessionize.topPaths(e, col("user_id"), col("event_type"),
+        Seq(col("us"), col("event_id")), len = 3, k = 10)
     }
   )
 
@@ -5191,7 +5203,23 @@ object SparkEntry {
         |       CAST(SUM(b1.cents) AS BIGINT) AS cents_sum,
         |       CAST(SUM(b1.o_orderkey) AS BIGINT) AS key_checksum
         |FROM a1 JOIN b1 ON b1.o_custkey = a1.c_custkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q159_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+        |t AS (
+        |  SELECT event_type AS step_1,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id
+        |                                   ORDER BY us, event_id) AS step_2,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id
+        |                                   ORDER BY us, event_id) AS step_3
+        |  FROM e)
+        |SELECT step_1, step_2, step_3, CAST(COUNT(*) AS BIGINT) AS n_paths
+        |FROM t WHERE step_2 IS NOT NULL AND step_3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, step_1 ASC, step_2 ASC, step_3 ASC
+        |LIMIT 10""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -148,6 +148,30 @@ object Sessionize {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Top-`k` most common length-`len` event-type PATHS (consecutive stage
+    * runs per user in time order) — [[transitionCounts]] generalized from
+    * bigrams to arbitrary path length: `len − 1` stacked `lead`s inside ONE
+    * per-user window pass (one shuffle on the user key, window state bounded
+    * per user), then a map-combined path count and a TakeOrdered top-k
+    * (`count DESC`, then the stage names — total order, deterministic).
+    * The product-analytics "what do users actually do in 3 steps" query.
+    * Output: `(step_1 … step_len, n_paths)`. */
+  def topPaths(events: DataFrame, user: Column, stageCol: Column,
+               orderCols: Seq[Column], len: Int, k: Int): DataFrame = {
+    require(len >= 2, s"topPaths: path length must be >= 2, got $len")
+    val w = Window.partitionBy(col("__u")).orderBy(orderCols: _*)
+    val base = events.select(
+      Seq(user.as("__u"), stageCol.as("step_1")) ++ orderCols: _*)
+    val withSteps = (2 to len).foldLeft(base) { (df, i) =>
+      df.withColumn(s"step_$i", lead(col("step_1"), i - 1).over(w))
+    }.filter((2 to len).map(i => col(s"step_$i").isNotNull).reduce(_ && _))
+    val stepCols = (1 to len).map(i => col(s"step_$i"))
+    withSteps.groupBy(stepCols: _*)
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(desc("n_paths") +: stepCols.map(_.asc): _*)
+      .limit(k)
+  }
+
   /** Assign `session_idx` (0-based, per user, in time order) to every event.
     * `orderCols` must extend `ts` to a total order (deterministic lag). */
   def assignSessions(events: DataFrame, user: Column, tsMicros: Column,

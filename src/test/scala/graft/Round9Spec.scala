@@ -191,6 +191,21 @@ class Round9Spec extends SparkSpec {
     assert(got === Array((2L, 32522L), (1L, 16393L), (3L, 16129L)))
   }
 
+  // --------------------------------------------------- event paths
+
+  test("topPaths stacks leads per user and never crosses user boundaries") {
+    val e = Seq(
+      (1L, "A", 1L, 10L), (1L, "B", 2L, 20L), (1L, "C", 3L, 30L),
+      (1L, "D", 4L, 40L),                       // user 1: ABC, BCD
+      (2L, "X", 5L, 10L), (2L, "Y", 6L, 20L),   // user 2: too short
+      (3L, "A", 7L, 10L), (3L, "B", 8L, 20L), (3L, "C", 9L, 30L))
+      .toDF("user_id", "event_type", "event_id", "us")
+    val got = graft.ext.Sessionize.topPaths(e, col("user_id"), col("event_type"),
+      Seq(col("us"), col("event_id")), len = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got === Array(("A", "B", "C", 2L), ("B", "C", "D", 1L)))
+  }
+
   // --------------------------------------- join-view maintenance
 
   test("maintainJoinView equals the full recomputed join under mixed deltas") {
