@@ -2822,6 +2822,29 @@ object SparkEntry {
           unix_micros(col("ts")).as("us"))
       graft.ext.Sessionize.topPaths(e, col("user_id"), col("event_type"),
         Seq(col("us"), col("event_id")), len = 3, k = 10)
+    },
+
+    // Deterministic half-sample bootstrap (ext.Sampling.bootstrapReplicas):
+    // 16 portable-hash half-samples of order values in ONE scan (32
+    // conditional aggregates, map-combined — no per-replica pass), unpivoted
+    // to a replica table. The "error bars on a 100 TB mean" primitive;
+    // integer (n, sum) per replica, so the oracle's cross-join replay
+    // hash-matches exactly.
+    "q160_bootstrap_replicas" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      graft.ext.Sampling.bootstrapReplicas(o, col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long"), replicas = 16,
+        salt = "boot")
+    },
+
+    // Key-cardinality histogram (engine.Profile.keyCardinalityHistogram):
+    // the skew fingerprint of the lineitem order key — for each
+    // rows-per-key multiplicity, how many keys have it. The "is this key
+    // skewed at all" check run before picking a join strategy (q137 then
+    // sizes the join, q110 salts it).
+    "q161_key_cardinality" -> { (s, dir) =>
+      graft.engine.Profile.keyCardinalityHistogram(
+        t(s, dir, "lineitem"), col("l_orderkey"))
     }
   )
 
@@ -5219,7 +5242,27 @@ object SparkEntry {
         |FROM t WHERE step_2 IS NOT NULL AND step_3 IS NOT NULL
         |GROUP BY 1, 2, 3
         |ORDER BY n_paths DESC, step_1 ASC, step_2 ASC, step_3 ASC
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    "q160_bootstrap_replicas" ->
+      s"""WITH reps AS (SELECT unnest(range(0, 16)) AS replica),
+         |j AS (
+         |  SELECT r.replica,
+         |         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+         |         ${h60Sql("'boot' || ':' || CAST(r.replica AS VARCHAR) || ':' || CAST(o.o_orderkey AS VARCHAR)")} % 2 = 0
+         |           AS is_member
+         |  FROM reps r CROSS JOIN orders o)
+         |SELECT replica,
+         |       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         |       CAST(SUM(CASE WHEN is_member THEN cents ELSE 0 END) AS BIGINT) AS sum_v
+         |FROM j GROUP BY 1""".stripMargin,
+
+    "q161_key_cardinality" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS rows_per_key
+        |  FROM lineitem GROUP BY 1)
+        |SELECT rows_per_key, CAST(COUNT(*) AS BIGINT) AS n_keys
+        |FROM c GROUP BY 1""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data profiling: per-column null counts, exact distinct counts, and
@@ -290,4 +290,17 @@ object Profile {
       .agg(min(col("bucket")).as("bucket"))
       .withColumn("lo_value", col("bucket") * lit(bucketWidth))
   }
+
+  /** Key-cardinality histogram — the skew FINGERPRINT taken before
+    * committing to a join or aggregation strategy (q137 sizes a specific
+    * join; q110 salts a known-skewed key; this answers "is the key skewed
+    * at all, and how"): for each rows-per-key count, how many keys have it.
+    * Two map-side-combined aggregates; the output is distribution-sized
+    * (distinct multiplicities), metadata in practice. A heavy tail here →
+    * salting/AQE-skew-join; a flat top → broadcast or bucketed plans. */
+  def keyCardinalityHistogram(df: DataFrame, keyCol: Column): DataFrame =
+    df.groupBy(keyCol.as("__k"))
+      .agg(count(lit(1)).as("rows_per_key"))
+      .groupBy(col("rows_per_key"))
+      .agg(count(lit(1)).as("n_keys"))
 }

@@ -221,4 +221,33 @@ object Sampling {
       .orderBy(col("race"), idCol)
       .limit(k)
   }
+
+  /** Deterministic half-sample bootstrap replica table — the "error bars on
+    * a 100 TB mean" primitive: `replicas` pseudo-independent half-samples,
+    * membership of row `id` in replica `r` decided by the portable hash
+    * `hash60(salt:r:id) % 2 = 0` (expected half the rows, reproducible on
+    * ANY engine — the oracle replays the same md5 arithmetic). The spread of
+    * replica means estimates the sampling error of the full-data mean
+    * without any second pass over history.
+    *
+    * Shape: ONE scan computing `2·replicas` conditional aggregates
+    * (map-side combined — no per-replica pass, no row×replica explode; the
+    * oracle's cross-join form is the semantic spec, not the plan), then a
+    * metadata-sized `stack` unpivot. Integer-exact: per replica
+    * `(replica, n, sum_v)` — consumers form means/variance downstream.
+    * Driver/shuffle state is 2·replicas longs. */
+  def bootstrapReplicas(df: DataFrame, idCol: Column, valueCol: Column,
+                        replicas: Int, salt: String): DataFrame = {
+    require(replicas >= 2, s"bootstrapReplicas: need >= 2 replicas, got $replicas")
+    val aggs = (0 until replicas).flatMap { r =>
+      val member = PortableHash.hash60(concat_ws(":", lit(salt), lit(r.toString),
+        idCol.cast("string"))) % 2L === 0L
+      Seq(sum(when(member, 1L).otherwise(0L)).as(s"__n_$r"),
+        sum(when(member, valueCol.cast("long")).otherwise(0L)).as(s"__s_$r"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack($replicas, " +
+        (0 until replicas).map(r => s"CAST($r AS BIGINT), __n_$r, __s_$r")
+          .mkString(", ") + ") AS (replica, n, sum_v)"))
+  }
 }

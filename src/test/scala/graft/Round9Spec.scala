@@ -191,6 +191,32 @@ class Round9Spec extends SparkSpec {
     assert(got === Array((2L, 32522L), (1L, 16393L), (3L, 16129L)))
   }
 
+  // --------------------------------------- bootstrap + cardinality
+
+  test("bootstrapReplicas matches a per-replica filter computation exactly") {
+    val df = (1L to 500L).map(i => (i, i * 3L)).toDF("id", "v")
+    val got = graft.ext.Sampling
+      .bootstrapReplicas(df, col("id"), col("v"), replicas = 4, salt = "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    // Replica 2 recomputed independently via the same portable hash.
+    val member2 = graft.ext.PortableHash.hash60(
+      concat_ws(":", lit("t"), lit("2"), col("id").cast("string"))) % 2L === 0L
+    val probe = df.filter(member2)
+      .agg(count(lit(1)), sum(col("v"))).head()
+    assert(got(2L) === ((probe.getLong(0), probe.getLong(1))))
+    // Memberships are ~half and differ across replicas (not degenerate).
+    assert(got.values.map(_._1).toSet.size > 1 ||
+      got.values.forall(n => n._1 > 150 && n._1 < 350))
+  }
+
+  test("keyCardinalityHistogram inverts to the exact key multiset") {
+    val df = Seq(1L, 1L, 1L, 2L, 2L, 3L, 4L, 4L).toDF("k")
+    val got = graft.engine.Profile.keyCardinalityHistogram(df, col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(3L -> 1L, 2L -> 2L, 1L -> 1L))
+  }
+
   // --------------------------------------------------- event paths
 
   test("topPaths stacks leads per user and never crosses user boundaries") {
