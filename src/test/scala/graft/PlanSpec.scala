@@ -340,6 +340,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected map-combined frequency/distinct aggs:\n$p")
   }
 
+  test("q155 co-occurrence pairs come from a per-doc explode, not a token self-join shuffle") {
+    val p = planOf("q155_cooccurrence_lift")
+    assert(p.contains("Generate explode"), s"expected bounded per-doc pair explode:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must be TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no token-level cartesian anywhere:\n$p")
+  }
+
+  test("q159 top paths: one per-user window, top-k via TakeOrdered") {
+    val p = planOf("q159_top_paths")
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      s"both leads must ride ONE window pass:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must be TakeOrdered:\n$p")
+  }
+
+  test("q160 bootstrap computes all replicas in one aggregate pass (no per-replica scan)") {
+    val p = planOf("q160_bootstrap_replicas")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected ONE orders scan for all 16 replicas, got $scans:\n$p")
+    assert(p.contains("partial_sum"), s"conditional aggs must combine map-side:\n$p")
+  }
+
+  test("q161 key-cardinality histogram is two map-combined hash aggregates") {
+    val p = planOf("q161_key_cardinality")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final for both groupings:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"distribution rollup must not funnel through one partition:\n$p")
+  }
+
   test("q158 join-view maintenance prunes via broadcast key joins, never a loop join") {
     val p = planOf("q158_join_view_maintenance")
     assert(p.contains("BroadcastHashJoin"),
