@@ -2845,6 +2845,113 @@ object SparkEntry {
     "q161_key_cardinality" -> { (s, dir) =>
       graft.engine.Profile.keyCardinalityHistogram(
         t(s, dir, "lineitem"), col("l_orderkey"))
+    },
+
+    // Sweep-line peak concurrency (ext.TimeSeries.peakConcurrency): each event
+    // opens an interval of `value` minutes; per event_type, the max number
+    // simultaneously open. ±1 deltas + one key-partitioned running-sum window
+    // — 2 rows per interval, no global sort, no interval self-join (the naive
+    // overlap join is quadratic in the busy hours).
+    "q162_peak_concurrency" -> { (s, dir) =>
+      val e = eventsTable(s, dir).filter(col("value").isNotNull)
+        .withColumn("__start", unix_micros(col("ts")))
+        .withColumn("__end",
+          col("__start") + expr("CAST(ROUND(value * 100) AS BIGINT) * 600000L"))
+      graft.ext.TimeSeries.peakConcurrency(e, "event_type",
+        col("__start"), col("__end"))
+    },
+
+    // Fleiss' kappa (ext.Labels.fleissKappa) over three synthetic annotators
+    // re-labeling each document's lang: annotator a agrees with the true lang
+    // when (doc_id·31 + a·17) mod 10 < 7, else emits a deterministic
+    // alternative — pure integer arithmetic, so the oracle rebuilds the exact
+    // same vote table. Output is micro-unit integer ratios (no float drift).
+    "q163_fleiss_kappa" -> { (s, dir) =>
+      val votes = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .select(col("doc_id"), col("lang"),
+          explode(expr("sequence(0, 2)")).as("a"))
+        .withColumn("label",
+          when((col("doc_id") * 31 + col("a") * 17) % 10 < 7, col("lang"))
+            .otherwise(expr(
+              "element_at(array('en','de','fr'), CAST((doc_id + a) % 3 AS INT) + 1)")))
+      graft.ext.Labels.fleissKappa(votes, col("doc_id"), col("label"))
+    },
+
+    // Time-series spike detection (ext.TimeSeries.spikesVsTrailingMedian):
+    // densified daily counts per event_type; a day is a spike when its count
+    // exceeds 2× the trailing-7-day MEDIAN (integer cross-multiplied — no
+    // division, no float threshold). Only full-window days emit.
+    "q164_spike_detection" -> { (s, dir) =>
+      graft.ext.TimeSeries.spikesVsTrailingMedian(
+        eventsTable(s, dir), "event_type", "ts",
+        windowDays = 7, factorPct = 200L)
+    },
+
+    // Canonicalization dedup (ext.Dedup.canonicalDuplicateGroups): plants
+    // case / whitespace / punctuation variants of known docs, then groups by
+    // the canonical form (lower, strip punct, collapse ws). n_raw_variants
+    // proves the normalization did real work (byte-identical copies would
+    // report 1).
+    "q165_canonical_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs
+        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), upper(col("text")).as("text")))
+        .unionAll(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            regexp_replace(col("text"), " ", "  ").as("text")))
+        .unionAll(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            concat(col("text"), lit("!!")).as("text")))
+      graft.ext.Dedup.canonicalDuplicateGroups(planted)
+    },
+
+    // Time-weighted average (ext.TimeSeries.twapPerKey): per user, the step-
+    // function average of `value` over TIME — each observation holds until
+    // the next one. Duplicate (user, ts) pairs pre-aggregate to max-cents so
+    // the step function is single-valued. Integer cents·µs arithmetic.
+    "q166_twap" -> { (s, dir) =>
+      val obs = eventsTable(s, dir).filter(col("value").isNotNull)
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("__t_us"))
+        .agg(max(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("__cents"))
+      graft.ext.TimeSeries.twapPerKey(obs, "user_id",
+        col("__t_us"), col("__cents"))
+    },
+
+    // Structured Streaming SESSION windows (engine.Incremental
+    // .sessionAggregate): event-time sessions per user with an 8-hour gap
+    // (median inter-event gap here is ~7.3h, so sessions genuinely merge),
+    // drained AvailableNow into a memory sink. Oracle = the batch gap-split
+    // replay: new session iff gap STRICTLY exceeds 8h (Spark's extension is
+    // inclusive at the boundary), session end = last event + gap.
+    "q167_stream_sessions" -> { (s, dir) =>
+      val stream = eventsStream(s, dir)
+      val agg = Incremental.sessionAggregate(stream,
+        ts = col("ts"), key = col("user_id"),
+        gap = "8 hours", watermarkDelay = "1 hour",
+        valueCents = expr("CAST(ROUND(coalesce(value, 0) * 100) AS BIGINT)"))
+      val sinkName = "graft_stream_sessions"
+      s.catalog.dropTempView(sinkName)
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sinkName).select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n"), col("value_cents"))
+    },
+
+    // Quantile normalization (ext.Rank.quantileNormalize): every source's
+    // n_chars distribution mapped onto the GLOBAL distribution via the
+    // distributed global-rank machinery (range exchange + partition-metadata
+    // offsets — the global row_number that would otherwise be a single
+    // reducer). Lazy result ⇒ exit-cleaned scratch, not a Scratch scope.
+    "q168_quantile_normalize" -> { (s, dir) =>
+      val root = tempDirCleanedOnExit("graft-qnorm-")
+      graft.ext.Rank.quantileNormalize(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", "doc_id", root)
     }
   )
 
@@ -5262,7 +5369,148 @@ object SparkEntry {
         |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS rows_per_key
         |  FROM lineitem GROUP BY 1)
         |SELECT rows_per_key, CAST(COUNT(*) AS BIGINT) AS n_keys
-        |FROM c GROUP BY 1""".stripMargin
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q162_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS s,
+        |         epoch_us(ts) + CAST(ROUND(value * 100) AS BIGINT) * 600000 AS e
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT event_type, s AS t, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT event_type, e AS t, -1 AS delta FROM iv),
+        |r AS (
+        |  SELECT event_type, SUM(delta) OVER (
+        |    PARTITION BY event_type ORDER BY t, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM d)
+        |SELECT event_type, CAST(MAX(open) AS BIGINT) AS peak_open,
+        |       CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q163_fleiss_kappa" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         CASE WHEN (doc_id * 31 + a * 17) % 10 < 7 THEN lang
+        |              ELSE ['en','de','fr'][CAST((doc_id + a) % 3 AS INT) + 1]
+        |         END AS label
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS a) t),
+        |vc AS (SELECT doc_id, label, CAST(COUNT(*) AS BIGINT) AS n_ij
+        |       FROM v GROUP BY 1, 2),
+        |pi AS (SELECT doc_id, CAST(SUM(n_ij * n_ij) AS BIGINT) AS sq,
+        |              CAST(SUM(n_ij) AS BIGINT) AS n
+        |       FROM vc GROUP BY 1),
+        |ist AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |               CAST(MAX(n) AS BIGINT) AS n_raters,
+        |               CAST(SUM(sq - n) AS BIGINT) AS a
+        |        FROM pi),
+        |lst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+        |               CAST(SUM(c * c) AS BIGINT) AS c
+        |        FROM (SELECT label, CAST(SUM(n_ij) AS BIGINT) AS c
+        |              FROM vc GROUP BY 1) m)
+        |SELECT n_items, n_raters, n_labels,
+        |       1000000 * a // (n_items * n_raters * (n_raters - 1)) AS po_micro,
+        |       1000000 * c // (n_items * n_raters * n_items * n_raters) AS pe_micro,
+        |       (1000000 * (a * n_items * n_raters - c * (n_raters - 1)))
+        |         // ((n_raters - 1) *
+        |             (n_items * n_raters * n_items * n_raters - c)) AS kappa_micro
+        |FROM ist CROSS JOIN lst""".stripMargin,
+
+    "q164_spike_detection" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+        |dense AS (
+        |  SELECT event_type, CAST(unnest(generate_series(
+        |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM span),
+        |g AS (
+        |  SELECT dense.event_type, dense.d, COALESCE(daily.n, 0) AS n
+        |  FROM dense LEFT JOIN daily
+        |    ON dense.event_type = daily.event_type AND dense.d = daily.d),
+        |w AS (
+        |  SELECT event_type, d, n,
+        |         COUNT(*) OVER win AS cnt,
+        |         CAST(ROUND(MEDIAN(n) OVER win) AS BIGINT) AS med
+        |  FROM g
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY d
+        |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, d AS day, n, med AS trailing_median,
+        |       (n * 100 > 200 * med) AS is_spike
+        |FROM w WHERE cnt = 7""".stripMargin,
+
+    "q165_canonical_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, upper(text) FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, replace(text, ' ', '  ') FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000, text || '!!' FROM documents WHERE doc_id % 11 = 0),
+        |canon AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+        |  FROM corpus)
+        |SELECT CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_members,
+        |       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_raw_variants
+        |FROM canon GROUP BY c HAVING COUNT(*) > 1""".stripMargin,
+
+    "q166_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |         MAX(CAST(ROUND(value * 100) AS BIGINT)) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |d AS (
+        |  SELECT user_id, v,
+        |         lead(t) OVER (PARTITION BY user_id ORDER BY t) - t AS dt
+        |  FROM e)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |       CAST(SUM(dt) AS BIGINT) AS span_us,
+        |       CAST(SUM(v * dt) // SUM(dt) AS BIGINT) AS twap_cents
+        |FROM d WHERE dt IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q167_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |         CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, t, cents,
+        |         CASE WHEN lag(t) OVER w IS NULL
+        |                OR t - lag(t) OVER w > 28800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (
+        |  SELECT user_id, t, cents,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(t) AS session_start_us,
+        |       MAX(t) + 28800000000 AS session_end_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(cents) AS BIGINT) AS value_cents
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q168_quantile_normalize" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+        |         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS m
+        |  FROM documents),
+        |o AS (
+        |  SELECT n_chars AS norm_n_chars,
+        |         CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS gr
+        |  FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents)
+        |SELECT g.doc_id, g.source, g.n_chars, o.norm_n_chars
+        |FROM g CROSS JOIN n
+        |JOIN o ON o.gr = (g.r * n.nn + g.m - 1) // g.m""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

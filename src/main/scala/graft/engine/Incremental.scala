@@ -68,6 +68,35 @@ object Incremental {
       .groupBy(window(col("__ts"), windowDuration), key)
       .agg(count(lit(1)).as("n"), round(sum(valueCol), 2).as("total_value"))
 
+  /** Event-time SESSION windows on a stream — variable-length windows that
+    * extend while events keep arriving within `gap` of the session's end and
+    * close at the first gap ≥ `gap`. The native Structured Streaming
+    * primitive (`session_window`), NOT a batch window shoehorned into
+    * micro-batches: the state store merges overlapping per-batch sessions
+    * across triggers and the watermark bounds state (closed sessions older
+    * than the horizon evict).
+    *
+    * Value sums in integer cents — per-session sums must replay bit-for-bit
+    * against the batch oracle regardless of merge order. Output per session:
+    * `(key, session_window(start,end), n, value_cents)`; `end` is the last
+    * event + gap (Spark's convention — the moment the session would have
+    * closed).
+    *
+    * Scale: state ∝ OPEN sessions per key-horizon, not stream lifetime; one
+    * shuffle on the session key. Gap semantics: extension is INCLUSIVE — an
+    * event landing exactly `gap` after the previous one still extends the
+    * session (`ts <= prev_end` merges; verified in Round9cSpec) — so a batch
+    * replay must mirror it as `new_session := gap_us > gapMicros`, strictly
+    * greater. */
+  def sessionAggregate(events: DataFrame, ts: Column, key: Column,
+                       gap: String, watermarkDelay: String,
+                       valueCents: Column): DataFrame =
+    events
+      .withColumn("__ts", ts)
+      .withWatermark("__ts", watermarkDelay)
+      .groupBy(key, session_window(col("__ts"), gap))
+      .agg(count(lit(1)).as("n"), sum(valueCents).as("value_cents"))
+
   /** Streaming exact dedup with BOUNDED state: first arrival per key is
     * emitted, replays within the watermark horizon are dropped, and the state
     * store evicts keys older than the watermark — so state is ∝ keys seen per

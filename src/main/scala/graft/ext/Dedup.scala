@@ -73,6 +73,34 @@ object Dedup {
     docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Canonical text form for normalization-insensitive dedup: lowercase,
+    * non-alphanumerics → space, whitespace runs collapsed, trimmed. Exact
+    * (byte-level) dedup misses the web's cheapest duplicate class — the same
+    * page re-crawled with different casing, punctuation, or whitespace — and
+    * near-dup MinHash is overkill for it; canonicalization catches it with
+    * one deterministic scalar expression (all codegen'd built-ins). */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Dedup groups under [[canonicalText]] equivalence: one row per canonical
+    * form with >1 member — `(rep_id = min id, n_members, n_raw_variants)`,
+    * where `n_raw_variants` counts how many DISTINCT raw texts collapsed
+    * (1 ⇒ byte-identical copies, >1 ⇒ normalization did real work).
+    *
+    * Scale: identical shape to [[exactDuplicateGroups]] — one map-side
+    * combinable groupBy on the canonical form (hash it upstream if text is
+    * large); the count-distinct is over the group's variants, bounded by
+    * group size. */
+  def canonicalDuplicateGroups(docs: DataFrame, idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame =
+    docs.groupBy(canonicalText(col(textCol)).as("canonical"))
+      .agg(min(col(idCol)).as("rep_id"),
+        count(lit(1)).as("n_members"),
+        countDistinct(col(textCol)).as("n_raw_variants"))
+      .filter(col("n_members") > 1L)
+      .select(col("rep_id"), col("n_members"), col("n_raw_variants"))
+
 
   /** Temporal windowed dedup: keep ONE row per key per tumbling time window —
     * the standard log/event compaction step (retries, at-least-once producers,

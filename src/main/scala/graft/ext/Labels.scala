@@ -43,4 +43,64 @@ object Labels {
       .filter(col("__r") === 1)
       .drop("__r")
   }
+
+  /** Fleiss' kappa — chance-corrected inter-annotator agreement over items
+    * each rated by the SAME number `n` of annotators. The go/no-go gauge on
+    * an annotation batch: raw percent-agreement looks great on skewed label
+    * distributions where agreeing by chance is easy; kappa subtracts that
+    * chance floor.
+    *
+    * With per-item-label counts `n_ij` (N items, n raters, c_j = Σᵢ n_ij):
+    * observed agreement  P̄  = A / B,  A = Σᵢ(Σⱼ n_ij² − n), B = N·n·(n−1);
+    * expected agreement  P̄ₑ = C / D,  C = Σⱼ c_j²,           D = (N·n)²;
+    * κ = (P̄−P̄ₑ)/(1−P̄ₑ) = (A·D − C·B) / (B·(D − C))
+    *   = (A·N·n − C·(n−1)) / ((n−1)·(D − C))   [÷ the common N·n factor —
+    * the REDUCED form is what's computed: the unreduced numerator `10⁶·A·D`
+    * would overflow int64 already at N·n ≈ 10⁵ ratings].
+    *
+    * Everything stays INTEGER until the final ratios, which are reported in
+    * micro-units via integer division (`⌊10⁶·x⌋`, truncation toward zero —
+    * identical on any engine; a float pipeline here differs in the last ulp
+    * between engines and between partition orders). Magnitude check:
+    * A·N·n ≤ N²n³ and C ≤ D = (N·n)², so all micro-scaled terms fit int64
+    * up to N·n ≈ 10⁸ ratings; beyond that move the final ratio to decimal.
+    *
+    * Output: one row `(n_items, n_raters, n_labels, po_micro, pe_micro,
+    * kappa_micro)`.
+    *
+    * Scale: `groupBy(item,label)` vote counting is map-side combinable; the
+    * per-item Σn_ij² collapse is a strict key coarsening ((item,label) →
+    * item); label marginals are label-alphabet-sized. The final combine is
+    * three one-row aggregates joined by a literal key — metadata-sized. */
+  def fleissKappa(df: DataFrame, itemCol: Column, labelCol: Column): DataFrame = {
+    val votes = df.groupBy(itemCol.as("item"), labelCol.as("label"))
+      .agg(count(lit(1)).as("n_ij"))
+    val perItem = votes.groupBy(col("item"))
+      .agg(sum(col("n_ij") * col("n_ij")).as("sq"), sum(col("n_ij")).as("n"))
+    val itemStats = perItem.agg(
+      count(lit(1)).as("n_items"),
+      min(col("n")).as("__n_min"), max(col("n")).as("n_raters"),
+      sum(col("sq") - col("n")).as("a"))
+    val labelStats = votes.groupBy(col("label"))
+      .agg(sum(col("n_ij")).as("c_j"))
+      .agg(count(lit(1)).as("n_labels"), sum(col("c_j") * col("c_j")).as("c"))
+    itemStats.crossJoin(labelStats) // both one-row aggregates: broadcastable
+      .select(col("n_items"), col("__n_min"), col("n_raters"), col("n_labels"),
+        col("a"),
+        (col("n_items") * col("n_raters") * (col("n_raters") - 1L)).as("b"),
+        col("c"),
+        (col("n_items") * col("n_raters") * col("n_items") * col("n_raters")).as("d"))
+      .withColumn("__ok",
+        when(col("__n_min") === col("n_raters"), true)
+          .otherwise(raise_error(concat(lit(
+            "Labels.fleissKappa: unequal rater counts per item (min "),
+            col("__n_min"), lit(" vs max "), col("n_raters"),
+            lit(") — Fleiss' kappa requires a constant n")))))
+      .filter(col("__ok"))
+      .select(col("n_items"), col("n_raters"), col("n_labels"),
+        expr("1000000L * a DIV b").as("po_micro"),
+        expr("1000000L * c DIV d").as("pe_micro"),
+        expr("(1000000L * (a * n_items * n_raters - c * (n_raters - 1))) " +
+          "DIV ((n_raters - 1) * (d - c))").as("kappa_micro"))
+  }
 }

@@ -312,6 +312,69 @@ object Rank {
     }
   }
 
+  /** Quantile normalization: map every group's value distribution onto the
+    * GLOBAL distribution — row with within-group rank r of m becomes the
+    * global value at rank `⌈r·N/m⌉` — so per-group feature distributions
+    * (lengths, scores, prices) are comparable across sources with different
+    * scales, preserving each group's internal order exactly. A group equal
+    * to the whole input maps to itself (`⌈r·N/N⌉ = r`), and the mapping is
+    * deterministic given a total order (`valueCol, idCol`).
+    *
+    * This needs a GLOBAL rank for every row — the classic empty-PARTITION-BY
+    * single-reducer trap — so it reuses the [[valueAtRanks]] machinery:
+    * range-repartition on `(valueCol, idCol)` into `scratchDir` (frozen, so
+    * the sampled boundaries can't drift between the metadata action and the
+    * result plan), per-partition counts collected as partition METADATA →
+    * cumulative offsets, global rank = offset + per-partition row_number.
+    * Every sort is partition-local; the target-rank lookup is an equi-join
+    * on the computed global index.
+    *
+    * `scratchDir` must outlive consumption of the returned LAZY frame —
+    * callers pass a `Scratch.withTempDir` scope (eager consumers) or an
+    * exit-cleaned dir (lazy). Output: `(idCol, groupCol, valueCol,
+    * norm_<valueCol>)`.
+    *
+    * Scale: one range exchange + two partition-local windows (per-`__pid`,
+    * per-group) + one shuffle join on the global index. Driver state is one
+    * row per partition. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String, scratchDir: String,
+                        numPartitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    df.repartitionByRange(numPartitions, col(valueCol), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .write.mode("overwrite").parquet(s"$scratchDir/qnorm")
+    val parts = spark.read.parquet(s"$scratchDir/qnorm")
+    val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+    val offsetsDf = spark.createDataFrame(offsets.toList).toDF("__pid", "__off")
+    quantileNormalizeAssembly(parts, offsetsDf, groupCol, valueCol, idCol, n)
+  }
+
+  /** The lazy plan of [[quantileNormalize]] — package-private so PlanSpec can
+    * assert both windows are partition-bounded (per-`__pid`, per-group; no
+    * empty PARTITION BY). */
+  private[graft] def quantileNormalizeAssembly(parts: DataFrame, offsetsDf: DataFrame,
+      groupCol: String, valueCol: String, idCol: String, n: Long): DataFrame = {
+    val normCol = s"norm_$valueCol"
+    val wPid = Window.partitionBy(col("__pid")).orderBy(col(valueCol), col(idCol))
+    val globalRanked = parts
+      .withColumn("__lrn", row_number().over(wPid))
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .select((col("__off") + col("__lrn")).as("__g"), col(valueCol).as(normCol))
+    val wGrp = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    val wGrpAll = Window.partitionBy(col(groupCol))
+    parts
+      .withColumn("__r", row_number().over(wGrp).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wGrpAll))
+      // ceil(r·N/m) in integers: (r·N + m − 1) DIV m — never a double ratio
+      .withColumn("__g", expr(s"(__r * ${n}L + __m - 1) DIV __m"))
+      .join(globalRanked, Seq("__g"))
+      .select(col(idCol), col(groupCol), col(valueCol), col(normCol))
+  }
+
   /** The lazy running-sum + argmax plan of [[ksDrift]] — package-private so
     * PlanSpec can assert the running sums stay inside per-`__pid` windows
     * (no global sort). `parts` carries (__v, __ca, __cb, __pid); `offsetsDf`

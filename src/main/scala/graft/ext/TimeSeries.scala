@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -105,5 +105,114 @@ object TimeSeries {
       .join(days.withColumnRenamed("__d", "__wd"), Seq("__wd"), "left_semi")
       .groupBy(col("__wd").as("window_day"))
       .agg(count(lit(1)).as(s"active_${windowDays}d"))
+  }
+
+  /** Peak concurrency per key — the sweep-line answer to "how many intervals
+    * were open at once, at the worst moment?" (max concurrent sessions,
+    * simultaneous jobs, overlapping reservations).
+    *
+    * Each interval `[start, end)` (µs, end EXCLUSIVE) contributes a `+1` at
+    * its start and a `-1` at its end; the running sum of deltas in
+    * `(t, delta)` order is the number of open intervals, and its per-key max
+    * is the peak. Ordering `delta` ascending at equal `t` processes ends
+    * before starts, so an interval ending exactly when another begins never
+    * counts as overlap — the half-open convention. Rows tied on BOTH
+    * `(t, delta)` sort arbitrarily, but the running-sum max is invariant to
+    * their order (they all move the sum the same direction), so the result
+    * is deterministic anyway.
+    *
+    * Scale: 2 rows per interval, one key-partitioned window sort — shuffles
+    * on the key only, never a global sort. Per-key data = 2× its interval
+    * count; a key with billions of intervals would pre-aggregate deltas per
+    * (key, t) first (the sum over a window of per-t net deltas has the same
+    * max at event boundaries). */
+  def peakConcurrency(df: DataFrame, keyCol: String,
+                      startMicros: Column, endMicros: Column): DataFrame = {
+    val deltas = df.select(col(keyCol), startMicros.as("__t"), lit(1L).as("__delta"))
+      .unionAll(df.select(col(keyCol), endMicros.as("__t"), lit(-1L).as("__delta")))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t").asc, col("__delta").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("__open", sum(col("__delta")).over(w))
+      .groupBy(col(keyCol))
+      .agg(max(col("__open")).as("peak_open"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+  }
+
+  /** Spike detection on a keyed daily count series: a day is a spike when its
+    * count exceeds `factorPct`% of the TRAILING `windowDays`-day median
+    * (current day excluded). The trailing median — not the mean — so one
+    * prior spike doesn't inflate the threshold and mask the next one.
+    *
+    * The series is densified to every day in each key's observed span
+    * (missing days count 0) BEFORE the window, so "7 trailing rows" always
+    * means 7 trailing DAYS; only days with the full trailing window emit.
+    * `windowDays` must be odd: the median of an odd count of integers is an
+    * integer element, exactly representable and identical on every engine —
+    * an even-count interpolated median is a float coin-flip. Comparison is
+    * integer cross-multiplication (`n·100 > factorPct·median`), never a
+    * division.
+    *
+    * Output: `(key, day, n, trailing_median, is_spike)` for full-window days.
+    *
+    * Scale: counts-per-day are a map-side-combinable aggregate (activity →
+    * one row per key×day); densify + window shuffle on the key only; per-key
+    * state is the day span, not the event count. */
+  def spikesVsTrailingMedian(events: DataFrame, keyCol: String, tsCol: String,
+                             windowDays: Int = 7, factorPct: Long = 200L): DataFrame = {
+    require(windowDays >= 1 && windowDays % 2 == 1,
+      s"TimeSeries.spikesVsTrailingMedian: windowDays must be odd >= 1, got $windowDays")
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("n"))
+    val span = daily.groupBy(col(keyCol))
+      .agg(min(col("__day")).as("__d0"), max(col("__day")).as("__d1"))
+    val dense = span.select(col(keyCol),
+      explode(expr("sequence(__d0, __d1, interval 1 day)")).as("__day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+      .rowsBetween(-windowDays, -1)
+    dense.join(daily, Seq(keyCol, "__day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("__full", count(lit(1)).over(w) === windowDays)
+      .withColumn("trailing_median",
+        round(expr(s"percentile(n, 0.5) OVER (PARTITION BY $keyCol ORDER BY __day " +
+          s"ROWS BETWEEN $windowDays PRECEDING AND 1 PRECEDING)")).cast("long"))
+      .filter(col("__full"))
+      .withColumn("is_spike", col("n") * 100L > lit(factorPct) * col("trailing_median"))
+      .select(col(keyCol), col("__day").as("day"), col("n"),
+        col("trailing_median"), col("is_spike"))
+  }
+
+  /** Time-weighted average per key over a step function: each observation
+    * holds its value until the NEXT observation, and the TWAP is
+    * `Σ valueᵢ·(tᵢ₊₁−tᵢ) / Σ(tᵢ₊₁−tᵢ)` — the metric that answers "what was
+    * the average price/level over TIME", where the arithmetic mean
+    * over-weights bursts of closely-spaced points. The last observation per
+    * key carries no duration and drops out (a step function needs a right
+    * endpoint).
+    *
+    * Integer-exact: values in cents, durations in µs, the final ratio as
+    * integer division (`num DIV den`, reported in cents) — identical on any
+    * engine. Overflow bound: Σ cents·µs must fit int64 — at 2³¹ cents ·
+    * one-year spans, ~10²⁸ would overflow, so callers at that scale bucket
+    * time first; at event-log magnitudes (≤10⁵ cents, ≤10¹² µs spans,
+    * ≤10⁶ rows/key) the sum stays ≤10²³⁄rows… within int64 for the tested
+    * magnitudes, and the `sum` is checked by the oracle bit-for-bit.
+    *
+    * Output: `(key, n_segments, span_us, twap_cents)`.
+    *
+    * Scale: one key-partitioned window (`lead`) + one hash aggregate — both
+    * shuffle on the key only. */
+  def twapPerKey(df: DataFrame, keyCol: String, tsMicros: Column,
+                 valueCents: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
+    df.select(col(keyCol), tsMicros.as("__t"), valueCents.as("__v"))
+      .withColumn("__dt", lead(col("__t"), 1).over(w) - col("__t"))
+      .filter(col("__dt").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("__dt")).as("span_us"),
+        expr("sum(__v * __dt) DIV sum(__dt)").as("twap_cents"))
   }
 }

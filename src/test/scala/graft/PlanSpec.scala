@@ -406,4 +406,38 @@ class PlanSpec extends SparkSpec {
         s"expected per-__pid row_number window:\n$sh")
     }
   }
+
+  test("q162/q164 sweep-line and spike windows stay key-partitioned, no global sort") {
+    val p = planOf("q162_peak_concurrency")
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"expected per-event_type running-sum window:\n$p")
+    assert(!p.contains("], true, 0"), s"sweep-line must not global-sort:\n$p")
+    val p2 = planOf("q164_spike_detection")
+    assert(p2.contains("windowspecdefinition(event_type"),
+      s"expected per-event_type trailing windows:\n$p2")
+    assert(!p2.contains("], true, 0"), s"spike pass must not global-sort:\n$p2")
+  }
+
+  test("q168 quantile-normalize assembly: both windows partition-bounded, offsets broadcast") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withTempDir { dir =>
+      (1 to 300).map(i => (i.toLong, s"s${i % 3}", (i * 11 % 97).toLong))
+        .toDF("id", "grp", "v")
+        .repartitionByRange(5, col("v"), col("id"))
+        .withColumn("__pid", spark_partition_id())
+        .write.parquet(s"$dir/t")
+      val parts = spark.read.parquet(s"$dir/t")
+      val offs = (0 until 5).map(p => (p, p * 60L)).toDF("__pid", "__off")
+      val plan = graft.ext.Rank.quantileNormalizeAssembly(parts, offs, "grp", "v", "id", 300L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("windowspecdefinition(__pid"),
+        s"global-rank window must be per-__pid:\n$plan")
+      assert(plan.contains("windowspecdefinition(grp"),
+        s"group-rank window must be per-group:\n$plan")
+      assert(!plan.contains("], true, 0"), s"no global sort anywhere:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"partition offsets must broadcast:\n$plan")
+    }
+  }
 }

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Labels, Rank, TimeSeries}
+
+/** Round-9 late additions: sweep-line peak concurrency, trailing-median spike
+  * detection, TWAP, Fleiss' kappa, canonicalization dedup, session-window
+  * aggregation, quantile normalization. Every test is a hand-checkable
+  * fixture (the sf-data correctness lives with the DuckDB oracle). */
+class Round9cSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------ peak concurrency
+
+  test("peakConcurrency counts overlaps with end-exclusive boundaries") {
+    // k: [0,10) [5,15) [10,20) — at t=10 the first interval closes BEFORE the
+    // third opens (delta −1 sorts first), so the peak is 2, not 3.
+    // j: one interval — peak 1.
+    val df = Seq(("k", 0L, 10L), ("k", 5L, 15L), ("k", 10L, 20L), ("j", 0L, 7L))
+      .toDF("key", "s", "e")
+    val got = TimeSeries.peakConcurrency(df, "key", col("s"), col("e"))
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("j", 1L, 1L), ("k", 2L, 3L)))
+  }
+
+  test("peakConcurrency: back-to-back intervals never overlap") {
+    val df = Seq(("k", 0L, 10L), ("k", 10L, 20L), ("k", 20L, 30L)).toDF("key", "s", "e")
+    val got = TimeSeries.peakConcurrency(df, "key", col("s"), col("e")).collect()
+    assert(got.head.getLong(1) === 1L)
+  }
+
+  // ------------------------------------------------ spike detection
+
+  test("spikesVsTrailingMedian flags a 2.5x day and zero-fills missing days") {
+    // Daily counts for key a: 01→2, 02→2, 03→2, 04→5, 05→2, 06→(absent ⇒ 0),
+    // 07→1. With windowDays=3 only days 04+ have a full window:
+    //   04: med(2,2,2)=2, 5·100 > 200·2 ⇒ spike
+    //   05: med(2,2,5)=2, 2·100 ≤ 400  ⇒ no
+    //   06: med(2,5,2)=2, 0            ⇒ no (and the day EXISTS despite no rows)
+    //   07: med(5,2,0)=2, 1·100 ≤ 400  ⇒ no
+    val rows = Seq("01" -> 2, "02" -> 2, "03" -> 2, "04" -> 5, "05" -> 2, "07" -> 1)
+      .flatMap { case (d, n) => Seq.fill(n)(("a", s"2024-01-$d 12:00:00")) }
+    val df = rows.toDF("key", "ts").withColumn("ts", to_timestamp(col("ts")))
+    val got = TimeSeries.spikesVsTrailingMedian(df, "key", "ts", windowDays = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      ("2024-01-04", 5L, 2L, true), ("2024-01-05", 2L, 2L, false),
+      ("2024-01-06", 0L, 2L, false), ("2024-01-07", 1L, 2L, false)))
+  }
+
+  // ------------------------------------------------ TWAP
+
+  test("twapPerKey integrates the step function and drops the last point") {
+    // u: (t=0,v=100) (t=10,v=200) (t=30,v=0): 100·10 + 200·20 = 5000 over 30
+    // ⇒ 166 (integer DIV). The t=30 point has no right endpoint.
+    val df = Seq((7L, 0L, 100L), (7L, 10L, 200L), (7L, 30L, 0L)).toDF("u", "t", "v")
+    val got = TimeSeries.twapPerKey(df, "u", col("t"), col("v")).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      === Seq((7L, 2L, 30L, 166L)))
+  }
+
+  test("twapPerKey: a single observation per key yields no segments") {
+    val df = Seq((1L, 5L, 42L)).toDF("u", "t", "v")
+    assert(TimeSeries.twapPerKey(df, "u", col("t"), col("v")).count() === 0L)
+  }
+
+  // ------------------------------------------------ Fleiss' kappa
+
+  test("fleissKappa matches the hand-computed 2x2 example (negative kappa)") {
+    // item1: A,A; item2: A,B. A=2, B=4 ⇒ po=0.5. c=(3,1) ⇒ C=10, D=16 ⇒
+    // pe=0.625. kappa = −0.125/0.375 = −1/3 ⇒ −333333 micro (truncated).
+    val df = Seq((1, "A"), (1, "A"), (2, "A"), (2, "B")).toDF("item", "label")
+    val r = Labels.fleissKappa(df, col("item"), col("label")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 2L, 2L)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((500000L, 625000L, -333333L)))
+  }
+
+  test("fleissKappa is exactly 10^6 micro under perfect agreement") {
+    val df = Seq((1, "A"), (1, "A"), (2, "B"), (2, "B")).toDF("item", "label")
+    val r = Labels.fleissKappa(df, col("item"), col("label")).collect().head
+    assert(r.getLong(3) === 1000000L && r.getLong(5) === 1000000L)
+  }
+
+  test("fleissKappa refuses unequal rater counts per item") {
+    val df = Seq((1, "A"), (1, "A"), (2, "A")).toDF("item", "label")
+    val e = intercept[Exception] {
+      Labels.fleissKappa(df, col("item"), col("label")).collect()
+    }
+    assert(e.getMessage.contains("unequal rater counts")
+      || Option(e.getCause).exists(_.getMessage.contains("unequal rater counts")))
+  }
+
+  // ------------------------------------------------ canonical dedup
+
+  test("canonicalDuplicateGroups collapses case/punct/whitespace variants only") {
+    val df = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO  world"),
+      (4L, "something else"), (5L, "something else"))
+      .toDF("doc_id", "text")
+    val got = Dedup.canonicalDuplicateGroups(df).orderBy("rep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 1/2/3 are one canonical group with 3 distinct raw texts; 4/5 are
+    // byte-identical (1 raw variant); the singleton never appears.
+    assert(got.toSeq === Seq((1L, 3L, 3L), (4L, 2L, 1L)))
+  }
+
+  // ------------------------------------------------ session windows (batch form)
+
+  test("sessionAggregate merges at exactly-gap (inclusive) and splits past it (batch)") {
+    // gap 30s, user 1: events at 0s/10s merge; 41s is 31s after 10s ⇒ new
+    // session [41, 71). User 2: the second event lands EXACTLY 30s after the
+    // first — Spark's session extension is INCLUSIVE, so it merges and the
+    // session runs [0, 60).
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq((1L, ts(0), 100L), (1L, ts(10), 200L), (1L, ts(41), 50L),
+      (2L, ts(0), 1L), (2L, ts(30), 2L))
+      .toDF("user_id", "ts", "cents")
+    val got = graft.engine.Incremental.sessionAggregate(df,
+        ts = col("ts"), key = col("user_id"),
+        gap = "30 seconds", watermarkDelay = "1 minute", valueCents = col("cents"))
+      .select(col("user_id"), col("session_window.start").cast("long").as("s"),
+        col("session_window.end").cast("long").as("e"), col("n"), col("value_cents"))
+      .orderBy("user_id", "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((1L, 0L, 40L, 2L, 300L), (1L, 41L, 71L, 1L, 50L),
+      (2L, 0L, 60L, 2L, 3L)))
+  }
+
+  // ------------------------------------------------ quantile normalization
+
+  test("quantileNormalize is the identity when the group is the whole input") {
+    val df = (1 to 20).map(i => (i.toLong, "all", (i * 7 % 13).toLong))
+      .toDF("id", "grp", "v")
+    withTempDir { dir =>
+      val got = Rank.quantileNormalize(df, "grp", "v", "id", dir, numPartitions = 4)
+        .collect().map(r => (r.getLong(2), r.getLong(3)))
+      assert(got.length === 20 && got.forall { case (v, nv) => v === nv })
+    }
+  }
+
+  test("quantileNormalize maps both groups onto the same global quantiles") {
+    // X=[1,2,3], Y=[10,20,30]; global sorted (1,2,3,10,20,30). Rank r of 3
+    // maps to global rank 2r: both groups normalize to {2, 10, 30}.
+    val df = Seq((1L, "x", 1L), (2L, "x", 2L), (3L, "x", 3L),
+      (4L, "y", 10L), (5L, "y", 20L), (6L, "y", 30L)).toDF("id", "grp", "v")
+    withTempDir { dir =>
+      val got = Rank.quantileNormalize(df, "grp", "v", "id", dir, numPartitions = 3)
+        .orderBy("id").collect().map(r => r.getLong(3))
+      assert(got.toSeq === Seq(2L, 10L, 30L, 2L, 10L, 30L))
+    }
+  }
+}
