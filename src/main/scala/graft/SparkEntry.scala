@@ -2952,6 +2952,33 @@ object SparkEntry {
       graft.ext.Rank.quantileNormalize(
         t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
         "source", "n_chars", "doc_id", root)
+    },
+
+    // Footer-only aggregates (engine.Skipping.pushedAggregates): COUNT/MIN/
+    // MAX answered from parquet metadata via Spark's DSv2 aggregate pushdown
+    // — the helper THROWS if the plan didn't actually push, so this query
+    // green means no data pages were read. Oracle recomputes over the data.
+    "q169_agg_pushdown" -> { (s, dir) =>
+      graft.engine.Skipping.pushedAggregates(s, s"$dir/lineitem.parquet",
+        Seq("l_orderkey", "l_quantity", "l_extendedprice"))
+    },
+
+    // Gaps-and-islands activity streaks (ext.TimeSeries.activityStreaks):
+    // per user, consecutive-active-day runs via the dayNumber − row_number
+    // island key — no self-join, no iteration.
+    "q170_streaks" -> { (s, dir) =>
+      graft.ext.TimeSeries.activityStreaks(eventsTable(s, dir), "user_id", "ts")
+    },
+
+    // Grouped OLS (engine.Profile.groupedOls): exact per-returnflag slope /
+    // intercept of price-on-quantity from one sufficient-stats aggregate —
+    // decimal(38,0) products, micro-unit integer division (q92's sufficient
+    // stats carried through to the model coefficients).
+    "q171_group_ols" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      graft.engine.Profile.groupedOls(li, "l_returnflag", "x", "y")
     }
   )
 
@@ -5510,7 +5537,52 @@ object SparkEntry {
         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents)
         |SELECT g.doc_id, g.source, g.n_chars, o.norm_n_chars
         |FROM g CROSS JOIN n
-        |JOIN o ON o.gr = (g.r * n.nn + g.m - 1) // g.m""".stripMargin
+        |JOIN o ON o.gr = (g.r * n.nn + g.m - 1) // g.m""".stripMargin,
+
+    "q169_agg_pushdown" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       MIN(l_orderkey) AS min_l_orderkey, MAX(l_orderkey) AS max_l_orderkey,
+        |       MIN(l_quantity) AS min_l_quantity, MAX(l_quantity) AS max_l_quantity,
+        |       MIN(l_extendedprice) AS min_l_extendedprice,
+        |       MAX(l_extendedprice) AS max_l_extendedprice
+        |FROM lineitem""".stripMargin,
+
+    "q170_streaks" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |i AS (
+        |  SELECT user_id,
+        |         date_diff('day', DATE '1970-01-01', d)
+        |           - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+        |  FROM a),
+        |l AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+        |      FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |       CAST(MAX(len) AS BIGINT) AS longest_streak
+        |FROM l GROUP BY 1""".stripMargin,
+
+    "q171_group_ols" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS x,
+        |         CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+        |         CAST(SUM(x * y) AS HUGEINT) AS sxy
+        |  FROM li GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |         n * sxy - sx * sy AS num, n * sxx - sx * sx AS den, sx, sy
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |       CASE WHEN den = 0 THEN NULL
+        |            ELSE CAST((1000000 * num) // den AS BIGINT) END AS slope_micro,
+        |       CASE WHEN den = 0 THEN NULL
+        |            ELSE CAST((1000000 * (sy * den - num * sx)) // (n * den) AS BIGINT)
+        |       END AS intercept_micro
+        |FROM d""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -134,6 +134,40 @@ object Profile {
         sum(x * y).as("sum_xy"))
   }
 
+  /** Grouped simple linear regression — the consumer [[sufficientStats]]
+    * anticipates: per group, the exact OLS slope and intercept of y on x,
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²),
+    *   intercept = (Σy − slope·Σx) / n = (Σy·den − num·Σx) / (n·den),
+    * reported as micro-unit integers via integer division. The products run
+    * in `decimal(38,0)` — n·Σxy·10⁶ overflows int64 around 10⁵ rows/group of
+    * 5-digit values, and a float pipeline's last-ulp drift differs between
+    * engines; 38-digit exact integers do neither. Groups with zero x
+    * variance (den = 0: fewer than 2 points, or constant x) emit NULL slope
+    * and intercept rather than a division error.
+    *
+    * Output: `(group, n, slope_micro, intercept_micro)`.
+    *
+    * Scale: identical to [[sufficientStats]] — ONE map-side-combined hash
+    * aggregate; the ratio arithmetic happens on the group-sized result. */
+  def groupedOls(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String): DataFrame =
+    sufficientStats(df, groupCol, xCol, yCol)
+      .select(col(groupCol), col("n"),
+        expr("CAST(n AS DECIMAL(38,0))").as("__n"),
+        expr("CAST(sum_x AS DECIMAL(38,0))").as("__sx"),
+        expr("CAST(sum_y AS DECIMAL(38,0))").as("__sy"),
+        expr("CAST(sum_xx AS DECIMAL(38,0))").as("__sxx"),
+        expr("CAST(sum_xy AS DECIMAL(38,0))").as("__sxy"))
+      .withColumn("__num", col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__den", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .select(col(groupCol), col("n"),
+        when(col("__den") =!= 0,
+          expr("CAST((1000000 * __num) DIV __den AS BIGINT)"))
+          .as("slope_micro"),
+        when(col("__den") =!= 0,
+          expr("CAST((1000000 * (__sy * __den - __num * __sx)) DIV (__n * __den) AS BIGINT)"))
+          .as("intercept_micro"))
+
   /** Quantile binning: assign each row its `nBins`-quantile bin (1-based)
     * WITHIN a stratum — the feature-bucketing pass behind "quality deciles
     * per language" style corpus reports. The `(value, id)` ordering makes the

@@ -199,4 +199,55 @@ object Skipping {
     else
       spark.read.parquet(files: _*).filter(col(c) === lit(value).cast(colType))
   }
+
+  /** COUNT/MIN/MAX answered from parquet FOOTER metadata — no data pages
+    * read. Spark's native aggregate pushdown
+    * (`spark.sql.parquet.aggregatePushdown`) rewrites the scan to return the
+    * footers' row counts and column statistics directly, but only on the
+    * DSv2 read path (parquet sits in `spark.sql.sources.useV1SourceList` by
+    * default, where the rule never fires) — so this helper flips both confs
+    * for the duration of ONE eagerly-collected aggregate and restores them.
+    * At 100 TB this is the difference between a full scan and opening ~nFiles
+    * footers: the stats-only query every table health check starts with.
+    *
+    * The plan is VERIFIED pushed ([[pushdownPlanned]] must appear in the
+    * optimized scan) — falling back to a silent full scan would keep the
+    * same answer while voiding the metadata-only claim, so it throws
+    * instead. Filters or unsupported column types (nested, no-stats) break
+    * pushdown eligibility; keep the call to top-level primitive columns.
+    *
+    * Output: one local row `(n_rows, min_<c>, max_<c> …)`. */
+  def pushedAggregates(spark: SparkSession, tablePath: String,
+                       cols: Seq[String]): DataFrame = {
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    val aggKey = "spark.sql.parquet.aggregatePushdown"
+    val prevV1 = spark.conf.get(v1Key)
+    val prevAgg = spark.conf.get(aggKey)
+    spark.conf.set(v1Key,
+      prevV1.split(",").map(_.trim).filterNot(_ == "parquet").mkString(","))
+    spark.conf.set(aggKey, "true")
+    try {
+      val frame = pushedAggregateFrame(spark, tablePath, cols)
+      // the marker lives in the scan node's metadata — executedPlan, not the
+      // optimized plan string (which only shows the rewritten RelationV2)
+      val plan = frame.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregation: [COUNT(*)"),
+        s"Skipping.pushedAggregates: aggregate was NOT pushed to the scan —\n$plan")
+      val rows = frame.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), frame.schema)
+    } finally {
+      spark.conf.set(v1Key, prevV1)
+      spark.conf.set(aggKey, prevAgg)
+    }
+  }
+
+  /** The lazy aggregate of [[pushedAggregates]] — package-private so PlanSpec
+    * can assert `PushedAggregation` lands in the scan (caller must have the
+    * two confs set). */
+  private[graft] def pushedAggregateFrame(spark: SparkSession, tablePath: String,
+                                          cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(tablePath).agg(aggs.head, aggs.tail: _*)
+  }
 }

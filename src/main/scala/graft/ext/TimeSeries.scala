@@ -184,6 +184,32 @@ object TimeSeries {
         col("trailing_median"), col("is_spike"))
   }
 
+  /** Consecutive-day activity streaks per key — the gaps-and-islands
+    * pattern: an entity active on days {d, d+1, …} forms one "island", and
+    * `dayNumber − row_number` is constant exactly within an island (both
+    * advance by 1 per consecutive day), so islands fall out of one keyed
+    * window + one groupBy with NO self-join and NO iteration. The
+    * engagement-analysis staple (login streaks, sensor uptime runs).
+    *
+    * Output per key: `(n_active_days, n_streaks, longest_streak)`.
+    *
+    * Scale: distinct (key, day) first — activity-sized, map-side combined —
+    * then a key-partitioned window (per-key state = its active-day count)
+    * and two strict key-coarsening aggregates. */
+  def activityStreaks(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val active = df.select(col(keyCol), to_date(col(tsCol)).as("__d")).distinct()
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__d"))
+    active
+      .withColumn("__island",
+        datediff(col("__d"), lit("1970-01-01").cast("date")) - row_number().over(w))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("longest_streak"))
+  }
+
   /** Time-weighted average per key over a step function: each observation
     * holds its value until the NEXT observation, and the TWAP is
     * `Σ valueᵢ·(tᵢ₊₁−tᵢ) / Σ(tᵢ₊₁−tᵢ)` — the metric that answers "what was

@@ -418,6 +418,33 @@ class PlanSpec extends SparkSpec {
     assert(!p2.contains("], true, 0"), s"spike pass must not global-sort:\n$p2")
   }
 
+  test("q169 aggregate pushdown reaches the parquet scan (COUNT/MIN/MAX from footers)") {
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    val aggKey = "spark.sql.parquet.aggregatePushdown"
+    val prevV1 = spark.conf.get(v1Key)
+    val prevAgg = spark.conf.get(aggKey)
+    spark.conf.set(v1Key,
+      prevV1.split(",").map(_.trim).filterNot(_ == "parquet").mkString(","))
+    spark.conf.set(aggKey, "true")
+    try {
+      val p = graft.engine.Skipping.pushedAggregateFrame(
+        spark, s"$sf/lineitem.parquet", Seq("l_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]"),
+        s"expected footer-level aggregate pushdown:\n$p")
+    } finally {
+      spark.conf.set(v1Key, prevV1)
+      spark.conf.set(aggKey, prevAgg)
+    }
+  }
+
+  test("q170 streaks: island window is per-user, no global sort") {
+    val p = planOf("q170_streaks")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"expected per-user island window:\n$p")
+    assert(!p.contains("], true, 0"), s"streaks must not global-sort:\n$p")
+  }
+
   test("q168 quantile-normalize assembly: both windows partition-bounded, offsets broadcast") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -140,6 +140,57 @@ class Round9cSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ footer-only aggregates
+
+  test("pushedAggregates answers from footers, matches the data, restores confs") {
+    withTempDir { dir =>
+      Seq((1L, 2.5), (9L, -1.5), (4L, 7.0)).toDF("k", "v")
+        .write.parquet(s"$dir/t")
+      val before = spark.conf.get("spark.sql.sources.useV1SourceList")
+      val got = graft.engine.Skipping.pushedAggregates(spark, s"$dir/t", Seq("k", "v"))
+        .collect().head
+      assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((3L, 1L, 9L)))
+      assert((got.getDouble(3), got.getDouble(4)) === ((-1.5, 7.0)))
+      assert(spark.conf.get("spark.sql.sources.useV1SourceList") === before)
+      assert(spark.conf.get("spark.sql.parquet.aggregatePushdown") === "false")
+    }
+  }
+
+  // ------------------------------------------------ activity streaks
+
+  test("activityStreaks splits on gap days and counts each day once") {
+    // u1 active days 1,2,3,5,6,9 (day 2 twice — must dedupe): islands of
+    // length 3, 2, 1. u2: one day.
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val df = Seq((1L, ts(1, 5)), (1L, ts(2, 5)), (1L, ts(2, 20)), (1L, ts(3, 5)),
+      (1L, ts(5, 5)), (1L, ts(6, 5)), (1L, ts(9, 5)), (2L, ts(4, 1)))
+      .toDF("u", "ts")
+    val got = TimeSeries.activityStreaks(df, "u", "ts")
+      .orderBy("u").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 6L, 3L, 3L), (2L, 1L, 1L, 1L)))
+  }
+
+  // ------------------------------------------------ grouped OLS
+
+  test("groupedOls recovers an exact line and truncates a fractional fit") {
+    // g1: y = 2x + 3 exactly. g2: (0,0),(1,1),(2,1) → slope 1/2, intercept 1/6.
+    val df = ((1 to 5).map(x => ("g1", x.toLong, 2L * x + 3)) ++
+      Seq(("g2", 0L, 0L), ("g2", 1L, 1L), ("g2", 2L, 1L))).toDF("g", "x", "y")
+    val got = graft.engine.Profile.groupedOls(df, "g", "x", "y")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("g1", 5L, 2000000L, 3000000L),
+      ("g2", 3L, 500000L, 166666L)))
+  }
+
+  test("groupedOls emits NULL coefficients when x has zero variance") {
+    val df = Seq(("c", 4L, 1L), ("c", 4L, 9L), ("s", 1L, 1L)).toDF("g", "x", "y")
+    val got = graft.engine.Profile.groupedOls(df, "g", "x", "y")
+      .orderBy("g").collect()
+    assert(got.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
+
   test("quantileNormalize maps both groups onto the same global quantiles") {
     // X=[1,2,3], Y=[10,20,30]; global sorted (1,2,3,10,20,30). Rank r of 3
     // maps to global rank 2r: both groups normalize to {2, 10, 30}.
