@@ -2979,6 +2979,60 @@ object SparkEntry {
         round(col("l_quantity")).cast("long").as("x"),
         round(col("l_extendedprice")).cast("long").as("y"))
       graft.engine.Profile.groupedOls(li, "l_returnflag", "x", "y")
+    },
+
+    // Stream-STREAM interval join: views and clicks (two watermarked streams
+    // over the same event source) joined per user when the click lands within
+    // one hour AFTER the view — the attribution join run with streaming state
+    // on BOTH sides (watermark + range condition bound each side's state).
+    // Inner-join matches emit as found (append mode), so the AvailableNow
+    // drain equals the batch interval join the oracle runs. Aggregated per
+    // user AFTER the sink, batch-side.
+    "q172_stream_stream_join" -> { (s, dir) =>
+      val views = eventsStream(s, dir).filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+        .withWatermark("view_ts", "2 hours")
+      val clicks = eventsStream(s, dir).filter(col("event_type") === "click")
+        .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("click_ts", "2 hours")
+      val joined = views.join(clicks, expr(
+        """user_id = click_user AND
+          |click_ts >= view_ts AND
+          |click_ts <= view_ts + interval 1 hour""".stripMargin))
+      val sinkName = "graft_stream_stream"
+      s.catalog.dropTempView(sinkName)
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sinkName).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("view_id")).as("view_checksum"),
+          sum(col("click_id")).as("click_checksum"))
+    },
+
+    // Incremental LSH dedup-index maintenance (ext.Dedup.lshIndexBuild /
+    // lshIndexProbeAppend): the base corpus is signed ONCE into a persistent
+    // batch-partitioned bucket+shingle index; two delta batches (perturbed
+    // copies of the even / odd docs) are each signed once, appended, and
+    // probed — per-batch cost ∝ delta, and each near-dup pair is reported
+    // exactly once, by the batch that completed it. Oracle = the full-corpus
+    // MinHash replay filtered to pairs completed by each delta.
+    "q173_lsh_index_maintenance" -> { (s, dir) =>
+      val root = tempDirCleanedOnExit("graft-lshidx-")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def strip = regexp_replace(col("text"), "^\\S+\\s*", "")
+      val d1 = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), strip.as("text"))
+      val d2 = docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 200000L).as("doc_id"), strip.as("text"))
+      Dedup.lshIndexBuild(docs, s"$root/idx", batch = 0)
+      val p1 = Dedup.lshIndexProbeAppend(s, s"$root/idx", d1, 1, threshold = 0.5)
+        .withColumn("batch", lit(1))
+      val p2 = Dedup.lshIndexProbeAppend(s, s"$root/idx", d2, 2, threshold = 0.5)
+        .withColumn("batch", lit(2))
+      p1.unionAll(p2)
     }
   )
 
@@ -5582,7 +5636,37 @@ object SparkEntry {
         |       CASE WHEN den = 0 THEN NULL
         |            ELSE CAST((1000000 * (sy * den - num * sx)) // (n * den) AS BIGINT)
         |       END AS intercept_micro
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    "q172_stream_stream_join" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS vt, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ct, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(view_id) AS BIGINT) AS view_checksum,
+        |       CAST(SUM(click_id) AS BIGINT) AS click_checksum
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c.ct >= v.vt AND c.ct <= v.vt + 3600000000
+        |GROUP BY 1""".stripMargin,
+
+    "q173_lsh_index_maintenance" -> {
+      val corpusCte =
+        """corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, regexp_replace(text, '^\S+\s*', '') FROM documents
+          |  WHERE doc_id % 2 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 200000, regexp_replace(text, '^\S+\s*', '') FROM documents
+          |  WHERE doc_id % 2 = 1)""".stripMargin
+      s"""WITH ${minhashPairsCtesOver(corpusCte)}
+         |SELECT id_a AS index_id, id_b AS delta_id, jaccard,
+         |       CAST(CASE WHEN id_b >= 200000 THEN 2 ELSE 1 END AS INT) AS batch
+         |FROM pairs WHERE id_b >= 100000 AND jaccard >= 0.5""".stripMargin
+    }
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -428,6 +428,63 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Persistent LSH dedup index — the INCREMENTAL sibling of
+    * [[crossCorpusNearDuplicatesPortable]], which re-signs the whole corpus
+    * on every batch. Here the corpus's band buckets and shingle sets are
+    * materialized ONCE ([[lshIndexBuild]]) into batch-partitioned parquet
+    * (`buckets/batch=N`, `shingles/batch=N`); each arriving batch is signed
+    * once, appended as its own partition, and probed against the index
+    * ([[lshIndexProbeAppend]]) — per-batch cost ∝ batch size + matched
+    * buckets, never ∝ corpus. This is how a 100 TB dedup service actually
+    * runs: the index outlives the job, and at that scale the bucket table
+    * would additionally be bucketed-by-band_key on disk so the probe join
+    * co-locates without a shuffle of the index side.
+    *
+    * Probe semantics: emits pairs `(id_a < id_b)` where `id_b` is in the NEW
+    * batch and `id_a` is anywhere in the index up to and including it — so
+    * every pair is reported exactly once, by the batch that completed it
+    * (within-batch duplicates included; previously-reported pairs never
+    * re-emit). The `batch <= n` guard on the probe side makes the result
+    * independent of WHEN the lazy frame executes relative to later appends. */
+  def lshIndexBuild(docs: DataFrame, indexDir: String, batch: Int = 0,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    k: Int = 3, numHashes: Int = PortableNumHashes,
+                    bands: Int = PortableBands, seed: Long = PortableSeed): Unit = {
+    val sh = shingleSets(docs, k, idCol, textCol)
+    minhashSignaturesPortable(sh, numHashes, seed, idCol)
+      .select(col(idCol),
+        posexplode(bandKeys(col("sig"), numHashes, bands)).as(Seq("band", "band_key")))
+      .write.mode("overwrite").parquet(s"$indexDir/buckets/batch=$batch")
+    sh.write.mode("overwrite").parquet(s"$indexDir/shingles/batch=$batch")
+  }
+
+  /** Append `delta` to the index as partition `batch=n`, then probe: verified
+    * near-dup pairs `(index_id, delta_id, jaccard ≥ threshold)` completed by
+    * this batch. See [[lshIndexBuild]] for the contract. */
+  def lshIndexProbeAppend(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                          delta: DataFrame, n: Int, threshold: Double,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          k: Int = 3, numHashes: Int = PortableNumHashes,
+                          bands: Int = PortableBands, seed: Long = PortableSeed): DataFrame = {
+    lshIndexBuild(delta, indexDir, n, idCol, textCol, k, numHashes, bands, seed)
+    // probe the WRITTEN tables (partition-discovered `batch` column): the
+    // signatures are computed exactly once, above
+    val allB = spark.read.parquet(s"$indexDir/buckets").filter(col("batch") <= n)
+    val dB = allB.filter(col("batch") === n)
+    val cand = dB.as("b").join(allB.as("a"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("index_id"), col(s"b.$idCol").as("delta_id"))
+      .distinct()
+    val allS = spark.read.parquet(s"$indexDir/shingles").filter(col("batch") <= n)
+    cand
+      .join(allS.select(col(idCol).as("index_id"), col("sh").as("sh_a")), "index_id")
+      .join(allS.select(col(idCol).as("delta_id"), col("sh").as("sh_b")), "delta_id")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("index_id"), col("delta_id"), col("jaccard"))
+  }
+
   /** [[removeNearDuplicates]] on the portable family (keep-lowest-id policy). */
   def removeNearDuplicatesPortable(docs: DataFrame, threshold: Double,
                                    idCol: String = "doc_id", textCol: String = "text",

@@ -1,8 +1,14 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Labels, Rank, TimeSeries}
+
+/** MemoryStream row types for the stream-stream join spec (top-level for
+  * stable encoders). */
+case class ViewEvent(user_id: Long, view_ts: java.sql.Timestamp, view_id: Long)
+case class ClickEvent(click_user: Long, click_ts: java.sql.Timestamp, click_id: Long)
 
 /** Round-9 late additions: sweep-line peak concurrency, trailing-median spike
   * detection, TWAP, Fleiss' kappa, canonicalization dedup, session-window
@@ -126,6 +132,77 @@ class Round9cSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq === Seq((1L, 0L, 40L, 2L, 300L), (1L, 41L, 71L, 1L, 50L),
       (2L, 0L, 60L, 2L, 3L)))
+  }
+
+  // ------------------------------------------------ stream-stream join
+
+  test("stream-stream interval join matches across micro-batch boundaries") {
+    // view(u1, t=0) arrives in batch 1; its click (t=30min) in batch 2 —
+    // the view must wait in state. click(u1, t=10min) arrives in batch 1
+    // BEFORE its matching view (t=5min, batch 2) — the click must wait too.
+    // click at t=2h matches nothing (outside the 1h window).
+    // realistic epoch base — event times at/near epoch 0 sit on the initial
+    // watermark boundary and can be dropped as late
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val views = MemoryStream[ViewEvent]
+    val clicks = MemoryStream[ClickEvent]
+    val joined = views.toDS().toDF().withWatermark("view_ts", "4 hours")
+      .join(clicks.toDS().toDF().withWatermark("click_ts", "4 hours"), expr(
+        """user_id = click_user AND
+          |click_ts >= view_ts AND
+          |click_ts <= view_ts + interval 1 hour""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      views.addData(ViewEvent(1L, ts(0), 10L))
+      clicks.addData(ClickEvent(1L, ts(10), 20L))
+      q.processAllAvailable()
+      views.addData(ViewEvent(1L, ts(5), 11L))
+      clicks.addData(ClickEvent(1L, ts(30), 21L), ClickEvent(1L, ts(120), 22L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ss_join")
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // view 10 (t=0): clicks 20 (10min) + 21 (30min). view 11 (t=5): same two.
+    // click 22 (2h) matches neither.
+    assert(got === Set((10L, 20L), (10L, 21L), (11L, 20L), (11L, 21L)))
+  }
+
+  // ------------------------------------------------ LSH index maintenance
+
+  test("lshIndex incremental probes equal the full-corpus recompute, each pair once") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def text() = Seq.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def perturb(t: String) = t.split(" ").drop(1).mkString(" ")
+    val base = (0L until 30L).map(i => (i, text()))
+    val d1 = base.take(10).map { case (i, t) => (100L + i, perturb(t)) } ++
+      Seq((113L, "omega omega shared tail words"), (114L, "omega omega shared tail words"))
+    val d2 = base.slice(10, 20).map { case (i, t) => (200L + i, perturb(t)) } :+
+      (210L, perturb(d1.head._2))
+    val all = (base ++ d1 ++ d2).toDF("doc_id", "text")
+    val expected = Dedup
+      .minhashNearDuplicatesPortable(all, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    withTempDir { dir =>
+      Dedup.lshIndexBuild(base.toDF("doc_id", "text"), s"$dir/idx")
+      val p1 = Dedup.lshIndexProbeAppend(spark, s"$dir/idx",
+          d1.toDF("doc_id", "text"), 1, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val p2 = Dedup.lshIndexProbeAppend(spark, s"$dir/idx",
+          d2.toDF("doc_id", "text"), 2, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(p1.nonEmpty && p2.nonEmpty, "planted perturbations must match")
+      assert(p1.intersect(p2).isEmpty, "a pair must be reported by exactly one batch")
+      // batch n reports exactly the full-recompute pairs completed by batch n
+      assert(p1 === expected.filter { case (_, b, _) => b >= 100L && b < 200L })
+      assert(p2 === expected.filter { case (_, b, _) => b >= 200L })
+      // incremental never reports a base-only pair
+      assert((p1 ++ p2).forall { case (_, b, _) => b >= 100L })
+    }
   }
 
   // ------------------------------------------------ quantile normalization
