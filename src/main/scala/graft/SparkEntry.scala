@@ -3033,6 +3033,50 @@ object SparkEntry {
       val p2 = Dedup.lshIndexProbeAppend(s, s"$root/idx", d2, 2, threshold = 0.5)
         .withColumn("batch", lit(2))
       p1.unionAll(p2)
+    },
+
+    // Welch's t² per day (engine.Profile.welchTSquared): click vs view value
+    // distributions compared with the unequal-variance test statistic,
+    // squared so it stays rational — exact decimal(38,0) integer arithmetic,
+    // one conditional aggregation pass for both samples.
+    "q174_ab_test" -> { (s, dir) =>
+      val e = eventsTable(s, dir).filter(col("value").isNotNull)
+        .select(to_date(col("ts")).cast("string").as("day"), col("event_type"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      graft.engine.Profile.welchTSquared(e, "day", "event_type", "cents",
+        "click", "view")
+    },
+
+    // Herfindahl concentration (engine.Profile.concentration): how dominated
+    // each event type is by its heaviest users — exact integer count algebra,
+    // two strict key-coarsening aggregates.
+    "q175_concentration" -> { (s, dir) =>
+      graft.engine.Profile.concentration(eventsTable(s, dir), "event_type", "user_id")
+    },
+
+    // Lag-1 autocorrelation per user (ext.TimeSeries.lagAutocorrelation):
+    // signed squared Pearson r of consecutive event values — trend vs
+    // mean-reversion per entity, rational and engine-exact. Ties on (user,
+    // ts) pre-aggregate to max-cents, as in q166.
+    "q176_autocorr" -> { (s, dir) =>
+      val obs = eventsTable(s, dir).filter(col("value").isNotNull)
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("__t_us"))
+        .agg(max(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("__cents"))
+      graft.ext.TimeSeries.lagAutocorrelation(obs, "user_id",
+        col("__t_us"), col("__cents"))
+    },
+
+    // Functional-dependency audit (engine.Expectations.functionalDependency):
+    // o_orderkey → o_custkey must HOLD (0 violations); user_id → event_type
+    // is expected to fail — the data-contract check before trusting a column
+    // as a lookup key.
+    "q177_fd_audit" -> { (s, dir) =>
+      graft.engine.Expectations.functionalDependency(
+          t(s, dir, "orders"), "orderkey_determines_custkey",
+          Seq("o_orderkey"), Seq("o_custkey"))
+        .unionAll(graft.engine.Expectations.functionalDependency(
+          eventsTable(s, dir), "user_determines_event_type",
+          Seq("user_id"), Seq("event_type")))
     }
   )
 
@@ -5666,7 +5710,91 @@ object SparkEntry {
          |SELECT id_a AS index_id, id_b AS delta_id, jaccard,
          |       CAST(CASE WHEN id_b >= 200000 THEN 2 ELSE 1 END AS INT) AS batch
          |FROM pairs WHERE id_b >= 100000 AND jaccard >= 0.5""".stripMargin
-    }
+    },
+
+    "q174_ab_test" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT day,
+        |         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(SUM(CASE WHEN event_type = 'click' THEN cents ELSE 0 END) AS HUGEINT) AS sa,
+        |         CAST(SUM(CASE WHEN event_type = 'view' THEN cents ELSE 0 END) AS HUGEINT) AS sb,
+        |         CAST(SUM(CASE WHEN event_type = 'click' THEN cents * cents ELSE 0 END) AS HUGEINT) AS ssa,
+        |         CAST(SUM(CASE WHEN event_type = 'view' THEN cents * cents ELSE 0 END) AS HUGEINT) AS ssb
+        |  FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT day, n_a, n_b,
+        |         (sa * n_b - sb * n_a) * (sa * n_b - sb * n_a) * (n_a - 1) * (n_b - 1) AS num,
+        |         (n_a * ssa - sa * sa) * n_b * n_b * (n_b - 1)
+        |           + (n_b * ssb - sb * sb) * n_a * n_a * (n_a - 1) AS den
+        |  FROM g)
+        |SELECT day, n_a, n_b,
+        |       CASE WHEN n_a >= 2 AND n_b >= 2 AND den <> 0
+        |            THEN CAST((1000000 * num) // den AS BIGINT) END AS t2_micro
+        |FROM d""".stripMargin,
+
+    "q175_concentration" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |k AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_entities,
+        |         CAST(SUM(n) AS BIGINT) AS n_rows,
+        |         CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sq
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n_entities, n_rows,
+        |       CAST((1000000 * sq) // (CAST(n_rows AS HUGEINT) * n_rows) AS BIGINT) AS hhi_micro
+        |FROM k""".stripMargin,
+
+    "q176_autocorr" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |         MAX(CAST(ROUND(value * 100) AS BIGINT)) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, x, lead(x) OVER (PARTITION BY user_id ORDER BY t) AS y
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |         CAST(SUM(x * x) AS HUGEINT) AS sxx, CAST(SUM(y * y) AS HUGEINT) AS syy,
+        |         CAST(SUM(x * y) AS HUGEINT) AS sxy
+        |  FROM p WHERE y IS NOT NULL GROUP BY 1),
+        |d AS (
+        |  SELECT user_id, n_pairs,
+        |         n_pairs * sxy - sx * sy AS cov,
+        |         n_pairs * sxx - sx * sx AS vx,
+        |         n_pairs * syy - sy * sy AS vy
+        |  FROM g)
+        |SELECT user_id, n_pairs,
+        |       CASE WHEN n_pairs >= 2 AND vx <> 0 AND vy <> 0
+        |            THEN CAST(CASE WHEN cov < 0
+        |                           THEN -((1000000 * cov * cov) // (vx * vy))
+        |                           ELSE (1000000 * cov * cov) // (vx * vy) END AS BIGINT)
+        |       END AS r2_signed_micro
+        |FROM d""".stripMargin,
+
+    "q177_fd_audit" ->
+      """WITH f1 AS (
+        |  SELECT o_orderkey, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |f2 AS (
+        |  SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS v
+        |  FROM events GROUP BY 1)
+        |SELECT 'orderkey_determines_custkey' AS fd,
+        |       CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |       CAST(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+        |       CAST(MAX(v) AS BIGINT) AS max_variants
+        |FROM f1
+        |UNION ALL
+        |SELECT 'user_determines_event_type', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(MAX(v) AS BIGINT)
+        |FROM f2""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -76,4 +76,22 @@ object Expectations {
     child.agg(count(lit(1)).as(s"${name}_checked"))
       .crossJoin(orphans.agg(count(lit(1)).as(s"${name}_orphans")))
   }
+
+  /** Functional-dependency audit: does `lhs` determine `rhs`? One row —
+    * `(fd, n_keys, n_violating_keys, max_variants)`, where a violating key
+    * is an lhs value mapped to >1 distinct rhs tuple. The schema-inference /
+    * data-contract check behind "is this column a safe join key for that
+    * attribute" — `n_violating_keys = 0` certifies the FD holds on this
+    * snapshot.
+    *
+    * Scale: one `groupBy(lhs)` whose state per key is the distinct rhs
+    * count (bounded by rhs cardinality under that key), then a one-row
+    * collapse. Strict key coarsening, no join. */
+  def functionalDependency(df: DataFrame, name: String,
+                           lhs: Seq[String], rhs: Seq[String]): DataFrame =
+    df.groupBy(lhs.map(col): _*)
+      .agg(countDistinct(struct(rhs.map(col): _*)).as("__v"))
+      .agg(lit(name).as("fd"), count(lit(1)).as("n_keys"),
+        sum(when(col("__v") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+        max(col("__v")).as("max_variants"))
 }

@@ -168,6 +168,67 @@ object Profile {
           expr("CAST((1000000 * (__sy * __den - __num * __sx)) DIV (__n * __den) AS BIGINT)"))
           .as("intercept_micro"))
 
+  /** Welch's t² per group for an A/B comparison — the unequal-variance test
+    * statistic, squared so it stays RATIONAL (t itself needs a square root;
+    * t² = (m̄ₐ−m̄ᵦ)²/(s²ₐ/nₐ+s²ᵦ/nᵦ) is a ratio of integers). After clearing
+    * denominators and cancelling the common (nₐ·nᵦ)² factor,
+    *   t² = (Sₐ·nᵦ − Sᵦ·nₐ)²·(nₐ−1)·(nᵦ−1) /
+    *        [(nₐ·SSₐ−Sₐ²)·nᵦ²·(nᵦ−1) + (nᵦ·SSᵦ−Sᵦ²)·nₐ²·(nₐ−1)]
+    * — reported as `t2_micro = ⌊10⁶·t²⌋` via decimal(38,0) integer
+    * arithmetic (exact and engine-portable; fits 38 digits up to ~10⁴ groups
+    * of 10⁶ five-digit values). The consumer compares t2_micro against the
+    * squared critical value; NULL when either side has <2 points or the
+    * pooled variance term is zero.
+    *
+    * Both samples aggregate in ONE conditional pass (no per-label scan).
+    * Output: `(group, n_a, n_b, t2_micro)`. Scale: a single map-side
+    * combined hash aggregate. */
+  def welchTSquared(df: DataFrame, groupCol: String, labelCol: String,
+                    valueCol: String, labelA: String, labelB: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    def side(l: String, tag: String) = Seq(
+      sum(when(col(labelCol) === l, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(col(labelCol) === l, v).otherwise(0L)).as(s"s_$tag"),
+      sum(when(col(labelCol) === l, v * v).otherwise(0L)).as(s"ss_$tag"))
+    val aggs = side(labelA, "a") ++ side(labelB, "b")
+    df.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        expr("CAST(n_a AS DECIMAL(38,0))").as("__na"),
+        expr("CAST(n_b AS DECIMAL(38,0))").as("__nb"),
+        expr("CAST(s_a AS DECIMAL(38,0))").as("__sa"),
+        expr("CAST(s_b AS DECIMAL(38,0))").as("__sb"),
+        expr("CAST(ss_a AS DECIMAL(38,0))").as("__ssa"),
+        expr("CAST(ss_b AS DECIMAL(38,0))").as("__ssb"))
+      .withColumn("__num", expr(
+        "(__sa * __nb - __sb * __na) * (__sa * __nb - __sb * __na) * (__na - 1) * (__nb - 1)"))
+      .withColumn("__den", expr(
+        "(__na * __ssa - __sa * __sa) * __nb * __nb * (__nb - 1) + " +
+          "(__nb * __ssb - __sb * __sb) * __na * __na * (__na - 1)"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        when(col("n_a") >= 2 && col("n_b") >= 2 && col("__den") =!= 0,
+          expr("CAST((1000000 * __num) DIV __den AS BIGINT)")).as("t2_micro"))
+  }
+
+  /** Concentration (Herfindahl–Hirschman) of an entity distribution per key:
+    * `hhi_micro = ⌊10⁶·Σ(cᵤ/n)²⌋` — 10⁶ when one entity owns every row,
+    * →10⁶/n_entities when uniform. The skew gauge for "is this event type /
+    * partition / customer segment dominated by a few actors", computed as
+    * exact integers (counts squared, one final integer division).
+    *
+    * Output: `(key, n_entities, n_rows, hhi_micro)`. Scale: two strict
+    * key-coarsening hash aggregates ((key,entity) → key), both map-side
+    * combined. */
+  def concentration(df: DataFrame, keyCol: String, entityCol: String): DataFrame =
+    df.groupBy(col(keyCol), col(entityCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_entities"), sum(col("__c")).as("n_rows"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * __c")).as("__sq"))
+      .select(col(keyCol), col("n_entities"), col("n_rows"),
+        expr("CAST((1000000 * __sq) DIV (CAST(n_rows AS DECIMAL(38,0)) * n_rows) AS BIGINT)")
+          .as("hhi_micro"))
+
   /** Quantile binning: assign each row its `nBins`-quantile bin (1-based)
     * WITHIN a stratum — the feature-bucketing pass behind "quality deciles
     * per language" style corpus reports. The `(value, id)` ordering makes the

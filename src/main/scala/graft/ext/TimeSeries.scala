@@ -210,6 +210,48 @@ object TimeSeries {
         max(col("__len")).as("longest_streak"))
   }
 
+  /** Lag-1 autocorrelation per key — "does this series trend or mean-revert"
+    * — as the SIGNED SQUARED Pearson correlation of consecutive pairs
+    * `(xₜ, xₜ₊₁)`: `sign(cov)·10⁶·cov²/(varₓ·varᵧ)`, which is rational
+    * (Pearson r itself needs a square root) and therefore exact in
+    * decimal(38,0) integer arithmetic on any engine. +10⁶ = perfectly
+    * persistent, −10⁶ = perfectly alternating, 0 = white.
+    *
+    * Input must have at most one row per `(key, t)` (pre-aggregate ties —
+    * a nondeterministic lead order would change the pair set). NULL when a
+    * key has <2 pairs or either variance is zero.
+    *
+    * Output: `(key, n_pairs, r2_signed_micro)`. Scale: one key-partitioned
+    * lead window + one map-side-combined aggregate. */
+  def lagAutocorrelation(df: DataFrame, keyCol: String, tsMicros: Column,
+                         valueCents: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
+    df.select(col(keyCol), tsMicros.as("__t"), valueCents.as("__x"))
+      .withColumn("__y", lead(col("__x"), 1).over(w))
+      .filter(col("__y").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .select(col(keyCol), col("n_pairs"),
+        expr("CAST(n_pairs AS DECIMAL(38,0))").as("__n"),
+        expr("CAST(__sx AS DECIMAL(38,0))").as("__dsx"),
+        expr("CAST(__sy AS DECIMAL(38,0))").as("__dsy"),
+        expr("CAST(__sxx AS DECIMAL(38,0))").as("__dsxx"),
+        expr("CAST(__syy AS DECIMAL(38,0))").as("__dsyy"),
+        expr("CAST(__sxy AS DECIMAL(38,0))").as("__dsxy"))
+      .withColumn("__cov", expr("__n * __dsxy - __dsx * __dsy"))
+      .withColumn("__vx", expr("__n * __dsxx - __dsx * __dsx"))
+      .withColumn("__vy", expr("__n * __dsyy - __dsy * __dsy"))
+      .select(col(keyCol), col("n_pairs"),
+        when(col("n_pairs") >= 2 && col("__vx") =!= 0 && col("__vy") =!= 0,
+          expr("CAST(CASE WHEN __cov < 0 THEN -((1000000 * __cov * __cov) DIV (__vx * __vy)) " +
+            "ELSE (1000000 * __cov * __cov) DIV (__vx * __vy) END AS BIGINT)"))
+          .as("r2_signed_micro"))
+  }
+
   /** Time-weighted average per key over a step function: each observation
     * holds its value until the NEXT observation, and the TWAP is
     * `Σ valueᵢ·(tᵢ₊₁−tᵢ) / Σ(tᵢ₊₁−tᵢ)` — the metric that answers "what was

@@ -205,6 +205,45 @@ class Round9cSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ Welch t² / HHI / autocorr / FD
+
+  test("welchTSquared matches the hand-computed two-sample case and guards n<2") {
+    // A = (1,3): mean 2, s²=2. B = (5,9): mean 7, s²=8. t² = 25/(1+4) = 5.
+    val df = Seq(("g", "A", 1L), ("g", "A", 3L), ("g", "B", 5L), ("g", "B", 9L),
+      ("h", "A", 1L), ("h", "B", 2L), ("h", "B", 4L)).toDF("grp", "lab", "v")
+    val got = graft.engine.Profile.welchTSquared(df, "grp", "lab", "v", "A", "B")
+      .orderBy("grp").collect()
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3)) === ((2L, 2L, 5000000L)))
+    assert(got(1).isNullAt(3), "single-point side must yield NULL t²")
+  }
+
+  test("concentration is 10^6 for a monopoly and 10^6/k for a uniform split") {
+    val df = Seq(("mono", 1L), ("mono", 1L), ("mono", 1L),
+      ("unif", 1L), ("unif", 2L), ("unif", 3L), ("unif", 4L)).toDF("k", "e")
+    val got = graft.engine.Profile.concentration(df, "k", "e")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === Seq(("mono", 1L, 1000000L), ("unif", 4L, 250000L)))
+  }
+
+  test("lagAutocorrelation is +10^6 on a monotone ramp and -10^6 on alternation") {
+    // ramp pairs (1,2),(2,3),(3,4) → r=1. alternation (0,1),(1,0),(0,1) → r=-1.
+    val df = (Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).map { case (t, v) => ("ramp", t, v) } ++
+      Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 1L)).map { case (t, v) => ("alt", t, v) })
+      .toDF("k", "t", "v")
+    val got = graft.ext.TimeSeries.lagAutocorrelation(df, "k", col("t"), col("v"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("alt", 3L, -1000000L), ("ramp", 3L, 1000000L)))
+  }
+
+  test("functionalDependency certifies a holding FD and counts violations") {
+    val df = Seq((1L, "x"), (1L, "x"), (2L, "y"), (3L, "a"), (3L, "b"), (3L, "c"))
+      .toDF("k", "v")
+    val r = graft.engine.Expectations.functionalDependency(df, "k_to_v",
+      Seq("k"), Seq("v")).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === (("k_to_v", 3L, 1L, 3L)))
+  }
+
   // ------------------------------------------------ quantile normalization
 
   test("quantileNormalize is the identity when the group is the whole input") {
