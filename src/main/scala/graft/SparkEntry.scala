@@ -3077,6 +3077,51 @@ object SparkEntry {
         .unionAll(graft.engine.Expectations.functionalDependency(
           eventsTable(s, dir), "user_determines_event_type",
           Seq("user_id"), Seq("event_type")))
+    },
+
+    // Materialized-view rewrite (plans.MaterializedViews): the revenue
+    // summary is materialized once; the SAME aggregate query, re-planned with
+    // the rewrite rule installed, is answered by SCANNING the summary — the
+    // query REQUIREs the optimized plan to contain the MV path and no
+    // Aggregate, so a silent rewrite miss fails loudly instead of passing on
+    // the recomputed answer. Oracle recomputes from base — proving the
+    // rewrite is sound, not just present.
+    "q178_mv_rewrite" -> { (s, dir) =>
+      import graft.plans.MaterializedViews
+      val root = tempDirCleanedOnExit("graft-mv-")
+      def aggDf = s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+      MaterializedViews.clear()
+      MaterializedViews.create(s, aggDf, s"$root/mv")
+      val rule = MaterializedViews.rewriteRule
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
+      try {
+        val q = aggDf
+        // the logical plan string doesn't print file locations — inspect the
+        // relation node itself: no Aggregate left, and the leaf scans the MV
+        val opt = q.queryExecution.optimizedPlan
+        val scansMv = opt.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.exists(_.toString.contains(s"$root/mv"))
+              case _ => false
+            }
+        }
+        val hasAgg = opt.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.isDefined
+        require(!hasAgg && scansMv.contains(true),
+          s"MV rewrite did not fire:\n$opt")
+        val rows = q.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+      } finally {
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations.filterNot(_ eq rule)
+        MaterializedViews.clear()
+      }
     }
   )
 
@@ -5794,7 +5839,12 @@ object SparkEntry {
         |SELECT 'user_determines_event_type', CAST(COUNT(*) AS BIGINT),
         |       CAST(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT),
         |       CAST(MAX(v) AS BIGINT)
-        |FROM f2""".stripMargin
+        |FROM f2""".stripMargin,
+
+    "q178_mv_rewrite" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders GROUP BY 1""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

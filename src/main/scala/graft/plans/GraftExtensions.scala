@@ -11,16 +11,21 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   *
   * This is the (b) tier of the custom-operator ladder (SURVEY.md §7.6): scalar
-  * expressions via `injectFunction`; no custom LogicalPlan/Strategy is needed for
-  * the parity surface (SURVEY.md §4 — the reference has no operator Spark lacks).
+  * expressions via `injectFunction`. The (c) tier — a whole-plan optimizer
+  * rule — is [[MaterializedViews.rewriteRule]], injected here so any
+  * extension-built session rewrites registered aggregates to their
+  * materialized summaries (sessions without extensions can install it via
+  * `spark.experimental.extraOptimizations`, as q178 does).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctionRegistry.all.foreach { case (name, clazz, build) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name),
         build))
     }
+    ext.injectOptimizerRule(_ => MaterializedViews.rewriteRule)
+  }
 }

@@ -244,6 +244,55 @@ class Round9cSpec extends SparkSpec {
       === (("k_to_v", 3L, 1L, 3L)))
   }
 
+  // ------------------------------------------------ materialized-view rewrite
+
+  test("MV rewrite fires on the exact aggregate, skips others, and stays sound") {
+    import graft.plans.MaterializedViews
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    withTempDir { dir =>
+      Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "v").write.parquet(s"$dir/base")
+      def q = spark.read.parquet(s"$dir/base").groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      val expected = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      MaterializedViews.clear()
+      MaterializedViews.create(spark, q, s"$dir/mv")
+      val rule = MaterializedViews.rewriteRule
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+      try {
+        // fires: no Aggregate remains, values identical to direct computation
+        assert(q.queryExecution.optimizedPlan.collectFirst {
+          case a: Aggregate => a }.isEmpty, "matching aggregate must rewrite away")
+        assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+          === expected)
+        // a DIFFERENT aggregate over the same base must NOT rewrite
+        val other = spark.read.parquet(s"$dir/base").groupBy(col("k"))
+          .agg(max(col("v")).as("m"))
+        assert(other.queryExecution.optimizedPlan.collectFirst {
+          case a: Aggregate => a }.isDefined, "non-matching aggregate must survive")
+        assert(other.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+          === Set(("a", 2L), ("b", 5L)))
+        // the same aggregate FILTERED must not rewrite either
+        val filtered = spark.read.parquet(s"$dir/base").filter(col("v") > 1)
+          .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        assert(filtered.queryExecution.optimizedPlan.collectFirst {
+          case a: Aggregate => a }.isDefined)
+        // re-creating an equivalent definition through the live rule is refused
+        val e = intercept[IllegalArgumentException] {
+          MaterializedViews.create(spark, q, s"$dir/mv2")
+        }
+        assert(e.getMessage.contains("already registered"))
+      } finally {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ eq rule)
+        MaterializedViews.clear()
+      }
+      // with the registry cleared the aggregate plans (and runs) normally again
+      assert(q.queryExecution.optimizedPlan.collectFirst {
+        case a: Aggregate => a }.isDefined)
+    }
+  }
+
   // ------------------------------------------------ quantile normalization
 
   test("quantileNormalize is the identity when the group is the whole input") {
