@@ -91,10 +91,10 @@ class StreamingSessionSpec extends SparkSpec {
     val gapSeconds = 30L
     val rnd = new scala.util.Random(11)
     val baseUs = 1700000000L * 1000000L
-    // Gaps of exactly `gap` are avoided: session_window's half-open window
-    // [ts, ts+gap) treats an exactly-gap successor as a NEW session, while the
-    // lag form (`diff > gap` starts new) keeps it — a real semantic edge both
-    // APIs document differently. Off-boundary data isolates the common case.
+    // Gaps of exactly `gap` are avoided here to isolate the common case.
+    // (The boundary itself is pinned by Round9cSpec: session_window's
+    // extension is INCLUSIVE — an exactly-gap successor MERGES, same as the
+    // lag form's `diff > gap` starts-new convention.)
     val events = (0 until 6).flatMap { u =>
       var t = baseUs + rnd.nextInt(1000000)
       (0 until 30).map { _ =>
