@@ -3122,6 +3122,37 @@ object SparkEntry {
           s.experimental.extraOptimizations.filterNot(_ eq rule)
         MaterializedViews.clear()
       }
+    },
+
+    // BPE encode (ext.TextAnalysis.bpeEncode): q149 learns the merges; this
+    // APPLIES them — the 4-round vocabulary unrolled into chained codegen'd
+    // replaces, one projection pass over the corpus. Oracle replays the same
+    // trainer AND encoder in SQL from the shared CTE chain.
+    "q179_bpe_encode" -> { (s, dir) =>
+      graft.ext.TextAnalysis.bpeEncode(
+        t(s, dir, "documents"), "doc_id", col("text"), rounds = 4)
+    },
+
+    // Largest-remainder quota allocation (ext.Sampling
+    // .largestRemainderQuotas): the per-source document budget for a
+    // 1000-doc target mixture — floors + top-remainder seats, Σquota exactly
+    // 1000, no float shares.
+    "q180_quota_allocation" -> { (s, dir) =>
+      graft.ext.Sampling.largestRemainderQuotas(
+        t(s, dir, "documents"), col("source"), total = 1000L)
+    },
+
+    // Distributed 2-D skyline (ext.Rank.skyline2D): documents on the Pareto
+    // frontier of (length, distinct vocabulary) — range exchange on x +
+    // partition-metadata prefix maxima; the naive form is the quadratic
+    // NOT-EXISTS self-join the oracle runs.
+    "q181_skyline" -> { (s, dir) =>
+      val root = tempDirCleanedOnExit("graft-skyline-")
+      val pts = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").cast("long").as("x"),
+        size(array_distinct(split(trim(col("text")), "\\s+")))
+          .cast("long").as("y"))
+      graft.ext.Rank.skyline2D(pts, "x", "y", root)
     }
   )
 
@@ -3139,7 +3170,16 @@ object SparkEntry {
     * as [[graft.ext.TextAnalysis.bpeMerges]] replayed as chained DuckDB CTEs
     * — pair counts from the unique-word table (list-comprehension adjacency),
     * top-1 by (cnt DESC, l, r), literal boundary-delimited merge replace. */
-  private def bpeOracleSql(rounds: Int): String = {
+  /** DuckDB `replace` applying merge-table `m`'s pair inside `s`'s `seq`. */
+  private def bpeApplySql(s: String, m: String): String =
+    s"""  SELECT * REPLACE (replace(seq,
+       |    '·' || (SELECT l FROM $m) || '·' || (SELECT r FROM $m) || '·',
+       |    '·' || (SELECT l FROM $m) || (SELECT r FROM $m) || '·') AS seq) FROM $s""".stripMargin
+
+  /** The BPE TRAINING chain as a WITH-body: defines `w`, `s0..s_{rounds-1}`,
+    * `p_i`, and the winning merges `m1..m_rounds` — shared by the q149
+    * (learn) and q179 (encode) oracles so both replay the same trainer. */
+  private def bpeTrainCtes(rounds: Int): String = {
     def pairs(s: String) =
       s"""  SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
          |    SELECT freq, unnest([struct_pack(l := syms[i], r := syms[i+1])
@@ -3147,12 +3187,8 @@ object SparkEntry {
          |    FROM (SELECT freq, list_filter(string_split(seq, '·'), x -> x <> '') AS syms
          |          FROM $s) t) u
          |  GROUP BY 1, 2""".stripMargin
-    def apply(s: String, m: String) =
-      s"""  SELECT freq, replace(seq,
-         |    '·' || (SELECT l FROM $m) || '·' || (SELECT r FROM $m) || '·',
-         |    '·' || (SELECT l FROM $m) || (SELECT r FROM $m) || '·') AS seq FROM $s""".stripMargin
     val head =
-      """WITH w AS (
+      """w AS (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
         |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
         |    FROM documents) t
@@ -3161,15 +3197,41 @@ object SparkEntry {
     val body = (1 to rounds).map { i =>
       val step = s",\np$i AS (\n${pairs(s"s${i - 1}")}),\n" +
         s"m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"
-      if (i < rounds) step + s",\ns$i AS (\n${apply(s"s${i - 1}", s"m$i")})"
+      if (i < rounds) step + s",\ns$i AS (\n${bpeApplySql(s"s${i - 1}", s"m$i")})"
       else step
     }.mkString
+    head + body
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
     val sel = (1 to rounds).map { i =>
       if (i == 1)
         s"SELECT CAST(1 AS INTEGER) AS round, l AS left_sym, r AS right_sym, cnt AS pair_cnt FROM m1"
       else s"SELECT $i, l, r, cnt FROM m$i"
     }.mkString("\nUNION ALL ")
-    s"$head$body\n$sel"
+    s"WITH ${bpeTrainCtes(rounds)}\n$sel"
+  }
+
+  /** q179's oracle: learn `rounds` merges (shared chain), then ENCODE every
+    * document's ascii words with them and count the resulting symbols. */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val enc0 =
+      """enc0 AS (
+        |  SELECT doc_id, word, regexp_replace(word, '(.)', '·\1', 'g') || '·' AS seq
+        |  FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        |    FROM documents) t
+        |  WHERE regexp_matches(word, '^[a-z0-9]+$'))""".stripMargin
+    val chain = (1 to rounds).map { i =>
+      s",\nenc$i AS (\n${bpeApplySql(s"enc${i - 1}", s"m$i")})"
+    }.mkString
+    s"""WITH ${bpeTrainCtes(rounds)},
+       |$enc0$chain
+       |SELECT doc_id,
+       |       CAST(SUM(len(list_filter(string_split(seq, '·'), x -> x <> ''))) AS BIGINT) AS n_tokens,
+       |       CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(length(word)) AS BIGINT) AS n_chars
+       |FROM enc$rounds GROUP BY 1""".stripMargin
   }
 
   /** Distinct word-3-shingles of `textExpr` (mirror of Shingles.wordShingles, k=3). */
@@ -5844,7 +5906,36 @@ object SparkEntry {
     "q178_mv_rewrite" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q179_bpe_encode" -> bpeEncodeOracleSql(4),
+
+    "q180_quota_allocation" ->
+      """WITH c AS (
+        |  SELECT source AS "group", CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM c),
+        |f AS (
+        |  SELECT "group", n_rows,
+        |         (1000 * n_rows) // tot AS fl, (1000 * n_rows) % tot AS rem
+        |  FROM c CROSS JOIN t),
+        |k AS (SELECT CAST(1000 - SUM(fl) AS BIGINT) AS k FROM f),
+        |r AS (SELECT "group",
+        |             row_number() OVER (ORDER BY rem DESC, "group" ASC) AS rk
+        |      FROM f)
+        |SELECT f."group", f.n_rows,
+        |       CAST(f.fl + CASE WHEN r.rk <= k.k THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM f JOIN r USING ("group") CROSS JOIN k""".stripMargin,
+
+    "q181_skyline" ->
+      """WITH pts AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+        |         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS y
+        |  FROM documents)
+        |SELECT doc_id, x, y FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -375,6 +375,61 @@ object Rank {
       .select(col(idCol), col(groupCol), col(valueCol), col(normCol))
   }
 
+  /** 2-D skyline (Pareto frontier): rows not dominated by any other —
+    * p' dominates p when `x' ≥ x ∧ y' ≥ y` with at least one strict. The
+    * multi-criteria shortlist operator ("longest AND highest-quality docs",
+    * "most recent AND highest-value customers") whose naive form is a
+    * quadratic NOT-EXISTS self-join.
+    *
+    * The O(n log n) shape, distributed: a row is dominated iff
+    * `max{y' : x' > x} ≥ y` (someone strictly longer is also at least as
+    * good) or `max{y' : x' = x} > y`. Both maxima come from ONE range
+    * exchange on `x` descending: equal `x` never splits across partitions
+    * (RangePartitioner keys whole values), so earlier partitions hold
+    * strictly greater `x` — their per-partition y-maxima collapse to a
+    * driver-side prefix max (one row per partition, the [[valueAtRanks]]
+    * metadata license), while within a partition a descending RANGE-frame
+    * window supplies the strict-greater-x max and a per-(pid, x) window the
+    * equal-x max. No global sort, no self-join; duplicates of a frontier
+    * point all survive (they don't dominate each other).
+    *
+    * `xCol`/`yCol` must be integer-typed (the RANGE frame's −1 bound means
+    * "x' ≥ x+1" — exact only on integers). Output: the input columns,
+    * frontier rows only. `scratchDir` must outlive consumption (lazy). */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+                scratchDir: String, numPartitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    df.repartitionByRange(numPartitions, col(xCol).desc)
+      .withColumn("__pid", spark_partition_id())
+      .write.mode("overwrite").parquet(s"$scratchDir/skyline")
+    val parts = spark.read.parquet(s"$scratchDir/skyline")
+    val pidMax = parts.groupBy(col("__pid")).agg(max(col(yCol)).as("__my"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // prefix max of y over partitions BEFORE pid (strictly larger x there)
+    val prefix = pidMax.map(_._1).zip(
+      pidMax.map(_._2).scanLeft(Long.MinValue)(math.max).init)
+    val prefixDf = spark.createDataFrame(prefix.toList).toDF("__pid", "__pbest")
+    skylineAssembly(parts, prefixDf, xCol, yCol, df.columns)
+  }
+
+  /** The lazy plan of [[skyline2D]] — package-private so PlanSpec can assert
+    * both windows are partition-bounded. `__pbest` is Long.MinValue for the
+    * first partition (empty prefix). */
+  private[graft] def skylineAssembly(parts: DataFrame, prefixDf: DataFrame,
+      xCol: String, yCol: String, outCols: Seq[String]): DataFrame = {
+    val wAbove = Window.partitionBy(col("__pid")).orderBy(col(xCol).desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSameX = Window.partitionBy(col("__pid"), col(xCol))
+    parts
+      .join(broadcast(prefixDf), Seq("__pid"))
+      .withColumn("__above",
+        greatest(coalesce(max(col(yCol)).over(wAbove), lit(Long.MinValue)),
+          col("__pbest")))
+      .withColumn("__samex", max(col(yCol)).over(wSameX))
+      .filter(!(col("__above") >= col(yCol) || col("__samex") > col(yCol)))
+      .select(outCols.map(col): _*)
+  }
+
   /** The lazy running-sum + argmax plan of [[ksDrift]] — package-private so
     * PlanSpec can assert the running sums stay inside per-`__pid` windows
     * (no global sort). `parts` carries (__v, __ca, __cb, __pid); `offsetsDf`

@@ -29,6 +29,36 @@ object Sampling {
   /** Keep each row iff `hash60(salt:id) mod 1000 < ratesPerMille(stratum)`
     * (falling back to `defaultPerMille` for unlisted strata). Rates are exact
     * in expectation per stratum and the decision is per-row deterministic. */
+  /** Largest-remainder (Hamilton) quota allocation: split a `total` budget
+    * across groups proportionally to their row counts, EXACTLY — each group
+    * gets `⌊total·c/C⌋`, and the `total − Σ⌊·⌋` leftover seats go to the
+    * largest remainders (ties to the smaller group key). The "how many docs
+    * per source for the target mixture" computation: float shares rounded
+    * per-group never sum back to the budget; this always does, and it's
+    * deterministic.
+    *
+    * Output: `(group, n_rows, quota)` with Σquota = total exactly.
+    *
+    * Scale: one map-side-combined count aggregate; the leftover-seat pick is
+    * a TakeOrdered over the GROUP table (group-cardinality-sized, not data-
+    * sized) against a broadcast one-row total — no window over data, no
+    * global sort. The one `collect` is the leftover count k (one row). */
+  def largestRemainderQuotas(df: DataFrame, groupCol: Column, total: Long): DataFrame = {
+    require(total >= 0, s"largestRemainderQuotas: total must be >= 0, got $total")
+    val counts = df.groupBy(groupCol.as("group"))
+      .agg(count(lit(1)).as("n_rows"))
+    val withTot = counts.crossJoin(
+      broadcast(counts.agg(sum(col("n_rows")).as("__tot"))))
+      .withColumn("__floor", expr(s"(${total}L * n_rows) DIV __tot"))
+      .withColumn("__rem", expr(s"(${total}L * n_rows) % __tot"))
+    val k = total - withTot.agg(sum(col("__floor"))).head().getLong(0)
+    val topUp = withTot.orderBy(col("__rem").desc, col("group").asc)
+      .limit(k.toInt).select(col("group"), lit(1L).as("__bump"))
+    withTot.join(topUp, Seq("group"), "left")
+      .select(col("group"), col("n_rows"),
+        (col("__floor") + coalesce(col("__bump"), lit(0L))).as("quota"))
+  }
+
   def stratifiedSample(df: DataFrame, idCol: Column, stratum: Column,
                        ratesPerMille: Map[String, Long], defaultPerMille: Long,
                        salt: String = SampleSalt): DataFrame = {

@@ -300,6 +300,40 @@ object TextAnalysis {
     } finally words.unpersist(blocking = false)
   }
 
+  /** ENCODE with the learned merges — the apply half of the tokenizer story
+    * ([[bpeMerges]] is the train half): per document, lower/whitespace-split
+    * exactly as the trainer did, keep the trainer's `[a-z0-9]+` words,
+    * boundary-encode each word, apply the `rounds` learned merges in learning
+    * order, and count the resulting symbols. Output per doc:
+    * `(idCol, n_tokens, n_words, n_chars)` — n_chars/n_tokens is the
+    * compression the vocabulary bought.
+    *
+    * The merge table is collected to the driver (R rows — tokenizer
+    * vocabularies are metadata, the same license as IVF centroids) and
+    * unrolled into R chained `replace` expressions, so encoding is a single
+    * codegen'd projection pass over the corpus: no join, no per-row loop.
+    * One scan learns (bounded by [[bpeMerges]]'s own passes), one scan
+    * encodes. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: Column,
+                rounds: Int): DataFrame = {
+    val merges = bpeMerges(docs, textCol, rounds).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    val words = docs
+      .select(col(idCol), explode(tokens(lower(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .withColumn("seq", concat(regexp_replace(col("w"), "(.)", "·$1"), lit("·")))
+    val encoded = merges.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("seq", expr(s"replace(seq, '·${l}·${r}·', '·${l}${r}·')"))
+    }
+    encoded
+      // "·a·b·" splits to ["", "a", "b", ""] — symbol count = size − 2
+      .withColumn("__n_sym", (size(split(col("seq"), "·")) - 2).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n_sym")).as("n_tokens"),
+        count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"))
+  }
+
   /** Token co-occurrence with lift — the association-mining question "which
     * token pairs appear together more than their solo frequencies predict"
     * (query-expansion, collocation discovery, template detection in a crawl).

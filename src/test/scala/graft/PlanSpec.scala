@@ -445,6 +445,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("], true, 0"), s"streaks must not global-sort:\n$p")
   }
 
+  test("q181 skyline assembly: windows per-partition, prefix maxima broadcast, no global sort") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withTempDir { dir =>
+      (1 to 200).map(i => (i.toLong, (i * 7 % 50).toLong, (i * 11 % 50).toLong))
+        .toDF("id", "x", "y")
+        .repartitionByRange(4, col("x").desc)
+        .withColumn("__pid", spark_partition_id())
+        .write.parquet(s"$dir/t")
+      val parts = spark.read.parquet(s"$dir/t")
+      val prefix = (0 until 4).map(p => (p, Long.MinValue)).toDF("__pid", "__pbest")
+      val plan = graft.ext.Rank.skylineAssembly(parts, prefix, "x", "y", Seq("id", "x", "y"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("windowspecdefinition(__pid"),
+        s"skyline windows must be per-partition:\n$plan")
+      assert(!plan.contains("], true, 0"), s"skyline must not global-sort:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"prefix maxima must broadcast:\n$plan")
+    }
+  }
+
   test("q168 quantile-normalize assembly: both windows partition-bounded, offsets broadcast") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -244,6 +244,57 @@ class Round9cSpec extends SparkSpec {
       === (("k_to_v", 3L, 1L, 3L)))
   }
 
+  // ------------------------------------------------ BPE encode / quotas / skyline
+
+  test("bpeEncode applies learned merges left-to-right, non-overlapping") {
+    // Trainer on "abab abab ab" learns (a,b) twice (Round9Spec). Encoding:
+    // 'abab' → ·a·b·a·b· → m1 → ·ab·a·b· → m2 → ·ab·ab· = 2 symbols;
+    // 'ab' → 1 symbol. Doc total: 2+2+1 = 5 tokens, 3 words, 10 chars.
+    val docs = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.bpeEncode(docs, "doc_id", col("text"), rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 5L, 3L, 10L)))
+  }
+
+  test("largestRemainderQuotas sums exactly to the budget with top-remainder seats") {
+    // counts a:5 b:3 c:2, total 7 → floors 3/2/1, remainders 5/1/4 → a gets
+    // the leftover seat: 4/2/1, Σ = 7.
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")).toDF("g")
+    val got = graft.ext.Sampling.largestRemainderQuotas(df, col("g"), total = 7L)
+      .orderBy("group").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("a", 5L, 4L), ("b", 3L, 2L), ("c", 2L, 1L)))
+  }
+
+  test("largestRemainderQuotas: random splits always sum to the budget") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 500).map(_ => s"s${rnd.nextInt(13)}")
+    val got = graft.ext.Sampling.largestRemainderQuotas(rows.toDF("g"), col("g"), 997L)
+    assert(got.agg(sum("quota")).head().getLong(0) === 997L)
+  }
+
+  test("skyline2D equals the quadratic dominance filter, duplicates surviving") {
+    // frontier: (1,5) (2,4) (3,3)×2 — the duplicate pair survives (neither
+    // strictly dominates the other); (2,2) is dominated.
+    val pts = Seq((1L, 1L, 5L), (2L, 2L, 4L), (3L, 3L, 3L), (4L, 3L, 3L), (5L, 2L, 2L))
+      .toDF("id", "x", "y")
+    withTempDir { dir =>
+      val got = graft.ext.Rank.skyline2D(pts, "x", "y", dir, numPartitions = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === Set((1L, 1L, 5L), (2L, 2L, 4L), (3L, 3L, 3L), (4L, 3L, 3L)))
+    }
+    // random equivalence vs the quadratic oracle
+    val rnd = new scala.util.Random(11)
+    val rand = (1 to 300).map(i => (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val expected = rand.filterNot { case (_, x, y) =>
+      rand.exists { case (_, x2, y2) => x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.toSet
+    withTempDir { dir =>
+      val got = graft.ext.Rank.skyline2D(rand.toDF("id", "x", "y"), "x", "y", dir, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected)
+    }
+  }
+
   // ------------------------------------------------ materialized-view rewrite
 
   test("MV rewrite fires on the exact aggregate, skips others, and stays sound") {
