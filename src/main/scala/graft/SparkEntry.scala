@@ -3153,6 +3153,22 @@ object SparkEntry {
         size(array_distinct(split(trim(col("text")), "\\s+")))
           .cast("long").as("y"))
       graft.ext.Rank.skyline2D(pts, "x", "y", root)
+    },
+
+    // Custom physical operator (plans.GroupedTopK): top-3 orders per
+    // priority through GroupedTopKExec — bounded per-group heaps, partial
+    // pass before the exchange, NO sort anywhere (the window-function form
+    // sorts every row of every group). Strategy installed via
+    // experimental.extraStrategies; planning fails loudly without it.
+    "q182_grouped_topk" -> { (s, dir) =>
+      import graft.plans.GroupedTopKStrategy
+      if (!s.experimental.extraStrategies.exists(_ eq GroupedTopKStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ GroupedTopKStrategy
+      val o = t(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.plans.GroupedTopK.topKPerGroup(o,
+        Seq("o_orderpriority"), "cents", "o_orderkey", k = 3)
     }
   )
 
@@ -5935,7 +5951,19 @@ object SparkEntry {
         |SELECT doc_id, x, y FROM pts p
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM pts q
-        |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))""".stripMargin
+        |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))""".stripMargin,
+
+    "q182_grouped_topk" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, o_orderkey, cents,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY cents DESC, o_orderkey DESC) AS rk
+        |  FROM o)
+        |SELECT o_orderpriority, o_orderkey, cents FROM r WHERE rk <= 3""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

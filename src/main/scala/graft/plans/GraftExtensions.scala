@@ -27,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         build))
     }
     ext.injectOptimizerRule(_ => MaterializedViews.rewriteRule)
+    ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
   }
 }

@@ -16,6 +16,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame from a hand-built LogicalPlan (`Dataset.ofRows` went
+    * `private[sql]` with the Spark 4 API split) — the front door for custom
+    * logical operators like [[graft.plans.GroupedTopKPlan]]. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register the engine's SQL functions on an *existing* session (builder-time
     * `withExtensions(new GraftExtensions)` is the front door, but `getOrCreate`
     * ignores extensions when a session already exists — e.g. inside the driver's

@@ -295,6 +295,50 @@ class Round9cSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ grouped top-k operator
+
+  test("GroupedTopKExec equals the window form, excludes null values, handles small groups") {
+    import graft.plans.{GroupedTopK, GroupedTopKStrategy}
+    import org.apache.spark.sql.expressions.Window
+    if (!spark.experimental.extraStrategies.exists(_ eq GroupedTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    val rnd = new scala.util.Random(5)
+    // values drawn from a small range → plenty of ties, broken by id; one
+    // group smaller than k; some null values that must drop
+    val rows = (1 to 400).map { i =>
+      val g = s"g${rnd.nextInt(6)}"
+      val v: java.lang.Long = if (rnd.nextInt(20) == 0) null else rnd.nextInt(10).toLong
+      (g, i.toLong, v)
+    } :+ (("tiny", 9999L, java.lang.Long.valueOf(1L)))
+    val df = rows.toDF("g", "id", "v").repartition(7)
+    val got = GroupedTopK.topKPerGroup(df, Seq("g"), "v", "id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = df.filter(col("v").isNotNull)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").desc, col("id").desc)))
+      .filter(col("rk") <= 5).drop("rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.exists(_._1 == "tiny"), "a group smaller than k keeps all its rows")
+  }
+
+  test("GroupedTopK plans partial+final execs around one exchange, no sort, no window") {
+    import graft.plans.{GroupedTopK, GroupedTopKStrategy}
+    if (!spark.experimental.extraStrategies.exists(_ eq GroupedTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    val df = Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("g", "id", "v").repartition(3)
+    val plan = GroupedTopK.topKPerGroup(df, Seq("g"), "v", "id", k = 2)
+      .queryExecution.executedPlan.toString
+    assert("GroupedTopK".r.findAllIn(plan).size >= 2,
+      s"expected partial+final GroupedTopKExec:\n$plan")
+    assert(plan.contains("hashpartitioning(g"),
+      s"expected a hash exchange on the group key:\n$plan")
+    assert(!plan.contains("Sort ") && !plan.contains("Window"),
+      s"grouped top-k must not sort or window:\n$plan")
+  }
+
   // ------------------------------------------------ materialized-view rewrite
 
   test("MV rewrite fires on the exact aggregate, skips others, and stays sound") {
