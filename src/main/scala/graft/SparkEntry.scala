@@ -3169,6 +3169,24 @@ object SparkEntry {
         expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
       graft.plans.GroupedTopK.topKPerGroup(o,
         Seq("o_orderpriority"), "cents", "o_orderkey", k = 3)
+    },
+
+    // Revenue recognition (ext.TimeSeries.prorateOverMonths): each order's
+    // cents spread evenly over 3 calendar months with exact remainder
+    // allocation — slices sum back to the order to the cent; float proration
+    // leaks pennies the oracle would catch.
+    "q183_revenue_recognition" -> { (s, dir) =>
+      graft.ext.TimeSeries.prorateOverMonths(t(s, dir, "orders"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"),
+        col("o_orderdate"), periods = 3)
+    },
+
+    // Greedy max-coverage selection (ext.Sampling.greedyCoverage): 3 rounds
+    // of "pick the doc covering the most not-yet-covered shingles" — the
+    // diverse-subset selection step; oracle unrolls the same greedy rounds
+    // as chained CTEs (the BPE-oracle pattern).
+    "q184_greedy_coverage" -> { (s, dir) =>
+      graft.ext.Sampling.greedyCoverage(t(s, dir, "documents"), rounds = 3)
     }
   )
 
@@ -5963,7 +5981,57 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY o_orderpriority
         |                            ORDER BY cents DESC, o_orderkey DESC) AS rk
         |  FROM o)
-        |SELECT o_orderpriority, o_orderkey, cents FROM r WHERE rk <= 3""".stripMargin
+        |SELECT o_orderpriority, o_orderkey, cents FROM r WHERE rk <= 3""".stripMargin,
+
+    "q183_revenue_recognition" ->
+      """WITH o AS (
+        |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS m0
+        |  FROM orders),
+        |e AS (SELECT amt, m0, unnest(range(0, 3)) AS i FROM o)
+        |SELECT CAST(m0 + i * INTERVAL 1 MONTH AS DATE) AS month,
+        |       CAST(COUNT(*) AS BIGINT) AS n_slices,
+        |       CAST(SUM(amt // 3 + CASE WHEN i < amt % 3 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS recognized_cents
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "q184_greedy_coverage" -> {
+      def g(prev: Option[Int]) = prev match {
+        case None =>
+          """g1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+            |       FROM shd GROUP BY 1)""".stripMargin
+        case Some(i) =>
+          s"""g${i + 1} AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM shd WHERE g NOT IN (SELECT g FROM c$i) GROUP BY 1)""".stripMargin
+      }
+      def w(i: Int) =
+        s"w$i AS (SELECT doc_id, n FROM g$i ORDER BY n DESC, doc_id ASC LIMIT 1)"
+      def c(i: Int) =
+        if (i == 1)
+          "c1 AS (SELECT DISTINCT g FROM shd WHERE doc_id = (SELECT doc_id FROM w1))"
+        else
+          s"""c$i AS (SELECT g FROM c${i - 1}
+             |       UNION
+             |       SELECT g FROM shd WHERE doc_id = (SELECT doc_id FROM w$i))""".stripMargin
+      def sel(i: Int) =
+        s"""SELECT CAST($i AS INT) AS round, (SELECT doc_id FROM w$i) AS doc_id,
+           |       (SELECT n FROM w$i) AS n_new,
+           |       (SELECT CAST(COUNT(*) AS BIGINT) FROM c$i) AS n_covered""".stripMargin
+      s"""WITH shd AS (
+         |  SELECT DISTINCT doc_id, unnest(${gramsSql("text")}) AS g FROM documents),
+         |${g(None)},
+         |${w(1)},
+         |${c(1)},
+         |${g(Some(1))},
+         |${w(2)},
+         |${c(2)},
+         |${g(Some(2))},
+         |${w(3)},
+         |${c(3)}
+         |${sel(1)}
+         |UNION ALL ${sel(2)}
+         |UNION ALL ${sel(3)}""".stripMargin
+    }
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -29,6 +29,53 @@ object Sampling {
   /** Keep each row iff `hash60(salt:id) mod 1000 < ratesPerMille(stratum)`
     * (falling back to `defaultPerMille` for unlisted strata). Rates are exact
     * in expectation per stratum and the decision is per-row deterministic. */
+  /** Greedy maximum-coverage selection: pick `rounds` documents, each round
+    * taking the doc that covers the most word-3-shingles NOT yet covered by
+    * earlier picks (ties → smallest doc_id). The classical (1−1/e)-
+    * approximation to max-coverage — the "select a maximally-DIVERSE eval /
+    * annotation subset" step, where top-k-by-length would pick near-clones.
+    *
+    * Output: `(round, doc_id, n_new, n_covered)` — the winner per round, its
+    * marginal gain, and the cumulative covered-shingle count.
+    *
+    * Scale per round: one anti-join of the (doc, shingle) table against the
+    * covered set (shuffle on the shingle — covered is picks-sized, tiny) +
+    * one map-side-combined count + a TakeOrdered(1); the driver holds one
+    * winner row per round. `rounds` is small by construction (a human-sized
+    * shortlist), so the loop is bounded; the covered set is persisted
+    * per round and bounded by `rounds · shingles-per-doc`. */
+  def greedyCoverage(docs: DataFrame, rounds: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, s"greedyCoverage: rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    val shd = Dedup.shingleSets(docs, 3, idCol, textCol)
+      .select(col(idCol), explode(col("sh")).as("g")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var covered = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("g",
+            org.apache.spark.sql.types.StringType))))
+      var nCovered = 0L
+      val picks = (1 to rounds).map { round =>
+        val winner = shd.join(covered, Seq("g"), "left_anti")
+          .groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col(idCol).asc).limit(1)
+          .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
+          .getOrElse((-1L, 0L)) // all shingles covered: sentinel, gain 0
+        nCovered += winner._2
+        covered = covered.unionAll(
+            shd.filter(col(idCol) === winner._1).select(col("g")))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (round, winner._1, winner._2, nCovered)
+      }
+      spark.createDataFrame(picks.toList)
+        .toDF("round", "doc_id", "n_new", "n_covered")
+    } finally shd.unpersist(blocking = false)
+  }
+
   /** Largest-remainder (Hamilton) quota allocation: split a `total` budget
     * across groups proportionally to their row counts, EXACTLY — each group
     * gets `⌊total·c/C⌋`, and the `total − Σ⌊·⌋` leftover seats go to the

@@ -210,6 +210,30 @@ object TimeSeries {
         max(col("__len")).as("longest_streak"))
   }
 
+  /** Spread each row's integer amount evenly across `periods` consecutive
+    * months with EXACT remainder allocation — slice `i` gets
+    * `⌊amt/periods⌋ + (1 if i < amt mod periods)`, so every row's slices sum
+    * back to its amount to the cent (float proration leaks pennies; so does
+    * rounding each slice independently). The revenue-recognition /
+    * subscription-amortization primitive, aggregated to calendar months.
+    *
+    * Output: `(month, n_slices, recognized_cents)` — one row per calendar
+    * month, Σrecognized_cents over all months = Σamounts exactly.
+    *
+    * Scale: a `periods`-way explode (bounded fan-out) into a map-side
+    * combined aggregate on the month — no join, no window. */
+  def prorateOverMonths(df: DataFrame, amountCents: Column, startDate: Column,
+                        periods: Int): DataFrame = {
+    require(periods >= 1, s"prorateOverMonths: periods must be >= 1, got $periods")
+    df.select(trunc(startDate, "MM").as("__m0"), amountCents.as("__amt"))
+      .select(col("__m0"), col("__amt"),
+        explode(expr(s"sequence(0, ${periods - 1})")).as("__i"))
+      .groupBy(add_months(col("__m0"), col("__i")).as("month"))
+      .agg(count(lit(1)).as("n_slices"),
+        sum(expr(s"__amt DIV $periods + CASE WHEN __i < __amt % $periods " +
+          "THEN 1 ELSE 0 END")).as("recognized_cents"))
+  }
+
   /** Lag-1 autocorrelation per key — "does this series trend or mean-revert"
     * — as the SIGNED SQUARED Pearson correlation of consecutive pairs
     * `(xₜ, xₜ₊₁)`: `sign(cov)·10⁶·cov²/(varₓ·varᵧ)`, which is rational

@@ -295,6 +295,37 @@ class Round9cSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ proration / greedy coverage
+
+  test("prorateOverMonths allocates remainders to the earliest slices, sums exactly") {
+    // 100 cents over 3 months from mid-January → 34 / 33 / 33.
+    val df = Seq(("2024-01-15", 100L)).toDF("d", "amt")
+      .withColumn("d", to_date(col("d")))
+    val got = TimeSeries.prorateOverMonths(df, col("amt"), col("d"), periods = 3)
+      .orderBy("month").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(2)))
+    assert(got.toSeq === Seq(("2024-01-01", 34L), ("2024-02-01", 33L), ("2024-03-01", 33L)))
+    // random amounts: total recognized equals total input exactly
+    val rnd = new scala.util.Random(9)
+    val many = (1 to 200).map(i => (s"2024-0${1 + i % 9}-0${1 + i % 27 % 9}", rnd.nextInt(100000).toLong))
+      .toDF("d", "amt").withColumn("d", to_date(col("d")))
+    val outSum = TimeSeries.prorateOverMonths(many, col("amt"), col("d"), 7)
+      .agg(sum("recognized_cents")).head().getLong(0)
+    val inSum = many.agg(sum("amt")).head().getLong(0)
+    assert(outSum === inSum)
+  }
+
+  test("greedyCoverage picks by marginal gain with deterministic ties") {
+    // d1 covers 5 shingles; d3 adds 3 fresh; d2 then adds only its 2
+    // not-overlapping-with-d1 shingles (abc is shared).
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c x y"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Sampling.greedyCoverage(docs, rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, 1L, 5L, 5L), (2, 3L, 3L, 8L), (3, 2L, 2L, 10L)))
+  }
+
   // ------------------------------------------------ grouped top-k operator
 
   test("GroupedTopKExec equals the window form, excludes null values, handles small groups") {
