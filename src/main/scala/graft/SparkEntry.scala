@@ -3187,6 +3187,18 @@ object SparkEntry {
     // as chained CTEs (the BPE-oracle pattern).
     "q184_greedy_coverage" -> { (s, dir) =>
       graft.ext.Sampling.greedyCoverage(t(s, dir, "documents"), rounds = 3)
+    },
+
+    // Two-feature grouped OLS (engine.Profile.groupedOls2): price regressed
+    // on quantity and discount-percent per returnflag — Cramer's rule on the
+    // exact integer moment matrix; one sufficient-stats aggregate, no second
+    // pass, no float.
+    "q185_group_ols2" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_quantity")).cast("long").as("x1"),
+        round(col("l_discount") * 100).cast("long").as("x2"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      graft.engine.Profile.groupedOls2(li, "l_returnflag", "x1", "x2", "y")
     }
   )
 
@@ -6031,7 +6043,44 @@ object SparkEntry {
          |${sel(1)}
          |UNION ALL ${sel(2)}
          |UNION ALL ${sel(3)}""".stripMargin
-    }
+    },
+
+    "q185_group_ols2" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |         CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+        |         CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+        |         CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+        |         CAST(SUM(y) AS HUGEINT) AS sy,
+        |         CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+        |         CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+        |         CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+        |         CAST(SUM(x1 * y) AS HUGEINT) AS s1y,
+        |         CAST(SUM(x2 * y) AS HUGEINT) AS s2y
+        |  FROM li GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |         n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |           + s2 * (s1 * s12 - s11 * s2) AS det,
+        |         sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |           + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |         n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |           + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |         n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |           + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |       CASE WHEN det = 0 THEN NULL
+        |            ELSE CAST((1000000 * det0) // det AS BIGINT) END AS b0_micro,
+        |       CASE WHEN det = 0 THEN NULL
+        |            ELSE CAST((1000000 * det1) // det AS BIGINT) END AS b1_micro,
+        |       CASE WHEN det = 0 THEN NULL
+        |            ELSE CAST((1000000 * det2) // det AS BIGINT) END AS b2_micro
+        |FROM d""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

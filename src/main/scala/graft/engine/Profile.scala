@@ -168,6 +168,57 @@ object Profile {
           expr("CAST((1000000 * (__sy * __den - __num * __sx)) DIV (__n * __den) AS BIGINT)"))
           .as("intercept_micro"))
 
+  /** Grouped TWO-feature linear regression `y = b0 + b1·x1 + b2·x2` — the
+    * normal equations solved exactly per group via Cramer's rule on the 3×3
+    * moment matrix, all in decimal(38,0): each coefficient is a ratio of two
+    * integer determinants, reported in micro-units by integer division. The
+    * multi-feature extension of [[groupedOls]]; like it, everything reduces
+    * to ONE map-side-combined aggregate of sufficient statistics — the model
+    * fit costs the same scan as a count. Groups with a singular moment
+    * matrix (collinear or constant features, n < 3) emit NULLs.
+    *
+    * Magnitude bound: the determinant products stay under 10³⁸ up to ~10⁶
+    * rows/group of 5-digit features; the DuckDB mirror computes the same
+    * integers in HUGEINT.
+    *
+    * Output: `(group, n, b0_micro, b1_micro, b2_micro)`. */
+  def groupedOls2(df: DataFrame, groupCol: String, x1Col: String,
+                  x2Col: String, yCol: String): DataFrame = {
+    val x1 = col(x1Col).cast("long"); val x2 = col(x2Col).cast("long")
+    val y = col(yCol).cast("long")
+    val sums = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+      sum(x1 * x1).as("s11"), sum(x2 * x2).as("s22"), sum(x1 * x2).as("s12"),
+      sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"))
+    val dec = Seq("n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y")
+      .map(c => expr(s"CAST($c AS DECIMAL(38,0))").as(s"__$c"))
+    sums.select(col(groupCol) +: col("n") +: dec: _*)
+      .withColumn("__det", expr(
+        "__n * (__s11 * __s22 - __s12 * __s12) " +
+          "- __s1 * (__s1 * __s22 - __s12 * __s2) " +
+          "+ __s2 * (__s1 * __s12 - __s11 * __s2)"))
+      .withColumn("__det0", expr(
+        "__sy * (__s11 * __s22 - __s12 * __s12) " +
+          "- __s1 * (__s1y * __s22 - __s12 * __s2y) " +
+          "+ __s2 * (__s1y * __s12 - __s11 * __s2y)"))
+      .withColumn("__det1", expr(
+        "__n * (__s1y * __s22 - __s12 * __s2y) " +
+          "- __sy * (__s1 * __s22 - __s12 * __s2) " +
+          "+ __s2 * (__s1 * __s2y - __s1y * __s2)"))
+      .withColumn("__det2", expr(
+        "__n * (__s11 * __s2y - __s1y * __s12) " +
+          "- __s1 * (__s1 * __s2y - __s1y * __s2) " +
+          "+ __sy * (__s1 * __s12 - __s11 * __s2)"))
+      .select(col(groupCol), col("n"),
+        when(col("__det") =!= 0,
+          expr("CAST((1000000 * __det0) DIV __det AS BIGINT)")).as("b0_micro"),
+        when(col("__det") =!= 0,
+          expr("CAST((1000000 * __det1) DIV __det AS BIGINT)")).as("b1_micro"),
+        when(col("__det") =!= 0,
+          expr("CAST((1000000 * __det2) DIV __det AS BIGINT)")).as("b2_micro"))
+  }
+
   /** Welch's t² per group for an A/B comparison — the unequal-variance test
     * statistic, squared so it stays RATIONAL (t itself needs a square root;
     * t² = (m̄ₐ−m̄ᵦ)²/(s²ₐ/nₐ+s²ᵦ/nᵦ) is a ratio of integers). After clearing

@@ -475,6 +475,20 @@ class Round9cSpec extends SparkSpec {
       ("g2", 3L, 500000L, 166666L)))
   }
 
+  test("groupedOls2 recovers an exact plane and NULLs a singular moment matrix") {
+    // plane y = 1 + 2·x1 + 3·x2 over a non-degenerate design
+    val plane = for (x1 <- 0L to 3L; x2 <- 0L to 3L)
+      yield ("p", x1, x2, 1L + 2L * x1 + 3L * x2)
+    // collinear group: x2 = 2·x1 → singular
+    val sing = Seq(("s", 1L, 2L, 5L), ("s", 2L, 4L, 7L), ("s", 3L, 6L, 9L))
+    val got = graft.engine.Profile.groupedOls2(
+        (plane ++ sing).toDF("g", "x1", "x2", "y"), "g", "x1", "x2", "y")
+      .orderBy("g").collect()
+    assert((got(0).getLong(2), got(0).getLong(3), got(0).getLong(4))
+      === ((1000000L, 2000000L, 3000000L)))
+    assert(got(1).isNullAt(2) && got(1).isNullAt(3) && got(1).isNullAt(4))
+  }
+
   test("groupedOls emits NULL coefficients when x has zero variance") {
     val df = Seq(("c", 4L, 1L), ("c", 4L, 9L), ("s", 1L, 1L)).toDF("g", "x", "y")
     val got = graft.engine.Profile.groupedOls(df, "g", "x", "y")
