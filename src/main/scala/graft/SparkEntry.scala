@@ -3199,6 +3199,71 @@ object SparkEntry {
         round(col("l_discount") * 100).cast("long").as("x2"),
         round(col("l_extendedprice")).cast("long").as("y"))
       graft.engine.Profile.groupedOls2(li, "l_returnflag", "x1", "x2", "y")
+    },
+
+    // TPC-H Q3 shape through the SQL frontend: 3-way join, date bracketing on
+    // both fact sides, top-10 by revenue with an explicit tie-break. Revenue
+    // in integer cents per row (ROUND before SUM — both engines round the
+    // same double product), so the hash compare is exact.
+    "q186_tpch_q3" -> { (s, dir) =>
+      Seq("customer", "orders", "lineitem").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT l_orderkey,
+          |       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+          |         AS revenue_cents,
+          |       o_orderdate
+          |FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+          |JOIN lineitem_v ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+          |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+          |GROUP BY l_orderkey, o_orderdate
+          |ORDER BY revenue_cents DESC, l_orderkey ASC
+          |LIMIT 10""".stripMargin)
+    },
+
+    // TPC-H Q5 shape: six-way snowflake join (customer+supplier co-located in
+    // one nation) with region filter — the dims broadcast, the fact joins
+    // shuffle once.
+    "q187_tpch_q5" -> { (s, dir) =>
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT n_name,
+          |       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+          |         AS revenue_cents
+          |FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+          |JOIN lineitem_v ON l_orderkey = o_orderkey
+          |JOIN supplier_v ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation_v ON s_nationkey = n_nationkey
+          |JOIN region_v ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY n_name""".stripMargin)
+    },
+
+    // TPC-H Q10 shape: returned-item revenue per customer for one quarter,
+    // top-20 with tie-break.
+    "q188_tpch_q10" -> { (s, dir) =>
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+          |         AS revenue_cents,
+          |       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+          |       n_name
+          |FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+          |JOIN lineitem_v ON l_orderkey = o_orderkey
+          |JOIN nation_v ON c_nationkey = n_nationkey
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+          |  AND l_returnflag = 'R'
+          |GROUP BY c_custkey, c_name, acctbal_cents, n_name
+          |ORDER BY revenue_cents DESC, c_custkey ASC
+          |LIMIT 20""".stripMargin)
     }
   )
 
@@ -6080,7 +6145,51 @@ object SparkEntry {
         |            ELSE CAST((1000000 * det1) // det AS BIGINT) END AS b1_micro,
         |       CASE WHEN det = 0 THEN NULL
         |            ELSE CAST((1000000 * det2) // det AS BIGINT) END AS b2_micro
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    "q186_tpch_q3" ->
+      """SELECT l_orderkey,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |            AS BIGINT) AS revenue_cents,
+        |       o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue_cents DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q187_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |            AS BIGINT) AS revenue_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+
+    "q188_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |            AS BIGINT) AS revenue_cents,
+        |       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |       n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, acctbal_cents, n_name
+        |ORDER BY revenue_cents DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -445,6 +445,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("], true, 0"), s"streaks must not global-sort:\n$p")
   }
 
+  test("q187 TPC-H Q5 snowflake: dimensions broadcast, no cartesian product") {
+    val p = planOf("q187_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+    assert(!p.contains("CartesianProduct"), s"snowflake must not go cartesian:\n$p")
+  }
+
+  test("q186/q188 top-N SQL compiles to TakeOrderedAndProject, never a global sort") {
+    Seq("q186_tpch_q3", "q188_tpch_q10").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: expected top-N operator:\n$p")
+    }
+  }
+
   test("q181 skyline assembly: windows per-partition, prefix maxima broadcast, no global sort") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
