@@ -3264,6 +3264,40 @@ object SparkEntry {
           |GROUP BY c_custkey, c_name, acctbal_cents, n_name
           |ORDER BY revenue_cents DESC, c_custkey ASC
           |LIMIT 20""".stripMargin)
+    },
+
+    // Dynamic partition overwrite (engine.Sources.overwritePartitions): full
+    // monthly build, then a CORRECTED rebuild of one month (urgent orders
+    // excluded) overwrites exactly that partition — untouched months keep
+    // their original files, which the whole-table hash proves.
+    "q189_partition_overwrite" -> { (s, dir) =>
+      val root = tempDirCleanedOnExit("graft-dpo-")
+      def monthly(src: DataFrame) = src
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+      graft.engine.Sources.overwritePartitions(
+        monthly(t(s, dir, "orders")), s"$root/t", "month")
+      graft.engine.Sources.overwritePartitions(
+        monthly(t(s, dir, "orders")
+          .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1996-03")
+          .filter(col("o_orderpriority") =!= "1-URGENT")),
+        s"$root/t", "month")
+      s.read.parquet(s"$root/t").select("month", "n", "rev_cents")
+    },
+
+    // CUBE grouping sets with GROUPING() disambiguation — every (segment,
+    // nation) subtotal plus both margins and the grand total in one pass.
+    "q190_cube" -> { (s, dir) =>
+      Seq("customer", "nation").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT c_mktsegment, n_name,
+          |       grouping(c_mktsegment) AS g_seg, grouping(n_name) AS g_nat,
+          |       COUNT(*) AS n,
+          |       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents
+          |FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+          |GROUP BY CUBE(c_mktsegment, n_name)""".stripMargin)
     }
   )
 
@@ -6189,7 +6223,27 @@ object SparkEntry {
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, acctbal_cents, n_name
         |ORDER BY revenue_cents DESC, c_custkey ASC
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "q189_partition_overwrite" ->
+      """WITH o AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT month, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |FROM o
+        |WHERE NOT (month = '1996-03' AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+
+    "q190_cube" ->
+      """SELECT c_mktsegment, n_name,
+        |       CAST(GROUPING(c_mktsegment) AS TINYINT) AS g_seg,
+        |       CAST(GROUPING(n_name) AS TINYINT) AS g_nat,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(c_mktsegment, n_name)""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -50,6 +50,23 @@ object Sources {
   def writeSilver(df: DataFrame, path: String): Unit =
     df.write.mode("append").partitionBy(Layout.partitionColumns: _*).parquet(path)
 
+  /** Idempotent PARTITION-scoped overwrite — `partitionOverwriteMode=dynamic`
+    * scoped to one write: only the partitions present in `df` are replaced;
+    * every other partition's files are untouched. This is the daily-rebuild
+    * write discipline at scale: re-running a day's gold build replaces
+    * exactly that day (idempotent under retries), instead of either
+    * appending duplicates or truncating the whole table (static overwrite's
+    * default). The conf is save/restored so the session's other writers keep
+    * their configured semantics. */
+  def overwritePartitions(df: DataFrame, path: String, partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    finally spark.conf.set(key, prev)
+  }
+
   /** OP-7: recursive silver scan. Spark discovers `year=/month=/day=` partitions
     * automatically and prunes them under partition filters — unlike the reference's
     * full `rglob` re-read (`local_storage.py:129-137`). */

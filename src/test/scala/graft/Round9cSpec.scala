@@ -326,6 +326,27 @@ class Round9cSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, 1L, 5L, 5L), (2, 3L, 3L, 8L), (3, 2L, 2L, 10L)))
   }
 
+  // ------------------------------------------------ dynamic partition overwrite
+
+  test("overwritePartitions replaces only the partitions present in the frame") {
+    withTempDir { dir =>
+      def files(p: String) = Option(new java.io.File(s"$dir/t/p=$p").listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+      val before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      graft.engine.Sources.overwritePartitions(
+        Seq(("a", 1L), ("b", 2L)).toDF("p", "v"), s"$dir/t", "p")
+      val aFiles = files("a")
+      graft.engine.Sources.overwritePartitions(
+        Seq(("b", 99L)).toDF("p", "v"), s"$dir/t", "p")
+      val got = spark.read.parquet(s"$dir/t").collect()
+        .map(r => (r.getAs[String]("p"), r.getAs[Long]("v"))).toSet
+      assert(got === Set(("a", 1L), ("b", 99L)),
+        "partition b replaced, partition a untouched, no duplication")
+      assert(files("a") === aFiles, "untouched partition must keep its exact files")
+      assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") === before)
+    }
+  }
+
   // ------------------------------------------------ grouped top-k operator
 
   test("GroupedTopKExec equals the window form, excludes null values, handles small groups") {
