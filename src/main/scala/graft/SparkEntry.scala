@@ -3298,6 +3298,37 @@ object SparkEntry {
           |       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents
           |FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
           |GROUP BY CUBE(c_mktsegment, n_name)""".stripMargin)
+    },
+
+    // Interval union (ext.TimeSeries.intervalUnion): total covered time per
+    // event_type merging overlapping intervals — Σdurations double-counts
+    // concurrency; the sweep-line union doesn't. Same value-minutes
+    // intervals as q162's peak-concurrency sibling.
+    "q191_interval_union" -> { (s, dir) =>
+      val e = eventsTable(s, dir).filter(col("value").isNotNull)
+        .withColumn("__start", unix_micros(col("ts")))
+        .withColumn("__end",
+          col("__start") + expr("CAST(ROUND(value * 100) AS BIGINT) * 600000L"))
+      graft.ext.TimeSeries.intervalUnion(e, "event_type",
+        col("__start"), col("__end"))
+    },
+
+    // kNN classification (Similarity.knnJoin + Labels.majorityVote): each
+    // probe vector labeled by the majority of its 5 nearest corpus
+    // neighbors, deterministic ties, compared against its own label — the
+    // weak-labeling / label-propagation-by-similarity primitive.
+    "q192_knn_classify" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 20)
+      val corpus = emb.filter(col("vec_id") >= 20)
+      val nn = Similarity.knnJoin(probes, corpus, k = 5)
+        .join(corpus.select(col("vec_id").as("neighbor_id"), col("label")),
+          "neighbor_id")
+      graft.ext.Labels.majorityVote(nn, col("query_id"), col("label"))
+        .select(col("item").as("vec_id"), col("label").as("predicted"),
+          col("n_votes"), col("n_total"))
+        .join(probes.select(col("vec_id"), col("label").as("true_label")), "vec_id")
+        .withColumn("correct", col("predicted") === col("true_label"))
     }
   )
 
@@ -6243,7 +6274,61 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY CUBE(c_mktsegment, n_name)""".stripMargin
+        |GROUP BY CUBE(c_mktsegment, n_name)""".stripMargin,
+
+    "q191_interval_union" ->
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS s,
+        |         epoch_us(ts) + CAST(ROUND(value * 100) AS BIGINT) * 600000 AS e
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, s, e,
+        |         MAX(e) OVER (PARTITION BY event_type ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |f AS (
+        |  SELECT event_type, s, e,
+        |         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END) OVER (
+        |           PARTITION BY event_type ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM m),
+        |g AS (
+        |  SELECT event_type, seg, MIN(s) AS cs, MAX(e) AS ce,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM f GROUP BY 1, 2)
+        |SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_intervals,
+        |       CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |       CAST(SUM(ce - cs) AS BIGINT) AS covered_us
+        |FROM g GROUP BY 1""".stripMargin,
+
+    "q192_knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |         label AS true_label
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label
+        |  FROM embeddings WHERE vec_id >= 20),
+        |nn AS (
+        |  SELECT query_id, label FROM (
+        |    SELECT query_id, neighbor_id, c.label,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |             ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC,
+        |                      neighbor_id) AS rank
+        |    FROM q, c) t
+        |  WHERE rank <= 5),
+        |v AS (SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+        |      FROM nn GROUP BY 1, 2),
+        |w AS (
+        |  SELECT query_id, label, n_votes,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY n_votes DESC, label ASC) AS rk,
+        |         CAST(SUM(n_votes) OVER (PARTITION BY query_id) AS BIGINT) AS n_total
+        |  FROM v)
+        |SELECT w.query_id AS vec_id, w.label AS predicted, w.n_votes, w.n_total,
+        |       q.true_label, (w.label = q.true_label) AS correct
+        |FROM w JOIN q ON q.query_id = w.query_id
+        |WHERE w.rk = 1""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

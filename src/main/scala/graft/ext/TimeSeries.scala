@@ -210,6 +210,38 @@ object TimeSeries {
         max(col("__len")).as("longest_streak"))
   }
 
+  /** Interval UNION per key — total covered time merging overlaps — the
+    * sweep-line sibling of [[peakConcurrency]]: in `(start, end)` order, an
+    * interval starts a NEW merged segment iff its start lies strictly past
+    * the running max of previous ends (touching intervals `[a,b) [b,c)`
+    * merge); segment id = running count of starts; coverage = Σ(segment max
+    * end − segment min start). Answers "how much wall-clock was this user /
+    * machine actually busy" where Σdurations double-counts overlap.
+    *
+    * Output: `(key, n_intervals, n_segments, covered_us)`.
+    *
+    * Scale: two key-partitioned windows + two strict key-coarsening
+    * aggregates — shuffles on the key only. */
+  def intervalUnion(df: DataFrame, keyCol: String,
+                    startMicros: Column, endMicros: Column): DataFrame = {
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), startMicros.as("__s"), endMicros.as("__e"))
+      .withColumn("__pmax", max(col("__e")).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L).otherwise(0L))
+      .withColumn("__seg", sum(col("__new")).over(wRun))
+      .groupBy(col(keyCol), col("__seg"))
+      .agg(min(col("__s")).as("__cs"), max(col("__e")).as("__ce"),
+        count(lit(1)).as("__n"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n_intervals"),
+        count(lit(1)).as("n_segments"),
+        sum(col("__ce") - col("__cs")).as("covered_us"))
+  }
+
   /** Spread each row's integer amount evenly across `periods` consecutive
     * months with EXACT remainder allocation — slice `i` gets
     * `⌊amt/periods⌋ + (1 if i < amt mod periods)`, so every row's slices sum

@@ -30,6 +30,16 @@ class Round9cSpec extends SparkSpec {
     assert(got.toSeq === Seq(("j", 1L, 1L), ("k", 2L, 3L)))
   }
 
+  test("intervalUnion merges overlapping and touching intervals, splits on gaps") {
+    // k: [0,10) [5,15) [15,20) merge into one segment [0,20); [30,40) is its
+    // own segment. covered = 20 + 10 = 30 over 4 intervals, 2 segments.
+    val df = Seq(("k", 0L, 10L), ("k", 5L, 15L), ("k", 15L, 20L), ("k", 30L, 40L))
+      .toDF("key", "s", "e")
+    val got = TimeSeries.intervalUnion(df, "key", col("s"), col("e")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("k", 4L, 2L, 30L)))
+  }
+
   test("peakConcurrency: back-to-back intervals never overlap") {
     val df = Seq(("k", 0L, 10L), ("k", 10L, 20L), ("k", 20L, 30L)).toDF("key", "s", "e")
     val got = TimeSeries.peakConcurrency(df, "key", col("s"), col("e")).collect()
