@@ -3329,6 +3329,30 @@ object SparkEntry {
           col("n_votes"), col("n_total"))
         .join(probes.select(col("vec_id"), col("label").as("true_label")), "vec_id")
         .withColumn("correct", col("predicted") === col("true_label"))
+    },
+
+    // Day-of-week seasonality (ext.TimeSeries.seasonalIndexByDow): how much
+    // busier each weekday is than the type's average day — densified span,
+    // arithmetic weekday ((epochDay+4) mod 7 — engine-proof), integer
+    // cross-multiplied index.
+    "q193_seasonality" -> { (s, dir) =>
+      graft.ext.TimeSeries.seasonalIndexByDow(eventsTable(s, dir), "event_type", "ts")
+    },
+
+    // Benford first-digit audit (engine.Profile.benfordAudit): order totals
+    // against the log-uniform leading-digit law — shared per-mille constant
+    // table, integer chi-square terms.
+    "q194_benford" -> { (s, dir) =>
+      graft.engine.Profile.benfordAudit(t(s, dir, "orders"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+    },
+
+    // Audience overlap (engine.Profile.audienceOverlap): pairwise Jaccard of
+    // user sets per event type — per-entity bounded pair explode, never a
+    // category×category self-join of the activity table.
+    "q195_audience_overlap" -> { (s, dir) =>
+      graft.engine.Profile.audienceOverlap(eventsTable(s, dir),
+        col("user_id"), col("event_type"))
     }
   )
 
@@ -6328,7 +6352,67 @@ object SparkEntry {
         |SELECT w.query_id AS vec_id, w.label AS predicted, w.n_votes, w.n_total,
         |       q.true_label, (w.label = q.true_label) AS correct
         |FROM w JOIN q ON q.query_id = w.query_id
-        |WHERE w.rk = 1""".stripMargin
+        |WHERE w.rk = 1""".stripMargin,
+
+    "q193_seasonality" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+        |dense AS (
+        |  SELECT event_type, CAST(unnest(generate_series(
+        |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM span),
+        |g AS (
+        |  SELECT dense.event_type, dense.d, COALESCE(daily.n, 0) AS n,
+        |         CAST((date_diff('day', DATE '1970-01-01', dense.d) + 4) % 7 AS INT) AS dow
+        |  FROM dense LEFT JOIN daily
+        |    ON dense.event_type = daily.event_type AND dense.d = daily.d),
+        |pd AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |              CAST(SUM(n) AS BIGINT) AS n_events
+        |       FROM g GROUP BY 1, 2),
+        |pk AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS days_all,
+        |              CAST(SUM(n) AS BIGINT) AS events_all
+        |       FROM g GROUP BY 1)
+        |SELECT pd.event_type, pd.dow, pd.n_days, pd.n_events,
+        |       CASE WHEN events_all > 0 AND n_days > 0
+        |            THEN (1000000 * n_events * days_all) // (events_all * n_days)
+        |       END AS index_micro
+        |FROM pd JOIN pk USING (event_type)""".stripMargin,
+
+    "q194_benford" -> {
+      val vals = graft.engine.Profile.BenfordPermille
+        .map { case (d, p) => s"($d, CAST($p AS BIGINT))" }.mkString(", ")
+      s"""WITH v AS (
+         |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         |o AS (
+         |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+         |         CAST(COUNT(*) AS BIGINT) AS n_obs
+         |  FROM v WHERE c > 0 GROUP BY 1),
+         |e AS (SELECT * FROM (VALUES $vals) t(digit, expected_permille)),
+         |n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS tot FROM o)
+         |SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs, e.expected_permille,
+         |       1000 * COALESCE(o.n_obs, 0) // tot AS observed_permille,
+         |       CAST((1000000 * CAST(1000 * COALESCE(o.n_obs, 0)
+         |                            - e.expected_permille * tot AS HUGEINT)
+         |             * (1000 * COALESCE(o.n_obs, 0) - e.expected_permille * tot))
+         |            // (1000 * e.expected_permille * tot) AS BIGINT) AS chi_term_micro
+         |FROM e LEFT JOIN o USING (digit) CROSS JOIN n""".stripMargin
+    },
+
+    "q195_audience_overlap" ->
+      """WITH ec AS (SELECT DISTINCT user_id, event_type FROM events),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ec GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS cat_a, b.event_type AS cat_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM ec a JOIN ec b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT cat_a, cat_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        |       1000 * n_both // (sa.n + sb.n - n_both) AS jaccard_milli
+        |FROM p JOIN s sa ON sa.event_type = cat_a
+        |JOIN s sb ON sb.event_type = cat_b""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -168,6 +168,78 @@ object Profile {
           expr("CAST((1000000 * (__sy * __den - __num * __sx)) DIV (__n * __den) AS BIGINT)"))
           .as("intercept_micro"))
 
+  /** Benford's-law expected first-digit frequencies, per-mille (log10(1+1/d)
+    * rounded — irrational, so BOTH engines consume this shared constant
+    * table rather than computing logs). */
+  val BenfordPermille: Seq[(Int, Long)] =
+    Seq(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L, 5 -> 79L,
+      6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+
+  /** Benford first-digit audit — the fabricated-numbers screen: natural
+    * multi-scale amounts follow log-uniform leading digits; invented ones
+    * cluster. Per digit: observed count, observed per-mille, the expected
+    * per-mille, and a chi-square-style deviation term
+    * `⌊10⁶·(1000·obs − exp·N)²/(1000·exp·N)⌋` — all integer (decimal for
+    * the square), so the audit hashes identically on any engine. The
+    * deviation terms sum to 10³·χ² downstream if a single statistic is
+    * wanted.
+    *
+    * `valueCents` must be a positive integer column (leading digit of the
+    * decimal representation). Output: one row per digit 1–9.
+    *
+    * Scale: one map-side-combined digit groupBy + a broadcast 9-row
+    * constant join. */
+  def benfordAudit(df: DataFrame, valueCents: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = BenfordPermille.toDF("digit", "expected_permille")
+    val obs = df.select(valueCents.as("__v"))
+      .filter(col("__v") > 0)
+      .select(substring(col("__v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = obs.agg(sum(col("n_obs")).as("__n"))
+    broadcast(expected).join(obs, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"), col("expected_permille"),
+        expr("1000L * n_obs DIV __n").as("observed_permille"),
+        expr("CAST((1000000 * CAST(1000 * n_obs - expected_permille * __n AS DECIMAL(38,0)) " +
+          "* (1000 * n_obs - expected_permille * __n)) " +
+          "DIV (1000 * expected_permille * __n) AS BIGINT)").as("chi_term_micro"))
+  }
+
+  /** Audience-overlap matrix: pairwise Jaccard of the ENTITY sets behind
+    * each category — "how much do the click and view audiences overlap".
+    * Intersections come from per-entity distinct category SETS exploded into
+    * pairs (bounded by the category alphabet squared per entity — no
+    * category×category self-join of the activity table); sizes from one
+    * distinct count. `jaccard_milli = ⌊1000·|A∩B| / (|A|+|B|−|A∩B|)⌋`,
+    * integer division.
+    *
+    * Output: `(cat_a < cat_b, n_a, n_b, n_both, jaccard_milli)`.
+    *
+    * Scale: distinct (entity, category) is activity-sized and map-side
+    * combined; the pair explode is alphabet-bounded per entity; category
+    * sizes broadcast into the pair table. */
+  def audienceOverlap(df: DataFrame, entityCol: Column, categoryCol: Column): DataFrame = {
+    val ec = df.select(entityCol.as("__e"), categoryCol.as("__c")).distinct()
+    val sizes = ec.groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+    val pairs = ec.groupBy(col("__e"))
+      .agg(array_sort(collect_set(col("__c"))).as("__cs"))
+      .filter(size(col("__cs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(__cs) - 1), " +
+          "i -> transform(slice(__cs, i + 1, size(__cs) - i), " +
+          "y -> struct(element_at(__cs, i) AS a, y AS b))))")).as("p"))
+      .groupBy(col("p.a").as("cat_a"), col("p.b").as("cat_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("__c").as("cat_a"), col("__n").as("n_a"))), "cat_a")
+      .join(broadcast(sizes.select(col("__c").as("cat_b"), col("__n").as("n_b"))), "cat_b")
+      .select(col("cat_a"), col("cat_b"), col("n_a"), col("n_b"), col("n_both"),
+        expr("1000L * n_both DIV (n_a + n_b - n_both)").as("jaccard_milli"))
+  }
+
   /** Grouped TWO-feature linear regression `y = b0 + b1·x1 + b2·x2` — the
     * normal equations solved exactly per group via Cramer's rule on the 3×3
     * moment matrix, all in decimal(38,0): each coefficient is a ratio of two

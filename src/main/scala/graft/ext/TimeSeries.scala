@@ -210,6 +210,44 @@ object TimeSeries {
         max(col("__len")).as("longest_streak"))
   }
 
+  /** Day-of-week seasonal index per key: how much busier is each weekday
+    * than the key's average day — `index = mean(count | dow) / mean(count)`,
+    * reported as `⌊10⁶·index⌋` by integer cross-multiplication
+    * (`sum_dow·n_days_total` vs `sum_total·n_days_dow`), never a float
+    * division. The series densifies to every day in the key's span (absent
+    * days count 0) so a sparse weekday isn't flattered by only counting its
+    * active days. Weekday is computed ARITHMETICALLY — `(epochDay + 4) mod
+    * 7`, 0 = Sunday — because engines disagree on dayofweek() numbering
+    * (Spark: 1=Sunday; DuckDB dow: 0=Sunday); epoch-day arithmetic is
+    * engine-proof.
+    *
+    * Output: `(key, dow, n_days, n_events, index_micro)`.
+    *
+    * Scale: daily counts are map-side combined; densify + the two
+    * aggregates shuffle on the key only. */
+  def seasonalIndexByDow(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__n"))
+    val span = daily.groupBy(col(keyCol))
+      .agg(min(col("__day")).as("__d0"), max(col("__day")).as("__d1"))
+    val dense = span
+      .select(col(keyCol), explode(expr("sequence(__d0, __d1, interval 1 day)")).as("__day"))
+      .join(daily, Seq(keyCol, "__day"), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+      .withColumn("dow",
+        (datediff(col("__day"), lit("1970-01-01").cast("date")) + 4) % 7)
+    val perDow = dense.groupBy(col(keyCol), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__n")).as("n_events"))
+    val perKey = dense.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__days_all"), sum(col("__n")).as("__events_all"))
+    perDow.join(perKey, Seq(keyCol))
+      .select(col(keyCol), col("dow"), col("n_days"), col("n_events"),
+        when(col("__events_all") > 0 && col("n_days") > 0,
+          expr("(1000000L * n_events * __days_all) DIV (__events_all * n_days)"))
+          .as("index_micro"))
+  }
+
   /** Interval UNION per key — total covered time merging overlaps — the
     * sweep-line sibling of [[peakConcurrency]]: in `(start, end)` order, an
     * interval starts a NEW merged segment iff its start lies strictly past

@@ -215,6 +215,54 @@ class Round9cSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ seasonality / Benford / overlap
+
+  test("seasonalIndexByDow zero-fills span days and cross-multiplies exactly") {
+    // 2024-01-01 is a Monday (dow 1 in the (epochDay+4)%7, 0=Sunday scheme).
+    // Key a, span Mon..Sun (7 days): Mon 4 events, Wed 2, others 0 → mean
+    // 6/7. Mon index = 4/(6/7) = 28/6 → 4666666 micro; Sun (0 events) → 0.
+    val rows = Seq.fill(4)("2024-01-01 10:00:00") ++ Seq.fill(2)("2024-01-03 10:00:00") :+
+      "2024-01-07 10:00:00"
+    // the single Sunday event makes the span cover all 7 dows; drop it from
+    // counts? No — keep: totals become 7 events; Mon = 4/(7/7) = 4.0.
+    val df = rows.map(("a", _)).toDF("k", "ts").withColumn("ts", to_timestamp(col("ts")))
+    val got = TimeSeries.seasonalIndexByDow(df, "k", "ts")
+      .orderBy("dow").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // dows present: span 01-01..01-07 → each dow exactly once
+    assert(got.length === 7 && got.forall(_._2 === 1L))
+    val byDow = got.map(t => t._1 -> (t._3, t._4)).toMap
+    assert(byDow(1) === ((4L, 4000000L)), "Monday: 4 events, index 4.0")
+    assert(byDow(3) === ((2L, 2000000L)), "Wednesday: 2 events, index 2.0")
+    assert(byDow(2) === ((0L, 0L)), "silent Tuesday: zero-filled, index 0")
+  }
+
+  test("benfordAudit: a perfectly-Benford count vector yields near-zero chi terms") {
+    // 1000 values whose first digits follow the expected per-mille counts
+    // exactly: digit d appears BenfordPermille(d) times.
+    val vals = graft.engine.Profile.BenfordPermille.flatMap { case (d, p) =>
+      Seq.fill(p.toInt)(d.toLong * 100L) // d·100 → first digit d
+    }
+    val got = graft.engine.Profile.benfordAudit(vals.toDF("v"), col("v"))
+      .orderBy("digit").collect()
+    assert(got.length === 9)
+    got.foreach { r =>
+      assert(r.getLong(1) === graft.engine.Profile.BenfordPermille(r.getInt(0) - 1)._2)
+      assert(r.getLong(4) === 0L, s"digit ${r.getInt(0)}: exact fit must have chi 0")
+    }
+  }
+
+  test("audienceOverlap computes exact pairwise Jaccard from bounded pair explode") {
+    // users: 1→{x,y}, 2→{x,y}, 3→{x}, 4→{y,z}. |x|=3 |y|=3 |z|=1;
+    // x∩y=2 → 1000·2/(3+3-2)=500; y∩z=1 → 1000/(3+1-1)=333; x∩z=0 → absent.
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"),
+      (4L, "y"), (4L, "z"), (4L, "z")).toDF("u", "c")
+    val got = graft.engine.Profile.audienceOverlap(df, col("u"), col("c"))
+      .orderBy("cat_a", "cat_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(("x", "y", 2L, 500L), ("y", "z", 1L, 333L)))
+  }
+
   // ------------------------------------------------ Welch t² / HHI / autocorr / FD
 
   test("welchTSquared matches the hand-computed two-sample case and guards n<2") {
