@@ -3353,6 +3353,36 @@ object SparkEntry {
     "q195_audience_overlap" -> { (s, dir) =>
       graft.engine.Profile.audienceOverlap(eventsTable(s, dir),
         col("user_id"), col("event_type"))
+    },
+
+    // Holt double exponential smoothing (ext.TimeSeries.holtLinearPerKey):
+    // level+trend forecast per user over event cents, integer per-mille fold
+    // — q140's EWMA flattened trends; this one follows them.
+    "q196_holt_linear" -> { (s, dir) =>
+      val obs = eventsTable(s, dir).filter(col("value").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("event_id"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      graft.ext.TimeSeries.holtLinearPerKey(obs, "user_id",
+        Seq("t_us", "event_id"), "cents")
+    },
+
+    // CUSUM changepoint (ext.TimeSeries.cusumChangepoint): the day each
+    // event type's daily level shifted most — integer-scaled cumulative
+    // deviation, argmax with earliest-day tie-break.
+    "q197_cusum_changepoint" -> { (s, dir) =>
+      graft.ext.TimeSeries.cusumChangepoint(eventsTable(s, dir), "event_type", "ts")
+    },
+
+    // DAU/WAU stickiness: q150's exact rolling-distinct machinery at windows
+    // 1 and 7 joined per day — the product-engagement ratio, integer milli.
+    "q198_stickiness" -> { (s, dir) =>
+      val e = eventsTable(s, dir)
+      val dau = graft.ext.TimeSeries.rollingDistinct(e, "user_id", "ts", windowDays = 1)
+      val wau = graft.ext.TimeSeries.rollingDistinct(e, "user_id", "ts", windowDays = 7)
+      dau.join(wau, Seq("window_day"))
+        .select(col("window_day"), col("active_1d"), col("active_7d"),
+          expr("1000L * active_1d DIV active_7d").as("stickiness_milli"))
     }
   )
 
@@ -6412,7 +6442,84 @@ object SparkEntry {
         |SELECT cat_a, cat_b, sa.n AS n_a, sb.n AS n_b, n_both,
         |       1000 * n_both // (sa.n + sb.n - n_both) AS jaccard_milli
         |FROM p JOIN s sa ON sa.event_type = cat_a
-        |JOIN s sb ON sb.event_type = cat_b""".stripMargin
+        |JOIN s sb ON sb.event_type = cat_b""".stripMargin,
+
+    // The (level, trend) state is PACKED into one BIGINT — `(l+2³⁰)·2³¹ +
+    // (b+2³⁰)` — because this container's DuckDB (1.0.0) mis-chains
+    // list_reduce when the accumulator is a STRUCT (each step alone is
+    // right; chained iterations corrupt a field — reproduced in isolation).
+    // Scalar-BIGINT folds chain correctly (q140's EWMA relies on that).
+    "q196_holt_linear" -> {
+      val W = 2147483648L; val OFF = 1073741824L
+      val l = s"(acc // $W - $OFF)"
+      val b = s"(acc % $W - $OFF)"
+      val ln = s"((300 * x + 700 * ($l + $b)) // 1000)"
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS t, event_id,
+         |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL),
+         |s AS (SELECT user_id, list(cents ORDER BY t, event_id) AS vals
+         |      FROM e GROUP BY 1),
+         |f AS (
+         |  SELECT user_id, CAST(len(vals) AS BIGINT) AS n_points,
+         |         list_reduce(
+         |           list_prepend((vals[1] + $OFF) * $W + (vals[2] - vals[1] + $OFF),
+         |                        vals[3:]),
+         |           (acc, x) -> ($ln + $OFF) * $W
+         |                       + ((100 * ($ln - $l) + 900 * $b) // 1000 + $OFF)) AS st
+         |  FROM s WHERE len(vals) >= 2)
+         |SELECT user_id, n_points,
+         |       CAST(st // $W - $OFF AS BIGINT) AS level,
+         |       CAST(st % $W - $OFF AS BIGINT) AS trend,
+         |       CAST((st // $W - $OFF) + (st % $W - $OFF) AS BIGINT) AS forecast_1
+         |FROM f""".stripMargin
+    },
+
+    "q197_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+        |dense AS (
+        |  SELECT event_type, CAST(unnest(generate_series(
+        |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM span),
+        |g AS (
+        |  SELECT dense.event_type, dense.d, COALESCE(daily.n, 0) AS n
+        |  FROM dense LEFT JOIN daily
+        |    ON dense.event_type = daily.event_type AND dense.d = daily.d),
+        |t AS (
+        |  SELECT event_type, d, n,
+        |         CAST(row_number() OVER win AS BIGINT) AS t,
+        |         CAST(SUM(n) OVER win AS BIGINT) AS prefix
+        |  FROM g
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY d
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS days,
+        |               CAST(SUM(n) AS BIGINT) AS total
+        |        FROM g GROUP BY 1),
+        |sc AS (
+        |  SELECT t.event_type, t.d, ABS(days * prefix - t.t * total) AS s, days,
+        |         row_number() OVER (PARTITION BY t.event_type
+        |           ORDER BY ABS(days * prefix - t.t * total) DESC, t.d ASC) AS rk
+        |  FROM t JOIN tot USING (event_type))
+        |SELECT event_type, d AS change_day, CAST(s AS BIGINT) AS cusum_peak,
+        |       days AS n_days
+        |FROM sc WHERE rk = 1""".stripMargin,
+
+    "q198_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT d FROM ud),
+        |w7 AS (
+        |  SELECT DISTINCT ud.user_id, days.d AS wd
+        |  FROM ud JOIN days ON ud.d BETWEEN days.d - 6 AND days.d),
+        |a7 AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS active_7d FROM w7 GROUP BY 1),
+        |a1 AS (SELECT d AS wd, CAST(COUNT(*) AS BIGINT) AS active_1d FROM ud GROUP BY 1)
+        |SELECT a1.wd AS window_day, active_1d, active_7d,
+        |       1000 * active_1d // active_7d AS stickiness_milli
+        |FROM a1 JOIN a7 USING (wd)""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

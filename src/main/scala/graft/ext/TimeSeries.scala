@@ -210,6 +210,85 @@ object TimeSeries {
         max(col("__len")).as("longest_streak"))
   }
 
+  /** Holt double exponential smoothing per key — level + trend, the
+    * forecast-friendly sibling of [[ewmaPerKey]] (which flattens trends):
+    *   l₀ = x₀, b₀ = x₁ − x₀,
+    *   lₜ = (α·xₜ + (1000−α)·(l+b)) DIV 1000,
+    *   bₜ = (β·(lₜ−l) + (1000−β)·b)  DIV 1000,
+    * with per-mille integer weights and integer division, so the fixpoint is
+    * bit-identical on any engine and any partitioning. Output per key:
+    * `(n_points, level, trend, forecast_1 = level+trend)`; keys with <2
+    * points are dropped (the trend seed needs two observations).
+    *
+    * Scale: one shuffle; same bounded-per-key-array contract as
+    * [[ewmaPerKey]] — bucket the key first if a key's history is unbounded. */
+  def holtLinearPerKey(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                       valueCol: String, alphaPerMille: Long = 300L,
+                       betaPerMille: Long = 100L): DataFrame = {
+    require(alphaPerMille >= 0 && alphaPerMille <= 1000 &&
+      betaPerMille >= 0 && betaPerMille <= 1000,
+      "TimeSeries.holtLinearPerKey: weights must be in [0, 1000] per-mille")
+    val a = alphaPerMille; val ua = 1000L - a
+    val b = betaPerMille; val ub = 1000L - b
+    val lNew = s"(($a * x + $ua * (acc.l + acc.b)) DIV 1000)"
+    df.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(
+        struct((orderCols.map(col) :+ col(valueCol)): _*))).as("__seq"))
+      .withColumn("__vals", expr(s"transform(__seq, r -> r.$valueCol)"))
+      .filter(size(col("__vals")) >= 2)
+      // NB mixed index bases in Spark SQL: `arr[i]` subscripts are 0-BASED,
+      // `slice(arr, start, len)` is 1-based — so the seeds are __vals[0]/[1]
+      // while the fold starts at slice position 3 (the third observation).
+      .withColumn("__st", expr(
+        s"aggregate(slice(__vals, 3, size(__vals) - 2), " +
+          s"named_struct('l', __vals[0], 'b', __vals[1] - __vals[0]), " +
+          s"(acc, x) -> named_struct('l', $lNew, " +
+          s"'b', (($b * ($lNew - acc.l) + $ub * acc.b) DIV 1000)))"))
+      .select(col(keyCol), size(col("__vals")).cast("long").as("n_points"),
+        col("__st.l").as("level"), col("__st.b").as("trend"),
+        (col("__st.l") + col("__st.b")).as("forecast_1"))
+  }
+
+  /** CUSUM changepoint per key over the DENSIFIED daily count series: the
+    * day where the cumulative deviation from the key's overall mean peaks —
+    * the standard "when did the level shift" detector. Kept integer by
+    * scaling: `S'ₜ = n·prefixₜ − t·total` equals `n·Σᵢ≤ₜ(xᵢ − mean)` without
+    * ever dividing; the argmax of `|S'|` (ties → earliest day) is the
+    * changepoint, and `cusum_peak = |S'|` its strength (divide by n·days
+    * downstream for a normalized score).
+    *
+    * Output: `(key, change_day, cusum_peak, n_days)`.
+    *
+    * Scale: one key-partitioned running-sum window over the day grid + a
+    * max-struct argmax aggregate — shuffles on the key only. */
+  def cusumChangepoint(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__n"))
+    val span = daily.groupBy(col(keyCol))
+      .agg(min(col("__day")).as("__d0"), max(col("__day")).as("__d1"))
+    val dense = span
+      .select(col(keyCol), explode(expr("sequence(__d0, __d1, interval 1 day)")).as("__day"))
+      .join(daily, Seq(keyCol, "__day"), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = dense.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__days"), sum(col("__n")).as("__total"))
+    dense
+      .withColumn("__t", count(lit(1)).over(w))
+      .withColumn("__prefix", sum(col("__n")).over(w))
+      .join(totals, Seq(keyCol))
+      .withColumn("__s", abs(col("__days") * col("__prefix") - col("__t") * col("__total")))
+      .withColumn("__dn", datediff(col("__day"), lit("1970-01-01").cast("date")).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(max(struct(col("__s"), (-col("__dn")).as("__nd"))).as("__m"),
+        max(col("__days")).as("n_days"))
+      .select(col(keyCol),
+        date_add(lit("1970-01-01").cast("date"), (-col("__m.__nd")).cast("int")).as("change_day"),
+        col("__m.__s").as("cusum_peak"), col("n_days"))
+  }
+
   /** Day-of-week seasonal index per key: how much busier is each weekday
     * than the key's average day — `index = mean(count | dow) / mean(count)`,
     * reported as `⌊10⁶·index⌋` by integer cross-multiplication

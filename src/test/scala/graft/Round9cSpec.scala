@@ -215,6 +215,38 @@ class Round9cSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ Holt / CUSUM
+
+  test("holtLinearPerKey tracks a perfect ramp exactly at full weights") {
+    // alpha=beta=1000: level = last value, trend = last step → forecast = next.
+    val df = Seq((1L, 5L), (2L, 10L), (3L, 15L), (4L, 20L)).map { case (t, v) => ("k", t, v) }
+      .toDF("k", "t", "v")
+    val got = TimeSeries.holtLinearPerKey(df, "k", Seq("t"), "v",
+        alphaPerMille = 1000L, betaPerMille = 1000L).collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4))
+      === ((4L, 20L, 5L, 25L)))
+  }
+
+  test("holtLinearPerKey hand-checks one smoothing step and drops n<2 keys") {
+    // [0,10,20], α=300 β=100: l0=0 b0=10; x=20 → l=13, b=(1300+9000)//1000=10.
+    val df = Seq(("k", 1L, 0L), ("k", 2L, 10L), ("k", 3L, 20L), ("solo", 1L, 7L))
+      .toDF("k", "t", "v")
+    val got = TimeSeries.holtLinearPerKey(df, "k", Seq("t"), "v").collect()
+    assert(got.length === 1, "single-point keys are dropped")
+    assert((got.head.getLong(2), got.head.getLong(3), got.head.getLong(4))
+      === ((13L, 10L, 23L)))
+  }
+
+  test("cusumChangepoint peaks at the level shift with earliest-day ties") {
+    // counts 1,1,1,5,5,5 → scaled CUSUM |6·prefix − t·18| peaks (36) on day 3.
+    val rows = Seq("01" -> 1, "02" -> 1, "03" -> 1, "04" -> 5, "05" -> 5, "06" -> 5)
+      .flatMap { case (d, n) => Seq.fill(n)(("a", s"2024-01-$d 12:00:00")) }
+    val df = rows.toDF("k", "ts").withColumn("ts", to_timestamp(col("ts")))
+    val got = TimeSeries.cusumChangepoint(df, "k", "ts").collect().head
+    assert((got.getDate(1).toString, got.getLong(2), got.getLong(3))
+      === (("2024-01-03", 36L, 6L)))
+  }
+
   // ------------------------------------------------ seasonality / Benford / overlap
 
   test("seasonalIndexByDow zero-fills span days and cross-multiplies exactly") {
