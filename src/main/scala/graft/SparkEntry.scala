@@ -3383,6 +3383,39 @@ object SparkEntry {
       dau.join(wau, Seq("window_day"))
         .select(col("window_day"), col("active_1d"), col("active_7d"),
           expr("1000L * active_1d DIV active_7d").as("stickiness_milli"))
+    },
+
+    // Exact weighted median (ext.Rank.weightedMedian): the quantity-weighted
+    // median line price — threshold rank from the weighted-prefix machinery,
+    // value fetch from the rank selector; no global sort anywhere.
+    "q199_weighted_median" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("price_cents"),
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity")).cast("long").as("w"))
+      graft.ext.Rank.weightedMedian(li,
+        Seq("price_cents", "l_orderkey", "l_linenumber"), "price_cents", "w")
+    },
+
+    // Hierarchical percent-of-parent: nation revenue share within its region
+    // and region share of the total — broadcast parent totals, integer
+    // per-mille shares.
+    "q200_hierarchy_share" -> { (s, dir) =>
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+      val regionTot = rev.groupBy(col("r_name"))
+        .agg(sum(col("rev_cents")).as("region_rev_cents"))
+      val grandTot = rev.agg(sum(col("rev_cents")).as("total_rev_cents"))
+      rev.join(broadcast(regionTot), Seq("r_name"))
+        .crossJoin(broadcast(grandTot))
+        .select(col("r_name"), col("n_name"), col("rev_cents"),
+          col("region_rev_cents"),
+          expr("1000L * rev_cents DIV region_rev_cents").as("share_of_region_milli"),
+          expr("1000L * region_rev_cents DIV total_rev_cents").as("region_share_milli"))
     }
   )
 
@@ -6519,7 +6552,44 @@ object SparkEntry {
         |a1 AS (SELECT d AS wd, CAST(COUNT(*) AS BIGINT) AS active_1d FROM ud GROUP BY 1)
         |SELECT a1.wd AS window_day, active_1d, active_7d,
         |       1000 * active_1d // active_7d AS stickiness_milli
-        |FROM a1 JOIN a7 USING (wd)""".stripMargin
+        |FROM a1 JOIN a7 USING (wd)""".stripMargin,
+
+    "q199_weighted_median" ->
+      """WITH v AS (
+        |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |         l_orderkey, l_linenumber, CAST(ROUND(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT price_cents,
+        |         SUM(w) OVER (ORDER BY price_cents, l_orderkey, l_linenumber
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |         CAST(row_number() OVER (
+        |           ORDER BY price_cents, l_orderkey, l_linenumber) AS BIGINT) AS rn
+        |  FROM v),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS tw FROM v)
+        |SELECT t.n, t.tw AS total_weight,
+        |       (SELECT rn FROM o WHERE cw >= (t.tw + 1) // 2
+        |        ORDER BY rn LIMIT 1) AS k,
+        |       (SELECT price_cents FROM o WHERE cw >= (t.tw + 1) // 2
+        |        ORDER BY rn LIMIT 1) AS median
+        |FROM t""".stripMargin,
+
+    "q200_hierarchy_share" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT r_name, CAST(SUM(rev_cents) AS BIGINT) AS region_rev_cents
+        |       FROM rev GROUP BY 1),
+        |gt AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_rev_cents FROM rev)
+        |SELECT rev.r_name, rev.n_name, rev.rev_cents, rt.region_rev_cents,
+        |       1000 * rev.rev_cents // rt.region_rev_cents AS share_of_region_milli,
+        |       1000 * rt.region_rev_cents // gt.total_rev_cents AS region_share_milli
+        |FROM rev JOIN rt USING (r_name) CROSS JOIN gt""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

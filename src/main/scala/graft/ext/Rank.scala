@@ -163,6 +163,36 @@ object Rank {
     }
   }
 
+  /** Exact WEIGHTED median — the first value, in `orderCols` order, whose
+    * cumulative weight reaches `⌈W/2⌉` — composed from the two existing
+    * range-exchange primitives: [[weightedPrefixThreshold]] finds the global
+    * ROW rank k of the threshold crossing, [[valueAtRanks]] fetches the
+    * value at that rank under the same total order. Two data-parallel
+    * passes, no global sort, no single-reducer window — the naive form is
+    * `SUM(w) OVER (ORDER BY v)` over everything.
+    *
+    * `weightCol` must be integer non-negative; `orderCols` a total order
+    * with the value column first. EAGER; one row out:
+    * `(n, total_weight, k, median)` where `median` is NULL on empty input. */
+  def weightedMedian(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                     weightCol: String, numPartitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val th = weightedPrefixThreshold(df, orderCols, weightCol,
+      totalW => Seq("med" -> (totalW + 1) / 2), numPartitions).collect().head
+    val n = df.count()
+    val k = if (th.isNullAt(1)) None else Some(th.getLong(1))
+    val vr = k.map(rank => valueAtRanks(df, orderCols, valueCol,
+      _ => Seq("median" -> rank), numPartitions = numPartitions).collect().head)
+    val valueType = df.schema(valueCol).dataType
+    val row = org.apache.spark.sql.Row(n, th.getLong(3), k.orNull,
+      vr.map(_.get(1)).orNull)
+    spark.createDataFrame(java.util.Arrays.asList(row), StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("total_weight", LongType, nullable = false),
+      StructField("k", LongType, nullable = true),
+      StructField("median", valueType, nullable = true))))
+  }
+
   /** Robust outlier detection via median / MAD (median absolute deviation) —
     * the standard-deviation-free outlier rule (`|x − median| > k · MAD`) that
     * survives the corrupt extreme values which would inflate a mean/stddev

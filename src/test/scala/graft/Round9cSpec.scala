@@ -215,6 +215,24 @@ class Round9cSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ weighted median
+
+  test("weightedMedian lands on the first value whose cumulative weight crosses half") {
+    // values 1..4, weights 1/1/1/10: W=13, threshold 7 → the heavy value 4.
+    val heavy = Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 4L, 10L))
+      .toDF("v", "id", "w")
+    val r1 = graft.ext.Rank.weightedMedian(heavy, Seq("v", "id"), "v", "w",
+      numPartitions = 3).collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3))
+      === ((4L, 13L, 4L, 4L)))
+    // uniform weights degenerate to the lower median (n=4 → rank 2 → value 2)
+    val unif = Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 4L, 1L))
+      .toDF("v", "id", "w")
+    val r2 = graft.ext.Rank.weightedMedian(unif, Seq("v", "id"), "v", "w",
+      numPartitions = 3).collect().head
+    assert((r2.getLong(2), r2.getLong(3)) === ((2L, 2L)))
+  }
+
   // ------------------------------------------------ Holt / CUSUM
 
   test("holtLinearPerKey tracks a perfect ramp exactly at full weights") {
