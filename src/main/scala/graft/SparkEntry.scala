@@ -3416,6 +3416,61 @@ object SparkEntry {
           col("region_rev_cents"),
           expr("1000L * rev_cents DIV region_rev_cents").as("share_of_region_milli"),
           expr("1000L * region_rev_cents DIV total_rev_cents").as("region_share_milli"))
+    },
+
+    // Dynamic partition pruning: the fact table is month-partitioned; the
+    // quarter filter lives on the DIM side only, so static pruning can't
+    // fire — Spark's DPP injects the dim's surviving months into the fact
+    // scan's PartitionFilters at runtime (the plan is REQUIREd to carry
+    // `dynamicpruningexpression`, so a silent full scan fails loudly). At
+    // 100 TB this is reading 3 months instead of 80.
+    "q201_dynamic_partition_pruning" -> { (s, dir) =>
+      val root = tempDirCleanedOnExit("graft-dpp-")
+      t(s, dir, "orders")
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.partitionBy("month").mode("overwrite").parquet(s"$root/fact")
+      val months = (1995 to 2001).flatMap(y =>
+        (1 to 12).map(m => (f"$y-$m%02d", s"$y-Q${(m - 1) / 3 + 1}")))
+      import s.implicits._
+      months.toDF("month", "quarter").write.mode("overwrite").parquet(s"$root/dim")
+      val res = s.read.parquet(s"$root/fact")
+        .join(s.read.parquet(s"$root/dim").filter(col("quarter") === "1996-Q2"), "month")
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+      require(res.queryExecution.executedPlan.toString.contains("dynamicpruningexpression"),
+        "q201: dynamic partition pruning did not reach the fact scan")
+      res
+    },
+
+    // RFM quintile scoring: recency/frequency/monetary per customer,
+    // bucketed 1–5 by EXACT quintile cutpoints from the distributed rank
+    // selector (ext.Rank.valueAtRanks) — cutpoints broadcast as literals
+    // into a codegen'd CASE, so no global NTILE window ever runs. Bucket =
+    // 1 + #cutpoints strictly below the value (deterministic under ties).
+    "q202_rfm_scores" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      // generic get: the parquet footer may report o_orderdate as TIMESTAMP
+      // or TIMESTAMP_NTZ (LocalDateTime) — lit() handles either
+      val maxDate = o.agg(max(col("o_orderdate"))).head().get(0)
+      val cust = o.groupBy(col("o_custkey"))
+        .agg(datediff(lit(maxDate), max(col("o_orderdate"))).cast("long").as("r_days"),
+          count(lit(1)).as("f"),
+          sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("m_cents"))
+      def cutsOf(c: String): Seq[Long] = {
+        val row = ext.Rank.valueAtRanks(cust, Seq(c, "o_custkey"), c,
+          n => (1 to 4).map(i => (s"c$i", i * n / 5))).head()
+        (1 to 4).map(i => row.getLong(i))
+      }
+      def bucket(c: String, cuts: Seq[Long]) = cuts
+        .map(cut => when(col(c) > lit(cut), 1L).otherwise(0L))
+        .reduce(_ + _) + 1L
+      val (rc, fc, mc) = (cutsOf("r_days"), cutsOf("f"), cutsOf("m_cents"))
+      cust
+        .withColumn("r_q", bucket("r_days", rc))
+        .withColumn("f_q", bucket("f", fc))
+        .withColumn("m_q", bucket("m_cents", mc))
+        .withColumn("rfm", col("r_q") * 100L + col("f_q") * 10L + col("m_q"))
     }
   )
 
@@ -6589,7 +6644,52 @@ object SparkEntry {
         |SELECT rev.r_name, rev.n_name, rev.rev_cents, rt.region_rev_cents,
         |       1000 * rev.rev_cents // rt.region_rev_cents AS share_of_region_milli,
         |       1000 * rt.region_rev_cents // gt.total_rev_cents AS region_share_milli
-        |FROM rev JOIN rt USING (r_name) CROSS JOIN gt""".stripMargin
+        |FROM rev JOIN rt USING (r_name) CROSS JOIN gt""".stripMargin,
+
+    "q201_dynamic_partition_pruning" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-04', '1996-05', '1996-06')
+        |GROUP BY 1""".stripMargin,
+
+    "q202_rfm_scores" -> {
+      def cutCte(metric: String, tag: String) =
+        s"""${tag}r AS (
+           |  SELECT $metric AS v, row_number() OVER (ORDER BY $metric, o_custkey) AS rk
+           |  FROM c),
+           |$tag AS (
+           |  SELECT MAX(CASE WHEN rk = (1 * n.n) // 5 THEN v END) AS c1,
+           |         MAX(CASE WHEN rk = (2 * n.n) // 5 THEN v END) AS c2,
+           |         MAX(CASE WHEN rk = (3 * n.n) // 5 THEN v END) AS c3,
+           |         MAX(CASE WHEN rk = (4 * n.n) // 5 THEN v END) AS c4
+           |  FROM ${tag}r CROSS JOIN n)""".stripMargin
+      def bucket(metric: String, tag: String) =
+        s"1 + CAST($metric > $tag.c1 AS BIGINT) + CAST($metric > $tag.c2 AS BIGINT)" +
+          s" + CAST($metric > $tag.c3 AS BIGINT) + CAST($metric > $tag.c4 AS BIGINT)"
+      s"""WITH o AS (
+         |  SELECT o_custkey, o_orderdate,
+         |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |mx AS (SELECT MAX(o_orderdate) AS mt FROM o),
+         |c AS (
+         |  SELECT o_custkey,
+         |         CAST(date_diff('day', MAX(o_orderdate), mt) AS BIGINT) AS r_days,
+         |         CAST(COUNT(*) AS BIGINT) AS f, CAST(SUM(cents) AS BIGINT) AS m_cents
+         |  FROM o CROSS JOIN mx GROUP BY o_custkey, mt),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+         |${cutCte("r_days", "rc")},
+         |${cutCte("f", "fc")},
+         |${cutCte("m_cents", "mc")}
+         |SELECT o_custkey, r_days, f, m_cents,
+         |       ${bucket("r_days", "rc")} AS r_q,
+         |       ${bucket("f", "fc")} AS f_q,
+         |       ${bucket("m_cents", "mc")} AS m_q,
+         |       (${bucket("r_days", "rc")}) * 100 + (${bucket("f", "fc")}) * 10
+         |         + (${bucket("m_cents", "mc")}) AS rfm
+         |FROM c CROSS JOIN rc CROSS JOIN fc CROSS JOIN mc""".stripMargin
+    }
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
