@@ -3471,6 +3471,19 @@ object SparkEntry {
         .withColumn("f_q", bucket("f", fc))
         .withColumn("m_q", bucket("m_cents", mc))
         .withColumn("rfm", col("r_q") * 100L + col("f_q") * 10L + col("m_q"))
+    },
+
+    // FIFO allocation (engine.Joins.fifoMatch): per part, 'N' lineitems are
+    // supply and 'R' lineitems demand, matched first-in-first-out by ship
+    // order — running-sum unit intervals + one interval-intersection join,
+    // the set-based form of the sequential lot-matching loop.
+    "q203_fifo_allocation" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .withColumn("qty", round(col("l_quantity")).cast("long"))
+      graft.engine.Joins.fifoMatch(
+        li.filter(col("l_returnflag") === "N"),
+        li.filter(col("l_returnflag") === "R"),
+        "l_partkey", "qty", Seq("l_shipdate", "l_orderkey", "l_linenumber"))
     }
   )
 
@@ -6689,7 +6702,45 @@ object SparkEntry {
          |       (${bucket("r_days", "rc")}) * 100 + (${bucket("f", "fc")}) * 10
          |         + (${bucket("m_cents", "mc")}) AS rfm
          |FROM c CROSS JOIN rc CROSS JOIN fc CROSS JOIN mc""".stripMargin
-    }
+    },
+
+    "q203_fifo_allocation" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS q,
+        |         l_shipdate, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |sup AS (
+        |  SELECT l_partkey,
+        |         SUM(q) OVER w - q AS s_start, SUM(q) OVER w AS s_end
+        |  FROM li WHERE l_returnflag = 'N'
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |               ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |dem AS (
+        |  SELECT l_partkey,
+        |         SUM(q) OVER w - q AS d_start, SUM(q) OVER w AS d_end
+        |  FROM li WHERE l_returnflag = 'R'
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |               ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT sup.l_partkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |         CAST(SUM(LEAST(s_end, d_end) - GREATEST(s_start, d_start)) AS BIGINT)
+        |           AS matched_qty
+        |  FROM sup JOIN dem ON sup.l_partkey = dem.l_partkey
+        |    AND s_start < d_end AND d_start < s_end
+        |  GROUP BY 1),
+        |st AS (SELECT l_partkey, CAST(MAX(s_end) AS BIGINT) AS supply_qty
+        |       FROM sup GROUP BY 1),
+        |dt AS (SELECT l_partkey, CAST(MAX(d_end) AS BIGINT) AS demand_qty
+        |       FROM dem GROUP BY 1)
+        |SELECT COALESCE(st.l_partkey, dt.l_partkey) AS l_partkey,
+        |       COALESCE(n_pairs, 0) AS n_pairs,
+        |       COALESCE(matched_qty, 0) AS matched_qty,
+        |       COALESCE(supply_qty, 0) AS supply_qty,
+        |       COALESCE(demand_qty, 0) AS demand_qty
+        |FROM st FULL OUTER JOIN dt ON st.l_partkey = dt.l_partkey
+        |LEFT JOIN p ON COALESCE(st.l_partkey, dt.l_partkey) = p.l_partkey""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

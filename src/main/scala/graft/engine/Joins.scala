@@ -195,4 +195,56 @@ object Joins {
       (col("__matched") + col("__na") - col("__ma")
         + col("__nb") - col("__mb")).as("n_full_outer"))
   }
+
+  /** FIFO allocation — match each unit of demand against the EARLIEST
+    * unmatched unit of supply per key (inventory costing, lot matching,
+    * order fulfillment). The set-based formulation that avoids any per-row
+    * sequential loop: running-sum each side into half-open UNIT INTERVALS
+    * (`supply row i covers [cum_{i-1}, cum_i)` of the key's cumulative
+    * supply; demand likewise), and FIFO matching is exactly the pairwise
+    * interval INTERSECTION — matched qty = overlap length. A classical
+    * reformulation of the sequential algorithm as one join.
+    *
+    * Both sides order by `orderCols` (must totalize within the key);
+    * quantities are integer. Per key the join degree is (rows with
+    * overlapping cum-ranges) — each supply row overlaps O(1 + its span /
+    * avg demand size) demand rows, so the pair count is linear in rows, not
+    * quadratic. Output per key: `(n_pairs, matched_qty, supply_qty,
+    * demand_qty)`; `matched_qty = min(supply, demand)` by construction —
+    * the oracle re-derives it pairwise, so a windowing bug can't hide.
+    *
+    * Scale: two key-partitioned running-sum windows + one equi-join on the
+    * key with a range residual — a hash/sort-merge join on the key, never a
+    * loop join. */
+  def fifoMatch(supply: DataFrame, demand: DataFrame, keyCol: String,
+                qtyCol: String, orderCols: Seq[String]): DataFrame = {
+    def ranged(df: DataFrame, tag: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      df.select(col(keyCol) +: col(qtyCol).cast("long").as("__q") +:
+          orderCols.map(col): _*)
+        .withColumn(s"__${tag}_end", sum(col("__q")).over(w))
+        .withColumn(s"__${tag}_start", col(s"__${tag}_end") - col("__q"))
+        .select(col(keyCol), col(s"__${tag}_start"), col(s"__${tag}_end"))
+    }
+    val sup = ranged(supply, "s")
+    val dem = ranged(demand, "d")
+    val pairs = sup.join(dem, Seq(keyCol))
+      .filter(col("__s_start") < col("__d_end") && col("__d_start") < col("__s_end"))
+      .select(col(keyCol),
+        (least(col("__s_end"), col("__d_end"))
+          - greatest(col("__s_start"), col("__d_start"))).as("__m"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__m")).as("matched_qty"))
+    val supTot = sup.groupBy(col(keyCol)).agg(max(col("__s_end")).as("supply_qty"))
+    val demTot = dem.groupBy(col(keyCol)).agg(max(col("__d_end")).as("demand_qty"))
+    supTot.join(demTot, Seq(keyCol), "full_outer")
+      .join(pairs, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("matched_qty"), lit(0L)).as("matched_qty"),
+        coalesce(col("supply_qty"), lit(0L)).as("supply_qty"),
+        coalesce(col("demand_qty"), lit(0L)).as("demand_qty"))
+  }
 }

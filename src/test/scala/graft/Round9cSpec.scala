@@ -215,6 +215,25 @@ class Round9cSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ FIFO allocation
+
+  test("fifoMatch pairs supply and demand lots in arrival order, exactly") {
+    // key k: supply lots 3,2 → unit ranges [0,3) [3,5); demand 4,1 →
+    // [0,4) [4,5). FIFO pairs: (s1,d1)=3, (s2,d1)=1, (s2,d2)=1 → 3 pairs,
+    // matched 5. key u: supply 10, demand 4 → matched 4 in one pair.
+    // key d_only: demand 7, no supply → matched 0.
+    val sup = Seq(("k", 3L, 1L), ("k", 2L, 2L), ("u", 10L, 1L)).toDF("key", "qty", "ord")
+    val dem = Seq(("k", 4L, 1L), ("k", 1L, 2L), ("u", 4L, 1L), ("d_only", 7L, 1L))
+      .toDF("key", "qty", "ord")
+    val got = graft.engine.Joins.fifoMatch(sup, dem, "key", "qty", Seq("ord"))
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("d_only", 0L, 0L, 0L, 7L),
+      ("k", 3L, 5L, 5L, 5L),
+      ("u", 1L, 4L, 10L, 4L)))
+  }
+
   // ------------------------------------------------ weighted median
 
   test("weightedMedian lands on the first value whose cumulative weight crosses half") {
