@@ -3484,8 +3484,46 @@ object SparkEntry {
         li.filter(col("l_returnflag") === "N"),
         li.filter(col("l_returnflag") === "R"),
         "l_partkey", "qty", Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+    },
+
+    // Component-size distribution — the dedup-graph observability readout on
+    // top of q65's connected components: how many duplicate clusters of each
+    // size exist (the giant-component check before trusting a dedup pass).
+    "q204_component_sizes" -> { (s, dir) =>
+      val pairs = Dedup.minhashNearDuplicatesPortable(
+          docsWithPlantedNearDups(s, dir), threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      graft.ext.Graph.connectedComponents(pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("__n"))
+        .groupBy(col("__n").as("component_size"))
+        .agg(count(lit(1)).as("n_components"))
+    },
+
+    // Recency-decayed engagement score: Σ cents·weight(age_days) per user,
+    // with the 0.9^age per-mille weight TABLE precomputed once in Scala and
+    // emitted verbatim into the oracle's VALUES — irrational decay powers
+    // become shared integer constants, so the score is engine-exact.
+    "q205_decay_score" -> { (s, dir) =>
+      import s.implicits._
+      val weights = broadcast(DecayPermille.toDF("age_days", "w_permille"))
+      val e = eventsTable(s, dir).filter(col("value").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("__d"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("__cents"))
+      val asOf = e.agg(max(col("__d")).as("__mx"))
+      e.crossJoin(broadcast(asOf))
+        .withColumn("age_days", datediff(col("__mx"), col("__d")))
+        .join(weights, "age_days")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("__cents") * col("w_permille")).as("score_milli"))
     }
   )
+
+  /** `round(1000·0.9^age)` for ages 0–29 — computed ONCE here and shared
+    * verbatim with the q205 oracle's VALUES table, so the irrational decay
+    * series is a fixed integer contract between engines. */
+  private[graft] val DecayPermille: Seq[(Int, Long)] =
+    (0 until 30).map(a => (a, math.round(1000.0 * math.pow(0.9, a))))
 
   // ---------------------------------------------------------------------------
   // Oracle-SQL builders for the portable-hash pipelines. The SQL is *generated*
@@ -6740,7 +6778,39 @@ object SparkEntry {
         |       COALESCE(supply_qty, 0) AS supply_qty,
         |       COALESCE(demand_qty, 0) AS demand_qty
         |FROM st FULL OUTER JOIN dt ON st.l_partkey = dt.l_partkey
-        |LEFT JOIN p ON COALESCE(st.l_partkey, dt.l_partkey) = p.l_partkey""".stripMargin
+        |LEFT JOIN p ON COALESCE(st.l_partkey, dt.l_partkey) = p.l_partkey""".stripMargin,
+
+    "q204_component_sizes" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |e AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+         |        UNION SELECT id_b, id_a FROM e),
+         |walk(id, lab) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, w.lab FROM walk w JOIN sym s ON w.id = s.src),
+         |comp AS (
+         |  SELECT component, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |    SELECT id, MIN(lab) AS component FROM walk GROUP BY id) t
+         |  GROUP BY 1)
+         |SELECT n AS component_size, CAST(COUNT(*) AS BIGINT) AS n_components
+         |FROM comp GROUP BY 1""".stripMargin,
+
+    "q205_decay_score" -> {
+      val vals = DecayPermille
+        .map { case (a, w) => s"($a, CAST($w AS BIGINT))" }.mkString(", ")
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS d,
+         |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL),
+         |mx AS (SELECT MAX(d) AS mxd FROM e),
+         |w AS (SELECT * FROM (VALUES $vals) t(age_days, w_permille))
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       CAST(SUM(cents * w_permille) AS BIGINT) AS score_milli
+         |FROM e CROSS JOIN mx
+         |JOIN w ON w.age_days = date_diff('day', e.d, mx.mxd)
+         |GROUP BY 1""".stripMargin
+    }
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
