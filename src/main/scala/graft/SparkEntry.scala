@@ -3516,6 +3516,24 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("__cents") * col("w_permille")).as("score_milli"))
+    },
+
+    // Pareto 80/20 readout: what share of revenue the top fifth of customers
+    // carries — top-k by (cents, custkey) is a TakeOrdered (never a global
+    // sort), totals broadcast, integer per-mille share.
+    "q206_pareto_share" -> { (s, dir) =>
+      val cust = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("m_cents"))
+      val n = cust.count()
+      val k = (n / 5).toInt
+      val top = cust.orderBy(col("m_cents").desc, col("o_custkey").asc).limit(k)
+        .agg(sum(col("m_cents")).as("top_cents"))
+      val tot = cust.agg(count(lit(1)).as("n_customers"),
+        sum(col("m_cents")).as("total_cents"))
+      tot.crossJoin(broadcast(top))
+        .select(col("n_customers"), lit(k.toLong).as("k"),
+          col("top_cents"), col("total_cents"),
+          expr("1000L * top_cents DIV total_cents").as("top_share_milli"))
     }
   )
 
@@ -6810,7 +6828,25 @@ object SparkEntry {
          |FROM e CROSS JOIN mx
          |JOIN w ON w.age_days = date_diff('day', e.d, mx.mxd)
          |GROUP BY 1""".stripMargin
-    }
+    },
+
+    "q206_pareto_share" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |             CAST(SUM(m_cents) AS BIGINT) AS total_cents,
+        |             CAST(COUNT(*) // 5 AS BIGINT) AS k
+        |      FROM c),
+        |r AS (SELECT m_cents,
+        |             row_number() OVER (ORDER BY m_cents DESC, o_custkey ASC) AS rk
+        |      FROM c),
+        |tp AS (SELECT CAST(SUM(m_cents) AS BIGINT) AS top_cents
+        |       FROM r CROSS JOIN n WHERE rk <= n.k)
+        |SELECT n.n_customers, n.k, tp.top_cents, n.total_cents,
+        |       1000 * tp.top_cents // n.total_cents AS top_share_milli
+        |FROM n CROSS JOIN tp""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
