@@ -3534,6 +3534,54 @@ object SparkEntry {
         .select(col("n_customers"), lit(k.toLong).as("k"),
           col("top_cents"), col("total_cents"),
           expr("1000L * top_cents DIV total_cents").as("top_share_milli"))
+    },
+
+    // Duplicate-payment audit (the Benford screen's operational sibling):
+    // pairs of orders by the SAME customer for the IDENTICAL amount within 7
+    // days — an EQUI-join on (custkey, cents) with a date residual, so the
+    // join degree is the duplicate-amount multiplicity, never all-pairs.
+    // Every 100th order is planted as a double submission two days later
+    // (random amounts almost never collide exactly — the planted positives
+    // prove the audit finds what it must).
+    "q207_duplicate_payments" -> { (s, dir) =>
+      val base = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val o = base.unionAll(base.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_custkey"), (col("o_orderkey") + 10000000L).as("o_orderkey"),
+          expr("o_orderdate + INTERVAL 2 DAYS").as("o_orderdate"), col("cents")))
+      o.as("a").join(o.as("b"),
+          col("a.o_custkey") === col("b.o_custkey") &&
+            col("a.cents") === col("b.cents") &&
+            col("a.o_orderkey") < col("b.o_orderkey"))
+        .withColumn("gap_days",
+          abs(datediff(col("b.o_orderdate"), col("a.o_orderdate"))).cast("long"))
+        .filter(col("gap_days") <= 7L)
+        .select(col("a.o_custkey").as("o_custkey"),
+          col("a.o_orderkey").as("orderkey_a"), col("b.o_orderkey").as("orderkey_b"),
+          col("a.cents").as("cents"), col("gap_days"))
+    },
+
+    // View abandonment (batch anti interval join): views with NO click by
+    // the same user within the following hour — per user, abandonment rate
+    // in integer milli. The anti form of q172's stream-stream join.
+    "q208_view_abandonment" -> { (s, dir) =>
+      val e = eventsTable(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("vt"),
+          col("event_id").as("view_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), unix_micros(col("ts")).as("ct"))
+      val abandoned = views.join(clicks,
+          col("user_id") === col("cu") &&
+            col("ct") >= col("vt") && col("ct") <= col("vt") + 3600000000L,
+          "left_anti")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_abandoned"))
+      views.groupBy(col("user_id")).agg(count(lit(1)).as("n_views"))
+        .join(abandoned, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_views"),
+          coalesce(col("n_abandoned"), lit(0L)).as("n_abandoned"))
+        .withColumn("abandon_milli", expr("1000L * n_abandoned DIV n_views"))
     }
   )
 
@@ -6846,7 +6894,47 @@ object SparkEntry {
         |       FROM r CROSS JOIN n WHERE rk <= n.k)
         |SELECT n.n_customers, n.k, tp.top_cents, n.total_cents,
         |       1000 * tp.top_cents // n.total_cents AS top_share_milli
-        |FROM n CROSS JOIN tp""".stripMargin
+        |FROM n CROSS JOIN tp""".stripMargin,
+
+    "q207_duplicate_payments" ->
+      """WITH base AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |o AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT o_custkey, o_orderkey + 10000000, o_orderdate + INTERVAL 2 DAY,
+        |         cents
+        |  FROM base WHERE o_orderkey % 100 = 0)
+        |SELECT a.o_custkey, a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+        |       a.cents,
+        |       CAST(ABS(date_diff('day', a.o_orderdate, b.o_orderdate)) AS BIGINT)
+        |         AS gap_days
+        |FROM o a JOIN o b
+        |  ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+        |  AND a.o_orderkey < b.o_orderkey
+        |WHERE ABS(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 7""".stripMargin,
+
+    "q208_view_abandonment" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS vt, event_id FROM events
+        |  WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ct FROM events
+        |  WHERE event_type = 'click'),
+        |ab AS (
+        |  SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_abandoned
+        |  FROM v WHERE NOT EXISTS (
+        |    SELECT 1 FROM c WHERE c.user_id = v.user_id
+        |      AND c.ct >= v.vt AND c.ct <= v.vt + 3600000000)
+        |  GROUP BY 1),
+        |tv AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_views
+        |       FROM v GROUP BY 1)
+        |SELECT tv.user_id, tv.n_views,
+        |       COALESCE(ab.n_abandoned, 0) AS n_abandoned,
+        |       1000 * COALESCE(ab.n_abandoned, 0) // tv.n_views AS abandon_milli
+        |FROM tv LEFT JOIN ab USING (user_id)""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
