@@ -74,10 +74,25 @@ object SparkEntry {
           "(nanos-as-long), timestamp, or timestamp_ntz")
     }
 
+  /** Reads the events table with `ts` normalized to TimestampType(µs).
+    *
+    * Session prerequisite (NOT set here — query functions never mutate
+    * session conf): `spark.sql.legacy.parquet.nanosAsLong=true` must be in
+    * the session BUILDER config to read TIMESTAMP(NANOS) footers (harmless
+    * for MICROS footers). Verify/Bench/SparkSpec all set it at session
+    * build; a session without it fails loudly below if the footer is NANOS. */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    try t(spark, dir, "events")
+    catch { case e: org.apache.spark.sql.AnalysisException
+        if Option(e.getMessage).exists(_.contains("NANOS")) =>
+      throw new IllegalStateException(
+        "events.ts footer is TIMESTAMP(NANOS) but this session cannot read " +
+          "it — set spark.sql.legacy.parquet.nanosAsLong=true in the " +
+          "SparkSession builder config (see Verify/Bench session setup)", e)
+    }
+
   private[graft] def eventsTable(spark: SparkSession, dir: String): DataFrame = {
-    // harmless for MICROS footers; required to read NANOS footers at all
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(spark, dir, "events")
+    val raw = eventsRaw(spark, dir)
     raw.withColumn("ts", eventsTsColumn(raw.schema("ts").dataType))
   }
 
@@ -91,8 +106,8 @@ object SparkEntry {
       streamPath: String = null,
       options: Map[String, String] = Map("pathGlobFilter" -> "events.parquet"))
       : DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = t(spark, sfDir, "events").schema
+    // same session prerequisite as eventsTable: nanosAsLong at session build
+    val schema = eventsRaw(spark, sfDir).schema
     val reader = options.foldLeft(spark.readStream.schema(schema)) {
       case (r, (k, v)) => r.option(k, v)
     }

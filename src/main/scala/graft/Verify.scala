@@ -15,6 +15,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // read TIMESTAMP(NANOS) parquet footers as long; harmless for MICROS.
+      // Session-build-time so no query function ever mutates session conf.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -27,7 +30,6 @@ object Verify {
     // instead of surfacing as a flaky q09 hash mismatch.
     {
       import org.apache.spark.sql.functions.{col, countDistinct, struct, max}
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val worst = spark.read.parquet(s"$sfDir/events.parquet")
         .groupBy(col("event_id"))
         .agg(countDistinct(struct(col("event_type"), col("value"))).as("variants"))

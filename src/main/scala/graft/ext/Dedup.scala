@@ -440,11 +440,15 @@ object Dedup {
     * would additionally be bucketed-by-band_key on disk so the probe join
     * co-locates without a shuffle of the index side.
     *
-    * Probe semantics: emits pairs `(id_a < id_b)` where `id_b` is in the NEW
-    * batch and `id_a` is anywhere in the index up to and including it — so
-    * every pair is reported exactly once, by the batch that completed it
-    * (within-batch duplicates included; previously-reported pairs never
-    * re-emit). The `batch <= n` guard on the probe side makes the result
+    * Probe semantics: every near-dup pair is reported exactly once, by the
+    * batch that COMPLETED it — the candidate join orders members by
+    * `(batch, id)`: a pair is emitted when its later member (by batch, then
+    * id within a batch) lands, regardless of how the raw ids compare across
+    * batches. Output pairs are normalized `index_id < delta_id` (smallest id
+    * first), so the result matches a full-corpus recompute's `id_a < id_b`
+    * convention even when a new batch carries ids below already-indexed ones.
+    * Within-batch duplicates are included; previously-reported pairs never
+    * re-emit. The `batch <= n` guard on the probe side makes the result
     * independent of WHEN the lazy frame executes relative to later appends. */
   def lshIndexBuild(docs: DataFrame, indexDir: String, batch: Int = 0,
                     idCol: String = "doc_id", textCol: String = "text",
@@ -471,10 +475,14 @@ object Dedup {
     // signatures are computed exactly once, above
     val allB = spark.read.parquet(s"$indexDir/buckets").filter(col("batch") <= n)
     val dB = allB.filter(col("batch") === n)
+    // (batch, id) ordering: the pair completes when its later member arrives
+    // — correct even when delta ids are not monotone across batches.
     val cand = dB.as("b").join(allB.as("a"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("index_id"), col(s"b.$idCol").as("delta_id"))
+          (col("a.batch") < col("b.batch") ||
+            (col("a.batch") === col("b.batch") && col(s"a.$idCol") < col(s"b.$idCol"))))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("index_id"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("delta_id"))
       .distinct()
     val allS = spark.read.parquet(s"$indexDir/shingles").filter(col("batch") <= n)
     cand

@@ -61,9 +61,14 @@ object Labels {
     * Everything stays INTEGER until the final ratios, which are reported in
     * micro-units via integer division (`⌊10⁶·x⌋`, truncation toward zero —
     * identical on any engine; a float pipeline here differs in the last ulp
-    * between engines and between partition orders). Magnitude check:
-    * A·N·n ≤ N²n³ and C ≤ D = (N·n)², so all micro-scaled terms fit int64
-    * up to N·n ≈ 10⁸ ratings; beyond that move the final ratio to decimal.
+    * between engines and between partition orders). Magnitude check: the
+    * counts a, b, c, d are cast to DECIMAL(38,0) before the micro-scaled
+    * products — the worst term, 10⁶·a·N·n ≤ 10⁶·N²n³ ≤ 10⁶·(N·n)³, stays
+    * inside 38 digits up to N·n ≈ 10¹⁰ ratings (int64 would wrap silently
+    * at ~3×10⁶ under non-ANSI mode). The quotients are IntegralDivide →
+    * BIGINT, truncation toward zero on both integer and decimal operands.
+    * Degenerate single-label input (d = c, zero expected-disagreement mass)
+    * yields kappa_micro = NULL rather than a divide-by-zero.
     *
     * Output: one row `(n_items, n_raters, n_labels, po_micro, pe_micro,
     * kappa_micro)`.
@@ -97,10 +102,18 @@ object Labels {
             col("__n_min"), lit(" vs max "), col("n_raters"),
             lit(") — Fleiss' kappa requires a constant n")))))
       .filter(col("__ok"))
+      // DECIMAL(38,0) arithmetic: 10⁶·a·N·n overflows int64 past ~3×10⁶
+      // ratings; decimal keeps the products exact to ~10¹⁰ ratings.
       .select(col("n_items"), col("n_raters"), col("n_labels"),
-        expr("1000000L * a DIV b").as("po_micro"),
-        expr("1000000L * c DIV d").as("pe_micro"),
-        expr("(1000000L * (a * n_items * n_raters - c * (n_raters - 1))) " +
-          "DIV ((n_raters - 1) * (d - c))").as("kappa_micro"))
+        expr("CAST(a AS DECIMAL(38,0))").as("ad"),
+        expr("CAST(b AS DECIMAL(38,0))").as("bd"),
+        expr("CAST(c AS DECIMAL(38,0))").as("cd"),
+        expr("CAST(d AS DECIMAL(38,0))").as("dd"))
+      .select(col("n_items"), col("n_raters"), col("n_labels"),
+        expr("1000000 * ad DIV bd").as("po_micro"),
+        expr("1000000 * cd DIV dd").as("pe_micro"),
+        expr("CASE WHEN dd = cd THEN CAST(NULL AS BIGINT) ELSE " +
+          "(1000000 * (ad * n_items * n_raters - cd * (n_raters - 1))) " +
+          "DIV ((n_raters - 1) * (dd - cd)) END").as("kappa_micro"))
   }
 }

@@ -51,8 +51,13 @@ object Sampling {
     val shd = Dedup.shingleSets(docs, 3, idCol, textCol)
       .select(col(idCol), explode(col("sh")).as("g")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each round's `covered` supersedes the previous one; materialize the new
+    // frame, then release the old — otherwise cached partitions + lineage
+    // accumulate across rounds (and leak past the call).
+    var covered: DataFrame = null
+    var prev: DataFrame = null
     try {
-      var covered = spark.createDataFrame(
+      covered = spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("g",
@@ -65,15 +70,21 @@ object Sampling {
           .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
           .getOrElse((-1L, 0L)) // all shingles covered: sentinel, gain 0
         nCovered += winner._2
+        prev = covered
         covered = covered.unionAll(
             shd.filter(col(idCol) === winner._1).select(col("g")))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        covered.count() // materialize before cutting the predecessor loose
+        if (round > 1) prev.unpersist(blocking = false) // round 1's prev is the unpersisted empty seed
         (round, winner._1, winner._2, nCovered)
       }
       spark.createDataFrame(picks.toList)
         .toDF("round", "doc_id", "n_new", "n_covered")
-    } finally shd.unpersist(blocking = false)
+    } finally {
+      shd.unpersist(blocking = false)
+      if (covered != null) covered.unpersist(blocking = false)
+    }
   }
 
   /** Largest-remainder (Hamilton) quota allocation: split a `total` budget

@@ -313,7 +313,17 @@ object TextAnalysis {
     * unrolled into R chained `replace` expressions, so encoding is a single
     * codegen'd projection pass over the corpus: no join, no per-row loop.
     * One scan learns (bounded by [[bpeMerges]]'s own passes), one scan
-    * encodes. */
+    * encodes.
+    *
+    * CONTRACT — non-overlapping replace: each merge is applied as ONE
+    * left-to-right `replace` pass whose match consumes the shared boundary
+    * marker, so a repeated-pair run collapses alternately: `abab` under a
+    * single (a,b) merge encodes as `[ab, a, b]`, where a canonical BPE
+    * tokenizer (which rescans after every substitution) would produce
+    * `[ab, ab]`. Trainer ([[bpeMerges]]), encoder, and the DuckDB oracle all
+    * share this rule (Round9cSpec pins it), so counts are self-consistent
+    * within the engine but can diverge from external tokenizers on inputs
+    * with immediately repeated merge pairs. */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: Column,
                 rounds: Int): DataFrame = {
     val merges = bpeMerges(docs, textCol, rounds).collect()

@@ -361,10 +361,15 @@ object TimeSeries {
 
   /** Spread each row's integer amount evenly across `periods` consecutive
     * months with EXACT remainder allocation — slice `i` gets
-    * `⌊amt/periods⌋ + (1 if i < amt mod periods)`, so every row's slices sum
+    * `⌊amt/periods⌋ + (1 if i < amt pmod periods)`, so every row's slices sum
     * back to its amount to the cent (float proration leaks pennies; so does
-    * rounding each slice independently). The revenue-recognition /
-    * subscription-amortization primitive, aggregated to calendar months.
+    * rounding each slice independently). Floor-division + positive-modulus
+    * semantics keep the identity exact for NEGATIVE amounts too (credits /
+    * refunds): Spark's `DIV`/`%` truncate toward zero, under which the
+    * remainder bump would never fire for a negative amount and Σslices would
+    * drift (e.g. −5 over 3 months must give −1,−2,−2, not −1,−1,−1). The
+    * revenue-recognition / subscription-amortization primitive, aggregated
+    * to calendar months.
     *
     * Output: `(month, n_slices, recognized_cents)` — one row per calendar
     * month, Σrecognized_cents over all months = Σamounts exactly.
@@ -379,8 +384,10 @@ object TimeSeries {
         explode(expr(s"sequence(0, ${periods - 1})")).as("__i"))
       .groupBy(add_months(col("__m0"), col("__i")).as("month"))
       .agg(count(lit(1)).as("n_slices"),
-        sum(expr(s"__amt DIV $periods + CASE WHEN __i < __amt % $periods " +
-          "THEN 1 ELSE 0 END")).as("recognized_cents"))
+        // floor(amt/p) = (amt - pmod(amt,p)) / p exactly, both signs
+        sum(expr(s"(__amt - pmod(__amt, $periods)) DIV $periods " +
+          s"+ CASE WHEN __i < pmod(__amt, $periods) THEN 1 ELSE 0 END"))
+          .as("recognized_cents"))
   }
 
   /** Lag-1 autocorrelation per key — "does this series trend or mean-revert"
