@@ -30,7 +30,8 @@ import graft.ext.{Dedup, Similarity, TextAnalysis}
   *  - q15_union_slices              OP-5
   *  - q16_window_running            window functions (§2.6 extension)
   *  - q17_month_rollup              OP-3 (date-partition derivation as columns)
-  *  - q18_incremental_medallion     OP-9,35,36 (streaming AvailableNow drain; no SQL oracle)
+  *  - q18_incremental_medallion     OP-9,35,36 (streaming AvailableNow drain;
+  *                                  hash-oracled via portable-hash generator replay)
   *  - q19_semi_anti_join            left-semi / left-anti joins (§2.6 extension)
   *  - q20..q30                      extension surface: tokens, quality, lang-id,
   *                                  fingerprints, MinHash/LSH, SimHash, n-gram
@@ -340,16 +341,21 @@ object SparkEntry {
         .groupBy(col("year"), col("month"))
         .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))),
 
-    // End-to-end incremental medallion: seeded generator batches land as bronze
-    // CSV, a Structured Streaming AvailableNow drain cleans them to silver with
-    // checkpointed exactly-once file tracking, and the gold daily KPI builder runs
-    // on the result. Filesystem side effects stay inside a fresh temp dir.
-    // Not SQL-expressible (streaming ledger) → rows-only check, sfDir-independent.
+    // End-to-end incremental medallion: seeded PORTABLE generator batches land
+    // as bronze CSV, a Structured Streaming AvailableNow drain cleans them to
+    // silver with checkpointed exactly-once file tracking, and the gold daily
+    // KPI builder runs on the result. Filesystem side effects stay inside a
+    // fresh temp dir. The streaming ledger itself is invisible to values, so
+    // the DuckDB oracle replays generator arithmetic (portable md5 hash
+    // family, integer-cents money) + silver rules + the gold aggregate as
+    // CTEs — the medallion spine is hash-verified, not just rows-only.
+    // Two batches on different base days so the daily gold has real groups.
     "q18_incremental_medallion" -> { (s, _) =>
       val root = tempDirCleanedOnExit("graft-medallion-")
       val bronze = Layout.bronzeDir(root, "sales")
       (1 to 2).foreach { b =>
-        Generators.salesBatch(s, 150, seed = 42 + b, injectDuplicate = b == 2)
+        Generators.salesBatch(s, 150, seed = 42 + b,
+            baseTs = s"2026-01-0$b 00:00:00", injectDuplicate = b == 2)
           .coalesce(1)
           .write.option("header", "true").mode("append").csv(bronze)
       }
@@ -3597,6 +3603,144 @@ object SparkEntry {
         .select(col("user_id"), col("n_views"),
           coalesce(col("n_abandoned"), lit(0L)).as("n_abandoned"))
         .withColumn("abandon_milli", expr("1000L * n_abandoned DIV n_views"))
+    },
+
+    // SQL frontend, TPC-H Q18 shape (large-volume customers): group-having
+    // SEMI-join — the IN (GROUP BY ... HAVING) subquery plans as an
+    // aggregate-then-left-semi against orders, a rewrite q186-q188's
+    // plain-join shapes never exercise. Threshold 180 ≈ p99.5 of per-order
+    // quantity in the testdata (TPC-H's 300-at-7-lines scaled to this
+    // generator's line count). Money in integer cents, deterministic
+    // (totalprice, orderkey) order.
+    "q209_tpch_q18" -> { (s, dir) =>
+      Seq("customer", "orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT c_name, c_custkey, o_orderkey,
+          |       CAST(o_orderdate AS DATE) AS orderdate,
+          |       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+          |       CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty
+          |FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+          |JOIN lineitem_v ON o_orderkey = l_orderkey
+          |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_v
+          |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
+          |GROUP BY c_name, c_custkey, o_orderkey, orderdate, totalprice_cents
+          |ORDER BY totalprice_cents DESC, o_orderkey
+          |LIMIT 100""".stripMargin)
+    },
+
+    // SQL frontend, TPC-H Q21 shape (suppliers who kept orders waiting):
+    // correlated EXISTS + NOT EXISTS on the same fact — plans as a
+    // left-semi AND a left-anti against lineitem, the double-subquery
+    // rewrite none of the other SQL-frontend queries hit. "Late" is
+    // shipdate > orderdate + 90 days (the testdata has no
+    // commit/receipt dates; the shape, not the calendar, is the point).
+    "q210_tpch_q21" -> { (s, dir) =>
+      Seq("supplier", "lineitem", "orders", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+          |FROM supplier_v JOIN lineitem_v l1 ON s_suppkey = l1.l_suppkey
+          |JOIN orders_v ON o_orderkey = l1.l_orderkey
+          |JOIN nation_v ON s_nationkey = n_nationkey
+          |WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          |  AND EXISTS (SELECT 1 FROM lineitem_v l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem_v l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 100""".stripMargin)
+    },
+
+    // Medallion spine, CATEGORY gold table: same portable sales batches and
+    // streaming drain as q18, but the gold read-out is categorySalesSummary —
+    // which exercises the broadcast product-dimension join (OP-34) through
+    // the hash oracle (the pick index → product → category mapping is
+    // replayed from the same literal catalogues in DuckDB).
+    "q211_medallion_category" -> { (s, _) =>
+      val root = tempDirCleanedOnExit("graft-medallion-cat-")
+      val bronze = Layout.bronzeDir(root, "sales")
+      (1 to 2).foreach { b =>
+        Generators.salesBatch(s, 150, seed = 42 + b,
+            baseTs = s"2026-01-0$b 00:00:00", injectDuplicate = b == 2)
+          .coalesce(1)
+          .write.option("header", "true").mode("append").csv(bronze)
+      }
+      Incremental.drainBronzeToSilver(s, "sales", bronze,
+        Layout.silverDir(root, "sales"), Layout.checkpointDir(root, "sales"))
+      Gold.categorySalesSummary(Sources.readSilver(s, Layout.silverDir(root, "sales")))
+    },
+
+    // Medallion spine, EVENTS domain: portable customer-events batches
+    // (UNKNOWN-enum + null-customer defects) through the streaming drain and
+    // silver's enum/required validation (OP-11/12), read out as the
+    // customer-activity gold table — the INVALID_EVENT_TYPE rule is now
+    // hash-verified end to end, not just unit-tested.
+    "q212_medallion_activity" -> { (s, _) =>
+      val root = tempDirCleanedOnExit("graft-medallion-evt-")
+      val bronze = Layout.bronzeDir(root, "customer_events")
+      (1 to 2).foreach { b =>
+        Generators.customerEventsBatch(s, 150, seed = 60 + b,
+            baseTs = s"2026-01-0$b 00:00:00", injectDuplicate = b == 2)
+          .coalesce(1)
+          .write.option("header", "true").mode("append").csv(bronze)
+      }
+      Incremental.drainBronzeToSilver(s, "customer_events", bronze,
+        Layout.silverDir(root, "customer_events"),
+        Layout.checkpointDir(root, "customer_events"))
+      Gold.customerActivitySummary(
+        Sources.readSilver(s, Layout.silverDir(root, "customer_events")))
+    },
+
+    // Medallion spine, INVENTORY domain: portable inventory batches
+    // (TRANSFER-enum + null/zero-quantity defects) through the drain and
+    // silver's range/enum checks (OP-12/13), read out as the PIVOT gold
+    // table with explicit-value backfill (OP-28/29/30) — the conditional-sum
+    // pivot compilation is hash-verified against DuckDB's CASE sums.
+    "q213_medallion_inventory" -> { (s, _) =>
+      val root = tempDirCleanedOnExit("graft-medallion-inv-")
+      val bronze = Layout.bronzeDir(root, "inventory")
+      (1 to 2).foreach { b =>
+        Generators.inventoryBatch(s, 150, seed = 70 + b,
+            baseTs = s"2026-01-0$b 00:00:00", injectDuplicate = b == 2)
+          .coalesce(1)
+          .write.option("header", "true").mode("append").csv(bronze)
+      }
+      Incremental.drainBronzeToSilver(s, "inventory", bronze,
+        Layout.silverDir(root, "inventory"), Layout.checkpointDir(root, "inventory"))
+      Gold.inventoryNetPosition(Sources.readSilver(s, Layout.silverDir(root, "inventory")))
+    },
+
+    // The INCREMENTAL-gold medallion, hash-verified: two full ticks (bronze
+    // batch → silver drain → incrementalGoldDomain maintaining ALL sales
+    // gold tables with dynamic partition overwrite), then the MAINTAINED
+    // daily table is read back and compared to the same DuckDB replay as
+    // q18 — proving the O(touched-partitions) incremental path lands on
+    // bit-identical values to the batch spine, against an external engine.
+    // Tick 2's batch overlaps tick 1's dates, so a previously-built date
+    // partition really is rebuilt, not appended.
+    "q214_incremental_gold_medallion" -> { (s, _) =>
+      val root = tempDirCleanedOnExit("graft-medallion-inc-")
+      val bronze = Layout.bronzeDir(root, "sales")
+      val silver = Layout.silverDir(root, "sales")
+      (1 to 2).foreach { b =>
+        Generators.salesBatch(s, 150, seed = 42 + b,
+            baseTs = s"2026-01-0$b 00:00:00", injectDuplicate = b == 2)
+          .coalesce(1)
+          .write.option("header", "true").mode("append").csv(bronze)
+        Incremental.drainBronzeToSilver(s, "sales", bronze, silver,
+          Layout.checkpointDir(root, "sales"))
+        Incremental.incrementalGoldDomain(s, "sales", silver,
+          s"$root/gold", s"$root/.state/gold_all")
+      }
+      s.read.parquet(Layout.goldDir(s"$root/gold", "daily_sales_summary"))
+        .select(col("date"), col("total_revenue"), col("order_count"),
+          col("avg_order_value"), col("unique_customers"))
     }
   )
 
@@ -3615,6 +3759,167 @@ object SparkEntry {
   /** 60-bit md5 hash in DuckDB — the mirror of [[graft.ext.PortableHash.hash60]]. */
   private def h60Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** q18's oracle: the medallion spine replayed END TO END in DuckDB — the
+    * portable-hash generator batches (same seeds/sites/arithmetic as
+    * [[graft.engine.Generators.salesBatch]]), silver's required-null check
+    * and total auto-fix ([[graft.engine.Silver.cleanSales]]), and the gold
+    * daily aggregate ([[graft.engine.Gold.dailySalesSummary]]). The streaming
+    * drain + file ledger are value-invisible (they decide WHEN rows move, not
+    * WHAT they are), and the injected duplicate is removed by silver's
+    * id-dedup, so the replay needs neither. All money is integer cents
+    * (`k/100.0` doubles are bit-identical across engines; the generator's
+    * clean total provably equals silver's `round(q·p, 2)` — see Generators
+    * scaladoc), so the compare is exact-hash, not tolerance-based. */
+  private def medallionDraw(site: String): String =
+    h60Sql(s"seed || ':$site:' || id")
+
+  /** Shared WITH-body for the sales-medallion replays (q18 batch gold, q214
+    * incremental gold): the two portable generator batches → silver valid
+    * rows with the auto-fixed total in integer cents. */
+  private def salesMedallionCtes: String = {
+    def draw = medallionDraw _
+    val products = Generators.Categories.flatMap(_._2)
+    val productList = products.map(p => s"'$p'").mkString("[", ", ", "]")
+    val categoryList = Generators.Categories.map(c => s"'${c._1}'").mkString("[", ", ", "]")
+    s"""g AS (
+       |  SELECT 43 AS seed, TIMESTAMP '2026-01-01 00:00:00' AS base, id
+       |  FROM range(150) t(id)
+       |  UNION ALL
+       |  SELECT 44, TIMESTAMP '2026-01-02 00:00:00', id FROM range(150) t(id)),
+       |raw AS (
+       |  SELECT
+       |    'SALE-' || md5(seed || ':' || id) AS sale_id,
+       |    'CUST-' || CAST(1000 + ${draw("cust")} % 9000 AS INT) AS customer_id,
+       |    base - to_seconds(${draw("ts")} % 86400) AS ts,
+       |    CAST(1 + ${draw("prod")} % ${products.size} AS INT) AS prod_idx,
+       |    1 + ${draw("qty")} % 10 AS qty_int,
+       |    500 + ${draw("price")} % 49500 AS price_cents,
+       |    ${draw("qnull")} % 100 < 3 AS q_is_null,
+       |    ${draw("corrupt")} % 100 < 5 AS corrupted,
+       |    7000 + ${draw("factor")} % 6000 AS f4
+       |  FROM g),
+       |priced AS (
+       |  SELECT *, qty_int * price_cents AS clean_cents,
+       |    CASE WHEN corrupted THEN (qty_int * price_cents * f4) // 10000
+       |         ELSE qty_int * price_cents END AS total_cents
+       |  FROM raw),
+       |silver AS (
+       |  SELECT ts::DATE AS date, sale_id, customer_id, price_cents,
+       |    $productList[prod_idx] AS product_name,
+       |    $categoryList[1 + (prod_idx - 1) // 5] AS category,
+       |    CASE WHEN abs(total_cents / 100.0 - clean_cents / 100.0) > 0.01
+       |         THEN clean_cents ELSE total_cents END AS cents
+       |  FROM priced WHERE NOT q_is_null)""".stripMargin
+  }
+
+  /** q18's oracle (and q214's — the incremental-gold drain must land on the
+    * same values): the medallion spine replayed END TO END in DuckDB — the
+    * portable-hash generator batches (same seeds/sites/arithmetic as
+    * [[graft.engine.Generators.salesBatch]]), silver's required-null check
+    * and total auto-fix ([[graft.engine.Silver.cleanSales]]), and the gold
+    * daily aggregate ([[graft.engine.Gold.dailySalesSummary]]). The streaming
+    * drain + file ledger are value-invisible (they decide WHEN rows move, not
+    * WHAT they are), and the injected duplicate is removed by silver's
+    * id-dedup, so the replay needs neither. All money is integer cents
+    * (`k/100.0` doubles are bit-identical across engines; the generator's
+    * clean total provably equals silver's `round(q·p, 2)` — see Generators
+    * scaladoc), so the compare is exact-hash, not tolerance-based. */
+  private def medallionOracleSql: String =
+    s"""WITH $salesMedallionCtes
+       |SELECT date,
+       |  CAST(SUM(cents) AS BIGINT) / 100.0 AS total_revenue,
+       |  COUNT(DISTINCT sale_id) AS order_count,
+       |  (CAST(SUM(cents) AS BIGINT) / 100.0) / COUNT(*) AS avg_order_value,
+       |  COUNT(DISTINCT customer_id) AS unique_customers
+       |FROM silver GROUP BY 1""".stripMargin
+
+  /** q211's oracle: same sales-medallion replay, category gold table —
+    * exercises the broadcast product-dimension join's replay (pick index →
+    * literal product/category lists, the same constants
+    * [[graft.engine.Generators.productDim]] builds from). */
+  private def medallionCategoryOracleSql: String =
+    s"""WITH $salesMedallionCtes
+       |SELECT date, category,
+       |  CAST(SUM(cents) AS BIGINT) / 100.0 AS category_revenue,
+       |  COUNT(DISTINCT sale_id) AS category_orders,
+       |  (CAST(SUM(price_cents) AS BIGINT) / 100.0) / COUNT(*) AS avg_unit_price
+       |FROM silver GROUP BY 1, 2""".stripMargin
+
+  /** q212's oracle: the customer-events medallion replayed — generator
+    * (UNKNOWN enum + null-customer defects, 3 reused session ids per batch),
+    * silver enum/required validation ([[graft.engine.Silver.cleanEvents]]),
+    * gold activity rollup ([[graft.engine.Gold.customerActivitySummary]]). */
+  private def medallionEventsOracleSql: String = {
+    def draw = medallionDraw _
+    val etypes = graft.engine.Silver.ValidEventTypes.map(e => s"'$e'").mkString("[", ", ", "]")
+    s"""WITH g AS (
+       |  SELECT 61 AS seed, TIMESTAMP '2026-01-01 00:00:00' AS base, id
+       |  FROM range(150) t(id)
+       |  UNION ALL
+       |  SELECT 62, TIMESTAMP '2026-01-02 00:00:00', id FROM range(150) t(id)),
+       |raw AS (
+       |  SELECT
+       |    'EVT-' || md5(seed || ':' || id) AS event_id,
+       |    base - to_seconds(${draw("ts")} % 86400) AS ts,
+       |    ${draw("cnull")} % 100 < 3 AS c_is_null,
+       |    'CUST-' || CAST(1000 + ${draw("cust")} % 9000 AS INT) AS customer_id,
+       |    'SESS-' || md5(seed || ':' || (${draw("sess")} % 3)) AS session_id,
+       |    CASE WHEN ${draw("etbad")} % 100 < 4 THEN 'UNKNOWN'
+       |         ELSE $etypes[CAST(1 + ${draw("etype")} % 5 AS INT)] END AS event_type
+       |  FROM g),
+       |silver AS (
+       |  SELECT ts::DATE AS date, event_id, customer_id, session_id, event_type
+       |  FROM raw WHERE NOT c_is_null AND event_type <> 'UNKNOWN')
+       |SELECT date, event_type,
+       |  CAST(COUNT(event_id) AS BIGINT) AS event_count,
+       |  COUNT(DISTINCT customer_id) AS unique_customers,
+       |  COUNT(DISTINCT session_id) AS unique_sessions
+       |FROM silver GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q213's oracle: the inventory medallion replayed — generator (TRANSFER
+    * enum + null/zero-quantity defects), silver range/enum validation
+    * ([[graft.engine.Silver.cleanInventory]]), and the PIVOT gold table with
+    * explicit-value backfill ([[graft.engine.Gold.inventoryNetPosition]]) as
+    * conditional sums. Quantities are integers, so the pivoted double sums
+    * are exact on both engines. */
+  private def medallionInventoryOracleSql: String = {
+    def draw = medallionDraw _
+    val ids = Generators.InventoryCatalogue.map(c => s"'${c._1}'").mkString("[", ", ", "]")
+    val names = Generators.InventoryCatalogue.map(c => s"'${c._2}'").mkString("[", ", ", "]")
+    val whs = Generators.Warehouses.map(w => s"'$w'").mkString("[", ", ", "]")
+    val mts = graft.engine.Silver.ValidMovementTypes.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"""WITH g AS (
+       |  SELECT 71 AS seed, TIMESTAMP '2026-01-01 00:00:00' AS base, id
+       |  FROM range(150) t(id)
+       |  UNION ALL
+       |  SELECT 72, TIMESTAMP '2026-01-02 00:00:00', id FROM range(150) t(id)),
+       |raw AS (
+       |  SELECT
+       |    base - to_seconds(${draw("ts")} % 86400) AS ts,
+       |    CAST(1 + ${draw("item")} % 10 AS INT) AS item_idx,
+       |    $whs[CAST(1 + ${draw("wh")} % 4 AS INT)] AS warehouse_id,
+       |    CASE WHEN ${draw("mtbad")} % 100 < 4 THEN 'TRANSFER'
+       |         ELSE $mts[CAST(1 + ${draw("mtype")} % 3 AS INT)] END AS movement_type,
+       |    ${draw("qbad")} % 100 < 3 AS q_bad,
+       |    ${draw("qnullzero")} % 100 < 50 AS q_null_not_zero,
+       |    1 + ${draw("qn")} % 200 AS qty_int
+       |  FROM g),
+       |silver AS (
+       |  SELECT ts::DATE AS date, $ids[item_idx] AS product_id,
+       |    $names[item_idx] AS product_name, warehouse_id, movement_type,
+       |    CAST(qty_int AS DOUBLE) AS quantity
+       |  FROM raw
+       |  WHERE NOT q_bad AND movement_type <> 'TRANSFER')
+       |SELECT date, product_id, product_name, warehouse_id,
+       |  CAST(SUM(CASE WHEN movement_type = 'inbound' THEN quantity ELSE 0 END) AS DOUBLE) AS inbound,
+       |  CAST(SUM(CASE WHEN movement_type = 'outbound' THEN quantity ELSE 0 END) AS DOUBLE) AS outbound,
+       |  CAST(SUM(CASE WHEN movement_type = 'adjustment' THEN quantity ELSE 0 END) AS DOUBLE) AS adjustment,
+       |  CAST(SUM(CASE WHEN movement_type = 'inbound' THEN quantity ELSE 0 END)
+       |    - SUM(CASE WHEN movement_type = 'outbound' THEN quantity ELSE 0 END) AS DOUBLE) AS net_position
+       |FROM silver GROUP BY 1, 2, 3, 4""".stripMargin
+  }
 
   /** q149's oracle, generated for `rounds` rounds: the same BPE trainer loop
     * as [[graft.ext.TextAnalysis.bpeMerges]] replayed as chained DuckDB CTEs
@@ -4829,6 +5134,8 @@ object SparkEntry {
         |FROM orders
         |WHERE EXTRACT(YEAR FROM o_orderdate) >= 1998
         |GROUP BY 1, 2""".stripMargin,
+
+    "q18_incremental_medallion" -> medallionOracleSql,
 
     "q19_semi_anti_join" ->
       """SELECT c_nationkey, COUNT(*) AS n, 'with_orders' AS kind
@@ -6949,7 +7256,43 @@ object SparkEntry {
         |SELECT tv.user_id, tv.n_views,
         |       COALESCE(ab.n_abandoned, 0) AS n_abandoned,
         |       1000 * COALESCE(ab.n_abandoned, 0) // tv.n_views AS abandon_milli
-        |FROM tv LEFT JOIN ab USING (user_id)""".stripMargin
+        |FROM tv LEFT JOIN ab USING (user_id)""".stripMargin,
+
+    "q209_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS orderdate,
+        |       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |       CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
+        |GROUP BY c_name, c_custkey, o_orderkey, orderdate, totalprice_cents
+        |ORDER BY totalprice_cents DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q210_tpch_q21" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
+    "q211_medallion_category" -> medallionCategoryOracleSql,
+    "q212_medallion_activity" -> medallionEventsOracleSql,
+    "q213_medallion_inventory" -> medallionInventoryOracleSql,
+    "q214_incremental_gold_medallion" -> medallionOracleSql
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -9,17 +9,22 @@ import org.apache.spark.sql.functions._
   * Re-expresses the reference's row builders (`generator/sales_generator.py:65-92`,
   * `customer_events_generator.py:47-68`, `inventory_generator.py:51-75`) as a single
   * lazy `spark.range(n)` plan per batch: enum picks via `element_at` over literal
-  * arrays, randoms via seeded `rand`, ids via deterministic hashes. Defect injection
-  * (reference docstrings `*_generator.py:9-12`) is `when(rand(seed) < p, corrupt)`.
+  * arrays, ids via deterministic hashes. Defect injection (reference docstrings
+  * `*_generator.py:9-12`) is `when(hash % 100 < p, corrupt)`.
   *
-  * Determinism: the reference uses unseeded `random`/`uuid4`; we take an explicit
-  * seed so silver-validation tests are reproducible (FIXTURES.md §A). With the same
-  * seed+n the emitted batch is identical across runs and partitionings — ids are
-  * derived from the row index, and each `rand` call site gets its own fixed offset.
+  * Determinism & PORTABILITY: the reference uses unseeded `random`/`uuid4`; we
+  * draw every random from the engine-portable 60-bit md5 family
+  * ([[graft.ext.PortableHash.hash60]] over `"<seed>:<site>:<row id>"`), so a
+  * batch is identical across runs, partitionings, AND engines — DuckDB replays
+  * `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)` bit-for-bit, which is
+  * what lets the end-to-end medallion drain (q18) carry a hash oracle instead
+  * of a rows-only smoke check. Money is integer-cents-derived (`cents/100.0`):
+  * an exact-integer-over-100 double is correctly rounded identically on any
+  * IEEE engine, where a `rand()*495` float pipeline differs in the last ulp.
   *
-  * Scale: generation is embarrassingly parallel — `spark.range` partitions the index
-  * space; no shuffle anywhere; a 100 TB backfill is just `n = 1e12` with enough
-  * partitions.
+  * Scale: generation is embarrassingly parallel — `spark.range` partitions the
+  * index space; no shuffle anywhere except the one broadcast dim join; a 100 TB
+  * backfill is just `n = 1e12` with enough partitions.
   */
 object Generators {
 
@@ -45,10 +50,19 @@ object Generators {
     "PROD-401" -> "Blender", "PROD-501" -> "Yoga Mat", "PROD-502" -> "Dumbbell",
     "PROD-601" -> "Python Programming")
 
-  /** Pick a random element of a literal catalogue: `element_at(array, 1-based idx)`.
-    * `floor(rand)*k` is always < k, so the index is ANSI-safe. */
-  private def pick(values: Seq[String], seed: Long): Column =
-    element_at(array(values.map(lit): _*), (floor(rand(seed) * values.size) + 1).cast("int"))
+  /** One portable draw per (seed, site, row): non-negative bigint < 2^60.
+    * The site label keeps call sites independent (the rand-era `seed + k`
+    * offsets, made self-describing). Oracle mirror:
+    * `CAST(concat('0x', substr(md5('<seed>:<site>:' || id), 1, 15)) AS BIGINT)`. */
+  private def draw(seed: Long, site: String): Column =
+    graft.ext.PortableHash.hash60(
+      concat(lit(s"$seed:$site:"), col("id").cast("string")))
+
+  /** Uniform pick from a literal catalogue: `element_at(array, hash mod k + 1)`.
+    * (Modulo over a 60-bit draw: bias ≤ k/2^60 — unmeasurable.) */
+  private def pick(values: Seq[String], seed: Long, site: String): Column =
+    element_at(array(values.map(lit): _*),
+      (pmod(draw(seed, site), lit(values.size)) + 1).cast("int"))
 
   /** Deterministic uuid-shaped id from the row index (reference uses `uuid.uuid4()`,
     * e.g. `sales_generator.py:81`; hashing the index keeps batches reproducible). */
@@ -56,11 +70,14 @@ object Generators {
     concat(lit(prefix), lit("-"), md5(concat(lit(seed), lit(":"), col("id"))))
 
   /** ISO-8601 UTC timestamp within `spreadHours` before `baseTs` (the reference
-    * stamps `datetime.now()` per row; a seeded spread is the reproducible analog). */
-  private def isoTimestamp(baseTs: String, spreadHours: Int, seed: Long): Column =
+    * stamps `datetime.now()` per row; a portable-hash spread is the reproducible
+    * analog — oracle replays `base_epoch - hash mod spread·3600` exactly). */
+  private def isoTimestamp(baseTs: String, spreadHours: Int, seed: Long,
+                           site: String = "ts"): Column =
     date_format(
       timestamp_seconds(
-        unix_timestamp(to_timestamp(lit(baseTs))) - floor(rand(seed) * spreadHours * 3600)),
+        unix_timestamp(to_timestamp(lit(baseTs))) -
+          pmod(draw(seed, site), lit(spreadHours * 3600L))),
       "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx")
 
   /** Stable product dimension (product_name → PROD-id, category): the reference's
@@ -75,33 +92,47 @@ object Generators {
 
   /** Sales batch (reference `sales_generator.py:65-92`; defects `:9-12,72-78`):
     * ~3% null quantity, ~5% corrupted total_amount (×0.7-1.3), plus one exact
-    * duplicate of the first row when `injectDuplicate` (`:111-113`, ~5% of runs). */
+    * duplicate of the first row when `injectDuplicate` (`:111-113`, ~5% of runs).
+    *
+    * Money stays on the integer cent grid end to end: unit_price is
+    * `price_cents/100.0`, the clean total is `qty·price_cents/100.0` (provably
+    * equal to silver's `round(quantity·unit_price, 2)` for every (qty, cents)
+    * in range — exhaustively checked), and the corrupted total is
+    * `(qty·price_cents·f4) DIV 10000 / 100.0` with `f4 ∈ [7000, 13000)`
+    * integer ten-thousandths — so every emitted double is an exact integer
+    * over 100 and the DuckDB oracle reproduces it bit-for-bit. */
   def salesBatch(spark: SparkSession, n: Long, seed: Long,
                  baseTs: String = "2026-01-01 00:00:00",
                  injectDuplicate: Boolean = false): DataFrame = {
     val dim = productDim(spark)
-    val qty = (floor(rand(seed + 2) * 10) + 1).cast("double")
-    val price = round(rand(seed + 3) * 495 + 5, 2)
-    // Totals derive from the pre-null quantity: the reference computes
-    // total_amount before the ~3% quantity nulling (sales_generator.py:69-78),
-    // so a null-quantity row still carries a non-null total.
-    val cleanTotal = round(col("quantity_raw") * col("unit_price"), 2)
+    val priceCents = pmod(draw(seed, "price"), lit(49500L)) + 500L
+    val qtyInt = pmod(draw(seed, "qty"), lit(10L)) + 1L
     val base = spark.range(n)
       .withColumn("sale_id", rowId("SALE", seed))
-      .withColumn("timestamp", isoTimestamp(baseTs, 24, seed + 1))
+      .withColumn("timestamp", isoTimestamp(baseTs, 24, seed))
       .withColumn("customer_id",
-        concat(lit("CUST-"), (floor(rand(seed + 4) * 9000) + 1000).cast("int")))
-      .withColumn("product_name", pick(Categories.flatMap(_._2), seed + 5))
-      .withColumn("quantity_raw", qty)
-      .withColumn("quantity", when(rand(seed + 6) < 0.03, lit(null)).otherwise(col("quantity_raw")))
-      .withColumn("unit_price", price)
-      .withColumn("payment_method", pick(PaymentMethods, seed + 7))
-      .withColumn("status", pick(Statuses, seed + 8))
+        concat(lit("CUST-"), (pmod(draw(seed, "cust"), lit(9000L)) + 1000L).cast("int")))
+      .withColumn("product_name", pick(Categories.flatMap(_._2), seed, "prod"))
+      .withColumn("__qty_int", qtyInt)
+      .withColumn("__price_cents", priceCents)
+      // totals derive from the pre-null quantity: the reference computes
+      // total_amount before the ~3% quantity nulling (sales_generator.py:69-78),
+      // so a null-quantity row still carries a non-null total.
+      .withColumn("quantity",
+        when(pmod(draw(seed, "qnull"), lit(100L)) < 3, lit(null))
+          .otherwise(col("__qty_int").cast("double")))
+      .withColumn("unit_price", col("__price_cents").cast("double") / 100.0)
+      .withColumn("payment_method", pick(PaymentMethods, seed, "pay"))
+      .withColumn("status", pick(Statuses, seed, "status"))
       // OP-34: the one join in the reference — broadcast the 30-row dimension.
       .join(broadcast(dim), "product_name")
-      .withColumn("total_amount",
-        when(rand(seed + 9) < 0.05, round(cleanTotal * (rand(seed + 10) * 0.6 + 0.7), 2))
-          .otherwise(cleanTotal))
+      .withColumn("__clean_cents", col("__qty_int") * col("__price_cents"))
+      .withColumn("__f4", pmod(draw(seed, "factor"), lit(6000L)) + 7000L)
+      .withColumn("__total_cents",
+        when(pmod(draw(seed, "corrupt"), lit(100L)) < 5,
+          expr("__clean_cents * __f4 DIV 10000"))
+          .otherwise(col("__clean_cents")))
+      .withColumn("total_amount", col("__total_cents").cast("double") / 100.0)
       .select("sale_id", "timestamp", "customer_id", "product_id", "product_name",
         "category", "quantity", "unit_price", "total_amount", "payment_method", "status")
     if (injectDuplicate) base.unionAll(base.orderBy("sale_id").limit(1)) else base
@@ -114,21 +145,24 @@ object Generators {
                           injectDuplicate: Boolean = false): DataFrame = {
     val base = spark.range(n)
       .withColumn("event_id", rowId("EVT", seed))
-      .withColumn("timestamp", isoTimestamp(baseTs, 24, seed + 1))
+      .withColumn("timestamp", isoTimestamp(baseTs, 24, seed))
       .withColumn("customer_id",
-        when(rand(seed + 2) < 0.03, lit(null))
-          .otherwise(concat(lit("CUST-"), (floor(rand(seed + 3) * 9000) + 1000).cast("int"))))
+        when(pmod(draw(seed, "cnull"), lit(100L)) < 3, lit(null))
+          .otherwise(concat(lit("CUST-"),
+            (pmod(draw(seed, "cust"), lit(9000L)) + 1000L).cast("int"))))
       // ~3 concurrent sessions per batch (reference :86-87): each row draws one
       // of 3 stable per-batch session ids, so sessions are genuinely reused
       .withColumn("session_id",
-        concat(lit("SESS-"), md5(concat(lit(seed), lit(":"), floor(rand(seed + 4) * 3)))))
+        concat(lit("SESS-"), md5(concat(lit(seed), lit(":"),
+          pmod(draw(seed, "sess"), lit(3L))))))
       .withColumn("event_type",
-        when(rand(seed + 5) < 0.04, lit("UNKNOWN")).otherwise(pick(Silver.ValidEventTypes, seed + 6)))
+        when(pmod(draw(seed, "etbad"), lit(100L)) < 4, lit("UNKNOWN"))
+          .otherwise(pick(Silver.ValidEventTypes, seed, "etype")))
       .withColumn("product_id",
         when(col("event_type").isin("browse", "add_to_cart", "checkout"),
-          concat(lit("PROD-"), (floor(rand(seed + 7) * 100) + 100).cast("int"))))
-      .withColumn("page_url", pick(Pages, seed + 8))
-      .withColumn("device_type", pick(DeviceTypes, seed + 9))
+          concat(lit("PROD-"), (pmod(draw(seed, "eprod"), lit(100L)) + 100L).cast("int"))))
+      .withColumn("page_url", pick(Pages, seed, "page"))
+      .withColumn("device_type", pick(DeviceTypes, seed, "dev"))
       .drop("id")
     if (injectDuplicate) base.unionAll(base.orderBy("event_id").limit(1)) else base
   }
@@ -140,22 +174,24 @@ object Generators {
                      injectDuplicate: Boolean = false): DataFrame = {
     val catalogueIds = InventoryCatalogue.map(_._1)
     val catalogueNames = InventoryCatalogue.map(_._2)
-    val idx = (floor(rand(seed + 2) * InventoryCatalogue.size) + 1).cast("int")
+    val idx = (pmod(draw(seed, "item"), lit(InventoryCatalogue.size.toLong)) + 1).cast("int")
     val base = spark.range(n)
       .withColumn("movement_id", rowId("MOVE", seed))
-      .withColumn("timestamp", isoTimestamp(baseTs, 24, seed + 1))
+      .withColumn("timestamp", isoTimestamp(baseTs, 24, seed))
       .withColumn("product_id", element_at(array(catalogueIds.map(lit): _*), idx))
       .withColumn("product_name", element_at(array(catalogueNames.map(lit): _*), idx))
-      .withColumn("warehouse_id", pick(Warehouses, seed + 3))
+      .withColumn("warehouse_id", pick(Warehouses, seed, "wh"))
       .withColumn("movement_type",
-        when(rand(seed + 4) < 0.04, lit("TRANSFER")).otherwise(pick(Silver.ValidMovementTypes, seed + 5)))
+        when(pmod(draw(seed, "mtbad"), lit(100L)) < 4, lit("TRANSFER"))
+          .otherwise(pick(Silver.ValidMovementTypes, seed, "mtype")))
       .withColumn("quantity",
-        when(rand(seed + 6) < 0.03,
-          when(rand(seed + 7) < 0.5, lit(null)).otherwise(lit(0.0)))
-          .otherwise((floor(rand(seed + 8) * 200) + 1).cast("double")))
-      .withColumn("unit_cost", round(rand(seed + 9) * 299 + 1, 2))
+        when(pmod(draw(seed, "qbad"), lit(100L)) < 3,
+          when(pmod(draw(seed, "qnullzero"), lit(100L)) < 50, lit(null)).otherwise(lit(0.0)))
+          .otherwise((pmod(draw(seed, "qn"), lit(200L)) + 1L).cast("double")))
+      .withColumn("unit_cost",
+        (pmod(draw(seed, "cost"), lit(29900L)) + 100L).cast("double") / 100.0)
       .withColumn("supplier_id",
-        when(col("movement_type") === "inbound", pick(Suppliers, seed + 10)))
+        when(col("movement_type") === "inbound", pick(Suppliers, seed, "sup")))
       .drop("id")
     if (injectDuplicate) base.unionAll(base.orderBy("movement_id").limit(1)) else base
   }

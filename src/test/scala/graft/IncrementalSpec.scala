@@ -110,6 +110,47 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("incrementalGoldDomain maintains all 7 gold tables across 3 domains, 2 ticks, ≡ batch builders") {
+    withTempDir { root =>
+      val domains = Seq("sales", "customer_events", "inventory")
+      def silverOf(d: String) = Layout.silverDir(root, d)
+      // Each tick: one generator batch per domain (day advances per tick so
+      // tick 2 touches BOTH a fresh date and dates tick 1 already built —
+      // real dynamic-partition overwrite, not append), drained bronze→silver,
+      // then ONE incrementalGoldDomain drain per domain maintains every gold
+      // table of that domain.
+      def tick(t: Int): Unit = domains.foreach { d =>
+        val base = s"2026-01-0$t 00:00:00"
+        val batch = d match {
+          case "sales" => Generators.salesBatch(spark, 80, 700 + t, baseTs = base)
+          case "customer_events" => Generators.customerEventsBatch(spark, 80, 800 + t, baseTs = base)
+          case _ => Generators.inventoryBatch(spark, 80, 900 + t, baseTs = base)
+        }
+        batch.coalesce(1)
+          .write.option("header", "true").mode("append").csv(Layout.bronzeDir(root, d))
+        Incremental.drainBronzeToSilver(spark, d, Layout.bronzeDir(root, d),
+          silverOf(d), Layout.checkpointDir(root, d))
+        val maintained = Incremental.incrementalGoldDomain(spark, d,
+          silverOf(d), s"$root/gold", s"$root/.state/gold_all_$d")
+        assert(maintained == graft.engine.Gold.domainByTable
+          .collect { case (tab, dom) if dom == d => tab }.toSeq.sorted)
+      }
+      tick(1); tick(2)
+      // every one of the 7 tables must equal its batch builder on full silver
+      graft.engine.Gold.domainByTable.toSeq.sorted.foreach { case (table, domain) =>
+        val incremental = Sources.readSilver(spark, Layout.goldDir(s"$root/gold", table))
+        val full = graft.engine.Gold.buildersByTable(table)(
+          Sources.readSilver(spark, silverOf(domain)))
+        val cols = full.columns.sorted
+        val inc = incremental.select(cols.head, cols.tail: _*)
+        val ful = full.select(cols.head, cols.tail: _*)
+        assert(inc.count() == ful.count(), s"$table row count drifted")
+        assert(inc.exceptAll(ful).isEmpty && ful.exceptAll(inc).isEmpty,
+          s"$table content differs from the batch builder")
+      }
+    }
+  }
+
   test("generator batches are deterministic per seed and inject expected defects") {
     val a = Generators.salesBatch(spark, 300, seed = 7).collect()
     val b = Generators.salesBatch(spark, 300, seed = 7).collect()

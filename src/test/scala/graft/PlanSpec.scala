@@ -458,6 +458,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q209 TPC-H Q18: the IN(GROUP BY HAVING) subquery plans as a semi join, top-N stays TakeOrdered") {
+    val p = planOf("q209_tpch_q18")
+    assert(p.contains("LeftSemi"),
+      s"q209: the large-order subquery must rewrite to a semi join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q209: expected top-N operator:\n$p")
+  }
+
+  test("q210 TPC-H Q21: EXISTS/NOT EXISTS plan as semi + anti joins, nation dim broadcasts") {
+    val p = planOf("q210_tpch_q21")
+    assert(p.contains("LeftSemi"), s"q210: EXISTS must rewrite to a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"q210: NOT EXISTS must rewrite to an anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q210: the supplier/nation dims must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q210: expected top-N operator:\n$p")
+  }
+
   test("q181 skyline assembly: windows per-partition, prefix maxima broadcast, no global sort") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
