@@ -3741,6 +3741,123 @@ object SparkEntry {
       s.read.parquet(Layout.goldDir(s"$root/gold", "daily_sales_summary"))
         .select(col("date"), col("total_revenue"), col("order_count"),
           col("avg_order_value"), col("unique_customers"))
+    },
+
+    // Pearson χ² independence (engine.Profile.chiSquareIndependence): is the
+    // event mix independent of weekday? Exact rational statistic (no logs)
+    // in DECIMAL(38,0) with per-cell micro truncation; the margin grid is
+    // alphabet×7, built by broadcast cross of the two margin aggregates.
+    // ISO weekday via weekday()+1 ↔ DuckDB isodow.
+    "q215_chi_square" -> { (s, dir) =>
+      graft.engine.Profile.chiSquareIndependence(
+        eventsTable(s, dir).select(col("event_type"),
+          (weekday(col("ts")) + 1).as("dow")),
+        col("event_type"), col("dow"))
+    },
+
+    // SHALLOW CLONE (engine.Incremental.shallowCloneVersion): zero-copy
+    // branch of the versioned customer state — clone v=0 is a manifest of
+    // absolute file references, the clone then evolves independently via its
+    // own committed upsert while the source stays untouched; both sides are
+    // read back and aggregated per segment. The "branch a 100 TB table for
+    // an experiment" primitive (Delta CLONE shape, manifest-atomic).
+    "q216_shallow_clone" -> { (s, dir) =>
+      val I = graft.engine.Incremental
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      graft.engine.Scratch.withTempDir("graft-clone-") { tmp =>
+        I.commitVersion(cust.coalesce(1), s"$tmp/src", 0L)
+        I.shallowCloneVersion(s, s"$tmp/src", 0L, s"$tmp/clone")
+        val updates = cust.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_mktsegment", lit("SEG_CLONE"))
+        I.commitVersion(
+          graft.engine.Merge.upsert(I.readShallowClone(s, s"$tmp/clone"),
+            updates, Seq("c_custkey")).drop("merge_action").coalesce(1),
+          s"$tmp/clone", 1L)
+        val src = I.latestUpsertStateBefore(s, s"$tmp/src", Long.MaxValue).get
+          .withColumn("side", lit("source"))
+        val clone = I.readShallowClone(s, s"$tmp/clone")
+          .withColumn("side", lit("clone"))
+        // aggregate eagerly: the temp state dir dies with this scope
+        val rows = src.unionByName(clone)
+          .groupBy(col("side"), col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n"), sum(col("bal_cents")).as("bal_sum_cents"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        import s.implicits._
+        rows.toDF("side", "segment", "n", "bal_sum_cents")
+      }
+    },
+
+    // Linear interpolation onto the daily grid (ext.TimeSeries
+    // .linearInterpolateDaily, the sibling of q135's LOCF): sparse per-
+    // customer daily spend resampled with integer-exact slope division —
+    // observed days keep exact values, holes get ⌊y0 + Δy·i/gap⌋.
+    "q217_interpolation" -> { (s, dir) =>
+      val daily = t(s, dir, "orders").filter(col("o_custkey") < 20)
+        .groupBy(col("o_custkey").as("k"), to_date(col("o_orderdate")).as("d"))
+        .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("y"))
+      graft.ext.TimeSeries.linearInterpolateDaily(daily, "k", col("d"), col("y"))
+    },
+
+    // Blocking-scheme recall audit (ext.Dedup.recallAudit): MinHash banding
+    // (8 bands × 4 rows, verified at τ=0.6) audited against the exact
+    // prefix-filter join as ground truth on the planted-near-dup corpus —
+    // the tuning harness for "are 8 bands enough at this threshold",
+    // answered with hash-verified integers instead of folklore.
+    "q218_banding_recall" -> { (s, dir) =>
+      val docs = docsWithPlantedNearDups(s, dir)
+      val truth = graft.ext.Dedup.prefixFilterJaccardPairs(docs, k = 3, tauMilli = 600L)
+      val found = graft.ext.Dedup.minhashNearDuplicatesPortable(docs, threshold = 0.6)
+      graft.ext.Dedup.recallAudit(truth, found, Seq("id_a", "id_b"))
+    },
+
+    // Ranking-window family completeness: percent_rank / cume_dist /
+    // nth_value / first-last over per-customer order history — all
+    // partition-local (shuffle on the customer key, no global window), with
+    // a total (date, orderkey) order so every rank function is
+    // deterministic. percent_rank and cume_dist are rank-ratio doubles:
+    // identical integer operands → identical IEEE quotients on any engine.
+    "q219_window_family" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_key"),
+          first(col("o_orderkey")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_key"),
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+    },
+
+    // Clustering-quality readout (ext.Graph.modularityMicro): Newman
+    // modularity of the connected-component partition over the verified
+    // near-dup graph — integer-exact micro Q via per-cluster truncation.
+    // The "is dedup one hairball or many tight clusters" gauge.
+    "q220_modularity" -> { (s, dir) =>
+      val edges = Dedup.minhashNearDuplicatesPortable(
+          docsWithPlantedNearDups(s, dir), threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val labels = graft.ext.Graph.connectedComponents(edges)
+        .withColumnRenamed("component", "label")
+      graft.ext.Graph.modularityMicro(edges, labels,
+        nodeCol = "id", labelCol = "label")
+    },
+
+    // Mixture balancing by RAKING (ext.Sampling.rakeWeights): 2 IPF rounds
+    // fitting per-mille cell weights so order-priority marginals hit
+    // (300,250,200,150,100) AND status marginals hit (500,300,200)
+    // simultaneously — the two-constraint corpus-reweighting primitive,
+    // bit-exact in integer milli-weights.
+    "q221_raking" -> { (s, dir) =>
+      graft.ext.Sampling.rakeWeights(t(s, dir, "orders"),
+        col("o_orderpriority"), col("o_orderstatus"),
+        rowTargetPermille = Seq("1-URGENT" -> 300L, "2-HIGH" -> 250L,
+          "3-MEDIUM" -> 200L, "4-NOT SPECIFIED" -> 150L, "5-LOW" -> 100L),
+        colTargetPermille = Seq("F" -> 500L, "O" -> 300L, "P" -> 200L),
+        iters = 2)
     }
   )
 
@@ -7292,7 +7409,152 @@ object SparkEntry {
     "q211_medallion_category" -> medallionCategoryOracleSql,
     "q212_medallion_activity" -> medallionEventsOracleSql,
     "q213_medallion_inventory" -> medallionInventoryOracleSql,
-    "q214_incremental_gold_medallion" -> medallionOracleSql
+    "q214_incremental_gold_medallion" -> medallionOracleSql,
+
+    "q215_chi_square" ->
+      """WITH p AS (SELECT event_type AS r, isodow(ts) AS c FROM events),
+        |o AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS obs FROM p GROUP BY 1, 2),
+        |rm AS (SELECT r, CAST(SUM(obs) AS BIGINT) AS rn FROM o GROUP BY 1),
+        |cm AS (SELECT c, CAST(SUM(obs) AS BIGINT) AS cn FROM o GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+        |grid AS (
+        |  SELECT rm.r, cm.c, rn, cn, n, COALESCE(o.obs, 0) AS obs
+        |  FROM rm CROSS JOIN cm CROSS JOIN nn
+        |  LEFT JOIN o ON o.r = rm.r AND o.c = cm.c),
+        |t AS (
+        |  SELECT r, c,
+        |    (1000000 * (CAST(n AS HUGEINT) * obs - CAST(rn AS HUGEINT) * cn)
+        |             * (CAST(n AS HUGEINT) * obs - CAST(rn AS HUGEINT) * cn))
+        |      // (CAST(n AS HUGEINT) * rn * cn) AS term
+        |  FROM grid)
+        |SELECT CAST(COUNT(DISTINCT r) AS BIGINT) AS n_row_levels,
+        |       CAST(COUNT(DISTINCT c) AS BIGINT) AS n_col_levels,
+        |       (SELECT n FROM nn) AS n,
+        |       CAST((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS BIGINT) AS dof,
+        |       CAST(SUM(term) AS BIGINT) AS chi2_micro
+        |FROM t""".stripMargin,
+
+    "q216_shallow_clone" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+        |  FROM customer),
+        |cl AS (
+        |  SELECT CASE WHEN c_custkey % 7 = 0 THEN 'SEG_CLONE'
+        |              ELSE c_mktsegment END AS segment, bal
+        |  FROM base)
+        |SELECT 'source' AS side, c_mktsegment AS segment,
+        |       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(bal) AS BIGINT) AS bal_sum_cents
+        |FROM base GROUP BY 2
+        |UNION ALL
+        |SELECT 'clone', segment, CAST(COUNT(*) AS BIGINT), CAST(SUM(bal) AS BIGINT)
+        |FROM cl GROUP BY 2""".stripMargin,
+
+    "q217_interpolation" ->
+      """WITH s AS (
+        |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders WHERE o_custkey < 20 GROUP BY 1, 2),
+        |p AS (
+        |  SELECT k, d, y,
+        |         lead(d) OVER (PARTITION BY k ORDER BY d) AS dn,
+        |         lead(y) OVER (PARTITION BY k ORDER BY d) AS yn
+        |  FROM s),
+        |e AS (SELECT *, COALESCE(date_diff('day', d, dn), 1) AS gap FROM p),
+        |x AS (SELECT k, d, y, yn, gap, unnest(range(0, gap)) AS i FROM e)
+        |SELECT k, CAST(d + to_days(CAST(i AS INT)) AS DATE) AS day,
+        |       CAST(CASE WHEN i = 0 THEN y
+        |            ELSE y + ((yn - y) * i) // gap END AS BIGINT) AS cents,
+        |       i > 0 AS interpolated
+        |FROM x""".stripMargin,
+
+    "q218_banding_recall" ->
+      s"""WITH ${minhashPairsCtesOver(docsCorpusSql)},
+         |truth AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) * 1000
+         |        >= CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) * 600),
+         |found AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
+         |h AS (SELECT * FROM truth INTERSECT SELECT * FROM found)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_hit,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)
+         |         - (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_missed,
+         |       CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+         |            ELSE CAST(1000 * (SELECT COUNT(*) FROM h)
+         |                 // (SELECT COUNT(*) FROM truth) AS BIGINT)
+         |       END AS recall_milli""".stripMargin,
+
+    "q219_window_family" ->
+      """SELECT o_custkey, o_orderkey,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       nth_value(o_orderkey, 2) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key,
+        |       first_value(o_orderkey) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+        |       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders WHERE o_custkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q220_modularity" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |e AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+         |        UNION SELECT id_b, id_a FROM e),
+         |walk(id, lab) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, w.lab FROM walk w JOIN sym s ON w.id = s.src),
+         |lab AS (SELECT id, MIN(lab) AS label FROM walk GROUP BY id),
+         |le AS (SELECT la.label AS cla, lb.label AS clb
+         |       FROM e JOIN lab la ON la.id = e.id_a JOIN lab lb ON lb.id = e.id_b),
+         |m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM le),
+         |d AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS dd FROM
+         |        (SELECT cla AS c FROM le UNION ALL SELECT clb FROM le) u GROUP BY 1),
+         |ec AS (SELECT cla AS c, CAST(COUNT(*) AS BIGINT) AS ee FROM le
+         |       WHERE cla = clb GROUP BY 1),
+         |t AS (SELECT d.c, COALESCE(ec.ee, 0) AS ee, d.dd, m
+         |      FROM d LEFT JOIN ec ON ec.c = d.c CROSS JOIN m1),
+         |terms AS (SELECT c, ee, dd, m,
+         |            (1000000 * (4 * CAST(m AS HUGEINT) * ee - CAST(dd AS HUGEINT) * dd))
+         |              // (4 * CAST(m AS HUGEINT) * m) AS term
+         |          FROM t)
+         |SELECT CAST(MAX(m) AS BIGINT) AS m, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |       CAST(SUM(ee) AS BIGINT) AS intra_edges,
+         |       CAST(SUM(term) AS BIGINT) AS q_micro
+         |FROM terms""".stripMargin,
+
+    "q221_raking" ->
+      """WITH c0 AS (
+        |  SELECT o_orderpriority AS rowv, o_orderstatus AS colv,
+        |         CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(1000 AS BIGINT) AS w
+        |  FROM orders GROUP BY 1, 2),
+        |tt AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS nt FROM c0),
+        |rt AS (SELECT * FROM (VALUES ('1-URGENT', 300), ('2-HIGH', 250),
+        |       ('3-MEDIUM', 200), ('4-NOT SPECIFIED', 150), ('5-LOW', 100)) t(rowv, t)),
+        |ct AS (SELECT * FROM (VALUES ('F', 500), ('O', 300), ('P', 200)) t(colv, t)),
+        |m1 AS (SELECT rowv, SUM(n_rows * w) AS mass FROM c0 GROUP BY 1),
+        |s1 AS (SELECT c0.rowv, colv, n_rows,
+        |         CAST((CAST(w AS HUGEINT) * rt.t * nt) // mass AS BIGINT) AS w
+        |       FROM c0 JOIN m1 USING (rowv) JOIN rt USING (rowv) CROSS JOIN tt),
+        |m2 AS (SELECT colv, SUM(n_rows * w) AS mass FROM s1 GROUP BY 1),
+        |s2 AS (SELECT rowv, s1.colv, n_rows,
+        |         CAST((CAST(w AS HUGEINT) * ct.t * nt) // mass AS BIGINT) AS w
+        |       FROM s1 JOIN m2 USING (colv) JOIN ct USING (colv) CROSS JOIN tt),
+        |m3 AS (SELECT rowv, SUM(n_rows * w) AS mass FROM s2 GROUP BY 1),
+        |s3 AS (SELECT s2.rowv, colv, n_rows,
+        |         CAST((CAST(w AS HUGEINT) * rt.t * nt) // mass AS BIGINT) AS w
+        |       FROM s2 JOIN m3 USING (rowv) JOIN rt USING (rowv) CROSS JOIN tt),
+        |m4 AS (SELECT colv, SUM(n_rows * w) AS mass FROM s3 GROUP BY 1),
+        |s4 AS (SELECT rowv, s3.colv, n_rows,
+        |         CAST((CAST(w AS HUGEINT) * ct.t * nt) // mass AS BIGINT) AS w
+        |       FROM s3 JOIN m4 USING (colv) JOIN ct USING (colv) CROSS JOIN tt)
+        |SELECT rowv, colv, n_rows, w AS w_milli FROM s4""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -346,6 +346,55 @@ object Incremental {
     writeCommitManifest(df.sparkSession, dir, v)
   }
 
+  /** Optimistic-concurrency commit: stage `df` as version `v` and claim the
+    * version with a CREATE-exclusive manifest write — if another writer has
+    * already committed `v=<v>`, this FAILS with
+    * `ConcurrentModificationException` instead of silently overwriting their
+    * snapshot (the lost-update anatomy of two jobs racing the same table).
+    * The loser's protocol: re-read the latest committed version, rebase its
+    * changes, retry at `v+1` — exactly Delta/Iceberg's optimistic loop. The
+    * staged parquet itself is written to the version directory first; the
+    * exclusive manifest create is the single linearization point, so a
+    * failed claim leaves no visible version ([[committedVersions]] only
+    * believes manifests).
+    *
+    * Note the ordering hazard this avoids: `commitVersion` (the
+    * fixture/test path) overwrites both data and manifest — safe only when
+    * a single writer owns the store. */
+  def commitVersionExclusive(df: DataFrame, stateDir: String, v: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val dir = s"$stateDir/v=$v"
+    val path = new Path(dir)
+    val manifest = new Path(path, CommitManifest)
+    val claim = new Path(path, "_graft_claim")
+    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def lost() = throw new java.util.ConcurrentModificationException(
+      s"commitVersionExclusive: version $v of $stateDir is already claimed/" +
+        "committed — re-read latest, rebase, retry at a later version")
+    if (fs.exists(manifest) || fs.exists(claim)) lost()
+    // Claim BEFORE writing any data: create-exclusive is the linearization
+    // point, so a losing writer never stages bytes into the winner's
+    // directory (staging first and claiming after would let the loser's
+    // mode=overwrite delete the winner's files mid-commit).
+    fs.mkdirs(path)
+    try fs.create(claim, false).close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => lost()
+      case _: java.io.IOException if fs.exists(claim) => lost()
+    }
+    // We own the claim: stage data (append — overwrite would delete the
+    // claim), then publish the manifest (readers only believe manifests).
+    df.write.mode("append").parquet(dir)
+    val files = fs.listStatus(path).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("part-")).sorted
+    val json = files.map(f => "\"" + f + "\"")
+      .mkString(s"""{"version":$v,"files":[""", ",", "]}")
+    val out = fs.create(manifest, false)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** The commit step alone: manifest the `part-` files already staged under
     * `dir` (temp-write + rename, atomic on local/HDFS semantics). */
   private def writeCommitManifest(spark: SparkSession, dir: String, v: Long): Unit = {
@@ -482,6 +531,71 @@ object Incremental {
   /** The latest COMMITTED snapshot with version strictly below
     * `beforeVersion`. Reads exactly the files the commit manifest lists, so
     * concurrent writers/vacuums and leftover partial files are invisible. */
+  /** SHALLOW CLONE (zero-copy snapshot clone, the Delta `CLONE` shape): the
+    * clone's `v=0` is a manifest of ABSOLUTE file references into the source
+    * version's committed parquet — no data moves, clone cost is one metadata
+    * write regardless of table size. The clone then evolves independently:
+    * later versions are its own local `commitVersion` snapshots, and the
+    * source never observes them. The "branch a 100 TB table for an
+    * experiment" primitive — at that scale this is the only affordable
+    * copy, and vacuum on the SOURCE must honor outstanding clone manifests
+    * (documented contract: clones pin their referenced files; run
+    * [[cloneReferencedFiles]] into the vacuum exclusion set).
+    *
+    * Returns the number of files referenced. */
+  def shallowCloneVersion(spark: SparkSession, srcStateDir: String,
+                          srcVersion: Long, destStateDir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val srcDir = s"$srcStateDir/v=$srcVersion"
+    val srcPath = new Path(srcDir)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(srcPath, CommitManifest))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val files = "\"(part-[^\"]+)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq
+    val refs = files.map(f => s"$srcDir/$f")
+    val destDir = new Path(s"$destStateDir/v=0")
+    fs.mkdirs(destDir)
+    val cloneJson = refs.map(r => "\"" + r + "\"")
+      .mkString(s"""{"src_version":$srcVersion,"refs":[""", ",", "]}")
+    val tmp = new Path(destDir, "._graft_clone.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(cloneJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(destDir, CloneManifest)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    require(fs.rename(tmp, dest), s"shallowCloneVersion: rename to $dest failed")
+    refs.size
+  }
+
+  /** The absolute source files a clone's `v=0` pins — feed these into the
+    * source table's vacuum exclusion set. Empty if `destStateDir` has no
+    * clone manifest. */
+  def cloneReferencedFiles(spark: SparkSession, destStateDir: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$destStateDir/v=0", CloneManifest)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      "\"([^\"]+part-[^\"]+)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq
+    }
+  }
+
+  /** Read a cloned table's CURRENT state: the latest locally-committed
+    * version if the clone has evolved past `v=0`, otherwise the referenced
+    * source files. (Clone `v=0` carries [[CloneManifest]], not
+    * [[CommitManifest]], so [[committedVersions]] naturally ignores it.) */
+  def readShallowClone(spark: SparkSession, destStateDir: String): DataFrame =
+    latestUpsertStateBefore(spark, destStateDir, Long.MaxValue).getOrElse {
+      val refs = cloneReferencedFiles(spark, destStateDir)
+      require(refs.nonEmpty, s"readShallowClone: $destStateDir has neither " +
+        "committed versions nor a clone manifest")
+      spark.read.parquet(refs: _*)
+    }
+
+  private val CloneManifest = "_graft_clone.json"
+
   def latestUpsertStateBefore(spark: SparkSession, stateDir: String,
                               beforeVersion: Long): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path

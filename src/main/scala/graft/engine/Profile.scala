@@ -521,4 +521,57 @@ object Profile {
       .agg(count(lit(1)).as("rows_per_key"))
       .groupBy(col("rows_per_key"))
       .agg(count(lit(1)).as("n_keys"))
+
+  /** Pearson χ² test of independence between two categorical columns — the
+    * drift/association question ("does event mix depend on weekday?",
+    * "is label distribution independent of source?") answered WITHOUT logs
+    * (G-tests and mutual information need `ln`, which is irrational and
+    * engine-divergent; χ² is a sum of rationals).
+    *
+    * Statistic, micro-scaled with per-cell truncation so any engine lands on
+    * the same integer: `chi2_micro = Σ_ij ⌊10⁶·(N·O_ij − R_i·C_j)² /
+    * (N·R_i·C_j)⌋` over the FULL margin grid (absent cells contribute their
+    * expected mass — a contingency built only from observed pairs understates
+    * χ²). All arithmetic in DECIMAL(38,0); exact for N ≤ 10⁷ rows
+    * (10⁶·(N·O)² ≤ 10³⁴), and the one-row total GUARDS that bound with
+    * `raise_error` rather than silently wrapping — past it, pre-aggregate or
+    * sample (at 10⁷ rows any real dependence is already astronomically
+    * significant).
+    *
+    * Output: one row `(n_row_levels, n_col_levels, n, dof, chi2_micro)`.
+    *
+    * Scale: one map-side-combined (row, col) count; margins are strict
+    * coarsenings of it; the grid is levels×levels (alphabet-sized — both
+    * margin frames broadcast), left-joined against the observed cells. */
+  def chiSquareIndependence(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val obs = df.groupBy(rowCol.as("__r"), colCol.as("__c"))
+      .agg(count(lit(1)).as("__o"))
+    val rm = obs.groupBy(col("__r")).agg(sum(col("__o")).as("__rn"))
+    val cm = obs.groupBy(col("__c")).agg(sum(col("__o")).as("__cn"))
+    val tot = obs.agg(sum(col("__o")).as("__n"))
+    rm.crossJoin(broadcast(cm)).crossJoin(broadcast(tot))
+      .join(obs, Seq("__r", "__c"), "left")
+      .na.fill(0L, Seq("__o"))
+      .withColumn("__ok",
+        when(col("__n") <= 10000000L, true)
+          .otherwise(raise_error(concat(lit(
+            "Profile.chiSquareIndependence: n = "), col("__n"),
+            lit(" exceeds the 10^7 exactness bound — pre-aggregate or sample")))))
+      .filter(col("__ok"))
+      .select(col("__r"), col("__c"),
+        expr("CAST(__o AS DECIMAL(38,0))").as("od"),
+        expr("CAST(__rn AS DECIMAL(38,0))").as("rnd"),
+        expr("CAST(__cn AS DECIMAL(38,0))").as("cnd"),
+        expr("CAST(__n AS DECIMAL(38,0))").as("nd"))
+      .withColumn("__term", expr(
+        "(1000000 * (nd * od - rnd * cnd) * (nd * od - rnd * cnd)) DIV (nd * rnd * cnd)"))
+      .agg(
+        countDistinct(col("__r")).as("n_row_levels"),
+        countDistinct(col("__c")).as("n_col_levels"),
+        max(expr("CAST(nd AS BIGINT)")).as("n"),
+        sum(col("__term")).as("chi2_micro"))
+      .withColumn("dof", expr("(n_row_levels - 1) * (n_col_levels - 1)"))
+      .select(col("n_row_levels"), col("n_col_levels"), col("n"), col("dof"),
+        col("chi2_micro"))
+  }
 }

@@ -493,6 +493,32 @@ object Dedup {
       .select(col("index_id"), col("delta_id"), col("jaccard"))
   }
 
+  /** Recall/coverage audit of a candidate-pair scheme against a ground-truth
+    * pair set — the EVALUATION harness for blocking parameter choices
+    * (bands × rows, SimHash radius, prefix length): how many of the true
+    * pairs does the scheme surface? Output is one row
+    * `(n_true, n_found, n_hit, n_missed, recall_milli)` with
+    * `recall_milli = ⌊1000·hit/true⌋` (NULL when there are no true pairs).
+    *
+    * This is how a 100 TB dedup configuration gets tuned in practice: run
+    * the exact join on a sampled slice as ground truth, audit the cheap
+    * scheme's recall on that slice, then ship the scheme corpus-wide.
+    *
+    * Scale: one semi-join on the pair keys + three one-row aggregates
+    * (broadcast re-wrap); output is metadata-sized. */
+  def recallAudit(truth: DataFrame, found: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val t = truth.select(keyCols.map(col): _*).distinct()
+    val f = found.select(keyCols.map(col): _*).distinct()
+    val hit = t.join(f, keyCols, "left_semi")
+    t.agg(count(lit(1)).as("n_true"))
+      .crossJoin(broadcast(f.agg(count(lit(1)).as("n_found"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_true"), col("n_found"), col("n_hit"),
+        (col("n_true") - col("n_hit")).as("n_missed"),
+        expr("CASE WHEN n_true = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE 1000 * n_hit DIV n_true END").as("recall_milli"))
+  }
+
   /** [[removeNearDuplicates]] on the portable family (keep-lowest-id policy). */
   def removeNearDuplicatesPortable(docs: DataFrame, threshold: Double,
                                    idCol: String = "doc_id", textCol: String = "text",

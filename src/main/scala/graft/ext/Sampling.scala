@@ -87,6 +87,61 @@ object Sampling {
     }
   }
 
+  /** Iterative proportional fitting (RAKING) of cell weights to target
+    * marginals, in integer milli-weights — the mixture-balancing pass for
+    * "reweight the corpus so language shares hit the target AND quality-
+    * bucket shares hit theirs simultaneously". Classic IPF alternates
+    * row-step and column-step; every update is
+    * `w ← ⌊w · t · N / M⌋` (t = target per-mille share, N = row count,
+    * M = current weighted mass of the stratum, all in DECIMAL(38,0) with
+    * truncation toward zero), so any engine replays the same integers —
+    * float IPF converges to the same place but never to the same bits.
+    *
+    * `iters` full row+column rounds; targets must cover every observed
+    * level (a missing level raises loudly rather than silently zeroing).
+    * Output: one row per observed (row, col) cell —
+    * `(rowv, colv, n_rows, w_milli)`; Σ n·w/1000 per stratum approaches
+    * `target·N/1000` to integer precision.
+    *
+    * Scale: the cell table is a map-side-combined aggregate at
+    * levels×levels (alphabet-sized); each step is a broadcast-joined
+    * re-weighting of that metadata-sized frame — `iters` is a literal
+    * constant, never data-driven. */
+  def rakeWeights(df: DataFrame, rowCol: Column, colCol: Column,
+                  rowTargetPermille: Seq[(String, Long)],
+                  colTargetPermille: Seq[(String, Long)],
+                  iters: Int): DataFrame = {
+    require(iters >= 1, s"rakeWeights: iters must be >= 1, got $iters")
+    require(rowTargetPermille.map(_._2).sum == 1000L && colTargetPermille.map(_._2).sum == 1000L,
+      "rakeWeights: each target marginal must sum to 1000 per-mille")
+    def targetExpr(c: Column, targets: Seq[(String, Long)], axis: String): Column = {
+      val folded = targets.foldLeft(lit(null).cast("long")) {
+        case (acc, (k, v)) => when(c === k, lit(v)).otherwise(acc)
+      }
+      when(folded.isNotNull, folded).otherwise(raise_error(
+        concat(lit(s"rakeWeights: no $axis target for level "), c)))
+    }
+    val cells0 = df.groupBy(rowCol.as("rowv"), colCol.as("colv"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("w_milli", lit(1000L))
+      .withColumn("__rt", targetExpr(col("rowv"), rowTargetPermille, "row"))
+      .withColumn("__ct", targetExpr(col("colv"), colTargetPermille, "column"))
+    val tot = cells0.agg(sum(col("n_rows")).as("__n"))
+    def step(cells: DataFrame, axis: String, t: String): DataFrame = {
+      val mass = cells.groupBy(col(axis))
+        .agg(sum(col("n_rows") * col("w_milli")).as("__mass"))
+      cells.join(broadcast(mass), axis)
+        .crossJoin(broadcast(tot))
+        .withColumn("w_milli", expr(
+          s"CAST((CAST(w_milli AS DECIMAL(38,0)) * $t * __n) DIV __mass AS BIGINT)"))
+        .drop("__mass", "__n")
+    }
+    val raked = (1 to iters).foldLeft(cells0) { (c, _) =>
+      step(step(c, "rowv", "__rt"), "colv", "__ct")
+    }
+    raked.select(col("rowv"), col("colv"), col("n_rows"), col("w_milli"))
+  }
+
   /** Largest-remainder (Hamilton) quota allocation: split a `total` budget
     * across groups proportionally to their row counts, EXACTLY — each group
     * gets `⌊total·c/C⌋`, and the `total − Σ⌊·⌋` leftover seats go to the

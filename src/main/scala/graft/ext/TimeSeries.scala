@@ -390,6 +390,39 @@ object TimeSeries {
           .as("recognized_cents"))
   }
 
+  /** Linear interpolation onto the daily grid — the sibling of LOCF gap-fill
+    * (q135): between each consecutive pair of observations `(d0, y0)`,
+    * `(d1, y1)` of a key, every missing day `d0 + i` gets
+    * `y0 + ⌊(y1 − y0)·i / gap⌋` (integer cents, truncation toward zero —
+    * identical on Spark `DIV` and DuckDB `//`), observed days keep their
+    * exact value and `interpolated = false`. The resampling pass that turns
+    * an irregular per-key series into a regular one for downstream
+    * window/seasonality ops without inventing float drift.
+    *
+    * Input must have ONE row per (key, day) (pre-aggregate ties). Output:
+    * `(key, day, cents, interpolated)`.
+    *
+    * Scale: one key-partitioned lead window + a per-pair `sequence` explode
+    * whose fan-out is the gap length — bounded by the series' maximum hole,
+    * never by corpus size. No join. */
+  def linearInterpolateDaily(df: DataFrame, keyCol: String, dayCol: Column,
+                             valueCents: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__d"))
+    df.select(col(keyCol), dayCol.as("__d"), valueCents.as("__y"))
+      .withColumn("__dn", lead(col("__d"), 1).over(w))
+      .withColumn("__yn", lead(col("__y"), 1).over(w))
+      .withColumn("__gap",
+        when(col("__dn").isNotNull, datediff(col("__dn"), col("__d"))).otherwise(lit(1)))
+      .withColumn("__i", explode(expr("sequence(0, __gap - 1)")))
+      .select(col(keyCol),
+        date_add(col("__d"), col("__i")).as("day"),
+        // __i = 0 is the observed point itself (also the last-row case,
+        // where __yn is NULL and the interpolation term would poison it)
+        expr("CASE WHEN __i = 0 THEN __y " +
+          "ELSE __y + ((__yn - __y) * __i) DIV __gap END").as("cents"),
+        (col("__i") > 0).as("interpolated"))
+  }
+
   /** Lag-1 autocorrelation per key — "does this series trend or mean-revert"
     * — as the SIGNED SQUARED Pearson correlation of consecutive pairs
     * `(xₜ, xₜ₊₁)`: `sign(cov)·10⁶·cov²/(varₓ·varᵧ)`, which is rational
