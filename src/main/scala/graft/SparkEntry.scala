@@ -3858,6 +3858,47 @@ object SparkEntry {
           "3-MEDIUM" -> 200L, "4-NOT SPECIFIED" -> 150L, "5-LOW" -> 100L),
         colTargetPermille = Seq("F" -> 500L, "O" -> 300L, "P" -> 200L),
         iters = 2)
+    },
+
+    // Multimodal, hash-verified through the BINARY path: integer-sawtooth
+    // PCM synthesized per media row, encoded as a REAL RIFF/WAVE payload
+    // (MediaCodecs.wavBytes), parsed back by the real decoder, and analyzed
+    // with integer-exact stats — while the DuckDB oracle computes the same
+    // integers straight from the sawtooth formula, never seeing a byte. Any
+    // drift anywhere in encode/parse/analyze breaks the hash. The typed map
+    // is the legitimate codec-boundary use (binary synthesis + decode).
+    "q222_audio_stats" -> { (s, _) =>
+      import s.implicits._
+      s.range(64).as[Long].map { id =>
+        val n = (800 + (id % 7) * 50).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 17 + i.toLong * 257) % 65536) - 32768).toShort)
+        val st = graft.ext.MediaCodecs.audioStatsMilli(
+          graft.ext.MediaCodecs.wavBytes(rate, 1, samples)).get
+        (id, st._1, st._2, st._3, st._4, st._5)
+      }.toDF("media_id", "n_samples", "sample_rate", "peak_abs",
+        "rms_sq_micro", "n_clipped")
+    },
+
+    // The image sibling of q222: deterministic RGB ramps encoded as REAL
+    // 24 bpp BMP payloads (bottom-up rows, 4-byte padding), decoded by the
+    // real parser into integer BT.601 luma, bucketed into an 8-bin
+    // histogram — oracle replays the pixel arithmetic directly. Proves the
+    // BMP encode/decode path (incl. row order and padding) bit-exactly.
+    "q223_bmp_luma" -> { (s, _) =>
+      import s.implicits._
+      s.range(48).as[Long].flatMap { id =>
+        val w = (16 + id % 5).toInt
+        val h = (12 + id % 3).toInt
+        val bytes = graft.ext.MediaCodecs.bmpBytes(w, h, (x, y) => (
+          ((x * 7 + y * 13 + id) % 256).toInt,
+          ((x * 3 + y * 5 + 2 * id) % 256).toInt,
+          ((x * 11 + y + 3 * id) % 256).toInt))
+        graft.ext.MediaCodecs.lumaHistogram(bytes, 8).get
+          .zipWithIndex.filter(_._1 > 0)
+          .map { case (cnt, b) => (id, b.toLong, cnt) }
+      }.toDF("media_id", "bucket", "n_pixels")
     }
   )
 
@@ -7554,7 +7595,37 @@ object SparkEntry {
         |s4 AS (SELECT rowv, s3.colv, n_rows,
         |         CAST((CAST(w AS HUGEINT) * ct.t * nt) // mass AS BIGINT) AS w
         |       FROM s3 JOIN m4 USING (colv) JOIN ct USING (colv) CROSS JOIN tt)
-        |SELECT rowv, colv, n_rows, w AS w_milli FROM s4""".stripMargin
+        |SELECT rowv, colv, n_rows, w AS w_milli FROM s4""".stripMargin,
+
+    "q222_audio_stats" ->
+      """WITH m AS (SELECT id AS media_id, 800 + (id % 7) * 50 AS n,
+        |                  8000 + (id % 3) * 4000 AS rate
+        |           FROM range(64) t(id)),
+        |s AS (SELECT media_id, n, rate, unnest(range(0, n)) AS i FROM m),
+        |v AS (SELECT media_id, n, rate,
+        |             ((media_id * 17 + i * 257) % 65536) - 32768 AS v FROM s)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        |       CAST(rate AS BIGINT) AS sample_rate,
+        |       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+        |       CAST((1000000 * SUM(CAST(v AS HUGEINT) * v))
+        |            // (CAST(n AS HUGEINT) * 1073741824) AS BIGINT) AS rms_sq_micro,
+        |       CAST(SUM(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_clipped
+        |FROM v GROUP BY media_id, n, rate""".stripMargin,
+
+    "q223_bmp_luma" ->
+      """WITH m AS (SELECT id AS media_id, 16 + id % 5 AS w, 12 + id % 3 AS h
+        |           FROM range(48) t(id)),
+        |p AS (SELECT media_id, w, unnest(range(0, w * h)) AS pp FROM m),
+        |px AS (SELECT media_id, pp % w AS x, pp // w AS y FROM p),
+        |lu AS (SELECT media_id,
+        |         (299 * ((x * 7 + y * 13 + media_id) % 256)
+        |        + 587 * ((x * 3 + y * 5 + 2 * media_id) % 256)
+        |        + 114 * ((x * 11 + y + 3 * media_id) % 256)) // 1000 AS luma
+        |       FROM px)
+        |SELECT media_id, CAST(luma * 8 // 256 AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pixels
+        |FROM lu GROUP BY 1, 2""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

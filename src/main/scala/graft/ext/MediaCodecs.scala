@@ -242,4 +242,119 @@ object MediaCodecs {
     }
     buf.array()
   }
+
+  // -------------------------------------------------------------------------
+  // Integer-exact media analytics (oracle-verifiable through the binary path)
+  // -------------------------------------------------------------------------
+
+  /** Audio stats from a REAL WAV payload, all integers so the full
+    * synth→encode→parse→analyze pipeline hashes identically to a pure
+    * arithmetic replay (q222): sample count, rate, peak |s|,
+    * `rms_sq_micro = ⌊10⁶·Σs²/(n·32768²)⌋` (the RMS-squared ratio — RMS
+    * itself needs a square root; its square is rational), and the count of
+    * full-scale (clipped) samples. None on non-WAV bytes. */
+  def audioStatsMilli(bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long)] =
+    parseWav(bytes).map { w =>
+      val n = w.samples.length
+      var peak = 0L; var sumSq = 0L; var clipped = 0L
+      var i = 0
+      while (i < n) {
+        val v = w.samples(i).toLong
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        sumSq += v * v
+        if (v == 32767L || v == -32768L) clipped += 1
+        i += 1
+      }
+      val rms = if (n == 0) 0L else (1000000L * sumSq) / (n.toLong * 1073741824L)
+      (n.toLong, w.sampleRate.toLong, peak, rms, clipped)
+    }
+
+  /** Integer BT.601 luma per pixel of a REAL 24 bpp BMP payload, row-major
+    * top-down: `⌊(299·R + 587·G + 114·B)/1000⌋ ∈ [0, 255]`. The integer
+    * sibling of [[parseBmp]]'s float luminance, for oracle-exact image
+    * analytics. None on non-BMP bytes. */
+  def parseBmpLumaInt(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val b = le(bytes)
+    val dataOffset = b.getInt(10)
+    if (b.getInt(14) < 40) return None
+    val width = b.getInt(18); val height = b.getInt(22)
+    if (b.getShort(28) != 24 || b.getInt(30) != 0) return None
+    if (width <= 0 || height <= 0) return None
+    val rowBytes = (width * 3 + 3) & ~3
+    if (dataOffset < 54 || dataOffset.toLong + rowBytes.toLong * height > bytes.length) return None
+    val luma = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val row = dataOffset + (height - 1 - y) * rowBytes
+      var x = 0
+      while (x < width) {
+        val o = row + 3 * x
+        val bl = bytes(o) & 0xff; val g = bytes(o + 1) & 0xff; val r = bytes(o + 2) & 0xff
+        luma(y * width + x) = (299 * r + 587 * g + 114 * bl) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    Some((width, height, luma))
+  }
+
+  /** Luma histogram of a BMP payload: `nBuckets` equal byte-range buckets,
+    * `bucket = ⌊luma·nBuckets/256⌋`. None on non-BMP bytes. */
+  def lumaHistogram(bytes: Array[Byte], nBuckets: Int): Option[Array[Long]] =
+    parseBmpLumaInt(bytes).map { case (_, _, luma) =>
+      val out = new Array[Long](nBuckets)
+      var i = 0
+      while (i < luma.length) { out(luma(i) * nBuckets / 256) += 1; i += 1 }
+      out
+    }
+
+  /** Linear-interpolating PCM resampler with an INTEGER phase accumulator:
+    * output length `⌊n·to/from⌋`, sample `j` reads source phase
+    * `p = j·from/to` as `(⌊p⌋, rem)` and interpolates
+    * `s[p0] + ⌊(s[p0+1] − s[p0])·rem / to⌋` — bit-deterministic on any
+    * engine/platform (no float phase drift), which is what lets a resample
+    * step live inside a hash-verified pipeline. Mono input (mix upstream). */
+  def resampleLinear(samples: Array[Short], from: Int, to: Int): Array[Short] = {
+    require(from > 0 && to > 0, s"resampleLinear: rates must be positive ($from → $to)")
+    val n = samples.length
+    if (n == 0) return Array.empty
+    val outLen = (n.toLong * to / from).toInt
+    val out = new Array[Short](outLen)
+    var j = 0
+    while (j < outLen) {
+      val num = j.toLong * from
+      val p0 = (num / to).toInt
+      val rem = num % to
+      val a = samples(math.min(p0, n - 1)).toLong
+      val b2 = samples(math.min(p0 + 1, n - 1)).toLong
+      out(j) = (a + ((b2 - a) * rem) / to).toShort
+      j += 1
+    }
+    out
+  }
+
+  /** Nearest-neighbor BMP thumbnail: pixel `(x, y)` of the `tw×th` output
+    * samples source `(⌊x·w/tw⌋, ⌊y·h/th⌋)`; re-encoded as a real BMP via
+    * [[bmpBytes]] so the output is itself a decodable payload. None on
+    * non-BMP input. */
+  def bmpThumbnail(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, s"bmpThumbnail: target dims must be positive ($tw×$th)")
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val b = le(bytes)
+    val dataOffset = b.getInt(10)
+    if (b.getInt(14) < 40) return None
+    val width = b.getInt(18); val height = b.getInt(22)
+    if (b.getShort(28) != 24 || b.getInt(30) != 0) return None
+    if (width <= 0 || height <= 0) return None
+    val rowBytes = (width * 3 + 3) & ~3
+    if (dataOffset < 54 || dataOffset.toLong + rowBytes.toLong * height > bytes.length) return None
+    def rgbAt(x: Int, y: Int): (Int, Int, Int) = {
+      val o = dataOffset + (height - 1 - y) * rowBytes + 3 * x
+      (bytes(o + 2) & 0xff, bytes(o + 1) & 0xff, bytes(o) & 0xff)
+    }
+    Some(bmpBytes(tw, th, (x, y) =>
+      rgbAt((x.toLong * width / tw).toInt, (y.toLong * height / th).toInt)))
+  }
 }

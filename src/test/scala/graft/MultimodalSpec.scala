@@ -122,4 +122,61 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2).getAs[scala.collection.Seq[Float]]("feature").toSeq ==
       Multimodal.StubCodec.decode(blob, 4).toSeq)
   }
+
+  test("audioStatsMilli: integer stats through a real WAV roundtrip") {
+    import graft.ext.MediaCodecs
+    val samples = Array[Short](0, 16384, -16384, 32767, -32768, 100)
+    val bytes = MediaCodecs.wavBytes(8000, 1, samples)
+    val Some((n, rate, peak, rms, clipped)) = MediaCodecs.audioStatsMilli(bytes)
+    assert((n, rate, peak, clipped) === ((6L, 8000L, 32768L, 2L)))
+    val sumSq = samples.map(s => s.toLong * s.toLong).sum
+    assert(rms === 1000000L * sumSq / (6L * 1073741824L))
+    assert(MediaCodecs.audioStatsMilli("not a wav".getBytes).isEmpty)
+  }
+
+  test("resampleLinear: integer phase accumulator on a known ramp") {
+    import graft.ext.MediaCodecs
+    // ramp 0,10,20,30 resampled 2:1 -> length 2: j=0 -> 0; j=1 -> s[2]=20
+    assert(MediaCodecs.resampleLinear(Array[Short](0, 10, 20, 30), 8000, 4000).toSeq
+      === Seq[Short](0, 20))
+    // 1:2 upsample interpolates midpoints: 0,5,10,15,20,25,30,30
+    assert(MediaCodecs.resampleLinear(Array[Short](0, 10, 20, 30), 4000, 8000).toSeq
+      === Seq[Short](0, 5, 10, 15, 20, 25, 30, 30))
+    // identity
+    assert(MediaCodecs.resampleLinear(Array[Short](7, -9), 44100, 44100).toSeq
+      === Seq[Short](7, -9))
+  }
+
+  test("lumaHistogram and parseBmpLumaInt agree with direct pixel arithmetic") {
+    import graft.ext.MediaCodecs
+    val w = 6; val h = 5
+    def px(x: Int, y: Int) = ((x * 40) % 256, (y * 50) % 256, 128)
+    val bytes = MediaCodecs.bmpBytes(w, h, px)
+    val Some((pw, ph, luma)) = MediaCodecs.parseBmpLumaInt(bytes)
+    assert((pw, ph) === ((w, h)))
+    val expected = for (y <- 0 until h; x <- 0 until w) yield {
+      val (r, g, b) = px(x, y); (299 * r + 587 * g + 114 * b) / 1000
+    }
+    assert(luma.toSeq === expected)
+    val hist = MediaCodecs.lumaHistogram(bytes, 8).get
+    assert(hist.sum === (w * h).toLong)
+    assert(hist.toSeq === (0 until 8).map(b =>
+      expected.count(l => l * 8 / 256 == b).toLong))
+  }
+
+  test("bmpThumbnail re-encodes a decodable BMP with nearest-neighbor pixels") {
+    import graft.ext.MediaCodecs
+    val bytes = MediaCodecs.bmpBytes(8, 8, (x, y) => (x * 30, y * 30, (x + y) * 15))
+    val thumb = MediaCodecs.bmpThumbnail(bytes, 4, 4).get
+    val Some((tw, th, luma)) = MediaCodecs.parseBmpLumaInt(thumb)
+    assert((tw, th) === ((4, 4)))
+    // thumbnail pixel (x,y) sources (2x, 2y): check corner + interior
+    def srcLuma(x: Int, y: Int) = {
+      val (r, g, b) = (x * 30, y * 30, (x + y) * 15)
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+    assert(luma(0) === srcLuma(0, 0))
+    assert(luma(1 * 4 + 2) === srcLuma(4, 2))
+    assert(MediaCodecs.bmpThumbnail("nope".getBytes, 2, 2).isEmpty)
+  }
 }
