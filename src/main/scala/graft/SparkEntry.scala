@@ -3899,6 +3899,69 @@ object SparkEntry {
           .zipWithIndex.filter(_._1 > 0)
           .map { case (cnt, b) => (id, b.toLong, cnt) }
       }.toDF("media_id", "bucket", "n_pixels")
+    },
+
+    // Spark 4 VARIANT type end to end: events.props is parsed to VARIANT,
+    // re-shredded into a NESTED variant (object + array), and extracted with
+    // typed `variant_get` paths (object field + array index) — the
+    // semi-structured column story without a fixed schema. The oracle
+    // replays the same integers from the raw JSON, so the variant
+    // encode/extract path is hash-verified.
+    "q224_variant" -> { (s, dir) =>
+      eventsTable(s, dir)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .select(col("event_type"),
+          expr("parse_json(concat('{\"meta\":{\"k\":', CAST(k AS STRING), " +
+            "'},\"tags\":[', CAST(k % 3 AS STRING), ',', CAST(k % 5 AS STRING), ']}'))")
+            .as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.meta.k', 'long')").as("kk"),
+          expr("variant_get(v, '$.tags[1]', 'long')").as("t1"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("kk")).as("k_sum"),
+          sum(col("t1")).as("tag_sum"))
+    },
+
+    // Spark 4 recursive CTE through the SQL frontend: genuine transitive
+    // closure (ancestor chains over the p -> p DIV 2 binary-tree edge set
+    // on part keys) — depth histogram with a node checksum per level. The
+    // reference has no recursion anywhere; Spark's WITH RECURSIVE executes
+    // this as an iterative union plan with the recursion-depth guard.
+    "q225_recursive_cte" -> { (s, dir) =>
+      t(s, dir, "part").createOrReplaceTempView("part_v")
+      s.sql(
+        """WITH RECURSIVE up(node, anc, depth) AS (
+          |  SELECT p_partkey, p_partkey DIV 2, 1 FROM part_v WHERE p_partkey > 1
+          |  UNION ALL
+          |  SELECT node, anc DIV 2, depth + 1 FROM up WHERE anc > 1
+          |)
+          |SELECT depth, COUNT(*) AS n_nodes, SUM(node) AS node_checksum
+          |FROM up GROUP BY depth""".stripMargin)
+    },
+
+    // Referential-consistent pseudonymization (GDPR tokenization): customer
+    // keys replaced by salted-md5 pseudonyms on BOTH sides of the
+    // customer⋈orders join — the join still works, per-segment aggregates
+    // are unchanged, and min(pseudonym) per segment puts actual token
+    // values under the hash so the mapping itself is verified. Orphan
+    // pseudonyms are counted (referential integrity survives tokenization).
+    "q226_pseudonymization" -> { (s, dir) =>
+      def pseudo(c: Column) = md5(concat(lit("graft-v1:"), c.cast("string")))
+      val cust = t(s, dir, "customer")
+        .select(pseudo(col("c_custkey")).as("p"), col("c_mktsegment"))
+      val ord = t(s, dir, "orders")
+        .select(pseudo(col("o_custkey")).as("p"),
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val orphans = ord.join(cust, Seq("p"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_orders"))
+      cust.join(ord, Seq("p"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("rev_cents"),
+          countDistinct(col("p")).as("n_customers"),
+          min(col("p")).as("min_pseudonym"))
+        .crossJoin(broadcast(orphans))
     }
   )
 
@@ -7625,7 +7688,43 @@ object SparkEntry {
         |       FROM px)
         |SELECT media_id, CAST(luma * 8 // 256 AS BIGINT) AS bucket,
         |       CAST(COUNT(*) AS BIGINT) AS n_pixels
-        |FROM lu GROUP BY 1, 2""".stripMargin
+        |FROM lu GROUP BY 1, 2""".stripMargin,
+
+    "q224_variant" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(k) AS BIGINT) AS k_sum,
+        |       CAST(SUM(k % 5) AS BIGINT) AS tag_sum
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "q225_recursive_cte" ->
+      """WITH RECURSIVE up(node, anc, depth) AS (
+        |  SELECT p_partkey, p_partkey // 2, 1 FROM part WHERE p_partkey > 1
+        |  UNION ALL
+        |  SELECT node, anc // 2, depth + 1 FROM up WHERE anc > 1
+        |)
+        |SELECT CAST(depth AS INT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |       CAST(SUM(node) AS BIGINT) AS node_checksum
+        |FROM up GROUP BY depth""".stripMargin,
+
+    "q226_pseudonymization" ->
+      """WITH c AS (
+        |  SELECT md5('graft-v1:' || c_custkey) AS p, c_mktsegment FROM customer),
+        |o AS (
+        |  SELECT md5('graft-v1:' || o_custkey) AS p,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |orph AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_orders
+        |  FROM o WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.p = o.p))
+        |SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(cents) AS BIGINT) AS rev_cents,
+        |       COUNT(DISTINCT c.p) AS n_customers,
+        |       MIN(c.p) AS min_pseudonym,
+        |       (SELECT n_orphan_orders FROM orph) AS n_orphan_orders
+        |FROM c JOIN o ON o.p = c.p
+        |GROUP BY 1""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
