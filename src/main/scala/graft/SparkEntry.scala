@@ -3962,6 +3962,86 @@ object SparkEntry {
           countDistinct(col("p")).as("n_customers"),
           min(col("p")).as("min_pseudonym"))
         .crossJoin(broadcast(orphans))
+    },
+
+    // DYNAMIC-gap session windows: Spark's native session_window with a
+    // per-event gap expression (views keep a session alive 30 min, other
+    // events 5 min) — the engagement-dependent timeout the fixed-gap
+    // sessionizers (q41/q167) can't express. The oracle replays closed-open
+    // interval-merge semantics as the island algorithm (running max of
+    // ts+gap) in pure epoch-µs integers.
+    "q227_dynamic_sessions" -> { (s, dir) =>
+      eventsTable(s, dir)
+        .groupBy(col("user_id"),
+          expr("session_window(ts, CASE WHEN event_type = 'view' " +
+            "THEN '30 minutes' ELSE '5 minutes' END)").as("sw"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("event_checksum"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"), col("event_checksum"))
+    },
+
+    // SQL UNPIVOT through the frontend: the wide per-status monthly revenue
+    // pivot (conditional sums) melted back to long form with Spark's native
+    // UNPIVOT clause — the SQL-surface sibling of q84's Dataset.unpivot.
+    // The oracle replays the melt as a dialect-free UNION ALL.
+    "q228_sql_unpivot" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """WITH wide AS (
+          |  SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+          |         SUM(CASE WHEN o_orderstatus = 'F'
+          |             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS F,
+          |         SUM(CASE WHEN o_orderstatus = 'O'
+          |             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS O,
+          |         SUM(CASE WHEN o_orderstatus = 'P'
+          |             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS P
+          |  FROM orders_v GROUP BY 1)
+          |SELECT month, status, cents
+          |FROM wide UNPIVOT (cents FOR status IN (F, O, P))""".stripMargin)
+    },
+
+    // LATERAL correlated subquery through the frontend: per region, the
+    // top-2 nations by customer count — the "top-k per outer row" shape
+    // that plans as a lateral join instead of a window-over-everything.
+    "q229_sql_lateral" -> { (s, dir) =>
+      Seq("region", "nation", "customer")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT r.r_regionkey, t.n_name, t.n_customers
+          |FROM region_v r,
+          |LATERAL (
+          |  SELECT n.n_name, COUNT(*) AS n_customers
+          |  FROM nation_v n JOIN customer_v c ON c.c_nationkey = n.n_nationkey
+          |  WHERE n.n_regionkey = r.r_regionkey
+          |  GROUP BY n.n_name
+          |  ORDER BY n_customers DESC, n.n_name
+          |  LIMIT 2) t""".stripMargin)
+    },
+
+    // HLL sketch MERGEABILITY, oracle-verified: per event_type, daily
+    // DataSketches-HLL user sketches are built independently and merged
+    // (hll_union_agg) — the 100 TB pattern where per-partition sketches
+    // roll up without re-scanning — and the merged estimate must equal the
+    // direct whole-column sketch estimate EXACTLY (HLL union is
+    // register-wise max: union-of-sketches ≡ sketch-of-union, so the
+    // equality is deterministic, not approximate). The oracle carries the
+    // exact distinct count and the literal equality flag — a wrong merge
+    // breaks the hash.
+    "q230_hll_mergeability" -> { (s, dir) =>
+      val e = eventsTable(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+      val daily = e.groupBy(col("event_type"), col("d"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+      val direct = e.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_direct"),
+          countDistinct(col("user_id")).as("n_exact"))
+      merged.join(direct, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (col("est_merged") === col("est_direct")).as("merge_consistent"))
     }
   )
 
@@ -7724,7 +7804,61 @@ object SparkEntry {
         |       MIN(c.p) AS min_pseudonym,
         |       (SELECT n_orphan_orders FROM orph) AS n_orphan_orders
         |FROM c JOIN o ON o.p = c.p
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q227_dynamic_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |         CASE WHEN event_type = 'view' THEN 1800000000
+        |              ELSE 300000000 END AS gap
+        |  FROM events),
+        |w AS (
+        |  SELECT *, MAX(us + gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e),
+        |s AS (
+        |  SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM w),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us,
+        |       CAST(MAX(us + gap) AS BIGINT) AS end_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(event_id) AS BIGINT) AS event_checksum
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "q228_sql_unpivot" ->
+      """WITH wide AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS f,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS o,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS p
+        |  FROM orders GROUP BY 1)
+        |SELECT month, 'F' AS status, f AS cents FROM wide
+        |UNION ALL SELECT month, 'O', o FROM wide
+        |UNION ALL SELECT month, 'P', p FROM wide""".stripMargin,
+
+    "q229_sql_lateral" ->
+      """SELECT r.r_regionkey, t.n_name, t.n_customers
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_customers DESC, n.n_name
+        |  LIMIT 2) t""".stripMargin,
+
+    "q230_hll_mergeability" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+        |       TRUE AS merge_consistent
+        |FROM events GROUP BY 1""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

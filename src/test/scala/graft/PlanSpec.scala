@@ -517,4 +517,42 @@ class PlanSpec extends SparkSpec {
         s"partition offsets must broadcast:\n$plan")
     }
   }
+
+  test("AQE converts a statically-planned sort-merge join to broadcast at runtime") {
+    // The 100 TB posture this proves: when the static planner cannot know a
+    // side is small (estimates say shuffle), the ADAPTIVE planner re-plans
+    // mid-query from real runtime stats — static broadcast disabled, adaptive
+    // broadcast enabled, so only AQE can produce the BroadcastHashJoin.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+      conf.set("spark.sql.adaptive.enabled", "true")
+      withTempDir { dir =>
+        spark.range(20000).select(col("id"), (col("id") % 100).as("k"))
+          .write.parquet(s"$dir/big")
+        spark.range(100).select(col("id").as("k"), concat(lit("g"), col("id")).as("grp"))
+          .write.parquet(s"$dir/small")
+        val big = spark.read.parquet(s"$dir/big")
+        val small = spark.read.parquet(s"$dir/small").filter(col("k") < 50)
+        val joined = big.join(small, "k").groupBy("grp").count()
+        val static = joined.queryExecution.executedPlan.toString
+        assert(static.contains("SortMergeJoin") || static.contains("AdaptiveSparkPlan"),
+          s"static plan should not broadcast (threshold -1):\n$static")
+        assert(joined.collect().length === 50)
+        val finalPlan = joined.queryExecution.executedPlan.toString
+        assert(finalPlan.contains("BroadcastHashJoin"),
+          s"AQE must have re-planned the join to broadcast from runtime stats:\n$finalPlan")
+        assert(finalPlan.contains("isFinalPlan=true"),
+          s"expected a finalized adaptive plan:\n$finalPlan")
+      }
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
 }
