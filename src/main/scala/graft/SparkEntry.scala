@@ -4042,6 +4042,87 @@ object SparkEntry {
       merged.join(direct, "event_type")
         .select(col("event_type"), col("n_exact"),
           (col("est_merged") === col("est_direct")).as("merge_consistent"))
+    },
+
+    // JSON-lines source/sink in the oracle gate: an orders slice is written
+    // as JSON (ISO timestamps, shortest-roundtrip doubles), read back
+    // through the PERMISSIVE schema reader, and aggregated — the oracle
+    // computes the same numbers from the parquet original, so a lossy
+    // serialize/parse anywhere in the JSON path breaks the hash.
+    "q231_json_roundtrip" -> { (s, dir) =>
+      val root = tempDirCleanedOnExit("graft-json-")
+      val slice = t(s, dir, "orders").filter(col("o_custkey") % 17 === 0)
+      graft.engine.Sources.writeJson(slice, s"$root/j")
+      graft.engine.Sources.readBronzeJson(s, slice.schema, s"$root/j")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("cents"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          min(col("o_orderkey")).as("min_key"),
+          max(to_date(col("o_orderdate"))).as("max_date"))
+    },
+
+    // ORC source/sink in the oracle gate, Hive-partitioned: the slice is
+    // written through the date-partitioned ORC silver writer and read back
+    // with partition-column inference — columnar-format parity with the
+    // parquet path, hash-verified against the parquet original.
+    "q232_orc_roundtrip" -> { (s, dir) =>
+      val root = tempDirCleanedOnExit("graft-orc-")
+      val slice = t(s, dir, "orders").filter(col("o_custkey") % 13 === 0)
+      graft.engine.Sources.writeSilverOrc(
+        Layout.withDatePartitions(slice, col("o_orderdate")), s"$root/orc")
+      graft.engine.Sources.readSilverOrc(s, s"$root/orc")
+        .groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("cents"),
+          min(col("o_orderkey")).as("min_key"))
+    },
+
+    // CSV QUARANTINE path in the oracle gate: a deterministic CSV with
+    // planted malformed rows (every id ≡ 0 mod 19 carries an unparseable
+    // amount) read through readBronzeCsvQuarantined — good rows aggregate,
+    // bad rows are counted AND identified (id checksum of the quarantined
+    // raw lines), all hash-matched against an arithmetic replay. The
+    // "bad input is auditable, never silently nulled" contract, verified
+    // externally.
+    "q233_csv_quarantine" -> { (s, _) =>
+      import s.implicits._
+      val root = tempDirCleanedOnExit("graft-quarantine-")
+      val lines = "id,amount" +: (0L until 500L).map(i =>
+        if (i % 19 == 0) s"$i,oops" else s"$i,${i * 37 % 10000}")
+      s.createDataset(lines).coalesce(1).write.text(s"$root/csv")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("amount",
+          org.apache.spark.sql.types.DoubleType)))
+      graft.engine.Sources.readBronzeCsvQuarantined(s, schema, s"$root/csv")
+        .agg(
+          count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+          count(col("_corrupt_record")).as("n_quarantined"),
+          sum(when(col("_corrupt_record").isNull,
+            col("amount").cast("long"))).as("good_cents"),
+          sum(when(col("_corrupt_record").isNotNull, col("id"))).as("bad_id_checksum"))
+    },
+
+    // LOCF through the SQL frontend with IGNORE NULLS: per-user
+    // last-observation-carried-forward over the event stream using
+    // `last_value(...) IGNORE NULLS` — the windowed-fill idiom q135 builds
+    // with the API, here as pure SQL. Values are carried (copied, never
+    // recomputed), so cents casts hash exactly.
+    "q234_sql_locf" -> { (s, dir) =>
+      eventsTable(s, dir).createOrReplaceTempView("events_v")
+      s.sql(
+        """WITH f AS (
+          |  SELECT user_id,
+          |         last_value(value) IGNORE NULLS OVER (
+          |           PARTITION BY user_id ORDER BY ts, event_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+          |  FROM events_v)
+          |SELECT user_id,
+          |       COUNT(filled) AS n_filled,
+          |       SUM(CAST(ROUND(filled * 100) AS BIGINT)) AS cents_checksum
+          |FROM f GROUP BY user_id""".stripMargin)
     }
   )
 
@@ -7858,7 +7939,44 @@ object SparkEntry {
     "q230_hll_mergeability" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
         |       TRUE AS merge_consistent
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q231_json_roundtrip" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       COUNT(DISTINCT o_custkey) AS n_custs,
+        |       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |       MAX(CAST(o_orderdate AS DATE)) AS max_date
+        |FROM orders WHERE o_custkey % 17 = 0 GROUP BY 1""".stripMargin,
+
+    "q232_orc_roundtrip" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS year,
+        |       CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS month,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+        |FROM orders WHERE o_custkey % 13 = 0 GROUP BY 1, 2""".stripMargin,
+
+    "q233_csv_quarantine" ->
+      """WITH r AS (SELECT id, id % 19 = 0 AS bad, id * 37 % 10000 AS cents
+        |           FROM range(500) t(id))
+        |SELECT CAST(SUM(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |       CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        |       CAST(SUM(CASE WHEN NOT bad THEN cents END) AS BIGINT) AS good_cents,
+        |       CAST(SUM(CASE WHEN bad THEN id END) AS BIGINT) AS bad_id_checksum
+        |FROM r""".stripMargin,
+
+    "q234_sql_locf" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         last_value(value IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM events)
+        |SELECT user_id,
+        |       CAST(COUNT(filled) AS BIGINT) AS n_filled,
+        |       CAST(SUM(CAST(ROUND(filled * 100) AS BIGINT)) AS BIGINT) AS cents_checksum
+        |FROM f GROUP BY user_id""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -366,9 +366,10 @@ object Graph {
     * Q near 1 = many tight clusters, Q ≤ 0 = the partition explains nothing
     * (one giant hairball scores 0: e_c = m and d_c = 2m cancel).
     *
-    * `edges` are distinct undirected pairs (idA < idB); `labels` assigns
-    * every endpoint a cluster label (missing endpoints fail the inner joins
-    * loudly as dropped edges — label your graph totally). Output one row:
+    * `edges` are distinct undirected pairs (idA < idB); `labels` must assign
+    * every endpoint a cluster label — an unlabeled endpoint raises
+    * `raise_error` at execution (silently dropping its edges would skew m
+    * and every d_c). Output one row:
     * `(m, n_clusters, intra_edges, q_micro)`.
     *
     * Scale: two label-lookup joins on the edge list (shuffle on vertex id),
@@ -378,8 +379,16 @@ object Graph {
                       idA: String = "id_a", idB: String = "id_b",
                       nodeCol: String = "node", labelCol: String = "label"): DataFrame = {
     val e = edges.select(col(idA).as("__a"), col(idB).as("__b")).distinct()
-      .join(labels.select(col(nodeCol).as("__a"), col(labelCol).as("__la")), "__a")
-      .join(labels.select(col(nodeCol).as("__b"), col(labelCol).as("__lb")), "__b")
+      .join(labels.select(col(nodeCol).as("__a"), col(labelCol).as("__la")),
+        Seq("__a"), "left")
+      .join(labels.select(col(nodeCol).as("__b"), col(labelCol).as("__lb")),
+        Seq("__b"), "left")
+      .withColumn("__la",
+        when(col("__la").isNotNull, col("__la")).otherwise(raise_error(
+          concat(lit("Graph.modularityMicro: unlabeled endpoint "), col("__a")))))
+      .withColumn("__lb",
+        when(col("__lb").isNotNull, col("__lb")).otherwise(raise_error(
+          concat(lit("Graph.modularityMicro: unlabeled endpoint "), col("__b")))))
     val m1 = e.agg(count(lit(1)).as("m"))
     // degree mass per cluster: each edge adds 1 to each endpoint's cluster
     val dC = e.select(explode(array(col("__la"), col("__lb"))).as("__c"))

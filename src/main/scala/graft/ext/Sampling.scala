@@ -99,6 +99,9 @@ object Sampling {
     *
     * `iters` full row+column rounds; targets must cover every observed
     * level (a missing level raises loudly rather than silently zeroing).
+    * A cell whose weight truncates to 0 stays 0 (absorbing — standard IPF
+    * behavior on structural zeros); with targets ≥ ~100‰ and the 1000-milli
+    * starting weight this needs pathological skew to occur.
     * Output: one row per observed (row, col) cell —
     * `(rowv, colv, n_rows, w_milli)`; Σ n·w/1000 per stratum approaches
     * `target·N/1000` to integer precision.

@@ -39,6 +39,17 @@ class Round10bSpec extends SparkSpec {
     assert(r.getLong(3) === -125000L)
   }
 
+  test("modularityMicro raises loudly on an unlabeled endpoint") {
+    val edges = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val labels = Seq((1L, 1L)).toDF("node", "label") // node 2 missing
+    val e = intercept[Exception] {
+      Graph.modularityMicro(edges, labels).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("unlabeled endpoint")))
+  }
+
   // ---------------------------------------- raking
 
   test("rakeWeights converges weighted marginals toward the targets") {
