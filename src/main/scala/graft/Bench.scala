@@ -114,7 +114,9 @@ object Bench {
     // The driver keeps only the tail of stdout (round 9 preserved per-query
     // numbers for just 40/208 queries) — persist the complete JSON to a
     // committed file so every round's numbers stay cross-round comparable.
-    try {
+    // Filtered runs (SPARK_GRAFT_BENCH_ONLY) skip the write: a 1-query
+    // iteration must not clobber the committed full-suite artifact.
+    if (only.isEmpty) try {
       val benchDir = new java.io.File("bench"); benchDir.mkdirs()
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench", "latest.json"), line + "\n")

@@ -4063,14 +4063,17 @@ object SparkEntry {
     },
 
     // ORC source/sink in the oracle gate, Hive-partitioned: the slice is
-    // written through the date-partitioned ORC silver writer and read back
-    // with partition-column inference — columnar-format parity with the
-    // parquet path, hash-verified against the parquet original.
+    // written month-partitioned (day-grain on a KB-sized slice was measured
+    // at 33s of pure directory-commit overhead — the small-file pathology
+    // itself) and read back with partition-column inference —
+    // columnar-format parity with the parquet path, hash-verified against
+    // the parquet original.
     "q232_orc_roundtrip" -> { (s, dir) =>
       val root = tempDirCleanedOnExit("graft-orc-")
       val slice = t(s, dir, "orders").filter(col("o_custkey") % 13 === 0)
-      graft.engine.Sources.writeSilverOrc(
-        Layout.withDatePartitions(slice, col("o_orderdate")), s"$root/orc")
+      graft.engine.Sources.writeOrc(
+        Layout.withDatePartitions(slice, col("o_orderdate")).drop("day").coalesce(1),
+        s"$root/orc", "year", "month")
       graft.engine.Sources.readSilverOrc(s, s"$root/orc")
         .groupBy(col("year"), col("month"))
         .agg(count(lit(1)).as("n"),
@@ -4123,6 +4126,44 @@ object SparkEntry {
           |       COUNT(filled) AS n_filled,
           |       SUM(CAST(ROUND(filled * 100) AS BIGINT)) AS cents_checksum
           |FROM f GROUP BY user_id""".stripMargin)
+    },
+
+    // ATOMIC multi-table transaction (engine.Incremental.commitTransaction):
+    // two derived tables commit together under one marker; a LATER version
+    // of one table is deliberately staged WITHOUT its marker (the torn
+    // state a crash leaves), and the reader must surface the last PUBLISHED
+    // transaction for both tables — the oracle encodes the v1 content, so a
+    // reader that leaked the orphan stage hash-mismatches. Cross-table
+    // atomicity, externally verified.
+    "q235_multi_table_txn" -> { (s, dir) =>
+      val I = graft.engine.Incremental
+      def custAgg(src: DataFrame) = src
+        .groupBy(col("c_mktsegment").as("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)")).as("cents"))
+      def ordAgg(src: DataFrame) = src
+        .groupBy(col("o_orderstatus").as("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      val cust = t(s, dir, "customer"); val ord = t(s, dir, "orders")
+      graft.engine.Scratch.withTempDir("graft-txn-") { tmp =>
+        val st = s"$tmp/state"
+        I.commitTransaction(Map(
+          "cust" -> custAgg(cust).coalesce(1),
+          "ord" -> ordAgg(ord).coalesce(1)), st, 0L)
+        I.commitTransaction(Map(
+          "cust" -> custAgg(cust.filter(col("c_acctbal") >= 0)).coalesce(1),
+          "ord" -> ordAgg(ord.filter(col("o_orderstatus") =!= "P")).coalesce(1)), st, 1L)
+        // torn state: cust stages v=2 (the UNFILTERED aggregate again) but
+        // its transaction never publishes — must stay invisible
+        I.commitVersion(custAgg(cust).coalesce(1), s"$st/cust", 2L)
+        val out = I.readTableAtLatestTxn(s, st, "cust").withColumn("side", lit("cust"))
+          .unionByName(I.readTableAtLatestTxn(s, st, "ord").withColumn("side", lit("ord")))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        import s.implicits._
+        out.toDF("k", "n", "cents", "side")
+      }
     }
   )
 
@@ -7976,7 +8017,18 @@ object SparkEntry {
         |SELECT user_id,
         |       CAST(COUNT(filled) AS BIGINT) AS n_filled,
         |       CAST(SUM(CAST(ROUND(filled * 100) AS BIGINT)) AS BIGINT) AS cents_checksum
-        |FROM f GROUP BY user_id""".stripMargin
+        |FROM f GROUP BY user_id""".stripMargin,
+
+    "q235_multi_table_txn" ->
+      """SELECT c_mktsegment AS k, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       'cust' AS side
+        |FROM customer WHERE c_acctbal >= 0 GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+        |       'ord'
+        |FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

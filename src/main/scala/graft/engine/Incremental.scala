@@ -596,6 +596,69 @@ object Incremental {
 
   private val CloneManifest = "_graft_clone.json"
 
+  /** ATOMIC MULTI-TABLE transaction: stage every table's snapshot under its
+    * own `<stateDir>/<table>/v=<v>` (data + per-table commit manifest), then
+    * publish ONE transaction marker `<stateDir>/_txn/v=<v>` via
+    * create-exclusive — readers that go through [[readTableAtLatestTxn]]
+    * resolve the HIGHEST marker first, so they can never observe table A's
+    * version v without table B's (the cross-table atomicity single-table
+    * logs — Delta included — cannot give; Iceberg needs an external catalog
+    * transaction for it). A crash after some table stages but before the
+    * marker leaves the transaction invisible; re-running the same `v`
+    * overwrites the orphan stage and claims the marker. A marker that
+    * already exists throws `ConcurrentModificationException` (same
+    * optimistic protocol as [[commitVersionExclusive]]).
+    *
+    * Scale: per-table snapshots write in parallel Spark jobs; the marker is
+    * one metadata file — commit cost is O(tables), independent of data. */
+  def commitTransaction(tables: Map[String, DataFrame], stateDir: String, v: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(tables.nonEmpty, "commitTransaction: no tables to commit")
+    val spark = tables.head._2.sparkSession
+    val marker = new Path(s"$stateDir/_txn/v=$v")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker))
+      throw new java.util.ConcurrentModificationException(
+        s"commitTransaction: transaction $v of $stateDir already committed")
+    tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
+      commitVersion(df, s"$stateDir/$name", v)
+    }
+    fs.mkdirs(new Path(s"$stateDir/_txn"))
+    try fs.create(marker, false).close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.io.IOException if fs.exists(marker) =>
+        throw new java.util.ConcurrentModificationException(
+          s"commitTransaction: lost the race for transaction $v of $stateDir")
+    }
+  }
+
+  /** Highest PUBLISHED transaction version of `stateDir`, if any — only
+    * marker files count; staged-but-unpublished versions are invisible. */
+  def latestTxn(spark: SparkSession, stateDir: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(s"$stateDir/_txn")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .sorted.lastOption
+  }
+
+  /** Read `table` at the latest PUBLISHED transaction — the snapshot is the
+    * one the transaction marker covers even if a later transaction has
+    * already staged (but not published) a newer per-table version. */
+  def readTableAtLatestTxn(spark: SparkSession, stateDir: String,
+                           table: String): DataFrame = {
+    val v = latestTxn(spark, stateDir).getOrElse(
+      throw new IllegalStateException(
+        s"readTableAtLatestTxn: no published transaction under $stateDir"))
+    latestUpsertStateBefore(spark, s"$stateDir/$table", v + 1).getOrElse(
+      throw new IllegalStateException(
+        s"readTableAtLatestTxn: transaction $v published but table $table " +
+          "has no committed version ≤ it — corrupted store"))
+  }
+
   def latestUpsertStateBefore(spark: SparkSession, stateDir: String,
                               beforeVersion: Long): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path

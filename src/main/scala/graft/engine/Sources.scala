@@ -107,6 +107,12 @@ object Sources {
   def readSilverOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Generic partitioned ORC sink — the caller picks the partition GRAIN.
+    * (Per-day partitioning of a KB-sized table is the small-file pathology
+    * compaction exists to undo; q232's fixture partitions by month.) */
+  def writeOrc(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).orc(path)
+
   /** OP-2: raw-file ingest — copy staged files verbatim into the bronze landing
     * dir (the reference's `shutil.copy2`, `local_storage.py:52-67`; "nothing is
     * ever deleted", README.md:31). Byte-preserving Hadoop-FS copy, so it works

@@ -85,6 +85,31 @@ class Round10bSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("no row target")))
   }
 
+  // ---------------------------------------- multi-table transactions
+
+  test("commitTransaction: readers never see a torn cross-table state") {
+    val a0 = Seq(("x", 1L)).toDF("k", "v"); val b0 = Seq(("y", 10L)).toDF("k", "v")
+    val a1 = Seq(("x", 2L)).toDF("k", "v"); val b1 = Seq(("y", 20L)).toDF("k", "v")
+    withTempDir { dir =>
+      val st = s"$dir/txn"
+      Incremental.commitTransaction(Map("a" -> a0, "b" -> b0), st, 0L)
+      assert(Incremental.readTableAtLatestTxn(spark, st, "a").head().getLong(1) === 1L)
+      // crash simulation: table a stages v=1 but the txn marker never lands
+      Incremental.commitVersion(a1, s"$st/a", 1L)
+      assert(Incremental.readTableAtLatestTxn(spark, st, "a").head().getLong(1) === 1L,
+        "a staged-but-unpublished version must stay invisible")
+      assert(Incremental.latestTxn(spark, st) === Some(0L))
+      // the full transaction publishes both tables atomically
+      Incremental.commitTransaction(Map("a" -> a1, "b" -> b1), st, 1L)
+      assert(Incremental.readTableAtLatestTxn(spark, st, "a").head().getLong(1) === 2L)
+      assert(Incremental.readTableAtLatestTxn(spark, st, "b").head().getLong(1) === 20L)
+      // replaying a published transaction loses loudly
+      intercept[java.util.ConcurrentModificationException] {
+        Incremental.commitTransaction(Map("a" -> a1, "b" -> b1), st, 1L)
+      }
+    }
+  }
+
   // ---------------------------------------- optimistic concurrency
 
   test("commitVersionExclusive: second writer of the same version loses loudly") {
