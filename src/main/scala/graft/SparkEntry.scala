@@ -4164,6 +4164,82 @@ object SparkEntry {
         import s.implicits._
         out.toDF("k", "n", "cents", "side")
       }
+    },
+
+    // TPC-H Q17 through the SQL frontend (adapted to this testdata's part
+    // schema: p_container → p_type; reference Q17 shape from the public
+    // TPC-H spec). Exercises the one rewrite family Q3/Q5/Q10/Q18/Q21 never
+    // touch: CORRELATED scalar subqueries in WHERE, which Catalyst must
+    // decorrelate into an aggregate-then-join; the two subqueries share one
+    // correlation so MergeScalarSubqueries can fold them into a single
+    // aggregate pass over lineitem. Integer-exact membership: the spec's
+    // `l_quantity < 0.2 · avg(l_quantity)` is evaluated as
+    // `5·q·cnt < sum(q)` (quantities are integral), so no float division
+    // decides which rows qualify on either engine.
+    "q236_tpch_q17" -> { (s, dir) =>
+      Seq("lineitem", "part").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+          |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+          |         AS loss_cents
+          |FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#23' AND p_type = 'ECONOMY'
+          |  AND 5 * CAST(l_quantity AS BIGINT) *
+          |      (SELECT COUNT(*) FROM lineitem_v l2
+          |       WHERE l2.l_partkey = part_v.p_partkey)
+          |    < (SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+          |       FROM lineitem_v l2 WHERE l2.l_partkey = part_v.p_partkey)
+          |""".stripMargin)
+    },
+
+    // TPC-H Q22 through the SQL frontend (adapted: c_phone country codes →
+    // c_nationkey membership, and — because every customer in this testdata
+    // has orders — the NOT EXISTS probe is "no URGENT-priority order", which
+    // keeps the anti join non-degenerate). Exercises UNCORRELATED scalar
+    // subqueries (the global positive-balance average, folded to a literal
+    // via a one-row subquery plan) combined with NOT EXISTS → anti join.
+    // Integer-exact: `bal > avg(bal)` is evaluated as
+    // `bal_cents · cnt > sum_cents`.
+    "q237_tpch_q22" -> { (s, dir) =>
+      Seq("customer", "orders").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT c_nationkey AS nation,
+          |       CAST(COUNT(*) AS BIGINT) AS numcust,
+          |       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+          |         AS totacctbal_cents
+          |FROM customer_v
+          |WHERE c_nationkey IN (3, 8, 13, 17, 21)
+          |  AND CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+          |      (SELECT COUNT(*) FROM customer_v c2 WHERE c2.c_acctbal > 0)
+          |    > (SELECT CAST(SUM(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT))
+          |              AS BIGINT)
+          |       FROM customer_v c2 WHERE c2.c_acctbal > 0)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_v
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderpriority = '1-URGENT')
+          |GROUP BY c_nationkey
+          |""".stripMargin)
+    },
+
+    // Grid-bucketed spatial within-radius self-join (ext/Spatial): customers
+    // are placed on a 1,000,000² integer grid by the portable hash (so the
+    // oracle derives the SAME coordinates arithmetically), and every pair
+    // within r = 50,000 grid units is found via 3×3 neighbor-cell equi-join
+    // — never a cartesian product. The ORACLE is the naive quadratic join
+    // (fine at sf0.01 in DuckDB), so the hash compare PROVES the cell
+    // bucketing loses no boundary pair — the q157 certification pattern
+    // applied to spatial.
+    "q238_grid_spatial_join" -> { (s, dir) =>
+      import graft.ext.{PortableHash, Spatial}
+      def coord(axis: String) = pmod(
+        PortableHash.hash60(concat(lit(s"geo:$axis:"), col("c_custkey").cast("string"))),
+        lit(1000000L))
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        coord("x").as("x"), coord("y").as("y"))
+      Spatial.withinRadiusPairs(pts, 50000L)
     }
   )
 
@@ -8028,7 +8104,51 @@ object SparkEntry {
         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT),
         |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT),
         |       'ord'
-        |FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1""".stripMargin
+        |FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1""".stripMargin,
+
+    "q236_tpch_q17" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS loss_cents
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_type = 'ECONOMY'
+        |  AND 5 * CAST(l_quantity AS BIGINT) *
+        |      (SELECT COUNT(*) FROM lineitem l2
+        |       WHERE l2.l_partkey = part.p_partkey)
+        |    < (SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+        |       FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin,
+
+    "q237_tpch_q22" ->
+      """SELECT c_nationkey AS nation,
+        |       CAST(COUNT(*) AS BIGINT) AS numcust,
+        |       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |         AS totacctbal_cents
+        |FROM customer
+        |WHERE c_nationkey IN (3, 8, 13, 17, 21)
+        |  AND CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+        |      (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0)
+        |    > (SELECT CAST(SUM(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT))
+        |              AS BIGINT)
+        |       FROM customer c2 WHERE c2.c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey""".stripMargin,
+
+    // Naive O(n²) within-radius join — deliberately quadratic in the ORACLE
+    // only, so the grid-bucketed Spark plan is certified complete against it.
+    "q238_grid_spatial_join" ->
+      s"""WITH pts AS (
+         |  SELECT c_custkey AS id,
+         |         ${h60Sql("concat('geo:x:', CAST(c_custkey AS VARCHAR))")} % 1000000 AS x,
+         |         ${h60Sql("concat('geo:y:', CAST(c_custkey AS VARCHAR))")} % 1000000 AS y
+         |  FROM customer)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |            AS BIGINT) AS d2
+         |FROM pts a JOIN pts b ON a.id < b.id
+         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |      <= 2500000000""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

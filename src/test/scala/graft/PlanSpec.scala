@@ -474,6 +474,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"q210: expected top-N operator:\n$p")
   }
 
+  test("q236 TPC-H Q17: correlated scalar subqueries decorrelate to aggregate joins, part dim broadcasts") {
+    val p = planOf("q236_tpch_q17")
+    // the correlated per-part aggregates must become joins against a grouped
+    // aggregate of lineitem — never a per-row nested-loop re-execution
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q236: correlated subquery left a nested-loop/cartesian shape:\n$p")
+    assert(p.contains("LeftOuter"),
+      s"q236: expected the decorrelated aggregate joined back LeftOuter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q236: the brand+type-filtered part dim must broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(p_brand)"),
+      s"q236: part's brand/type filters must reach the scan:\n$p")
+  }
+
+  test("q237 TPC-H Q22: NOT EXISTS plans as anti join; global-average scalar subqueries stay one-row plans") {
+    val p = planOf("q237_tpch_q22")
+    assert(p.contains("LeftAnti"), s"q237: NOT EXISTS must rewrite to an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q237: scalar-subquery comparison must not become a nested loop:\n$p")
+    assert(p.contains("Subquery"),
+      s"q237: the uncorrelated balance aggregates should run as scalar subqueries:\n$p")
+  }
+
   test("q181 skyline assembly: windows per-partition, prefix maxima broadcast, no global sort") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Spatial
+
+/** Round-10c additions: the grid-bucketed spatial join's completeness and
+  * exactness against a naive quadratic reference, on adversarial
+  * cell-boundary layouts the hash-placed q238 data can't guarantee to hit. */
+class Round10cSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naivePairs(
+      pts: Seq[(Long, Long, Long)], r: Long): Set[(Long, Long, Long)] =
+    (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+      if ia < ib
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= r * r
+    } yield (ia, ib, d2)).toSet
+
+  private def gridPairs(
+      pts: Seq[(Long, Long, Long)], r: Long): Set[(Long, Long, Long)] =
+    Spatial.withinRadiusPairs(pts.toDF("id", "x", "y"), r)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+
+  test("withinRadiusPairs: exact-boundary pairs across cell edges survive bucketing") {
+    val r = 10L
+    // pairs at EXACTLY distance r in every straddling configuration: axis-
+    // aligned across a cell edge, diagonal 6-8-10 triple across a corner,
+    // coincident points, and a pair one unit beyond r that must NOT appear
+    val pts = Seq(
+      (1L, 9L, 5L), (2L, 19L, 5L),   // dx = r exactly, cells 0 and 1
+      (3L, 28L, 9L), (4L, 34L, 17L), // 6-8-10 diagonal straddling a corner
+      (5L, 50L, 50L), (6L, 50L, 50L),// coincident — d2 = 0
+      (7L, 70L, 5L), (8L, 81L, 5L))  // dx = r+1 — excluded
+    val got = gridPairs(pts, r)
+    assert(got === naivePairs(pts, r))
+    assert(got.contains((1L, 2L, 100L)) && got.contains((3L, 4L, 100L))
+      && got.contains((5L, 6L, 0L)))
+    assert(!got.exists(p => p._1 == 7L && p._2 == 8L))
+  }
+
+  test("withinRadiusPairs ≡ naive quadratic on a deterministic point sweep") {
+    // affine low-discrepancy placement: clusters + spread, many cell edges
+    val pts = (0L until 300L).map { i =>
+      (i, (i * 7919L + 13L) % 400L, (i * 104729L + 7L) % 400L)
+    }
+    for (r <- Seq(1L, 17L, 50L, 400L))
+      assert(gridPairs(pts, r) === naivePairs(pts, r), s"radius $r diverged")
+  }
+}
