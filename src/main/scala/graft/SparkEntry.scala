@@ -4240,6 +4240,28 @@ object SparkEntry {
         col("c_custkey").as("id"),
         coord("x").as("x"), coord("y").as("y"))
       Spatial.withinRadiusPairs(pts, 50000L)
+    },
+
+    // Kaplan–Meier time-to-conversion with right-censoring (ext/Survival):
+    // per user, duration = days from first event to first PURCHASE (event
+    // observed) or to the last event (censored). The product-limit curve is
+    // carried in integer ppb with a floor recurrence, so the DuckDB oracle —
+    // a RECURSIVE CTE running the same recurrence over the same risk table —
+    // matches hash-exactly. Data-sized work is two groupBys; the sequential
+    // fold touches only the calendar-sized risk table.
+    "q239_kaplan_meier" -> { (s, dir) =>
+      val ev = eventsTable(s, dir)
+      val perUser = ev.groupBy(col("user_id")).agg(
+        min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tconv"),
+        max(col("ts")).as("tlast"))
+      val durs = perUser.select(
+        when(col("tconv").isNotNull,
+          datediff(col("tconv").cast("date"), col("t0").cast("date")))
+          .otherwise(datediff(col("tlast").cast("date"), col("t0").cast("date")))
+          .cast("long").as("d"),
+        when(col("tconv").isNotNull, lit(1)).otherwise(lit(0)).as("ev"))
+      graft.ext.Survival.kaplanMeier(durs)
     }
   )
 
@@ -8148,7 +8170,45 @@ object SparkEntry {
          |            AS BIGINT) AS d2
          |FROM pts a JOIN pts b ON a.id < b.id
          |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-         |      <= 2500000000""".stripMargin
+         |      <= 2500000000""".stripMargin,
+
+    // The same ppb floor recurrence as ext/Survival.kaplanMeier, expressed
+    // as a recursive CTE over the identically-built risk table.
+    "q239_kaplan_meier" ->
+      """WITH RECURSIVE per_user AS (
+        |  SELECT user_id, MIN(ts) AS t0,
+        |         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tconv,
+        |         MAX(ts) AS tlast
+        |  FROM events GROUP BY user_id),
+        |durs AS (
+        |  SELECT CASE WHEN tconv IS NOT NULL
+        |              THEN date_diff('day', CAST(t0 AS DATE), CAST(tconv AS DATE))
+        |              ELSE date_diff('day', CAST(t0 AS DATE), CAST(tlast AS DATE))
+        |         END AS d,
+        |         CASE WHEN tconv IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM per_user),
+        |risk0 AS (
+        |  SELECT CAST(d AS BIGINT) AS d, CAST(SUM(ev) AS BIGINT) AS deaths,
+        |         CAST(SUM(1 - ev) AS BIGINT) AS censored
+        |  FROM durs GROUP BY d),
+        |risk AS (
+        |  SELECT d, deaths, censored,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i,
+        |         CAST(SUM(deaths + censored) OVER
+        |              (ORDER BY d ROWS BETWEEN CURRENT ROW
+        |               AND UNBOUNDED FOLLOWING) AS BIGINT) AS at_risk
+        |  FROM risk0),
+        |km AS (
+        |  SELECT i, d, at_risk, deaths, censored,
+        |         (1000000000 * (at_risk - deaths)) // at_risk AS surv_ppb
+        |  FROM risk WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.i, r.d, r.at_risk, r.deaths, r.censored,
+        |         (k.surv_ppb * (r.at_risk - r.deaths)) // r.at_risk
+        |  FROM km k JOIN risk r ON r.i = k.i + 1)
+        |SELECT d, at_risk, deaths, censored,
+        |       CAST(surv_ppb AS BIGINT) AS surv_ppb
+        |FROM km""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -43,7 +43,9 @@ class PlanGuardSpec extends SparkSpec {
     "q99_mom_delta" ->
       "lag over the per-MONTH revenue aggregate — months-sized",
     "q114_percentile_sketch" ->
-      "cumulative count over the value-HISTOGRAM buckets (fixed bucket grid), not rows")
+      "cumulative count over the value-HISTOGRAM buckets (fixed bucket grid), not rows",
+    "q239_kaplan_meier" ->
+      "suffix sum over the per-DAY-duration risk table — calendar-sized, not subject-sized")
 
   /** A join side that is provably or assertedly small: plan-level `maxRows`
     * ≤ 100 (global aggregates, literal relations, limits), or an explicit

@@ -49,4 +49,20 @@ class Round10cSpec extends SparkSpec {
     for (r <- Seq(1L, 17L, 50L, 400L))
       assert(gridPairs(pts, r) === naivePairs(pts, r), s"radius $r diverged")
   }
+
+  test("kaplanMeier: hand-computed product-limit curve with censoring and ties") {
+    // 6 subjects: events at d=1,2,4,5; censored at d=3 and (tied with a
+    // death) d=4 — checks the flat censor step, the tie, and the drop to 0
+    val durs = Seq((1L, 1), (2L, 1), (3L, 0), (4L, 1), (4L, 0), (5L, 1))
+      .toDF("d", "ev")
+    val got = graft.ext.Survival.kaplanMeier(durs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 6L, 1L, 0L, 833333333L), // ⌊1e9·5/6⌋
+      (2L, 5L, 1L, 0L, 666666666L), // ⌊833333333·4/5⌋
+      (3L, 4L, 0L, 1L, 666666666L), // censor-only: curve flat
+      (4L, 3L, 1L, 1L, 444444444L), // ⌊666666666·2/3⌋
+      (5L, 1L, 1L, 0L, 0L)))        // last subject dies: S = 0
+  }
 }
