@@ -4262,8 +4262,37 @@ object SparkEntry {
           .cast("long").as("d"),
         when(col("tconv").isNotNull, lit(1)).otherwise(lit(0)).as("ev"))
       graft.ext.Survival.kaplanMeier(durs)
+    },
+
+    // Local-DP randomized response over event types (ext/Privacy): each
+    // event reports its true type with p=0.7 or a hash-uniform type
+    // otherwise; the k-row frequency table is then DEBIASED via the exact
+    // rational numerator (no division — the one place trunc-vs-floor could
+    // split the engines). The portable-hash coins make the perturbation
+    // itself oracle-replayable, so the whole LDP mechanism is hash-verified.
+    "q240_randomized_response" -> { (s, dir) =>
+      import graft.ext.Privacy
+      val reports = t(s, dir, "events").select(
+        Privacy.rrReport(col("event_id"), col("event_type"),
+          RRCategories, 700, "rr-v1").as("reported"))
+      Privacy.rrFrequencies(reports, "reported", RRCategories, 700)
+    },
+
+    // Frequent part-triples in order baskets via the Apriori ladder
+    // (ext/Itemsets): L1 item prune → bounded per-basket pair/triple
+    // generation → three broadcast semi-joins against frequent pairs →
+    // support count. The ORACLE is the naive un-pruned triple count, so the
+    // hash compare certifies (via Apriori monotonicity) that the prune
+    // ladder drops nothing.
+    "q241_apriori_triples" -> { (s, dir) =>
+      graft.ext.Itemsets.frequentTriples(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2L)
     }
   )
+
+  /** Public category order for q240's randomized response — shared verbatim
+    * with its oracle's list literal so the uniform-pick indexing agrees. */
+  private val RRCategories = Seq("click", "error", "purchase", "signup", "view")
 
   /** `round(1000·0.9^age)` for ages 0–29 — computed ONCE here and shared
     * verbatim with the q205 oracle's VALUES table, so the irrational decay
@@ -8208,7 +8237,41 @@ object SparkEntry {
         |  FROM km k JOIN risk r ON r.i = k.i + 1)
         |SELECT d, at_risk, deaths, censored,
         |       CAST(surv_ppb AS BIGINT) AS surv_ppb
-        |FROM km""".stripMargin
+        |FROM km""".stripMargin,
+
+    // Same coins, same list order, same debias numerator as ext/Privacy —
+    // the list literal is generated from SparkEntry.RRCategories.
+    "q240_randomized_response" -> {
+      val catList = RRCategories.map(c => s"'$c'").mkString("[", ", ", "]")
+      val k = RRCategories.size
+      s"""WITH reports AS (
+         |  SELECT CASE WHEN ${h60Sql("concat('rr-v1:coin:', CAST(event_id AS VARCHAR))")} % 1000 < 700
+         |              THEN event_type
+         |              ELSE ($catList)[CAST(1 + ${h60Sql("concat('rr-v1:pick:', CAST(event_id AS VARCHAR))")} % $k AS INT)]
+         |         END AS category
+         |  FROM events),
+         |obs AS (
+         |  SELECT category, CAST(COUNT(*) AS BIGINT) AS obs
+         |  FROM reports GROUP BY category),
+         |tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM obs),
+         |cats AS (SELECT UNNEST($catList) AS category)
+         |SELECT c.category,
+         |       COALESCE(o.obs, 0) AS obs,
+         |       CAST(1000 * COALESCE(o.obs, 0) * $k - 300 * t.n AS BIGINT) AS est_num
+         |FROM cats c LEFT JOIN obs o USING (category) CROSS JOIN tot t""".stripMargin
+    },
+
+    // Naive un-pruned triple support count — certifies the Apriori ladder.
+    "q241_apriori_triples" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)
+        |SELECT a.i AS p1, x.i AS p2, y.i AS p3,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM it a
+        |JOIN it x ON a.b = x.b AND a.i < x.i
+        |JOIN it y ON a.b = y.b AND x.i < y.i
+        |GROUP BY 1, 2, 3
+        |HAVING COUNT(*) >= 2""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

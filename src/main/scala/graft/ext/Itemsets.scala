@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frequent-itemset mining via the Apriori candidate ladder (Agrawal &
+  * Srikant 1994, VLDB — "Fast Algorithms for Mining Association Rules"),
+  * distributed as bounded equi-joins.
+  *
+  * The scale hazard of itemset mining is candidate blow-up: enumerating
+  * item combinations GLOBALLY is |items|^k. Apriori's monotonicity (every
+  * subset of a frequent set is frequent) bounds the work instead:
+  *
+  *   L1: frequent ITEMS (one groupBy) — baskets are pruned to them, so
+  *       every later explode is over surviving items only;
+  *   L2: frequent PAIRS from per-basket self-joins — the explode is
+  *       C(basket,2), bounded by the basket-size contract (order baskets
+  *       here are ≤ 7 lines), never items²;
+  *   C3: candidate triples from per-basket self-joins over pruned baskets,
+  *       kept only when ALL THREE sub-pairs are in L2 — three broadcast
+  *       semi-joins against the (support-pruned, metadata-sized) L2;
+  *   L3: support count of survivors (one groupBy).
+  *
+  * The prune is an OPTIMIZATION, not a semantics change — monotonicity
+  * guarantees L3 equals the naive "count all triples, filter support"
+  * answer, which is exactly what q241's DuckDB oracle computes (the
+  * un-pruned form), certifying the ladder loses nothing.
+  *
+  * All joins are equi-joins on the basket key or the L2 pair key; per-basket
+  * work is C(b,3) with b bounded; support counts are map-side-combinable
+  * groupBys. No global candidate enumeration anywhere.
+  */
+object Itemsets {
+
+  /** Triples `(p1 < p2 < p3, n)` of items co-occurring in at least
+    * `minSupport` baskets, over `baskets(basketCol, itemCol)` (duplicates
+    * within a basket are collapsed; items must be orderable). */
+  def frequentTriples(
+      baskets: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val it = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    // L1: keep only items frequent on their own (monotonicity prune #1)
+    val l1 = it.groupBy(col("i")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minSupport).select(col("i"))
+    val pruned = it.join(broadcast(l1), Seq("i")).select(col("b"), col("i"))
+    // L2: frequent pairs from bounded per-basket self-joins
+    val pairGen = pruned.as("a")
+      .join(pruned.as("x"), expr("a.b = x.b AND a.i < x.i"))
+      .select(col("a.i").as("p1"), col("x.i").as("p2"), col("a.b").as("b"))
+    val l2 = pairGen.groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= minSupport)
+      .select(col("p1"), col("p2"))
+    // C3: per-basket triples, all three sub-pairs frequent (prune #2)
+    val triGen = pairGen.as("pq")
+      .join(pruned.as("y"), expr("pq.b = y.b AND pq.p2 < y.i"))
+      .select(col("pq.p1").as("p1"), col("pq.p2").as("p2"),
+        col("y.i").as("p3"), col("pq.b").as("b"))
+    val c3 = triGen
+      .join(broadcast(l2), Seq("p1", "p2"), "left_semi")
+      .join(broadcast(l2.select(col("p1"), col("p2").as("p3"))),
+        Seq("p1", "p3"), "left_semi")
+      .join(broadcast(l2.select(col("p1").as("p2"), col("p2").as("p3"))),
+        Seq("p2", "p3"), "left_semi")
+    // L3: support count of the surviving candidates
+    c3.groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= minSupport)
+  }
+}

@@ -65,4 +65,61 @@ class Round10cSpec extends SparkSpec {
       (4L, 3L, 1L, 1L, 444444444L), // ⌊666666666·2/3⌋
       (5L, 1L, 1L, 0L, 0L)))        // last subject dies: S = 0
   }
+
+  test("rrFrequencies: exact debias numerators, zero-report categories, sum identity") {
+    import graft.ext.Privacy
+    val cats = Seq("a", "b", "c")
+    // known report counts: a=5, b=1, c absent (but must still be debiased)
+    val reports = (Seq.fill(5)("a") ++ Seq("b")).toDF("reported")
+    val got = Privacy.rrFrequencies(reports, "reported", cats, 700)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // est_num = 1000·obs·k − (1000−keep)·n with k=3, n=6, keep=700
+    assert(got.toSeq === Seq(
+      ("a", 5L, 1000L * 5 * 3 - 300L * 6),
+      ("b", 1L, 1000L * 1 * 3 - 300L * 6),
+      ("c", 0L, -300L * 6)))
+    // Σ est_num = keep·k·n — the debiased totals always re-sum to n
+    assert(got.map(_._3).sum === 700L * 3 * 6)
+  }
+
+  test("rrReport: deterministic, closed over the category list, and keeps ~p of labels") {
+    import graft.ext.Privacy
+    val cats = Seq("x", "y", "z")
+    val df = (0L until 600L).map(i => (i, if (i % 2 == 0) "x" else "y")).toDF("id", "v")
+    def run() = df.select(col("v"),
+        Privacy.rrReport(col("id"), col("v"), cats, 700, "t-salt").as("r"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val a = run(); val b = run()
+    assert(a.toSeq === b.toSeq, "hash coins must be replayable")
+    assert(a.forall(p => cats.contains(p._2)), "reports must stay in the category list")
+    // with keep=0.7 plus 1/3 of the uniform picks, ~80% of reports match
+    // the true label; 600 draws put the count far from both 600 and 0.7·600
+    val kept = a.count(p => p._1 == p._2)
+    assert(kept > 440 && kept < 560, s"kept=$kept outside the plausible band")
+    intercept[IllegalArgumentException] {
+      Privacy.rrReport(col("id"), col("v"), Seq("z", "a"), 700, "s")
+    }
+  }
+
+  test("frequentTriples: hand case with in-basket duplicates; ladder ≡ naive on a sweep") {
+    import graft.ext.Itemsets
+    val hand = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (1L, 10L), // dup 10 collapses
+      (2L, 10L), (2L, 20L), (2L, 30L),
+      (3L, 10L), (3L, 20L),
+      (4L, 30L), (4L, 40L)).toDF("b", "i")
+    val got = Itemsets.frequentTriples(hand, "b", "i", 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((10L, 20L, 30L, 2L)))
+    // deterministic basket sweep vs a naive in-memory count
+    val baskets = for { b <- 0L until 60L; j <- 0L until (b % 5 + 2) }
+      yield (b, (b * 3 + j * 7) % 11)
+    val naive = baskets.distinct.groupBy(_._1).values
+      .flatMap(items => items.map(_._2).sorted.combinations(3))
+      .toSeq.groupBy(identity).map { case (t, xs) => (t(0), t(1), t(2), xs.size.toLong) }
+      .filter(_._4 >= 2L).toSet
+    val ladder = Itemsets.frequentTriples(baskets.toDF("b", "i"), "b", "i", 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(ladder === naive)
+  }
 }
