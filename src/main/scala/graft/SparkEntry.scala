@@ -4287,6 +4287,26 @@ object SparkEntry {
     "q241_apriori_triples" -> { (s, dir) =>
       graft.ext.Itemsets.frequentTriples(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2L)
+    },
+
+    // Weighted shortest paths over the part co-purchase graph (ext/Graph
+    // boundedShortestPaths): edge weight 1000 DIV cooccurrence + 1 (strongly
+    // co-bought parts are "close"), 3 Bellman-Ford rounds with frontier-only
+    // relaxation from parts {1,2,3}. The oracle enumerates ALL ≤3-edge walks
+    // with a recursive CTE and takes the per-node min — equal by the
+    // cycle-shortcut argument — so the frontier optimization is certified
+    // lossless.
+    "q242_shortest_paths" -> { (s, dir) =>
+      val it = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+      val pairs = it.as("a").join(it.as("x"), expr("a.b = x.b AND a.i < x.i"))
+        .groupBy(col("a.i").as("p1"), col("x.i").as("p2"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w", expr("1000 DIV n + 1"))
+      val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
+        .union(pairs.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
+      val seeds = s.range(1, 4).select(col("id").as("node"))
+      graft.ext.Graph.boundedShortestPaths(edges, seeds, rounds = 3)
     }
   )
 
@@ -8271,7 +8291,31 @@ object SparkEntry {
         |JOIN it x ON a.b = x.b AND a.i < x.i
         |JOIN it y ON a.b = y.b AND x.i < y.i
         |GROUP BY 1, 2, 3
-        |HAVING COUNT(*) >= 2""".stripMargin
+        |HAVING COUNT(*) >= 2""".stripMargin,
+
+    // All ≤3-edge walks enumerated recursively, min weight per node —
+    // certifies the frontier-relaxation Bellman-Ford.
+    "q242_shortest_paths" ->
+      """WITH RECURSIVE it AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |pairs AS (
+        |  SELECT a.i AS p1, x.i AS p2,
+        |         1000 // CAST(COUNT(*) AS BIGINT) + 1 AS w
+        |  FROM it a JOIN it x ON a.b = x.b AND a.i < x.i
+        |  GROUP BY a.i, x.i),
+        |edges AS (
+        |  SELECT p1 AS src, p2 AS dst, w FROM pairs
+        |  UNION ALL
+        |  SELECT p2, p1, w FROM pairs),
+        |walk(node, d, r) AS (
+        |  SELECT CAST(node AS BIGINT), CAST(0 AS BIGINT), 0
+        |  FROM (VALUES (1), (2), (3)) t(node)
+        |  UNION ALL
+        |  SELECT e.dst, wk.d + e.w, wk.r + 1
+        |  FROM walk wk JOIN edges e ON wk.node = e.src
+        |  WHERE wk.r < 3)
+        |SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY node""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -410,4 +410,75 @@ object Graph {
         sum(expr("CAST(ed AS BIGINT)")).as("intra_edges"),
         sum(col("__term")).as("q_micro"))
   }
+
+  /** Weighted single-source(-set) shortest paths, bounded to `rounds` edges —
+    * distributed Bellman–Ford with frontier-only relaxation.
+    *
+    * Each round relaxes ONLY the nodes whose distance improved last round
+    * (the classic frontier optimization — full-table relaxation re-scans
+    * every settled node every round, which at 100 TB is `rounds × |V|` of
+    * wasted join input), takes the per-node `min` of the candidates (a
+    * map-side-combinable groupBy), and merges improvements back. The loop
+    * exits early once a round improves nothing.
+    *
+    * Semantics: exact minimum WEIGHT over walks of ≤ `rounds` edges from the
+    * seed set — with non-negative weights this equals the minimum over
+    * simple paths of ≤ `rounds` edges (removing a cycle from a walk never
+    * increases weight or edge count), which is what q242's recursive-CTE
+    * oracle enumerates. All-integer weights keep the min exact.
+    *
+    * Same iterative-plan discipline as [[connectedComponents]] /
+    * [[pageRankIterations]]: persisted round state with a plan-truncating
+    * rebind per round (bounded plan depth), superseded states unpersisted;
+    * at cluster scale, checkpoint every ~10 rounds against executor loss. */
+  def boundedShortestPaths(
+      edges: DataFrame, seeds: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst", wCol: String = "w",
+      seedCol: String = "node"): DataFrame = {
+    require(rounds >= 0, s"boundedShortestPaths: rounds must be >= 0, got $rounds")
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+
+    val eC = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w")).persist(level)
+    eC.count()
+    val e = truncated(eC)
+
+    var distC = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)).persist(level)
+    distC.count()
+    var dist = truncated(distC)
+    var frontier = dist
+    var r = 0
+    var live = true
+    while (r < rounds && live) {
+      r += 1
+      val candC = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .persist(level)
+      candC.count()
+      val improvedC = truncated(candC)
+        .join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left")
+        .where(col("old").isNull || col("dist") < col("old"))
+        .select(col("node"), col("dist"))
+        .persist(level)
+      live = improvedC.count() > 0L
+      candC.unpersist(blocking = false)
+      val improved = truncated(improvedC)
+      if (live) {
+        val grownC = dist.union(improved)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .persist(level)
+        grownC.count()
+        distC.unpersist(blocking = false)
+        distC = grownC
+        dist = truncated(grownC)
+      }
+      frontier = improved
+    }
+    dist
+  }
 }

@@ -122,4 +122,22 @@ class Round10cSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(ladder === naive)
   }
+
+  test("boundedShortestPaths: late-round improvements re-relax downstream; early exit is lossless") {
+    import graft.ext.Graph
+    // 1→3 direct costs 10, but 1→2→3 costs 2 and is only found in round 2;
+    // node 4 hangs off 3, so its best distance NEEDS the round-2 improvement
+    // to re-enter the frontier and propagate in round 3. Node 9 is isolated.
+    val edges = Seq(
+      (1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 5L), (9L, 9L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    def run(rounds: Int) = Graph.boundedShortestPaths(edges, seeds, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(run(1) === Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+    assert(run(2) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 15L))
+    assert(run(3) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 7L))
+    // converged: extra rounds exit early with the same answer; 9 unreachable
+    assert(run(10) === run(3))
+  }
 }
