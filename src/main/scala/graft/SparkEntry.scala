@@ -4307,6 +4307,18 @@ object SparkEntry {
         .union(pairs.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
       val seeds = s.range(1, 4).select(col("id").as("node"))
       graft.ext.Graph.boundedShortestPaths(edges, seeds, rounds = 3)
+    },
+
+    // Rolling-origin backtest (ext/TimeSeries): naive vs weekly
+    // seasonal-naive one-step forecasts scored over the per-priority daily
+    // revenue series — the evaluation harness that picks a forecaster per
+    // series. Integer cents, no division; per-key windows only.
+    "q243_forecast_backtest" -> { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("k"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      graft.ext.TimeSeries.rollingOriginBacktest(daily, "k", "day", "cents", 7)
     }
   )
 
@@ -8315,7 +8327,26 @@ object SparkEntry {
         |  FROM walk wk JOIN edges e ON wk.node = e.src
         |  WHERE wk.r < 3)
         |SELECT node, CAST(MIN(d) AS BIGINT) AS dist
-        |FROM walk GROUP BY node""".stripMargin
+        |FROM walk GROUP BY node""".stripMargin,
+
+    "q243_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT k, cents,
+        |         LAG(cents, 1) OVER (PARTITION BY k ORDER BY day) AS fn,
+        |         LAG(cents, 7) OVER (PARTITION BY k ORDER BY day) AS fs
+        |  FROM daily)
+        |SELECT k,
+        |       CAST(COUNT(fn) AS BIGINT) AS n_naive,
+        |       CAST(SUM(ABS(cents - fn)) AS BIGINT) AS sae_naive,
+        |       CAST(SUM(cents - fn) AS BIGINT) AS bias_naive,
+        |       CAST(COUNT(fs) AS BIGINT) AS n_seasonal,
+        |       CAST(SUM(ABS(cents - fs)) AS BIGINT) AS sae_seasonal,
+        |       CAST(SUM(cents - fs) AS BIGINT) AS bias_seasonal
+        |FROM lagged GROUP BY k""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

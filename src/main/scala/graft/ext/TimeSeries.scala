@@ -496,4 +496,39 @@ object TimeSeries {
         sum(col("__dt")).as("span_us"),
         expr("sum(__v * __dt) DIV sum(__dt)").as("twap_cents"))
   }
+
+  /** Rolling-origin forecast backtest (time-series cross-validation,
+    * Hyndman & Athanasopoulos, "Forecasting: Principles and Practice" §5.10):
+    * at every observation the one-step NAIVE forecast (previous observation)
+    * and the SEASONAL-NAIVE forecast (the observation `season` steps back)
+    * are scored against the actual, per key. This is the evaluation harness
+    * that decides which forecaster (naive / seasonal / EWMA / Holt — q140,
+    * q196) a pipeline should trust per series.
+    *
+    * Reported per key, integer-exact (errors stay in input units, summed —
+    * no division, so MAE = sae/n and bias are left to the consumer):
+    * `(key, n_naive, sae_naive, bias_naive, n_seasonal, sae_seasonal,
+    * bias_seasonal)`.
+    *
+    * Lags are OBSERVATION-index lags — gap-fill first ([[gapFillForwardFill]])
+    * if calendar-step semantics are needed on sparse series.
+    *
+    * Scale: one key-partitioned window (two lags share it) + one hash
+    * aggregate; shuffles on the key only. */
+  def rollingOriginBacktest(series: DataFrame, keyCol: String, tCol: String,
+                            vCol: String, season: Int): DataFrame = {
+    require(season >= 2, s"season must be >= 2 (1 would duplicate naive), got $season")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+    series
+      .withColumn("__fn", lag(col(vCol), 1).over(w))
+      .withColumn("__fs", lag(col(vCol), season).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        count(col("__fn")).as("n_naive"),
+        sum(abs(col(vCol) - col("__fn"))).as("sae_naive"),
+        sum(col(vCol) - col("__fn")).as("bias_naive"),
+        count(col("__fs")).as("n_seasonal"),
+        sum(abs(col(vCol) - col("__fs"))).as("sae_seasonal"),
+        sum(col(vCol) - col("__fs")).as("bias_seasonal"))
+  }
 }

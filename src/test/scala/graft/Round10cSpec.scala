@@ -140,4 +140,19 @@ class Round10cSpec extends SparkSpec {
     // converged: extra rounds exit early with the same answer; 9 unreachable
     assert(run(10) === run(3))
   }
+
+  test("rollingOriginBacktest: hand-computed naive/seasonal errors; short series yields 0/NULL") {
+    import graft.ext.TimeSeries
+    val series = ((1 to 9).map(t => ("a", t, t * 10L)) :+ (("b", 1, 5L)))
+      .toDF("k", "t", "v")
+    val got = TimeSeries.rollingOriginBacktest(series, "k", "t", "v", 7)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    // naive: 8 one-step errors of +10; seasonal(7): t=8,9 err +70 each
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((8L, 80L, 80L)))
+    assert((a.getLong(4), a.getLong(5), a.getLong(6)) === ((2L, 140L, 140L)))
+    val b = got("b")
+    assert(b.getLong(1) === 0L && b.isNullAt(2) && b.isNullAt(3),
+      "a 1-point series has no scorable forecasts")
+  }
 }
