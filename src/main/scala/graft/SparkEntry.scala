@@ -4319,6 +4319,18 @@ object SparkEntry {
           col("o_orderdate").cast("date").as("day"))
         .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("cents"))
       graft.ext.TimeSeries.rollingOriginBacktest(daily, "k", "day", "cents", 7)
+    },
+
+    // Isotonic calibration (ext/Calibration) of the purchase rate against
+    // value buckets via the closed-form minimax characterization — data
+    // reduces to the ≤100-row bucket grid in one groupBy; the O(B³) minimax
+    // enumeration runs on grid-sized tables and floors each window mean to
+    // micros (floor commutes with max/min, so this IS ⌊1e6·PAVA⌋ exactly).
+    "q244_isotonic_calibration" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(
+        expr("CAST(floor(value) AS BIGINT) DIV 5").as("bucket"),
+        expr("CAST(event_type = 'purchase' AS INT)").as("label"))
+      graft.ext.Calibration.isotonicFit(ev, "bucket", "label")
     }
   )
 
@@ -8346,7 +8358,36 @@ object SparkEntry {
         |       CAST(COUNT(fs) AS BIGINT) AS n_seasonal,
         |       CAST(SUM(ABS(cents - fs)) AS BIGINT) AS sae_seasonal,
         |       CAST(SUM(cents - fs) AS BIGINT) AS bias_seasonal
-        |FROM lagged GROUP BY k""".stripMargin
+        |FROM lagged GROUP BY k""".stripMargin,
+
+    // The same minimax-in-micros enumeration as ext/Calibration.isotonicFit.
+    "q244_isotonic_calibration" ->
+      """WITH buckets AS (
+        |  SELECT CAST(FLOOR(value) AS BIGINT) // 5 AS b,
+        |         CAST(COUNT(*) AS BIGINT) AS w,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS pos
+        |  FROM events GROUP BY 1),
+        |prefix AS (
+        |  SELECT b, CAST(ROW_NUMBER() OVER (ORDER BY b) AS BIGINT) AS rank,
+        |         CAST(SUM(w) OVER (ORDER BY b) AS BIGINT) AS sw,
+        |         CAST(SUM(pos) OVER (ORDER BY b) AS BIGINT) AS sp
+        |  FROM buckets),
+        |p AS (
+        |  SELECT * FROM prefix
+        |  UNION ALL
+        |  SELECT NULL, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |pj AS (
+        |  SELECT l.rank AS lr, j.rank AS jr,
+        |         (j.sp - l.sp) * 1000000 // (j.sw - l.sw) AS mean_micros
+        |  FROM p l JOIN prefix j ON l.rank < j.rank),
+        |im AS (
+        |  SELECT i.b, i.rank AS ir, pj.jr, MAX(mean_micros) AS mm
+        |  FROM prefix i JOIN pj ON pj.lr < i.rank AND pj.jr >= i.rank
+        |  GROUP BY 1, 2, 3)
+        |SELECT im.b, bk.w, bk.pos, CAST(MIN(mm) AS BIGINT) AS fit_micros
+        |FROM im JOIN buckets bk ON bk.b = im.b
+        |GROUP BY 1, 2, 3""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

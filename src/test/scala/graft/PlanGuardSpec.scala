@@ -45,7 +45,9 @@ class PlanGuardSpec extends SparkSpec {
     "q114_percentile_sketch" ->
       "cumulative count over the value-HISTOGRAM buckets (fixed bucket grid), not rows",
     "q239_kaplan_meier" ->
-      "suffix sum over the per-DAY-duration risk table — calendar-sized, not subject-sized")
+      "suffix sum over the per-DAY-duration risk table — calendar-sized, not subject-sized",
+    "q244_isotonic_calibration" ->
+      "prefix sums over the ≤100-row score-bucket grid — grid-sized, not observation-sized")
 
   /** A join side that is provably or assertedly small: plan-level `maxRows`
     * ≤ 100 (global aggregates, literal relations, limits), or an explicit

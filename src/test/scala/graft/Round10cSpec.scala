@@ -155,4 +155,46 @@ class Round10cSpec extends SparkSpec {
     assert(b.getLong(1) === 0L && b.isNullAt(2) && b.isNullAt(3),
       "a 1-point series has no scorable forecasts")
   }
+
+  /** Exact PAVA with rational pools, for certifying the minimax form:
+    * returns ⌊1e6·fit⌋ per bucket. */
+  private def pavaMicros(buckets: Seq[(Long, Long, Long)]): Map[Long, Long] = {
+    // stack of (bs, w, pos) blocks; merge while the tail violates monotonicity
+    val st = scala.collection.mutable.ArrayBuffer[(List[Long], Long, Long)]()
+    buckets.sortBy(_._1).foreach { case (b, w, pos) =>
+      st += ((List(b), w, pos))
+      // rate(a) >= rate(b)  ⇔  posA·wB >= posB·wA (cross-multiplied, exact)
+      while (st.length >= 2 &&
+        st(st.length - 2)._3 * st.last._2 >= st.last._3 * st(st.length - 2)._2) {
+        val t = st.remove(st.length - 1); val s2 = st.remove(st.length - 1)
+        st += ((s2._1 ++ t._1, s2._2 + t._2, s2._3 + t._3))
+      }
+    }
+    st.flatMap { case (bs, w, pos) => bs.map(_ -> pos * 1000000L / w) }.toMap
+  }
+
+  test("isotonicFit: hand pooling case and ≡ exact PAVA on sweeps; fit is monotone") {
+    import graft.ext.Calibration
+    def fit(buckets: Seq[(Long, Long, Long)]): Map[Long, Long] = {
+      val rows = buckets.flatMap { case (b, w, pos) =>
+        Seq.fill(pos.toInt)((b, 1)) ++ Seq.fill((w - pos).toInt)((b, 0))
+      }
+      Calibration.isotonicFit(rows.toDF("bucket", "label"), "bucket", "label")
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    }
+    // rates [1.0, 0.0, 1.0] must pool the first two to 0.5
+    val hand = Seq((1L, 2L, 2L), (2L, 2L, 0L), (3L, 1L, 1L))
+    assert(fit(hand) === Map(1L -> 500000L, 2L -> 500000L, 3L -> 1000000L))
+    // pseudo-random sweeps vs the exact rational PAVA
+    for (seed <- Seq(3L, 11L)) {
+      val bks = (0L until 12L).map { b =>
+        val w = (b * seed * 7 % 5) + 1
+        (b, w, (b * seed * 13 % (w + 1)))
+      }
+      val got = fit(bks)
+      assert(got === pavaMicros(bks), s"seed $seed diverged from exact PAVA")
+      val inOrder = bks.map(_._1).sorted.map(got)
+      assert(inOrder === inOrder.sorted, "isotonic fit must be non-decreasing")
+    }
+  }
 }
