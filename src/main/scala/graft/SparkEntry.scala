@@ -4331,6 +4331,15 @@ object SparkEntry {
         expr("CAST(floor(value) AS BIGINT) DIV 5").as("bucket"),
         expr("CAST(event_type = 'purchase' AS INT)").as("label"))
       graft.ext.Calibration.isotonicFit(ev, "bucket", "label")
+    },
+
+    // Association rules over order baskets (ext/Itemsets): support ≥ 2,
+    // confidence ≥ 12%, lift > 1 — all three thresholds cross-multiplied in
+    // integers so membership never touches a float ratio. Raw counts out;
+    // ratios are the consumer's division.
+    "q245_association_rules" -> { (s, dir) =>
+      graft.ext.Itemsets.associationRules(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2L, 120L)
     }
   )
 
@@ -8387,7 +8396,29 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3)
         |SELECT im.b, bk.w, bk.pos, CAST(MIN(mm) AS BIGINT) AS fit_micros
         |FROM im JOIN buckets bk ON bk.b = im.b
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q245_association_rules" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets FROM it),
+        |supp AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i FROM it GROUP BY i),
+        |pairs AS (
+        |  SELECT a.i AS p1, x.i AS p2, CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM it a JOIN it x ON a.b = x.b AND a.i < x.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |directed AS (
+        |  SELECT p1 AS ante, p2 AS cons, n_both FROM pairs
+        |  UNION ALL
+        |  SELECT p2, p1, n_both FROM pairs)
+        |SELECT d.ante, d.cons, sa.n_i AS n_ante, sc.n_i AS n_cons,
+        |       d.n_both, nb.n_baskets
+        |FROM directed d
+        |JOIN supp sa ON sa.i = d.ante
+        |JOIN supp sc ON sc.i = d.cons
+        |CROSS JOIN nb
+        |WHERE 1000 * d.n_both >= 120 * sa.n_i
+        |  AND d.n_both * nb.n_baskets > sa.n_i * sc.n_i""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

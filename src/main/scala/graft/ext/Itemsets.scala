@@ -66,4 +66,42 @@ object Itemsets {
     c3.groupBy(col("p1"), col("p2"), col("p3"))
       .agg(count(lit(1)).as("n")).where(col("n") >= minSupport)
   }
+
+  /** Association rules `ante → cons` from frequent pairs: kept when
+    * support ≥ `minSupport`, confidence ≥ `minConfPermille`/1000, and
+    * lift > 1 — with every threshold evaluated CROSS-MULTIPLIED in integers
+    * (`1000·n_both ≥ conf·n_ante`; `n_both·N > n_ante·n_cons`), so rule
+    * membership is never decided by a float ratio. Both directions of a
+    * pair are scored (confidence is asymmetric).
+    *
+    * Output: `(ante, cons, n_ante, n_cons, n_both, n_baskets)` — the raw
+    * counts, from which confidence/lift are consumer-side ratios.
+    *
+    * Scale: item supports and pair supports are map-side-combinable
+    * groupBys; the rule join is equi on the item key against the
+    * support-pruned item table; N re-joins via the broadcast one-row
+    * re-wrap. Overflow: n_both·N ≤ N² needs N < 3×10⁹ baskets — beyond
+    * that, pre-divide N's scale. */
+  def associationRules(
+      baskets: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, minConfPermille: Long): DataFrame = {
+    require(minConfPermille >= 0 && minConfPermille <= 1000,
+      s"minConfPermille must be in [0,1000], got $minConfPermille")
+    val it = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val nB = it.agg(countDistinct(col("b")).as("n_baskets"))
+    val supp = it.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val pairs = it.as("a").join(it.as("x"), expr("a.b = x.b AND a.i < x.i"))
+      .groupBy(col("a.i").as("p1"), col("x.i").as("p2"))
+      .agg(count(lit(1)).as("n_both")).where(col("n_both") >= minSupport)
+    val directed = pairs.select(col("p1").as("ante"), col("p2").as("cons"), col("n_both"))
+      .union(pairs.select(col("p2").as("ante"), col("p1").as("cons"), col("n_both")))
+    directed
+      .join(supp.select(col("i").as("ante"), col("n_i").as("n_ante")), Seq("ante"))
+      .join(supp.select(col("i").as("cons"), col("n_i").as("n_cons")), Seq("cons"))
+      .crossJoin(broadcast(nB))
+      .where(lit(1000L) * col("n_both") >= lit(minConfPermille) * col("n_ante")
+        && col("n_both") * col("n_baskets") > col("n_ante") * col("n_cons"))
+      .select(col("ante"), col("cons"), col("n_ante"), col("n_cons"),
+        col("n_both"), col("n_baskets"))
+  }
 }

@@ -197,4 +197,24 @@ class Round10cSpec extends SparkSpec {
       assert(inOrder === inOrder.sorted, "isotonic fit must be non-decreasing")
     }
   }
+
+  test("associationRules: confidence is directional, lift must be strictly > 1") {
+    import graft.ext.Itemsets
+    // A(1) in 8 of 10 baskets, B(2) in the 2 where A also is: B→A has 100%
+    // confidence and lift 1.25; A→B only 25% and is cut by minconf=500‰.
+    // C(3) in 5, D(4) in 4 with 2 overlaps: lift exactly 1 → excluded.
+    val baskets =
+      (1L to 8L).map(b => (b, 1L)) ++ Seq((1L, 2L), (2L, 2L)) ++
+        (1L to 5L).map(b => (b, 3L)) ++ Seq((4L, 4L), (5L, 4L), (9L, 4L), (10L, 4L))
+    val got = Itemsets.associationRules(baskets.toDF("b", "i"), "b", "i", 2L, 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got === Set(
+      (2L, 1L, 2L, 8L, 2L, 10L),  // B→A: conf 100%, lift 1.25
+      (1L, 3L, 8L, 5L, 5L, 10L),  // A→C: conf 62.5%, lift 1.25
+      (3L, 1L, 5L, 8L, 5L, 10L),  // C→A: conf 100%, lift 1.25
+      (2L, 3L, 2L, 5L, 2L, 10L))) // B→C: conf 100%, lift 2
+    // cut: A→B (25% < 500‰), C→B (40%), C↔D (lift exactly 1, strict >)
+    assert(!got.exists(r => r._1 == 4L || r._2 == 4L))
+  }
 }
