@@ -4340,6 +4340,33 @@ object SparkEntry {
     "q245_association_rules" -> { (s, dir) =>
       graft.ext.Itemsets.associationRules(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2L, 120L)
+    },
+
+    // Partition-SPEC evolution without rewrite (engine.Layout): orders
+    // before 1998 keep their month= layout; later orders land in the
+    // evolved year= layout; one logical date range straddling the cutover
+    // is answered with partition pruning reaching BOTH subtrees (REQUIREd
+    // on the plan) plus the exact row filter on the carried date column.
+    // The oracle filters the source directly — proving the two-spec
+    // round-trip loses/duplicates nothing at the seam.
+    "q246_partition_spec_evolution" -> { (s, dir) =>
+      val L = graft.engine.Layout
+      graft.engine.Scratch.withTempDir("graft-specevo-") { tmp =>
+        L.writeDateSpecEvolution(
+          t(s, dir, "orders"), col("o_orderdate"), "1998-01-01", tmp)
+        val res = L.readDateSpecEvolution(s, tmp, "1997-06-15", "1999-03-20")
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("PartitionFilters: [isnotnull(month#")
+          && plan.contains("PartitionFilters: [isnotnull(year#"),
+          s"q246: partition pruning must reach both spec subtrees:\n$plan")
+        val rows = res.collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        import s.implicits._
+        rows.toDF("status", "n", "cents")
+      }
     }
   )
 
@@ -8418,7 +8445,17 @@ object SparkEntry {
         |JOIN supp sc ON sc.i = d.cons
         |CROSS JOIN nb
         |WHERE 1000 * d.n_both >= 120 * sa.n_i
-        |  AND d.n_both * nb.n_baskets > sa.n_i * sc.n_i""".stripMargin
+        |  AND d.n_both * nb.n_baskets > sa.n_i * sc.n_i""".stripMargin,
+
+    // The evolved two-spec layout must answer exactly like the source.
+    "q246_partition_spec_evolution" ->
+      """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1997-06-15'
+        |  AND strftime(o_orderdate, '%Y-%m-%d') <= '1999-03-20'
+        |GROUP BY 1""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

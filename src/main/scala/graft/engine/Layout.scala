@@ -40,6 +40,55 @@ object Layout {
       .withColumn("month", month(ts))
       .withColumn("day", dayofmonth(ts))
 
+  /** Partition-SPEC evolution without rewrite (the Iceberg capability:
+    * spec changes apply to NEW data only; historical files keep their
+    * layout forever — Apache Iceberg spec, "Partition Evolution").
+    *
+    * Rows dated before `cutover` stay in the original month=YYYY-MM layout
+    * under `root/spec=month`; rows at/after it land in the evolved
+    * year=YYYY layout under `root/spec=year`. Each row also CARRIES its
+    * `d` (yyyy-MM-dd) data column, so readers can filter exactly at row
+    * level while each spec subtree prunes at ITS OWN grain — the reader
+    * derives both partition predicates from one logical range
+    * ([[readDateSpecEvolution]]), which is the whole point: a spec change
+    * must not cost either a historical rewrite or historical pruning.
+    *
+    * Fixture-grain rule (PERF.md): one file per partition directory via
+    * `repartition(partitionCol)` — partition count here is months/years,
+    * never rows. */
+  def writeDateSpecEvolution(df: DataFrame, date: Column, cutover: String,
+                             root: String): Unit = {
+    val d = df.withColumn("d", date_format(date, "yyyy-MM-dd"))
+    d.filter(col("d") < cutover)
+      .withColumn("month", substring(col("d"), 1, 7))
+      .repartition(col("month"))
+      .write.partitionBy("month").mode("overwrite").parquet(s"$root/spec=month")
+    d.filter(col("d") >= cutover)
+      .withColumn("year", substring(col("d"), 1, 4))
+      .repartition(col("year"))
+      .write.partitionBy("year").mode("overwrite").parquet(s"$root/spec=year")
+  }
+
+  /** Read `[from, to]` (inclusive yyyy-MM-dd bounds) across both specs:
+    * each subtree gets a partition predicate AT ITS GRAIN (month between
+    * the range's months; year between the range's years — both safely
+    * over-approximate), then the exact row filter on the carried `d`
+    * column; partition columns are dropped before the union so the two
+    * specs re-unify into one logical schema. Callers wanting proof should
+    * assert `PartitionFilters` on both scans (q246 REQUIREs it). */
+  def readDateSpecEvolution(spark: SparkSession, root: String,
+                            from: String, to: String): DataFrame = {
+    val m = spark.read.parquet(s"$root/spec=month")
+      .where(col("month") >= from.substring(0, 7)
+        && col("month") <= to.substring(0, 7))
+      .drop("month")
+    val y = spark.read.parquet(s"$root/spec=year")
+      .where(col("year") >= from.substring(0, 4)
+        && col("year") <= to.substring(0, 4))
+      .drop("year")
+    m.unionByName(y).where(col("d") >= from && col("d") <= to)
+  }
+
   /** Bits per dimension of the z-order key: 16 bits × 2 dims = a 32-bit key. */
   val ZorderBits = 16
 

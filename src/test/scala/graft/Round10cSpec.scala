@@ -217,4 +217,31 @@ class Round10cSpec extends SparkSpec {
     // cut: A→B (25% < 500‰), C→B (40%), C↔D (lift exactly 1, strict >)
     assert(!got.exists(r => r._1 == 4L || r._2 == 4L))
   }
+
+  test("partition-spec evolution: exact at the cutover seam, range edges, and spec boundaries") {
+    import graft.engine.Layout
+    // one row per day around the cutover (inclusive edges matter)
+    val days = Seq("1997-12-30", "1997-12-31", "1998-01-01", "1998-01-02",
+      "1998-06-30", "1999-01-01")
+    val df = days.zipWithIndex
+      .map { case (d, i) => (i.toLong, java.sql.Date.valueOf(d)) }
+      .toDF("id", "dt")
+    withTempDir { root =>
+      Layout.writeDateSpecEvolution(df, col("dt"), "1998-01-01", root)
+      def ids(from: String, to: String): Set[Long] =
+        Layout.readDateSpecEvolution(spark, root, from, to)
+          .select("id").collect().map(_.getLong(0)).toSet
+      // cutover day itself must come from the YEAR spec, exactly once
+      assert(ids("1998-01-01", "1998-01-01") === Set(2L))
+      // straddling range: no loss, no duplication at the seam
+      assert(ids("1997-12-31", "1998-01-02") === Set(1L, 2L, 3L))
+      // month-spec-only and year-spec-only ranges
+      assert(ids("1997-01-01", "1997-12-31") === Set(0L, 1L))
+      assert(ids("1998-01-02", "1999-12-31") === Set(3L, 4L, 5L))
+      // physical layout really evolved: month= dirs before, year= after
+      assert(new java.io.File(s"$root/spec=month/month=1997-12").isDirectory)
+      assert(new java.io.File(s"$root/spec=year/year=1998").isDirectory)
+      assert(!new java.io.File(s"$root/spec=month/month=1998-01").exists)
+    }
+  }
 }
