@@ -4367,6 +4367,21 @@ object SparkEntry {
         import s.implicits._
         rows.toDF("status", "n", "cents")
       }
+    },
+
+    // Deterministic negative sampling (ext/Sampling.negativeSample) for a
+    // two-tower trainer: positives = (customer, part) purchase pairs (a 5%
+    // customer slice), k=2 hash-bucket draws per positive, true positives
+    // anti-joined out. Never materializes the user×item complement; the
+    // oracle replays the identical hash arithmetic.
+    "q247_negative_sampling" -> { (s, dir) =>
+      val pos = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_custkey") % 20 === 0)
+        .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      graft.ext.Sampling.negativeSample(
+        pos, "u", "i", t(s, dir, "part"), "p_partkey",
+        k = 2, buckets = 64, salt = "ns-v1")
     }
   )
 
@@ -8455,7 +8470,35 @@ object SparkEntry {
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1997-06-15'
         |  AND strftime(o_orderdate, '%Y-%m-%d') <= '1999-03-20'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // Identical hash arithmetic to ext/Sampling.negativeSample.
+    "q247_negative_sampling" ->
+      s"""WITH it AS (
+         |  SELECT DISTINCT p_partkey AS item FROM part),
+         |itb AS (
+         |  SELECT item,
+         |         ${h60Sql("concat_ws(':', 'ns-v1:item', item)")} % 64 AS bucket
+         |  FROM it),
+         |pos AS (
+         |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_custkey % 20 = 0),
+         |draws AS (
+         |  SELECT u, i, j,
+         |         ${h60Sql("concat_ws(':', 'ns-v1:draw', u, i, j)")} % 64 AS bucket
+         |  FROM pos CROSS JOIN (SELECT UNNEST([1, 2]) AS j)),
+         |picked AS (
+         |  SELECT u, i, j,
+         |         MIN(${h60Sql("concat_ws(':', 'ns-v1:rank', u, i, j, item)")}
+         |             % 1048576 * 2147483648 + item) AS mr
+         |  FROM draws JOIN itb USING (bucket)
+         |  GROUP BY 1, 2, 3)
+         |SELECT u, i, j, CAST(mr % 2147483648 AS BIGINT) AS neg
+         |FROM picked p
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM pos p2
+         |  WHERE p2.u = p.u AND p2.i = mr % 2147483648)""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -396,4 +396,57 @@ object Sampling {
         (0 until replicas).map(r => s"CAST($r AS BIGINT), __n_$r, __s_$r")
           .mkString(", ") + ") AS (replica, n, sum_v)"))
   }
+
+  /** Deterministic negative sampling for contrastive / two-tower training:
+    * for each positive `(user, item)` pair, draw `k` pseudo-uniform negative
+    * items the user has NO positive for — without ever materializing the
+    * user × item complement (which is the naive formulation and is
+    * |users|·|items| at 100 TB).
+    *
+    * The bucket-join draw: items are hashed into `buckets` groups; each
+    * `(u, i, j)` draw hashes to ONE target bucket and takes the item
+    * minimizing a per-draw hash rank within it (packed as
+    * `rank·2³¹ + item` so `min` resolves ties by item id — a single BIGINT
+    * `min`, no argmin struct). Work is `k·|pos|·(|items|/buckets)` candidate
+    * rows — constant per draw once `buckets` scales with the catalog — and
+    * every join is an equi-join on the bucket key or the (u, item) key.
+    *
+    * True-positive collisions are dropped by the final anti join (≈
+    * `k·|pos|·density` draws lost — callers needing exactly k re-draw with
+    * a second salt). All coins are [[PortableHash.hash60]] draws, so the
+    * sample is replayable arithmetically by an independent engine (q247's
+    * oracle) — and swapping a real RNG in at training time changes no
+    * Spark-side shape. Uniformity caveat: draws are uniform over BUCKETS,
+    * then hash-ranked within one; with `buckets ≪ |items|` every bucket is
+    * populated and the within-bucket rank re-randomizes per draw, giving
+    * per-draw marginals close to uniform (exactly uniform over bucket
+    * choice). Output: `(u, i, j, neg)`. */
+  def negativeSample(positives: DataFrame, userCol: String, itemCol: String,
+                     items: DataFrame, itemsItemCol: String,
+                     k: Int, buckets: Int, salt: String): DataFrame = {
+    require(k >= 1 && buckets >= 1, s"need k >= 1 and buckets >= 1, got $k, $buckets")
+    val it = items.select(col(itemsItemCol).cast("long").as("item")).distinct()
+      .withColumn("bucket",
+        pmod(PortableHash.hash60(concat_ws(":", lit(s"$salt:item"), col("item"))),
+          lit(buckets.toLong)))
+    val pos = positives
+      .select(col(userCol).cast("long").as("u"), col(itemCol).cast("long").as("i"))
+      .distinct()
+    val draws = pos
+      .withColumn("j", explode(expr(s"sequence(1, $k)")))
+      .withColumn("bucket",
+        pmod(PortableHash.hash60(concat_ws(":", lit(s"$salt:draw"),
+          col("u"), col("i"), col("j"))), lit(buckets.toLong)))
+    val picked = draws.join(it, Seq("bucket"))
+      .withColumn("rnk",
+        pmod(PortableHash.hash60(concat_ws(":", lit(s"$salt:rank"),
+          col("u"), col("i"), col("j"), col("item"))), lit(1048576L))
+          * lit(2147483648L) + col("item"))
+      .groupBy(col("u"), col("i"), col("j"))
+      .agg(min(col("rnk")).as("mr"))
+      .withColumn("neg", col("mr") % lit(2147483648L))
+    picked
+      .join(pos.select(col("u"), col("i").as("neg")), Seq("u", "neg"), "left_anti")
+      .select(col("u"), col("i"), col("j"), col("neg"))
+  }
 }

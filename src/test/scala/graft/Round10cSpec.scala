@@ -244,4 +244,30 @@ class Round10cSpec extends SparkSpec {
       assert(!new java.io.File(s"$root/spec=month/month=1998-01").exists)
     }
   }
+
+  test("negativeSample: negatives avoid ALL of a user's positives, stay in-catalog, replay exactly") {
+    import graft.ext.Sampling
+    val items = (1L to 40L).toDF("item")
+    // user 1 owns most of the catalog — collisions are likely, so the
+    // anti join must drop them; user 2 owns two items
+    val pos = ((1L to 30L).map(i => (1L, i)) ++ Seq((2L, 5L), (2L, 6L)))
+      .toDF("u", "i")
+    def run() = Sampling.negativeSample(pos, "u", "i", items, "item", 3, 8, "t1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val a = run()
+    assert(a.toSeq === run().toSeq, "hash draws must replay bit-identically")
+    val posSet = pos.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.forall { case (u, _, _, n) => !posSet.contains((u, n)) },
+      "a negative must never be one of the user's positives")
+    assert(a.forall { case (_, _, _, n) => n >= 1L && n <= 40L },
+      "negatives must come from the catalog")
+    // each (u,i) yields at most k draws, and survivors exist for both users
+    val perPair = a.groupBy(t => (t._1, t._2)).view.mapValues(_.length)
+    assert(perPair.values.forall(_ <= 3))
+    assert(a.exists(_._1 == 1L) && a.exists(_._1 == 2L))
+    // a different salt re-randomizes the draws
+    val b = Sampling.negativeSample(pos, "u", "i", items, "item", 3, 8, "t2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(b.toSeq !== a.toSeq)
+  }
 }
