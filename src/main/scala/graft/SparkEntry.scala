@@ -4373,15 +4373,31 @@ object SparkEntry {
     // two-tower trainer: positives = (customer, part) purchase pairs (a 5%
     // customer slice), k=2 hash-bucket draws per positive, true positives
     // anti-joined out. Never materializes the user×item complement; the
-    // oracle replays the identical hash arithmetic.
+    // oracle replays the identical hash arithmetic. Bucket count ADAPTS to
+    // the catalog (⌈|items|/32⌉, floor 16) so per-draw candidate work stays
+    // ~32 rows at every SF — the fixed-64 first cut cost 9.7s at sf0.1
+    // (312 items/bucket); the oracle recomputes the same formula.
     "q247_negative_sampling" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      val buckets = math.max(16L, part.select(col("p_partkey")).distinct()
+        .count() / 32L).toInt
       val pos = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .where(col("o_custkey") % 20 === 0)
         .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
       graft.ext.Sampling.negativeSample(
-        pos, "u", "i", t(s, dir, "part"), "p_partkey",
-        k = 2, buckets = 64, salt = "ns-v1")
+        pos, "u", "i", part, "p_partkey",
+        k = 2, buckets = buckets, salt = "ns-v1")
+    },
+
+    // Seed-and-extend overlap spans (ext/Dedup.overlapSpans): longest
+    // contiguous shared 3-gram run per candidate pair — the contamination
+    // forensics layer above set-level dedup. Anchored seeding (hash%8),
+    // df-capped extension join, diagonal island runs. The oracle replays
+    // every stage including the island windows.
+    "q248_overlap_spans" -> { (s, dir) =>
+      graft.ext.Dedup.overlapSpans(
+        t(s, dir, "documents"), "doc_id", "text", anchorMod = 8, dfCap = 10)
     }
   )
 
@@ -8472,13 +8488,16 @@ object SparkEntry {
         |  AND strftime(o_orderdate, '%Y-%m-%d') <= '1999-03-20'
         |GROUP BY 1""".stripMargin,
 
-    // Identical hash arithmetic to ext/Sampling.negativeSample.
+    // Identical hash arithmetic to ext/Sampling.negativeSample; the bucket
+    // count recomputes the query's adaptive ⌈|items|/32⌉-floor-16 formula.
     "q247_negative_sampling" ->
       s"""WITH it AS (
          |  SELECT DISTINCT p_partkey AS item FROM part),
+         |bp AS (
+         |  SELECT GREATEST(16, CAST(COUNT(*) // 32 AS BIGINT)) AS b FROM it),
          |itb AS (
          |  SELECT item,
-         |         ${h60Sql("concat_ws(':', 'ns-v1:item', item)")} % 64 AS bucket
+         |         ${h60Sql("concat_ws(':', 'ns-v1:item', item)")} % (SELECT b FROM bp) AS bucket
          |  FROM it),
          |pos AS (
          |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
@@ -8486,7 +8505,7 @@ object SparkEntry {
          |  WHERE o_custkey % 20 = 0),
          |draws AS (
          |  SELECT u, i, j,
-         |         ${h60Sql("concat_ws(':', 'ns-v1:draw', u, i, j)")} % 64 AS bucket
+         |         ${h60Sql("concat_ws(':', 'ns-v1:draw', u, i, j)")} % (SELECT b FROM bp) AS bucket
          |  FROM pos CROSS JOIN (SELECT UNNEST([1, 2]) AS j)),
          |picked AS (
          |  SELECT u, i, j,
@@ -8498,7 +8517,42 @@ object SparkEntry {
          |FROM picked p
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM pos p2
-         |  WHERE p2.u = p.u AND p2.i = mr % 2147483648)""".stripMargin
+         |  WHERE p2.u = p.u AND p2.i = mr % 2147483648)""".stripMargin,
+
+    // Stage-for-stage replay of ext/Dedup.overlapSpans (positions 1-based
+    // on both sides; islands via pa - ROW_NUMBER per (pair, diagonal)).
+    "q248_overlap_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS doc, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM documents),
+         |psh AS (
+         |  SELECT doc, CAST(i AS BIGINT) AS pos,
+         |         ${h60Sql("array_to_string(tk[i:i+2], ' ')")} AS h
+         |  FROM toks, UNNEST(range(1, len(tk) - 1)) t(i)
+         |  WHERE len(tk) >= 3),
+         |df AS (SELECT h FROM psh GROUP BY h HAVING COUNT(*) <= 10),
+         |capped AS (SELECT psh.* FROM psh JOIN df USING (h)),
+         |anch AS (SELECT * FROM capped WHERE h % 8 = 0),
+         |cand AS (
+         |  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+         |  FROM anch a JOIN anch b ON a.h = b.h AND a.doc < b.doc),
+         |m AS (
+         |  SELECT a.doc AS id_a, b.doc AS id_b, a.pos AS pa, b.pos AS pb
+         |  FROM capped a JOIN capped b ON a.h = b.h AND a.doc < b.doc
+         |  WHERE EXISTS (SELECT 1 FROM cand
+         |                WHERE cand.id_a = a.doc AND cand.id_b = b.doc)),
+         |runs AS (
+         |  SELECT id_a, id_b, pa - pb AS diag,
+         |         pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pa - pb
+         |                                 ORDER BY pa) AS grp
+         |  FROM m),
+         |agg AS (
+         |  SELECT id_a, id_b, diag, grp, CAST(COUNT(*) AS BIGINT) AS run
+         |  FROM runs GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, CAST(SUM(run) AS BIGINT) AS n_shared,
+         |       CAST(MAX(run) AS BIGINT) AS max_run_grams,
+         |       CAST(MAX(run) + 2 AS BIGINT) AS max_run_words
+         |FROM agg GROUP BY 1, 2""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

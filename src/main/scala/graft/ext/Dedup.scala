@@ -872,4 +872,65 @@ object Dedup {
         size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("union_size"))
       .filter(col("inter_size") * 1000L >= col("union_size") * tauMilli)
   }
+
+  /** Seed-and-extend overlap-span forensics: for every candidate document
+    * pair, the LENGTH of the longest contiguous run of shared word 3-grams —
+    * the evidence a contamination/plagiarism review needs after set-level
+    * dedup (q24/q61) says "these overlap": set Jaccard cannot distinguish
+    * 50 scattered shared shingles from one 50-shingle verbatim span.
+    *
+    * The genomics/plagiarism seed-and-extend shape (BLAST's strategy, here
+    * over word shingles), each stage bounded:
+    *   1. POSITIONED 3-gram shingles per doc (one explode pass);
+    *   2. document-frequency cap `dfCap`: stop-shingles that occur in many
+    *     places join quadratically and carry no span evidence — dropped,
+    *     same license as the graph ops' hub-degree cap;
+    *   3. ANCHOR seeds: shingles with `hash % anchorMod == 0` — candidate
+    *     pairs come from the sparse anchor equi-join, cost ∝ corpus/anchorMod,
+    *     at the price of missing pairs whose overlap contains no anchor
+    *     (run ≥ anchorMod shingles ⇒ an anchor is expected inside; shorter
+    *     runs may be missed — the documented recall/cost dial);
+    *   4. EXTEND: full (df-capped) shingle equi-join restricted to candidate
+    *     pairs (semi-join), emitting (posA, posB) matches;
+    *   5. matches on one DIAGONAL (posA − posB) that are consecutive form a
+    *     run — the island trick (posA − row_number per (pair, diagonal)),
+    *     keyed windows only.
+    *
+    * Output per pair: `(id_a, id_b, n_shared, max_run_grams, max_run_words)`
+    * with `max_run_words = max_run_grams + 2` (a run of r 3-grams spans r+2
+    * words). All counts over df-capped shingles (documented). */
+  def overlapSpans(docs: DataFrame, idCol: String, textCol: String,
+                   anchorMod: Int = 8, dfCap: Int = 10): DataFrame = {
+    require(anchorMod >= 1 && dfCap >= 1, s"bad anchorMod=$anchorMod dfCap=$dfCap")
+    val toks = docs
+      .select(col(idCol).as("doc"), split(trim(col(textCol)), "\\s+").as("tk"))
+      .where(size(col("tk")) >= 3)
+    val psh = toks.select(col("doc"), expr(
+      "explode(transform(sequence(1, size(tk) - 2), " +
+        "i -> struct(CAST(i AS BIGINT) AS pos, concat_ws(' ', slice(tk, i, 3)) AS g)))"))
+      .select(col("doc"), col("col.pos").as("pos"),
+        PortableHash.hash60(col("col.g")).as("h"))
+    val df = psh.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .where(col("n") <= dfCap).select(col("h"))
+    val capped = psh.join(df, Seq("h"))
+    val anchors = capped.where(pmod(col("h"), lit(anchorMod.toLong)) === 0)
+    val cand = anchors.as("a")
+      .join(anchors.as("b"), expr("a.h = b.h AND a.doc < b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b")).distinct()
+    val matches = capped.as("a")
+      .join(capped.as("b"), expr("a.h = b.h AND a.doc < b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("diag")).orderBy(col("pa"))
+    val runs = matches
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+    runs.groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("run")).as("n_shared"), max(col("run")).as("max_run_grams"))
+      .withColumn("max_run_words", col("max_run_grams") + 2L)
+  }
 }
