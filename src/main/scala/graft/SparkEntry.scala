@@ -4398,6 +4398,31 @@ object SparkEntry {
     "q248_overlap_spans" -> { (s, dir) =>
       graft.ext.Dedup.overlapSpans(
         t(s, dir, "documents"), "doc_id", "text", anchorMod = 8, dfCap = 10)
+    },
+
+    // Order-independent content fingerprint (engine.Profile
+    // .tableFingerprint): lineitem roundtripped through parquet and
+    // re-partitioned must certify multiset-equal to the source — count +
+    // bit_xor + DECIMAL(38) sum over the portable row hash, no sort, no
+    // join. Both sides' certificates appear as rows; the oracle computes
+    // the certificate once from the source and expects it twice.
+    "q249_table_fingerprint" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      def cols(d: DataFrame) = Seq(
+        d("l_orderkey"), d("l_linenumber"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"),
+        d("l_returnflag"), date_format(d("l_shipdate"), "yyyy-MM-dd"))
+      graft.engine.Scratch.withTempDir("graft-fp-") { tmp =>
+        li.write.mode("overwrite").parquet(s"$tmp/rt")
+        // scramble row order and partitioning: the certificate must not care
+        val rt = s.read.parquet(s"$tmp/rt").repartition(7)
+        val u = graft.engine.Profile.tableFingerprint(li, cols(li))
+          .withColumn("side", lit("src"))
+          .unionByName(graft.engine.Profile.tableFingerprint(rt, cols(rt))
+            .withColumn("side", lit("rt")))
+        val rows = u.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), u.schema)
+      }
     }
   )
 
@@ -8552,7 +8577,25 @@ object SparkEntry {
          |SELECT id_a, id_b, CAST(SUM(run) AS BIGINT) AS n_shared,
          |       CAST(MAX(run) AS BIGINT) AS max_run_grams,
          |       CAST(MAX(run) + 2 AS BIGINT) AS max_run_words
-         |FROM agg GROUP BY 1, 2""".stripMargin
+         |FROM agg GROUP BY 1, 2""".stripMargin,
+
+    // The parquet roundtrip is content-preserving, so ONE certificate from
+    // the source stands for both sides.
+    "q249_table_fingerprint" ->
+      s"""WITH h AS (
+         |  SELECT ${h60Sql("concat_ws(chr(1), CAST(l_orderkey AS VARCHAR), " +
+          "CAST(l_linenumber AS VARCHAR), " +
+          "CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR), " +
+          "l_returnflag, strftime(l_shipdate, '%Y-%m-%d'))")} AS hh
+         |  FROM lineitem),
+         |fp AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |         CAST(bit_xor(hh) AS BIGINT) AS xor_h,
+         |         SUM(hh) AS sum_h
+         |  FROM h)
+         |SELECT n_rows, xor_h, sum_h, 'src' AS side FROM fp
+         |UNION ALL
+         |SELECT n_rows, xor_h, sum_h, 'rt' FROM fp""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

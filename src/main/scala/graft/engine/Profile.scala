@@ -574,4 +574,36 @@ object Profile {
       .select(col("n_row_levels"), col("n_col_levels"), col("n"), col("dof"),
         col("chi2_micro"))
   }
+
+  /** Order-independent table-content fingerprint — the migration / backfill /
+    * compaction equality certificate: two tables hold the same MULTISET of
+    * rows over `cols` iff their fingerprints match, with no sort, no join,
+    * and no row shipped to the driver.
+    *
+    * One row `(n_rows, xor_h, sum_h)` over the portable per-row hash
+    * `hash60(concat_ws(0x01, cols…))`:
+    *   - `bit_xor` is order/partition-independent and overflow-free, but
+    *     blind to rows duplicated an even number of times;
+    *   - the DECIMAL(38,0) `sum` is also order-independent and catches the
+    *     duplication-parity class XOR misses (equal sums AND equal xors AND
+    *     equal counts from different multisets require engineered
+    *     collisions);
+    *   - `n_rows` anchors cardinality.
+    *
+    * The hash is [[graft.ext.PortableHash]]'s md5-60, so an independent
+    * engine computes the identical certificate (q249's oracle). CALLER
+    * CONTRACT: pass columns whose string rendering is engine-stable —
+    * integers, strings, dates; never raw doubles (cast to cents first), and
+    * pre-`coalesce` nullable columns (`concat_ws` SKIPS nulls on both
+    * engines, which conflates null-position variants).
+    *
+    * Scale: one scan + one all-reduce to a single row — the cheapest
+    * possible full-content check; shuffle bytes are one partial aggregate
+    * per task. */
+  def tableFingerprint(df: DataFrame, cols: Seq[Column]): DataFrame =
+    df.select(graft.ext.PortableHash.hash60(
+        concat_ws("\u0001", cols.map(_.cast("string")): _*)).as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_h"),
+        sum(col("__h").cast("decimal(38,0)")).as("sum_h"))
 }

@@ -270,4 +270,27 @@ class Round10cSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
     assert(b.toSeq !== a.toSeq)
   }
+
+  test("tableFingerprint: order-blind, edit-sensitive, even-dup-sensitive, boundary-safe") {
+    import graft.engine.Profile
+    def fp(rows: Seq[(Long, String)]): (Long, Long, java.math.BigDecimal) = {
+      val d = rows.toDF("k", "v")
+      val r = Profile.tableFingerprint(d, Seq(d("k"), d("v"))).head()
+      (r.getLong(0), r.getLong(1), r.getDecimal(2))
+    }
+    val base = Seq((1L, "ab"), (2L, "c"), (3L, "d"))
+    assert(fp(base) === fp(base.reverse), "row order must not matter")
+    assert(fp(base) !== fp(Seq((1L, "ab"), (2L, "c"), (3L, "e"))),
+      "a single edited cell must change the certificate")
+    // duplicating a row TWICE leaves xor unchanged — sum and count must catch it
+    val dup2 = base ++ Seq(base.head, base.head)
+    val (n1, x1, s1) = fp(base); val (n2, x2, s2) = fp(dup2)
+    assert((x1 == x2) && (n1 != n2) && (s1 != s2),
+      "even-parity duplication is exactly the class xor alone misses")
+    // the 0x01 separator keeps ('ab','c') distinct from ('a','bc')
+    val d1 = Seq(("ab", "c")).toDF("a", "b"); val d2 = Seq(("a", "bc")).toDF("a", "b")
+    assert(Profile.tableFingerprint(d1, Seq(d1("a"), d1("b"))).head().getLong(1)
+      !== Profile.tableFingerprint(d2, Seq(d2("a"), d2("b"))).head().getLong(1),
+      "column-boundary shifts must not collide")
+  }
 }
