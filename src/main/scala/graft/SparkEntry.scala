@@ -4423,6 +4423,52 @@ object SparkEntry {
         val rows = u.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), u.schema)
       }
+    },
+
+    // SQL PIVOT clause through the frontend (Spark's native PIVOT syntax,
+    // the q228 UNPIVOT's inverse): order revenue cents pivoted wide by
+    // status with an explicit value list (absent combos → 0 via the
+    // COALESCE projection, matching q07's backfill discipline). The oracle
+    // is the equivalent conditional aggregation — DuckDB's PIVOT dialect
+    // differs, which is the point: the RESULT contract, not the syntax,
+    // is what both engines must agree on.
+    "q250_sql_pivot" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderpriority,
+          |       COALESCE(o_cents, 0L) AS o_cents,
+          |       COALESCE(f_cents, 0L) AS f_cents,
+          |       COALESCE(p_cents, 0L) AS p_cents
+          |FROM (
+          |  SELECT * FROM (
+          |    SELECT o_orderpriority, o_orderstatus,
+          |           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          |    FROM orders_v)
+          |  PIVOT (SUM(cents) FOR o_orderstatus IN ('O' AS o_cents,
+          |         'F' AS f_cents, 'P' AS p_cents)))
+          |""".stripMargin)
+    },
+
+    // Subject-access export (the GDPR Art. 15 workflow, erasure's read
+    // twin — q144 audits the delete side): every table holding data for
+    // one customer contributes a long-format row (table, n_rows,
+    // cents_checksum) via keyed semi-join scans — no full-table collect,
+    // each branch prunable by the subject key at 100 TB.
+    "q251_subject_access" -> { (s, dir) =>
+      val u = lit(7L)
+      val ord = t(s, dir, "orders").where(col("o_custkey") === u)
+      val cust = t(s, dir, "customer").where(col("c_custkey") === u)
+      val li = t(s, dir, "lineitem")
+        .join(ord.select(col("o_orderkey").as("k")), col("l_orderkey") === col("k"), "left_semi")
+      cust.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)")), lit(0L)).as("cents"))
+        .withColumn("tbl", lit("customer"))
+        .unionByName(ord.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")), lit(0L)).as("cents"))
+          .withColumn("tbl", lit("orders")))
+        .unionByName(li.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")), lit(0L)).as("cents"))
+          .withColumn("tbl", lit("lineitem")))
     }
   )
 
@@ -8595,7 +8641,41 @@ object SparkEntry {
          |  FROM h)
          |SELECT n_rows, xor_h, sum_h, 'src' AS side FROM fp
          |UNION ALL
-         |SELECT n_rows, xor_h, sum_h, 'rt' FROM fp""".stripMargin
+         |SELECT n_rows, xor_h, sum_h, 'rt' FROM fp""".stripMargin,
+
+    // Result contract of Spark's PIVOT clause, as conditional aggregation.
+    "q250_sql_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+        |             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0)
+        |            AS BIGINT) AS o_cents,
+        |       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+        |             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0)
+        |            AS BIGINT) AS f_cents,
+        |       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+        |             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0)
+        |            AS BIGINT) AS p_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q251_subject_access" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COALESCE(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)), 0)
+        |            AS BIGINT) AS cents,
+        |       'customer' AS tbl
+        |FROM customer WHERE c_custkey = 7
+        |UNION ALL
+        |SELECT CAST(COUNT(*) AS BIGINT),
+        |       CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 0)
+        |            AS BIGINT),
+        |       'orders'
+        |FROM orders WHERE o_custkey = 7
+        |UNION ALL
+        |SELECT CAST(COUNT(*) AS BIGINT),
+        |       CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)), 0)
+        |            AS BIGINT),
+        |       'lineitem'
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey = 7)""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
