@@ -4469,6 +4469,20 @@ object SparkEntry {
         .unionByName(li.agg(count(lit(1)).as("n_rows"),
           coalesce(sum(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")), lit(0L)).as("cents"))
           .withColumn("tbl", lit("lineitem")))
+    },
+
+    // k-core of the support≥2 co-purchase graph (ext/Graph.kCore): vertices
+    // of degree <3 iteratively deleted, ≤4 rounds with fixpoint early exit.
+    // The oracle UNROLLS the same 4 rounds as chained CTEs — a converged run
+    // equals the unrolled form because the fixpoint is idempotent.
+    "q252_kcore" -> { (s, dir) =>
+      val it = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+      val pairs = it.as("a").join(it.as("x"), expr("a.b = x.b AND a.i < x.i"))
+        .groupBy(col("a.i").as("id_a"), col("x.i").as("id_b"))
+        .agg(count(lit(1)).as("n")).where(col("n") >= 2)
+        .select(col("id_a"), col("id_b"))
+      graft.ext.Graph.kCore(pairs, k = 3L, maxRounds = 4)
     }
   )
 
@@ -8675,7 +8689,33 @@ object SparkEntry {
         |            AS BIGINT),
         |       'lineitem'
         |FROM lineitem
-        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey = 7)""".stripMargin
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey = 7)""".stripMargin,
+
+    // The same 4 pruning rounds, unrolled (idempotent past the fixpoint).
+    "q252_kcore" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |pairs AS (
+        |  SELECT a.i AS p1, x.i AS p2
+        |  FROM it a JOIN it x ON a.b = x.b AND a.i < x.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e0 AS (
+        |  SELECT p1 AS src, p2 AS dst FROM pairs
+        |  UNION ALL SELECT p2, p1 FROM pairs),
+        |k1 AS (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) >= 3),
+        |e1 AS (SELECT e.* FROM e0 e JOIN k1 a ON e.src = a.src
+        |       JOIN k1 b ON e.dst = b.src),
+        |k2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= 3),
+        |e2 AS (SELECT e.* FROM e1 e JOIN k2 a ON e.src = a.src
+        |       JOIN k2 b ON e.dst = b.src),
+        |k3 AS (SELECT src FROM e2 GROUP BY src HAVING COUNT(*) >= 3),
+        |e3 AS (SELECT e.* FROM e2 e JOIN k3 a ON e.src = a.src
+        |       JOIN k3 b ON e.dst = b.src),
+        |k4 AS (SELECT src FROM e3 GROUP BY src HAVING COUNT(*) >= 3),
+        |e4 AS (SELECT e.* FROM e3 e JOIN k4 a ON e.src = a.src
+        |       JOIN k4 b ON e.dst = b.src)
+        |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |FROM e4 GROUP BY 1""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

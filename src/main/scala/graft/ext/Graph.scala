@@ -481,4 +481,61 @@ object Graph {
     }
     dist
   }
+
+  /** k-core pruning: iteratively delete vertices of degree < k (with their
+    * edges) until fixpoint or `maxRounds` — the standard "dense part of the
+    * graph" extraction (Seidman 1983, "Network structure and minimum
+    * degree"): near-dup cliques, fraud rings, and co-purchase communities
+    * survive; chains and stars of borderline matches dissolve.
+    *
+    * Each round is one degree aggregate + two semi-joins of the live edge
+    * set against the surviving-vertex set — all keyed shuffles, with the
+    * usual persisted-state + plan-truncating-rebind discipline. Early exit
+    * at fixpoint. IF `maxRounds` is hit first the result is the
+    * partially-pruned graph of exactly `maxRounds` rounds — deterministic
+    * either way, which is what lets q252's oracle UNROLL the same rounds as
+    * chained CTEs (a converged run equals the unrolled form because the
+    * fixpoint is idempotent).
+    *
+    * Input edges are canonicalized (undirected, deduplicated, self-loops
+    * dropped). Output: `(node, deg)` over the surviving subgraph. */
+  def kCore(edges: DataFrame, k: Long, maxRounds: Int,
+            idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, s"need k >= 1, maxRounds >= 1; got $k, $maxRounds")
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+
+    var liveC = edges.where(col(idA) =!= col(idB))
+      .select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct().persist(level)
+    liveC.count()
+    var live = truncated(liveC)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      round += 1
+      val strong = live.groupBy(col("src")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= k).select(col("src"))
+      val prunedC = live
+        .join(strong, Seq("src"), "left_semi")
+        .join(strong.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .persist(level)
+      val before = liveC.count()
+      val after = prunedC.count()
+      liveC.unpersist(blocking = false)
+      liveC = prunedC
+      live = truncated(prunedC)
+      converged = before == after
+    }
+    // the final live set stays persisted (the returned plan reads it);
+    // same convention as connectedComponents/kHopDistances — the harness
+    // clears caches per query
+    live.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }

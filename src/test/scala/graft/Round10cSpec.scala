@@ -293,4 +293,22 @@ class Round10cSpec extends SparkSpec {
       !== Profile.tableFingerprint(d2, Seq(d2("a"), d2("b"))).head().getLong(1),
       "column-boundary shifts must not collide")
   }
+
+  test("kCore: cascading prune rounds, round-bounded partial result, early exit") {
+    import graft.ext.Graph
+    def run(edges: Seq[(Long, Long)], k: Long, rounds: Int): Map[Long, Long] =
+      Graph.kCore(edges.toDF("id_a", "id_b"), k, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // triangle + tail: k=2 kills the tail, the triangle survives at deg 2
+    val triTail = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    assert(run(triTail, 2L, 10) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // a path dissolves COMPLETELY under k=2, but only via endpoint cascade —
+    // one round per layer, so the 5-node path needs 2 rounds to empty
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(run(path, 2L, 10) === Map.empty)
+    // round-bounded: ONE round only removes the endpoints' edges
+    assert(run(path, 2L, 1) === Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+    // k=3 on the triangle: every vertex has deg 2 < 3 — gone in one round
+    assert(run(triTail, 3L, 10) === Map.empty)
+  }
 }
