@@ -4483,6 +4483,48 @@ object SparkEntry {
         .agg(count(lit(1)).as("n")).where(col("n") >= 2)
         .select(col("id_a"), col("id_b"))
       graft.ext.Graph.kCore(pairs, k = 3L, maxRounds = 4)
+    },
+
+    // BITEMPORAL read: SCD2 supplies VALID time, the version store supplies
+    // TRANSACTION time. Three commits: the initial dimension, a normal
+    // segment change effective 2021-06-01, then a RETROACTIVE correction
+    // effective 2021-01-01 (the textbook reason the two axes differ: as
+    // recorded at tx=1 the mid-2021 state says MOVED1; as recorded at tx=2
+    // the SAME valid date says MOVED2, and an early-2020 date still says
+    // the original). The oracle replays the segment arithmetic per (tx,
+    // as_of) pair directly from customer.
+    "q253_bitemporal" -> { (s, dir) =>
+      val I = graft.engine.Incremental
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      graft.engine.Scratch.withTempDir("graft-bitemp-") { tmp =>
+        val st = s"$tmp/dim"
+        def state(v: Long) = I.latestUpsertStateBefore(s, st, v + 1).get
+        I.commitVersion(cust.select(col("k"), col("seg"),
+          lit("2020-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"),
+          lit(true).as("is_current")).coalesce(1), st, 0L)
+        val upd1 = cust.where(col("k") % 10 === 3)
+          .select(col("k"), lit("MOVED1").as("seg"), lit("2021-06-01").as("eff"))
+        I.commitVersion(graft.engine.Merge
+          .scd2Apply(state(0), upd1, "k", Seq("seg"), "eff").coalesce(1), st, 1L)
+        val upd2 = cust.where(col("k") % 10 === 3 || col("k") % 10 === 7)
+          .select(col("k"), lit("MOVED2").as("seg"), lit("2021-01-01").as("eff"))
+        I.commitVersion(graft.engine.Merge
+          .scd2Apply(state(1), upd2, "k", Seq("seg"), "eff").coalesce(1), st, 2L)
+        // as-of both axes: rows whose [valid_from, valid_to) contains the
+        // valid date, read from the state as recorded at the tx version
+        def asOf(tx: Long, d: String) = state(tx)
+          .where(col("valid_from") <= lit(d)
+            && (col("valid_to").isNull || lit(d) < col("valid_to")))
+          .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+          .withColumn("tx", lit(tx)).withColumn("as_of", lit(d))
+        val u = asOf(1L, "2021-12-31")
+          .unionByName(asOf(2L, "2021-12-31"))
+          .unionByName(asOf(2L, "2020-06-15"))
+        val rows = u.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), u.schema)
+      }
     }
   )
 
@@ -8715,7 +8757,25 @@ object SparkEntry {
         |e4 AS (SELECT e.* FROM e3 e JOIN k4 a ON e.src = a.src
         |       JOIN k4 b ON e.dst = b.src)
         |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
-        |FROM e4 GROUP BY 1""".stripMargin
+        |FROM e4 GROUP BY 1""".stripMargin,
+
+    // Segment arithmetic per (tx, as_of) pair: at tx=1 only the 2021-06-01
+    // change exists; at tx=2 the retroactive 2021-01-01 correction rewrites
+    // mid-2021 history (the closed MOVED1 row's interval inverts and drops
+    // out) while early-2020 reads still see the original.
+    "q253_bitemporal" ->
+      """WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
+        |SELECT CASE WHEN k % 10 = 3 THEN 'MOVED1' ELSE seg END AS seg,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(1 AS BIGINT) AS tx, '2021-12-31' AS as_of
+        |FROM c GROUP BY 1
+        |UNION ALL
+        |SELECT CASE WHEN k % 10 IN (3, 7) THEN 'MOVED2' ELSE seg END,
+        |       CAST(COUNT(*) AS BIGINT), CAST(2 AS BIGINT), '2021-12-31'
+        |FROM c GROUP BY 1
+        |UNION ALL
+        |SELECT seg, CAST(COUNT(*) AS BIGINT), CAST(2 AS BIGINT), '2020-06-15'
+        |FROM c GROUP BY 1""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
