@@ -4525,6 +4525,37 @@ object SparkEntry {
         val rows = u.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), u.schema)
       }
+    },
+
+    // Incremental sessionization ≡ one-shot (ext/Sessionize
+    // .mergeSessionState): events split into three time-ordered batches,
+    // each sessionized alone, folded into state with cross-boundary merges.
+    // The ORACLE sessionizes everything in one pass — so the hash compare
+    // proves the fold reconstructs every boundary-spanning session exactly
+    // (the splits land mid-stream, so bridges genuinely occur).
+    "q254_incremental_sessions" -> { (s, dir) =>
+      val S = graft.ext.Sessionize
+      val ev = eventsTable(s, dir).withColumn("__us", unix_micros(col("ts")))
+      // thirds of the observed time range: real mid-stream boundaries
+      val mm = ev.agg(min(col("__us")), max(col("__us"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      def sess(d: DataFrame) = S.sessionSummaries(d,
+          user = col("user_id"), tsMicros = col("__us"),
+          gapSeconds = 1800L, orderCols = Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"))
+      val folded = Seq(
+        ev.where(col("__us") > c1 && col("__us") <= c2),
+        ev.where(col("__us") > c2))
+        .foldLeft(sess(ev.where(col("__us") <= c1))) { (st, b) =>
+          S.mergeSessionState(st, sess(b), gapSeconds = 1800L)
+        }
+      folded.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          sum(floor((col("session_end_us") - col("session_start_us"))
+            / 1000000L).cast("long")).as("sum_duration_s"))
     }
   )
 
@@ -8775,7 +8806,34 @@ object SparkEntry {
         |FROM c GROUP BY 1
         |UNION ALL
         |SELECT seg, CAST(COUNT(*) AS BIGINT), CAST(2 AS BIGINT), '2020-06-15'
-        |FROM c GROUP BY 1""".stripMargin
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // One-shot sessionization over ALL events — the batch splits are
+    // Spark-side only, so equality proves the incremental fold.
+    "q254_incremental_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), sess AS (
+        |  SELECT user_id, us,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged
+        |), summaries AS (
+        |  SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |         MIN(us) AS s_us, MAX(us) AS e_us
+        |  FROM sess GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(floor((e_us - s_us) / 1000000) AS BIGINT)) AS BIGINT)
+        |         AS sum_duration_s
+        |FROM summaries GROUP BY user_id""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -271,4 +271,56 @@ object Sessionize {
           }
       }
   }
+
+  /** BATCH-incremental sessionization: fold a new batch's session summaries
+    * into the accumulated session state, merging across the batch boundary —
+    * the daily-incremental complement of the STREAMING path
+    * ([[streamSessionSummaries]]): a nightly pipeline re-sessionizing all
+    * history is O(history); this is O(state + batch), and q254 proves the
+    * fold ≡ one-shot sessionization over everything.
+    *
+    * CONTRACT: batches are time-partitioned per user — every event in batch
+    * N+1 is ≥ every batch-N event of the same user (the standard
+    * date-partitioned incremental load). Then at most ONE merge can happen
+    * per user per fold: the state's LAST session bridges the batch's FIRST
+    * session iff `first.start − last.end ≤ gap` (state sessions are already
+    * gap-separated, and later batch sessions start > gap after the batch's
+    * first session ends).
+    *
+    * Inputs and output carry `(user_id, session_start_us, session_end_us,
+    * n_events)`. Shape: two per-user min/max-struct aggregates + one equi
+    * join on user + anti-join removals — everything shuffles on the user
+    * key only. */
+  def mergeSessionState(state: DataFrame, batch: DataFrame,
+                        gapSeconds: Long): DataFrame = {
+    val g = gapSeconds * 1000000L
+    val cols = Seq("user_id", "session_start_us", "session_end_us", "n_events")
+    // one row per user: the state's last / the batch's first session
+    val lastS = state.groupBy(col("user_id")).agg(
+      max(struct(col("session_end_us"), col("session_start_us"),
+        col("n_events"))).as("ls"))
+      .select(col("user_id"), col("ls.session_start_us").as("ls_start"),
+        col("ls.session_end_us").as("ls_end"), col("ls.n_events").as("ls_n"))
+    val firstB = batch.groupBy(col("user_id")).agg(
+      min(struct(col("session_start_us"), col("session_end_us"),
+        col("n_events"))).as("fb"))
+      .select(col("user_id"), col("fb.session_start_us").as("fb_start"),
+        col("fb.session_end_us").as("fb_end"), col("fb.n_events").as("fb_n"))
+    val bridged = lastS.join(firstB, Seq("user_id"))
+      .where(col("fb_start") - col("ls_end") <= g)
+    val merged = bridged.select(col("user_id"),
+      col("ls_start").as("session_start_us"),
+      col("fb_end").as("session_end_us"),
+      (col("ls_n") + col("fb_n")).as("n_events"))
+    // remove exactly the two halves that merged, keep everything else
+    val stateKept = state.join(
+      bridged.select(col("user_id"), col("ls_end").as("session_end_us")),
+      Seq("user_id", "session_end_us"), "left_anti")
+    val batchKept = batch.join(
+      bridged.select(col("user_id"), col("fb_start").as("session_start_us")),
+      Seq("user_id", "session_start_us"), "left_anti")
+    stateKept.select(cols.map(col): _*)
+      .unionByName(batchKept.select(cols.map(col): _*))
+      .unionByName(merged.select(cols.map(col): _*))
+  }
 }

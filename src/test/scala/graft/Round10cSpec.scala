@@ -311,4 +311,38 @@ class Round10cSpec extends SparkSpec {
     // k=3 on the triangle: every vertex has deg 2 < 3 — gone in one round
     assert(run(triTail, 3L, 10) === Map.empty)
   }
+
+  test("mergeSessionState: exact-gap bridges, chained three-batch spans, fold ≡ one-shot") {
+    import graft.ext.Sessionize
+    val gap = 10L // seconds
+    // user a: one session spanning ALL THREE batches (chained merges);
+    // user b: batch-2 event exactly gap after batch-1 (boundary merges),
+    //         then one gap+1 later (must NOT merge);
+    // user c: batch-1 only
+    val ev = Seq(
+      ("a", 0L), ("a", 5L), ("a", 12L), ("a", 20L), ("a", 28L),
+      ("b", 0L), ("b", 10L), ("b", 21L),
+      ("c", 3L)).map { case (u, sec) => (u, sec * 1000000L) }
+      .toDF("user_id", "us")
+    def sess(d: org.apache.spark.sql.DataFrame) = Sessionize.sessionSummaries(
+        d, col("user_id"), col("us"), gap, Seq(col("us")))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+    val cuts = Seq(8L * 1000000L, 15L * 1000000L)
+    val batches = Seq(
+      ev.where(col("us") <= cuts(0)),
+      ev.where(col("us") > cuts(0) && col("us") <= cuts(1)),
+      ev.where(col("us") > cuts(1)))
+    val folded = batches.tail.foldLeft(sess(batches.head)) { (st, b) =>
+      Sessionize.mergeSessionState(st, sess(b), gap)
+    }
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(key(folded) === key(sess(ev)), "fold must equal one-shot sessionization")
+    // and the one-shot truth itself: a spans 0-28 in one session; b splits
+    val oneShot = key(sess(ev))
+    assert(oneShot.contains(("a", 0L, 28000000L, 5L)))
+    assert(oneShot.contains(("b", 0L, 10000000L, 2L))
+      && oneShot.contains(("b", 21000000L, 21000000L, 1L)))
+  }
 }
