@@ -4556,6 +4556,29 @@ object SparkEntry {
           sum(col("n_events")).as("n_events"),
           sum(floor((col("session_end_us") - col("session_start_us"))
             / 1000000L).cast("long")).as("sum_duration_s"))
+    },
+
+    // Trending movers: per-month revenue rank of each order priority, top-3
+    // per month with the previous month's rank joined on — the "what moved
+    // up the chart" readout. Ranks come from per-month windows (keyed, never
+    // global); the month-over-month self-join is an equi join on the
+    // priority + month arithmetic. Total order under ties via (cents DESC,
+    // priority ASC).
+    "q255_trending_ranks" -> { (s, dir) =>
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderpriority").as("prio"))
+        .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("month")).orderBy(col("cents").desc, col("prio").asc)
+      val ranked = monthly.withColumn("rnk", row_number().over(w).cast("long"))
+      val prev = ranked.select(
+        expr("date_format(add_months(to_date(month || '-01'), 1), 'yyyy-MM')").as("month"),
+        col("prio"), col("rnk").as("prev_rnk"))
+      ranked.where(col("rnk") <= 3)
+        .join(prev, Seq("month", "prio"), "left")
+        .select(col("month"), col("prio"), col("cents"), col("rnk"),
+          col("prev_rnk"))
     }
   )
 
@@ -8833,7 +8856,28 @@ object SparkEntry {
         |       CAST(SUM(n_events) AS BIGINT) AS n_events,
         |       CAST(SUM(CAST(floor((e_us - s_us) / 1000000) AS BIGINT)) AS BIGINT)
         |         AS sum_duration_s
-        |FROM summaries GROUP BY user_id""".stripMargin
+        |FROM summaries GROUP BY user_id""".stripMargin,
+
+    "q255_trending_ranks" ->
+      """WITH monthly AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |         o_orderpriority AS prio,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT month, prio, cents,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY month
+        |               ORDER BY cents DESC, prio ASC) AS BIGINT) AS rnk
+        |  FROM monthly),
+        |prev AS (
+        |  SELECT strftime(CAST(month || '-01' AS DATE) + INTERVAL 1 MONTH,
+        |                  '%Y-%m') AS month,
+        |         prio, rnk AS prev_rnk
+        |  FROM ranked)
+        |SELECT r.month, r.prio, r.cents, r.rnk, p.prev_rnk
+        |FROM ranked r LEFT JOIN prev p USING (month, prio)
+        |WHERE r.rnk <= 3""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
