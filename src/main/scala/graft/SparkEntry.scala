@@ -4579,6 +4579,58 @@ object SparkEntry {
         .join(prev, Seq("month", "prio"), "left")
         .select(col("month"), col("prio"), col("cents"), col("rnk"),
           col("prev_rnk"))
+    },
+
+    // Next-order affinity (sequential market basket): part pairs bought by
+    // the same customer in CONSECUTIVE orders, within 90 days. Restricting
+    // to consecutive orders is what bounds the work — per customer it is
+    // Σ |order_i|·|order_i+1| (basket-sized²·orders, linear in orders),
+    // never the quadratic all-order-pairs explode. Support ≥ 3 keeps the
+    // output chart-sized.
+    "q256_next_order_affinity" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .withColumn("gap_days",
+          datediff(lead(col("o_orderdate"), 1).over(w).cast("date"),
+            col("o_orderdate").cast("date")).cast("long"))
+        .where(col("next_key").isNotNull && col("gap_days") <= 90)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      ord
+        .join(li.select(col("l_orderkey").as("o_orderkey"), col("l_partkey").as("p_from")),
+          Seq("o_orderkey"))
+        .join(li.select(col("l_orderkey").as("next_key"), col("l_partkey").as("p_to")),
+          Seq("next_key"))
+        .groupBy(col("p_from"), col("p_to"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 3)
+    },
+
+    // Leak-free point-in-time features (the ML feature-engineering staple):
+    // for every order, the customer's trailing-90-day order count and
+    // revenue STRICTLY BEFORE the order date — a per-customer RANGE frame
+    // on epoch-day with an EXCLUSIVE upper bound (-90, -1), so the row
+    // never sees itself or same-day siblings (the label-leakage bug PIT
+    // joins exist to prevent). Keyed windows only; one shuffle on the
+    // customer.
+    "q257_pit_features" -> { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .where(col("o_custkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d_days"),
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("d_days"))
+        .rangeBetween(-90, -1)
+      base
+        .withColumn("trail_n", count(lit(1)).over(w))
+        .withColumn("trail_cents", coalesce(sum(col("cents")).over(w), lit(0L)))
+        .select(col("o_orderkey"), col("o_custkey"), col("d_days"),
+          col("trail_n"), col("trail_cents"))
     }
   )
 
@@ -8877,7 +8929,40 @@ object SparkEntry {
         |  FROM ranked)
         |SELECT r.month, r.prio, r.cents, r.rnk, p.prev_rnk
         |FROM ranked r LEFT JOIN prev p USING (month, prio)
-        |WHERE r.rnk <= 3""".stripMargin
+        |WHERE r.rnk <= 3""".stripMargin,
+
+    "q256_next_order_affinity" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         LEAD(o_orderkey) OVER w AS next_key,
+        |         date_diff('day', CAST(o_orderdate AS DATE),
+        |                   CAST(LEAD(o_orderdate) OVER w AS DATE)) AS gap_days
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |hops AS (
+        |  SELECT o_orderkey, next_key FROM ord
+        |  WHERE next_key IS NOT NULL AND gap_days <= 90),
+        |li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS p_from, b.l_partkey AS p_to,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM hops
+        |JOIN li a ON a.l_orderkey = hops.o_orderkey
+        |JOIN li b ON b.l_orderkey = hops.next_key
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
+    "q257_pit_features" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(date_diff('day', DATE '1970-01-01',
+        |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS d_days,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey % 10 = 1)
+        |SELECT o_orderkey, o_custkey, d_days,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+        |       CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT) AS trail_cents
+        |FROM base
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY d_days
+        |             RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING)""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
