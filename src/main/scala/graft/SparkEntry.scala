@@ -4631,6 +4631,18 @@ object SparkEntry {
         .withColumn("trail_cents", coalesce(sum(col("cents")).over(w), lit(0L)))
         .select(col("o_orderkey"), col("o_custkey"), col("d_days"),
           col("trail_n"), col("trail_cents"))
+    },
+
+    // Linear multi-touch attribution (ext/Sessionize.linearAttribution):
+    // each converting user's 1000 permille split equally over pre-conversion
+    // channels via the largest-remainder rule — integral, conserving, and
+    // engine-replayable (last-touch is q138; this is the equal-credit
+    // counterpart marketers actually compare it against).
+    "q258_linear_attribution" -> { (s, dir) =>
+      graft.ext.Sessionize.linearAttribution(
+        eventsTable(s, dir), user = col("user_id"),
+        tsMicros = unix_micros(col("ts")), channel = col("event_type"),
+        isConversion = col("event_type") === "purchase")
     }
   )
 
@@ -8962,7 +8974,30 @@ object SparkEntry {
         |       CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT) AS trail_cents
         |FROM base
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY d_days
-        |             RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING)""".stripMargin
+        |             RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    "q258_linear_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id AS u, MIN(epoch_us(ts)) AS conv_ts
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |touches AS (
+        |  SELECT e.user_id AS u, e.event_type AS channel,
+        |         MIN(epoch_us(e.ts)) AS first_ts
+        |  FROM events e JOIN conv c ON e.user_id = c.u
+        |  WHERE epoch_us(e.ts) < c.conv_ts
+        |  GROUP BY 1, 2),
+        |credited AS (
+        |  SELECT channel,
+        |         1000 // n + CASE WHEN idx <= 1000 % n THEN 1 ELSE 0 END AS credit
+        |  FROM (
+        |    SELECT u, channel,
+        |           CAST(ROW_NUMBER() OVER (PARTITION BY u
+        |                 ORDER BY first_ts, channel) AS BIGINT) AS idx,
+        |           CAST(COUNT(*) OVER (PARTITION BY u) AS BIGINT) AS n
+        |    FROM touches))
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(SUM(credit) AS BIGINT) AS credit_permille
+        |FROM credited GROUP BY 1""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -323,4 +323,40 @@ object Sessionize {
       .unionByName(batchKept.select(cols.map(col): _*))
       .unionByName(merged.select(cols.map(col): _*))
   }
+
+  /** Linear (equal-credit) multi-touch attribution with EXACT integer
+    * conservation — the complement of [[lastTouchAttribution]]: each
+    * converting user's 1000 permille of credit splits equally across the
+    * distinct channels they touched before converting, using the
+    * largest-remainder rule so the split is integral and Σcredit = 1000
+    * per user EXACTLY (floats would leak permille across millions of
+    * users): with n channels, each gets `1000 DIV n`, and the first
+    * `1000 mod n` channels in (first-touch time, channel) order get one
+    * extra. Deterministic, engine-replayable.
+    *
+    * Output per channel: `(channel, n_users, credit_permille)` —
+    * Σcredit_permille = 1000 · #converting-users-with-a-prior-touch.
+    *
+    * Scale: one conversion aggregate, one equi join, one per-user
+    * (channel-alphabet-sized) window, one final groupBy — all keyed. */
+  def linearAttribution(events: DataFrame, user: Column, tsMicros: Column,
+                        channel: Column, isConversion: Column): DataFrame = {
+    val conv = events.where(isConversion)
+      .groupBy(user.as("u")).agg(min(tsMicros).as("conv_ts"))
+    val touches = events
+      .select(user.as("u"), tsMicros.as("ts"), channel.as("channel"))
+      .join(conv, Seq("u"))
+      .where(col("ts") < col("conv_ts"))
+      .groupBy(col("u"), col("channel")).agg(min(col("ts")).as("first_ts"))
+    val wOrd = Window.partitionBy(col("u"))
+      .orderBy(col("first_ts"), col("channel"))
+    val wAll = Window.partitionBy(col("u"))
+    touches
+      .withColumn("idx", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("credit",
+        expr("1000 DIV n") + when(col("idx") <= expr("1000 % n"), 1L).otherwise(0L))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_users"), sum(col("credit")).as("credit_permille"))
+  }
 }

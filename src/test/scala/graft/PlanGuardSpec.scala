@@ -105,4 +105,15 @@ class PlanGuardSpec extends SparkSpec {
       assert(all.contains(name), s"allowlist entry $name no longer exists")
     }
   }
+
+  test("every query carries an oracle and every oracle names a query — 100% hash coverage, pinned") {
+    // Round 10 reached oracleSql ≡ queries (no rows-only entries left);
+    // this guard makes any future regression — a query landing without an
+    // oracle, or an oracle orphaned by a rename — a test failure instead of
+    // a silently weaker correctness artifact.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted.mkString(", ")}")
+    assert((o -- q).isEmpty, s"orphaned oracles: ${(o -- q).toSeq.sorted.mkString(", ")}")
+  }
 }
