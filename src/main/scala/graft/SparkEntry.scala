@@ -4643,6 +4643,47 @@ object SparkEntry {
         eventsTable(s, dir), user = col("user_id"),
         tsMicros = unix_micros(col("ts")), channel = col("event_type"),
         isConversion = col("event_type") === "purchase")
+    },
+
+    // Partition-gap monitor: calendar days in the observed span with NO
+    // orders — the backfill-completeness report every date-partitioned
+    // table needs. The spine is a sequence explode against the broadcast
+    // 1-row min/max (never a driver collect); the observed days anti-join
+    // against it.
+    "q259_partition_gaps" -> { (s, dir) =>
+      val days = t(s, dir, "orders")
+        .select(col("o_orderdate").cast("date").as("d")).distinct()
+      val mm = days.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      val spine = mm.select(explode(expr(
+        "sequence(lo, hi, interval 1 day)")).as("d"))
+      spine.join(days, Seq("d"), "left_anti")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("missing_day"))
+    },
+
+    // Compaction content certificate: the q112 small-file compaction
+    // re-proven with the q249 multiset fingerprint — count + bit_xor +
+    // DECIMAL(38) sum over the portable row hash must be IDENTICAL before
+    // and after compaction (sum checksums, q112's proof, can miss
+    // compensating corruptions; the hash certificate cannot, short of
+    // engineered collisions). File-count collapse is REQUIREd in-query.
+    "q260_compaction_certificate" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.engine.Scratch.withTempDir("graft-compcert-") { tmp =>
+        o.repartition(64).write.mode("overwrite").parquet(s"$tmp/scattered")
+        val n = graft.engine.Layout.compact(s, s"$tmp/scattered",
+          s"$tmp/compact", targetFileBytes = 256L * 1024)
+        require(n < 64, s"q260: compaction did not collapse files (n=$n)")
+        def fp(path: String, side: String) = {
+          val d = s.read.parquet(path)
+          graft.engine.Profile.tableFingerprint(
+            d, Seq(d("o_orderkey"), d("cents"))).withColumn("side", lit(side))
+        }
+        val u = fp(s"$tmp/scattered", "before")
+          .unionByName(fp(s"$tmp/compact", "after"))
+        val rows = u.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), u.schema)
+      }
     }
   )
 
@@ -8997,7 +9038,34 @@ object SparkEntry {
         |    FROM touches))
         |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_users,
         |       CAST(SUM(credit) AS BIGINT) AS credit_permille
-        |FROM credited GROUP BY 1""".stripMargin
+        |FROM credited GROUP BY 1""".stripMargin,
+
+    "q259_partition_gaps" ->
+      """WITH days AS (
+        |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders),
+        |mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM days),
+        |spine AS (
+        |  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        |  FROM mm)
+        |SELECT strftime(s.d, '%Y-%m-%d') AS missing_day
+        |FROM spine s LEFT JOIN days o ON s.d = o.d
+        |WHERE o.d IS NULL""".stripMargin,
+
+    // Compaction preserves the multiset — one certificate, emitted for
+    // both sides.
+    "q260_compaction_certificate" ->
+      s"""WITH h AS (
+         |  SELECT ${h60Sql("concat_ws(chr(1), CAST(o_orderkey AS VARCHAR), " +
+          "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))")} AS hh
+         |  FROM orders),
+         |fp AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |         CAST(bit_xor(hh) AS BIGINT) AS xor_h,
+         |         SUM(hh) AS sum_h
+         |  FROM h)
+         |SELECT n_rows, xor_h, sum_h, 'before' AS side FROM fp
+         |UNION ALL
+         |SELECT n_rows, xor_h, sum_h, 'after' FROM fp""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
