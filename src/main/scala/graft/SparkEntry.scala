@@ -4684,6 +4684,50 @@ object SparkEntry {
         val rows = u.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), u.schema)
       }
+    },
+
+    // RELATIONAL DIVISION through the SQL frontend — the classic "FOR ALL"
+    // shape (suppliers supplying EVERY part in the divisor set) as
+    // NOT EXISTS (divisor parts this supplier does NOT cover). The textbook
+    // double NOT EXISTS needs a 2-level-deep outer correlation, which Spark
+    // rejects (correlation binds only to the immediate outer), so the inner
+    // negation is the equivalent correlated anti LEFT JOIN — correlation
+    // one level deep, same semantics. The oracle computes division by
+    // count-matching, so the hash compare also proves the two classic
+    // encodings equivalent.
+    "q261_relational_division" -> { (s, dir) =>
+      Seq("lineitem", "part", "supplier").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT s_suppkey, s_name
+          |FROM supplier_v s
+          |WHERE NOT EXISTS (
+          |  SELECT 1
+          |  FROM part_v p LEFT JOIN lineitem_v l
+          |    ON l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+          |  WHERE p.p_partkey IN (10, 20, 30) AND l.l_partkey IS NULL)
+          |""".stripMargin)
+    },
+
+    // BAG-semantics set operators through the SQL frontend: EXCEPT ALL and
+    // INTERSECT ALL respect multiplicities (the DISTINCT variants are q54)
+    // — engineered duplicates make the difference observable: the high-
+    // value slice is doubled, so each of its statuses survives EXCEPT ALL
+    // exactly once per extra copy.
+    "q262_bag_set_ops" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """WITH a AS (
+          |  SELECT o_orderstatus AS st FROM orders_v
+          |  UNION ALL
+          |  SELECT o_orderstatus FROM orders_v WHERE o_totalprice > 200000),
+          |b AS (SELECT o_orderstatus AS st FROM orders_v)
+          |SELECT 'except_all' AS op, st, CAST(COUNT(*) AS BIGINT) AS n
+          |FROM (SELECT st FROM a EXCEPT ALL SELECT st FROM b) GROUP BY 2
+          |UNION ALL
+          |SELECT 'intersect_all', st, CAST(COUNT(*) AS BIGINT)
+          |FROM (SELECT st FROM a INTERSECT ALL SELECT st FROM b) GROUP BY 2
+          |""".stripMargin)
     }
   )
 
@@ -9065,7 +9109,32 @@ object SparkEntry {
          |  FROM h)
          |SELECT n_rows, xor_h, sum_h, 'before' AS side FROM fp
          |UNION ALL
-         |SELECT n_rows, xor_h, sum_h, 'after' FROM fp""".stripMargin
+         |SELECT n_rows, xor_h, sum_h, 'after' FROM fp""".stripMargin,
+
+    // Division by count-matching — proving it equal to the double NOT
+    // EXISTS the Spark side runs.
+    "q261_relational_division" ->
+      """WITH px AS (SELECT p_partkey FROM part WHERE p_partkey IN (10, 20, 30)),
+        |cover AS (
+        |  SELECT l_suppkey
+        |  FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem) li
+        |  JOIN px ON li.l_partkey = px.p_partkey
+        |  GROUP BY l_suppkey
+        |  HAVING COUNT(*) = (SELECT COUNT(*) FROM px))
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN cover ON s_suppkey = l_suppkey""".stripMargin,
+
+    "q262_bag_set_ops" ->
+      """WITH a AS (
+        |  SELECT o_orderstatus AS st FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus FROM orders WHERE o_totalprice > 200000),
+        |b AS (SELECT o_orderstatus AS st FROM orders)
+        |SELECT 'except_all' AS op, st, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT st FROM a EXCEPT ALL SELECT st FROM b) GROUP BY 2
+        |UNION ALL
+        |SELECT 'intersect_all', st, CAST(COUNT(*) AS BIGINT)
+        |FROM (SELECT st FROM a INTERSECT ALL SELECT st FROM b) GROUP BY 2""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
