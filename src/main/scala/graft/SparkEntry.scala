@@ -4728,6 +4728,25 @@ object SparkEntry {
           |SELECT 'intersect_all', st, CAST(COUNT(*) AS BIGINT)
           |FROM (SELECT st FROM a INTERSECT ALL SELECT st FROM b) GROUP BY 2
           |""".stripMargin)
+    },
+
+    // Spearman rank correlation at scale (ext/Rank.spearmanStats): global
+    // MIN-TIE ranks for price and order date via the range-exchange
+    // machinery (no empty-PARTITION-BY window anywhere), reduced to exact
+    // DECIMAL(38) sufficient statistics; ρ is the consumer's one float.
+    // The oracle uses RANK() windows — fine in DuckDB, the single-reducer
+    // trap only on the distributed side.
+    "q263_spearman" -> { (s, dir) =>
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("x"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("y"))
+      graft.engine.Scratch.withTempDir("graft-spear-") { tmp =>
+        val stats = graft.ext.Rank.spearmanStats(base, "x", "y", "id", tmp)
+        val r = stats.collect()
+        s.createDataFrame(java.util.Arrays.asList(r: _*), stats.schema)
+      }
     }
   )
 
@@ -9134,7 +9153,25 @@ object SparkEntry {
         |FROM (SELECT st FROM a EXCEPT ALL SELECT st FROM b) GROUP BY 2
         |UNION ALL
         |SELECT 'intersect_all', st, CAST(COUNT(*) AS BIGINT)
-        |FROM (SELECT st FROM a INTERSECT ALL SELECT st FROM b) GROUP BY 2""".stripMargin
+        |FROM (SELECT st FROM a INTERSECT ALL SELECT st FROM b) GROUP BY 2""".stripMargin,
+
+    "q263_spearman" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+        |         CAST(date_diff('day', DATE '1970-01-01',
+        |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+        |  FROM orders),
+        |r AS (
+        |  SELECT id,
+        |         CAST(RANK() OVER (ORDER BY x) AS BIGINT) AS rx,
+        |         CAST(RANK() OVER (ORDER BY y) AS BIGINT) AS ry
+        |  FROM base)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |       SUM(rx) AS sum_rx, SUM(ry) AS sum_ry,
+        |       SUM(rx * rx) AS sum_rxx, SUM(ry * ry) AS sum_ryy,
+        |       SUM(rx * ry) AS sum_rxy
+        |FROM r""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

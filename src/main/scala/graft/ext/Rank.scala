@@ -501,6 +501,64 @@ object Rank {
         sum(col(idCol).cast("long")).as("id_checksum"))
   }
 
+  /** Global MIN-TIE ranks (SQL `RANK()` semantics: tied values share the
+    * rank of their first ordinal) for every row — the [[valueAtRanks]]
+    * machinery again, so NO empty-PARTITION-BY window and no global sort:
+    * range exchange on `(valueCol, idCol)` frozen to scratch, partition
+    * counts → driver offsets (metadata license), ordinal = offset +
+    * partition-local row_number, then the per-VALUE min ordinal joins back
+    * on the value (a keyed shuffle; ties to a value never split across
+    * range partitions, but the groupBy handles it regardless).
+    *
+    * Output: `(idCol, rank)` with rank ∈ [1, n]. `scratchDir` must outlive
+    * consumption of the returned lazy frame. */
+  def globalMinTieRanks(df: DataFrame, valueCol: String, idCol: String,
+                        scratchDir: String, numPartitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    df.select(col(valueCol), col(idCol))
+      .repartitionByRange(numPartitions, col(valueCol), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .write.mode("overwrite").parquet(s"$scratchDir/ranks")
+    val parts = spark.read.parquet(s"$scratchDir/ranks")
+    val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+    val offsetsDf = spark.createDataFrame(offsets.toList).toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(col(valueCol), col(idCol))
+    val ordinals = parts
+      .withColumn("__lrn", row_number().over(w))
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .select(col(idCol), col(valueCol), (col("__off") + col("__lrn")).as("__ord"))
+    val firstOfValue = ordinals.groupBy(col(valueCol))
+      .agg(min(col("__ord")).as("rank"))
+    ordinals.join(firstOfValue, Seq(valueCol))
+      .select(col(idCol), col("rank"))
+  }
+
+  /** Spearman rank-correlation SUFFICIENT STATISTICS over two columns —
+    * min-tie ranks for each ([[globalMinTieRanks]] twice), joined on the id,
+    * reduced to one exact row
+    * `(n, sum_rx, sum_ry, sum_rxx, sum_ryy, sum_rxy)` in DECIMAL(38,0)
+    * (rank products reach n³ summed — far past int64 at corpus scale).
+    * ρ = (n·Σrxry − Σrx·Σry) / √((n·Σrx² − (Σrx)²)(n·Σry² − (Σry)²)) is
+    * the consumer's float; the stored stats stay engine-exact, the
+    * [[graft.engine.Profile.sufficientStats]] discipline applied to ranks. */
+  def spearmanStats(df: DataFrame, xCol: String, yCol: String, idCol: String,
+                    scratchDir: String, numPartitions: Int = 32): DataFrame = {
+    val rx = globalMinTieRanks(df.select(col(xCol), col(idCol)), xCol, idCol,
+      s"$scratchDir/x", numPartitions).withColumnRenamed("rank", "rx")
+    val ry = globalMinTieRanks(df.select(col(yCol), col(idCol)), yCol, idCol,
+      s"$scratchDir/y", numPartitions).withColumnRenamed("rank", "ry")
+    rx.join(ry, Seq(idCol))
+      .select(col("rx").cast("decimal(38,0)").as("rx"),
+        col("ry").cast("decimal(38,0)").as("ry"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sum_rx"), sum(col("ry")).as("sum_ry"),
+        sum(col("rx") * col("rx")).as("sum_rxx"),
+        sum(col("ry") * col("ry")).as("sum_ryy"),
+        sum(col("rx") * col("ry")).as("sum_rxy"))
+  }
+
   /** The lazy selection plan of step 4–5 — package-private so PlanSpec can
     * assert it contains no single-partition exchange / global sort. `parts`
     * must carry the `__pid` column; `offsets` maps pid → rows before it. */

@@ -294,6 +294,32 @@ class Round10cSpec extends SparkSpec {
       "column-boundary shifts must not collide")
   }
 
+  test("globalMinTieRanks ≡ RANK() under heavy ties; perfect correlation closes the Spearman identity") {
+    import graft.ext.Rank
+    // values with big tie groups: v = id % 4
+    val rows = (1L to 40L).map(i => (i, i % 4)).toDF("id", "v")
+    withTempDir { tmp =>
+      val got = Rank.globalMinTieRanks(rows, "v", "id", tmp, numPartitions = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val vals = (1L to 40L).map(i => (i, i % 4))
+      val expected = vals.map { case (id, v) =>
+        (id, vals.count(_._2 < v).toLong + 1L) }.toMap // RANK(): 1 + #strictly-smaller
+      assert(got === expected)
+    }
+    // rx == ry for a strictly increasing pair series → the ρ=1 identity:
+    // n·Σrxy − Σrx·Σry == n·Σrxx − (Σrx)²
+    val pairs = (1L to 25L).map(i => (i, i * 3, i * 7)).toDF("id", "x", "y")
+    withTempDir { tmp =>
+      val r = graft.ext.Rank.spearmanStats(pairs, "x", "y", "id", tmp).head()
+      val (n, srx, sry) = (BigDecimal(r.getLong(0)),
+        BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2)))
+      val (srxx, sryy, srxy) = (BigDecimal(r.getDecimal(3)),
+        BigDecimal(r.getDecimal(4)), BigDecimal(r.getDecimal(5)))
+      assert(srx == sry && srxx == sryy)
+      assert(n * srxy - srx * sry == n * srxx - srx * srx)
+    }
+  }
+
   test("kCore: cascading prune rounds, round-bounded partial result, early exit") {
     import graft.ext.Graph
     def run(edges: Seq[(Long, Long)], k: Long, rounds: Int): Map[Long, Long] =
