@@ -497,6 +497,39 @@ class PlanSpec extends SparkSpec {
       s"q237: the uncorrelated balance aggregates should run as scalar subqueries:\n$p")
   }
 
+  test("q238 spatial grid join: candidates meet on the cell equi-key, never a cross product") {
+    val p = planOf("q238_grid_spatial_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q238: the within-radius join must stay cell-bucketed:\n$p")
+    // the 9-way neighbor explode feeds an equi-join keyed on (kx, ky)
+    assert(p.contains("kx") && p.contains("ky") && p.contains("Generate explode"),
+      s"q238: expected the exploded neighbor-cell equi-join:\n$p")
+  }
+
+  test("q261 relational division: the FOR-ALL shape runs as join machinery, not per-row re-execution") {
+    val p = planOf("q261_relational_division")
+    assert(p.contains("LeftAnti"),
+      s"q261: NOT EXISTS must become an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q261: division must not plan a cross product:\n$p")
+  }
+
+  test("q263 Spearman: every window is partition-bounded (no global rank window on the distributed side)") {
+    // spearmanStats is scratch-backed; assert on the assembly over a tiny fixture
+    import spark.implicits._
+    val base = (1L to 50L).map(i => (i, i * 3 % 17, i * 5 % 13)).toDF("id", "x", "y")
+    withTempDir { tmp =>
+      val stats = ext.Rank.spearmanStats(base, "x", "y", "id", tmp)
+      val p = stats.queryExecution.executedPlan.toString
+      val hasGlobalWindow = stats.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      assert(!hasGlobalWindow, s"q263: found an empty-PARTITION-BY window:\n$p")
+      stats.collect() // consume inside the scratch scope
+    }
+  }
+
   test("q181 skyline assembly: windows per-partition, prefix maxima broadcast, no global sort") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
