@@ -294,6 +294,42 @@ class Round10cSpec extends SparkSpec {
       "column-boundary shifts must not collide")
   }
 
+  test("overlapSpans: a planted verbatim passage is found with its exact run length") {
+    import graft.ext.Dedup
+    val passage = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 shared words
+    val docs = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon"),
+      (2L, s"zeta eta $passage theta iota kappa lam"),
+      (3L, "unrelated words only here nothing shared with others at all"))
+      .toDF("doc_id", "text")
+    // anchorMod=1: every shingle seeds, so detection is exact (the sparse-
+    // anchor recall dial is exercised by q248 at corpus scale)
+    val got = Dedup.overlapSpans(docs, "doc_id", "text", anchorMod = 1, dfCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // 12 shared words = 10 consecutive 3-grams; run of 10 grams spans 12 words
+    assert(got.toSeq === Seq((1L, 2L, 10L, 12L)))
+  }
+
+  test("linearAttribution: per-user permille conserves exactly via largest remainder") {
+    import graft.ext.Sessionize
+    // user u1 touches 3 channels before converting: 1000 = 334+333+333,
+    // the extra permille goes to the FIRST touch; u2 touches 1 channel
+    val ev = Seq(
+      ("u1", 10L, "c_view"), ("u1", 20L, "a_click"), ("u1", 30L, "b_mail"),
+      ("u1", 40L, "buy"),
+      ("u2", 5L, "a_click"), ("u2", 9L, "buy"),
+      ("u3", 7L, "c_view")) // no conversion — contributes nothing
+      .toDF("user_id", "ts", "channel")
+    val got = Sessionize.linearAttribution(ev, col("user_id"), col("ts"),
+        col("channel"), col("channel") === "buy")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      ("c_view", 1L, 334L),  // u1's first touch gets the remainder
+      ("a_click", 2L, 333L + 1000L), // u1 (333) + u2 (all 1000)
+      ("b_mail", 1L, 333L)))
+    assert(got.toSeq.map(_._3).sum === 2000L, "Σcredit = 1000 per converting user")
+  }
+
   test("globalMinTieRanks ≡ RANK() under heavy ties; perfect correlation closes the Spearman identity") {
     import graft.ext.Rank
     // values with big tie groups: v = id % 4
