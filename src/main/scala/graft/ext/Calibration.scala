@@ -33,10 +33,21 @@ object Calibration {
 
   /** Isotonic fit of `labelCol` (0/1) against `bucketCol` (integer score
     * bucket) in `df`. Buckets absent from the data simply don't appear
-    * (PAVA pools observed buckets only). */
-  def isotonicFit(df: DataFrame, bucketCol: String, labelCol: String): DataFrame = {
+    * (PAVA pools observed buckets only).
+    *
+    * `maxBuckets` is a LOUD guard on the O(B³) enumeration: passing a raw
+    * continuous score as the bucket column would silently make B
+    * data-sized and the cube catastrophic — the guard costs one count over
+    * the already-aggregated bucket table and throws instead. Bucket your
+    * score first (that IS the operator's contract). */
+  def isotonicFit(df: DataFrame, bucketCol: String, labelCol: String,
+                  maxBuckets: Long = 1024L): DataFrame = {
     val buckets = df.groupBy(col(bucketCol).cast("long").as("b"))
       .agg(count(lit(1)).as("w"), sum(col(labelCol).cast("long")).as("pos"))
+    val nB = buckets.count()
+    require(nB <= maxBuckets,
+      s"isotonicFit: $nB distinct buckets exceeds maxBuckets=$maxBuckets — " +
+        "the O(B^3) minimax cube needs a BUCKETED score; bin it first")
     // prefix sums over the bucket grid (allowlisted grid-sized window),
     // with an l = 0 sentinel so windows starting at the first bucket exist
     val w = org.apache.spark.sql.expressions.Window

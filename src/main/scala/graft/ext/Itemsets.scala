@@ -34,12 +34,25 @@ object Itemsets {
 
   /** Triples `(p1 < p2 < p3, n)` of items co-occurring in at least
     * `minSupport` baskets, over `baskets(basketCol, itemCol)` (duplicates
-    * within a basket are collapsed; items must be orderable). */
+    * within a basket are collapsed; items must be orderable).
+    *
+    * `maxBasketSize` caps the per-basket explode: a single pathological
+    * basket of 10⁴ items contributes C(10⁴,3) ≈ 10¹¹ candidate rows — the
+    * hub-degree problem in basket form — so baskets above the cap are
+    * DROPPED before generation (the [[graft.ext.Graph.triangleStats]]
+    * `maxDegree` mitigation; counts then describe the capped corpus, which
+    * is the right diagnostic — a 10⁴-item basket is a bot/aggregation
+    * artifact, not co-purchase signal). Order baskets here are ≤7 lines,
+    * far under any sensible cap. */
   def frequentTriples(
       baskets: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long): DataFrame = {
+      minSupport: Long, maxBasketSize: Long = 1000L): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    val it = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    require(maxBasketSize >= 3, s"maxBasketSize must be >= 3, got $maxBasketSize")
+    val raw = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val sized = raw.groupBy(col("b")).agg(count(lit(1)).as("__bs"))
+      .where(col("__bs") <= maxBasketSize).select(col("b"))
+    val it = raw.join(sized, Seq("b"))
     // L1: keep only items frequent on their own (monotonicity prune #1)
     val l1 = it.groupBy(col("i")).agg(count(lit(1)).as("n"))
       .where(col("n") >= minSupport).select(col("i"))

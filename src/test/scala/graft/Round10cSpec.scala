@@ -123,6 +123,25 @@ class Round10cSpec extends SparkSpec {
     assert(ladder === naive)
   }
 
+  test("blowup guards: oversized baskets are dropped; unbucketed scores throw loudly") {
+    import graft.ext.{Calibration, Itemsets}
+    // one well-formed triple basket plus a 6-item hub basket: with
+    // maxBasketSize=5 the hub contributes NOTHING, so (10,20,30) keeps
+    // support 2 (not 3) and no hub-only triple appears
+    val hub = (1L to 6L).map(i => (99L, i * 10L))
+    val bs = Seq((1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 30L)) ++ hub
+    val got = Itemsets.frequentTriples(bs.toDF("b", "i"), "b", "i", 2L, maxBasketSize = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((10L, 20L, 30L, 2L)))
+    // a raw "continuous" score (all-distinct buckets) must throw, not cube
+    val continuous = (1L to 50L).map(i => (i, (i % 2).toInt)).toDF("bucket", "label")
+    val e = intercept[IllegalArgumentException] {
+      Calibration.isotonicFit(continuous, "bucket", "label", maxBuckets = 20L)
+    }
+    assert(e.getMessage.contains("BUCKETED"))
+  }
+
   test("boundedShortestPaths: late-round improvements re-relax downstream; early exit is lossless") {
     import graft.ext.Graph
     // 1→3 direct costs 10, but 1→2→3 costs 2 and is only found in round 2;
