@@ -451,6 +451,10 @@ object Graph {
     distC.count()
     var dist = truncated(distC)
     var frontier = dist
+    // round N's frontier cache is superseded once round N+1's candidates
+    // materialize — release it then (greedyCoverage's leak class otherwise:
+    // one persisted frame per round outliving the call)
+    var frontierC: DataFrame = null
     var r = 0
     var live = true
     while (r < rounds && live) {
@@ -460,6 +464,7 @@ object Graph {
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .persist(level)
       candC.count()
+      if (frontierC != null) frontierC.unpersist(blocking = false)
       val improvedC = truncated(candC)
         .join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left")
         .where(col("old").isNull || col("dist") < col("old"))
@@ -476,9 +481,13 @@ object Graph {
         distC.unpersist(blocking = false)
         distC = grownC
         dist = truncated(grownC)
+      } else {
+        improvedC.unpersist(blocking = false) // empty final frontier
       }
+      frontierC = if (live) improvedC else null
       frontier = improved
     }
+    if (frontierC != null) frontierC.unpersist(blocking = false)
     dist
   }
 
