@@ -4747,6 +4747,35 @@ object SparkEntry {
         val r = stats.collect()
         s.createDataFrame(java.util.Arrays.asList(r: _*), stats.schema)
       }
+    },
+
+    // SKETCH-path rolling distinct — q150's exact 7-day rolling actives
+    // re-done the way 100 TB does it: ONE HLL sketch per day (events
+    // touched once), each sketch exploded to the 7 window-end days it
+    // serves, register-wise union per window (mergeability proven by
+    // q230). The oracle computes the EXACT rolling distinct; the sketch
+    // estimate is checked against it via a 2% integer flag — deterministic
+    // (DataSketches unions are), so an estimator regression breaks the
+    // hash. Sketch bytes shuffled ∝ days·7, never users·days.
+    "q264_rolling_sketch" -> { (s, dir) =>
+      val e = eventsTable(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+      val daily = e.groupBy(col("d")).agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val rolled = daily
+        .select(col("sk"), explode(expr("sequence(0, 6)")).as("off"), col("d"))
+        .select(col("sk"), expr("date_add(d, off)").as("td"))
+        .groupBy(col("td"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = e
+        .select(col("user_id"), explode(expr("sequence(0, 6)")).as("off"), col("d"))
+        .select(col("user_id"), expr("date_add(d, off)").as("td"))
+        .groupBy(col("td"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      rolled.join(exact, Seq("td"))
+        .select(date_format(col("td"), "yyyy-MM-dd").as("d"),
+          col("n_exact"),
+          (abs(col("est") - col("n_exact")) * 50L <= col("n_exact"))
+            .as("within_2pct"))
     }
   )
 
@@ -9171,7 +9200,19 @@ object SparkEntry {
         |       SUM(rx) AS sum_rx, SUM(ry) AS sum_ry,
         |       SUM(rx * rx) AS sum_rxx, SUM(ry * ry) AS sum_ryy,
         |       SUM(rx * ry) AS sum_rxy
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // Exact rolling distinct; the sketch side must land within 2% of it.
+    "q264_rolling_sketch" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+        |targets AS (
+        |  SELECT d + CAST(o AS INTEGER) AS td, user_id
+        |  FROM ev, UNNEST(range(0, 7)) t(o))
+        |SELECT strftime(td, '%Y-%m-%d') AS d,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |       TRUE AS within_2pct
+        |FROM targets GROUP BY td""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
