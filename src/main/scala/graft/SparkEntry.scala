@@ -4297,11 +4297,12 @@ object SparkEntry {
     // cycle-shortcut argument — so the frontier optimization is certified
     // lossless.
     "q242_shortest_paths" -> { (s, dir) =>
-      val it = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
-      val pairs = it.as("a").join(it.as("x"), expr("a.b = x.b AND a.i < x.i"))
-        .groupBy(col("a.i").as("p1"), col("x.i").as("p2"))
-        .agg(count(lit(1)).as("n"))
+      // co-purchase pairs via the shared hub-capped builder (Itemsets
+      // .pairCounts) — order baskets are ≤7 lines, but the cap is the
+      // contract that a pathological 10⁴-item basket contributes nothing
+      // rather than C(10⁴,2) rows
+      val pairs = graft.ext.Itemsets
+        .pairCounts(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
         .withColumn("w", expr("1000 DIV n + 1"))
       val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
         .union(pairs.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
@@ -4420,6 +4421,12 @@ object SparkEntry {
           .withColumn("side", lit("src"))
           .unionByName(graft.engine.Profile.tableFingerprint(rt, cols(rt))
             .withColumn("side", lit("rt")))
+          // sum_h ≈ 3.5e22 exceeds int64, so the DECIMAL(38,0) internal is
+          // rendered as STRING at the query boundary: Spark sum(decimal)
+          // would hash-compare against DuckDB SUM(BIGINT)=HUGEINT as a TYPE
+          // mismatch even with bit-identical values (the round-4/round-10
+          // class tools/check_oracle.py pins). Digits are the contract.
+          .withColumn("sum_h", col("sum_h").cast("string"))
         val rows = u.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), u.schema)
       }
@@ -4476,12 +4483,11 @@ object SparkEntry {
     // The oracle UNROLLS the same 4 rounds as chained CTEs — a converged run
     // equals the unrolled form because the fixpoint is idempotent.
     "q252_kcore" -> { (s, dir) =>
-      val it = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
-      val pairs = it.as("a").join(it.as("x"), expr("a.b = x.b AND a.i < x.i"))
-        .groupBy(col("a.i").as("id_a"), col("x.i").as("id_b"))
-        .agg(count(lit(1)).as("n")).where(col("n") >= 2)
-        .select(col("id_a"), col("id_b"))
+      // same shared hub-capped co-purchase builder as q242
+      val pairs = graft.ext.Itemsets
+        .pairCounts(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .where(col("n") >= 2)
+        .select(col("p1").as("id_a"), col("p2").as("id_b"))
       graft.ext.Graph.kCore(pairs, k = 3L, maxRounds = 4)
     },
 
@@ -4681,6 +4687,10 @@ object SparkEntry {
         }
         val u = fp(s"$tmp/scattered", "before")
           .unionByName(fp(s"$tmp/compact", "after"))
+          // STRING at the boundary for the same reason as q249: sum_h
+          // exceeds int64 and DECIMAL(38,0)-vs-HUGEINT is a driver-hash
+          // type mismatch even when every digit agrees.
+          .withColumn("sum_h", col("sum_h").cast("string"))
         val rows = u.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), u.schema)
       }
@@ -4743,7 +4753,19 @@ object SparkEntry {
         datediff(col("o_orderdate").cast("date"),
           lit("1970-01-01").cast("date")).cast("long").as("y"))
       graft.engine.Scratch.withTempDir("graft-spear-") { tmp =>
+        // Rank.spearmanStats keeps DECIMAL(38,0) internals (n³-safe at
+        // corpus scale), but at any bench SF the rank sums fit int64
+        // comfortably (n³ at sf0.1 ≈ 3.4e15), so the QUERY contract reduces
+        // the five stats to BIGINT — otherwise the driver hash sees
+        // Spark DECIMAL vs DuckDB HUGEINT as a type mismatch despite
+        // bit-identical values (the round-4/round-10 class).
         val stats = graft.ext.Rank.spearmanStats(base, "x", "y", "id", tmp)
+          .select(col("n"),
+            col("sum_rx").cast("long").as("sum_rx"),
+            col("sum_ry").cast("long").as("sum_ry"),
+            col("sum_rxx").cast("long").as("sum_rxx"),
+            col("sum_ryy").cast("long").as("sum_ryy"),
+            col("sum_rxy").cast("long").as("sum_rxy"))
         val r = stats.collect()
         s.createDataFrame(java.util.Arrays.asList(r: _*), stats.schema)
       }
@@ -4776,6 +4798,460 @@ object SparkEntry {
           col("n_exact"),
           (abs(col("est") - col("n_exact")) * 50L <= col("n_exact"))
             .as("within_2pct"))
+    },
+
+    // ------------------------------------------------------------------
+    // q265–q279: the 15 remaining TPC-H shapes (Q1, Q2, Q4, Q6–Q9,
+    // Q11–Q16, Q19, Q20) forced through the SQL frontend — the standard
+    // decorrelation/grouping/ordering corpus. Adaptations to this
+    // testdata's schema are per-query-documented; every money value is
+    // integer cents (the q186 discipline), every ratio an integer DIV,
+    // so both engines agree bit-for-bit. partsupp does not exist here:
+    // queries needing it derive a deterministic equivalent from lineitem
+    // (distinct (partkey, suppkey) with availqty = total quantity and
+    // supplycost = min extendedprice cents), which both sides compute
+    // identically — the partsupp-SHAPES (correlated min-cost, value
+    // fractions, nested IN) are what these queries exercise.
+    // ------------------------------------------------------------------
+
+    // TPC-H Q1 (full pricing summary — q33 runs a trimmed projection; this
+    // is the complete 8-aggregate form with disc/charge/avg columns).
+    // Averages are integer micro-units via DIV: 1e6·sum fits int64 at any
+    // bench SF (at corpus scale, pre-divide or emit sum+count).
+    "q265_tpch_q1" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+          |         AS sum_base_cents,
+          |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+          |                AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+          |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+          |                * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+          |         AS sum_charge_cents,
+          |       CAST((1000000 * SUM(CAST(l_quantity AS BIGINT))) DIV COUNT(*)
+          |            AS BIGINT) AS avg_qty_micro,
+          |       CAST((1000000 * SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)))
+          |            DIV COUNT(*) AS BIGINT) AS avg_price_microcents,
+          |       CAST((1000000 * SUM(CAST(ROUND(l_discount * 1000) AS BIGINT)))
+          |            DIV COUNT(*) AS BIGINT) AS avg_disc_micropermille,
+          |       CAST(COUNT(*) AS BIGINT) AS count_order
+          |FROM lineitem_v
+          |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    // TPC-H Q2 (min-cost supplier): the marquee correlated-scalar-over-
+    // joins decorrelation — the subquery re-joins supplier/nation/region
+    // under a MIN correlated on the outer part. partsupp derived from
+    // lineitem (see block comment); p_container→p_type, %BRASS→STANDARD.
+    "q266_tpch_q2" -> { (s, dir) =>
+      Seq("lineitem", "part", "supplier", "nation", "region").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """WITH ps AS (
+          |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+          |         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+          |           AS ps_supplycost_cents
+          |  FROM lineitem_v GROUP BY 1, 2)
+          |SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+          |       s_name, n_name, p_partkey, s_suppkey, ps_supplycost_cents
+          |FROM part_v JOIN ps ON p_partkey = ps_partkey
+          |JOIN supplier_v ON s_suppkey = ps_suppkey
+          |JOIN nation_v ON s_nationkey = n_nationkey
+          |JOIN region_v ON n_regionkey = r_regionkey
+          |WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+          |  AND ps_supplycost_cents = (
+          |    SELECT MIN(ps2.ps_supplycost_cents)
+          |    FROM ps ps2 JOIN supplier_v s2 ON s2.s_suppkey = ps2.ps_suppkey
+          |    JOIN nation_v n2 ON s2.s_nationkey = n2.n_nationkey
+          |    JOIN region_v r2 ON n2.n_regionkey = r2.r_regionkey
+          |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+          |ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+          |LIMIT 100""".stripMargin)
+    },
+
+    // TPC-H Q4 (order priority checking): EXISTS semi-join against
+    // lineitem, decorrelated to a left-semi hash join. The spec's
+    // commitdate<receiptdate lateness test becomes shipdate lagging the
+    // order date by >60 days — q210's substitution, the columns this
+    // lineitem carries.
+    "q267_tpch_q4" -> { (s, dir) =>
+      Seq("orders", "lineitem").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+          |FROM orders_v
+          |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem_v
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY o_orderpriority""".stripMargin)
+    },
+
+    // TPC-H Q6 (forecast revenue change): the pushdown benchmark — every
+    // predicate must reach the parquet scan; revenue = price·discount in
+    // cents, no join anywhere.
+    "q268_tpch_q6" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+          |                AS BIGINT)) AS BIGINT) AS revenue_cents,
+          |       CAST(COUNT(*) AS BIGINT) AS n_lines
+          |FROM lineitem_v
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          |  AND l_discount >= 0.02 AND l_discount <= 0.04
+          |  AND l_quantity < 24""".stripMargin)
+    },
+
+    // TPC-H Q7 (volume shipping): the two-aliases-of-nation join with the
+    // symmetric nation-pair disjunction — Catalyst must plan nation twice
+    // and keep the OR as a join residual.
+    "q269_tpch_q7" -> { (s, dir) =>
+      Seq("supplier", "lineitem", "orders", "customer", "nation").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT supp_nation, cust_nation, l_year,
+          |       CAST(SUM(volume_cents) AS BIGINT) AS revenue_cents
+          |FROM (
+          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |         CAST(YEAR(l_shipdate) AS INT) AS l_year,
+          |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+          |              AS BIGINT) AS volume_cents
+          |  FROM supplier_v JOIN lineitem_v ON s_suppkey = l_suppkey
+          |  JOIN orders_v ON o_orderkey = l_orderkey
+          |  JOIN customer_v ON c_custkey = o_custkey
+          |  JOIN nation_v n1 ON s_nationkey = n1.n_nationkey
+          |  JOIN nation_v n2 ON c_nationkey = n2.n_nationkey
+          |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+          |GROUP BY supp_nation, cust_nation, l_year""".stripMargin)
+    },
+
+    // TPC-H Q8 (national market share): the CASE-inside-aggregate share
+    // computation over a 7-table join; share as integer permille DIV, and
+    // numerator/denominator emitted raw so the contract is float-free.
+    "q270_tpch_q8" -> { (s, dir) =>
+      Seq("part", "supplier", "lineitem", "orders", "customer", "nation",
+        "region").foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT o_year,
+          |       CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume_cents
+          |                     ELSE 0 END) AS BIGINT) AS nation_cents,
+          |       CAST(SUM(volume_cents) AS BIGINT) AS total_cents,
+          |       CAST((1000 * SUM(CASE WHEN nation = 'NATION_5'
+          |                             THEN volume_cents ELSE 0 END))
+          |            DIV SUM(volume_cents) AS BIGINT) AS share_permille
+          |FROM (
+          |  SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+          |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+          |              AS BIGINT) AS volume_cents,
+          |         n2.n_name AS nation
+          |  FROM part_v JOIN lineitem_v ON p_partkey = l_partkey
+          |  JOIN supplier_v ON s_suppkey = l_suppkey
+          |  JOIN orders_v ON l_orderkey = o_orderkey
+          |  JOIN customer_v ON o_custkey = c_custkey
+          |  JOIN nation_v n1 ON c_nationkey = n1.n_nationkey
+          |  JOIN region_v ON n1.n_regionkey = r_regionkey
+          |  JOIN nation_v n2 ON s_nationkey = n2.n_nationkey
+          |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations
+          |GROUP BY o_year""".stripMargin)
+    },
+
+    // TPC-H Q9 (product type profit): profit = revenue − supplycost·qty
+    // with the derived-partsupp cost; p_name LIKE the spec's color filter
+    // (this generator's names are "<adj> <noun>", so '%red%').
+    "q271_tpch_q9" -> { (s, dir) =>
+      Seq("part", "supplier", "lineitem", "orders", "nation").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """WITH ps AS (
+          |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+          |         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+          |           AS ps_supplycost_cents
+          |  FROM lineitem_v GROUP BY 1, 2)
+          |SELECT nation, o_year, CAST(SUM(amount_cents) AS BIGINT) AS profit_cents
+          |FROM (
+          |  SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+          |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          |           - ps_supplycost_cents * CAST(l_quantity AS BIGINT)
+          |           AS amount_cents
+          |  FROM part_v JOIN lineitem_v ON p_partkey = l_partkey
+          |  JOIN supplier_v ON s_suppkey = l_suppkey
+          |  JOIN ps ON ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+          |  JOIN orders_v ON o_orderkey = l_orderkey
+          |  JOIN nation_v ON s_nationkey = n_nationkey
+          |  WHERE p_name LIKE '%red%') profit
+          |GROUP BY nation, o_year""".stripMargin)
+    },
+
+    // TPC-H Q11 (important stock): HAVING against a scalar subquery that
+    // re-aggregates the same join — the fraction is the spec's 0.0001
+    // scaled to this data as total DIV 500, evaluated entirely in integers
+    // (DuckDB's internal HUGEINT vs Spark's BIGINT never reaches the
+    // result schema).
+    "q272_tpch_q11" -> { (s, dir) =>
+      Seq("lineitem", "supplier", "nation").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """WITH ps AS (
+          |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+          |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty,
+          |         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+          |           AS ps_supplycost_cents
+          |  FROM lineitem_v GROUP BY 1, 2)
+          |SELECT ps_partkey,
+          |       CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT)
+          |         AS value_cents
+          |FROM ps JOIN supplier_v ON ps_suppkey = s_suppkey
+          |JOIN nation_v ON s_nationkey = n_nationkey
+          |WHERE n_name = 'NATION_7'
+          |GROUP BY ps_partkey
+          |HAVING SUM(ps_supplycost_cents * ps_availqty) > (
+          |  SELECT SUM(ps_supplycost_cents * ps_availqty) DIV 500
+          |  FROM ps JOIN supplier_v ON ps_suppkey = s_suppkey
+          |  JOIN nation_v ON s_nationkey = n_nationkey
+          |  WHERE n_name = 'NATION_7')""".stripMargin)
+    },
+
+    // TPC-H Q12 (shipping modes and priority): the two-CASE count split;
+    // l_shipmode does not exist, so the grouping column is l_returnflag
+    // and lateness is the q210/q267 shipdate-lag substitute.
+    "q273_tpch_q12" -> { (s, dir) =>
+      Seq("orders", "lineitem").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT l_returnflag AS ship_mode,
+          |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |FROM orders_v JOIN lineitem_v ON o_orderkey = l_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+          |GROUP BY l_returnflag""".stripMargin)
+    },
+
+    // TPC-H Q13 (customer order-count distribution): LEFT OUTER join with
+    // an extra ON predicate (the spec's NOT-LIKE comment filter becomes a
+    // priority exclusion), then the count-of-counts double aggregation.
+    "q274_tpch_q13" -> { (s, dir) =>
+      Seq("customer", "orders").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+          |FROM (
+          |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          |  FROM customer_v LEFT OUTER JOIN orders_v
+          |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          |  GROUP BY c_custkey) c_orders
+          |GROUP BY c_count""".stripMargin)
+    },
+
+    // TPC-H Q14 (promotion effect): conditional share over one month;
+    // promo membership via p_type = 'PROMO' (this generator's type enum),
+    // percentage as integer permille.
+    "q275_tpch_q14" -> { (s, dir) =>
+      Seq("lineitem", "part").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+          |                     THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+          |                          * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+          |         AS promo_cents,
+          |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+          |                AS BIGINT)) AS BIGINT) AS total_cents,
+          |       CAST((1000 * SUM(CASE WHEN p_type = 'PROMO'
+          |                     THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+          |                          * 100) AS BIGINT) ELSE 0 END))
+          |            DIV SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+          |                     AS BIGINT)) AS BIGINT) AS promo_permille
+          |FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin)
+    },
+
+    // TPC-H Q15 (top supplier): the view-then-max-of-aggregate shape — the
+    // revenue view is created through the frontend's DDL path and consumed
+    // twice (join + scalar MAX), the exact pattern the spec uses a CREATE
+    // VIEW for.
+    "q276_tpch_q15" -> { (s, dir) =>
+      Seq("lineitem", "supplier").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW revenue_q276 AS
+          |SELECT l_suppkey AS supplier_no,
+          |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+          |                AS BIGINT)) AS BIGINT) AS total_revenue_cents
+          |FROM lineitem_v
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          |GROUP BY l_suppkey""".stripMargin)
+      s.sql(
+        """SELECT s_suppkey, s_name, total_revenue_cents
+          |FROM supplier_v JOIN revenue_q276 ON s_suppkey = supplier_no
+          |WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents)
+          |                             FROM revenue_q276)""".stripMargin)
+    },
+
+    // TPC-H Q16 (parts/supplier relationship): COUNT(DISTINCT) per group
+    // with a NOT IN anti-subquery (the spec's complaint-suppliers filter
+    // becomes negative account balance) and a value-list size filter.
+    "q277_tpch_q16" -> { (s, dir) =>
+      Seq("lineitem", "part", "supplier").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT p_brand, p_type, p_size,
+          |       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+          |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          |      FROM lineitem_v) ps
+          |JOIN part_v ON p_partkey = ps_partkey
+          |WHERE p_brand <> 'Brand#5'
+          |  AND p_type NOT IN ('PROMO', 'ECONOMY')
+          |  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+          |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier_v
+          |                         WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size""".stripMargin)
+    },
+
+    // TPC-H Q19 (discounted revenue): the disjunction-of-conjunctions
+    // residual over one equi-join — brand/size/quantity bands replace the
+    // spec's container/shipmode bands (columns this part table carries).
+    "q278_tpch_q19" -> { (s, dir) =>
+      Seq("lineitem", "part").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+          |                AS BIGINT)) AS BIGINT) AS revenue_cents,
+          |       CAST(COUNT(*) AS BIGINT) AS n_lines
+          |FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+          |       AND l_quantity >= 1 AND l_quantity <= 11)
+          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+          |       AND l_quantity >= 10 AND l_quantity <= 20)
+          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+          |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin)
+    },
+
+    // TPC-H Q20 (potential part promotion): the deepest nesting of the
+    // set — IN over a subquery that itself filters by BOTH an IN and a
+    // CORRELATED scalar aggregate. availqty is all-time shipped quantity
+    // (derived partsupp), so the spec's "availqty > ½·year demand" becomes
+    // "1997 demand > 40% of all-time" — same correlation shape, selective
+    // on this data's ~5-year span.
+    "q279_tpch_q20" -> { (s, dir) =>
+      Seq("lineitem", "part", "supplier", "nation").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """WITH ps AS (
+          |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+          |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty
+          |  FROM lineitem_v GROUP BY 1, 2)
+          |SELECT s_name, s_suppkey
+          |FROM supplier_v JOIN nation_v ON s_nationkey = n_nationkey
+          |WHERE n_name = 'NATION_3'
+          |  AND s_suppkey IN (
+          |    SELECT ps_suppkey FROM ps
+          |    WHERE ps_partkey IN (SELECT p_partkey FROM part_v
+          |                         WHERE p_name LIKE 'small%')
+          |      AND 5 * (SELECT COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0)
+          |               FROM lineitem_v
+          |               WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          |                 AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |                 AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+          |          > 2 * ps_availqty)""".stripMargin)
+    },
+
+    // SAMPLED-slice recall audit (ext/Dedup.sampleSlice + recallAudit):
+    // q218's banding-recall harness in its 100 TB mode — the exact
+    // ground-truth pair join runs on a deterministic 400‰ hash slice of the
+    // corpus (16% of the full pair-join cost), the MinHash scheme's recall
+    // is estimated on that slice. The slice predicate is the portable hash,
+    // so the oracle replays corpus, slice, truth, banding, and audit
+    // verbatim. Round11bSpec pins slice-vs-full estimate agreement.
+    "q280_sampled_recall" -> { (s, dir) =>
+      val slice = graft.ext.Dedup.sampleSlice(
+        docsWithPlantedNearDups(s, dir), "doc_id",
+        keepPermille = 400L, salt = "recall-slice")
+      val truth = graft.ext.Dedup.prefixFilterJaccardPairs(slice, k = 3, tauMilli = 600L)
+      val found = graft.ext.Dedup.minhashNearDuplicatesPortable(slice, threshold = 0.6)
+      graft.ext.Dedup.recallAudit(truth, found, Seq("id_a", "id_b"))
+    },
+
+    // Quality-score reweighting harness (ext/Sampling.mixtureQuotas): the
+    // document-quality curation loop — a per-doc model score (STUBBED as a
+    // deterministic portable-hash centi-score; swapping real model
+    // inference in changes no Spark-side shape), banded into quintiles,
+    // allocated a keep-budget by an EXPLICIT target mixture (high-quality
+    // bands oversampled 8:1 over the lowest) via largest-remainder seats,
+    // capped by band availability. Σquota = budget exactly; every share is
+    // integer arithmetic. The broadcast score/target tables are the
+    // metadata-sized side of the join at any corpus size.
+    "q281_quality_reweight" -> { (s, dir) =>
+      import s.implicits._
+      val banded = t(s, dir, "documents")
+        .select((graft.ext.PortableHash.hash60(concat_ws(":",
+          lit("qscore"), col("doc_id").cast("string"))) % 100L).as("score_centi"))
+        .withColumn("band", expr("score_centi DIV 20"))
+      val counts = banded.groupBy(col("band")).agg(count(lit(1)).as("n_docs"))
+      val target = Seq((0L, 50L), (1L, 100L), (2L, 150L), (3L, 300L), (4L, 400L))
+        .toDF("band", "target_permille")
+      val quotas = graft.ext.Sampling.mixtureQuotas(
+        counts.join(broadcast(target), Seq("band"))
+          .select(col("band"), col("target_permille")),
+        "band", "target_permille", total = 300L)
+      counts.join(quotas.withColumnRenamed("group", "band"), Seq("band"))
+        .select(col("band"), col("n_docs"), col("target_permille"), col("quota"),
+          least(col("quota"), col("n_docs")).as("kept"))
+    },
+
+    // N-gram novelty DECAY over ingest batches (ext/Dedup
+    // .noveltyDecayByBatch): q143's seen/total novelty per batch + q140's
+    // integer EWMA smoothing, computed in ONE pass via first-seen-batch per
+    // shingle hash instead of B cross-batch reference joins. Batches here
+    // are doc_id mod 5 (the deterministic stand-in for crawl deliveries).
+    "q282_novelty_decay" -> { (s, dir) =>
+      graft.ext.Dedup.noveltyDecayByBatch(
+        t(s, dir, "documents").withColumn("batch", col("doc_id") % 5), "batch")
+    },
+
+    // LEAKAGE-SAFE train/eval split: the assignment unit is the near-dup
+    // CONNECTED COMPONENT (q65's machinery), not the document — a hash
+    // split by doc_id would park a document in train and its near-verbatim
+    // copy in eval, the classic contamination leak. Split = portable hash
+    // of the component label (80/20), so near-dup pairs can never straddle;
+    // the query AUDITS that claim in-data (n_leaked, 0 by construction, and
+    // the oracle recomputes it honestly from its own components).
+    "q283_leakage_safe_split" -> { (s, dir) =>
+      val docs = docsWithPlantedNearDups(s, dir)
+      val pairs = graft.ext.Dedup
+        .minhashNearDuplicatesPortable(docs, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val comp = graft.ext.Graph.connectedComponents(pairs)
+      val labeled = docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      val split = labeled.withColumn("split",
+        when(graft.ext.PortableHash.hash60(concat_ws(":",
+          lit("split"), col("component").cast("string"))) % 1000L < 800L,
+          lit("train")).otherwise(lit("eval")))
+      val straddle = split.select(col("doc_id").as("id_a"), col("split").as("sa"))
+        .join(pairs, Seq("id_a"))
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")),
+          Seq("id_b"))
+        .filter(col("sa") =!= col("sb"))
+      split.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_components"))
+        .crossJoin(broadcast(straddle.agg(count(lit(1)).as("n_leaked"))))
     }
   )
 
@@ -5042,6 +5518,20 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^\S+\s*', '') AS text FROM documents
       |)""".stripMargin
+
+  /** [[docsCorpusSql]] restricted to the deterministic 400‰ audit slice —
+    * the SQL mirror of `Dedup.sampleSlice(_, "doc_id", 400, "recall-slice")`
+    * (q280): same planted corpus, kept iff the portable hash of
+    * `recall-slice:<doc_id>` lands under 400 of 1000. */
+  private val docsSlicedCorpusSql: String =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text FROM documents
+       |    UNION ALL
+       |    SELECT doc_id + 100000 AS doc_id,
+       |           regexp_replace(text, '^\\S+\\s*', '') AS text FROM documents)
+       |  WHERE ${h60Sql("concat_ws(':', 'recall-slice', CAST(doc_id AS VARCHAR))")} % 1000 < 400
+       |)""".stripMargin
 
   /** Band-key polynomial fold `k ← (k·A + sig[slot]) mod P` unrolled over the
     * band's `rows` slots — the exact SQL mirror of [[graft.ext.Dedup.bandKeys]],
@@ -8944,7 +9434,7 @@ object SparkEntry {
          |fp AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
          |         CAST(bit_xor(hh) AS BIGINT) AS xor_h,
-         |         SUM(hh) AS sum_h
+         |         CAST(SUM(hh) AS VARCHAR) AS sum_h
          |  FROM h)
          |SELECT n_rows, xor_h, sum_h, 'src' AS side FROM fp
          |UNION ALL
@@ -9153,7 +9643,7 @@ object SparkEntry {
          |fp AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
          |         CAST(bit_xor(hh) AS BIGINT) AS xor_h,
-         |         SUM(hh) AS sum_h
+         |         CAST(SUM(hh) AS VARCHAR) AS sum_h
          |  FROM h)
          |SELECT n_rows, xor_h, sum_h, 'before' AS side FROM fp
          |UNION ALL
@@ -9197,9 +9687,11 @@ object SparkEntry {
         |         CAST(RANK() OVER (ORDER BY y) AS BIGINT) AS ry
         |  FROM base)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |       SUM(rx) AS sum_rx, SUM(ry) AS sum_ry,
-        |       SUM(rx * rx) AS sum_rxx, SUM(ry * ry) AS sum_ryy,
-        |       SUM(rx * ry) AS sum_rxy
+        |       CAST(SUM(rx) AS BIGINT) AS sum_rx,
+        |       CAST(SUM(ry) AS BIGINT) AS sum_ry,
+        |       CAST(SUM(rx * rx) AS BIGINT) AS sum_rxx,
+        |       CAST(SUM(ry * ry) AS BIGINT) AS sum_ryy,
+        |       CAST(SUM(rx * ry) AS BIGINT) AS sum_rxy
         |FROM r""".stripMargin,
 
     // Exact rolling distinct; the sketch side must land within 2% of it.
@@ -9212,7 +9704,369 @@ object SparkEntry {
         |SELECT strftime(td, '%Y-%m-%d') AS d,
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
         |       TRUE AS within_2pct
-        |FROM targets GROUP BY td""".stripMargin
+        |FROM targets GROUP BY td""".stripMargin,
+
+    // ------------------------------------------------------------------
+    // q265–q279 oracles: the same 15 TPC-H shapes in DuckDB dialect —
+    // integer division is `//`, year() is cast to INT, and every SUM is
+    // CAST to BIGINT so HUGEINT never reaches the result schema.
+    // ------------------------------------------------------------------
+
+    "q265_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_base_cents,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |                AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+        |                * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_charge_cents,
+        |       CAST((1000000 * SUM(CAST(l_quantity AS BIGINT))) // COUNT(*)
+        |            AS BIGINT) AS avg_qty_micro,
+        |       CAST((1000000 * SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)))
+        |            // COUNT(*) AS BIGINT) AS avg_price_microcents,
+        |       CAST((1000000 * SUM(CAST(ROUND(l_discount * 1000) AS BIGINT)))
+        |            // COUNT(*) AS BIGINT) AS avg_disc_micropermille,
+        |       CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q266_tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        |           AS ps_supplycost_cents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+        |       s_name, n_name, p_partkey, s_suppkey, ps_supplycost_cents
+        |FROM part JOIN ps ON p_partkey = ps_partkey
+        |JOIN supplier ON s_suppkey = ps_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+        |  AND ps_supplycost_cents = (
+        |    SELECT MIN(ps2.ps_supplycost_cents)
+        |    FROM ps ps2 JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q267_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q268_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+        |                AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.04
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q269_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(SUM(volume_cents) AS BIGINT) AS revenue_cents
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS INT) AS l_year,
+        |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |              AS BIGINT) AS volume_cents
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q270_tpch_q8" ->
+      """SELECT o_year,
+        |       CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume_cents
+        |                     ELSE 0 END) AS BIGINT) AS nation_cents,
+        |       CAST(SUM(volume_cents) AS BIGINT) AS total_cents,
+        |       CAST((1000 * SUM(CASE WHEN nation = 'NATION_5'
+        |                             THEN volume_cents ELSE 0 END))
+        |            // SUM(volume_cents) AS BIGINT) AS share_permille
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |              AS BIGINT) AS volume_cents,
+        |         n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations
+        |GROUP BY o_year""".stripMargin,
+
+    "q271_tpch_q9" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        |           AS ps_supplycost_cents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT nation, o_year, CAST(SUM(amount_cents) AS BIGINT) AS profit_cents
+        |FROM (
+        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |           - ps_supplycost_cents * CAST(l_quantity AS BIGINT)
+        |           AS amount_cents
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN ps ON ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%red%') profit
+        |GROUP BY nation, o_year""".stripMargin,
+
+    "q272_tpch_q11" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty,
+        |         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        |           AS ps_supplycost_cents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT ps_partkey,
+        |       CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT)
+        |         AS value_cents
+        |FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |GROUP BY ps_partkey
+        |HAVING SUM(ps_supplycost_cents * ps_availqty) > (
+        |  SELECT SUM(ps_supplycost_cents * ps_availqty) // 500
+        |  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7')""".stripMargin,
+
+    "q273_tpch_q12" ->
+      """SELECT l_returnflag AS ship_mode,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q274_tpch_q13" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin,
+
+    "q275_tpch_q14" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |                     THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+        |                          * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |         AS promo_cents,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |                AS BIGINT)) AS BIGINT) AS total_cents,
+        |       CAST((1000 * SUM(CASE WHEN p_type = 'PROMO'
+        |                     THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+        |                          * 100) AS BIGINT) ELSE 0 END))
+        |            // SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |                     AS BIGINT)) AS BIGINT) AS promo_permille
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+
+    "q276_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |                  AS BIGINT)) AS BIGINT) AS total_revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue_cents
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents)
+        |                             FROM revenue)""".stripMargin,
+
+    "q277_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |      FROM lineitem) ps
+        |JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_type NOT IN ('PROMO', 'ECONOMY')
+        |  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                         WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+
+    "q278_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |                AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+
+    "q279_tpch_q20" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_name, s_suppkey
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM ps
+        |    WHERE ps_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_name LIKE 'small%')
+        |      AND 5 * (SELECT COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0)
+        |               FROM lineitem
+        |               WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |                 AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |                 AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |          > 2 * ps_availqty)""".stripMargin,
+
+    // q218's audit replayed over the deterministic 400‰ slice: corpus,
+    // slice predicate, exact truth, banding, and the audit row all replay
+    // from the shared portable-hash constants.
+    "q280_sampled_recall" ->
+      s"""WITH ${minhashPairsCtesOver(docsSlicedCorpusSql)},
+         |truth AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) * 1000
+         |        >= CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) * 600),
+         |found AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
+         |h AS (SELECT * FROM truth INTERSECT SELECT * FROM found)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_hit,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)
+         |         - (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_missed,
+         |       CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+         |            ELSE CAST(1000 * (SELECT COUNT(*) FROM h)
+         |                 // (SELECT COUNT(*) FROM truth) AS BIGINT)
+         |       END AS recall_milli""".stripMargin,
+
+    // The hash centi-score, quintile banding, and largest-remainder seat
+    // allocation replayed in integers; the top-up rank mirrors the Spark
+    // side's (remainder DESC, band ASC) tie-break.
+    "q281_quality_reweight" ->
+      s"""WITH scored AS (
+         |  SELECT ${h60Sql("concat_ws(':', 'qscore', CAST(doc_id AS VARCHAR))")} % 100
+         |           AS score_centi
+         |  FROM documents),
+         |counts AS (
+         |  SELECT score_centi // 20 AS band, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM scored GROUP BY 1),
+         |target AS (
+         |  SELECT CAST(band AS BIGINT) AS band, CAST(tp AS BIGINT) AS target_permille
+         |  FROM (VALUES (0, 50), (1, 100), (2, 150), (3, 300), (4, 400)) t(band, tp)),
+         |j AS (SELECT c.band, n_docs, target_permille
+         |      FROM counts c JOIN target USING (band)),
+         |tot AS (SELECT SUM(target_permille) AS t FROM j),
+         |fl AS (SELECT band, n_docs, target_permille,
+         |              (300 * target_permille) // t AS fl_q,
+         |              (300 * target_permille) % t AS rem
+         |       FROM j CROSS JOIN tot),
+         |k AS (SELECT 300 - SUM(fl_q) AS k FROM fl),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, band ASC) AS rn
+         |       FROM fl)
+         |SELECT band, n_docs, target_permille,
+         |       CAST(fl_q + CASE WHEN rn <= (SELECT k FROM k) THEN 1 ELSE 0 END
+         |            AS BIGINT) AS quota,
+         |       CAST(LEAST(fl_q + CASE WHEN rn <= (SELECT k FROM k) THEN 1 ELSE 0 END,
+         |                  n_docs) AS BIGINT) AS kept
+         |FROM rk""".stripMargin,
+
+    // First-seen-batch novelty + the integer EWMA recurrence as a recursive
+    // CTE over the batch-ordered series (decay 700‰, q140's fold).
+    "q282_novelty_decay" ->
+      s"""WITH RECURSIVE cand AS (
+         |  SELECT doc_id % 5 AS batch,
+         |         ${h60Sql("unnest(" + gramsSql("text") + ")")} AS h
+         |  FROM documents),
+         |fs AS (SELECT h, MIN(batch) AS fsb FROM cand GROUP BY 1),
+         |pb AS (
+         |  SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |         CAST(SUM(CASE WHEN fsb < batch THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_seen
+         |  FROM cand JOIN fs USING (h) GROUP BY 1),
+         |nv AS (SELECT batch, n_shingles, n_seen,
+         |              CAST((1000 * (n_shingles - n_seen)) // n_shingles AS BIGINT)
+         |                AS novelty_permille
+         |       FROM pb),
+         |ord AS (SELECT *, ROW_NUMBER() OVER (ORDER BY batch) AS rn FROM nv),
+         |rec AS (
+         |  SELECT rn, batch, n_shingles, n_seen, novelty_permille,
+         |         novelty_permille AS ewma_permille
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.rn, o.batch, o.n_shingles, o.n_seen, o.novelty_permille,
+         |         (700 * r.ewma_permille + 300 * o.novelty_permille) // 1000
+         |  FROM rec r JOIN ord o ON o.rn = r.rn + 1)
+         |SELECT batch, n_shingles, n_seen, novelty_permille,
+         |       CAST(ewma_permille AS BIGINT) AS ewma_permille
+         |FROM rec""".stripMargin,
+
+    // Components via the q65 recursive walk, split by the portable hash of
+    // the component label, leakage recomputed honestly from the oracle's
+    // own pair set.
+    "q283_leakage_safe_split" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |e AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+         |        UNION SELECT id_b, id_a FROM e),
+         |walk(id, lab) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, w.lab FROM walk w JOIN sym s ON w.id = s.src),
+         |comp AS (SELECT id, MIN(lab) AS component FROM walk GROUP BY id),
+         |labeled AS (
+         |  SELECT c.doc_id, COALESCE(k.component, c.doc_id) AS component
+         |  FROM corpus c LEFT JOIN comp k ON c.doc_id = k.id),
+         |sp AS (
+         |  SELECT doc_id, component,
+         |         CASE WHEN ${h60Sql("concat_ws(':', 'split', CAST(component AS VARCHAR))")} % 1000 < 800
+         |              THEN 'train' ELSE 'eval' END AS split
+         |  FROM labeled),
+         |leak AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaked
+         |  FROM e JOIN sp a ON e.id_a = a.doc_id
+         |         JOIN sp b ON e.id_b = b.doc_id
+         |  WHERE a.split <> b.split)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+         |       (SELECT n_leaked FROM leak) AS n_leaked
+         |FROM sp GROUP BY split""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -603,27 +603,47 @@ object Incremental {
     * resolve the HIGHEST marker first, so they can never observe table A's
     * version v without table B's (the cross-table atomicity single-table
     * logs — Delta included — cannot give; Iceberg needs an external catalog
-    * transaction for it). A crash after some table stages but before the
-    * marker leaves the transaction invisible; re-running the same `v`
-    * overwrites the orphan stage and claims the marker. A marker that
-    * already exists throws `ConcurrentModificationException` (same
-    * optimistic protocol as [[commitVersionExclusive]]).
+    * transaction for it). Writer exclusion mirrors
+    * [[commitVersionExclusive]]'s claim-then-stage order: a claim file
+    * `_txn/v=<v>._claim` is created CREATE-EXCLUSIVELY before any table
+    * stages, so two concurrent committers at the same `v` linearize at the
+    * claim — the loser never stages bytes, and can never overwrite the
+    * winner's staged tables mid-write (staging first and claiming after
+    * would allow exactly that: both pass an exists() pre-check, both
+    * overwrite-stage, one publishes a marker over mixed table data). A
+    * crash after the claim but before the marker leaves the transaction
+    * invisible AND `v` permanently claimed — recovery is retry at a later
+    * version, the same rule commitVersionExclusive documents. A claim or
+    * marker that already exists throws `ConcurrentModificationException`.
     *
-    * Scale: per-table snapshots write in parallel Spark jobs; the marker is
-    * one metadata file — commit cost is O(tables), independent of data. */
+    * Scale: per-table snapshots write in parallel Spark jobs; claim and
+    * marker are one metadata file each — commit cost is O(tables),
+    * independent of data. */
   def commitTransaction(tables: Map[String, DataFrame], stateDir: String, v: Long): Unit = {
     import org.apache.hadoop.fs.Path
     require(tables.nonEmpty, "commitTransaction: no tables to commit")
     val spark = tables.head._2.sparkSession
-    val marker = new Path(s"$stateDir/_txn/v=$v")
+    val txnDir = new Path(s"$stateDir/_txn")
+    val marker = new Path(txnDir, s"v=$v")
+    val claim = new Path(txnDir, s"v=$v._claim")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker))
-      throw new java.util.ConcurrentModificationException(
-        s"commitTransaction: transaction $v of $stateDir already committed")
+    def lost() = throw new java.util.ConcurrentModificationException(
+      s"commitTransaction: transaction $v of $stateDir is already claimed/" +
+        "committed — re-read latest, rebase, retry at a later version")
+    if (fs.exists(marker) || fs.exists(claim)) lost()
+    // Claim BEFORE staging any table: create-exclusive is the
+    // linearization point (see scaladoc).
+    fs.mkdirs(txnDir)
+    try fs.create(claim, false).close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => lost()
+      case _: java.io.IOException if fs.exists(claim) => lost()
+    }
+    // We own the claim: stage every table, then publish the one marker
+    // readers believe.
     tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
       commitVersion(df, s"$stateDir/$name", v)
     }
-    fs.mkdirs(new Path(s"$stateDir/_txn"))
     try fs.create(marker, false).close()
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -641,7 +661,8 @@ object Incremental {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) None
     else fs.listStatus(path).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      // exact v=<digits> only: `v=<v>._claim` files are claims, not commits
+      .filter(_.matches("v=\\d+")).map(_.stripPrefix("v=").toLong)
       .sorted.lastOption
   }
 

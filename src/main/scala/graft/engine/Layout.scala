@@ -75,18 +75,44 @@ object Layout {
     * over-approximate), then the exact row filter on the carried `d`
     * column; partition columns are dropped before the union so the two
     * specs re-unify into one logical schema. Callers wanting proof should
-    * assert `PartitionFilters` on both scans (q246 REQUIREs it). */
+    * assert `PartitionFilters` on both scans (q246 REQUIREs it).
+    *
+    * A subtree with NO part files (all the data fell on one side of the
+    * cutover — [[writeDateSpecEvolution]] still leaves a `_SUCCESS`-only
+    * directory there) contributes zero rows instead of the
+    * schema-inference error a bare `spark.read.parquet` raises on an
+    * empty directory; at least one subtree must hold data. */
   def readDateSpecEvolution(spark: SparkSession, root: String,
                             from: String, to: String): DataFrame = {
-    val m = spark.read.parquet(s"$root/spec=month")
+    def hasPartFiles(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && {
+        val it = fs.listFiles(p, true)
+        var found = false
+        while (!found && it.hasNext)
+          found = it.next().getPath.getName.startsWith("part-")
+        found
+      }
+    }
+    val mHas = hasPartFiles(s"$root/spec=month")
+    val yHas = hasPartFiles(s"$root/spec=year")
+    require(mHas || yHas,
+      s"readDateSpecEvolution: no data under $root/spec=month or $root/spec=year")
+    val m = if (mHas) Some(spark.read.parquet(s"$root/spec=month")
       .where(col("month") >= from.substring(0, 7)
         && col("month") <= to.substring(0, 7))
-      .drop("month")
-    val y = spark.read.parquet(s"$root/spec=year")
+      .drop("month")) else None
+    val y = if (yHas) Some(spark.read.parquet(s"$root/spec=year")
       .where(col("year") >= from.substring(0, 4)
         && col("year") <= to.substring(0, 4))
-      .drop("year")
-    m.unionByName(y).where(col("d") >= from && col("d") <= to)
+      .drop("year")) else None
+    val u = (m, y) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None)    => a
+      case (None, b)          => b.get
+    }
+    u.where(col("d") >= from && col("d") <= to)
   }
 
   /** Bits per dimension of the z-order key: 16 bits × 2 dims = a 32-bit key. */

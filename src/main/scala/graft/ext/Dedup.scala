@@ -519,6 +519,85 @@ object Dedup {
           "ELSE 1000 * n_hit DIV n_true END").as("recall_milli"))
   }
 
+  /** Deterministic corpus slice for sampled recall auditing — the 100 TB
+    * mode of [[recallAudit]] as CODE, not scaladoc: keep documents whose
+    * portable hash of `salt:id` lands under `keepPermille` of 1000, run the
+    * EXACT ground-truth pair join on the slice only (pair-join cost drops
+    * by frac², e.g. 400‰ → 16% of the full cost), estimate the blocking
+    * scheme's recall there, then ship the scheme corpus-wide. The slice is
+    * a pure hash predicate — engine-portable (an oracle replays it
+    * verbatim), stable across runs/partitionings, and pushdown-friendly
+    * (a plain filter above the scan). Pair-level caveat: a truth pair
+    * survives only when BOTH endpoints are kept (≈ frac² of pairs), so
+    * size `keepPermille` to leave enough surviving pairs for the estimate —
+    * Round11bSpec pins slice-vs-full agreement on the planted corpus. */
+  def sampleSlice(docs: DataFrame, idCol: String, keepPermille: Long,
+                  salt: String): DataFrame = {
+    require(keepPermille >= 1 && keepPermille <= 1000,
+      s"Dedup.sampleSlice: keepPermille must be in [1, 1000], got $keepPermille")
+    docs.filter(PortableHash.hash60(
+      concat_ws(":", lit(salt), col(idCol).cast("string"))) % 1000L < keepPermille)
+  }
+
+  /** Novelty-DECAY curve across ingest batches: for each batch, how many of
+    * its distinct word-k-shingles were already seen in any EARLIER batch —
+    * the curation-loop signal that a crawl source is going stale (novelty
+    * decays toward zero as the corpus saturates). Composes q143's
+    * seen/total counting with q140's integer EWMA, but in ONE pass: instead
+    * of B reference joins (batch b vs union of batches < b — O(B·corpus)),
+    * the first-seen batch per 60-bit shingle hash is computed with a single
+    * hash-agg, and a shingle occurrence in batch b counts as seen iff its
+    * first-seen batch is strictly earlier. Per-doc shingles are DISTINCT
+    * ([[graft.ext.Shingles.wordShingles]] sets), so the counts match the
+    * q143 semantics doc-by-doc.
+    *
+    * Output, one row per batch: `(batch, n_shingles, n_seen,
+    * novelty_permille, ewma_permille)` with `novelty_permille =
+    * ⌊1000·(n_shingles − n_seen)/n_shingles⌋` and `ewma_permille` the
+    * running `(decay·acc + (1000−decay)·x) DIV 1000` fold over the
+    * batch-ordered novelty series (q140's engine-exact integer EWMA).
+    *
+    * Scale: one shuffle on the shingle hash (first-seen agg + the join
+    * back), one batch-grain aggregate; the EWMA fold runs on the collected
+    * batch series, which is ingest-calendar-sized (days/weeks of batches),
+    * never corpus-sized — same boundedness class as the q239 risk table. */
+  def noveltyDecayByBatch(docs: DataFrame, batchCol: String, k: Int = 3,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          decayPerMille: Long = 700L): DataFrame = {
+    require(decayPerMille >= 0 && decayPerMille <= 1000,
+      s"Dedup.noveltyDecayByBatch: decay must be in [0, 1000], got $decayPerMille")
+    val cand = docs
+      .select(col(idCol), col(batchCol).cast("long").as("batch"),
+        explode(Shingles.wordShingles(col(textCol), k)).as("s"))
+      .select(col("batch"), PortableHash.hash60(col("s")).as("h"))
+    val firstSeen = cand.groupBy(col("h")).agg(min(col("batch")).as("fs"))
+    val perBatch = cand.join(firstSeen, Seq("h"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fs") < col("batch"), 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("novelty_permille",
+        expr("(1000 * (n_shingles - n_seen)) DIV n_shingles"))
+    val d = decayPerMille; val u = 1000L - decayPerMille
+    // Running EWMA over the batch-ordered series: collected to ONE
+    // batch-calendar-sized array (bounded by construction), prefix-folded
+    // per element, re-exploded. No global window, no data-sized collect.
+    perBatch
+      .agg(array_sort(collect_list(struct(col("batch"), col("n_shingles"),
+        col("n_seen"), col("novelty_permille")))).as("__s"))
+      .select(explode(expr(
+        s"""transform(__s, (r, i) -> named_struct(
+           |  'batch', r.batch, 'n_shingles', r.n_shingles,
+           |  'n_seen', r.n_seen, 'novelty_permille', r.novelty_permille,
+           |  'ewma_permille',
+           |  aggregate(slice(__s, 2, i), __s[0].novelty_permille,
+           |    (acc, x) -> ($d * acc + $u * x.novelty_permille) DIV 1000)))"""
+          .stripMargin)).as("r"))
+      .select(col("r.batch").as("batch"), col("r.n_shingles").as("n_shingles"),
+        col("r.n_seen").as("n_seen"),
+        col("r.novelty_permille").as("novelty_permille"),
+        col("r.ewma_permille").as("ewma_permille"))
+  }
+
   /** [[removeNearDuplicates]] on the portable family (keep-lowest-id policy). */
   def removeNearDuplicatesPortable(docs: DataFrame, threshold: Double,
                                    idCol: String = "doc_id", textCol: String = "text",

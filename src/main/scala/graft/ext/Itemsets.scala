@@ -32,6 +32,35 @@ import org.apache.spark.sql.functions._
   */
 object Itemsets {
 
+  /** Distinct `(b, i)` membership rows of baskets holding at most
+    * `maxBasketSize` distinct items — the shared hub-basket guard every
+    * per-basket generation in this module (and the co-purchase graph
+    * builders in SparkEntry) goes through. Over-cap baskets are DROPPED
+    * whole: one 10⁴-item bot/aggregation basket would otherwise contribute
+    * C(10⁴,2) ≈ 5·10⁷ pair rows (C(10⁴,3) ≈ 10¹¹ triples) on its own. */
+  def cappedBasketItems(baskets: DataFrame, basketCol: String, itemCol: String,
+                        maxBasketSize: Long): DataFrame = {
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val raw = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val sized = raw.groupBy(col("b")).agg(count(lit(1)).as("__bs"))
+      .where(col("__bs") <= maxBasketSize).select(col("b"))
+    raw.join(sized, Seq("b"))
+  }
+
+  /** Co-occurrence pair counts `(p1 < p2, n)` over capped baskets — the
+    * basket self-join bounded by [[cappedBasketItems]], shared by
+    * [[associationRules]] and the co-purchase graph queries (q242/q252) so
+    * no caller re-derives the join without the hub guard. Per-basket work
+    * is C(b,2) with b ≤ `maxBasketSize`; the join is equi on the basket
+    * key; the count is a map-side-combinable groupBy. */
+  def pairCounts(baskets: DataFrame, basketCol: String, itemCol: String,
+                 maxBasketSize: Long = 1000L): DataFrame = {
+    val it = cappedBasketItems(baskets, basketCol, itemCol, maxBasketSize)
+    it.as("a").join(it.as("x"), expr("a.b = x.b AND a.i < x.i"))
+      .groupBy(col("a.i").as("p1"), col("x.i").as("p2"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Triples `(p1 < p2 < p3, n)` of items co-occurring in at least
     * `minSupport` baskets, over `baskets(basketCol, itemCol)` (duplicates
     * within a basket are collapsed; items must be orderable).
@@ -49,10 +78,7 @@ object Itemsets {
       minSupport: Long, maxBasketSize: Long = 1000L): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(maxBasketSize >= 3, s"maxBasketSize must be >= 3, got $maxBasketSize")
-    val raw = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
-    val sized = raw.groupBy(col("b")).agg(count(lit(1)).as("__bs"))
-      .where(col("__bs") <= maxBasketSize).select(col("b"))
-    val it = raw.join(sized, Seq("b"))
+    val it = cappedBasketItems(baskets, basketCol, itemCol, maxBasketSize)
     // L1: keep only items frequent on their own (monotonicity prune #1)
     val l1 = it.groupBy(col("i")).agg(count(lit(1)).as("n"))
       .where(col("n") >= minSupport).select(col("i"))
@@ -94,18 +120,20 @@ object Itemsets {
     * groupBys; the rule join is equi on the item key against the
     * support-pruned item table; N re-joins via the broadcast one-row
     * re-wrap. Overflow: n_both·N ≤ N² needs N < 3×10⁹ baskets — beyond
-    * that, pre-divide N's scale. */
+    * that, pre-divide N's scale. Over-cap baskets are dropped whole
+    * ([[cappedBasketItems]]) from BOTH the pair counts and the item/basket
+    * supports, so every count describes the same capped corpus. */
   def associationRules(
       baskets: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long, minConfPermille: Long): DataFrame = {
+      minSupport: Long, minConfPermille: Long,
+      maxBasketSize: Long = 1000L): DataFrame = {
     require(minConfPermille >= 0 && minConfPermille <= 1000,
       s"minConfPermille must be in [0,1000], got $minConfPermille")
-    val it = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val it = cappedBasketItems(baskets, basketCol, itemCol, maxBasketSize)
     val nB = it.agg(countDistinct(col("b")).as("n_baskets"))
     val supp = it.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
-    val pairs = it.as("a").join(it.as("x"), expr("a.b = x.b AND a.i < x.i"))
-      .groupBy(col("a.i").as("p1"), col("x.i").as("p2"))
-      .agg(count(lit(1)).as("n_both")).where(col("n_both") >= minSupport)
+    val pairs = pairCounts(baskets, basketCol, itemCol, maxBasketSize)
+      .withColumnRenamed("n", "n_both").where(col("n_both") >= minSupport)
     val directed = pairs.select(col("p1").as("ante"), col("p2").as("cons"), col("n_both"))
       .union(pairs.select(col("p2").as("ante"), col("p1").as("cons"), col("n_both")))
     directed

@@ -163,15 +163,35 @@ object Sampling {
     require(total >= 0, s"largestRemainderQuotas: total must be >= 0, got $total")
     val counts = df.groupBy(groupCol.as("group"))
       .agg(count(lit(1)).as("n_rows"))
-    val withTot = counts.crossJoin(
-      broadcast(counts.agg(sum(col("n_rows")).as("__tot"))))
-      .withColumn("__floor", expr(s"(${total}L * n_rows) DIV __tot"))
-      .withColumn("__rem", expr(s"(${total}L * n_rows) % __tot"))
+    mixtureQuotas(counts, "group", "n_rows", total)
+  }
+
+  /** [[largestRemainderQuotas]] generalized to an EXPLICIT target weight per
+    * group: `weights` holds one row per group with a non-negative integer
+    * weight (a target-mixture permille, a priority score — anything
+    * proportional to the group's intended share), and the `total` budget is
+    * split `⌊total·w/Σw⌋` + largest-remainder top-up (ties to the smaller
+    * group key). This is the quality-reweighting primitive: proportional-
+    * to-COUNT allocation is the `weight = n_rows` special case the method
+    * above delegates here.
+    *
+    * Output: `(group, <weightCol>, quota)` with Σquota = total exactly.
+    * Same scale shape as [[largestRemainderQuotas]]: all work is over the
+    * group-cardinality table; the one collect is the leftover count. */
+  def mixtureQuotas(weights: DataFrame, groupCol: String, weightCol: String,
+                    total: Long): DataFrame = {
+    require(total >= 0, s"mixtureQuotas: total must be >= 0, got $total")
+    val w = weights.select(col(groupCol).as("group"),
+      col(weightCol).cast("long").as("__w"))
+    val withTot = w.crossJoin(
+      broadcast(w.agg(sum(col("__w")).as("__tot"))))
+      .withColumn("__floor", expr(s"(${total}L * __w) DIV __tot"))
+      .withColumn("__rem", expr(s"(${total}L * __w) % __tot"))
     val k = total - withTot.agg(sum(col("__floor"))).head().getLong(0)
     val topUp = withTot.orderBy(col("__rem").desc, col("group").asc)
       .limit(k.toInt).select(col("group"), lit(1L).as("__bump"))
     withTot.join(topUp, Seq("group"), "left")
-      .select(col("group"), col("n_rows"),
+      .select(col("group"), col("__w").as(weightCol),
         (col("__floor") + coalesce(col("__bump"), lit(0L))).as("quota"))
   }
 
@@ -425,7 +445,17 @@ object Sampling {
                      items: DataFrame, itemsItemCol: String,
                      k: Int, buckets: Int, salt: String): DataFrame = {
     require(k >= 1 && buckets >= 1, s"need k >= 1 and buckets >= 1, got $k, $buckets")
-    val it = items.select(col(itemsItemCol).cast("long").as("item")).distinct()
+    // The argmin pack below is `rank·2³¹ + item`, so an item id outside
+    // [0, 2³¹) would silently bleed into the rank bits and emit a corrupted
+    // `neg` — guard loudly in-data (a require can't see data; this is the
+    // same discipline as quantileBuckets' overflow raise_error).
+    val idGuard = when(
+      col("__raw").isNull || col("__raw") < 0L || col("__raw") >= 2147483648L,
+      raise_error(concat(lit("negativeSample: item id outside [0, 2^31) " +
+        "breaks the rank*2^31+item argmin pack: "), col("__raw").cast("string"))))
+      .otherwise(col("__raw"))
+    val it = items.select(col(itemsItemCol).cast("long").as("__raw"))
+      .select(idGuard.as("item")).distinct()
       .withColumn("bucket",
         pmod(PortableHash.hash60(concat_ws(":", lit(s"$salt:item"), col("item"))),
           lit(buckets.toLong)))

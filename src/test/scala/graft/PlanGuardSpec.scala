@@ -32,6 +32,17 @@ class PlanGuardSpec extends SparkSpec {
     "q28_embedding_neardup" ->
       "the documented brute-force all-pairs BASELINE; q29/q36/q78/q83 are the scale paths")
 
+  /** Queries allowed to expose a DecimalType column in their FINAL schema,
+    * each with the reason. Decimal at the query boundary is the driver-hash
+    * trap that bit three rounds (4, 8, 10): Spark `sum(decimal)` is
+    * DECIMAL(38,0) while a DuckDB oracle's bare `SUM(BIGINT)` is HUGEINT —
+    * the driver's type-sensitive hash fails even when every value matches
+    * bit-for-bit. The rule: reduce to BIGINT (or render digits as STRING
+    * when the value exceeds int64, q249/q260) in the final projection on
+    * BOTH sides; DECIMAL internals (Rank.spearmanStats, Profile
+    * .tableFingerprint) stay — only the query boundary is banned. */
+  private val decimalAllowed: Map[String, String] = Map.empty
+
   /** Queries allowed to carry a global (empty partition-by) window whose
     * boundedness is semantic rather than plan-provable, with the
     * group-cardinality justification for each. */
@@ -87,6 +98,15 @@ class PlanGuardSpec extends SparkSpec {
         if (bad.nonEmpty && !cartesianAllowed.contains(name)
             && !globalWindowAllowed.contains(name))
           failures += s"$name: ${bad.mkString("; ")}"
+        // Final-schema decimal ban (same pass — fixtures are built once):
+        // see decimalAllowed for why DecimalType at the query boundary is
+        // the recurring driver-hash type-mismatch class.
+        val dec = df.schema.fields.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+        if (dec.nonEmpty && !decimalAllowed.contains(name))
+          failures += s"$name: DecimalType in final schema: " +
+            dec.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+            " — reduce to BIGINT or render as STRING on both sides (see decimalAllowed scaladoc)"
       } catch {
         case e: Throwable =>
           failures += s"$name: query construction failed at $sfDir: ${e.getMessage}"
@@ -101,7 +121,8 @@ class PlanGuardSpec extends SparkSpec {
 
   test("the allowlists only name queries that still exist and still need the exception") {
     val all = SparkEntry.queries.keySet
-    (cartesianAllowed.keySet ++ globalWindowAllowed.keySet).foreach { name =>
+    (cartesianAllowed.keySet ++ globalWindowAllowed.keySet
+      ++ decimalAllowed.keySet).foreach { name =>
       assert(all.contains(name), s"allowlist entry $name no longer exists")
     }
   }

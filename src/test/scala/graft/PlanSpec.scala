@@ -497,6 +497,56 @@ class PlanSpec extends SparkSpec {
       s"q237: the uncorrelated balance aggregates should run as scalar subqueries:\n$p")
   }
 
+  test("q265–q279 TPC-H frontend family: no plan goes cartesian or nested-loop") {
+    // blanket pin for the round-11 batch (Q1, Q2, Q4, Q6–Q9, Q11–Q16, Q19,
+    // Q20): whatever Catalyst does to the decorrelation/grouping shapes,
+    // none may fall back to per-row re-execution. Targeted shape pins below.
+    val family = Seq("q265_tpch_q1", "q266_tpch_q2", "q267_tpch_q4",
+      "q268_tpch_q6", "q269_tpch_q7", "q270_tpch_q8", "q271_tpch_q9",
+      "q272_tpch_q11", "q273_tpch_q12", "q274_tpch_q13", "q275_tpch_q14",
+      "q276_tpch_q15", "q277_tpch_q16", "q278_tpch_q19", "q279_tpch_q20")
+    family.foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: cartesian/nested-loop shape in the plan:\n$p")
+    }
+  }
+
+  test("q266 TPC-H Q2: correlated min-cost decorrelates; dims broadcast; top-N stays TakeOrdered") {
+    val p = planOf("q266_tpch_q2")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q266: supplier/nation/region/part dims must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q266: expected top-N operator:\n$p")
+  }
+
+  test("q267 TPC-H Q4: EXISTS plans as a semi join") {
+    assert(planOf("q267_tpch_q4").contains("LeftSemi"))
+  }
+
+  test("q268 TPC-H Q6: every predicate reaches the lineitem scan") {
+    val p = planOf("q268_tpch_q6")
+    assert(p.contains("PushedFilters:") && p.contains("IsNotNull(l_shipdate)"),
+      s"q268: shipdate/discount/quantity filters must push to parquet:\n$p")
+    assert(!p.contains("Join"), s"q268: Q6 has no join:\n$p")
+  }
+
+  test("q274 TPC-H Q13: the customer spine survives as a left outer join") {
+    val p = planOf("q274_tpch_q13")
+    assert(p.contains("LeftOuter"), s"q274: expected left outer join:\n$p")
+  }
+
+  test("q277 TPC-H Q16: NOT IN plans as an anti join") {
+    val p = planOf("q277_tpch_q16")
+    assert(p.contains("LeftAnti"), s"q277: NOT IN must become an anti join:\n$p")
+  }
+
+  test("q279 TPC-H Q20: nested IN + correlated scalar decorrelate to semi joins over an aggregate") {
+    val p = planOf("q279_tpch_q20")
+    assert(p.contains("LeftSemi"), s"q279: the supplier IN must become a semi join:\n$p")
+    assert(p.contains("LeftOuter"),
+      s"q279: the correlated 1997-demand aggregate should join back LeftOuter:\n$p")
+  }
+
   test("q238 spatial grid join: candidates meet on the cell equi-key, never a cross product") {
     val p = planOf("q238_grid_spatial_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
