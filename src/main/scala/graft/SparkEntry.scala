@@ -5252,12 +5252,556 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("component")).as("n_components"))
         .crossJoin(broadcast(straddle.agg(count(lit(1)).as("n_leaked"))))
+    },
+
+    // K-ANONYMITY audit with a generalization ladder (the release-decision
+    // table for any quasi-identifier export, q62/q226/q240's privacy
+    // sibling): per generalization level — full QI tuple (nation, segment,
+    // balance-band), drop the band, drop the segment — count equivalence
+    // classes, classes under k=5, and the rows they expose. All three
+    // levels are map-side-combinable double aggregates; choosing the
+    // coarsest level with zero risk rows is the consumer's one comparison.
+    "q284_k_anonymity" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_k"))
+      def level(lvl: Int, keys: Seq[Column]) = c.groupBy(keys: _*)
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_small_classes"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_risk_rows"))
+        .withColumn("level", lit(lvl))
+      level(0, Seq(col("nat"), col("seg"), col("bal_k")))
+        .unionByName(level(1, Seq(col("nat"), col("seg"))))
+        .unionByName(level(2, Seq(col("nat"))))
+        .select(col("level"), col("n_classes"), col("n_small_classes"),
+          col("n_risk_rows"))
+    },
+
+    // SEMANTIC-DIVERSITY sample: flatten the topic distribution of an
+    // embedding corpus — bucket by the q29 portable hyperplane LSH (6 sign
+    // bits ≈ coarse topics; no training pass, plan literals), allocate a
+    // UNIFORM per-bucket budget via mixtureQuotas(weight=1), select within
+    // each bucket by portable-hash rank. Every stage — planes, quotas,
+    // ranks — replays in the oracle, so the EXACT kept set is pinned
+    // (per-bucket count + id checksum). The diversity counterpart to
+    // q63's per-domain cap and q82's mixture sample.
+    "q285_semantic_diversity_sample" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val bucketed = emb.withColumn("bucket",
+        graft.ext.Similarity.lshBucket(col("v"), bits = 6, dim = 64))
+      val counts = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"))
+      val quotas = graft.ext.Sampling.mixtureQuotas(
+          counts.select(col("bucket"), lit(1L).as("w")), "bucket", "w", total = 200L)
+        .withColumnRenamed("group", "bucket").select(col("bucket"), col("quota"))
+      val w = Window.partitionBy(col("bucket")).orderBy(col("__h"), col("vec_id"))
+      val kept = bucketed
+        .withColumn("__h", graft.ext.PortableHash.hash60(concat_ws(":",
+          lit("divsamp"), col("vec_id").cast("string"))))
+        .withColumn("__rn", row_number().over(w))
+        .join(broadcast(quotas), Seq("bucket"))
+        .filter(col("__rn") <= col("quota"))
+      counts.join(quotas, Seq("bucket"))
+        .join(kept.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("kept_id_sum")),
+          Seq("bucket"), "left")
+        .select(col("bucket"), col("n_vectors"), col("quota"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+    },
+
+    // L-DIVERSITY audit — q284's sibling on the sensitive-attribute axis:
+    // k-anonymity bounds re-identification, l-diversity bounds ATTRIBUTE
+    // disclosure (a k-large equivalence class whose members all share one
+    // balance band still leaks the band to anyone who can place a person
+    // in the class). QI = (nation, segment); sensitive = $1k balance band.
+    // Two map-side-combinable aggregates — nothing data-sized leaves the
+    // mappers.
+    "q286_l_diversity" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_k"))
+      c.groupBy(col("nat"), col("seg"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("bal_k")).as("l"))
+        .agg(count(lit(1)).as("n_classes"),
+          min(col("l")).as("min_l"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_low_l_classes"),
+          sum(when(col("l") < 3, col("n")).otherwise(0L)).as("n_exposed_rows"))
+    },
+
+    // MUTUAL top-1 neighbor pairs across two embedding corpora
+    // (ext.Similarity.mutualTopOne — the bitext/paraphrase mining shape):
+    // label < 5 plays the "source language", label >= 5 the "target";
+    // LSH-bucket blocking (6 literal hyperplanes, q29/q285's family) keeps
+    // candidates equi-joined — |A|·|B| never materializes — and
+    // forward ∧ backward top-1 agreement is the high-precision filter.
+    // Every stage (planes, 6-dp cosine, id tie-breaks) replays in DuckDB,
+    // so the exact pair set is the oracle.
+    "q287_mutual_nn_pairs" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      graft.ext.Similarity.mutualTopOne(
+        emb.filter(col("label") < 5), emb.filter(col("label") >= 5))
+    },
+
+    // RELIABILITY DIAGRAM + exact micro-ECE numerator
+    // (ext.Calibration.eceBins): a synthetic classifier over orders that is
+    // perfectly calibrated IN EXPECTATION — confidence = one portable-hash
+    // draw, outcome = a second independent draw < confidence — so bin
+    // accuracy tracks bin confidence up to sampling noise and the ECE
+    // numerator measures exactly that noise. Integer cross-multiplied gaps
+    // (|1000·Σy − Σconf| per bin); the corpus-level numerator rides along
+    // via a broadcast one-row cross join (q283's pattern).
+    "q288_ece_calibration" -> { (s, dir) =>
+      val scored = t(s, dir, "orders").select(
+          (graft.ext.PortableHash.hash60(concat_ws(":", lit("cal"),
+            col("o_orderkey").cast("string"))) % 1000L).as("score_permille"),
+          (graft.ext.PortableHash.hash60(concat_ws(":", lit("out"),
+            col("o_orderkey").cast("string"))) % 1000L).as("draw"))
+        .withColumn("y", (col("draw") < col("score_permille")).cast("long"))
+      val bins = graft.ext.Calibration.eceBins(
+        scored.select(col("score_permille"), col("y")),
+        "score_permille", "y", bins = 10)
+      bins.crossJoin(broadcast(bins.agg(sum(col("gap")).as("ece_num"),
+          sum(col("n")).as("n_total"))))
+        .select(col("bin"), col("n"), col("n_pos"),
+          col("sum_conf_permille"), col("gap"), col("ece_num"), col("n_total"))
+    },
+
+    // Exact distributed ROC-AUC (ext.Rank.aucStats — Mann–Whitney U with
+    // midrank ties, no global window anywhere): score = balance cents,
+    // positive class = BUILDING segment. aucStats keeps DECIMAL(38,0)
+    // internals (rank sums reach n² at corpus scale); the QUERY contract
+    // reduces to BIGINT + a permille presentation division, per the
+    // round-10 oracle type rule (q263's discipline, eager-collected inside
+    // the scratch scope).
+    "q289_auc" -> { (s, dir) =>
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("v"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("y"))
+      graft.engine.Scratch.withTempDir("graft-auc-") { tmp =>
+        val stats = graft.ext.Rank.aucStats(base, "v", "y", "id", tmp)
+          .select(col("n_pos"), col("n_neg"),
+            col("two_u").cast("long").as("two_u"))
+          .withColumn("auc_permille",
+            expr("two_u * 1000 DIV (2 * n_pos * n_neg)"))
+        val r = stats.collect()
+        s.createDataFrame(java.util.Arrays.asList(r: _*), stats.schema)
+      }
+    },
+
+    // SPLIT-CONFORMAL coverage audit (Vovk's inductive conformal
+    // prediction, the distribution-free uncertainty wrapper every model
+    // service wants): nonconformity = event value in exact micro units,
+    // calibration half by portable-hash coin, q̂ = the ⌈(n+1)·0.9⌉-th
+    // smallest calibration score — finite-sample-corrected 90% quantile
+    // via Rank.valueAtRanks' frozen-scratch machinery (NO global sort) —
+    // and marginal coverage counted on the held-out half. Exchangeable
+    // split ⇒ expected coverage ≥ 900‰; the audit reports exact counts.
+    "q290_conformal_coverage" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("nc"))
+        .withColumn("side", graft.ext.PortableHash.hash60(concat_ws(":",
+          lit("conf"), col("event_id").cast("string"))) % 2L)
+      val qhat = graft.ext.Rank.valueAtRanks(
+        ev.filter(col("side") === 0L), Seq("nc", "event_id"), "nc",
+        n => Seq("qhat" -> (9L * (n + 1) + 9L) / 10L), countName = "n_cal")
+      ev.filter(col("side") === 1L).crossJoin(broadcast(qhat))
+        .agg(max(col("n_cal")).as("n_cal"), max(col("qhat")).as("qhat"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("nc") <= col("qhat"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .withColumn("coverage_permille",
+          expr("n_covered * 1000 DIV n_test"))
+    },
+
+    // PADDING-WASTE audit for fixed-count training batches
+    // (ext.Packing.paddingWaste): batches of 32 inside 8 hash streams,
+    // arrival order vs length-sorted order; each batch pads to its max
+    // token count. The two-row answer quantifies exactly what
+    // length-sorted batching saves — q69's fixed-budget packing is the
+    // other half of the trade.
+    "q291_padding_waste" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ext.Packing.paddingWaste(docs, col("doc_id"),
+        graft.ext.TextAnalysis.tokenCount(col("text")),
+        batchSize = 32, streams = 8)
+    },
+
+    // STRATIFIED GROUP K-FOLD — q283's leakage-safe split generalized to
+    // cross-validation: the assignment unit is still the near-dup connected
+    // component (hash60 of the component label picks one of 5 folds, so no
+    // near-duplicate pair ever straddles folds — n_leaked stays 0 by
+    // construction and is audited in-data), and the per-(fold, language)
+    // counts are the stratification balance report. Language comes from the
+    // base document (planted copies inherit via doc_id % 100000).
+    "q292_stratified_group_kfold" -> { (s, dir) =>
+      val docs = docsWithPlantedNearDups(s, dir)
+      val pairs = graft.ext.Dedup
+        .minhashNearDuplicatesPortable(docs, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val comp = graft.ext.Graph.connectedComponents(pairs)
+      val folds = docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+        .withColumn("fold", graft.ext.PortableHash.hash60(concat_ws(":",
+          lit("fold"), col("component").cast("string"))) % 5L)
+      val straddle = folds.select(col("doc_id").as("id_a"), col("fold").as("fa"))
+        .join(pairs, Seq("id_a"))
+        .join(folds.select(col("doc_id").as("id_b"), col("fold").as("fb")),
+          Seq("id_b"))
+        .filter(col("fa") =!= col("fb"))
+      val langs = t(s, dir, "documents")
+        .select(col("doc_id").as("base_id"), col("lang"))
+      folds.withColumn("base_id", col("doc_id") % 100000L)
+        .join(langs, Seq("base_id"))
+        .groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_components"))
+        .crossJoin(broadcast(straddle.agg(count(lit(1)).as("n_leaked"))))
+        .select(col("fold"), col("lang"), col("n_docs"),
+          col("n_components"), col("n_leaked"))
+    },
+
+    // BOILERPLATE detection (ext.TextAnalysis.boilerplateBySource): shingles
+    // in >20% of a source's documents are template chrome, not content —
+    // per-source share of template shingle occurrences, integer
+    // cross-multiplied df flag, word-count economics (no windows).
+    "q293_boilerplate" -> { (s, dir) =>
+      graft.ext.TextAnalysis.boilerplateBySource(t(s, dir, "documents"))
+    },
+
+    // TOKENIZER FERTILITY by language — BPE tokens per whitespace word (the
+    // multilingual-tokenizer equity metric: high fertility = the language
+    // pays more sequence length per word): q149's trained merges applied by
+    // q179's encoder, re-aggregated per language with exact integer ratios.
+    "q294_bpe_fertility" -> { (s, dir) =>
+      val enc = graft.ext.TextAnalysis.bpeEncode(
+        t(s, dir, "documents"), "doc_id", col("text"), rounds = 4)
+      enc.join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_chars")).as("n_chars"))
+        .withColumn("fertility_permille",
+          expr("n_tokens * 1000 DIV n_words"))
+    },
+
+    // MULTI-EPOCH SHUFFLE plan audit — the training-data shuffling
+    // contract: per epoch e, shard = portable hash of (epoch, id) % 16, so
+    // every epoch is a deterministic PERMUTATION of the corpus into shards
+    // (no data movement to plan it — three hash columns, zero joins), the
+    // per-epoch (n_rows, id_sum) invariants prove no row is lost or
+    // duplicated, min/max shard sizes certify balance, and churn_from_prev
+    // counts rows whose shard changed — the "epochs actually reshuffle"
+    // guarantee (≈ 15/16 of rows expected to move).
+    "q295_epoch_shuffle" -> { (s, dir) =>
+      val ids = t(s, dir, "orders").select(col("o_orderkey").as("id"))
+      def shard(e: Int) = graft.ext.PortableHash.hash60(concat_ws(":",
+        lit("ep"), lit(e).cast("string"), col("id").cast("string"))) % 16L
+      val base = ids.withColumn("s0", shard(0)).withColumn("s1", shard(1))
+        .withColumn("s2", shard(2))
+      def epoch(e: Int, sc: String, churn: Column) = {
+        val sizes = base.groupBy(col(sc)).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_shards"), min(col("n")).as("min_shard_rows"),
+            max(col("n")).as("max_shard_rows"))
+        base.agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"),
+            sum(churn).as("churn_from_prev"))
+          .crossJoin(broadcast(sizes))
+          .select(lit(e.toLong).as("epoch"), col("n_rows"), col("id_sum"),
+            col("n_shards"), col("min_shard_rows"), col("max_shard_rows"),
+            col("churn_from_prev"))
+      }
+      epoch(0, "s0", lit(0L))
+        .unionByName(epoch(1, "s1", when(col("s1") =!= col("s0"), 1L).otherwise(0L)))
+        .unionByName(epoch(2, "s2", when(col("s2") =!= col("s1"), 1L).otherwise(0L)))
+    },
+
+    // GROUPWISE TRIMMED MEAN — the robust-stats reporting sibling of q141's
+    // median impute and q199's weighted median: per market segment, drop the
+    // lowest and highest decile of balances by within-group rank (windows
+    // partitioned by segment — never global) and report the exact integer
+    // mean of the rest. Outlier-resistant group KPIs without float
+    // association anywhere.
+    "q296_trimmed_mean" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_mktsegment").as("seg"),
+        col("c_custkey").as("id"),
+        expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy(col("seg")).orderBy(col("cents"), col("id"))
+      val wc = Window.partitionBy(col("seg"))
+      c.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(expr("rn > cnt DIV 10 AND rn <= cnt - cnt DIV 10"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("cents")).as("sum_cents"))
+        .withColumn("trimmed_mean_cents", expr("sum_cents DIV n_kept"))
+    },
+
+    // JARO–WINKLER record linkage (functions.JaroWinkler — the 9th custom
+    // codegen expression, DuckDB-contract semantics spec-pinned;
+    // ext.Fuzzy.jwBestMatch): supplier names with their last two characters
+    // transposed (the classic digit-swap typo) are re-linked to the clean
+    // dimension under digit-prefix BLOCKING (all but the last 3 chars —
+    // per-block candidates bounded at 10³ originals at ANY corpus scale,
+    // the editDistanceJoin/Spatial density discipline), argmax per typo by
+    // (jw DESC, id). The oracle replays blocking, DuckDB's own
+    // jaro_winkler_similarity, and the tie-break — pinning kernel semantics
+    // over real data, not just the spec's hand cases.
+    "q297_jw_linkage" -> { (s, dir) =>
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+      val typos = sup.select((col("id") + 100000L).as("tid"),
+        concat(expr("substring(name, 1, length(name) - 2)"),
+          reverse(expr("substring(name, length(name) - 1, 2)"))).as("tname"))
+      graft.ext.Fuzzy.jwBestMatch(
+        typos, "tid", col("tname"),
+        expr("substring(tname, 1, length(tname) - 3)"),
+        sup, "id", col("name"),
+        expr("substring(name, 1, length(name) - 3)"))
+    },
+
+    // NDCG@10 (ext.Rank.ndcgMicros — the ranking-eval flagship next to
+    // q289's AUC) computed WITHOUT floats: per-user model ranking (portable
+    // hash score) vs ideal ranking of graded relevances, each rank
+    // contributing rel·⌊10⁶/log₂(r+1)⌋ micros — the discount table is a
+    // shared Scala-computed literal (hyperplane discipline), so both
+    // engines sum identical integers. Micro-averaged corpus NDCG as exact
+    // num/den, one permille division at the boundary.
+    "q298_ndcg" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"))
+        .withColumn("score", graft.ext.PortableHash.hash60(concat_ws(":",
+          lit("score"), col("event_id").cast("string"))) % 1000000L)
+        .withColumn("rel", graft.ext.PortableHash.hash60(concat_ws(":",
+          lit("rel"), col("event_id").cast("string"))) % 4L)
+      graft.ext.Rank.ndcgMicros(ev, "user_id", "score", "rel", "event_id", 10)
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("dcg_micros")).as("sum_dcg_micros"),
+          sum(col("idcg_micros")).as("sum_idcg_micros"))
+        .withColumn("mean_ndcg_permille",
+          expr("sum_dcg_micros * 1000 DIV sum_idcg_micros"))
+    },
+
+    // BRIER SCORE for q288's synthetic calibrated classifier — the proper
+    // scoring rule companion to ECE: Σ(1000·y − conf_permille)² stays in
+    // exact integer permille² units (no float squares), mean via one DIV.
+    "q299_brier" -> { (s, dir) =>
+      t(s, dir, "orders").select(
+          (graft.ext.PortableHash.hash60(concat_ws(":", lit("cal"),
+            col("o_orderkey").cast("string"))) % 1000L).as("sp"),
+          (graft.ext.PortableHash.hash60(concat_ws(":", lit("out"),
+            col("o_orderkey").cast("string"))) % 1000L).as("draw"))
+        .withColumn("y", (col("draw") < col("sp")).cast("long"))
+        .agg(count(lit(1)).as("n"),
+          sum((lit(1000L) * col("y") - col("sp")) *
+            (lit(1000L) * col("y") - col("sp"))).as("brier_num_pm2"))
+        .withColumn("brier_mean_pm2", expr("brier_num_pm2 DIV n"))
+    },
+
+    // COHEN'S KAPPA for two annotators (q163's Fleiss is the n-rater
+    // generalization; Cohen is the pairwise workhorse): two deterministic
+    // hash labelers over documents, annotator B flipping 20% of A's labels,
+    // chance agreement from the CLASS GRID (one 9-row groupBy — everything
+    // after the first aggregate is metadata-sized). Exact integer
+    // ingredients: κ = (n·agree − Σ_c nａ_c·nｂ_c) / (n² − Σ_c nａ_c·nｂ_c).
+    "q300_cohens_kappa" -> { (s, dir) =>
+      val lab = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("a", graft.ext.PortableHash.hash60(concat_ws(":",
+          lit("ann_a"), col("doc_id").cast("string"))) % 3L)
+        .withColumn("flip", graft.ext.PortableHash.hash60(concat_ws(":",
+          lit("flip"), col("doc_id").cast("string"))) % 1000L)
+        .withColumn("b", when(col("flip") < 200L,
+          (col("a") + 1L + graft.ext.PortableHash.hash60(concat_ws(":",
+            lit("fd"), col("doc_id").cast("string"))) % 2L) % 3L)
+          .otherwise(col("a")))
+      val grid = lab.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      val pe = grid.groupBy(col("a")).agg(sum(col("n_ab")).as("na"))
+        .withColumnRenamed("a", "c")
+        .join(grid.groupBy(col("b")).agg(sum(col("n_ab")).as("nb"))
+          .withColumnRenamed("b", "c"), Seq("c"))
+        .agg(sum(col("na") * col("nb")).as("pe_num"))
+      grid.agg(sum(col("n_ab")).as("n"),
+          sum(when(col("a") === col("b"), col("n_ab")).otherwise(0L))
+            .as("n_agree"))
+        .crossJoin(broadcast(pe))
+        .select(col("n"), col("n_agree"), col("pe_num"),
+          (col("n") * col("n_agree") - col("pe_num")).as("kappa_num"),
+          (col("n") * col("n") - col("pe_num")).as("kappa_den"))
+        .withColumn("kappa_permille", expr("kappa_num * 1000 DIV kappa_den"))
+    },
+
+    // PERSONALIZED PageRank (ext.Graph.personalizedPageRank — Haveliwala's
+    // topic-sensitive variant of q127): teleport mass restricted to the
+    // nation-1 suppliers, so parts rank by proximity-weighted connectivity
+    // to that seed cohort — the "expand from a trusted seed set" primitive
+    // (TrustRank / related-entity expansion). Same exact integer micro
+    // arithmetic as q127, oracle = 3 unrolled rounds with the seed-gated
+    // teleport.
+    "q301_personalized_pagerank" -> { (s, dir) =>
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("a"),
+          (col("l_partkey").cast("long") + 1000000L).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_nationkey") === 1)
+        .select(col("s_suppkey").cast("long").as("node"))
+      graft.ext.Graph.personalizedPageRank(edges, seeds, iters = 3)
+        .orderBy(col("rank_micros").desc, col("node"))
+        .limit(20)
+    },
+
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram bucket
+    // add-one log-likelihood ratios between the target slice (lang='en')
+    // and the full corpus, as exact integer micros; per-doc weight = Σ of
+    // its token occurrences' bucket ratios. The B-row ratio table
+    // broadcasts, so scoring any corpus width is one map-side join +
+    // groupBy(doc) — the published data-selection recipe in its 100 TB
+    // shape. Top-20 docs by weight (ties broken by doc_id).
+    "q302_dsir_select" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      val ratios = ext.Sampling.dsirLogRatioMicros(toks, "token", col("lang") === "en")
+      ext.Sampling.dsirDocWeights(toks, "doc_id", "token", ratios)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("weight_micros"))
+        .orderBy(col("weight_micros").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // Rendezvous (HRW) vs mod-hash shard rebalance audit for 8 → 9 shards
+    // over the customer keys: mod-hash remaps ~8/9 of all keys (a full
+    // re-shard — terabytes rewritten at corpus scale), HRW only the ~1/9
+    // that land on the new shard. Pure portable-hash row functions — the
+    // oracle replays every per-shard hash and the argmax arithmetically.
+    "q303_hrw_rebalance" -> { (s, dir) =>
+      ext.Sharding.rebalanceAudit(
+        t(s, dir, "customer").select(col("c_custkey").cast("long").as("k")),
+        "k", 8, 9)
+    },
+
+    // Key-skew audit: exact Gini of the token-frequency distribution (the
+    // Zipf tail that melts a naive groupBy) vs the SAME mass after
+    // hash-bucketing into 32 shuffle buckets (zeros included via a bucket
+    // spine) — what the executors actually see. Rank.giniStats keeps
+    // DECIMAL(38,0) internals (S reaches n·T past int64 at corpus scale);
+    // this query reduces to BIGINT per the oracle type contract.
+    "q304_gini_skew" -> { (s, dir) =>
+      val toks = t(s, dir, "documents").select(
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      val byToken = toks.groupBy(col("token")).agg(count(lit(1)).as("sz"))
+        .select(col("token").as("id"), col("sz"))
+      val spine = s.range(32).select(col("id").cast("long").as("b"))
+      val byBucket = spine.join(
+          toks.select(pmod(graft.ext.PortableHash.hash60(concat(lit("gini:"), col("token"))),
+              lit(32L)).as("b"))
+            .groupBy(col("b")).agg(count(lit(1)).as("cnt")),
+          Seq("b"), "left")
+        .select(col("b").cast("string").as("id"),
+          coalesce(col("cnt"), lit(0L)).as("sz"))
+      graft.engine.Scratch.withTempDir("graft-gini-") { tmp =>
+        def row(df: DataFrame, scheme: String, sub: String) =
+          graft.ext.Rank.giniStats(df, "sz", "id", s"$tmp/$sub")
+            .select(lit(scheme).as("scheme"),
+              col("n").cast("long").as("n_keys"),
+              col("t").cast("long").as("total"),
+              col("s").cast("long").as("s"))
+            .select(col("scheme"), col("n_keys"), col("total"),
+              expr("CAST((2 * s - (n_keys + 1) * total) * 1000 DIV (n_keys * total) AS BIGINT)")
+                .as("gini_permille"))
+        val out = row(byToken, "token_freq", "tok")
+          .unionByName(row(byBucket, "hash_bucket32", "bkt"))
+        val r = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(r: _*), out.schema)
+      }
+    },
+
+    // Pointwise mutual information over co-occurring word pairs, vocabulary
+    // capped to the top-50 words by document frequency (broadcast), so the
+    // per-doc pair fan-out is bounded by C(50,2) whatever the corpus width
+    // — never all-pairs over the raw vocabulary. PMI in exact integer
+    // micros via the shared ROUND(ln·1e6) contract (PmiMicrosExpr is
+    // spliced verbatim into the oracle).
+    "q305_pmi_pairs" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val dt = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w")).distinct()
+      val dfreq = dt.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val topV = dfreq.orderBy(col("df").desc, col("w")).limit(50)
+      val tv = dt.join(broadcast(topV), Seq("w"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      tv.select(col("doc_id"), col("w").as("w1"), col("df").as("df1"))
+        .join(tv.select(col("doc_id"), col("w").as("w2"), col("df").as("df2")),
+          Seq("doc_id"))
+        .filter(col("w1") < col("w2"))
+        .groupBy(col("w1"), col("w2"), col("df1"), col("df2"))
+        .agg(count(lit(1)).as("c_xy"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("c_xy") >= 5)
+        .select(col("w1"), col("w2"), col("c_xy"), expr(PmiMicrosExpr).as("pmi_micros"))
+        .orderBy(col("pmi_micros").desc, col("w1"), col("w2"))
+        .limit(30)
+    },
+
+    // Letter-distribution Shannon entropy per language in exact integer
+    // micro-nats — the gibberish/mojibake screen. Counts via 26 codegen'd
+    // length-replace projections (NO per-character explode: an explode
+    // multiplies row count by text length; this stays one linear scan).
+    // The entropy arithmetic is ONE generated SQL fragment shared verbatim
+    // with the oracle (only the integer-division token differs).
+    "q306_letter_entropy" -> { (s, dir) =>
+      val cnts = t(s, dir, "documents")
+        .selectExpr("lang" +: ext.TextAnalysis.letterCountCols("lower(text)"): _*)
+      cnts
+        .filter(expr(s"${ext.TextAnalysis.letterTotalExpr} > 0"))
+        .select(col("lang"),
+          expr(ext.TextAnalysis.letterEntropyMicrosExpr("DIV")).as("h_micros"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(SUM(h_micros) DIV COUNT(*) AS BIGINT)").as("mean_entropy_micros"),
+          min(col("h_micros")).as("min_entropy_micros"),
+          max(col("h_micros")).as("max_entropy_micros"))
+    },
+
+    // Distinct-n diversity (unigram type-token ratio + bigram distinct
+    // share) per source — the self-repetition screen for generated/crawled
+    // corpora. Bigrams via the order-preserving multiset HOF
+    // (TextAnalysis.allGrams — NOT the distinct shingle set MinHash uses);
+    // exact distinct counts (the sketch path for corpus scale is q109's
+    // HLL table).
+    "q307_distinct_ngrams" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val uni = docs.select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("g"))
+      val bi = docs.select(col("source"),
+        explode(ext.TextAnalysis.allGrams(lower(col("text")), 2)).as("g"))
+      def stats(df: DataFrame, gram: String) =
+        df.groupBy(col("source"))
+          .agg(count(lit(1)).as("total"), countDistinct(col("g")).as("distinct_grams"))
+          .select(lit(gram).as("gram"), col("source"), col("total"),
+            col("distinct_grams"),
+            expr("distinct_grams * 1000 DIV total").as("distinct_permille"))
+      stats(uni, "uni").unionByName(stats(bi, "bi"))
     }
   )
 
   /** Public category order for q240's randomized response — shared verbatim
     * with its oracle's list literal so the uniform-pick indexing agrees. */
   private val RRCategories = Seq("click", "error", "purchase", "signup", "view")
+
+  /** PMI in integer micros — ONE arithmetic string shared verbatim between
+    * the q305 plan and its oracle, so the double path
+    * `(c_xy·1e0·n_docs)/(df1·df2)` runs the identical IEEE op order on both
+    * engines before the micro-round. */
+  private[graft] val PmiMicrosExpr: String =
+    "CAST(ROUND(1e6 * ln((c_xy * 1e0 * n_docs) / (df1 * df2))) AS BIGINT)"
 
   /** `round(1000·0.9^age)` for ages 0–29 — computed ONCE here and shared
     * verbatim with the q205 oracle's VALUES table, so the irrational decay
@@ -5274,6 +5818,25 @@ object SparkEntry {
   /** 60-bit md5 hash in DuckDB — the mirror of [[graft.ext.PortableHash.hash60]]. */
   private def h60Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB replay of [[graft.ext.Sharding.hrwShard]]'s per-shard hash list:
+    * `[h60('hrw:key:0'), …, h60('hrw:key:n−1')]`. The consumer takes
+    * `list_indexof(l, list_max(l)) − 1` — first occurrence = SMALLEST shard
+    * id, matching the Spark side's (h, −s) struct-max tie-break. */
+  private def hrwListSql(keyExpr: String, n: Int): String =
+    (0 until n).map(i => h60Sql(s"'hrw:' || $keyExpr || ':$i'"))
+      .mkString("[", ",\n          ", "]")
+
+  /** DuckDB replay of [[graft.ext.Similarity.lshBucket]]: the same literal
+    * hyperplanes, sign bits packed MSB-first (plane p carries weight
+    * 2^(bits−1−p), matching the fold's `acc·2 + bit`). */
+  private def lshBucketSql(vExpr: String, bits: Int, dim: Int = 64): String =
+    graft.ext.Similarity.hyperplanes(bits, dim).zipWithIndex.map {
+      case (plane, p) =>
+        val lits = plane.mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product($vExpr, $lits) >= 0 " +
+          s"THEN ${1L << (bits - 1 - p)} ELSE 0 END"
+    }.mkString("(", "\n         + ", ")")
 
   /** q18's oracle: the medallion spine replayed END TO END in DuckDB — the
     * portable-hash generator batches (same seeds/sites/arithmetic as
@@ -10066,7 +10629,569 @@ object SparkEntry {
          |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
          |       (SELECT n_leaked FROM leak) AS n_leaked
-         |FROM sp GROUP BY split""".stripMargin
+         |FROM sp GROUP BY split""".stripMargin,
+
+    "q284_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k
+        |  FROM customer),
+        |l0 AS (SELECT COUNT(*) AS n FROM c GROUP BY nat, seg, bal_k),
+        |l1 AS (SELECT COUNT(*) AS n FROM c GROUP BY nat, seg),
+        |l2 AS (SELECT COUNT(*) AS n FROM c GROUP BY nat)
+        |SELECT 0 AS level, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+        |       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risk_rows
+        |FROM l0
+        |UNION ALL
+        |SELECT 1, CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |FROM l1
+        |UNION ALL
+        |SELECT 2, CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |FROM l2""".stripMargin,
+
+    // Plane literals, uniform largest-remainder seats, and the hash-rank
+    // selection all replayed — the kept set is pinned exactly via the
+    // per-bucket id checksum.
+    "q285_semantic_diversity_sample" -> {
+      val planes = graft.ext.Similarity.hyperplanes(bits = 6, dim = 64)
+      val bucketTerms = planes.zipWithIndex.map { case (plane, pIdx) =>
+        val lits = plane.mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product(v, $lits) >= 0 THEN ${1L << (5 - pIdx)} ELSE 0 END"
+      }.mkString("(\n           ", "\n         + ", ")")
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bk AS (
+         |  SELECT vec_id,
+         |         $bucketTerms AS bucket
+         |  FROM base),
+         |counts AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
+         |           FROM bk GROUP BY 1),
+         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM counts),
+         |fl AS (SELECT bucket, n_vectors, 200 // n AS fl_q, 200 % n AS remtot
+         |       FROM counts CROSS JOIN nb),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY bucket ASC) AS rn FROM fl),
+         |q AS (SELECT bucket, n_vectors,
+         |             CAST(fl_q + CASE WHEN rn <= remtot THEN 1 ELSE 0 END
+         |                  AS BIGINT) AS quota
+         |      FROM rk),
+         |h AS (SELECT vec_id, bucket,
+         |             ${h60Sql("concat_ws(':', 'divsamp', CAST(vec_id AS VARCHAR))")} AS hh
+         |      FROM bk),
+         |r AS (SELECT bucket, vec_id,
+         |             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY hh, vec_id) AS rn2
+         |      FROM h),
+         |kept AS (SELECT r.bucket, vec_id FROM r JOIN q USING (bucket)
+         |         WHERE rn2 <= quota),
+         |ks AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |              CAST(SUM(vec_id) AS BIGINT) AS kept_id_sum
+         |       FROM kept GROUP BY 1)
+         |SELECT q.bucket, q.n_vectors, q.quota,
+         |       COALESCE(ks.n_kept, 0) AS n_kept,
+         |       COALESCE(ks.kept_id_sum, 0) AS kept_id_sum
+         |FROM q LEFT JOIN ks USING (bucket)""".stripMargin
+    },
+
+    "q286_l_diversity" ->
+      """WITH c AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k
+        |  FROM customer),
+        |cl AS (SELECT COUNT(*) AS n, COUNT(DISTINCT bal_k) AS l
+        |       FROM c GROUP BY nat, seg)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |       CAST(MIN(l) AS BIGINT) AS min_l,
+        |       CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_low_l_classes,
+        |       CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+        |         AS n_exposed_rows
+        |FROM cl""".stripMargin,
+
+    "q287_mutual_nn_pairs" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |a AS (SELECT vec_id AS a_id, v,
+         |             ${lshBucketSql("v", 6)} AS bucket
+         |      FROM base WHERE label < 5),
+         |b AS (SELECT vec_id AS b_id, v,
+         |             ${lshBucketSql("v", 6)} AS bucket
+         |      FROM base WHERE label >= 5),
+         |cand AS (
+         |  SELECT a_id, b_id,
+         |         ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+         |  FROM a JOIN b USING (bucket)),
+         |ba AS (SELECT a_id, b_id, cos_sim, ROW_NUMBER() OVER
+         |         (PARTITION BY a_id ORDER BY cos_sim DESC, b_id) AS rn
+         |       FROM cand),
+         |bb AS (SELECT a_id, b_id, ROW_NUMBER() OVER
+         |         (PARTITION BY b_id ORDER BY cos_sim DESC, a_id) AS rn
+         |       FROM cand)
+         |SELECT ba.a_id, ba.b_id, ba.cos_sim
+         |FROM ba JOIN bb ON ba.a_id = bb.a_id AND ba.b_id = bb.b_id
+         |WHERE ba.rn = 1 AND bb.rn = 1""".stripMargin,
+
+    "q288_ece_calibration" ->
+      s"""WITH o AS (
+         |  SELECT ${h60Sql("concat_ws(':', 'cal', CAST(o_orderkey AS VARCHAR))")} % 1000 AS sp,
+         |         ${h60Sql("concat_ws(':', 'out', CAST(o_orderkey AS VARCHAR))")} % 1000 AS draw
+         |  FROM orders),
+         |s AS (SELECT sp, CASE WHEN draw < sp THEN 1 ELSE 0 END AS y FROM o),
+         |b AS (SELECT sp // 100 AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |             CAST(SUM(y) AS BIGINT) AS n_pos,
+         |             CAST(SUM(sp) AS BIGINT) AS sum_conf_permille
+         |      FROM s GROUP BY 1),
+         |g AS (SELECT bin, n, n_pos, sum_conf_permille,
+         |             ABS(1000 * n_pos - sum_conf_permille) AS gap
+         |      FROM b),
+         |tot AS (SELECT CAST(SUM(gap) AS BIGINT) AS ece_num,
+         |               CAST(SUM(n) AS BIGINT) AS n_total FROM g)
+         |SELECT bin, n, n_pos, sum_conf_permille, gap, ece_num, n_total
+         |FROM g CROSS JOIN tot""".stripMargin,
+
+    // RANK() is min-tie rank, COUNT(*) OVER (PARTITION BY v) the tie size —
+    // 2·midrank = 2·rank + t − 1 replays aucStats' integer midranks; the
+    // naive global window is fine HERE (the oracle side is allowed to be
+    // the single-node formulation).
+    "q289_auc" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v,
+        |         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        |  FROM customer),
+        |r AS (SELECT id, v, y, RANK() OVER (ORDER BY v) AS rnk,
+        |             COUNT(*) OVER (PARTITION BY v) AS t
+        |      FROM c),
+        |s AS (SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+        |             CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+        |             CAST(SUM(CASE WHEN y = 1 THEN 2 * rnk + t - 1 ELSE 0 END)
+        |                  AS BIGINT) AS two_r_pos
+        |      FROM r)
+        |SELECT n_pos, n_neg,
+        |       CAST(two_r_pos - n_pos * (n_pos + 1) AS BIGINT) AS two_u,
+        |       CAST((two_r_pos - n_pos * (n_pos + 1)) * 1000
+        |            // (2 * n_pos * n_neg) AS BIGINT) AS auc_permille
+        |FROM s""".stripMargin,
+
+    "q290_conformal_coverage" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, CAST(floor(value * 1000000) AS BIGINT) AS nc,
+         |         ${h60Sql("concat_ws(':', 'conf', CAST(event_id AS VARCHAR))")} % 2 AS side
+         |  FROM events),
+         |cal AS (SELECT nc FROM ev WHERE side = 0),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+         |qh AS (SELECT nc AS qhat
+         |       FROM (SELECT nc, ROW_NUMBER() OVER (ORDER BY nc) AS rn
+         |             FROM cal) q CROSS JOIN m
+         |       WHERE rn = (9 * (n_cal + 1) + 9) // 10),
+         |t AS (SELECT nc FROM ev WHERE side = 1)
+         |SELECT (SELECT n_cal FROM m) AS n_cal,
+         |       (SELECT qhat FROM qh) AS qhat,
+         |       CAST(COUNT(*) AS BIGINT) AS n_test,
+         |       CAST(SUM(CASE WHEN nc <= (SELECT qhat FROM qh)
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+         |       CAST(SUM(CASE WHEN nc <= (SELECT qhat FROM qh)
+         |                     THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+         |         AS coverage_permille
+         |FROM t""".stripMargin,
+
+    "q291_padding_waste" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+         |         ${h60Sql("concat_ws(':', 'pad', CAST(doc_id AS VARCHAR))")} % 8 AS stream
+         |  FROM documents),
+         |a AS (SELECT stream, tok, ROW_NUMBER() OVER
+         |        (PARTITION BY stream ORDER BY doc_id) AS rn FROM d),
+         |ab AS (SELECT stream, (rn - 1) // 32 AS batch, COUNT(*) AS bn,
+         |              SUM(tok) AS real_t, MAX(tok) AS max_t
+         |       FROM a GROUP BY 1, 2),
+         |aa AS (SELECT 'arrival' AS strategy,
+         |              CAST(COUNT(*) AS BIGINT) AS n_batches,
+         |              CAST(SUM(real_t) AS BIGINT) AS real_tokens,
+         |              CAST(SUM(max_t * bn) AS BIGINT) AS padded_tokens
+         |       FROM ab),
+         |so AS (SELECT stream, tok, ROW_NUMBER() OVER
+         |        (PARTITION BY stream ORDER BY tok DESC, doc_id) AS rn FROM d),
+         |sb AS (SELECT stream, (rn - 1) // 32 AS batch, COUNT(*) AS bn,
+         |              SUM(tok) AS real_t, MAX(tok) AS max_t
+         |       FROM so GROUP BY 1, 2),
+         |sa AS (SELECT 'sorted' AS strategy,
+         |              CAST(COUNT(*) AS BIGINT) AS n_batches,
+         |              CAST(SUM(real_t) AS BIGINT) AS real_tokens,
+         |              CAST(SUM(max_t * bn) AS BIGINT) AS padded_tokens
+         |       FROM sb)
+         |SELECT strategy, n_batches, real_tokens, padded_tokens,
+         |       CAST((padded_tokens - real_tokens) * 1000 // padded_tokens
+         |            AS BIGINT) AS waste_permille
+         |FROM (SELECT * FROM aa UNION ALL SELECT * FROM sa)""".stripMargin,
+
+    "q292_stratified_group_kfold" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |e AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+         |        UNION SELECT id_b, id_a FROM e),
+         |walk(id, lab) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, w.lab FROM walk w JOIN sym s ON w.id = s.src),
+         |comp AS (SELECT id, MIN(lab) AS component FROM walk GROUP BY id),
+         |labeled AS (
+         |  SELECT c.doc_id, COALESCE(k.component, c.doc_id) AS component
+         |  FROM corpus c LEFT JOIN comp k ON c.doc_id = k.id),
+         |f AS (
+         |  SELECT doc_id, component,
+         |         ${h60Sql("concat_ws(':', 'fold', CAST(component AS VARCHAR))")} % 5 AS fold
+         |  FROM labeled),
+         |leak AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaked
+         |  FROM e JOIN f a ON e.id_a = a.doc_id
+         |         JOIN f b ON e.id_b = b.doc_id
+         |  WHERE a.fold <> b.fold)
+         |SELECT fold, d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+         |       (SELECT n_leaked FROM leak) AS n_leaked
+         |FROM f JOIN documents d ON f.doc_id % 100000 = d.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q293_boilerplate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, ${gramsSql("text")} AS grams FROM documents),
+         |e AS (SELECT doc_id, source, unnest(grams) AS g FROM sh),
+         |dc AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |df AS (SELECT source, g, COUNT(*) AS df FROM e GROUP BY 1, 2),
+         |boil AS (SELECT df.source, df.g FROM df JOIN dc USING (source)
+         |         WHERE df.df * 5 > dc.n_docs * 1),
+         |pd AS (
+         |  SELECT e.doc_id, e.source, COUNT(*) AS n_sh,
+         |         SUM(CASE WHEN boil.g IS NOT NULL THEN 1 ELSE 0 END) AS n_b
+         |  FROM e LEFT JOIN boil
+         |    ON e.source = boil.source AND e.g = boil.g
+         |  GROUP BY 1, 2)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+         |       CAST(SUM(n_b) AS BIGINT) AS n_boiler,
+         |       CAST(SUM(n_b) * 1000 // SUM(n_sh) AS BIGINT) AS boiler_permille
+         |FROM pd GROUP BY 1""".stripMargin,
+
+    "q294_bpe_fertility" ->
+      s"""SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(e.n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+         |       CAST(SUM(e.n_chars) AS BIGINT) AS n_chars,
+         |       CAST(SUM(e.n_tokens) * 1000 // SUM(e.n_words) AS BIGINT)
+         |         AS fertility_permille
+         |FROM (${bpeEncodeOracleSql(4)}) e
+         |JOIN documents d USING (doc_id)
+         |GROUP BY 1""".stripMargin,
+
+    "q295_epoch_shuffle" ->
+      s"""WITH ids AS (
+         |  SELECT o_orderkey AS id,
+         |         ${h60Sql("concat_ws(':', 'ep', '0', CAST(o_orderkey AS VARCHAR))")} % 16 AS s0,
+         |         ${h60Sql("concat_ws(':', 'ep', '1', CAST(o_orderkey AS VARCHAR))")} % 16 AS s1,
+         |         ${h60Sql("concat_ws(':', 'ep', '2', CAST(o_orderkey AS VARCHAR))")} % 16 AS s2
+         |  FROM orders),
+         |sz AS (
+         |  SELECT 0 AS epoch, s0 AS shard, COUNT(*) AS n FROM ids GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 1, s1, COUNT(*) FROM ids GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 2, s2, COUNT(*) FROM ids GROUP BY 1, 2),
+         |bal AS (
+         |  SELECT epoch, CAST(COUNT(*) AS BIGINT) AS n_shards,
+         |         CAST(MIN(n) AS BIGINT) AS min_shard_rows,
+         |         CAST(MAX(n) AS BIGINT) AS max_shard_rows
+         |  FROM sz GROUP BY 1),
+         |tot AS (
+         |  SELECT 0 AS epoch, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |         CAST(SUM(id) AS BIGINT) AS id_sum,
+         |         CAST(0 AS BIGINT) AS churn_from_prev
+         |  FROM ids
+         |  UNION ALL
+         |  SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(id) AS BIGINT),
+         |         CAST(SUM(CASE WHEN s1 <> s0 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM ids
+         |  UNION ALL
+         |  SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(id) AS BIGINT),
+         |         CAST(SUM(CASE WHEN s2 <> s1 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM ids)
+         |SELECT CAST(tot.epoch AS BIGINT) AS epoch, n_rows, id_sum, n_shards,
+         |       min_shard_rows, max_shard_rows, churn_from_prev
+         |FROM tot JOIN bal ON tot.epoch = bal.epoch""".stripMargin,
+
+    "q296_trimmed_mean" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS seg, c_custkey AS id,
+        |         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |r AS (
+        |  SELECT seg, cents,
+        |         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY seg) AS cnt
+        |  FROM c)
+        |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |       CAST(SUM(cents) // COUNT(*) AS BIGINT) AS trimmed_mean_cents
+        |FROM r
+        |WHERE rn > cnt // 10 AND rn <= cnt - cnt // 10
+        |GROUP BY 1""".stripMargin,
+
+    "q297_jw_linkage" ->
+      """WITH sup AS (SELECT s_suppkey AS id, s_name AS name FROM supplier),
+        |typos AS (
+        |  SELECT id + 100000 AS tid,
+        |         substr(name, 1, length(name) - 2)
+        |           || reverse(substr(name, length(name) - 1, 2)) AS tname
+        |  FROM sup),
+        |cand AS (
+        |  SELECT t.tid AS query_id, s.id AS match_id,
+        |         ROUND(jaro_winkler_similarity(t.tname, s.name), 6) AS jw
+        |  FROM typos t JOIN sup s
+        |    ON substr(t.tname, 1, length(t.tname) - 3)
+        |     = substr(s.name, 1, length(s.name) - 3)),
+        |best AS (
+        |  SELECT query_id, match_id, jw, ROW_NUMBER() OVER
+        |    (PARTITION BY query_id ORDER BY jw DESC, match_id) AS rn
+        |  FROM cand)
+        |SELECT query_id, match_id, jw FROM best WHERE rn = 1""".stripMargin,
+
+    "q298_ndcg" -> {
+      val disc = graft.ext.Rank.ndcgDiscountsMicros(10)
+        .mkString("[", ", ", "]")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id,
+         |         ${h60Sql("concat_ws(':', 'score', CAST(event_id AS VARCHAR))")} % 1000000 AS score,
+         |         ${h60Sql("concat_ws(':', 'rel', CAST(event_id AS VARCHAR))")} % 4 AS rel
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, rel,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id
+         |                            ORDER BY score DESC, event_id) AS rm,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id
+         |                            ORDER BY rel DESC, event_id) AS ri
+         |  FROM ev),
+         |g AS (
+         |  SELECT user_id,
+         |         SUM(CASE WHEN rm <= 10 THEN rel * ($disc)[rm] ELSE 0 END) AS dcg,
+         |         SUM(CASE WHEN ri <= 10 THEN rel * ($disc)[ri] ELSE 0 END) AS idcg
+         |  FROM m GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         |       CAST(SUM(dcg) AS BIGINT) AS sum_dcg_micros,
+         |       CAST(SUM(idcg) AS BIGINT) AS sum_idcg_micros,
+         |       CAST(SUM(dcg) * 1000 // SUM(idcg) AS BIGINT) AS mean_ndcg_permille
+         |FROM g""".stripMargin
+    },
+
+    "q299_brier" ->
+      s"""WITH o AS (
+         |  SELECT ${h60Sql("concat_ws(':', 'cal', CAST(o_orderkey AS VARCHAR))")} % 1000 AS sp,
+         |         ${h60Sql("concat_ws(':', 'out', CAST(o_orderkey AS VARCHAR))")} % 1000 AS draw
+         |  FROM orders),
+         |s AS (SELECT sp, CASE WHEN draw < sp THEN 1 ELSE 0 END AS y FROM o)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM((1000 * y - sp) * (1000 * y - sp)) AS BIGINT)
+         |         AS brier_num_pm2,
+         |       CAST(SUM((1000 * y - sp) * (1000 * y - sp)) // COUNT(*)
+         |            AS BIGINT) AS brier_mean_pm2
+         |FROM s""".stripMargin,
+
+    "q300_cohens_kappa" ->
+      s"""WITH lab AS (
+         |  SELECT doc_id,
+         |         ${h60Sql("concat_ws(':', 'ann_a', CAST(doc_id AS VARCHAR))")} % 3 AS a,
+         |         ${h60Sql("concat_ws(':', 'flip', CAST(doc_id AS VARCHAR))")} % 1000 AS flip,
+         |         ${h60Sql("concat_ws(':', 'fd', CAST(doc_id AS VARCHAR))")} % 2 AS fd
+         |  FROM documents),
+         |lab2 AS (
+         |  SELECT doc_id, a,
+         |         CASE WHEN flip < 200 THEN (a + 1 + fd) % 3 ELSE a END AS b
+         |  FROM lab),
+         |grid AS (SELECT a, b, COUNT(*) AS n_ab FROM lab2 GROUP BY 1, 2),
+         |na AS (SELECT a AS c, SUM(n_ab) AS na FROM grid GROUP BY 1),
+         |nb AS (SELECT b AS c, SUM(n_ab) AS nb FROM grid GROUP BY 1),
+         |pe AS (SELECT CAST(SUM(na.na * nb.nb) AS BIGINT) AS pe_num
+         |       FROM na JOIN nb USING (c)),
+         |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n,
+         |               CAST(SUM(CASE WHEN a = b THEN n_ab ELSE 0 END)
+         |                    AS BIGINT) AS n_agree
+         |        FROM grid)
+         |SELECT n, n_agree, pe_num,
+         |       CAST(n * n_agree - pe_num AS BIGINT) AS kappa_num,
+         |       CAST(n * n - pe_num AS BIGINT) AS kappa_den,
+         |       CAST((n * n_agree - pe_num) * 1000 // (n * n - pe_num)
+         |            AS BIGINT) AS kappa_permille
+         |FROM tot CROSS JOIN pe""".stripMargin,
+
+    "q301_personalized_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+        |         CAST(l_partkey AS BIGINT) + 1000000 AS b
+        |  FROM lineitem),
+        |e AS (SELECT a AS src, b AS dst FROM pairs
+        |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outd FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |seeds AS (SELECT CAST(s_suppkey AS BIGINT) AS node FROM supplier
+        |          WHERE s_nationkey = 1),
+        |nf AS (SELECT n.node,
+        |              CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+        |       FROM nodes n LEFT JOIN seeds s USING (node)),
+        |r0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS r FROM nf),
+        |i1 AS (SELECT e.dst AS node, CAST(SUM(r0.r // o.outd) AS BIGINT) AS in_sum
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN outdeg o ON o.src = e.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |              CAST(n.is_seed * 150000
+        |                   + (850 * COALESCE(i1.in_sum, 0)) // 1000 AS BIGINT) AS r
+        |       FROM nf n LEFT JOIN i1 USING (node)),
+        |i2 AS (SELECT e.dst AS node, CAST(SUM(r1.r // o.outd) AS BIGINT) AS in_sum
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN outdeg o ON o.src = e.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |              CAST(n.is_seed * 150000
+        |                   + (850 * COALESCE(i2.in_sum, 0)) // 1000 AS BIGINT) AS r
+        |       FROM nf n LEFT JOIN i2 USING (node)),
+        |i3 AS (SELECT e.dst AS node, CAST(SUM(r2.r // o.outd) AS BIGINT) AS in_sum
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN outdeg o ON o.src = e.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT n.node,
+        |              CAST(n.is_seed * 150000
+        |                   + (850 * COALESCE(i3.in_sum, 0)) // 1000 AS BIGINT) AS r
+        |       FROM nf n LEFT JOIN i3 USING (node))
+        |SELECT node, r AS rank_micros FROM r3
+        |ORDER BY rank_micros DESC, node LIMIT 20""".stripMargin,
+
+    "q302_dsir_select" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+         |  FROM documents),
+         |bk AS (SELECT doc_id, lang,
+         |              ${h60Sql("'dsir:' || token")} % 64 AS b
+         |       FROM tok),
+         |per AS (SELECT b, COUNT(*) AS n_s,
+         |               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t
+         |        FROM bk GROUP BY b),
+         |tot AS (SELECT SUM(n_s) AS tot_s, SUM(n_t) AS tot_t FROM per),
+         |r AS (SELECT b,
+         |             CAST(ROUND(1e6 * (ln((n_t + 1e0) / (tot_t + 64))
+         |                               - ln((n_s + 1e0) / (tot_s + 64)))) AS BIGINT)
+         |               AS ratio_micros
+         |      FROM per, tot),
+         |w AS (SELECT bk.doc_id, bk.lang, COUNT(*) AS n_tokens,
+         |             SUM(r.ratio_micros) AS weight_micros
+         |      FROM bk JOIN r USING (b) GROUP BY bk.doc_id, bk.lang)
+         |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(weight_micros AS BIGINT) AS weight_micros
+         |FROM w ORDER BY weight_micros DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q303_hrw_rebalance" ->
+      s"""WITH k AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+         |h AS (SELECT k,
+         |        ${hrwListSql("k", 8)} AS l8,
+         |        ${hrwListSql("k", 9)} AS l9,
+         |        ${h60Sql("'mod:' || k")} AS mh
+         |      FROM k),
+         |m AS (SELECT
+         |        CASE WHEN list_indexof(l8, list_max(l8))
+         |               <> list_indexof(l9, list_max(l9)) THEN 1 ELSE 0 END AS hrw_moved,
+         |        CASE WHEN mh % 8 <> mh % 9 THEN 1 ELSE 0 END AS mod_moved
+         |      FROM h),
+         |a AS (SELECT COUNT(*) AS n_keys, SUM(hrw_moved) AS hrw_m,
+         |             SUM(mod_moved) AS mod_m
+         |      FROM m)
+         |SELECT s.scheme, CAST(a.n_keys AS BIGINT) AS n_keys,
+         |       CAST(CASE WHEN s.scheme = 'hrw' THEN a.hrw_m ELSE a.mod_m END
+         |            AS BIGINT) AS n_moved,
+         |       CAST(CASE WHEN s.scheme = 'hrw' THEN a.hrw_m ELSE a.mod_m END
+         |            * 1000 // a.n_keys AS BIGINT) AS moved_permille
+         |FROM (VALUES ('hrw'), ('mod')) s(scheme), a""".stripMargin,
+
+    "q304_gini_skew" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+         |  FROM documents),
+         |tf AS (SELECT token, COUNT(*) AS sz FROM tok GROUP BY token),
+         |g1 AS (SELECT sz, ROW_NUMBER() OVER (ORDER BY sz) AS i FROM tf),
+         |s1 AS (SELECT COUNT(*) AS n, SUM(sz) AS t, SUM(i * sz) AS s FROM g1),
+         |bc AS (SELECT ${h60Sql("'gini:' || token")} % 32 AS b, COUNT(*) AS cnt
+         |       FROM tok GROUP BY b),
+         |bsz AS (SELECT sp.range AS b, COALESCE(bc.cnt, 0) AS sz
+         |        FROM range(32) sp LEFT JOIN bc ON bc.b = sp.range),
+         |g2 AS (SELECT sz, ROW_NUMBER() OVER (ORDER BY sz) AS i FROM bsz),
+         |s2 AS (SELECT COUNT(*) AS n, SUM(sz) AS t, SUM(i * sz) AS s FROM g2)
+         |SELECT 'token_freq' AS scheme, CAST(n AS BIGINT) AS n_keys,
+         |       CAST(t AS BIGINT) AS total,
+         |       CAST((2 * s - (n + 1) * t) * 1000 // (n * t) AS BIGINT)
+         |         AS gini_permille
+         |FROM s1
+         |UNION ALL
+         |SELECT 'hash_bucket32' AS scheme, CAST(n AS BIGINT) AS n_keys,
+         |       CAST(t AS BIGINT) AS total,
+         |       CAST((2 * s - (n + 1) * t) * 1000 // (n * t) AS BIGINT)
+         |         AS gini_permille
+         |FROM s2""".stripMargin,
+
+    "q305_pmi_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents),
+         |dt AS (SELECT DISTINCT doc_id, w FROM tok),
+         |dfq AS (SELECT w, COUNT(*) AS df FROM dt GROUP BY w),
+         |topv AS (SELECT w, df FROM dfq ORDER BY df DESC, w LIMIT 50),
+         |tv AS (SELECT dt.doc_id, dt.w, topv.df FROM dt JOIN topv USING (w)),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |p AS (SELECT a.w AS w1, b.w AS w2, a.df AS df1, b.df AS df2,
+         |             COUNT(*) AS c_xy
+         |      FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.w < b.w
+         |      GROUP BY a.w, b.w, a.df, b.df)
+         |SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+         |       $PmiMicrosExpr AS pmi_micros
+         |FROM p, nd WHERE c_xy >= 5
+         |ORDER BY pmi_micros DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    "q306_letter_entropy" ->
+      s"""WITH c AS (
+         |  SELECT lang,
+         |         ${graft.ext.TextAnalysis.letterCountCols("lower(text)").mkString(",\n         ")}
+         |  FROM documents),
+         |h AS (SELECT lang,
+         |             ${graft.ext.TextAnalysis.letterEntropyMicrosExpr("//")} AS h_micros
+         |      FROM c
+         |      WHERE ${graft.ext.TextAnalysis.letterTotalExpr} > 0)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(h_micros) // COUNT(*) AS BIGINT) AS mean_entropy_micros,
+         |       CAST(MIN(h_micros) AS BIGINT) AS min_entropy_micros,
+         |       CAST(MAX(h_micros) AS BIGINT) AS max_entropy_micros
+         |FROM h GROUP BY lang""".stripMargin,
+
+    "q307_distinct_ngrams" ->
+      s"""WITH u AS (
+         |  SELECT source,
+         |         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS g
+         |  FROM documents),
+         |b0 AS (SELECT source,
+         |              regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+         |       FROM documents),
+         |b AS (SELECT source,
+         |             unnest([array_to_string(tk[i:i+1], ' ')
+         |                     for i in range(1, len(tk))]) AS g
+         |      FROM b0 WHERE len(tk) >= 2)
+         |SELECT 'uni' AS gram, source, CAST(COUNT(*) AS BIGINT) AS total,
+         |       CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_grams,
+         |       CAST(COUNT(DISTINCT g) * 1000 // COUNT(*) AS BIGINT)
+         |         AS distinct_permille
+         |FROM u GROUP BY source
+         |UNION ALL
+         |SELECT 'bi' AS gram, source, CAST(COUNT(*) AS BIGINT) AS total,
+         |       CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_grams,
+         |       CAST(COUNT(DISTINCT g) * 1000 // COUNT(*) AS BIGINT)
+         |         AS distinct_permille
+         |FROM b GROUP BY source""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

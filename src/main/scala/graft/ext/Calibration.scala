@@ -76,4 +76,33 @@ object Calibration {
       .join(buckets, Seq("b"))
       .select(col("b"), col("w"), col("pos"), col("fit_micros"))
   }
+
+  /** Reliability-diagram bins + the exact micro-ECE numerator for a
+    * permille-scored binary classifier (Guo et al. 2017's expected
+    * calibration error, computed without floats): bucket confidences into
+    * `bins` equal-width bins, and per bin emit `n`, positives, the summed
+    * confidence, and the cross-multiplied calibration gap
+    * `|1000·Σy − Σscore_permille|`. Σ gaps over bins is the micro-ECE
+    * numerator — ECE = Σ_b (n_b/N)·|acc_b − conf_b| = Σ_b gap_b / (1000·N)
+    * — so every reported cell is an integer with no engine-variant float
+    * association, and the consumer's one division is presentation.
+    *
+    * Scale: a single map-side-combinable groupBy to ≤`bins` rows; nothing
+    * else touches the data. `scorePermilleCol` must already be an integer
+    * confidence in [0, 1000) (that is the operator's contract — same
+    * bucketed-input discipline as [[isotonicFit]]). */
+  def eceBins(df: DataFrame, scorePermilleCol: String, labelCol: String,
+              bins: Int = 10): DataFrame = {
+    require(bins >= 1 && 1000 % bins == 0,
+      s"eceBins: bins must divide 1000, got $bins")
+    val width = 1000 / bins
+    df.select(expr(s"$scorePermilleCol DIV $width").as("bin"),
+        col(scorePermilleCol).cast("long").as("__sp"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__sp")).as("sum_conf_permille"))
+      .withColumn("gap",
+        abs(lit(1000L) * col("n_pos") - col("sum_conf_permille")))
+  }
 }

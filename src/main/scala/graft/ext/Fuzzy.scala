@@ -136,4 +136,42 @@ object Fuzzy {
       .filter(col("score") >= threshold)
       .select(col("left_id"), col("right_id"), col("score"))
   }
+
+  /** Jaro–Winkler similarity column ([[graft.functions.JaroWinkler]] — the
+    * codegen'd kernel, DuckDB-contract semantics), rounded to 6 dp per the
+    * suite's similarity-score discipline. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    round(org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.JaroWinkler(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b))), 6)
+
+  /** Best Jaro–Winkler match per query string under equi-join BLOCKING —
+    * the classic linkage pattern (block, score candidates, keep the argmax):
+    * candidates exist only within a block key (never all-pairs — the
+    * blocking key bounds per-block density exactly like [[editDistanceJoin]]'s
+    * signature join and Spatial's grid cells), each candidate pays one
+    * O(len·window) kernel call, and the per-query argmax is a window
+    * partitioned BY QUERY (never global). Ties break by similarity DESC then
+    * candidate id.
+    *
+    * Output: `(query id, match id, jw)` — one row per query that had ≥ 1
+    * candidate in its block. */
+  def jwBestMatch(queries: DataFrame, queryId: String, queryText: Column,
+                  queryBlock: Column,
+                  corpus: DataFrame, corpusId: String, corpusText: Column,
+                  corpusBlock: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(queryId).as("query_id"),
+      queryText.as("__qt"), queryBlock.as("__blk"))
+    val c = corpus.select(col(corpusId).as("match_id"),
+      corpusText.as("__ct"), corpusBlock.as("__blk"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("jw").desc, col("match_id"))
+    q.join(c, Seq("__blk"))
+      .withColumn("jw", jaroWinkler(col("__qt"), col("__ct")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("match_id"), col("jw"))
+  }
 }

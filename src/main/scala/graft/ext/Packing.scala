@@ -65,4 +65,48 @@ object Packing {
   def binFill(packed: DataFrame): DataFrame =
     packed.groupBy(col("bucket"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
+
+  /** Padding-waste audit for FIXED-COUNT batching (the complement of
+    * [[packByBudget]]'s fixed-budget bins): documents are cut into batches
+    * of `batchSize` inside hash-assigned streams, each batch pads every
+    * member to the batch max, and the audit compares ARRIVAL order against
+    * LENGTH-SORTED order within the stream — the standard "sorted batching"
+    * throughput win, measured exactly. Streams keep the windows partitioned
+    * (never global); at corpus scale parallelism = `streams`, one shuffle
+    * per strategy. Length-sorting can only shrink per-batch max spread, so
+    * sorted waste ≤ arrival waste (pinned in spec).
+    *
+    * Output, one row per strategy (`arrival` | `sorted`):
+    * `(strategy, n_batches, real_tokens, padded_tokens, waste_permille)` —
+    * all integers; `waste_permille = (padded − real)·1000 DIV padded`. */
+  def paddingWaste(docs: DataFrame, idCol: Column, tokensCol: Column,
+                   batchSize: Int, streams: Int,
+                   salt: String = "pad"): DataFrame = {
+    require(batchSize > 0, "paddingWaste: batchSize must be positive")
+    require(streams > 0, "paddingWaste: streams must be positive")
+    val base = docs
+      .select(idCol.as("__id"), tokensCol.cast("long").as("__tok"))
+      .withColumn("__stream",
+        pmod(PortableHash.hash60(concat_ws(":", lit(salt),
+          col("__id").cast("string"))), lit(streams.toLong)))
+    def audit(order: Seq[Column], strategy: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__stream")).orderBy(order: _*)
+      base.withColumn("__rn", row_number().over(w))
+        .withColumn("__batch", expr(s"CAST(__rn - 1 AS BIGINT) DIV $batchSize"))
+        .groupBy(col("__stream"), col("__batch"))
+        .agg(count(lit(1)).as("__bn"), sum(col("__tok")).as("__real"),
+          max(col("__tok")).as("__max"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("__real")).as("real_tokens"),
+          sum(col("__max") * col("__bn")).as("padded_tokens"))
+        .withColumn("strategy", lit(strategy))
+    }
+    audit(Seq(col("__id")), "arrival")
+      .unionByName(audit(Seq(col("__tok").desc, col("__id")), "sorted"))
+      .select(col("strategy"), col("n_batches"), col("real_tokens"),
+        col("padded_tokens"),
+        expr("(padded_tokens - real_tokens) * 1000 DIV padded_tokens")
+          .as("waste_permille"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -557,6 +557,117 @@ object Rank {
         sum(col("rx") * col("rx")).as("sum_rxx"),
         sum(col("ry") * col("ry")).as("sum_ryy"),
         sum(col("rx") * col("ry")).as("sum_rxy"))
+  }
+
+  /** Exact AUC sufficient statistics — the Mann–Whitney U form of
+    * ROC-AUC with midrank tie handling, the ranking-eval flagship computed
+    * distributively: [[globalMinTieRanks]] supplies every score's global
+    * min-tie rank (range-exchange + partition-offset machinery — no global
+    * window), tie sizes come from one groupBy on the score, and
+    * 2·midrank = 2·rank_min + t − 1 keeps everything integer. Then
+    * 2U = Σ_pos 2·midrank − n_pos·(n_pos + 1) and
+    * AUC = 2U / (2·n_pos·n_neg), exactly ½ when all scores tie.
+    *
+    * DECIMAL(38,0) internals ([[spearmanStats]]' discipline — the rank sum
+    * reaches n² past int64 at corpus scale); query-level consumers cast
+    * down per the oracle type contract. EAGER-scoped: `scratchDir` must
+    * outlive consumption (callers wrap in `Scratch.withTempDir` and
+    * collect, as q263 does). Output one row:
+    * `(n_pos, n_neg, two_u)`. */
+  def aucStats(df: DataFrame, scoreCol: String, labelCol: String,
+               idCol: String, scratchDir: String,
+               numPartitions: Int = 32): DataFrame = {
+    val ranks = globalMinTieRanks(df.select(col(scoreCol), col(idCol)),
+      scoreCol, idCol, s"$scratchDir/auc", numPartitions)
+    val ties = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__t"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    df.select(col(idCol), col(scoreCol), col(labelCol).cast("long").as("__y"))
+      .join(ranks, Seq(idCol))
+      .join(ties, Seq(scoreCol))
+      .agg(sum(col("__y")).as("n_pos"),
+        sum(lit(1L) - col("__y")).as("n_neg"),
+        sum(when(col("__y") === 1L,
+            dec(lit(2L) * col("rank") + col("__t") - 1L))
+          .otherwise(dec(lit(0L)))).as("two_r_pos"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("two_r_pos") - dec(col("n_pos")) * (dec(col("n_pos")) + 1))
+          .as("two_u"))
+  }
+
+  /** Exact Gini-coefficient sufficient statistics of a non-negative size
+    * distribution — THE key-skew diagnostic to run BEFORE committing to a
+    * partitioning: Gini ≈ 0 means a hash-bucketed shuffle balances, Gini
+    * near 1 means the hot keys need salting/AQE skew handling. Uses the
+    * sorted-rank identity  G = (2·S − (n+1)·T) / (n·T)  with
+    * S = Σᵢ i·x₍ᵢ₎ over ascending-sorted sizes. Ties are exact without a
+    * total order: a block of m equal values starting at min-tie rank r₀
+    * contributes x·(m·r₀ + m(m−1)/2) whatever intra-block order — so
+    * [[globalMinTieRanks]] (range-exchange + partition offsets, NO global
+    * window) supplies the ranks and one groupBy per (value, rank) block
+    * closes the sum.
+    *
+    * DECIMAL(38,0) internals ([[spearmanStats]]' discipline — S reaches
+    * n·T past int64 at corpus scale); query-level consumers cast down and
+    * compute `(2·s − (n+1)·t)·1000 DIV (n·t)` per the oracle type
+    * contract. Output one row: `(n, t, s)`. */
+  def giniStats(df: DataFrame, valueCol: String, idCol: String,
+                scratchDir: String, numPartitions: Int = 32): DataFrame = {
+    val ranks = globalMinTieRanks(df.select(col(valueCol), col(idCol)),
+      valueCol, idCol, s"$scratchDir/gini", numPartitions)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    df.select(col(idCol), col(valueCol))
+      .join(ranks, Seq(idCol))
+      .groupBy(col(valueCol), col("rank"))
+      .agg(count(lit(1)).as("m"))
+      .agg(sum(col("m")).as("n"),
+        sum(dec(col(valueCol)) * dec(col("m"))).as("t"),
+        sum(dec(col(valueCol)) *
+          (dec(col("m")) * dec(col("rank")) +
+            dec(expr("(m * (m - 1)) DIV 2")))).as("s"))
+  }
+
+  /** Shared integer discount table for [[ndcgMicros]] and its oracle:
+    * `disc(i) = ⌊10⁶ / log₂(i+1)⌋` for ranks 1..k. Flooring to micros makes
+    * every DCG contribution an exact integer product — no float log, no
+    * engine-variant association — while agreeing with the true discount to
+    * 6 decimal places (the same fixed-point discipline as
+    * [[graft.ext.Calibration.isotonicFit]]'s mean_micros). */
+  def ndcgDiscountsMicros(k: Int): Seq[Long] =
+    (1 to k).map(i => (1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** NDCG@k per group — the ranking-quality flagship next to [[aucStats]],
+    * computed without floats: the model ranking is (scoreCol DESC, idCol)
+    * and the ideal ranking (relCol DESC, idCol), both as windows partitioned
+    * BY GROUP (never global); each rank-r item contributes
+    * `rel · disc(r)` micros ([[ndcgDiscountsMicros]] literals indexed by the
+    * row number — one `element_at` on a plan literal, fully codegen).
+    *
+    * Output per group: `(groupCol, dcg_micros, idcg_micros)` — consumers
+    * micro-average by summing both columns (groups with all-zero relevance
+    * contribute 0/0 and drop out of the ratio naturally).
+    * NDCG = dcg/idcg; at k ≤ 10 and rel < 4 a group's DCG ≤ 3·10⁷, so
+    * corpus-level BIGINT sums hold past 10¹¹ groups. */
+  def ndcgMicros(df: DataFrame, groupCol: String, scoreCol: String,
+                 relCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"Rank.ndcgMicros: k must be >= 1, got $k")
+    val disc = typedlit(ndcgDiscountsMicros(k))
+    val wModel = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val wIdeal = Window.partitionBy(col(groupCol))
+      .orderBy(col("__rel").desc, col(idCol))
+    df.select(col(groupCol), col(scoreCol), col(relCol).cast("long").as("__rel"),
+        col(idCol))
+      .withColumn("__rm", row_number().over(wModel))
+      .withColumn("__ri", row_number().over(wIdeal))
+      .withColumn("__dcg",
+        when(col("__rm") <= k, col("__rel") * element_at(disc, col("__rm")))
+          .otherwise(lit(0L)))
+      .withColumn("__idcg",
+        when(col("__ri") <= k, col("__rel") * element_at(disc, col("__ri")))
+          .otherwise(lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__dcg")).as("dcg_micros"),
+        sum(col("__idcg")).as("idcg_micros"))
   }
 
   /** The lazy selection plan of step 4–5 — package-private so PlanSpec can

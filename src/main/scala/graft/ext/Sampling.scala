@@ -479,4 +479,55 @@ object Sampling {
       .join(pos.select(col("u"), col("i").as("neg")), Seq("u", "neg"), "left_anti")
       .select(col("u"), col("i"), col("j"), col("neg"))
   }
+
+  /** Default hashed-feature bucket count for [[dsirLogRatioMicros]]. DSIR's
+    * published configuration uses 10⁴ hashed n-gram buckets; 64 keeps the
+    * bench-SF table human-auditable while exercising the identical shape. */
+  val DsirBuckets = 64
+
+  /** Hashed-unigram feature bucket on the portable family — the DSIR feature
+    * map. Pure row function; the oracle replays `h60('dsir:'‖token) % B`. */
+  def dsirBucket(token: Column, buckets: Int = DsirBuckets): Column =
+    pmod(PortableHash.hash60(concat(lit("dsir:"), token)), lit(buckets.toLong))
+
+  /** DSIR (Data Selection via Importance Resampling — Xie et al. 2023,
+    * public literature) per-bucket importance table: for each hashed feature
+    * bucket, the add-one-smoothed log-likelihood ratio
+    * `ln((n_t+1)/(T+B)) − ln((n_s+1)/(S+B))` between the TARGET token
+    * distribution (rows where `isTarget`) and the SOURCE distribution (all
+    * rows), rendered as exact integer MICROS so downstream per-doc sums are
+    * order-independent and engine-exact (the established ROUND(ln·1e6)
+    * contract from the TF-IDF/BM25 oracles).
+    *
+    * Scale: one groupBy to B rows (B ≤ 10⁴ — metadata-sized), broadcast of a
+    * one-row total; the table itself is then broadcast to score any corpus
+    * width. `tokens` must carry one row per token OCCURRENCE. */
+  def dsirLogRatioMicros(tokens: DataFrame, tokenCol: String, isTarget: Column,
+                         buckets: Int = DsirBuckets): DataFrame = {
+    val per = tokens
+      .select(dsirBucket(col(tokenCol), buckets).as("b"), isTarget.cast("long").as("is_t"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_s"), sum(col("is_t")).as("n_t"))
+    val tot = per.agg(sum(col("n_s")).as("tot_s"), sum(col("n_t")).as("tot_t"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("ratio_micros",
+        expr(s"CAST(ROUND(1e6 * (ln((n_t + 1e0) / (tot_t + $buckets)) - " +
+          s"ln((n_s + 1e0) / (tot_s + $buckets)))) AS BIGINT)"))
+      .select(col("b"), col("n_t"), col("n_s"), col("ratio_micros"))
+  }
+
+  /** Per-document DSIR importance weight: Σ over token occurrences of the
+    * bucket's `ratio_micros` — the unigram log importance weight in integer
+    * micros (exact, order-independent). High-weight docs look like the
+    * target slice; resample by weight to shift the corpus mixture.
+    *
+    * Scale: the B-row ratio table is broadcast, so scoring is one map-side
+    * join + one groupBy(doc) — linear, no skew (buckets are hash-uniform). */
+  def dsirDocWeights(tokens: DataFrame, docIdCol: String, tokenCol: String,
+                     ratioTable: DataFrame, buckets: Int = DsirBuckets): DataFrame =
+    tokens
+      .select(col(docIdCol), dsirBucket(col(tokenCol), buckets).as("b"))
+      .join(broadcast(ratioTable.select(col("b"), col("ratio_micros"))), Seq("b"))
+      .groupBy(col(docIdCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ratio_micros")).as("weight_micros"))
 }

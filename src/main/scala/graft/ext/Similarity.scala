@@ -220,4 +220,39 @@ object Similarity {
         expr("aggregate(transform(__cb, x -> x * x), 0L, (acc, v) -> acc + v)")
           .as("dot_bb"))
   }
+
+  /** Mutual top-1 neighbor pairs ACROSS two corpora — the bitext /
+    * paraphrase mining shape (each left vector's best right neighbor where
+    * the choice is reciprocal; forward-AND-backward agreement is the
+    * standard high-precision filter). Blocking is [[lshBucket]] on both
+    * sides (candidates exist only within a bucket — the 100 TB path:
+    * |A|·|B| never materializes, the join is equi on the bucket id, and
+    * the per-side top-1 windows partition by vector id). Deterministic
+    * and oracle-replayable end to end: literal hyperplanes, 6-dp cosine
+    * rounding, id tie-breaks. `bits = 0` disables blocking (one bucket —
+    * the exact small-side mode). Output: `(a_id, b_id, cos_sim)`. */
+  def mutualTopOne(left: DataFrame, right: DataFrame, bits: Int = 6,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = withNorm(left, idCol, vecCol)
+      .select(col(idCol).as("a_id"), col("v").as("av"), col("norm").as("an"))
+      .withColumn("bucket", lshBucket(col("av"), bits, dim))
+    val b = withNorm(right, idCol, vecCol)
+      .select(col(idCol).as("b_id"), col("v").as("bv"), col("norm").as("bn"))
+      .withColumn("bucket", lshBucket(col("bv"), bits, dim))
+    val cand = a.join(b, Seq("bucket"))
+      .select(col("a_id"), col("b_id"),
+        pairCosine(col("an"), col("bn"), col("av"), col("bv")).as("cos_sim"))
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos_sim").desc, col("b_id"))
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos_sim").desc, col("a_id"))
+    val bestA = cand.withColumn("__rn", row_number().over(wa))
+      .filter(col("__rn") === 1).drop("__rn")
+    val bestB = cand.withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") === 1).select(col("a_id"), col("b_id"))
+    bestA.join(bestB, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+  }
 }

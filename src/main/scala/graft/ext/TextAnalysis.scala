@@ -496,6 +496,95 @@ object TextAnalysis {
         sum(when(col("ref_freq").isNotNull, 1L).otherwise(0L)).as("n_known"),
         sum(coalesce(col("ref_freq"), lit(0L))).as("known_freq_sum"))
   }
+
+  /** Boilerplate detection by within-source shingle document-frequency —
+    * the crawl-curation step that strips navigation chrome / legal footers
+    * before dedup or training: a k-shingle that appears in more than
+    * `dfNum/dfDen` of a source's documents is template text, not content
+    * (frequency-based boilerplate removal à la CommonCrawl pipelines).
+    *
+    * Shape: one explode of per-document DISTINCT shingles
+    * ([[Shingles.wordShingles]] — codegen'd), a (source, shingle)
+    * document-frequency aggregate, the integer cross-multiplied flag
+    * `df·dfDen > n_docs·dfNum` (never divides), and one left join back to
+    * re-aggregate per document then per source. Shuffle ∝ corpus shingles —
+    * word-count economics, no windows, no driver state; the df table is
+    * source-local so a skewed source salts like any hot aggregate key.
+    *
+    * Output per source: `(source, n_docs, n_shingles, n_boiler,
+    * boiler_permille)` — all integers; `boiler_permille` = share of shingle
+    * OCCURRENCES (per-doc distinct) that are template text. */
+  def boilerplateBySource(docs: DataFrame, k: Int = 3,
+                          dfNum: Int = 1, dfDen: Int = 5,
+                          idCol: String = "doc_id", sourceCol: String = "source",
+                          textCol: String = "text"): DataFrame = {
+    require(dfNum > 0 && dfDen > 0 && dfNum < dfDen,
+      s"boilerplateBySource: need 0 < dfNum/dfDen < 1, got $dfNum/$dfDen")
+    val sh = docs.select(col(idCol), col(sourceCol).as("source"),
+      explode(Shingles.wordShingles(col(textCol), k)).as("g"))
+    val nDocs = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val boiler = sh.groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("df"))
+      .join(nDocs, Seq("source"))
+      .filter(col("df") * dfDen > col("n_docs") * dfNum)
+      .select(col("source"), col("g"), lit(1L).as("__b"))
+    sh.join(boiler, Seq("source", "g"), "left")
+      .groupBy(col(idCol), col("source"))
+      .agg(count(lit(1)).as("__n_sh"), sum(coalesce(col("__b"), lit(0L))).as("__n_b"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n_sh")).as("n_shingles"),
+        sum(col("__n_b")).as("n_boiler"))
+      .withColumn("boiler_permille", expr("n_boiler * 1000 DIV n_shingles"))
+  }
+
+  /** ALL word k-grams of `text` in order, duplicates kept (unlike
+    * [[Shingles.wordShingles]], which is the distinct SET for MinHash) —
+    * the diversity metrics (distinct-n, type-token ratio) need the
+    * multiset. Docs shorter than k words contribute an empty array. Pure
+    * HOF projection — no explode until the caller chooses to. */
+  def allGrams(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + lit(1), lit(k)), " ")))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Letter-distribution entropy — generated SQL fragments valid in BOTH Spark
+  // SQL and DuckDB (length/replace/ln/round/CASE are common dialect), so the
+  // Spark plan and the oracle are the SAME strings and cannot drift. Only the
+  // integer-division token differs (Spark `DIV`, DuckDB `//`).
+  // -------------------------------------------------------------------------
+
+  /** 26 per-letter count projections `length(t) − length(replace(t,'c',''))
+    * AS c_<letter>` — counting via replace keeps the whole thing one
+    * codegen'd projection: no per-character explode, no shuffle, linear in
+    * bytes scanned (the 100 TB shape; an explode would multiply the row
+    * count by the text length). */
+  def letterCountCols(textExpr: String): Seq[String] =
+    ('a' to 'z').map(c =>
+      s"(length($textExpr) - length(replace($textExpr, '$c', ''))) AS c_$c")
+
+  /** Shannon entropy of the letter distribution in integer MICRO-NATS over
+    * the `c_a..c_z` columns of [[letterCountCols]]:
+    * `H = ln L − (Σ c·ln c)/L` with every `ln` rounded to exact integer
+    * micros FIRST, so the sums are order-independent integers and the two
+    * engines agree bit-for-bit (the ROUND(ln·1e6) contract). `div` is the
+    * dialect's integer-division token. Caller must guard L > 0. */
+  def letterEntropyMicrosExpr(div: String): String = {
+    val cs = ('a' to 'z').map(c => s"c_$c")
+    val l = cs.mkString("(", " + ", ")")
+    val b = cs.map(c =>
+      s"(CASE WHEN $c > 0 THEN $c * CAST(ROUND(1e6 * ln($c)) AS BIGINT) ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"(CAST(ROUND(1e6 * ln($l)) AS BIGINT) - ($b $div $l))"
+  }
+
+  /** Guard fragment for [[letterEntropyMicrosExpr]]: at least one a–z letter. */
+  def letterTotalExpr: String =
+    ('a' to 'z').map(c => s"c_$c").mkString("(", " + ", ")")
 }
 
 /** Word k-gram shingling shared by fingerprinting and MinHash dedup. */

@@ -17,6 +17,8 @@ object GraftFunctionRegistry {
       (c: Seq[Expression]) => DotProduct(c(0), c(1))),
     ("graft_int8_quantize", classOf[Int8Quantize],
       (c: Seq[Expression]) => Int8Quantize(c(0))),
+    ("graft_jaro_winkler", classOf[JaroWinkler],
+      (c: Seq[Expression]) => JaroWinkler(c(0), c(1))),
     ("graft_md5_hex", classOf[Md5Hex],
       (c: Seq[Expression]) => Md5Hex(c(0))),
     ("graft_md5_prefix60", classOf[Md5Prefix60],

@@ -65,6 +65,16 @@ class Round11bSpec extends SparkSpec {
     assert(q === Map("x" -> 4L, "y" -> 3L, "z" -> 3L))
   }
 
+  test("mixtureQuotas: more groups than seats — zero floors, seats to the smallest keys") {
+    // total 3 over 5 uniform groups: floors 0, remainders equal → the three
+    // smallest group keys get the seats (q285's uniform-budget regime when
+    // bucket count exceeds the sample budget)
+    val w = Seq("a", "b", "c", "d", "e").map((_, 1L)).toDF("g", "tp")
+    val q = Sampling.mixtureQuotas(w, "g", "tp", total = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(q === Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 0L, "e" -> 0L))
+  }
+
   test("largestRemainderQuotas still allocates proportional-to-count (delegation intact)") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c")).toDF("g")
     val q = Sampling.largestRemainderQuotas(df, col("g"), total = 10L)
