@@ -5789,8 +5789,115 @@ object SparkEntry {
             col("distinct_grams"),
             expr("distinct_grams * 1000 DIV total").as("distinct_permille"))
       stats(uni, "uni").unionByName(stats(bi, "bi"))
+    },
+
+    // MMR diversified top-k over embeddings: bounded candidate pool (top-20
+    // by relevance to vec 0 — a TakeOrdered, no global sort), pairwise sims
+    // computed ONCE distributed, then the O(pool·k) greedy fold on the
+    // driver over that metadata-sized table — the MMR-at-scale
+    // decomposition. Integer-micros mixing (λ=0.7) so the pick sequence is
+    // deterministic; the oracle unrolls the same 5 steps with correlated
+    // max-sim subqueries.
+    "q308_mmr_diversify" -> { (s, dir) =>
+      Similarity.mmrSelect(t(s, dir, "embeddings"), queryId = 0,
+        poolSize = 20, k = 5, lambdaPermille = 700)
+    },
+
+    // One Dawid–Skene round over synthetic 5-rater annotations (portable-
+    // hash noise at per-rater accuracies 950..550 permille against the
+    // order-status truth): majority vote → per-rater agreement (M-step) →
+    // reliability-weighted relabel (E-step). Output: the majority-vs-
+    // weighted confusion with per-cell truth agreement — exactly which
+    // consensus calls the reweighting flipped, and whether the flips were
+    // right. The oracle replays the noise draws and both vote rounds.
+    "q309_dawid_skene" -> { (s, dir) =>
+      val votes = dsVotes(t(s, dir, "orders"))
+      val truth = votes.select(col("item"), col("truth")).distinct()
+      graft.ext.Labels.weightedRelabel(votes, col("item"), col("rater"), col("label"))
+        .join(truth, Seq("item"))
+        .groupBy(col("maj_label"), col("weighted_label"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("weighted_label") === col("truth"), 1L).otherwise(0L))
+            .as("n_weighted_correct"))
+    },
+
+    // Fellegi–Sunter record linkage with DATA-ESTIMATED u-probabilities:
+    // per-field agreement-by-chance from value frequencies, integer-micros
+    // log weights (ROUND(ln·1e6) contract), pairs scored only within the
+    // (mktsegment × nation) block (never all-pairs; perturbed-block records
+    // dropping out IS the blocking-recall cost, quantified by n_true),
+    // banded by e-fold with the planted-truth count per band — the
+    // match/non-match separation the weights buy, certified against the
+    // perturbed copy.
+    "q310_fellegi_sunter" -> { (s, dir) =>
+      val (left0, right0) = fsRecordSides(t(s, dir, "customer"))
+      val left = left0.withColumn("blk",
+        concat(col("seg"), lit(":"), expr("nation DIV 5").cast("string")))
+      val right = right0.withColumn("blk",
+        concat(col("seg"), lit(":"), expr("nation DIV 5").cast("string")))
+      val weights = graft.ext.Fuzzy.fsFieldWeights(
+        left.select(FsFields.map(f => col(f._1)): _*), FsFields)
+      graft.ext.Fuzzy.fsScores(left, "id", right, "id", "blk", weights,
+          FsFields.map(_._1))
+        .select(expr("score_micros DIV 1000000").as("band"),
+          (col("right_id") - col("left_id") === 100000L).cast("long").as("is_true"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("is_true")).as("n_true"))
     }
   )
+
+  /** Per-rater accuracies (permille) for q309's synthetic annotators —
+    * shared verbatim with the oracle's CASE literal. */
+  private[graft] val DsRaterAccPermille: Seq[Long] = Seq(950L, 900L, 800L, 700L, 550L)
+
+  /** The `CASE rater WHEN r THEN acc …` fragment — identical text in the
+    * Spark plan and the DuckDB oracle. */
+  private def dsAccCaseSql: String =
+    DsRaterAccPermille.zipWithIndex
+      .map { case (a, r) => s"WHEN $r THEN $a" }
+      .mkString("CASE rater ", " ", " END")
+
+  /** q309's synthetic annotation table: 5 raters per order; rater r reports
+    * the true status iff draw1 < acc_r, else one of the two wrong labels
+    * picked by draw2 — every draw on the portable family. */
+  private def dsVotes(orders: DataFrame): DataFrame =
+    orders.select(col("o_orderkey").cast("long").as("item"),
+        col("o_orderstatus").as("truth"))
+      .withColumn("rater", explode(expr("sequence(0, 4)")))
+      .withColumn("__d1", pmod(graft.ext.PortableHash.hash60(
+        concat(lit("ds:v:"), col("rater").cast("string"), lit(":"),
+          col("item").cast("string"))), lit(1000L)))
+      .withColumn("__d2", pmod(graft.ext.PortableHash.hash60(
+        concat(lit("ds:w:"), col("rater").cast("string"), lit(":"),
+          col("item").cast("string"))), lit(2L)))
+      .withColumn("label",
+        when(col("__d1") < expr(dsAccCaseSql), col("truth"))
+          .otherwise(expr("filter(array('F', 'O', 'P'), x -> x != truth)[CAST(__d2 AS INT)]")))
+      .select(col("item"), col("truth"), col("rater"), col("label"))
+
+  /** q310's field priors: (field, m_permille) — P(agree | true match). Shared
+    * verbatim with the oracle's weight CTEs. */
+  private[graft] val FsFields: Seq[(String, Long)] =
+    Seq(("nation", 900L), ("seg", 950L), ("bal2", 800L))
+
+  /** q310's record sides: clean customers vs a portable-hash-perturbed copy
+    * (+100000 ids; nation bumped at 10%, segment wrecked at 5%, balance-cents
+    * digits zeroed at 20%) — planted ground truth for the separation bands. */
+  private def fsRecordSides(cust: DataFrame): (DataFrame, DataFrame) = {
+    def draw(tag: String) = pmod(graft.ext.PortableHash.hash60(
+      concat(lit(tag), col("c_custkey").cast("string"))), lit(1000L))
+    val left = cust.select(col("c_custkey").cast("long").as("id"),
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("seg"),
+      expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) % 100").as("bal2"))
+    val right = cust.select((col("c_custkey").cast("long") + 100000L).as("id"),
+      when(draw("fs:n:") < 100, pmod(col("c_nationkey").cast("long") + 1L, lit(25L)))
+        .otherwise(col("c_nationkey").cast("long")).as("nation"),
+      when(draw("fs:s:") < 50, lit("OTHER")).otherwise(col("c_mktsegment")).as("seg"),
+      when(draw("fs:p:") < 200, lit(0L))
+        .otherwise(expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) % 100")).as("bal2"))
+    (left, right)
+  }
 
   /** Public category order for q240's randomized response — shared verbatim
     * with its oracle's list literal so the uniform-pick indexing agrees. */
@@ -5818,6 +5925,100 @@ object SparkEntry {
   /** 60-bit md5 hash in DuckDB — the mirror of [[graft.ext.PortableHash.hash60]]. */
   private def h60Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** q308's oracle: the MMR greedy unrolled k steps in SQL — candidate pool
+    * and pairwise sims exactly as the Spark side builds them (micros cosine),
+    * then per step a correlated MAX over sims to the running selection.
+    * Generated from the same (poolSize, k, λ) the query passes. */
+  private def mmrOracleSql(poolSize: Int, k: Int, lamPermille: Long): String = {
+    val steps = (2 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT c.vec_id, c.rel,
+         |         (SELECT MAX(s.s) FROM sym s
+         |          WHERE s.ia = c.vec_id
+         |            AND s.ib IN (SELECT vec_id FROM sel${i - 1})) AS ms
+         |  FROM cand c
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})),
+         |pick$i AS (
+         |  SELECT $i AS step, vec_id, rel,
+         |         ($lamPermille * rel - ${1000 - lamPermille} * ms) // 1000 AS mmr
+         |  FROM p$i ORDER BY mmr DESC, vec_id LIMIT 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT e.vec_id,
+       |         CAST(ROUND(1e6 * list_cosine_similarity(
+       |                CAST(e.embedding AS DOUBLE[]), q.qv)) AS BIGINT) AS rel
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT $poolSize),
+       |pairs AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |         CAST(ROUND(1e6 * list_cosine_similarity(
+       |                CAST(ea.embedding AS DOUBLE[]),
+       |                CAST(eb.embedding AS DOUBLE[]))) AS BIGINT) AS s
+       |  FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |sym AS (SELECT ia, ib, s FROM pairs
+       |        UNION ALL SELECT ib AS ia, ia AS ib, s FROM pairs),
+       |sel1 AS (
+       |  SELECT 1 AS step, vec_id, rel, rel AS mmr FROM cand
+       |  ORDER BY rel DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT step, vec_id, rel AS rel_micros, mmr AS mmr_micros
+       |FROM sel$k ORDER BY step""".stripMargin
+  }
+
+  /** q310's oracle: perturbed copy, data-estimated u, micros log weights,
+    * blocked scoring and truth bands — generated from [[FsFields]] so the
+    * m-priors cannot drift from the Spark side. */
+  private def fsOracleSql: String = {
+    val srcExpr = Map(
+      "nation" -> "CAST(c_nationkey AS BIGINT)",
+      "seg" -> "c_mktsegment",
+      "bal2" -> "CAST(ROUND(c_acctbal * 100) AS BIGINT) % 100")
+    val weightCtes = FsFields.map { case (f, m) =>
+      s"""u_$f AS (
+         |  SELECT GREATEST(LEAST(SUM(c * c) * 1000 // (SUM(c) * SUM(c)), 999), 1) AS u
+         |  FROM (SELECT COUNT(*) AS c FROM l GROUP BY $f) x_$f),
+         |w_$f AS (
+         |  SELECT CAST(ROUND(1e6 * ln(($m * 1e0) / u)) AS BIGINT) AS wa,
+         |         CAST(ROUND(1e6 * ln(((1000 - $m) * 1e0) / (1000 - u))) AS BIGINT) AS wd
+         |  FROM u_$f)""".stripMargin
+    }.mkString(",\n")
+    val scoreExpr = FsFields.map { case (f, _) =>
+      s"CASE WHEN l.$f = r.$f THEN w_$f.wa ELSE w_$f.wd END"
+    }.mkString("(", "\n              + ", ")")
+    val weightFrom = FsFields.map { case (f, _) => s"w_$f" }.mkString(", ")
+    s"""WITH l AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS id,
+       |         ${srcExpr("nation")} AS nation, ${srcExpr("seg")} AS seg,
+       |         ${srcExpr("bal2")} AS bal2
+       |  FROM customer),
+       |r AS (
+       |  SELECT CAST(c_custkey AS BIGINT) + 100000 AS id,
+       |         CASE WHEN ${h60Sql("'fs:n:' || c_custkey")} % 1000 < 100
+       |              THEN (${srcExpr("nation")} + 1) % 25
+       |              ELSE ${srcExpr("nation")} END AS nation,
+       |         CASE WHEN ${h60Sql("'fs:s:' || c_custkey")} % 1000 < 50
+       |              THEN 'OTHER' ELSE ${srcExpr("seg")} END AS seg,
+       |         CASE WHEN ${h60Sql("'fs:p:' || c_custkey")} % 1000 < 200
+       |              THEN 0 ELSE ${srcExpr("bal2")} END AS bal2
+       |  FROM customer),
+       |$weightCtes,
+       |p AS (
+       |  SELECT l.id AS lid, r.id AS rid,
+       |         $scoreExpr AS score
+       |  FROM l JOIN r ON l.seg = r.seg AND l.nation // 5 = r.nation // 5,
+       |       $weightFrom)
+       |SELECT score // 1000000 AS band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       CAST(SUM(CASE WHEN rid - lid = 100000 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_true
+       |FROM p GROUP BY band""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.ext.Sharding.hrwShard]]'s per-shard hash list:
     * `[h60('hrw:key:0'), …, h60('hrw:key:n−1')]`. The consumer takes
@@ -11191,7 +11392,52 @@ object SparkEntry {
          |       CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_grams,
          |       CAST(COUNT(DISTINCT g) * 1000 // COUNT(*) AS BIGINT)
          |         AS distinct_permille
-         |FROM b GROUP BY source""".stripMargin
+         |FROM b GROUP BY source""".stripMargin,
+
+    "q308_mmr_diversify" -> mmrOracleSql(poolSize = 20, k = 5, lamPermille = 700),
+
+    "q309_dawid_skene" ->
+      s"""WITH base AS (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS item, o_orderstatus AS truth,
+         |         rt.rater
+         |  FROM orders, (VALUES (0), (1), (2), (3), (4)) rt(rater)),
+         |d AS (SELECT item, truth, rater,
+         |             ${h60Sql("'ds:v:' || rater || ':' || item")} % 1000 AS d1,
+         |             ${h60Sql("'ds:w:' || rater || ':' || item")} % 2 AS d2
+         |      FROM base),
+         |v AS (SELECT item, truth, rater,
+         |             CASE WHEN d1 < $dsAccCaseSql THEN truth
+         |                  ELSE list_filter(['F', 'O', 'P'],
+         |                         x -> x <> truth)[CAST(d2 AS INT) + 1]
+         |             END AS label
+         |      FROM d),
+         |vc AS (SELECT item, label, COUNT(*) AS nv FROM v GROUP BY item, label),
+         |mj AS (SELECT item, label AS maj_label FROM (
+         |         SELECT item, label,
+         |                ROW_NUMBER() OVER (PARTITION BY item
+         |                                   ORDER BY nv DESC, label) AS rn
+         |         FROM vc) mq WHERE rn = 1),
+         |ra AS (SELECT v.rater, COUNT(*) AS n_labels,
+         |              SUM(CASE WHEN v.label = mj.maj_label THEN 1 ELSE 0 END)
+         |                AS agree
+         |       FROM v JOIN mj USING (item) GROUP BY v.rater),
+         |w AS (SELECT rater, agree * 1000 // n_labels AS wgt FROM ra),
+         |wm AS (SELECT v.item, v.label, SUM(w.wgt) AS mass
+         |       FROM v JOIN w USING (rater) GROUP BY v.item, v.label),
+         |wl AS (SELECT item, label AS weighted_label FROM (
+         |         SELECT item, label,
+         |                ROW_NUMBER() OVER (PARTITION BY item
+         |                                   ORDER BY mass DESC, label) AS rn
+         |         FROM wm) wq WHERE rn = 1),
+         |t AS (SELECT DISTINCT item, truth FROM v)
+         |SELECT mj.maj_label, wl.weighted_label,
+         |       CAST(COUNT(*) AS BIGINT) AS n_items,
+         |       CAST(SUM(CASE WHEN wl.weighted_label = t.truth THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_weighted_correct
+         |FROM mj JOIN wl USING (item) JOIN t USING (item)
+         |GROUP BY mj.maj_label, wl.weighted_label""".stripMargin,
+
+    "q310_fellegi_sunter" -> fsOracleSql
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

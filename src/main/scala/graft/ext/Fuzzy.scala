@@ -174,4 +174,65 @@ object Fuzzy {
       .filter(col("__rn") === 1)
       .select(col("query_id"), col("match_id"), col("jw"))
   }
+
+  /** Fellegi–Sunter (1969, public literature) per-field match weights, with
+    * the u-probability ESTIMATED from the data: u_f = P(two random records
+    * agree on f) = Σ_v c_v² / N², in clamped permille (1..999 — a constant
+    * or all-distinct field would send the log weights to ±∞). The
+    * m-probability (P(agree | true match)) is the caller's per-field prior
+    * in permille. Log weights follow the suite's ROUND(ln·1e6) integer
+    * contract:  w_agree = round(10⁶·ln(m/u)),
+    *            w_disagree = round(10⁶·ln((1000−m)/(1000−u))).
+    *
+    * Output one row per field:
+    * `(field, m_permille, u_permille, w_agree_micros, w_disagree_micros)`.
+    *
+    * Scale: per field one groupBy to the value alphabet then a one-row
+    * reduce — the union is field-count-sized. Overflow note: Σc² ≤ N², so
+    * the permille numerator N²·1000 caps int64 at N ≈ 3·10⁹ records;
+    * past that, lift to DECIMAL per the spearman discipline. */
+  def fsFieldWeights(records: DataFrame, fields: Seq[(String, Long)]): DataFrame = {
+    require(fields.nonEmpty, "fsFieldWeights: no fields")
+    require(fields.forall { case (_, m) => m >= 1 && m <= 999 },
+      "fsFieldWeights: m_permille must be in [1, 999]")
+    fields.map { case (f, m) =>
+      records.groupBy(col(f)).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("sq"), sum(col("c")).as("n"))
+        .select(lit(f).as("field"), lit(m).as("m_permille"),
+          expr("GREATEST(LEAST(sq * 1000 DIV (n * n), 999L), 1L)").as("u_permille"))
+    }.reduce(_ unionByName _)
+      .select(col("field"), col("m_permille"), col("u_permille"),
+        expr("CAST(ROUND(1e6 * ln((m_permille * 1e0) / u_permille)) AS BIGINT)")
+          .as("w_agree_micros"),
+        expr("CAST(ROUND(1e6 * ln(((1000 - m_permille) * 1e0) / (1000 - u_permille))) AS BIGINT)")
+          .as("w_disagree_micros"))
+  }
+
+  /** Fellegi–Sunter pair scoring under equi-join blocking: every in-block
+    * pair scores Σ_f (agree on f ? w_agree_f : w_disagree_f) in integer
+    * micros. `weights` is [[fsFieldWeights]]' output — field-alphabet-sized,
+    * so collecting it to build ONE codegen'd integer expression is the
+    * metadata license, and the join itself is the [[linkageScores]] blocked
+    * shape (never all-pairs).
+    *
+    * Output: `(left_id, right_id, score_micros)` for every in-block pair —
+    * callers band/threshold downstream. */
+  def fsScores(left: DataFrame, leftId: String,
+               right: DataFrame, rightId: String,
+               blockCol: String, weights: DataFrame,
+               fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "fsScores: no fields")
+    val w = weights.collect().map(r => r.getAs[String]("field") ->
+      (r.getAs[Long]("w_agree_micros"), r.getAs[Long]("w_disagree_micros"))).toMap
+    require(fields.forall(w.contains), s"fsScores: weights missing for ${fields.filterNot(w.contains)}")
+    val l = left.select(col(leftId).as("left_id") +: col(blockCol).as("__blk") +:
+      fields.map(f => col(f).as(s"__l_$f")): _*)
+    val r = right.select(col(rightId).as("right_id") +: col(blockCol).as("__blk") +:
+      fields.map(f => col(f).as(s"__r_$f")): _*)
+    val score = fields.map { f =>
+      when(col(s"__l_$f") <=> col(s"__r_$f"), lit(w(f)._1)).otherwise(lit(w(f)._2))
+    }.reduce(_ + _)
+    l.join(r, Seq("__blk"))
+      .select(col("left_id"), col("right_id"), score.as("score_micros"))
+  }
 }

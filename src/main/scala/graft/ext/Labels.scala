@@ -116,4 +116,57 @@ object Labels {
           "(1000000 * (ad * n_items * n_raters - cd * (n_raters - 1))) " +
           "DIV ((n_raters - 1) * (dd - cd)) END").as("kappa_micro"))
   }
+
+  /** Per-annotator reliability estimate: each rater's agreement rate (in
+    * permille) with the [[majorityVote]] consensus — the M-step of one
+    * Dawid–Skene iteration (Dawid & Skene 1979, public literature) under a
+    * single-accuracy (symmetric confusion) model.
+    *
+    * Output: `(rater, n_labels, agree_permille)`.
+    *
+    * Scale: votes join the item-keyed majority table (a strict coarsening
+    * of the same shuffle key), then collapse to the rater alphabet —
+    * per-rater state is one counter, never a vote list. */
+  def raterAgreement(df: DataFrame, itemCol: Column, raterCol: Column,
+                     labelCol: Column): DataFrame = {
+    val maj = majorityVote(df, itemCol, labelCol)
+      .select(col("item"), col("label").as("__maj"))
+    df.select(itemCol.as("item"), raterCol.as("rater"), labelCol.as("label"))
+      .join(maj, Seq("item"))
+      .groupBy(col("rater"))
+      .agg(count(lit(1)).as("n_labels"),
+        sum(when(col("label") === col("__maj"), 1L).otherwise(0L)).as("__agree"))
+      .select(col("rater"), col("n_labels"),
+        expr("__agree * 1000 DIV n_labels").as("agree_permille"))
+  }
+
+  /** Reliability-weighted relabel: the E-step closing one Dawid–Skene
+    * round. Each vote counts its rater's [[raterAgreement]] permille
+    * (a broadcast rater-alphabet-sized table); the item's label is the
+    * arg-max weighted label, ties to the smallest label. Output per item:
+    * `(item, maj_label, weighted_label)` — downstream confusion summaries
+    * show exactly which consensus calls the reweighting flipped.
+    *
+    * Scale: same two exchanges as [[majorityVote]] ((item,label) then
+    * item); the weight join is map-side against the broadcast rater table. */
+  def weightedRelabel(df: DataFrame, itemCol: Column, raterCol: Column,
+                      labelCol: Column): DataFrame = {
+    val weights = raterAgreement(df, itemCol, raterCol, labelCol)
+      .select(col("rater"), col("agree_permille").as("__w"))
+    val maj = majorityVote(df, itemCol, labelCol)
+      .select(col("item"), col("label").as("maj_label"))
+    val weighted = df
+      .select(itemCol.as("item"), raterCol.as("rater"), labelCol.as("label"))
+      .join(broadcast(weights), Seq("rater"))
+      .groupBy(col("item"), col("label"))
+      .agg(sum(col("__w")).as("__mass"))
+    val pick = Window.partitionBy(col("item"))
+      .orderBy(col("__mass").desc, col("label").asc)
+    weighted
+      .withColumn("__r", row_number().over(pick))
+      .filter(col("__r") === 1)
+      .select(col("item"), col("label").as("weighted_label"))
+      .join(maj, Seq("item"))
+      .select(col("item"), col("maj_label"), col("weighted_label"))
+  }
 }

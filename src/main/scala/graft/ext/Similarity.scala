@@ -255,4 +255,80 @@ object Similarity {
     bestA.join(bestB, Seq("a_id", "b_id"))
       .select(col("a_id"), col("b_id"), col("cos_sim"))
   }
+
+  /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+    * 1998 — public literature): greedily pick the candidate maximizing
+    * `λ·rel − (1−λ)·max_sim_to_selected`, so results are relevant AND
+    * mutually diverse — the retrieval-augmented-data and eval-set
+    * curation staple.
+    *
+    * Scale shape: the candidate POOL is bounded first (top `poolSize` by
+    * relevance — a TakeOrdered, no global sort), pairwise similarities are
+    * computed once distributed (poolSize² rows, poolSize ≤ 10³ by
+    * contract), and only then does the driver run the O(poolSize·k)
+    * greedy fold over that metadata-sized table — the standard MMR-at-
+    * scale decomposition (pool bound ≍ IVF probe lists). All mixing is
+    * integer micros (`λ` in permille), so the selection is deterministic
+    * and the oracle unrolls the same k steps arithmetically.
+    *
+    * Step 1 carries `mmr = rel` (no redundancy term yet — the
+    * conventional initialization). Ties break (mmr DESC, id ASC).
+    * Output: `(step, vec_id, rel_micros, mmr_micros)`, one row per pick. */
+  def mmrSelect(embeddings: DataFrame, queryId: Long, poolSize: Int, k: Int,
+                lambdaPermille: Long, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(poolSize >= k && k >= 1, s"mmrSelect: need poolSize >= k >= 1")
+    require(poolSize <= 1000, s"mmrSelect: pool is driver-collected; cap 1000, got $poolSize")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000, "mmrSelect: lambda in [0,1000]")
+    val spark = embeddings.sparkSession
+    val base = embeddings.select(col(idCol).as("id"),
+        toDoubleArray(col(vecCol)).as("v"))
+      .withColumn("norm", sqrt(graft.functions.VectorFunctions.dotProduct(col("v"), col("v"))))
+    val query = base.filter(col("id") === queryId)
+      .select(col("v").as("qv"), col("norm").as("qn"))
+    val micros = (a: Column, b: Column, an: Column, bn: Column) => {
+      val denom = an * bn
+      (round(when(denom === 0, lit(0.0))
+        .otherwise(graft.functions.VectorFunctions.dotProduct(a, b) / denom) * lit(1e6)))
+        .cast("long")
+    }
+    val cand = base.filter(col("id") =!= queryId)
+      .crossJoin(broadcast(query))
+      .select(col("id"), col("v"), col("norm"),
+        micros(col("v"), col("qv"), col("norm"), col("qn")).as("rel"))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(poolSize)
+    val sims = cand.select(col("id").as("ia"), col("v").as("va"), col("norm").as("na"))
+      .join(cand.select(col("id").as("ib"), col("v").as("vb"), col("norm").as("nb")),
+        col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        micros(col("va"), col("vb"), col("na"), col("nb")).as("s"))
+    // driver greedy over the bounded pool (poolSize rows + poolSize² sims)
+    val pool = cand.select(col("id"), col("rel")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val simMap = sims.collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)) -> r.getLong(2),
+        (r.getLong(1), r.getLong(0)) -> r.getLong(2))).toMap
+    val lam = lambdaPermille
+    var selected = Vector.empty[(Int, Long, Long, Long)] // step, id, rel, mmr
+    var remaining = pool.toVector
+    for (step <- 1 to k if remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rel) =>
+        val mmr =
+          if (selected.isEmpty) rel
+          else {
+            val maxSim = selected.map(s => simMap.getOrElse((id, s._2), 0L)).max
+            // truncating division matches the oracle's `//` (verified: DuckDB
+            // -7 // 1000 = 0, i.e. toward zero — same as Scala Long division)
+            (lam * rel - (1000 - lam) * maxSim) / 1000L
+          }
+        (id, rel, mmr)
+      }
+      val best = scored.minBy { case (id, _, mmr) => (-mmr, id) }
+      selected = selected :+ ((step, best._1, best._2, best._3))
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    import spark.implicits._
+    selected.toDF("step", "vec_id", "rel_micros", "mmr_micros")
+  }
 }

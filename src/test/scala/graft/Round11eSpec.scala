@@ -107,6 +107,88 @@ class Round11eSpec extends SparkSpec {
     assert(r(1) === Seq.empty)
   }
 
+  // -------------------------------------------------- Labels Dawid–Skene step
+
+  test("weightedRelabel: reliable raters outvote a noisy majority") {
+    // 3 items; raters 1,2 always agree with each other ('A'), raters 3,4,5
+    // vote 'B' on item 3 only — majority there is B, but after reweighting
+    // by agreement (raters 1,2 agree with majority on 2/3 items = 666;
+    // raters 3,4,5 on 3/3 = 1000) item 3 stays B (3000 vs 1332): weighted
+    // == majority. On a spread where the reliable pair flips it, check flip.
+    val votes = Seq(
+      (1L, 1, "A"), (1L, 2, "A"), (1L, 3, "A"), (1L, 4, "B"), (1L, 5, "B"),
+      (2L, 1, "A"), (2L, 2, "A"), (2L, 3, "A"), (2L, 4, "B"), (2L, 5, "B"),
+      (3L, 1, "A"), (3L, 2, "A"), (3L, 3, "B"), (3L, 4, "B"), (3L, 5, "B")
+    ).toDF("item", "rater", "label")
+    // agreement: raters 1,2: items 1,2 maj=A (agree), item 3 maj=B (disagree)
+    //   -> 666; rater 3: A,A,B all = maj -> 1000; raters 4,5: B,B,B -> 333
+    val ra = graft.ext.Labels.raterAgreement(votes, col("item"), col("rater"), col("label"))
+      .collect().map(r => r.getAs[Int]("rater") -> r.getAs[Long]("agree_permille")).toMap
+    assert(ra(1) === 666L && ra(2) === 666L && ra(3) === 1000L)
+    assert(ra(4) === 333L && ra(5) === 333L)
+    val out = graft.ext.Labels.weightedRelabel(votes, col("item"), col("rater"), col("label"))
+      .collect().map(r => r.getAs[Long]("item") ->
+        (r.getAs[String]("maj_label"), r.getAs[String]("weighted_label"))).toMap
+    // item 1: maj A; weighted: A mass = 666+666+1000 = 2332, B = 666 -> A
+    assert(out(1L) === ("A", "A"))
+    // item 3: maj B; weighted: A = 1332, B = 1000+333+333 = 1666 -> B
+    assert(out(3L) === ("B", "B"))
+  }
+
+  // ------------------------------------------------ Fuzzy Fellegi–Sunter
+
+  test("fsFieldWeights: u from data frequencies, clamped; agree weight beats disagree") {
+    // field x: two values 50/50 -> u = (2*4)*1000/16 = 500 permille
+    val recs = Seq("a", "a", "b", "b").toDF("x")
+    val w = graft.ext.Fuzzy.fsFieldWeights(recs, Seq(("x", 900L))).collect().head
+    assert(w.getAs[Long]("u_permille") === 500L)
+    assert(w.getAs[Long]("w_agree_micros") === math.round(1e6 * math.log(900.0 / 500.0)))
+    assert(w.getAs[Long]("w_disagree_micros") === math.round(1e6 * math.log(100.0 / 500.0)))
+    // all-distinct field clamps u to 1 rather than ln(inf)
+    val dist = Seq("a", "b", "c", "d").toDF("x")
+    val w2 = graft.ext.Fuzzy.fsFieldWeights(dist, Seq(("x", 900L))).collect().head
+    assert(w2.getAs[Long]("u_permille") === 250L) // 4*1*1000/16
+    val const = Seq("a", "a", "a", "a").toDF("x")
+    val w3 = graft.ext.Fuzzy.fsFieldWeights(const, Seq(("x", 900L))).collect().head
+    assert(w3.getAs[Long]("u_permille") === 999L) // clamped from 1000
+  }
+
+  test("fsScores: blocked pairs sum per-field agree/disagree weights") {
+    val l = Seq((1L, "b1", "x", "p")).toDF("id", "blk", "f1", "f2")
+    val r = Seq((2L, "b1", "x", "q"), (3L, "b2", "x", "p")).toDF("id", "blk", "f1", "f2")
+    val wdf = Seq(("f1", 900L, 500L, 100L, -200L), ("f2", 900L, 500L, 300L, -400L))
+      .toDF("field", "m_permille", "u_permille", "w_agree_micros", "w_disagree_micros")
+    val out = graft.ext.Fuzzy.fsScores(l, "id", r, "id", "blk", wdf, Seq("f1", "f2"))
+      .collect().map(x => (x.getAs[Long]("left_id"), x.getAs[Long]("right_id"),
+        x.getAs[Long]("score_micros")))
+    // only the in-block pair (1,2): f1 agrees (+100), f2 disagrees (-400)
+    assert(out.toSeq === Seq((1L, 2L, -300L)))
+  }
+
+  // ---------------------------------------------------- Similarity.mmrSelect
+
+  test("mmrSelect: picks relevant-but-diverse; a near-duplicate of pick 1 is deferred") {
+    // query 0 = e1; candidates: 1 (identical to query), 2 (= 1, a near dup),
+    // 3 (orthogonal-ish mix). At lambda .3 the redundancy term dominates:
+    // step 2 scores dup2 (300·1e6 − 700·~1e6)/1000 ≈ −400000 vs
+    // cand3 (300·6e5 − 700·6e5)/1000 = −240000 → the dup defers to step 3.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.001f, 0.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val picks = graft.ext.Similarity.mmrSelect(vecs, 0, poolSize = 3, k = 3,
+      lambdaPermille = 300).collect()
+    assert(picks.map(_.getAs[Int]("step")).toSeq === Seq(1, 2, 3))
+    val ids = picks.map(_.getAs[Long]("vec_id")).toSeq
+    assert(ids.head === 1L)        // highest relevance first
+    assert(ids(1) === 3L, s"dup picked second: $ids") // diversity defers the dup
+    assert(ids(2) === 2L)
+    // step 1 mmr == rel
+    assert(picks.head.getAs[Long]("mmr_micros") === picks.head.getAs[Long]("rel_micros"))
+  }
+
   test("hrw/mod shard SQL contract: hash60 of the exact salted strings") {
     // modShard must equal hash60('mod:' || key) % n so the oracle can replay it
     val one = Seq(123L).toDF("k")
