@@ -5843,6 +5843,56 @@ object SparkEntry {
           (col("right_id") - col("left_id") === 100000L).cast("long").as("is_true"))
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_pairs"), sum(col("is_true")).as("n_true"))
+    },
+
+    // CCNet-style unigram-LM quality filter: the reference model is trained
+    // on the trusted slice (lang='en'), every token costs −ln p(w) in exact
+    // integer micros (add-one smoothing over the CORPUS vocabulary so
+    // unseen-in-reference tokens pay the max), and each doc reports its
+    // mean token cost. Per-lang summary: en must sit lowest — the filter's
+    // separation, hash-pinned. One vocab groupBy + one broadcast total;
+    // the cost join is vocabulary-keyed.
+    "q311_unigram_lm_quality" -> { (s, dir) =>
+      val toks = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      val costs = ext.TextAnalysis.unigramLmCosts(toks, "w", col("lang") === "en")
+      ext.TextAnalysis.docLmCosts(toks, "doc_id", "w", costs)
+        .join(toks.select(col("doc_id"), col("lang")).distinct(), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(SUM(cost_micros) DIV COUNT(*) AS BIGINT)").as("mean_cost_micros"),
+          min(col("cost_micros")).as("min_cost_micros"),
+          max(col("cost_micros")).as("max_cost_micros"))
+    },
+
+    // √-temperature multilingual mixture (the XLM-R α=0.5 rebalance):
+    // per-language sampling quotas ∝ √share via the exact largest-remainder
+    // allocator — high-resource languages are down-weighted, the quota sum
+    // is EXACTLY the budget. √ is correctly-rounded IEEE on both engines,
+    // so the micro-weights (and hence every quota) are bit-identical.
+    "q312_temperature_mixture" -> { (s, dir) =>
+      val counts = t(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("weight_micros",
+          expr("CAST(ROUND(1e6 * sqrt(n_docs)) AS BIGINT)"))
+      ext.Sampling.mixtureQuotas(counts, "lang", "weight_micros", total = 1000)
+        .withColumnRenamed("group", "lang")
+        .join(counts.select(col("lang"), col("n_docs")), Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("weight_micros"), col("quota"))
+    },
+
+    // HITS authorities on the supplier→part bipartite graph: 2 mutual-
+    // reinforcement rounds, max-normalized integer micros each half-step
+    // (top authority pinned at 10⁶), oracle = the same rounds unrolled.
+    // Parts ranked by being stocked by well-stocked (hub) suppliers — the
+    // centrality complement to q301's seed-personalized PageRank.
+    "q313_hits_authorities" -> { (s, dir) =>
+      val edges = t(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 1000000L).as("dst"))
+      graft.ext.Graph.hitsAuthorities(edges, iters = 2)
+        .orderBy(col("auth_micros").desc, col("node"))
+        .limit(15)
     }
   )
 
@@ -11437,7 +11487,71 @@ object SparkEntry {
          |FROM mj JOIN wl USING (item) JOIN t USING (item)
          |GROUP BY mj.maj_label, wl.weighted_label""".stripMargin,
 
-    "q310_fellegi_sunter" -> fsOracleSql
+    "q310_fellegi_sunter" -> fsOracleSql,
+
+    "q311_unigram_lm_quality" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents),
+         |vocab AS (SELECT w,
+         |                 SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_ref
+         |          FROM tok GROUP BY w),
+         |tot AS (SELECT SUM(c_ref) AS t_ref, COUNT(*) AS v FROM vocab),
+         |cost AS (SELECT w,
+         |                CAST(ROUND(1e6 * ln((t_ref + v * 1e0) / (c_ref + 1)))
+         |                     AS BIGINT) AS cm
+         |         FROM vocab, tot),
+         |dc AS (SELECT t.doc_id, t.lang, COUNT(*) AS n_tok, SUM(c.cm) AS sc
+         |       FROM tok t JOIN cost c USING (w) GROUP BY t.doc_id, t.lang),
+         |d2 AS (SELECT doc_id, lang, sc // n_tok AS cost FROM dc)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(cost) // COUNT(*) AS BIGINT) AS mean_cost_micros,
+         |       CAST(MIN(cost) AS BIGINT) AS min_cost_micros,
+         |       CAST(MAX(cost) AS BIGINT) AS max_cost_micros
+         |FROM d2 GROUP BY lang""".stripMargin,
+
+    "q312_temperature_mixture" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n_docs,
+         |             CAST(ROUND(1e6 * sqrt(n_docs)) AS BIGINT) AS wm
+         |      FROM c),
+         |t AS (SELECT SUM(wm) AS tot FROM w),
+         |f AS (SELECT lang, n_docs, wm,
+         |             (1000 * wm) // tot AS fl, (1000 * wm) % tot AS rem
+         |      FROM w, t),
+         |k AS (SELECT 1000 - SUM(fl) AS kk FROM f),
+         |r AS (SELECT lang, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rn
+         |      FROM f)
+         |SELECT f.lang, CAST(f.n_docs AS BIGINT) AS n_docs,
+         |       f.wm AS weight_micros,
+         |       CAST(f.fl + CASE WHEN r.rn <= k.kk THEN 1 ELSE 0 END AS BIGINT)
+         |         AS quota
+         |FROM f JOIN r USING (lang), k""".stripMargin,
+
+    "q313_hits_authorities" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+         |         CAST(l_partkey AS BIGINT) + 1000000 AS dst
+         |  FROM lineitem),
+         |h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h FROM e),
+         |a1r AS (SELECT e.dst, SUM(h0.h) AS raw
+         |        FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst),
+         |a1 AS (SELECT dst AS node,
+         |              raw * 1000000 // (SELECT MAX(raw) FROM a1r) AS a
+         |       FROM a1r),
+         |h1r AS (SELECT e.src, SUM(a1.a) AS raw
+         |        FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+         |h1 AS (SELECT src AS node,
+         |              raw * 1000000 // (SELECT MAX(raw) FROM h1r) AS h
+         |       FROM h1r),
+         |a2r AS (SELECT e.dst, SUM(h1.h) AS raw
+         |        FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+         |a2 AS (SELECT dst AS node,
+         |              raw * 1000000 // (SELECT MAX(raw) FROM a2r) AS a
+         |       FROM a2r)
+         |SELECT node, CAST(a AS BIGINT) AS auth_micros FROM a2
+         |ORDER BY auth_micros DESC, node LIMIT 15""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -602,4 +602,47 @@ object Graph {
     // clears caches per query
     live.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999 — public literature) on a
+    * directed edge set (`src` = hub side, `dst` = authority side): `iters`
+    * mutual-reinforcement rounds in exact integer micros, MAX-normalized
+    * after every half-step (`a′ = 10⁶·a DIV max a`) so scores stay bounded
+    * and the truncating-DIV arithmetic replays identically in the oracle.
+    * Output: `(node, auth_micros)` for the authority side after `iters`
+    * rounds (the top authority always lands exactly at 10⁶).
+    *
+    * Scale: each half-step is one equi-join on the edge key + one groupBy,
+    * plus a one-row max broadcast; lineage is truncated per round like
+    * [[pageRankIterations]]. Overflow note: the normalize step computes
+    * `raw·10⁶` with raw ≤ 10⁶·maxdeg, so int64 holds to maxdeg ≈ 9·10⁶;
+    * past that lift the products to DECIMAL per the spearman discipline. */
+  def hitsAuthorities(edges: DataFrame, iters: Int,
+                      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"hitsAuthorities: iters must be >= 1, got $iters")
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val eC = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist(level)
+    eC.count()
+    val e = truncated(eC)
+    var hubs = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("h"))
+    var auths: DataFrame = hubs // placeholder; iters >= 1 always overwrites
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
+      val a = truncated(aRaw
+        .crossJoin(broadcast(aRaw.agg(max(col("raw")).as("__m"))))
+        .select(col("dst").as("node"), expr("raw * 1000000 DIV __m").as("a")))
+      val hRaw = e.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src")).agg(sum(col("a")).as("raw"))
+      hubs = truncated(hRaw
+        .crossJoin(broadcast(hRaw.agg(max(col("raw")).as("__m"))))
+        .select(col("src").as("node"), expr("raw * 1000000 DIV __m").as("h")))
+      auths = a
+    }
+    auths.select(col("node"), col("a").as("auth_micros"))
+  }
 }

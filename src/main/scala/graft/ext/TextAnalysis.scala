@@ -585,6 +585,44 @@ object TextAnalysis {
   /** Guard fragment for [[letterEntropyMicrosExpr]]: at least one a–z letter. */
   def letterTotalExpr: String =
     ('a' to 'z').map(c => s"c_$c").mkString("(", " + ", ")")
+
+  /** Unigram language-model token costs — the CCNet-style perplexity-proxy
+    * quality filter (Wenzek et al. 2020, public literature): a reference LM
+    * is trained on the trusted slice (`isRef` rows), and every token w costs
+    * `−ln p(w) = ln((T_ref + V)/(c_ref(w) + 1))` (add-one smoothing over the
+    * CORPUS vocabulary, so tokens unseen in the reference get the max cost).
+    * Costs are exact integer micros (ROUND(ln·1e6) contract), so per-doc
+    * sums are order-independent.
+    *
+    * Output: `(w, c_ref, cost_micros)` — one row per vocabulary entry.
+    *
+    * Scale: one groupBy to the vocabulary, one broadcast one-row total. The
+    * cost table itself is vocabulary-sized; score with a broadcast of the
+    * top-V head plus a default tail cost when V outgrows the broadcast
+    * budget (here it joins directly). */
+  def unigramLmCosts(tokens: DataFrame, tokenCol: String, isRef: Column): DataFrame = {
+    val vocab = tokens
+      .select(col(tokenCol).as("w"), isRef.cast("long").as("__r"))
+      .groupBy(col("w")).agg(sum(col("__r")).as("c_ref"))
+    val tot = vocab.agg(sum(col("c_ref")).as("t_ref"), count(lit(1)).as("v"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("w"), col("c_ref"),
+        expr("CAST(ROUND(1e6 * ln((t_ref + v * 1e0) / (c_ref + 1))) AS BIGINT)")
+          .as("cost_micros"))
+  }
+
+  /** Mean per-token LM cost per document (integer DIV) over a
+    * [[unigramLmCosts]] table — high cost = far from the reference
+    * distribution = the filter's "low quality / wrong register" signal.
+    * Output: `(docIdCol, n_tokens, cost_micros)`. */
+  def docLmCosts(tokens: DataFrame, docIdCol: String, tokenCol: String,
+                 costs: DataFrame): DataFrame =
+    tokens.select(col(docIdCol), col(tokenCol).as("w"))
+      .join(costs.select(col("w"), col("cost_micros")), Seq("w"))
+      .groupBy(col(docIdCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cost_micros")).as("__sum"))
+      .select(col(docIdCol), col("n_tokens"),
+        expr("__sum DIV n_tokens").as("cost_micros"))
 }
 
 /** Word k-gram shingling shared by fingerprinting and MinHash dedup. */

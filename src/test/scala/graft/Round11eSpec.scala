@@ -189,6 +189,60 @@ class Round11eSpec extends SparkSpec {
     assert(picks.head.getAs[Long]("mmr_micros") === picks.head.getAs[Long]("rel_micros"))
   }
 
+  // ---------------------------------------------- TextAnalysis unigram LM
+
+  test("unigramLmCosts: reference-frequent tokens are cheap, unseen tokens pay max") {
+    // ref rows: 'the' x3, 'cat' x1; non-ref adds 'zzz' (unseen in ref).
+    // T_ref = 4, V = 3: cost(the) = ln(7/4), cost(cat) = ln(7/2),
+    // cost(zzz) = ln(7/1) — the maximum.
+    val toks = Seq(("r", "the"), ("r", "the"), ("r", "the"), ("r", "cat"),
+      ("s", "zzz")).toDF("slice", "w")
+    val c = graft.ext.TextAnalysis.unigramLmCosts(toks, "w", col("slice") === "r")
+      .collect().map(r => r.getAs[String]("w") -> r.getAs[Long]("cost_micros")).toMap
+    assert(c("the") === math.round(1e6 * math.log(7.0 / 4.0)))
+    assert(c("cat") === math.round(1e6 * math.log(7.0 / 2.0)))
+    assert(c("zzz") === math.round(1e6 * math.log(7.0 / 1.0)))
+    assert(c("zzz") > c("cat") && c("cat") > c("the"))
+  }
+
+  test("docLmCosts: mean token cost with integer DIV") {
+    val toks = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("doc_id", "w")
+    val costs = Seq(("a", 0L, 100L), ("b", 0L, 301L))
+      .toDF("w", "c_ref", "cost_micros")
+    val d = graft.ext.TextAnalysis.docLmCosts(toks, "doc_id", "w", costs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("cost_micros"))).toMap
+    assert(d(1L) === ((2L, 200L))) // (100+301) DIV 2
+    assert(d(2L) === ((1L, 100L)))
+  }
+
+  // ------------------------------------------------- Graph.hitsAuthorities
+
+  test("hitsAuthorities: the max authority is pinned at 1e6 and degree order holds") {
+    // star: hubs 1,2,3 all point to auth 10; hub 1 also points to auth 11.
+    // Round 1: a(10) = 3e6 -> 1e6 (max), a(11) = 1e6 -> 333333.
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L)).toDF("src", "dst")
+    val a = graft.ext.Graph.hitsAuthorities(edges, iters = 1)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("auth_micros")).toMap
+    assert(a(10L) === 1000000L)
+    assert(a(11L) === 333333L)
+    // a second round keeps the ordering and the 1e6 pin
+    val a2 = graft.ext.Graph.hitsAuthorities(edges, iters = 2)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("auth_micros")).toMap
+    assert(a2(10L) === 1000000L && a2(11L) < 1000000L)
+  }
+
+  test("mixtureQuotas with sqrt weights: quotas sum exactly to the budget") {
+    val counts = Seq(("en", 400L), ("de", 100L), ("fr", 25L)).toDF("lang", "n")
+      .withColumn("wm", expr("CAST(ROUND(1e6 * sqrt(n)) AS BIGINT)"))
+    val q = graft.ext.Sampling.mixtureQuotas(counts, "lang", "wm", 1000)
+      .collect().map(r => r.getAs[String]("group") -> r.getAs[Long]("quota")).toMap
+    assert(q.values.sum === 1000L)
+    // sqrt flattening: en share drops from 400/525=762 to 20/35=571 permille
+    assert(q("en") === 571L || q("en") === 572L)
+    assert(q("fr") > 47L) // raw share would be 47; sqrt lifts it to ~143
+  }
+
   test("hrw/mod shard SQL contract: hash60 of the exact salted strings") {
     // modShard must equal hash60('mod:' || key) % n so the oracle can replay it
     val one = Seq(123L).toDF("k")
