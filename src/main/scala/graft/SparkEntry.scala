@@ -5893,6 +5893,22 @@ object SparkEntry {
       graft.ext.Graph.hitsAuthorities(edges, iters = 2)
         .orderBy(col("auth_micros").desc, col("node"))
         .limit(15)
+    },
+
+    // Content-defined chunking vs fixed-size chunking over the planted
+    // near-dup corpus (each doc ∪ its first-word-dropped copy — a prefix
+    // SHIFT): CDC boundaries re-synchronize after the edit so downstream
+    // chunks dedup across the copies; fixed 16-char blocks lose almost all
+    // cross-copy sharing. The hash pins both schemes' exact dedup permille
+    // — the storage-dedup win CDC exists to buy, certified. Linear position
+    // stream, per-doc boundary lists only, one count-distinct.
+    "q314_cdc_chunking" -> { (s, dir) =>
+      val corpus = docsWithPlantedNearDups(s, dir)
+      graft.ext.Chunking.chunkDedupStats(
+          graft.ext.Chunking.cdcChunks(corpus, "doc_id", "text",
+            window = 8, maskMod = 16L), "cdc")
+        .unionByName(graft.ext.Chunking.chunkDedupStats(
+          graft.ext.Chunking.fixedChunks(corpus, "doc_id", "text", 16), "fixed16"))
     }
   )
 
@@ -11551,7 +11567,44 @@ object SparkEntry {
          |              raw * 1000000 // (SELECT MAX(raw) FROM a2r) AS a
          |       FROM a2r)
          |SELECT node, CAST(a AS BIGINT) AS auth_micros FROM a2
-         |ORDER BY auth_micros DESC, node LIMIT 15""".stripMargin
+         |ORDER BY auth_micros DESC, node LIMIT 15""".stripMargin,
+
+    "q314_cdc_chunking" ->
+      s"""WITH $docsCorpusSql,
+         |b AS (
+         |  SELECT doc_id, i AS pos
+         |  FROM (SELECT doc_id, text,
+         |               unnest(range(2, length(text) - 6)) AS i
+         |        FROM corpus WHERE length(text) >= 9) x
+         |  WHERE ${h60Sql("'cdc:' || substr(text, CAST(i AS INT), 8)")} % 16 = 0),
+         |bl AS (SELECT doc_id, list_sort(list(pos)) AS bpos FROM b GROUP BY doc_id),
+         |st AS (SELECT c.doc_id, c.text,
+         |              list_prepend(CAST(1 AS BIGINT),
+         |                           COALESCE(bl.bpos, [])) AS starts
+         |       FROM corpus c LEFT JOIN bl USING (doc_id)),
+         |ix AS (SELECT doc_id, text, starts,
+         |              unnest(range(1, len(starts) + 1)) AS i
+         |       FROM st),
+         |ch AS (SELECT doc_id,
+         |              substr(text, CAST(starts[i] AS INT),
+         |                     CAST((CASE WHEN i = len(starts)
+         |                                THEN length(text) + 1
+         |                                ELSE starts[i + 1] END) - starts[i] AS INT))
+         |                AS chunk
+         |       FROM ix),
+         |cdc AS (SELECT 'cdc' AS scheme, COUNT(*) AS n_chunks,
+         |               COUNT(DISTINCT chunk) AS n_distinct FROM ch),
+         |fx AS (SELECT doc_id, substr(text, CAST(s AS INT), 16) AS chunk
+         |       FROM (SELECT doc_id, text,
+         |                    unnest(range(1, length(text) + 1, 16)) AS s
+         |             FROM corpus WHERE length(text) >= 1) y),
+         |fixed AS (SELECT 'fixed16' AS scheme, COUNT(*) AS n_chunks,
+         |                 COUNT(DISTINCT chunk) AS n_distinct FROM fx)
+         |SELECT scheme, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |       CAST(n_distinct AS BIGINT) AS n_distinct,
+         |       CAST((n_chunks - n_distinct) * 1000 // n_chunks AS BIGINT)
+         |         AS dedup_permille
+         |FROM (SELECT * FROM cdc UNION ALL SELECT * FROM fixed) u""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

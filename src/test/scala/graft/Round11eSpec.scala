@@ -243,6 +243,37 @@ class Round11eSpec extends SparkSpec {
     assert(q("fr") > 47L) // raw share would be 47; sqrt lifts it to ~143
   }
 
+  // ---------------------------------------------------------- ext.Chunking
+
+  test("cdcChunks: chunks concatenate back to the text, in order") {
+    val full = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, full), (2L, "tiny")).toDF("doc_id", "text")
+    val byDoc = graft.ext.Chunking.cdcChunks(docs, "doc_id", "text")
+      .collect().groupBy(_.getAs[Long]("doc"))
+    // chunk characters must rebuild the exact text (collect order is not
+    // guaranteed, so compare as multisets)
+    val d1 = byDoc(1L).map(_.getAs[String]("chunk")).mkString("")
+    assert(d1.sorted === full.sorted)
+    assert(d1.length === full.length)
+    assert(byDoc(2L).map(_.getAs[String]("chunk")).toSeq === Seq("tiny"))
+  }
+
+  test("cdcChunks re-synchronize after a prefix edit; fixed chunks do not") {
+    val text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4).trim
+    val docs = Seq((1L, text), (2L, text.drop(6))).toDF("doc_id", "text")
+    val cdc = graft.ext.Chunking.cdcChunks(docs, "doc_id", "text").collect()
+    val c1 = cdc.filter(_.getAs[Long]("doc") == 1L).map(_.getAs[String]("chunk")).toSet
+    val c2 = cdc.filter(_.getAs[Long]("doc") == 2L).map(_.getAs[String]("chunk")).toSet
+    val cdcShared = (c1 intersect c2).size
+    val fx = graft.ext.Chunking.fixedChunks(docs, "doc_id", "text", 16).collect()
+    val f1 = fx.filter(_.getAs[Long]("doc") == 1L).map(_.getAs[String]("chunk")).toSet
+    val f2 = fx.filter(_.getAs[Long]("doc") == 2L).map(_.getAs[String]("chunk")).toSet
+    val fixedShared = (f1 intersect f2).size
+    assert(cdcShared > fixedShared,
+      s"CDC shared $cdcShared chunks, fixed shared $fixedShared — CDC must win")
+    assert(cdcShared >= 3, s"CDC should re-sync after the edit, shared only $cdcShared")
+  }
+
   test("hrw/mod shard SQL contract: hash60 of the exact salted strings") {
     // modShard must equal hash60('mod:' || key) % n so the oracle can replay it
     val one = Seq(123L).toDF("k")
