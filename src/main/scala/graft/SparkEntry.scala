@@ -5909,6 +5909,48 @@ object SparkEntry {
             window = 8, maskMod = 16L), "cdc")
         .unionByName(graft.ext.Chunking.chunkDedupStats(
           graft.ext.Chunking.fixedChunks(corpus, "doc_id", "text", 16), "fixed16"))
+    },
+
+    // Sorted-neighborhood linkage (the blocking-key complement): customers ∪
+    // appended-char typo copies sorted BY NAME, candidates = pairs within
+    // ordinal distance ≤ 10 via the range-exchange ordinal machinery + the
+    // bucket trick (probe {b, b+1}, equi-join — per-record fan-out ≤ 2w,
+    // never all-pairs, no global window). JW-scored; the hash pins the
+    // candidate count, match count, and planted-typo recall.
+    "q315_sorted_neighborhood" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val recs = cust.select(col("c_custkey").cast("long").as("id"),
+          col("c_name").as("name"))
+        .unionByName(cust.select((col("c_custkey").cast("long") + 100000L).as("id"),
+          expr("concat(c_name, 'x')").as("name")))
+      graft.engine.Scratch.withTempDir("graft-sn-") { tmp =>
+        val pairs = graft.ext.Fuzzy.sortedNeighborhoodPairs(recs, "id", "name", 10, tmp)
+        val stats = pairs
+          .withColumn("jw", graft.ext.Fuzzy.jaroWinkler(col("k_a"), col("k_b")))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("jw") >= 0.95, 1L).otherwise(0L)).as("n_matched"),
+            sum(when(col("jw") >= 0.95 &&
+                abs(col("id_a") - col("id_b")) === 100000L, 1L)
+              .otherwise(0L)).as("n_true_found"))
+          .crossJoin(broadcast(cust.agg(count(lit(1)).as("n_planted"))))
+          .select(col("n_candidates"), col("n_matched"), col("n_true_found"),
+            col("n_planted"),
+            expr("n_true_found * 1000 DIV n_planted").as("recall_permille"))
+        val r = stats.collect()
+        s.createDataFrame(java.util.Arrays.asList(r: _*), stats.schema)
+      }
+    },
+
+    // Categorical KL drift monitor: the full event stream vs a simulated
+    // logging regression (a client build dropping every even-id click).
+    // Add-one-smoothed KL in exact integer micro-nats, both directions —
+    // the event-mix complement to q59's numeric KS drift. Alphabet-sized
+    // state only.
+    "q316_kl_drift" -> { (s, dir) =>
+      val ev = eventsTable(s, dir)
+      val degraded = ev.filter(
+        !(col("event_type") === "click" && col("event_id") % 2 === 0))
+      graft.engine.Profile.klDrift(ev, degraded, "event_type")
     }
   )
 
@@ -11604,7 +11646,56 @@ object SparkEntry {
          |       CAST(n_distinct AS BIGINT) AS n_distinct,
          |       CAST((n_chunks - n_distinct) * 1000 // n_chunks AS BIGINT)
          |         AS dedup_permille
-         |FROM (SELECT * FROM cdc UNION ALL SELECT * FROM fixed) u""".stripMargin
+         |FROM (SELECT * FROM cdc UNION ALL SELECT * FROM fixed) u""".stripMargin,
+
+    "q315_sorted_neighborhood" ->
+      """WITH recs AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT CAST(c_custkey AS BIGINT) + 100000, c_name || 'x'
+        |  FROM customer),
+        |o AS (SELECT id, name,
+        |             ROW_NUMBER() OVER (ORDER BY name, id) AS ord
+        |      FROM recs),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |             ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+        |      FROM o a JOIN o b ON b.ord > a.ord AND b.ord - a.ord <= 10),
+        |t AS (SELECT COUNT(*) AS n_planted FROM customer)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |       CAST(SUM(CASE WHEN jw >= 0.95 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_matched,
+        |       CAST(SUM(CASE WHEN jw >= 0.95 AND abs(id_a - id_b) = 100000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_true_found,
+        |       CAST(t.n_planted AS BIGINT) AS n_planted,
+        |       CAST(SUM(CASE WHEN jw >= 0.95 AND abs(id_a - id_b) = 100000
+        |                     THEN 1 ELSE 0 END) * 1000 // t.n_planted AS BIGINT)
+        |         AS recall_permille
+        |FROM p, t GROUP BY t.n_planted""".stripMargin,
+
+    "q316_kl_drift" ->
+      """WITH a AS (SELECT event_type FROM events),
+        |b AS (SELECT event_type FROM events
+        |      WHERE NOT (event_type = 'click' AND event_id % 2 = 0)),
+        |ca AS (SELECT event_type AS cat, COUNT(*) AS ca FROM a GROUP BY 1),
+        |cb AS (SELECT event_type AS cat, COUNT(*) AS cb FROM b GROUP BY 1),
+        |m AS (SELECT COALESCE(ca.cat, cb.cat) AS cat,
+        |             COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+        |      FROM ca FULL OUTER JOIN cb ON ca.cat = cb.cat),
+        |tot AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb, COUNT(*) AS k FROM m),
+        |terms AS (
+        |  SELECT CAST(ROUND(1e6 * ((ca + 1e0) / (ta + k)) *
+        |           ln(((ca + 1e0) * (tb + k)) / ((ta + k) * (cb + 1e0))))
+        |         AS BIGINT) AS tab,
+        |         CAST(ROUND(1e6 * ((cb + 1e0) / (tb + k)) *
+        |           ln(((cb + 1e0) * (ta + k)) / ((tb + k) * (ca + 1e0))))
+        |         AS BIGINT) AS tba,
+        |         ta, tb, k
+        |  FROM m, tot)
+        |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        |       CAST(k AS BIGINT) AS n_categories,
+        |       CAST(SUM(tab) AS BIGINT) AS kl_ab_micros,
+        |       CAST(SUM(tba) AS BIGINT) AS kl_ba_micros
+        |FROM terms GROUP BY ta, tb, k""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

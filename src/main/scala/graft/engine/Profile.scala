@@ -392,6 +392,42 @@ object Profile {
     * serializes its window partition — for power-law groups pre-aggregate
     * with [[graft.ext.Sampling.stratifiedSample]] or switch to the sketch
     * path (`approx_percentile`, q57) and accept approximate bounds. */
+  /** Categorical-distribution drift between two slices as ADD-ONE-smoothed
+    * KL divergence in exact integer micro-nats, BOTH directions (KL is
+    * asymmetric; a category vanishing from `b` shows loudest in kl_ab).
+    * The categorical complement to [[graft.ext.Rank.ksDrift]]'s numeric KS
+    * statistic — the daily "did the event mix shift / did a logger break"
+    * monitor.
+    *
+    * Per-category term: `p̂·ln(p̂/q̂)` with `p̂ = (c_a+1)/(t_a+K)`, rounded to
+    * integer micros per category BEFORE summing (ROUND(ln·1e6) contract →
+    * order-independent, engine-exact). Output one row:
+    * `(n_a, n_b, n_categories, kl_ab_micros, kl_ba_micros)`.
+    *
+    * Scale: two map-side-combinable groupBys to the category alphabet, a
+    * full outer join of two alphabet-sized tables, one broadcast one-row
+    * total — nothing data-sized past the first aggregation. */
+  def klDrift(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    def cnt(df: DataFrame, out: String) =
+      df.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as(out))
+    val merged = cnt(a, "__ca").join(cnt(b, "__cb"), Seq("cat"), "full")
+      .select(col("cat"), coalesce(col("__ca"), lit(0L)).as("ca"),
+        coalesce(col("__cb"), lit(0L)).as("cb"))
+    val tot = merged.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
+      count(lit(1)).as("k"))
+    def term(x: String, tx: String, y: String, ty: String) =
+      s"CAST(ROUND(1e6 * (($x + 1e0) / ($tx + k)) * " +
+        s"ln((($x + 1e0) * ($ty + k)) / (($tx + k) * ($y + 1e0)))) AS BIGINT)"
+    merged.crossJoin(broadcast(tot))
+      .select(col("ta"), col("tb"), col("k"),
+        expr(term("ca", "ta", "cb", "tb")).as("__tab"),
+        expr(term("cb", "tb", "ca", "ta")).as("__tba"))
+      .groupBy(col("ta"), col("tb"), col("k"))
+      .agg(sum(col("__tab")).as("kl_ab_micros"), sum(col("__tba")).as("kl_ba_micros"))
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        col("k").as("n_categories"), col("kl_ab_micros"), col("kl_ba_micros"))
+  }
+
   def winsorizedSums(df: DataFrame, groupCol: String, valueCol: String,
                      idCol: String, pLowPct: Int = 1, pHighPct: Int = 99): DataFrame = {
     require(0 < pLowPct && pLowPct < pHighPct && pHighPct <= 100,

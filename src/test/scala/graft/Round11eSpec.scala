@@ -274,6 +274,39 @@ class Round11eSpec extends SparkSpec {
     assert(cdcShared >= 3, s"CDC should re-sync after the edit, shared only $cdcShared")
   }
 
+  // ------------------------------------------ Fuzzy.sortedNeighborhoodPairs
+
+  test("sortedNeighborhoodPairs: exactly the ordinal-distance-w pairs, each once") {
+    graft.engine.Scratch.withTempDir("sn-spec-") { tmp =>
+      val recs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+        .toDF("id", "k")
+      val pairs = graft.ext.Fuzzy.sortedNeighborhoodPairs(recs, "id", "k", 2, tmp)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).sorted
+      // sorted order = a..e; distance <= 2 pairs: (1,2)(1,3)(2,3)(2,4)(3,4)(3,5)(4,5)
+      assert(pairs.toSeq === Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (3L, 5L), (4L, 5L)))
+    }
+  }
+
+  // ----------------------------------------------------- Profile.klDrift
+
+  test("klDrift: zero on identical slices, positive and asymmetric on drift") {
+    val a = Seq("x", "x", "x", "y").toDF("cat")
+    val same = graft.engine.Profile.klDrift(a, a, "cat").collect().head
+    assert(same.getAs[Long]("kl_ab_micros") === 0L)
+    assert(same.getAs[Long]("kl_ba_micros") === 0L)
+    val b = Seq("x", "y", "y", "y").toDF("cat")
+    val drift = graft.engine.Profile.klDrift(a, b, "cat").collect().head
+    assert(drift.getAs[Long]("kl_ab_micros") > 0L)
+    assert(drift.getAs[Long]("kl_ba_micros") > 0L)
+    assert(drift.getAs[Long]("n_categories") === 2L)
+    // hand value: p=(4/6, 2/6), q=(2/6, 4/6): KL = (4/6)ln2 + (2/6)ln(1/2)
+    // with add-one smoothing counts (3+1,1+1)/(4+2) vs (1+1,3+1)/(4+2)
+    val expected = Math.round(1e6 * (4.0 / 6) * math.log(2.0)) +
+      Math.round(1e6 * (2.0 / 6) * math.log(0.5))
+    assert(drift.getAs[Long]("kl_ab_micros") === expected)
+  }
+
   test("hrw/mod shard SQL contract: hash60 of the exact salted strings") {
     // modShard must equal hash60('mod:' || key) % n so the oracle can replay it
     val one = Seq(123L).toDF("k")
