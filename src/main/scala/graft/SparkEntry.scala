@@ -5951,6 +5951,46 @@ object SparkEntry {
       val degraded = ev.filter(
         !(col("event_type") === "click" && col("event_id") % 2 === 0))
       graft.engine.Profile.klDrift(ev, degraded, "event_type")
+    },
+
+    // First-order Markov transition matrix over each user's event sequence:
+    // LEAD within the user partition (never global), transition counts and
+    // row-stochastic permille — the behavioral-sequence summary feeding
+    // next-event models and anomaly scores. Deterministic order (ts,
+    // event_id); per-user windows only.
+    "q317_markov_transitions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = eventsTable(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("row_total"))
+      trans.join(totals, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("n * 1000 DIV row_total").as("permille"))
+    },
+
+    // Weekly cohort retention: users grouped by first-seen week, per-age
+    // distinct-user counts, retention permille vs the cohort's own size —
+    // the canonical engagement matrix. Weeks = epoch-days DIV 7 (pure date
+    // arithmetic, identical on both engines); all state is per (cohort,
+    // age) after one per-user min.
+    "q318_cohort_retention" -> { (s, dir) =>
+      val ev = eventsTable(s, dir).select(col("user_id"),
+        expr("datediff(to_date(ts), DATE '1970-01-01') DIV 7").as("week"))
+      val firstWeek = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      val aged = ev.join(firstWeek, Seq("user_id"))
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("age"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val size = aged.filter(col("age") === 0)
+        .select(col("cohort"), col("n_users").as("cohort_size"))
+      aged.join(size, Seq("cohort"))
+        .select(col("cohort"), col("age"), col("n_users"), col("cohort_size"),
+          expr("n_users * 1000 DIV cohort_size").as("retention_permille"))
     }
   )
 
@@ -11695,7 +11735,38 @@ object SparkEntry {
         |       CAST(k AS BIGINT) AS n_categories,
         |       CAST(SUM(tab) AS BIGINT) AS kl_ab_micros,
         |       CAST(SUM(tba) AS BIGINT) AS kl_ba_micros
-        |FROM terms GROUP BY ta, tb, k""".stripMargin
+        |FROM terms GROUP BY ta, tb, k""".stripMargin,
+
+    "q317_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |tr AS (SELECT from_type, to_type, COUNT(*) AS n FROM seq
+        |       WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |tot AS (SELECT from_type, SUM(n) AS row_total FROM tr GROUP BY from_type)
+        |SELECT tr.from_type, tr.to_type, CAST(tr.n AS BIGINT) AS n,
+        |       CAST(tr.n * 1000 // tot.row_total AS BIGINT) AS permille
+        |FROM tr JOIN tot USING (from_type)""".stripMargin,
+
+    "q318_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week
+        |  FROM events),
+        |fw AS (SELECT user_id, MIN(week) AS cohort FROM ev GROUP BY user_id),
+        |aged AS (SELECT fw.cohort, ev.week - fw.cohort AS age,
+        |                COUNT(DISTINCT ev.user_id) AS n_users
+        |         FROM ev JOIN fw USING (user_id)
+        |         GROUP BY fw.cohort, ev.week - fw.cohort),
+        |sz AS (SELECT cohort, n_users AS cohort_size FROM aged WHERE age = 0)
+        |SELECT a.cohort, CAST(a.age AS BIGINT) AS age,
+        |       CAST(a.n_users AS BIGINT) AS n_users,
+        |       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        |       CAST(a.n_users * 1000 // s.cohort_size AS BIGINT)
+        |         AS retention_permille
+        |FROM aged a JOIN sz s USING (cohort)""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
