@@ -5991,6 +5991,59 @@ object SparkEntry {
       aged.join(size, Seq("cohort"))
         .select(col("cohort"), col("age"), col("n_users"), col("cohort_size"),
           expr("n_users * 1000 DIV cohort_size").as("retention_permille"))
+    },
+
+    // Sketch SET ALGEBRA: audience-overlap estimate from HLL sketches via
+    // inclusion–exclusion (|A∩B| ≈ est(A) + est(B) − est(A∪B)) against the
+    // exact intersection — q264's contract pattern: the oracle pins the
+    // exact counts and a TRUE tolerance flag, so an estimator drift past
+    // 10% hash-FAILS. The scale story: per-slice sketches are reusable,
+    // mergeable audit artifacts — the overlap of any two audiences comes
+    // from bytes already computed, no re-scan, no pairwise distinct join.
+    "q319_sketch_overlap" -> { (s, dir) =>
+      val ev = eventsTable(s, dir).select(col("user_id"), col("event_type"))
+      val exact = ev.filter(col("event_type") === "click")
+        .select(col("user_id")).distinct()
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct(), Seq("user_id"))
+        .agg(count(lit(1)).as("n_inter_exact"))
+      val sketches = ev
+        .select(col("user_id"),
+          (col("event_type") === "click").as("is_c"),
+          (col("event_type") === "purchase").as("is_p"))
+        .agg(
+          expr("hll_sketch_estimate(hll_sketch_agg(CASE WHEN is_c THEN user_id END))")
+            .as("est_c"),
+          expr("hll_sketch_estimate(hll_sketch_agg(CASE WHEN is_p THEN user_id END))")
+            .as("est_p"),
+          expr("hll_sketch_estimate(hll_union(" +
+            "hll_sketch_agg(CASE WHEN is_c THEN user_id END), " +
+            "hll_sketch_agg(CASE WHEN is_p THEN user_id END)))").as("est_u"),
+          countDistinct(when(col("is_c"), col("user_id"))).as("n_click_exact"),
+          countDistinct(when(col("is_p"), col("user_id"))).as("n_buy_exact"))
+      sketches.crossJoin(broadcast(exact))
+        .select(col("n_click_exact"), col("n_buy_exact"), col("n_inter_exact"),
+          (abs(col("est_c") + col("est_p") - col("est_u") - col("n_inter_exact"))
+            * 10L <= col("n_inter_exact")).as("within_10pct"))
+    },
+
+    // Benford first-digit audit over order totals (exact integer cents →
+    // leading digit): observed permille vs the Benford expectation
+    // round(10⁶·log10(1+1/d)) — the classic fabricated-numbers screen for
+    // ingested financial feeds. Digit table is alphabet-sized; the
+    // expectation literals are ONE Scala constant spliced into both sides.
+    "q320_benford" -> { (s, dir) =>
+      val digits = t(s, dir, "orders")
+        .select(expr("CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) " +
+          "AS STRING), 1, 1) AS INT)").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val tot = digits.agg(sum(col("n_obs")).as("n_total"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("benford_micros", expr(benfordCaseSql))
+        .select(col("digit"), col("n_obs"),
+          expr("n_obs * 1000000 DIV n_total").as("obs_micros"),
+          col("benford_micros"),
+          expr(s"n_obs * 1000000 DIV n_total - $benfordCaseSql").as("delta_micros"))
     }
   )
 
@@ -6022,6 +6075,16 @@ object SparkEntry {
         when(col("__d1") < expr(dsAccCaseSql), col("truth"))
           .otherwise(expr("filter(array('F', 'O', 'P'), x -> x != truth)[CAST(__d2 AS INT)]")))
       .select(col("item"), col("truth"), col("rater"), col("label"))
+
+  /** Benford first-digit expectations `round(10⁶·log10(1+1/d))` — ONE Scala
+    * constant shared by q320's plan (CASE literal) and its oracle (VALUES). */
+  private[graft] val BenfordMicros: Seq[(Int, Long)] =
+    (1 to 9).map(d => (d, math.round(1e6 * math.log10(1.0 + 1.0 / d))))
+
+  /** `CASE digit WHEN d THEN micros …` — identical text in both engines. */
+  private def benfordCaseSql: String =
+    BenfordMicros.map { case (d, m) => s"WHEN $d THEN ${m}L" }
+      .mkString("CASE digit ", " ", " ELSE 0L END")
 
   /** q310's field priors: (field, m_permille) — P(agree | true match). Shared
     * verbatim with the oracle's weight CTEs. */
@@ -11766,7 +11829,34 @@ object SparkEntry {
         |       CAST(s.cohort_size AS BIGINT) AS cohort_size,
         |       CAST(a.n_users * 1000 // s.cohort_size AS BIGINT)
         |         AS retention_permille
-        |FROM aged a JOIN sz s USING (cohort)""".stripMargin
+        |FROM aged a JOIN sz s USING (cohort)""".stripMargin,
+
+    "q319_sketch_overlap" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |i AS (SELECT COUNT(*) AS n_inter_exact FROM c JOIN p USING (user_id))
+        |SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_exact,
+        |       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_buy_exact,
+        |       CAST(i.n_inter_exact AS BIGINT) AS n_inter_exact,
+        |       TRUE AS within_10pct
+        |FROM i""".stripMargin,
+
+    "q320_benford" ->
+      s"""WITH d0 AS (
+         |  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+         |                          AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM orders),
+         |dg AS (SELECT digit, COUNT(*) AS n_obs FROM d0 GROUP BY digit),
+         |t AS (SELECT SUM(n_obs) AS n_total FROM dg),
+         |e AS (SELECT * FROM (VALUES ${
+              BenfordMicros.map { case (d, m) => s"($d, $m)" }.mkString(", ")
+            }) v(digit, benford_micros))
+         |SELECT dg.digit, CAST(dg.n_obs AS BIGINT) AS n_obs,
+         |       CAST(dg.n_obs * 1000000 // t.n_total AS BIGINT) AS obs_micros,
+         |       CAST(e.benford_micros AS BIGINT) AS benford_micros,
+         |       CAST(dg.n_obs * 1000000 // t.n_total - e.benford_micros AS BIGINT)
+         |         AS delta_micros
+         |FROM dg JOIN e USING (digit), t""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
