@@ -6044,6 +6044,89 @@ object SparkEntry {
           expr("n_obs * 1000000 DIV n_total").as("obs_micros"),
           col("benford_micros"),
           expr(s"n_obs * 1000000 DIV n_total - $benfordCaseSql").as("delta_micros"))
+    },
+
+    // INCREMENTAL connected components ≡ one-shot, proven in-query: the
+    // near-dup edge set splits into two deterministic batches; batch 2's
+    // endpoints CONTRACT through batch 1's labels (super-nodes), components
+    // run over the contracted graph, and the composed labels must equal the
+    // one-shot labels node for node (both canonicalize to the component's
+    // min id). This is the O(delta)-per-tick dedup-index maintenance shape:
+    // a new ingest batch never recomputes history, it relabels through the
+    // existing label table. Oracle pins the one-shot histogram + the
+    // equality flag (a false flag hash-fails).
+    "q321_incremental_cc" -> { (s, dir) =>
+      val pairs = Dedup.minhashNearDuplicatesPortable(
+          docsWithPlantedNearDups(s, dir), threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val b1 = pairs.filter(pmod(col("id_a") + col("id_b"), lit(2L)) === 0)
+      val b2 = pairs.filter(pmod(col("id_a") + col("id_b"), lit(2L)) === 1)
+      val l1 = graft.ext.Graph.connectedComponents(b1)
+      val b2l = b2
+        .join(l1.select(col("id").as("id_a"), col("component").as("__la")),
+          Seq("id_a"), "left")
+        .join(l1.select(col("id").as("id_b"), col("component").as("__lb")),
+          Seq("id_b"), "left")
+        .select(coalesce(col("__la"), col("id_a")).as("id_a"),
+          coalesce(col("__lb"), col("id_b")).as("id_b"))
+      val l2 = graft.ext.Graph.connectedComponents(b2l)
+      val nodes = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      val inc = nodes.join(l1, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("__s"))
+        .join(l2.select(col("id").as("__s"), col("component").as("__c2")),
+          Seq("__s"), "left")
+        .select(col("id"), coalesce(col("__c2"), col("__s")).as("inc_label"))
+      val oneShot = graft.ext.Graph.connectedComponents(pairs)
+      inc.join(oneShot, Seq("id"))
+        .agg(count(lit(1)).as("n_nodes"),
+          countDistinct(col("component")).as("n_components"),
+          sum(when(col("inc_label") === col("component"), 0L).otherwise(1L))
+            .as("__mism"))
+        .select(col("n_nodes"), col("n_components"),
+          (col("__mism") === 0L).as("incremental_equals_oneshot"))
+    },
+
+    // Feature-hash collision audit for the DSIR bucket map (q302's feature
+    // space): vocabulary size vs occupied buckets, tokens sharing a bucket,
+    // and the max bucket load — the "is B big enough" check before trusting
+    // hashed-feature importance weights. Alphabet-sized state throughout.
+    "q322_feature_hash_audit" -> { (s, dir) =>
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .distinct()
+        .select(col("token"), ext.Sampling.dsirBucket(col("token")).as("b"))
+      val perBucket = vocab.groupBy(col("b")).agg(count(lit(1)).as("load"))
+      perBucket.agg(
+          sum(col("load")).as("n_vocab"),
+          count(lit(1)).as("n_occupied"),
+          sum(when(col("load") > 1, col("load")).otherwise(0L)).as("n_collided_tokens"),
+          max(col("load")).as("max_load"))
+        .select(col("n_vocab"), lit(ext.Sampling.DsirBuckets.toLong).as("n_buckets"),
+          col("n_occupied"), col("n_collided_tokens"), col("max_load"))
+    },
+
+    // EXACT-quota stratified split: largest-remainder quotas per language
+    // (Σ = budget exactly), then each stratum keeps precisely its quota by
+    // portable-hash order — deterministic "exactly k per stratum" sampling
+    // (q50's rate-based sampler can only hit k in expectation). The window
+    // partitions BY STRATUM (never global); membership is pinned by the id
+    // checksum, not just counts.
+    "q323_exact_quota_split" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val quotas = ext.Sampling.largestRemainderQuotas(docs, col("lang"), total = 200)
+        .select(col("group").as("lang"), col("quota"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(graft.ext.PortableHash.hash60(
+          concat(lit("split:"), col("doc_id").cast("string"))), col("doc_id"))
+      docs.withColumn("__rn", row_number().over(w))
+        .join(broadcast(quotas), Seq("lang"))
+        .filter(col("__rn") <= col("quota"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
+        .join(broadcast(quotas), Seq("lang"))
+        .select(col("lang"), col("quota"), col("n_kept"), col("id_checksum"))
     }
   )
 
@@ -11856,7 +11939,59 @@ object SparkEntry {
          |       CAST(e.benford_micros AS BIGINT) AS benford_micros,
          |       CAST(dg.n_obs * 1000000 // t.n_total - e.benford_micros AS BIGINT)
          |         AS delta_micros
-         |FROM dg JOIN e USING (digit), t""".stripMargin
+         |FROM dg JOIN e USING (digit), t""".stripMargin,
+
+    "q321_incremental_cc" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |e AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+         |        UNION SELECT id_b, id_a FROM e),
+         |walk(id, lab) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, w.lab FROM walk w JOIN sym s ON w.id = s.src)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |       CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+         |       TRUE AS incremental_equals_oneshot
+         |FROM (SELECT id, MIN(lab) AS component FROM walk GROUP BY id) labd"""
+        .stripMargin,
+
+    "q322_feature_hash_audit" ->
+      s"""WITH v AS (
+         |  SELECT DISTINCT token FROM (
+         |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+         |    FROM documents) x),
+         |bk AS (SELECT token, ${h60Sql("'dsir:' || token")} % 64 AS b FROM v),
+         |pb AS (SELECT b, COUNT(*) AS load FROM bk GROUP BY b)
+         |SELECT CAST(SUM(load) AS BIGINT) AS n_vocab,
+         |       CAST(64 AS BIGINT) AS n_buckets,
+         |       CAST(COUNT(*) AS BIGINT) AS n_occupied,
+         |       CAST(SUM(CASE WHEN load > 1 THEN load ELSE 0 END) AS BIGINT)
+         |         AS n_collided_tokens,
+         |       CAST(MAX(load) AS BIGINT) AS max_load
+         |FROM pb""".stripMargin,
+
+    "q323_exact_quota_split" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         |t AS (SELECT SUM(n) AS tot FROM c),
+         |f AS (SELECT lang, (200 * n) // tot AS fl, (200 * n) % tot AS rem
+         |      FROM c, t),
+         |k AS (SELECT 200 - SUM(fl) AS kk FROM f),
+         |r AS (SELECT lang, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rn
+         |      FROM f),
+         |q AS (SELECT f.lang,
+         |             f.fl + CASE WHEN r.rn <= k.kk THEN 1 ELSE 0 END AS quota
+         |      FROM f JOIN r USING (lang), k),
+         |rk AS (SELECT doc_id, lang,
+         |              ROW_NUMBER() OVER (PARTITION BY lang
+         |                ORDER BY ${h60Sql("'split:' || doc_id")}, doc_id) AS rn
+         |       FROM documents),
+         |kept AS (SELECT rk.lang, rk.doc_id, q.quota
+         |         FROM rk JOIN q USING (lang) WHERE rk.rn <= q.quota)
+         |SELECT lang, CAST(quota AS BIGINT) AS quota,
+         |       CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM kept GROUP BY lang, quota""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
