@@ -6133,6 +6133,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
         .join(broadcast(quotas), Seq("lang"))
         .select(col("lang"), col("quota"), col("n_kept"), col("id_checksum"))
+    },
+
+    // TOKEN-balanced export shards (training loaders want equal tokens, not
+    // equal docs): shard = ⌊prefix·K/T⌋ over the exclusive token prefix-sum
+    // in deterministic hash order — the prefix-sum partitioner, computed by
+    // the range-exchange + partition-offset machinery (no global window).
+    // Per-shard token totals land within one max-doc-length of each other;
+    // the id checksum pins the exact assignment.
+    "q324_token_balanced_shards" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        expr("size(split(trim(text), '\\\\s+'))").cast("long").as("n_tokens"))
+      graft.engine.Scratch.withTempDir("graft-tbs-") { tmp =>
+        val out = graft.ext.Packing.tokenBalancedShards(docs, "doc_id",
+            "n_tokens", k = 8, tmp)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+            sum(col("doc_id")).as("id_checksum"))
+        val r = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(r: _*), out.schema)
+      }
     }
   )
 
@@ -11997,7 +12017,26 @@ object SparkEntry {
          |SELECT lang, CAST(quota AS BIGINT) AS quota,
          |       CAST(COUNT(*) AS BIGINT) AS n_kept,
          |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
-         |FROM kept GROUP BY lang, quota""".stripMargin
+         |FROM kept GROUP BY lang, quota""".stripMargin,
+
+    "q324_token_balanced_shards" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |           AS c,
+         |         ${h60Sql("'shard:' || doc_id")} AS h
+         |  FROM documents),
+         |p AS (SELECT doc_id, c,
+         |             COALESCE(SUM(c) OVER (ORDER BY h, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |               AS pre,
+         |             SUM(c) OVER () AS tot
+         |      FROM d)
+         |SELECT CAST((pre * 8) // tot AS BIGINT) AS shard,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM p GROUP BY shard""".stripMargin
   )
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's

@@ -109,4 +109,45 @@ object Packing {
         expr("(padded_tokens - real_tokens) * 1000 DIV padded_tokens")
           .as("waste_permille"))
   }
+
+  /** TOKEN-balanced shard assignment: shard k of K gets the docs whose
+    * exclusive token prefix-sum (in deterministic portable-hash export
+    * order) falls in [k·T/K, (k+1)·T/K) — `shard = ⌊prefix·K / T⌋`, the
+    * standard prefix-sum partitioner. Equal-DOC shards skew wall-clock
+    * when lengths are skewed; training loaders want equal TOKENS.
+    *
+    * The global prefix sum uses the range-exchange + partition-offset
+    * machinery (NO global window): exchange on the hash order frozen to
+    * scratch, per-partition token totals collected as METADATA offsets,
+    * prefix = offset + partition-local exclusive running sum.
+    *
+    * Output: `(idCol, tokensCol, shard)` — one row per doc. `scratchDir`
+    * must outlive consumption of the returned lazy frame. */
+  def tokenBalancedShards(docs: DataFrame, idCol: String, tokensCol: String,
+                          k: Int, scratchDir: String,
+                          numPartitions: Int = 32): DataFrame = {
+    require(k >= 1, s"tokenBalancedShards: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    docs.select(col(idCol), col(tokensCol),
+        PortableHash.hash60(concat(lit("shard:"), col(idCol).cast("string")))
+          .as("__h"))
+      .repartitionByRange(numPartitions, col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .write.mode("overwrite").parquet(s"$scratchDir/tbs")
+    val parts = spark.read.parquet(s"$scratchDir/tbs")
+    val sums = parts.groupBy(col("__pid"))
+      .agg(sum(col(tokensCol)).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = sums.map(_._2).sum
+    val offsets = sums.map(_._1).zip(sums.map(_._2).scanLeft(0L)(_ + _).init)
+    val offsetsDf = spark.createDataFrame(offsets.toList).toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts
+      .withColumn("__pre", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .select(col(idCol), col(tokensCol),
+        expr(s"(__off + __pre) * $k DIV ${total}L").as("shard"))
+  }
 }

@@ -129,11 +129,21 @@ def self_test(con):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional 3rd arg: comma-separated query names — check ONLY those
+    # oracles (pairs with `graft.Verify <sf> <out> <names>` for iteration;
+    # the full run still checks everything).
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     self_test(con)
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only is not None:
+        missing = only - set(oracle_sql)
+        if missing:
+            print(f"FAIL unknown query names: {sorted(missing)}")
+            sys.exit(2)
+        oracle_sql = {k: v for k, v in oracle_sql.items() if k in only}
     n_fail = 0
     for name in sorted(oracle_sql):
         sql = oracle_sql[name]
