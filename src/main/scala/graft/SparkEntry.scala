@@ -6153,6 +6153,52 @@ object SparkEntry {
         val r = out.collect()
         s.createDataFrame(java.util.Arrays.asList(r: _*), out.schema)
       }
+    },
+
+    // Johnson–Lindenstrauss projection distortion audit: 64-dim embeddings
+    // projected onto 16 literal hyperplanes (the LSH plane family — plan
+    // literals, codegen dots, oracle-replayable bit-for-bit), then cosine
+    // BEFORE vs AFTER compared in integer micros over the planted near-dup
+    // pairs and a consecutive-id contrast group. The go/no-go check before
+    // trusting a cheap projected index: near pairs must stay near.
+    "q325_jl_projection_audit" -> { (s, dir) =>
+      val planes = Similarity.hyperplanes(16, 64)
+      val proj = array(planes.map(p =>
+        graft.functions.VectorFunctions.dotProduct(col("v"), typedlit(p))): _*)
+      val base = embeddingsWithPlantedNearDups(s, dir)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("pv", proj)
+      def side(tag: String) = base.select(col("vec_id").as(s"i$tag"),
+        col("v").as(s"v$tag"), col("pv").as(s"p$tag"))
+      def cosM(x: Column, y: Column): Column = {
+        val denom = sqrt(graft.functions.VectorFunctions.dotProduct(x, x)) *
+          sqrt(graft.functions.VectorFunctions.dotProduct(y, y))
+        round(when(denom === 0, lit(0.0))
+          .otherwise(graft.functions.VectorFunctions.dotProduct(x, y) / denom)
+          * lit(1e6)).cast("long")
+      }
+      val near = side("a").join(side("b"), col("ib") === col("ia") + 100000L)
+        .select(lit("near").as("kind"),
+          abs(cosM(col("va"), col("vb")) - cosM(col("pa"), col("pb"))).as("err"))
+      val far = side("a").filter(col("ia") < 100000L)
+        .join(side("b"), col("ib") === col("ia") + 1L)
+        .select(lit("far").as("kind"),
+          abs(cosM(col("va"), col("vb")) - cosM(col("pa"), col("pb"))).as("err"))
+      near.unionByName(far)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("CAST(SUM(err) DIV COUNT(*) AS BIGINT)").as("mae_micros"),
+          max(col("err")).as("max_err_micros"))
+    },
+
+    // Central-DP histogram release: per-category discrete-Laplace noise at
+    // ε=0.5 drawn by inversion ⌊−2·ln(u)⌋ from portable-hash uniforms (the
+    // −2 constant is exact in binary, so the draws replay bit-identically).
+    // Output includes the true counts as the mechanism's utility audit —
+    // the oracle hash-pins the entire noise path, two draws per CATEGORY.
+    "q326_dp_histogram" -> { (s, dir) =>
+      graft.ext.Privacy.dpHistogram(
+        eventsTable(s, dir).select(col("event_type")), "event_type")
     }
   )
 
@@ -12036,8 +12082,56 @@ object SparkEntry {
          |       CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(c) AS BIGINT) AS n_tokens,
          |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
-         |FROM p GROUP BY shard""".stripMargin
+         |FROM p GROUP BY shard""".stripMargin,
+
+    "q325_jl_projection_audit" -> jlAuditOracleSql,
+
+    "q326_dp_histogram" ->
+      s"""WITH c AS (SELECT event_type AS cat, COUNT(*) AS n_true
+         |           FROM events GROUP BY event_type),
+         |n AS (SELECT cat, n_true,
+         |             n_true
+         |             + CAST(FLOOR(-2.0 * ln(((${h60Sql("'dp:p:' || cat")} % 1000000) + 1)
+         |                                    / 1000000.0)) AS BIGINT)
+         |             - CAST(FLOOR(-2.0 * ln(((${h60Sql("'dp:n:' || cat")} % 1000000) + 1)
+         |                                    / 1000000.0)) AS BIGINT) AS n_noisy
+         |      FROM c)
+         |SELECT cat, CAST(n_true AS BIGINT) AS n_true,
+         |       CAST(n_noisy AS BIGINT) AS n_noisy,
+         |       CAST(abs(n_noisy - n_true) AS BIGINT) AS abs_err
+         |FROM n""".stripMargin
   )
+
+  /** q325's oracle: the 16 projection dots inlined as plane literals (the
+    * [[graft.ext.Similarity.hyperplanes]] family — same arrays the plan
+    * compiles), cosines at micro granularity before vs after. */
+  private def jlAuditOracleSql: String = {
+    val proj = (v: String) => graft.ext.Similarity.hyperplanes(16, 64)
+      .map(p => s"list_dot_product($v, ${p.mkString("[", ", ", "]")})")
+      .mkString("[", ",\n          ", "]")
+    def cosM(x: String, y: String) =
+      s"CAST(ROUND(1e6 * list_cosine_similarity($x, $y)) AS BIGINT)"
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
+       |  FROM embeddings),
+       |pr AS (SELECT vec_id, v, ${proj("v")} AS pv FROM base),
+       |pairs AS (
+       |  SELECT 'near' AS kind,
+       |         abs(${cosM("a.v", "b.v")} - ${cosM("a.pv", "b.pv")}) AS err
+       |  FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 100000
+       |  UNION ALL
+       |  SELECT 'far' AS kind,
+       |         abs(${cosM("a.v", "b.v")} - ${cosM("a.pv", "b.pv")}) AS err
+       |  FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 1
+       |  WHERE a.vec_id < 100000)
+       |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       CAST(SUM(err) // COUNT(*) AS BIGINT) AS mae_micros,
+       |       CAST(MAX(err) AS BIGINT) AS max_err_micros
+       |FROM pairs GROUP BY kind""".stripMargin
+  }
 
   /** Oracle for the end-to-end corpus-prep pipeline: quality filter (q21's
     * formula) → keep-min-id exact dedup (q08's hash) → portable MinHash

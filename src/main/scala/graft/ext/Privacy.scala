@@ -73,4 +73,33 @@ object Privacy {
         (lit(1000L) * coalesce(col("obs"), lit(0L)) * lit(k)
           - lit(1000L - keepPermille) * col("n")).as("est_num"))
   }
+
+  /** CENTRAL-DP histogram with discrete-Laplace (two-sided geometric) noise
+    * at ε = 0.5 per category: noise = G₁ − G₂ with Gᵢ geometric, drawn by
+    * inversion `⌊−2·ln(u)⌋` from portable-hash uniforms (u ∈ (0, 1], so the
+    * log is finite; −2 = 1/ln(e^{−ε}) at ε = ½ — chosen so the inversion
+    * constant is EXACT in binary and the draw replays bit-identically in
+    * the oracle). As with [[report]], production swaps the hash draw for a
+    * real RNG; every aggregate shape is unchanged, and the deterministic
+    * form lets the oracle hash-verify the entire mechanism.
+    *
+    * Output per category: `(cat, n_true, n_noisy, abs_err)` — the utility
+    * audit a DP release ships with (in the DP report itself `n_true` is of
+    * course withheld; it is exposed here because the QUERY is the test
+    * harness for the mechanism).
+    *
+    * Scale: one groupBy to the category alphabet; noise is two hash draws
+    * per CATEGORY (not per row), the central-model shape. */
+  def dpHistogram(df: DataFrame, catCol: String, salt: String = "dp"): DataFrame = {
+    def geo(tag: String): Column = {
+      val h = pmod(PortableHash.hash60(
+        concat(lit(s"$salt:$tag:"), col("cat").cast("string"))), lit(1000000L))
+      floor(lit(-2.0) * log((h + lit(1L)).cast("double") / lit(1000000.0)))
+        .cast("long")
+    }
+    df.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_true"))
+      .select(col("cat"), col("n_true"),
+        (col("n_true") + geo("p") - geo("n")).as("n_noisy"))
+      .withColumn("abs_err", abs(col("n_noisy") - col("n_true")))
+  }
 }
