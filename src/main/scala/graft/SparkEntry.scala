@@ -6199,6 +6199,66 @@ object SparkEntry {
     "q326_dp_histogram" -> { (s, dir) =>
       graft.ext.Privacy.dpHistogram(
         eventsTable(s, dir).select(col("event_type")), "event_type")
+    },
+
+    // Late-interaction (ColBERT-style MaxSim) retrieval: docs are groups of
+    // 10 token-vectors (vec_id DIV 10), the query is doc 0's token set
+    // (broadcast); score(d) = Σ_{qt} max_{dt∈d} cos(qt, dt) in integer
+    // micros. Two keyed aggregates after a broadcast join — the multi-
+    // vector retrieval shape (per-token argmax then per-doc sum), never a
+    // doc×doc product. Top-10 docs, ties by doc id.
+    "q327_maxsim_retrieval" -> { (s, dir) =>
+      val base = t(s, dir, "embeddings")
+        .select(expr("vec_id DIV 10").as("doc"), col("vec_id"),
+          Similarity.toDoubleArray(col("embedding")).as("v"))
+        .withColumn("norm",
+          sqrt(graft.functions.VectorFunctions.dotProduct(col("v"), col("v"))))
+      val q = base.filter(col("doc") === 0)
+        .select(col("vec_id").as("qt"), col("v").as("qv"), col("norm").as("qn"))
+      def cosM(x: Column, y: Column, nx: Column, ny: Column): Column = {
+        val denom = nx * ny
+        round(when(denom === 0, lit(0.0))
+          .otherwise(graft.functions.VectorFunctions.dotProduct(x, y) / denom)
+          * lit(1e6)).cast("long")
+      }
+      base.filter(col("doc") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("doc"), col("qt"),
+          cosM(col("v"), col("qv"), col("norm"), col("qn")).as("c"))
+        .groupBy(col("doc"), col("qt")).agg(max(col("c")).as("m"))
+        .groupBy(col("doc")).agg(sum(col("m")).as("maxsim_micros"))
+        .orderBy(col("maxsim_micros").desc, col("doc"))
+        .limit(10)
+    },
+
+    // Behavioral sequence anomaly: each user's event stream scored under
+    // the corpus transition LM (q317's matrix, add-one smoothed) — mean
+    // per-transition surprisal −ln p(from→to) in integer micros; the
+    // top-10 most surprising users are the anomaly report. Per-user
+    // windows + two alphabet-sized broadcasts; the LM join is map-side.
+    "q328_sequence_anomaly" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = eventsTable(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .select(col("user_id"), col("event_type").as("from_type"), col("to_type"))
+      val counts = trans.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val rowTot = counts.groupBy(col("from_type")).agg(sum(col("n")).as("rt"))
+      val k = counts.agg(countDistinct(col("to_type")).as("k"))
+      val lm = counts.join(rowTot, Seq("from_type")).crossJoin(broadcast(k))
+        .select(col("from_type"), col("to_type"),
+          expr("CAST(ROUND(1e6 * ln((rt + k * 1e0) / (n + 1))) AS BIGINT)")
+            .as("surprisal_micros"))
+      trans.join(broadcast(lm), Seq("from_type", "to_type"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_transitions"),
+          expr("CAST(SUM(surprisal_micros) DIV COUNT(*) AS BIGINT)")
+            .as("mean_surprisal_micros"))
+        .orderBy(col("mean_surprisal_micros").desc, col("user_id"))
+        .limit(10)
     }
   )
 
@@ -12099,7 +12159,44 @@ object SparkEntry {
          |SELECT cat, CAST(n_true AS BIGINT) AS n_true,
          |       CAST(n_noisy AS BIGINT) AS n_noisy,
          |       CAST(abs(n_noisy - n_true) AS BIGINT) AS abs_err
-         |FROM n""".stripMargin
+         |FROM n""".stripMargin,
+
+    "q327_maxsim_retrieval" ->
+      """WITH base AS (
+        |  SELECT vec_id // 10 AS doc, vec_id,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qt, v AS qv FROM base WHERE doc = 0),
+        |sc AS (SELECT b.doc, q.qt,
+        |              CAST(ROUND(1e6 * list_cosine_similarity(b.v, q.qv))
+        |                   AS BIGINT) AS c
+        |       FROM base b, q WHERE b.doc <> 0),
+        |mx AS (SELECT doc, qt, MAX(c) AS m FROM sc GROUP BY doc, qt)
+        |SELECT doc, CAST(SUM(m) AS BIGINT) AS maxsim_micros
+        |FROM mx GROUP BY doc
+        |ORDER BY maxsim_micros DESC, doc LIMIT 10""".stripMargin,
+
+    "q328_sequence_anomaly" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS from_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |tr AS (SELECT user_id, from_type, to_type FROM seq
+        |       WHERE to_type IS NOT NULL),
+        |cnt AS (SELECT from_type, to_type, COUNT(*) AS n FROM tr
+        |        GROUP BY from_type, to_type),
+        |rt AS (SELECT from_type, SUM(n) AS rt FROM cnt GROUP BY from_type),
+        |kk AS (SELECT COUNT(DISTINCT to_type) AS k FROM cnt),
+        |lm AS (SELECT cnt.from_type, cnt.to_type,
+        |              CAST(ROUND(1e6 * ln((rt.rt + kk.k * 1e0) / (cnt.n + 1)))
+        |                   AS BIGINT) AS s
+        |       FROM cnt JOIN rt USING (from_type), kk)
+        |SELECT tr.user_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+        |       CAST(SUM(lm.s) // COUNT(*) AS BIGINT) AS mean_surprisal_micros
+        |FROM tr JOIN lm USING (from_type, to_type)
+        |GROUP BY tr.user_id
+        |ORDER BY mean_surprisal_micros DESC, user_id LIMIT 10""".stripMargin
   )
 
   /** q325's oracle: the 16 projection dots inlined as plane literals (the
