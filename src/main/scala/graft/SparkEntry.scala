@@ -6259,6 +6259,27 @@ object SparkEntry {
             .as("mean_surprisal_micros"))
         .orderBy(col("mean_surprisal_micros").desc, col("user_id"))
         .limit(10)
+    },
+
+    // CUSUM changepoint scan over the daily revenue series: cumulative sum
+    // of deviations from the (integer, truncated) global mean; the top-5
+    // |CUSUM| days bracket the level shift. The window is global but runs
+    // over the per-DAY aggregate — calendar-sized (PlanGuard-allowlisted,
+    // q59's class); the data pass is one groupBy(day).
+    "q329_cusum_changepoint" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd").as("d"))
+        .agg(expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))").as("cents"))
+      val tot = daily.agg(sum(col("cents")).as("t"), count(lit(1)).as("n"))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(tot))
+        .select(col("d"), (col("cents") - expr("t DIV n")).as("dev"))
+        .withColumn("cusum_cents", sum(col("dev")).over(w))
+        .select(col("d"), col("cusum_cents"), abs(col("cusum_cents")).as("abs_cusum"))
+        .orderBy(col("abs_cusum").desc, col("d"))
+        .limit(5)
     }
   )
 
@@ -12196,7 +12217,22 @@ object SparkEntry {
         |       CAST(SUM(lm.s) // COUNT(*) AS BIGINT) AS mean_surprisal_micros
         |FROM tr JOIN lm USING (from_type, to_type)
         |GROUP BY tr.user_id
-        |ORDER BY mean_surprisal_micros DESC, user_id LIMIT 10""".stripMargin
+        |ORDER BY mean_surprisal_micros DESC, user_id LIMIT 10""".stripMargin,
+
+    "q329_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+        |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(cents) AS t, COUNT(*) AS n FROM daily),
+        |dev AS (SELECT d, cents - (t.t // t.n) AS dev FROM daily, t),
+        |cs AS (SELECT d,
+        |              CAST(SUM(dev) OVER (ORDER BY d
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                AS BIGINT) AS cusum_cents
+        |       FROM dev)
+        |SELECT d, cusum_cents, CAST(abs(cusum_cents) AS BIGINT) AS abs_cusum
+        |FROM cs ORDER BY abs_cusum DESC, d LIMIT 5""".stripMargin
   )
 
   /** q325's oracle: the 16 projection dots inlined as plane literals (the

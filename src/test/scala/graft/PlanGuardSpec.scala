@@ -58,7 +58,9 @@ class PlanGuardSpec extends SparkSpec {
     "q239_kaplan_meier" ->
       "suffix sum over the per-DAY-duration risk table — calendar-sized, not subject-sized",
     "q244_isotonic_calibration" ->
-      "prefix sums over the ≤100-row score-bucket grid — grid-sized, not observation-sized")
+      "prefix sums over the ≤100-row score-bucket grid — grid-sized, not observation-sized",
+    "q329_cusum_changepoint" ->
+      "CUSUM prefix sum over the per-DAY revenue aggregate — calendar-sized, not order-sized")
 
   /** A join side that is provably or assertedly small: plan-level `maxRows`
     * ≤ 100 (global aggregates, literal relations, limits), or an explicit
