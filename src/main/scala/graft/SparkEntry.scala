@@ -6280,6 +6280,32 @@ object SparkEntry {
         .select(col("d"), col("cusum_cents"), abs(col("cusum_cents")).as("abs_cusum"))
         .orderBy(col("abs_cusum").desc, col("d"))
         .limit(5)
+    },
+
+    // Corpus datasheet — the one-row "what is this dataset" card every
+    // training corpus ships with: sizes, exact-duplicate mass (q08's md5
+    // contract), and language balance as Shannon entropy in integer
+    // micro-nats (the q306 rounding discipline). One scan + two
+    // alphabet/one-row aggregates; every number is the already-proven
+    // operator's contract re-used.
+    "q330_corpus_datasheet" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val main = docs.select(
+          ext.TextAnalysis.tokenCount(col("text")).as("toks"),
+          length(col("text")).cast("long").as("chars"),
+          md5(lower(trim(col("text")))).as("h"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          sum(col("chars")).as("n_chars"), countDistinct(col("h")).as("__nd"))
+      val lc = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val ent = lc.crossJoin(broadcast(lc.agg(sum(col("c")).as("t"))))
+        .select(expr("CAST(ROUND(1e6 * ((c * 1e0) / t) * ln((t * 1e0) / c)) AS BIGINT)")
+          .as("term"))
+        .agg(count(lit(1)).as("n_langs"), sum(col("term")).as("lang_entropy_micros"))
+      main.crossJoin(broadcast(ent))
+        .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+          expr("n_tokens DIV n_docs").as("mean_tokens"),
+          (col("n_docs") - col("__nd")).as("exact_dup_docs"),
+          col("n_langs"), col("lang_entropy_micros"))
     }
   )
 
@@ -12232,7 +12258,31 @@ object SparkEntry {
         |                AS BIGINT) AS cusum_cents
         |       FROM dev)
         |SELECT d, cusum_cents, CAST(abs(cusum_cents) AS BIGINT) AS abs_cusum
-        |FROM cs ORDER BY abs_cusum DESC, d LIMIT 5""".stripMargin
+        |FROM cs ORDER BY abs_cusum DESC, d LIMIT 5""".stripMargin,
+
+    "q330_corpus_datasheet" ->
+      """WITH b AS (
+        |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |           AS toks,
+        |         CAST(length(text) AS BIGINT) AS chars,
+        |         md5(lower(trim(text))) AS h
+        |  FROM documents),
+        |m AS (SELECT COUNT(*) AS n_docs, SUM(toks) AS n_tokens,
+        |             SUM(chars) AS n_chars, COUNT(DISTINCT h) AS nd
+        |      FROM b),
+        |lc AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+        |le AS (SELECT COUNT(*) AS n_langs,
+        |              SUM(CAST(ROUND(1e6 * ((c * 1e0) / t) * ln((t * 1e0) / c))
+        |                       AS BIGINT)) AS ent
+        |       FROM lc, (SELECT SUM(c) AS t FROM lc) tt)
+        |SELECT CAST(m.n_docs AS BIGINT) AS n_docs,
+        |       CAST(m.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(m.n_chars AS BIGINT) AS n_chars,
+        |       CAST(m.n_tokens // m.n_docs AS BIGINT) AS mean_tokens,
+        |       CAST(m.n_docs - m.nd AS BIGINT) AS exact_dup_docs,
+        |       CAST(le.n_langs AS BIGINT) AS n_langs,
+        |       CAST(le.ent AS BIGINT) AS lang_entropy_micros
+        |FROM m, le""".stripMargin
   )
 
   /** q325's oracle: the 16 projection dots inlined as plane literals (the
