@@ -6306,6 +6306,26 @@ object SparkEntry {
           expr("n_tokens DIV n_docs").as("mean_tokens"),
           (col("n_docs") - col("__nd")).as("exact_dup_docs"),
           col("n_langs"), col("lang_entropy_micros"))
+    },
+
+    // ANN tuning curve: hyperplane-LSH recall vs bucket bits (6/9/12) against
+    // the exact near-dup ground truth — the engineering artifact that picks
+    // the bits/recall tradeoff before committing an index build. Every LSH
+    // hit is exact-rescored (so found ⊆ true and recall is a clean ratio);
+    // all three bucketings reuse the plan-literal plane family the oracle
+    // inlines bit-for-bit.
+    "q331_lsh_bits_sweep" -> { (s, dir) =>
+      val emb = embeddingsWithPlantedNearDups(s, dir)
+      val truth = Similarity.neardupPairs(emb, threshold = 0.9)
+        .agg(count(lit(1)).as("n_true"))
+      Seq(6, 9, 12).map { bits =>
+          Similarity.lshNeardupPairs(emb, threshold = 0.9, bits = bits)
+            .agg(count(lit(1)).as("n_found"))
+            .select(lit(bits).as("bits"), col("n_found"))
+        }.reduce(_ unionByName _)
+        .crossJoin(broadcast(truth))
+        .select(col("bits"), col("n_found"), col("n_true"),
+          expr("n_found * 1000 DIV n_true").as("recall_permille"))
     }
   )
 
@@ -12282,8 +12302,40 @@ object SparkEntry {
         |       CAST(m.n_docs - m.nd AS BIGINT) AS exact_dup_docs,
         |       CAST(le.n_langs AS BIGINT) AS n_langs,
         |       CAST(le.ent AS BIGINT) AS lang_entropy_micros
-        |FROM m, le""".stripMargin
+        |FROM m, le""".stripMargin,
+
+    "q331_lsh_bits_sweep" -> lshBitsSweepOracleSql
   )
+
+  /** q331's oracle: the exact ground-truth pair count plus one bucketed
+    * count per bits setting, each bucketing inlining the same plane
+    * literals the plan compiles ([[lshBucketSql]]). */
+  private def lshBitsSweepOracleSql: String = {
+    val perBits = Seq(6, 9, 12).map { bits =>
+      s"""bk$bits AS (SELECT vec_id, v, ${lshBucketSql("v", bits)} AS b FROM base),
+         |cnt$bits AS (
+         |  SELECT COUNT(*) AS n FROM bk$bits a JOIN bk$bits b
+         |    ON a.b = b.b AND a.vec_id < b.vec_id
+         |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.9)""".stripMargin
+    }.mkString(",\n")
+    val rows = Seq(6, 9, 12).map { bits =>
+      s"""SELECT $bits AS bits, CAST(cnt$bits.n AS BIGINT) AS n_found,
+         |       CAST(t.n_true AS BIGINT) AS n_true,
+         |       CAST(cnt$bits.n * 1000 // t.n_true AS BIGINT) AS recall_permille
+         |FROM cnt$bits, t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
+       |  FROM embeddings),
+       |$perBits,
+       |t AS (SELECT COUNT(*) AS n_true FROM base a JOIN base b
+       |      ON a.vec_id < b.vec_id
+       |      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.9)
+       |$rows""".stripMargin
+  }
 
   /** q325's oracle: the 16 projection dots inlined as plane literals (the
     * [[graft.ext.Similarity.hyperplanes]] family — same arrays the plan
