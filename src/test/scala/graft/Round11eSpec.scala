@@ -307,6 +307,41 @@ class Round11eSpec extends SparkSpec {
     assert(drift.getAs[Long]("kl_ab_micros") === expected)
   }
 
+  // -------------------------------------------- Packing.tokenBalancedShards
+
+  test("tokenBalancedShards: every doc assigned once, shards token-balanced") {
+    graft.engine.Scratch.withTempDir("tbs-spec-") { tmp =>
+      val docs = (1L to 100L).map(i => (i, 1L + i % 7)).toDF("id", "toks")
+      val out = graft.ext.Packing.tokenBalancedShards(docs, "id", "toks", 4, tmp)
+        .collect()
+      assert(out.length === 100)
+      assert(out.map(_.getAs[Long]("id")).toSet === (1L to 100L).toSet)
+      val byShard = out.groupBy(_.getAs[Long]("shard"))
+        .map { case (s, rs) => s -> rs.map(_.getAs[Long]("toks")).sum }
+      assert(byShard.keySet.forall(s => s >= 0 && s < 4))
+      // prefix-sum partitioner bound: every shard within one max-doc of T/4
+      val t = byShard.values.sum; val maxDoc = 7L
+      assert(byShard.values.forall(v => (v - t / 4).abs <= 2 * maxDoc),
+        s"imbalanced: $byShard")
+    }
+  }
+
+  // ------------------------------------------------------ Privacy.dpHistogram
+
+  test("dpHistogram: deterministic, abs_err consistent, noise actually present") {
+    val df = (Seq.fill(40)("x") ++ Seq.fill(10)("y") ++ Seq.fill(3)("z")).toDF("cat")
+    def run() = graft.ext.Privacy.dpHistogram(df, "cat").collect()
+      .map(r => r.getAs[String]("cat") ->
+        (r.getAs[Long]("n_true"), r.getAs[Long]("n_noisy"), r.getAs[Long]("abs_err")))
+      .toMap
+    val a = run(); val b = run()
+    assert(a === b) // hash draws, not RNG
+    assert(a("x")._1 === 40L && a("y")._1 === 10L && a("z")._1 === 3L)
+    assert(a.values.forall { case (t, n, e) => e == (n - t).abs })
+    // with 3 categories and geometric noise, at least one count moved
+    assert(a.values.exists { case (_, _, e) => e > 0L })
+  }
+
   test("hrw/mod shard SQL contract: hash60 of the exact salted strings") {
     // modShard must equal hash60('mod:' || key) % n so the oracle can replay it
     val one = Seq(123L).toDF("k")
