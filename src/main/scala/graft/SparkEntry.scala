@@ -6046,19 +6046,22 @@ object SparkEntry {
           expr(s"n_obs * 1000000 DIV n_total - $benfordCaseSql").as("delta_micros"))
     },
 
-    // INCREMENTAL connected components ≡ one-shot, proven in-query: the
-    // near-dup edge set splits into two deterministic batches; batch 2's
-    // endpoints CONTRACT through batch 1's labels (super-nodes), components
-    // run over the contracted graph, and the composed labels must equal the
-    // one-shot labels node for node (both canonicalize to the component's
-    // min id). This is the O(delta)-per-tick dedup-index maintenance shape:
-    // a new ingest batch never recomputes history, it relabels through the
-    // existing label table. Oracle pins the one-shot histogram + the
-    // equality flag (a false flag hash-fails).
+    // INCREMENTAL connected components — the PRODUCTION dedup-index
+    // maintenance path only (Graph.incrementalComponents): the near-dup edge
+    // set splits into two deterministic batches; batch 1's labels stand in
+    // for the accumulated index, batch 2 is the tick, and the CC loop runs
+    // over the CONTRACTED delta graph alone — O(delta), history never
+    // recomputed. Equality with the one-shot run is certified two ways
+    // without benching a third CC: the ORACLE computes one-shot labels via a
+    // recursive CTE and the node-level SUM(component) checksum must match
+    // bit for bit (both canonicalize to the component's min id), and
+    // Round12Spec proves fold ≡ one-shot node for node in Spark. (The
+    // previous shape ran the one-shot CC + equality join INSIDE the benched
+    // query — 83% proof harness by cost, round-11 verdict item 3.)
     "q321_incremental_cc" -> { (s, dir) =>
-      // the MinHash pair pipeline feeds FOUR consumers (two batch CCs, the
-      // node set, the one-shot CC) — persist + lineage-truncate once, or the
-      // candidate generation re-executes per consumer (measured 15s → ~8s)
+      // the MinHash pair pipeline feeds THREE consumers (batch-1 CC, the
+      // delta relabel, the node set) — persist + lineage-truncate once, or
+      // the candidate generation re-executes per consumer
       val pairsC = Dedup.minhashNearDuplicatesPortable(
           docsWithPlantedNearDups(s, dir), threshold = 0.5)
         .select(col("id_a"), col("id_b"))
@@ -6068,29 +6071,10 @@ object SparkEntry {
       val b1 = pairs.filter(pmod(col("id_a") + col("id_b"), lit(2L)) === 0)
       val b2 = pairs.filter(pmod(col("id_a") + col("id_b"), lit(2L)) === 1)
       val l1 = graft.ext.Graph.connectedComponents(b1)
-      val b2l = b2
-        .join(l1.select(col("id").as("id_a"), col("component").as("__la")),
-          Seq("id_a"), "left")
-        .join(l1.select(col("id").as("id_b"), col("component").as("__lb")),
-          Seq("id_b"), "left")
-        .select(coalesce(col("__la"), col("id_a")).as("id_a"),
-          coalesce(col("__lb"), col("id_b")).as("id_b"))
-      val l2 = graft.ext.Graph.connectedComponents(b2l)
-      val nodes = pairs
-        .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-      val inc = nodes.join(l1, Seq("id"), "left")
-        .select(col("id"), coalesce(col("component"), col("id")).as("__s"))
-        .join(l2.select(col("id").as("__s"), col("component").as("__c2")),
-          Seq("__s"), "left")
-        .select(col("id"), coalesce(col("__c2"), col("__s")).as("inc_label"))
-      val oneShot = graft.ext.Graph.connectedComponents(pairs)
-      inc.join(oneShot, Seq("id"))
+      graft.ext.Graph.incrementalComponents(l1, b2)
         .agg(count(lit(1)).as("n_nodes"),
           countDistinct(col("component")).as("n_components"),
-          sum(when(col("inc_label") === col("component"), 0L).otherwise(1L))
-            .as("__mism"))
-        .select(col("n_nodes"), col("n_components"),
-          (col("__mism") === 0L).as("incremental_equals_oneshot"))
+          sum(col("component")).as("label_checksum"))
     },
 
     // Feature-hash collision audit for the DSIR bucket map (q302's feature
@@ -6326,6 +6310,160 @@ object SparkEntry {
         .crossJoin(broadcast(truth))
         .select(col("bits"), col("n_found"), col("n_true"),
           expr("n_found * 1000 DIV n_true").as("recall_permille"))
+    },
+
+    // EXACT substring dedup, suffix-array class (Dedup
+    // .duplicateSubstringSpans — Lee et al. 2022): every maximal character
+    // span lying inside a ≥30-char substring that repeats ANYWHERE in the
+    // corpus, reduced to per-doc removed-span mass. The one dedup family
+    // MinHash/SimHash can't express: set-level dedup keeps one doc per
+    // group; this strips the verbatim boilerplate repeating INSIDE otherwise
+    // distinct docs. Grouping key is the substring itself (no hash, no
+    // collision license); Round12Spec certifies span completeness against a
+    // naive all-substrings oracle.
+    "q332_substring_dedup" -> { (s, dir) =>
+      Dedup.duplicateSubstringSpans(t(s, dir, "documents"), minLen = 30)
+        .groupBy(col("doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_end") - col("span_start") + 1L).as("dup_chars"),
+          max(col("span_end") - col("span_start") + 1L).as("max_span_chars"),
+          sum(col("span_start")).as("start_checksum"))
+    },
+
+    // Perceptual-hash image NEAR-dup join — the multimodal dedup story's
+    // last piece: q223's real BMP decode → 64-bit aHash (8×8 integer grid
+    // means vs grid mean) joined through the SHARED Hamming pigeonhole
+    // index (Dedup.hammingNearDuplicates, 8 blocks × 8 bits, zero false
+    // negatives at distance ≤ 7), dHash reported alongside as the gradient
+    // second opinion. Fixture: 48 quadratic-texture images with
+    // id-dependent gradients (aHash distance ≥ 18 between distinct ids),
+    // plus a perturbed copy (uniform +4 brightness, 2×2 corner vandalized
+    // to white) of every 4th image at distance ≤ 5 — all 12 planted copies
+    // recovered at the pinned threshold 7 with zero false positives.
+    // The hash arithmetic is integer-exact end to end, so the oracle
+    // replays pixel → grid → bits bit-for-bit and verifies by naive
+    // all-pairs (fixture-sized; the ENGINE side is the bucketed index).
+    "q333_phash_image_neardup" -> { (s, _) =>
+      import s.implicits._
+      val imgs = s.range(48).as[Long].flatMap { id =>
+        val w = (16 + id % 5).toInt; val h = (12 + id % 3).toInt
+        def base(x: Int, y: Int) = (
+          ((x * x * (3 + id % 7) + y * y * (5 + id % 11) + x * y * (1 + id % 13) + 37 * id) % 256).toInt,
+          ((x * x * (2 + id % 5) + y * y * (7 + id % 3) + x * y * (2 + id % 11) + 11 * id) % 256).toInt,
+          ((x * x * (1 + id % 9) + y * y * (4 + id % 13) + x * y * (3 + id % 7) + 23 * id) % 256).toInt)
+        val orig = (id, graft.ext.MediaCodecs.bmpBytes(w, h, base))
+        if (id % 4 == 0) {
+          val pert = graft.ext.MediaCodecs.bmpBytes(w, h, (x, y) =>
+            if (x < 2 && y < 2) (255, 255, 255)
+            else {
+              val (r, g, b) = base(x, y)
+              (math.min(255, r + 4), math.min(255, g + 4), math.min(255, b + 4))
+            })
+          Seq(orig, (id + 1000L, pert))
+        } else Seq(orig)
+      }
+      val sigs = imgs.map { case (id, bytes) =>
+          (id, graft.ext.MediaCodecs.aHash64(bytes).get,
+            graft.ext.MediaCodecs.dHash64(bytes).get)
+        }.toDF("media_id", "ahash", "dhash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.hammingNearDuplicates(sigs, "media_id", "ahash",
+          maxDistance = 7, bits = 64)
+        .withColumnRenamed("hamming", "ahash_hamming")
+        .join(sigs.select(col("media_id").as("id_a"), col("dhash").as("__da")),
+          Seq("id_a"))
+        .join(sigs.select(col("media_id").as("id_b"), col("dhash").as("__db")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("ahash_hamming"),
+          Dedup.hamming(col("__da"), col("__db")).as("dhash_hamming"))
+    },
+
+    // TOKENIZER ROUND-TRIP certificate: decode(encode(w)) must equal w for
+    // EVERY word in the corpus (TextAnalysis.bpeDecode over the q179
+    // encoder's token lists — a merge that corrupted a symbol or ate a
+    // boundary marker would score here), pinned per language alongside the
+    // fertility ratio so the loss-free guarantee and the q294 equity metric
+    // come from one scan. violations is hash-pinned at 0 BY THE ORACLE
+    // recomputing the same certificate — not a Spark-side assertion.
+    "q334_bpe_roundtrip" -> { (s, dir) =>
+      val enc = graft.ext.TextAnalysis.bpeEncodedWords(
+        t(s, dir, "documents"), "doc_id", col("text"), rounds = 4)
+      enc.join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum((size(split(col("seq"), "·")) - 2).cast("long")).as("n_tokens"),
+          sum(when(graft.ext.TextAnalysis.bpeDecode(col("seq")) === col("w"), 0L)
+            .otherwise(1L)).as("roundtrip_violations"))
+        .withColumn("fertility_permille", expr("n_tokens * 1000 DIV n_words"))
+    },
+
+    // STREAMING LSH index maintenance (Dedup.streamingLshMaintain): q173's
+    // incremental index driven by a real Structured Streaming file source —
+    // the two delta batches land as parquet files, the stream drains them
+    // one file per tick (AvailableNow), and each tick signs + appends +
+    // probes through the same foreachBatch path a production bronze stream
+    // would. Output is the ORDER-AGNOSTIC union of completed pairs (each
+    // near-dup pair is completed exactly once, by whichever tick saw its
+    // later member), so the oracle is the full-corpus MinHash replay
+    // restricted to pairs touching a delta — tick scheduling can't move the
+    // answer. Index-after-ticks ≡ one-shot rebuild is proven in Round12Spec.
+    "q335_streaming_lsh_index" -> { (s, dir) =>
+      val root = tempDirCleanedOnExit("graft-slsh-")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def strip = regexp_replace(col("text"), "^\\S+\\s*", "")
+      val d1 = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), strip.as("text"))
+      val d2 = docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 200000L).as("doc_id"), strip.as("text"))
+      d1.coalesce(1).write.mode("append").parquet(s"$root/landing")
+      d2.coalesce(1).write.mode("append").parquet(s"$root/landing")
+      Dedup.lshIndexBuild(docs, s"$root/idx", batch = 0)
+      val stream = s.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("text", "string"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/landing")
+      Dedup.streamingLshMaintain(stream, s"$root/idx", s"$root/pairs",
+        s"$root/ckpt", threshold = 0.5)
+      s.read.parquet(s"$root/pairs")
+        .select(col("index_id"), col("delta_id"), col("jaccard"))
+    },
+
+    // GRAPH-ANN recall refinement (Similarity.nnDescentRound — NN-descent,
+    // Dong et al. 2011): a TWO-TABLE LSH-seeded kNN graph (6 bits per
+    // table; one table would be bucket-closed and unrepairable — see
+    // lshKnnGraph's scaladoc) refined by ONE neighbors-of-neighbors round,
+    // both stages recall-audited against the exact brute-force top-k the
+    // way q331 audits LSH bits. Every stage is a keyed equi-join (the NoN
+    // join fans out ≤ (2k)² per node); the only all-pairs form is the exact
+    // yardstick, the q28-licensed broadcast baseline. The measured permille
+    // gain of the refinement round is the pinned artifact.
+    "q336_nn_descent" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val k = 5
+      val S = graft.ext.Similarity
+      // exact truth and the seed graph each feed two consumers — persist +
+      // lineage-truncate (the q321 discipline)
+      val exactC = S.knnJoin(emb, emb, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exactC.count()
+      val exact = s.createDataFrame(exactC.rdd, exactC.schema)
+      val g0C = S.lshKnnGraph(emb, k, bits = 6, salts = Seq(0L, 1L))
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      g0C.count()
+      val g0 = s.createDataFrame(g0C.rdd, g0C.schema)
+      val g1 = S.nnDescentRound(g0, emb, k)
+        .select(col("query_id"), col("neighbor_id"))
+      def hits(g: DataFrame, stage: String) =
+        g.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits")).withColumn("stage", lit(stage))
+      hits(g0, "lsh_init").unionByName(hits(g1, "nn_descent_1"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+        .select(col("stage"), col("n_hits"), col("n_exact"),
+          expr("n_hits * 1000 DIV n_exact").as("recall_permille"))
     }
   )
 
@@ -6482,8 +6620,11 @@ object SparkEntry {
          |         CAST(ROUND(1e6 * ln(((1000 - $m) * 1e0) / (1000 - u))) AS BIGINT) AS wd
          |  FROM u_$f)""".stripMargin
     }.mkString(",\n")
+    // IS NOT DISTINCT FROM mirrors fsScores' null-safe <=> field agreement
+    // (NULL vs NULL earns w_agree on BOTH sides); plain `=` would drop NULL
+    // comparisons to w_disagree and silently diverge on nullable fields.
     val scoreExpr = FsFields.map { case (f, _) =>
-      s"CASE WHEN l.$f = r.$f THEN w_$f.wa ELSE w_$f.wd END"
+      s"CASE WHEN l.$f IS NOT DISTINCT FROM r.$f THEN w_$f.wa ELSE w_$f.wd END"
     }.mkString("(", "\n              + ", ")")
     val weightFrom = FsFields.map { case (f, _) => s"w_$f" }.mkString(", ")
     s"""WITH l AS (
@@ -6524,8 +6665,9 @@ object SparkEntry {
   /** DuckDB replay of [[graft.ext.Similarity.lshBucket]]: the same literal
     * hyperplanes, sign bits packed MSB-first (plane p carries weight
     * 2^(bits−1−p), matching the fold's `acc·2 + bit`). */
-  private def lshBucketSql(vExpr: String, bits: Int, dim: Int = 64): String =
-    graft.ext.Similarity.hyperplanes(bits, dim).zipWithIndex.map {
+  private def lshBucketSql(vExpr: String, bits: Int, dim: Int = 64,
+                           salt: Long = 0L): String =
+    graft.ext.Similarity.hyperplanes(bits, dim, salt).zipWithIndex.map {
       case (plane, p) =>
         val lits = plane.mkString("[", ", ", "]")
         s"CASE WHEN list_dot_product($vExpr, $lits) >= 0 " +
@@ -6759,6 +6901,36 @@ object SparkEntry {
        |       CAST(COUNT(*) AS BIGINT) AS n_words,
        |       CAST(SUM(length(word)) AS BIGINT) AS n_chars
        |FROM enc$rounds GROUP BY 1""".stripMargin
+  }
+
+  /** q334's oracle: the shared trainer + encode chain, then the round-trip
+    * certificate recomputed in DuckDB — decode = join of the token list —
+    * aggregated per language with the fertility ratio. */
+  private def bpeRoundTripOracleSql(rounds: Int): String = {
+    val enc0 =
+      """enc0 AS (
+        |  SELECT doc_id, word, regexp_replace(word, '(.)', '·\1', 'g') || '·' AS seq
+        |  FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        |    FROM documents) t
+        |  WHERE regexp_matches(word, '^[a-z0-9]+$'))""".stripMargin
+    val chain = (1 to rounds).map { i =>
+      s",\nenc$i AS (\n${bpeApplySql(s"enc${i - 1}", s"m$i")})"
+    }.mkString
+    s"""WITH ${bpeTrainCtes(rounds)},
+       |$enc0$chain,
+       |agg AS (
+       |  SELECT d.lang,
+       |         CAST(COUNT(*) AS BIGINT) AS n_words,
+       |         CAST(SUM(len(list_filter(string_split(seq, '·'), x -> x <> ''))) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(CASE WHEN array_to_string(
+       |                list_filter(string_split(seq, '·'), x -> x <> ''), '') <> word
+       |              THEN 1 ELSE 0 END) AS BIGINT) AS roundtrip_violations
+       |  FROM enc$rounds e JOIN documents d USING (doc_id)
+       |  GROUP BY 1)
+       |SELECT lang, n_words, n_tokens, roundtrip_violations,
+       |       CAST(n_tokens * 1000 // n_words AS BIGINT) AS fertility_permille
+       |FROM agg""".stripMargin
   }
 
   /** Distinct word-3-shingles of `textExpr` (mirror of Shingles.wordShingles, k=3). */
@@ -10498,9 +10670,16 @@ object SparkEntry {
     },
 
     // Naive un-pruned triple support count — certifies the Apriori ladder.
+    // The `it` CTE mirrors Itemsets.cappedBasketItems' maxBasketSize=1000
+    // hub guard (baskets with more distinct items dropped WHOLE) so the
+    // oracle replays the capped corpus verbatim, not the uncapped one.
     "q241_apriori_triples" ->
-      """WITH it AS (
-        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)
+      """WITH it0 AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |it AS (
+        |  SELECT b, i FROM (
+        |    SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS __bs FROM it0)
+        |  WHERE __bs <= 1000)
         |SELECT a.i AS p1, x.i AS p2, y.i AS p3,
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM it a
@@ -10512,8 +10691,12 @@ object SparkEntry {
     // All ≤3-edge walks enumerated recursively, min weight per node —
     // certifies the frontier-relaxation Bellman-Ford.
     "q242_shortest_paths" ->
-      """WITH RECURSIVE it AS (
+      """WITH RECURSIVE it0 AS (
         |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |it AS (
+        |  SELECT b, i FROM (
+        |    SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS __bs FROM it0)
+        |  WHERE __bs <= 1000),
         |pairs AS (
         |  SELECT a.i AS p1, x.i AS p2,
         |         1000 // CAST(COUNT(*) AS BIGINT) + 1 AS w
@@ -10582,8 +10765,12 @@ object SparkEntry {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     "q245_association_rules" ->
-      """WITH it AS (
+      """WITH it0 AS (
         |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |it AS (
+        |  SELECT b, i FROM (
+        |    SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS __bs FROM it0)
+        |  WHERE __bs <= 1000),
         |nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets FROM it),
         |supp AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i FROM it GROUP BY i),
         |pairs AS (
@@ -10733,8 +10920,12 @@ object SparkEntry {
 
     // The same 4 pruning rounds, unrolled (idempotent past the fixpoint).
     "q252_kcore" ->
-      """WITH it AS (
+      """WITH it0 AS (
         |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |it AS (
+        |  SELECT b, i FROM (
+        |    SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS __bs FROM it0)
+        |  WHERE __bs <= 1000),
         |pairs AS (
         |  SELECT a.i AS p1, x.i AS p2
         |  FROM it a JOIN it x ON a.b = x.b AND a.i < x.i
@@ -12140,6 +12331,9 @@ object SparkEntry {
          |         AS delta_micros
          |FROM dg JOIN e USING (digit), t""".stripMargin,
 
+    // One-shot labels via recursive CTE; SUM(component) is a NODE-LEVEL
+    // checksum (labels canonicalize to min id on both sides), so a single
+    // mislabeled node in the incremental fold hash-fails the compare.
     "q321_incremental_cc" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
          |e AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
@@ -12151,7 +12345,7 @@ object SparkEntry {
          |  SELECT s.dst, w.lab FROM walk w JOIN sym s ON w.id = s.src)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
          |       CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
-         |       TRUE AS incremental_equals_oneshot
+         |       CAST(SUM(component) AS BIGINT) AS label_checksum
          |FROM (SELECT id, MIN(lab) AS component FROM walk GROUP BY id) labd"""
         .stripMargin,
 
@@ -12304,7 +12498,175 @@ object SparkEntry {
         |       CAST(le.ent AS BIGINT) AS lang_entropy_micros
         |FROM m, le""".stripMargin,
 
-    "q331_lsh_bits_sweep" -> lshBitsSweepOracleSql
+    "q331_lsh_bits_sweep" -> lshBitsSweepOracleSql,
+
+    // Same window-equivalence reduction replayed relationally: duplicate
+    // length-30 windows by exact string groupBy, covered positions, islands
+    // split on gap > 30, per-doc span mass. start_checksum pins the exact
+    // span STARTS, not just the mass.
+    "q332_substring_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id AS doc, text AS t FROM documents
+        |  WHERE LENGTH(text) >= 30),
+        |p0 AS (
+        |  SELECT doc, t, unnest(generate_series(1, LENGTH(t) - 29)) AS i
+        |  FROM base),
+        |pos AS (
+        |  SELECT doc, CAST(i AS BIGINT) AS pos,
+        |         substr(t, CAST(i AS INT), 30) AS g
+        |  FROM p0),
+        |dup AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+        |cov AS (SELECT doc, pos FROM pos JOIN dup USING (g)),
+        |lagd AS (
+        |  SELECT doc, pos,
+        |         LAG(pos) OVER (PARTITION BY doc ORDER BY pos) AS prev
+        |  FROM cov),
+        |isl AS (
+        |  SELECT doc, pos,
+        |         SUM(CASE WHEN prev IS NULL OR pos - prev > 30 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc ORDER BY pos) AS island
+        |  FROM lagd),
+        |spans AS (
+        |  SELECT doc, island, MIN(pos) AS s, MAX(pos) + 29 AS e
+        |  FROM isl GROUP BY doc, island)
+        |SELECT doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |       CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+        |       CAST(MAX(e - s + 1) AS BIGINT) AS max_span_chars,
+        |       CAST(SUM(s) AS BIGINT) AS start_checksum
+        |FROM spans GROUP BY doc""".stripMargin,
+
+    // Pixel → BT.601 luma → integer grid means → hash bits, replayed from
+    // the generator arithmetic (the BMP encode/decode is value-invisible —
+    // q223 proves it bit-exact); verification is naive all-pairs on the
+    // 60-image fixture, which the ENGINE finds via the banded index. Bit 63
+    // can't be built as 1<<63 in DuckDB (left-shift overflow), hence the
+    // two's-complement literal case.
+    "q333_phash_image_neardup" ->
+      """WITH m AS (
+        |  SELECT id AS media_id, id AS src, 16 + id % 5 AS w, 12 + id % 3 AS h,
+        |         0 AS pert
+        |  FROM range(48) t(id)
+        |  UNION ALL
+        |  SELECT id + 1000, id, 16 + id % 5, 12 + id % 3, 1
+        |  FROM range(48) t(id) WHERE id % 4 = 0),
+        |p AS (SELECT media_id, src, w, h, pert, unnest(range(0, w * h)) AS pp
+        |      FROM m),
+        |px AS (SELECT media_id, src, w, h, pert, pp % w AS x, pp // w AS y
+        |       FROM p),
+        |lu AS (
+        |  SELECT media_id, w, h, x, y,
+        |    (299 * CASE WHEN pert = 1 AND x < 2 AND y < 2 THEN 255
+        |         ELSE LEAST(255, (x*x*(3 + src % 7) + y*y*(5 + src % 11)
+        |                          + x*y*(1 + src % 13) + 37*src) % 256 + pert*4) END
+        |   + 587 * CASE WHEN pert = 1 AND x < 2 AND y < 2 THEN 255
+        |         ELSE LEAST(255, (x*x*(2 + src % 5) + y*y*(7 + src % 3)
+        |                          + x*y*(2 + src % 11) + 11*src) % 256 + pert*4) END
+        |   + 114 * CASE WHEN pert = 1 AND x < 2 AND y < 2 THEN 255
+        |         ELSE LEAST(255, (x*x*(1 + src % 9) + y*y*(4 + src % 13)
+        |                          + x*y*(3 + src % 7) + 23*src) % 256 + pert*4) END
+        |    ) // 1000 AS luma
+        |  FROM px),
+        |ac AS (SELECT media_id, (y * 8) // h AS cy, (x * 8) // w AS cx,
+        |              SUM(luma) // COUNT(*) AS cell
+        |       FROM lu GROUP BY 1, 2, 3),
+        |ah AS (SELECT a.media_id,
+        |          CAST(SUM(CASE WHEN 64 * a.cell > t.tot THEN
+        |               CASE WHEN a.cy * 8 + a.cx = 63
+        |                    THEN -9223372036854775807 - 1
+        |                    ELSE 1::BIGINT << CAST(a.cy * 8 + a.cx AS INT) END
+        |               ELSE 0 END) AS BIGINT) AS ahash
+        |       FROM ac a JOIN (SELECT media_id, SUM(cell) AS tot
+        |                       FROM ac GROUP BY 1) t USING (media_id)
+        |       GROUP BY 1),
+        |dc AS (SELECT media_id, (y * 8) // h AS cy, (x * 9) // w AS cx,
+        |              SUM(luma) // COUNT(*) AS cell
+        |       FROM lu GROUP BY 1, 2, 3),
+        |dh AS (SELECT l.media_id,
+        |          CAST(SUM(CASE WHEN r.cell > l.cell THEN
+        |               CASE WHEN l.cy * 8 + l.cx = 63
+        |                    THEN -9223372036854775807 - 1
+        |                    ELSE 1::BIGINT << CAST(l.cy * 8 + l.cx AS INT) END
+        |               ELSE 0 END) AS BIGINT) AS dhash
+        |       FROM dc l JOIN dc r ON l.media_id = r.media_id AND l.cy = r.cy
+        |                           AND r.cx = l.cx + 1
+        |       GROUP BY 1),
+        |s AS (SELECT ah.media_id, ah.ahash, dh.dhash
+        |      FROM ah JOIN dh USING (media_id))
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS ahash_hamming,
+        |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dhash_hamming
+        |FROM s a JOIN s b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 7""".stripMargin,
+
+    "q334_bpe_roundtrip" -> bpeRoundTripOracleSql(4),
+
+    // q173's oracle minus the batch attribution: the union of completed
+    // pairs over all ticks = every near-dup pair touching a delta.
+    "q335_streaming_lsh_index" -> {
+      val corpusCte =
+        """corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, regexp_replace(text, '^\S+\s*', '') FROM documents
+          |  WHERE doc_id % 2 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 200000, regexp_replace(text, '^\S+\s*', '') FROM documents
+          |  WHERE doc_id % 2 = 1)""".stripMargin
+      s"""WITH ${minhashPairsCtesOver(corpusCte)}
+         |SELECT id_a AS index_id, id_b AS delta_id, jaccard
+         |FROM pairs WHERE id_b >= 100000 AND jaccard >= 0.5""".stripMargin
+    },
+
+    // Full replay: exact top-5, the TWO-TABLE 6-bit LSH seed graph (salted
+    // plane families inlined as literals), the undirected NoN candidate
+    // expansion, the refined top-5, and both recall ratios — rank ordering
+    // ROUND(cos,6) DESC then id on both engines.
+    "q336_nn_descent" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nb0 AS (SELECT vec_id, v, ${lshBucketSql("v", 6, 64, 0L)} AS b FROM base),
+         |nb1 AS (SELECT vec_id, v, ${lshBucketSql("v", 6, 64, 1L)} AS b FROM base),
+         |ek AS (SELECT q, n FROM (
+         |    SELECT a.vec_id AS q, b.vec_id AS n,
+         |           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+         |                      b.vec_id) AS r
+         |    FROM base a JOIN base b ON a.vec_id <> b.vec_id) x WHERE r <= 5),
+         |cand0 AS (
+         |    SELECT a.vec_id AS q, b.vec_id AS n,
+         |           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cs
+         |    FROM nb0 a JOIN nb0 b ON a.b = b.b AND a.vec_id <> b.vec_id
+         |    UNION
+         |    SELECT a.vec_id, b.vec_id,
+         |           ROUND(list_cosine_similarity(a.v, b.v), 6)
+         |    FROM nb1 a JOIN nb1 b ON a.b = b.b AND a.vec_id <> b.vec_id),
+         |g0 AS (SELECT q, n FROM (
+         |    SELECT q, n,
+         |           ROW_NUMBER() OVER (PARTITION BY q
+         |             ORDER BY cs DESC, n) AS r
+         |    FROM cand0) x
+         |  WHERE r <= 5),
+         |und AS (SELECT q, n FROM g0 UNION SELECT n, q FROM g0),
+         |cand AS (SELECT q, n FROM und
+         |         UNION SELECT x.q, y.n FROM und x JOIN und y ON x.n = y.q
+         |         WHERE x.q <> y.n),
+         |g1 AS (SELECT q, n FROM (
+         |    SELECT c.q, c.n,
+         |           ROW_NUMBER() OVER (PARTITION BY c.q
+         |             ORDER BY ROUND(list_cosine_similarity(bq.v, bn.v), 6) DESC,
+         |                      c.n) AS r
+         |    FROM cand c JOIN base bq ON bq.vec_id = c.q
+         |                JOIN base bn ON bn.vec_id = c.n) x WHERE r <= 5),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ek),
+         |h AS (
+         |  SELECT 'lsh_init' AS stage, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM g0 JOIN ek USING (q, n)
+         |  UNION ALL
+         |  SELECT 'nn_descent_1', CAST(COUNT(*) AS BIGINT)
+         |  FROM g1 JOIN ek USING (q, n))
+         |SELECT stage, n_hits, n_exact,
+         |       CAST(n_hits * 1000 // n_exact AS BIGINT) AS recall_permille
+         |FROM h, tot""".stripMargin
   )
 
   /** q331's oracle: the exact ground-truth pair count plus one bucketed

@@ -392,6 +392,29 @@ object Profile {
     * serializes its window partition — for power-law groups pre-aggregate
     * with [[graft.ext.Sampling.stratifiedSample]] or switch to the sketch
     * path (`approx_percentile`, q57) and accept approximate bounds. */
+  def winsorizedSums(df: DataFrame, groupCol: String, valueCol: String,
+                     idCol: String, pLowPct: Int = 1, pHighPct: Int = 99): DataFrame = {
+    require(0 < pLowPct && pLowPct < pHighPct && pHighPct <= 100,
+      s"winsorizedSums: need 0 < pLowPct < pHighPct <= 100, got ($pLowPct, $pHighPct)")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df.select(col(groupCol), col(valueCol), col(idCol))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val bounds = ranked.groupBy(col(groupCol))
+      .agg(
+        min(when(col("__rn") === expr(s"($pLowPct * __n + 99) DIV 100"), col(valueCol)))
+          .as("lo_val"),
+        min(when(col("__rn") === expr(s"($pHighPct * __n + 99) DIV 100"), col(valueCol)))
+          .as("hi_val"))
+    ranked.join(broadcast(bounds), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("lo_val")).as("lo_val"),
+        max(col("hi_val")).as("hi_val"),
+        sum(least(greatest(col(valueCol), col("lo_val")), col("hi_val"))).as("wins_sum"))
+  }
+
   /** Categorical-distribution drift between two slices as ADD-ONE-smoothed
     * KL divergence in exact integer micro-nats, BOTH directions (KL is
     * asymmetric; a category vanishing from `b` shows loudest in kl_ab).
@@ -426,29 +449,6 @@ object Profile {
       .agg(sum(col("__tab")).as("kl_ab_micros"), sum(col("__tba")).as("kl_ba_micros"))
       .select(col("ta").as("n_a"), col("tb").as("n_b"),
         col("k").as("n_categories"), col("kl_ab_micros"), col("kl_ba_micros"))
-  }
-
-  def winsorizedSums(df: DataFrame, groupCol: String, valueCol: String,
-                     idCol: String, pLowPct: Int = 1, pHighPct: Int = 99): DataFrame = {
-    require(0 < pLowPct && pLowPct < pHighPct && pHighPct <= 100,
-      s"winsorizedSums: need 0 < pLowPct < pHighPct <= 100, got ($pLowPct, $pHighPct)")
-    import org.apache.spark.sql.expressions.Window
-    val ranked = df.select(col(groupCol), col(valueCol), col(idCol))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
-    val bounds = ranked.groupBy(col(groupCol))
-      .agg(
-        min(when(col("__rn") === expr(s"($pLowPct * __n + 99) DIV 100"), col(valueCol)))
-          .as("lo_val"),
-        min(when(col("__rn") === expr(s"($pHighPct * __n + 99) DIV 100"), col(valueCol)))
-          .as("hi_val"))
-    ranked.join(broadcast(bounds), Seq(groupCol))
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("lo_val")).as("lo_val"),
-        max(col("hi_val")).as("hi_val"),
-        sum(least(greatest(col(valueCol), col("lo_val")), col("hi_val"))).as("wins_sum"))
   }
 
   /** Missing-value imputation with the per-group EXACT lower median — the

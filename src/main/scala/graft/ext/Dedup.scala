@@ -493,6 +493,43 @@ object Dedup {
       .select(col("index_id"), col("delta_id"), col("jaccard"))
   }
 
+  /** STREAMING LSH index maintenance: drive [[lshIndexProbeAppend]] from a
+    * Structured Streaming source via `foreachBatch` (the engine's bronze
+    * drain pattern, Incremental.drainBronzeToSilver) so the dedup index
+    * advances with the ingest stream instead of waiting for a batch driver.
+    * Micro-batch `b` is signed ONCE, appended as index partition
+    * `batch = firstBatch + b`, and the near-dup pairs it completes are
+    * written to `pairsDir/batch=<n>`.
+    *
+    * Exactly-once across restarts: the checkpoint replays an unacknowledged
+    * micro-batch with the SAME batchId, and every write keyed by it (index
+    * partitions and the pairs partition) is mode-overwrite — replay
+    * overwrites its own partial output, never duplicates it. Round12Spec
+    * proves index-after-N-ticks ≡ one-shot rebuild over the union; q335
+    * hash-pins the drained pairs against the full-corpus MinHash oracle.
+    *
+    * Scale: per-tick cost ∝ delta (sign + bucket equi-join against the
+    * accumulated index), the q173 contract; state is the on-disk index, not
+    * streaming memory. */
+  def streamingLshMaintain(docsStream: DataFrame, indexDir: String,
+                           pairsDir: String, checkpointDir: String,
+                           threshold: Double, firstBatch: Int = 1,
+                           idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val query = docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val n = firstBatch + batchId.toInt
+          lshIndexProbeAppend(batch.sparkSession, indexDir, batch, n, threshold,
+              idCol, textCol)
+            .write.mode("overwrite").parquet(s"$pairsDir/batch=$n")
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   /** Recall/coverage audit of a candidate-pair scheme against a ground-truth
     * pair set — the EVALUATION harness for blocking parameter choices
     * (bands × rows, SimHash radius, prefix length): how many of the true
@@ -632,24 +669,9 @@ object Dedup {
     * `maxDistance + 1` blocks (pigeonhole — no false negatives), Hamming verify. */
   def simhashNearDuplicatesPortable(docs: DataFrame, maxDistance: Int = 3,
                                     idCol: String = "doc_id", textCol: String = "text",
-                                    bits: Int = 60): DataFrame = {
-    val nBlocks = maxDistance + 1
-    val width = bits / nBlocks
-    val sigs = simhashSignaturesPortable(docs, idCol, textCol, bits)
-    val blocks = sigs.select(col(idCol), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(nBlocks - 1)),
-        b => call_function("shiftright", col("sig"), b * lit(width))
-          .bitwiseAND(lit((1L << width) - 1)))).as(Seq("block", "block_val")))
-    val a = blocks.as("a"); val b = blocks.as("b")
-    a.join(b,
-        col("a.block") === col("b.block") &&
-          col("a.block_val") === col("b.block_val") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        hamming(col("a.sig"), col("b.sig")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDistance)
-  }
+                                    bits: Int = 60): DataFrame =
+    hammingNearDuplicates(simhashSignaturesPortable(docs, idCol, textCol, bits),
+      idCol, "sig", maxDistance, bits)
 
   /** 64-bit SimHash signatures, one row per document, packed into a BIGINT.
     * Charikar construction, explode→agg form: per token, bit j contributes
@@ -673,29 +695,47 @@ object Dedup {
   /** Hamming distance between two packed 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 
-  /** SimHash near-duplicates with Hamming ≤ maxDistance, found by block matching:
-    * split 64 bits into `maxDistance + 1` blocks — any pair within distance d must
-    * agree on ≥ 1 block (pigeonhole), so candidates come from an equi-join on
-    * (block index, block value). Zero false negatives, no cross join. */
-  def simhashNearDuplicates(docs: DataFrame, maxDistance: Int = 3,
-                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** Generic Hamming near-dup join over ANY packed `bits`-wide signature
+    * column (text SimHash, image aHash/dHash, …): split the signature into
+    * `maxDistance + 1` equal blocks — a pair within distance d must agree on
+    * ≥ 1 block (pigeonhole, zero false negatives), so candidates come from
+    * an equi-join on (block index, block value) and are then Hamming
+    * verified. The shared engine under [[simhashNearDuplicates]] /
+    * [[simhashNearDuplicatesPortable]] and the image perceptual-hash join
+    * (q333). Scale: the join is equi on 8-byte keys; block width
+    * `bits/(d+1)` sets candidate density — hub block values (constant image
+    * regions) fan out quadratically, cap upstream if a corpus has them. */
+  def hammingNearDuplicates(sigs: DataFrame, idCol: String, sigCol: String,
+                            maxDistance: Int, bits: Int): DataFrame = {
     val nBlocks = maxDistance + 1
-    val width = 64 / nBlocks
-    val sigs = simhashSignatures(docs, idCol, textCol)
-    val blocks = sigs.select(col(idCol), col("sig"),
+    require(bits % nBlocks == 0,
+      s"hammingNearDuplicates: bits=$bits must divide into ${nBlocks} blocks " +
+        "(an uncovered remainder bit would break the pigeonhole guarantee)")
+    val width = bits / nBlocks
+    val blocks = sigs.select(col(idCol), col(sigCol).as("__sig"),
       posexplode(transform(sequence(lit(0), lit(nBlocks - 1)),
-        b => call_function("shiftright", col("sig"), b * lit(width))
-          .bitwiseAND(lit((1L << width) - 1)))).as(Seq("block", "block_val")))
+        b => call_function("shiftright", col(sigCol), b * lit(width))
+          .bitwiseAND(lit(if (width == 64) -1L else (1L << width) - 1))))
+        .as(Seq("block", "block_val")))
     val a = blocks.as("a"); val b = blocks.as("b")
     a.join(b,
         col("a.block") === col("b.block") &&
           col("a.block_val") === col("b.block_val") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        hamming(col("a.sig"), col("b.sig")).as("hamming"))
+        hamming(col("a.__sig"), col("b.__sig")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }
+
+  /** SimHash near-duplicates with Hamming ≤ maxDistance, found by block matching:
+    * split 64 bits into `maxDistance + 1` blocks — any pair within distance d must
+    * agree on ≥ 1 block (pigeonhole), so candidates come from an equi-join on
+    * (block index, block value). Zero false negatives, no cross join. */
+  def simhashNearDuplicates(docs: DataFrame, maxDistance: Int = 3,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    hammingNearDuplicates(simhashSignatures(docs, idCol, textCol),
+      idCol, "sig", maxDistance, bits = 64)
 
   /** Non-overlapping `width`-word chunks of `text`, in order — the
     * "paragraph" unit for sub-document dedup when a corpus has no hard
@@ -1011,5 +1051,69 @@ object Dedup {
     runs.groupBy(col("id_a"), col("id_b"))
       .agg(sum(col("run")).as("n_shared"), max(col("run")).as("max_run_grams"))
       .withColumn("max_run_words", col("max_run_grams") + 2L)
+  }
+
+  /** EXACT substring dedup, suffix-array class (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — public
+    * literature): find every maximal character span that lies inside some
+    * substring of length ≥ `minLen` occurring ≥ 2 times ANYWHERE in the
+    * corpus (other docs or elsewhere in the same doc). The canonical
+    * operator a curation pipeline runs right after MinHash: set-level dedup
+    * keeps one copy per near-dup GROUP; this removes the verbatim boilerplate
+    * (licenses, headers, quoted chain-mail) that repeats inside otherwise
+    * distinct documents.
+    *
+    * Window equivalence (why no suffix array is needed): a character
+    * position is inside a repeated substring of length ≥ L iff one of the
+    * length-L windows covering it is repeated — every length-≥L repeat is a
+    * union of repeated length-L windows, and every repeated window IS a
+    * length-L repeat. So corpus-wide duplicate detection reduces to an
+    * EXACT groupBy over the length-L windows (grouping key is the substring
+    * itself — no hashing, no collision license; Round12Spec certifies
+    * completeness against a naive all-substrings oracle), and maximal spans
+    * fall out of the gaps-and-islands merge over covered positions.
+    *
+    * Stages, each shuffle keyed and bounded:
+    *   1. positions `1..len−L+1` exploded per doc, window = substring(t,i,L)
+    *      (generate+project fuse under whole-stage codegen — the full
+    *      window ARRAY is never materialized per doc);
+    *   2. duplicate windows: groupBy(window) HAVING count ≥ 2 — map-side
+    *      combinable; at 100 TB the key is an L-char string (shuffle ∝
+    *      corpus size × L — the price of exactness; pre-filter with a
+    *      Bloom/frequency sketch if that dominates);
+    *   3. covered positions: equi-join positions → duplicate windows;
+    *   4. maximal spans: per-DOC window (never global), islands split where
+    *      the gap exceeds L (adjacent windows `pos₂ = pos₁ + L` merge —
+    *      their char coverage is contiguous).
+    *
+    * Output one row per maximal span: `(doc, span_start, span_end)`
+    * (1-based, inclusive). Span mass per doc = Σ(span_end − span_start + 1).
+    * Docs shorter than `minLen` never participate. */
+  def duplicateSubstringSpans(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text",
+                              minLen: Int = 30): DataFrame = {
+    require(minLen >= 2, s"duplicateSubstringSpans: minLen must be >= 2, got $minLen")
+    val base = docs.select(col(idCol).as("doc"), col(textCol).as("__t"))
+      .where(length(col("__t")) >= minLen)
+    val pos = base
+      .select(col("doc"), col("__t"),
+        explode(expr(s"sequence(1L, CAST(length(__t) - ${minLen - 1} AS BIGINT))"))
+          .as("pos"))
+      .select(col("doc"), col("pos"),
+        expr(s"substring(__t, CAST(pos AS INT), $minLen)").as("g"))
+    val dup = pos.groupBy(col("g")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2L).select(col("g"))
+    val covered = pos.join(dup, Seq("g")).select(col("doc"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    covered
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      .withColumn("__island",
+        sum(when(col("__prev").isNull || col("pos") - col("__prev") > minLen, 1L)
+          .otherwise(0L)).over(w))
+      .groupBy(col("doc"), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (minLen - 1).toLong).as("span_end"))
+      .select(col("doc"), col("span_start"), col("span_end"))
   }
 }

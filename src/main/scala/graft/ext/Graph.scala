@@ -114,6 +114,43 @@ object Graph {
     labels
   }
 
+  /** INCREMENTAL connected components: fold one new edge batch into an
+    * existing label table without recomputing history — the O(delta)-per-tick
+    * maintenance shape for a dedup index that grows with every ingest batch.
+    *
+    * `prevLabels` is a `(id, component)` table whose labels canonicalize to
+    * the component's MIN id (what [[connectedComponents]] produces). The new
+    * batch's endpoints CONTRACT through those labels (each prior component
+    * becomes one super-node, ids never seen before pass through unchanged),
+    * components run over the contracted graph only, and the composed result
+    * again labels every node — old and new — with its merged component's min
+    * id. Contraction preserves connectivity, so the fold equals the one-shot
+    * run node for node (Round12Spec proves it; q321 pins the node-level
+    * label checksum against a one-shot DuckDB oracle).
+    *
+    * Scale: the CC loop touches ONLY the contracted delta graph (|batch|
+    * edges over super-nodes), never the accumulated history; the label joins
+    * are equi-joins keyed by id / super-node. At 100 TB the label table is a
+    * bucketed lakehouse table and each tick is batch-sized. */
+  def incrementalComponents(prevLabels: DataFrame, newEdges: DataFrame,
+                            idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val l1 = prevLabels.select(col("id"), col("component"))
+    val contracted = newEdges
+      .join(l1.select(col("id").as(idA), col("component").as("__la")), Seq(idA), "left")
+      .join(l1.select(col("id").as(idB), col("component").as("__lb")), Seq(idB), "left")
+      .select(coalesce(col("__la"), col(idA)).as("id_a"),
+        coalesce(col("__lb"), col(idB)).as("id_b"))
+    val l2 = connectedComponents(contracted)
+    val nodes = l1.select(col("id"))
+      .unionByName(newEdges.select(explode(array(col(idA), col(idB))).as("id")))
+      .distinct()
+    nodes.join(l1, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("__s"))
+      .join(l2.select(col("id").as("__s"), col("component").as("__c2")),
+        Seq("__s"), "left")
+      .select(col("id"), coalesce(col("__c2"), col("__s")).as("component"))
+  }
+
   /** Triangle count over an undirected edge set — the standard clustering
     * diagnostic for a near-dup graph: true duplicate clusters are
     * near-cliques (triangle-dense), while chains of borderline matches are

@@ -310,6 +310,58 @@ object MediaCodecs {
       out
     }
 
+  /** Integer area-downscale of a luma plane to a `gw`×`gh` grid: pixel
+    * `(x, y)` lands in cell `(⌊x·gw/w⌋, ⌊y·gh/h⌋)` and each cell reports the
+    * FLOOR mean of its pixels. The pixel→cell map (rather than cell→pixel
+    * bounds) keeps the partition trivially replayable as `(x*gw) DIV w` in
+    * any SQL engine — there is no resampling kernel to disagree about. */
+  private def gridMeans(w: Int, h: Int, luma: Array[Int], gw: Int, gh: Int): Array[Int] = {
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val cy = y * gh / h
+      var x = 0
+      while (x < w) {
+        val c = cy * gw + x * gw / w
+        sums(c) += luma(y * w + x); cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(gw * gh)(i => (sums(i) / cnts(i)).toInt)
+  }
+
+  /** 64-bit perceptual average-hash (aHash — public technique): decode →
+    * BT.601 integer luma → 8×8 grid means → bit `cy·8+cx` set iff the cell
+    * exceeds the grid mean (integer form `64·cell > Σcells`, no float mean).
+    * Robust to uniform brightness shifts (cell and mean move together) and
+    * to small local edits (one cell barely moves) — the cheap image
+    * near-dup fingerprint; pair it with the SimHash Hamming pigeonhole
+    * index for the join. None on non-BMP bytes or images under 8×8. */
+  def aHash64(bytes: Array[Byte]): Option[Long] =
+    parseBmpLumaInt(bytes).collect { case (w, h, luma) if w >= 8 && h >= 8 =>
+      val g = gridMeans(w, h, luma, 8, 8)
+      val tot = g.foldLeft(0L)(_ + _)
+      (0 until 64).foldLeft(0L) { (acc, i) =>
+        if (64L * g(i) > tot) acc | (1L << i) else acc
+      }
+    }
+
+  /** 64-bit difference-hash (dHash — public technique): 9×8 grid means,
+    * bit `cy·8+cx` set iff cell `(cx+1, cy)` is brighter than `(cx, cy)` —
+    * the horizontal-gradient fingerprint, invariant to ANY monotone global
+    * luma shift (only relative cell order matters). None on non-BMP bytes
+    * or images under 9×8. */
+  def dHash64(bytes: Array[Byte]): Option[Long] =
+    parseBmpLumaInt(bytes).collect { case (w, h, luma) if w >= 9 && h >= 8 =>
+      val g = gridMeans(w, h, luma, 9, 8)
+      (0 until 64).foldLeft(0L) { (acc, i) =>
+        val cy = i / 8; val cx = i % 8
+        if (g(cy * 9 + cx + 1) > g(cy * 9 + cx)) acc | (1L << i) else acc
+      }
+    }
+
   /** Linear-interpolating PCM resampler with an INTEGER phase accumulator:
     * output length `⌊n·to/from⌋`, sample `j` reads source phase
     * `p = j·from/to` as `(⌊p⌋, rem)` and interpolates

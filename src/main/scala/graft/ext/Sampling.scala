@@ -183,8 +183,18 @@ object Sampling {
     require(total >= 0, s"mixtureQuotas: total must be >= 0, got $total")
     val w = weights.select(col(groupCol).as("group"),
       col(weightCol).cast("long").as("__w"))
+    // Enforce the scaladoc's weight contract IN the plan: a negative weight
+    // or an all-zero sum would make the DIV/% arithmetic yield NULL and
+    // surface only as an opaque NPE at the leftover-count collect. The guard
+    // rides the same one-row aggregate the total already needs.
     val withTot = w.crossJoin(
-      broadcast(w.agg(sum(col("__w")).as("__tot"))))
+      broadcast(w.agg(sum(col("__w")).as("__tot"), min(col("__w")).as("__wmin"))
+        .select(
+          when(col("__wmin") < 0L, expr(
+            "raise_error('mixtureQuotas: negative weight')").cast("long"))
+            .when(col("__tot").isNull || col("__tot") <= 0L, expr(
+              "raise_error('mixtureQuotas: weight sum must be > 0')").cast("long"))
+            .otherwise(col("__tot")).as("__tot"))))
       .withColumn("__floor", expr(s"(${total}L * __w) DIV __tot"))
       .withColumn("__rem", expr(s"(${total}L * __w) % __tot"))
     val k = total - withTot.agg(sum(col("__floor"))).head().getLong(0)

@@ -86,9 +86,12 @@ object Similarity {
     * identically on every executor (they travel as plan literals, nothing to
     * broadcast or keep in sync). Public so the correctness oracle can inline the
     * same literals into independent-engine SQL. */
-  def hyperplanes(bits: Int, dim: Int): Array[Seq[Double]] =
+  def hyperplanes(bits: Int, dim: Int, salt: Long = 0L): Array[Seq[Double]] =
     Array.tabulate(bits) { p =>
-      val rnd = new java.util.Random(1000003L * p + 17)
+      // salt shifts the whole plane FAMILY (an independent LSH table — the
+      // multi-table recall lever); salt=0 is the original family, so every
+      // existing bucket assignment and oracle literal is unchanged.
+      val rnd = new java.util.Random(1000003L * p + 17 + 7919L * salt)
       Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
     }
 
@@ -98,8 +101,8 @@ object Similarity {
     * element) was interpreted and dominated the whole LSH query (~22s of a 22s
     * plan at sf0.1); literal planes + [[graft.functions.DotProduct]] remove it
     * from the profile entirely. */
-  def lshBucket(vec: Column, bits: Int = 16, dim: Int = 64): Column =
-    hyperplanes(bits, dim).foldLeft(lit(0L)) { (acc, plane) =>
+  def lshBucket(vec: Column, bits: Int = 16, dim: Int = 64, salt: Long = 0L): Column =
+    hyperplanes(bits, dim, salt).foldLeft(lit(0L)) { (acc, plane) =>
       acc * 2 + when(dotProduct(vec, typedlit(plane)) >= 0, lit(1L)).otherwise(lit(0L))
     }
 
@@ -168,6 +171,79 @@ object Similarity {
       .select(col("id_b").as(idCol))
       .distinct()
     embeddings.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Top-k rows per query_id by (cos_sim DESC, neighbor_id) — the shared
+    * rank stage under the graph-ANN builders. Per-QUERY window, never
+    * global. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** INITIAL approximate kNN graph from LSH buckets: candidates are
+    * same-bucket pairs (join degree = bucket occupancy) over one or more
+    * salted tables, exact-rescored and cut to top-k per node. Recall < 1 by
+    * design, and note the closure property: a SINGLE table's graph is
+    * bucket-closed (every path stays inside one bucket), so
+    * [[nnDescentRound]] can only repair it when the seed has ≥ 2 tables —
+    * the NoN step then composes an edge from table A with an edge from
+    * table B to reach neighbors neither table bucketed together. Output:
+    * `(query_id, neighbor_id, cos_sim, rank)`. */
+  def lshKnnGraph(embeddings: DataFrame, k: Int, bits: Int = 6, dim: Int = 64,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  salts: Seq[Long] = Seq(0L)): DataFrame = {
+    require(salts.nonEmpty, "lshKnnGraph: need at least one table salt")
+    val base = withNorm(embeddings, idCol, vecCol)
+    val scored = salts.map { salt =>
+      val bk = base.withColumn("bucket", lshBucket(col("v"), bits, dim, salt))
+      val a = bk.as("a"); val b = bk.as("b")
+      a.join(b, col("a.bucket") === col("b.bucket")
+          && col(s"a.$idCol") =!= col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("query_id"), col(s"b.$idCol").as("neighbor_id"),
+          pairCosine(col("a.norm"), col("b.norm"), col("a.v"), col("b.v"))
+            .as("cos_sim"))
+    }.reduce(_ unionByName _).distinct() // a pair found by both tables scores identically
+    topKPerQuery(scored, k)
+  }
+
+  /** ONE NN-descent refinement round (Dong, Moses & Li 2011, WWW — public
+    * literature): "a neighbor of my neighbor is probably my neighbor".
+    * Candidates = the current graph, its REVERSE edges, and all
+    * neighbor-of-neighbor pairs over the undirected neighbor lists; each
+    * candidate is exact-rescored and every node keeps its new top-k. Applied
+    * to an LSH-seeded graph this recovers cross-bucket neighbors without
+    * ever forming an all-pairs join — the graph-ANN recall repair.
+    *
+    * Scale: all stages are keyed equi-joins (neighbor-of-neighbors joins the
+    * k-bounded edge list to itself on the shared endpoint — fan-out ≤ (2k)²
+    * per node), two hash joins fetch vectors by id, and the rank window
+    * partitions by node. One round is the q331-style tuning unit; iterate to
+    * convergence by re-applying. Output: `(query_id, neighbor_id, cos_sim,
+    * rank)`. */
+  def nnDescentRound(graph: DataFrame, embeddings: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val und = graph.select(col("query_id").as("q"), col("neighbor_id").as("n"))
+      .unionByName(graph.select(col("neighbor_id").as("q"), col("query_id").as("n")))
+      .distinct()
+    val non = und.as("x").join(und.as("y"), col("x.n") === col("y.q"))
+      .select(col("x.q").as("q"), col("y.n").as("n"))
+      .filter(col("q") =!= col("n"))
+    val cand = und.unionByName(non).distinct()
+    val base = withNorm(embeddings, idCol, vecCol)
+    topKPerQuery(
+      cand
+        .join(base.select(col(idCol).as("q"), col("v").as("__qv"),
+          col("norm").as("__qn")), Seq("q"))
+        .join(base.select(col(idCol).as("n"), col("v").as("__nv"),
+          col("norm").as("__nn")), Seq("n"))
+        .select(col("q").as("query_id"), col("n").as("neighbor_id"),
+          pairCosine(col("__qn"), col("__nn"), col("__qv"), col("__nv"))
+            .as("cos_sim")),
+      k)
   }
 
   /** Corpus/source similarity map from per-group centroid embeddings — the

@@ -325,24 +325,40 @@ object TextAnalysis {
     * within the engine but can diverge from external tokenizers on inputs
     * with immediately repeated merge pairs. */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: Column,
-                rounds: Int): DataFrame = {
-    val merges = bpeMerges(docs, textCol, rounds).collect()
-      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
-    val words = docs
-      .select(col(idCol), explode(tokens(lower(textCol))).as("w"))
-      .filter(col("w").rlike("^[a-z0-9]+$"))
-      .withColumn("seq", concat(regexp_replace(col("w"), "(.)", "·$1"), lit("·")))
-    val encoded = merges.foldLeft(words) { case (df, (l, r)) =>
-      df.withColumn("seq", expr(s"replace(seq, '·${l}·${r}·', '·${l}${r}·')"))
-    }
-    encoded
+                rounds: Int): DataFrame =
+    bpeEncodedWords(docs, idCol, textCol, rounds)
       // "·a·b·" splits to ["", "a", "b", ""] — symbol count = size − 2
       .withColumn("__n_sym", (size(split(col("seq"), "·")) - 2).cast("long"))
       .groupBy(col(idCol))
       .agg(sum(col("__n_sym")).as("n_tokens"),
         count(lit(1)).as("n_words"),
         sum(length(col("w"))).cast("long").as("n_chars"))
+
+  /** WORD-level encoder under [[bpeEncode]]: one row per kept word with its
+    * boundary-delimited token sequence `(idCol, w, seq)` — the frame the
+    * round-trip certificate (q334) and any token-level consumer need. Same
+    * train-once / unrolled-replace projection as bpeEncode. */
+  def bpeEncodedWords(docs: DataFrame, idCol: String, textCol: Column,
+                      rounds: Int): DataFrame = {
+    val merges = bpeMerges(docs, textCol, rounds).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    val words = docs
+      .select(col(idCol), explode(tokens(lower(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .withColumn("seq", concat(regexp_replace(col("w"), "(.)", "·$1"), lit("·")))
+    merges.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("seq", expr(s"replace(seq, '·${l}·${r}·', '·${l}${r}·')"))
+    }
   }
+
+  /** DECODE half of the tokenizer: token list → text, by concatenating the
+    * symbols of a boundary-delimited sequence (`·ab·c·` → `abc`). Built on
+    * the TOKEN LIST (split → drop boundary empties → join), not a blind
+    * delimiter strip, so `decode(encode(w)) = w` certifies the whole
+    * representation — a merge that corrupted a symbol or ate a boundary
+    * would surface as a round-trip violation (q334 pins the count at 0). */
+  def bpeDecode(seq: Column): Column =
+    array_join(filter(split(seq, "·"), x => x =!= ""), "")
 
   /** Token co-occurrence with lift — the association-mining question "which
     * token pairs appear together more than their solo frequencies predict"
