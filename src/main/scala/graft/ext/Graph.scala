@@ -66,8 +66,14 @@ object Graph {
     // stage scheduling — measured 5-10× slower than giving it its own job.
     symC.count()
     val sym = truncated(symC)
-    var labelsC = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
+    // 1-hop init: label(id) = min(id, neighbors) — exactly what a first
+    // loop round over identity labels would compute, but as ONE map-side
+    // combinable aggregation instead of a join round. Saves one full
+    // iteration (join + union + agg + action + codegen) per CC call; on
+    // the overhead-bound small-graph regime (bench sf0.1) that is ~0.5s
+    // per call across every CC consumer (q65/q220/q283/q321).
+    var labelsC = sym.groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("component"))
       .persist(level)
     labelsC.count()
     var labels = truncated(labelsC)
