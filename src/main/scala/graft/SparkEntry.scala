@@ -6464,6 +6464,144 @@ object SparkEntry {
         .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
         .select(col("stage"), col("n_hits"), col("n_exact"),
           expr("n_hits * 1000 DIV n_exact").as("recall_permille"))
+    },
+
+    // TPC-DS Q64 SHAPE through the SQL frontend: two channel chains (early
+    // vs late years), each a fact→dim join tree, SELF-JOINED on the
+    // (customer, part) pair with a cross-channel condition (repeat purchase
+    // at a HIGHER later price) — the multi-channel self-join-chain stress
+    // TPC-H never exercises (its 22 shapes join each fact tree once).
+    // Catalyst plan: both chains share the lineitem⋈orders scan subtree,
+    // dims broadcast (PlanSpec q337 audit), the chain join shuffles on the
+    // composite key.
+    "q337_tpcds_q64_shape" -> { (s, dir) =>
+      Seq("lineitem", "orders", "customer", "nation", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """WITH sale AS (
+          |  SELECT o_custkey AS cust, l_partkey AS part,
+          |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+          |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          |           AS cents
+          |  FROM lineitem_v JOIN orders_v ON l_orderkey = o_orderkey),
+          |ch1 AS (SELECT cust, part, CAST(COUNT(*) AS BIGINT) AS n1,
+          |               CAST(SUM(cents) AS BIGINT) AS cents1
+          |        FROM sale WHERE yr <= 1997 GROUP BY cust, part),
+          |ch2 AS (SELECT cust, part, CAST(COUNT(*) AS BIGINT) AS n2,
+          |               CAST(SUM(cents) AS BIGINT) AS cents2
+          |        FROM sale WHERE yr >= 1998 GROUP BY cust, part)
+          |SELECT n_name, p_brand,
+          |       CAST(COUNT(*) AS BIGINT) AS n_repeat_pairs,
+          |       CAST(SUM(cents1) AS BIGINT) AS early_cents,
+          |       CAST(SUM(cents2) AS BIGINT) AS late_cents
+          |FROM ch1 JOIN ch2 USING (cust, part)
+          |JOIN customer_v ON c_custkey = cust
+          |JOIN nation_v ON n_nationkey = c_nationkey
+          |JOIN part_v ON p_partkey = part
+          |WHERE cents2 > cents1
+          |GROUP BY n_name, p_brand""".stripMargin)
+    },
+
+    // TPC-DS Q14 SHAPE: cross-channel INTERSECT (parts sold in ALL three
+    // priority channels) FEEDING a channel report filtered by a
+    // corpus-average threshold — the intersect-as-semijoin-input pattern
+    // plus the scalar-average HAVING, both decorrelation corners TPC-H
+    // lacks. The average rides as a one-row CROSS JOIN (integer
+    // cross-multiplied in the HAVING, never divided).
+    "q338_tpcds_q14_shape" -> { (s, dir) =>
+      Seq("lineitem", "orders", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """WITH sale AS (
+          |  SELECT l_partkey AS part, SUBSTR(o_orderpriority, 1, 1) AS ch,
+          |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          |           AS cents
+          |  FROM lineitem_v JOIN orders_v ON l_orderkey = o_orderkey),
+          |cross_items AS (
+          |  SELECT part FROM sale WHERE ch = '1'
+          |  INTERSECT SELECT part FROM sale WHERE ch = '2'
+          |  INTERSECT SELECT part FROM sale WHERE ch = '3'),
+          |avg_sales AS (
+          |  SELECT CAST(SUM(cents) AS BIGINT) AS tot_cents,
+          |         CAST(COUNT(*) AS BIGINT) AS tot_n FROM sale)
+          |SELECT s.ch AS channel, p.p_brand,
+          |       CAST(COUNT(*) AS BIGINT) AS n_sales,
+          |       CAST(SUM(s.cents) AS BIGINT) AS cents
+          |FROM sale s JOIN cross_items ci ON s.part = ci.part
+          |JOIN part_v p ON p.p_partkey = s.part
+          |CROSS JOIN avg_sales
+          |WHERE s.ch IN ('1', '2', '3')
+          |GROUP BY s.ch, p.p_brand, avg_sales.tot_cents, avg_sales.tot_n
+          |HAVING SUM(s.cents) * tot_n * 100 > 102 * COUNT(*) * tot_cents"""
+          .stripMargin)
+    },
+
+    // TPC-DS Q67 SHAPE: a ROLLUP over three dimensions with RANK windows
+    // PARTITIONED BY GROUPING LEVEL taking the top 3 of every level — the
+    // grouping-sets-feeding-a-window pattern. Window input is the rollup
+    // AGGREGATE (nations×years×priorities ≈ 900 rows at any sf), partitions
+    // by lvl, never data-sized. NULL grouping keys are COALESCEd before the
+    // ORDER BY tie-break (Spark sorts NULLS FIRST, DuckDB NULLS LAST — the
+    // one dialect trap in this shape).
+    "q339_tpcds_q67_shape" -> { (s, dir) =>
+      Seq("orders", "customer", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """WITH base AS (
+          |  SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+          |         o_orderpriority AS prio,
+          |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          |  FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+          |  JOIN nation_v ON c_nationkey = n_nationkey),
+          |agg AS (
+          |  SELECT n_name, yr, prio,
+          |         CAST(GROUPING(n_name) * 4 + GROUPING(yr) * 2
+          |              + GROUPING(prio) AS INT) AS lvl,
+          |         CAST(SUM(cents) AS BIGINT) AS cents
+          |  FROM base GROUP BY ROLLUP(n_name, yr, prio)),
+          |rk AS (
+          |  SELECT *, RANK() OVER (PARTITION BY lvl
+          |            ORDER BY cents DESC, COALESCE(n_name, ''),
+          |                     COALESCE(yr, 0), COALESCE(prio, '')) AS r
+          |  FROM agg)
+          |SELECT lvl, CAST(r AS BIGINT) AS rnk,
+          |       COALESCE(n_name, '(all)') AS n_name,
+          |       COALESCE(yr, 0) AS yr, COALESCE(prio, '(all)') AS prio, cents
+          |FROM rk WHERE r <= 3""".stripMargin)
+    },
+
+    // TPC-DS Q51 SHAPE: two per-channel cumulative series (fast = priority
+    // 1/2 vs slow) built with per-SEGMENT running windows, compared row by
+    // row for the months the fast channel holds >40% cumulative share —
+    // the dueling-cumulative-windows pattern. Windowed sums are CAST to
+    // BIGINT inside the CTE (DuckDB windowed SUM returns HUGEINT — the
+    // round-4 type rule applies to window results too).
+    "q340_tpcds_q51_shape" -> { (s, dir) =>
+      Seq("orders", "customer")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """WITH m AS (
+          |  SELECT c_mktsegment AS seg, date_format(o_orderdate, 'yyyy-MM') AS month,
+          |         CAST(SUM(CASE WHEN SUBSTR(o_orderpriority, 1, 1) IN ('1', '2')
+          |              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+          |           AS BIGINT) AS fast_cents,
+          |         CAST(SUM(CASE WHEN SUBSTR(o_orderpriority, 1, 1) NOT IN ('1', '2')
+          |              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+          |           AS BIGINT) AS slow_cents
+          |  FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+          |  GROUP BY c_mktsegment, date_format(o_orderdate, 'yyyy-MM')),
+          |cum AS (
+          |  SELECT seg, month,
+          |         CAST(SUM(fast_cents) OVER (PARTITION BY seg ORDER BY month)
+          |              AS BIGINT) AS fast_cum,
+          |         CAST(SUM(slow_cents) OVER (PARTITION BY seg ORDER BY month)
+          |              AS BIGINT) AS slow_cum
+          |  FROM m)
+          |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_months_ahead,
+          |       MIN(month) AS first_ahead_month,
+          |       CAST(SUM(3 * fast_cum - 2 * slow_cum) AS BIGINT) AS lead_cents_sum
+          |FROM cum WHERE 5 * fast_cum > 2 * (fast_cum + slow_cum)
+          |GROUP BY seg""".stripMargin)
     }
   )
 
@@ -12666,7 +12804,102 @@ object SparkEntry {
          |  FROM g1 JOIN ek USING (q, n))
          |SELECT stage, n_hits, n_exact,
          |       CAST(n_hits * 1000 // n_exact AS BIGINT) AS recall_permille
-         |FROM h, tot""".stripMargin
+         |FROM h, tot""".stripMargin,
+
+    "q337_tpcds_q64_shape" ->
+      """WITH sale AS (
+        |  SELECT o_custkey AS cust, l_partkey AS part,
+        |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |           AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ch1 AS (SELECT cust, part, CAST(COUNT(*) AS BIGINT) AS n1,
+        |               CAST(SUM(cents) AS BIGINT) AS cents1
+        |        FROM sale WHERE yr <= 1997 GROUP BY cust, part),
+        |ch2 AS (SELECT cust, part, CAST(COUNT(*) AS BIGINT) AS n2,
+        |               CAST(SUM(cents) AS BIGINT) AS cents2
+        |        FROM sale WHERE yr >= 1998 GROUP BY cust, part)
+        |SELECT n_name, p_brand,
+        |       CAST(COUNT(*) AS BIGINT) AS n_repeat_pairs,
+        |       CAST(SUM(cents1) AS BIGINT) AS early_cents,
+        |       CAST(SUM(cents2) AS BIGINT) AS late_cents
+        |FROM ch1 JOIN ch2 USING (cust, part)
+        |JOIN customer ON c_custkey = cust
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN part ON p_partkey = part
+        |WHERE cents2 > cents1
+        |GROUP BY n_name, p_brand""".stripMargin,
+
+    "q338_tpcds_q14_shape" ->
+      """WITH sale AS (
+        |  SELECT l_partkey AS part, SUBSTR(o_orderpriority, 1, 1) AS ch,
+        |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |           AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cross_items AS (
+        |  SELECT part FROM sale WHERE ch = '1'
+        |  INTERSECT SELECT part FROM sale WHERE ch = '2'
+        |  INTERSECT SELECT part FROM sale WHERE ch = '3'),
+        |avg_sales AS (
+        |  SELECT CAST(SUM(cents) AS BIGINT) AS tot_cents,
+        |         CAST(COUNT(*) AS BIGINT) AS tot_n FROM sale)
+        |SELECT s.ch AS channel, p.p_brand,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sales,
+        |       CAST(SUM(s.cents) AS BIGINT) AS cents
+        |FROM sale s JOIN cross_items ci ON s.part = ci.part
+        |JOIN part p ON p.p_partkey = s.part
+        |CROSS JOIN avg_sales
+        |WHERE s.ch IN ('1', '2', '3')
+        |GROUP BY s.ch, p.p_brand, avg_sales.tot_cents, avg_sales.tot_n
+        |HAVING SUM(s.cents) * tot_n * 100 > 102 * COUNT(*) * tot_cents"""
+        .stripMargin,
+
+    "q339_tpcds_q67_shape" ->
+      """WITH base AS (
+        |  SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |         o_orderpriority AS prio,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |agg AS (
+        |  SELECT n_name, yr, prio,
+        |         CAST(GROUPING(n_name) * 4 + GROUPING(yr) * 2
+        |              + GROUPING(prio) AS INT) AS lvl,
+        |         CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM base GROUP BY ROLLUP(n_name, yr, prio)),
+        |rk AS (
+        |  SELECT *, RANK() OVER (PARTITION BY lvl
+        |            ORDER BY cents DESC, COALESCE(n_name, ''),
+        |                     COALESCE(yr, 0), COALESCE(prio, '')) AS r
+        |  FROM agg)
+        |SELECT lvl, CAST(r AS BIGINT) AS rnk,
+        |       COALESCE(n_name, '(all)') AS n_name,
+        |       COALESCE(yr, 0) AS yr, COALESCE(prio, '(all)') AS prio, cents
+        |FROM rk WHERE r <= 3""".stripMargin,
+
+    "q340_tpcds_q51_shape" ->
+      """WITH m AS (
+        |  SELECT c_mktsegment AS seg, strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(SUM(CASE WHEN SUBSTR(o_orderpriority, 1, 1) IN ('1', '2')
+        |              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+        |           AS BIGINT) AS fast_cents,
+        |         CAST(SUM(CASE WHEN SUBSTR(o_orderpriority, 1, 1) NOT IN ('1', '2')
+        |              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+        |           AS BIGINT) AS slow_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, strftime(o_orderdate, '%Y-%m')),
+        |cum AS (
+        |  SELECT seg, month,
+        |         CAST(SUM(fast_cents) OVER (PARTITION BY seg ORDER BY month)
+        |              AS BIGINT) AS fast_cum,
+        |         CAST(SUM(slow_cents) OVER (PARTITION BY seg ORDER BY month)
+        |              AS BIGINT) AS slow_cum
+        |  FROM m)
+        |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_months_ahead,
+        |       MIN(month) AS first_ahead_month,
+        |       CAST(SUM(3 * fast_cum - 2 * slow_cum) AS BIGINT) AS lead_cents_sum
+        |FROM cum WHERE 5 * fast_cum > 2 * (fast_cum + slow_cum)
+        |GROUP BY seg""".stripMargin
   )
 
   /** q331's oracle: the exact ground-truth pair count plus one bucketed

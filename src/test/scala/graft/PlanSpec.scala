@@ -67,6 +67,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q337 TPC-DS Q64 shape broadcasts every dimension join") {
+    val p = planOf("q337_tpcds_q64_shape")
+    // customer/nation/part are dims — all three must come in as broadcast
+    // hash joins; only the (cust, part) channel-chain self-join may shuffle.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected 3 broadcast dimension joins:\n$p")
+  }
+
+  test("q339 TPC-DS Q67 shape: rollup expands once and the rank window partitions by level") {
+    val p = planOf("q339_tpcds_q67_shape")
+    assert(p.contains("Expand"), s"ROLLUP must plan as Expand:\n$p")
+    assert(p.contains("Window"), s"expected the rank window:\n$p")
+    // the window must partition by lvl (grouping level), not run globally
+    assert("Window .*partitionBy|Window \\[.*lvl".r.findFirstIn(p).isDefined
+      || p.contains("lvl"), s"rank window must partition by lvl:\n$p")
+  }
+
   test("q64 as-of join plans as one windowed pass, not a nested loop") {
     val p = planOf("q64_asof_distributed")
     assert(p.contains("Window"), s"expected union-and-carry window:\n$p")
