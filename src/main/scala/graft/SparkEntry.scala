@@ -5232,9 +5232,15 @@ object SparkEntry {
     // the oracle recomputes it honestly from its own components).
     "q283_leakage_safe_split" -> { (s, dir) =>
       val docs = docsWithPlantedNearDups(s, dir)
-      val pairs = graft.ext.Dedup
+      // pairs feed TWO consumers (the CC and the straddle join) — persist +
+      // lineage-truncate once (the q321 discipline) or the MinHash candidate
+      // generation re-executes per consumer
+      val pairsC = graft.ext.Dedup
         .minhashNearDuplicatesPortable(docs, threshold = 0.5)
         .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairsC.count()
+      val pairs = s.createDataFrame(pairsC.rdd, pairsC.schema)
       val comp = graft.ext.Graph.connectedComponents(pairs)
       val labeled = docs.select(col("doc_id"))
         .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -5441,9 +5447,14 @@ object SparkEntry {
     // base document (planted copies inherit via doc_id % 100000).
     "q292_stratified_group_kfold" -> { (s, dir) =>
       val docs = docsWithPlantedNearDups(s, dir)
-      val pairs = graft.ext.Dedup
+      // pairs feed the CC and the straddle join — persist + truncate once
+      // (the q321 discipline)
+      val pairsC = graft.ext.Dedup
         .minhashNearDuplicatesPortable(docs, threshold = 0.5)
         .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairsC.count()
+      val pairs = s.createDataFrame(pairsC.rdd, pairsC.schema)
       val comp = graft.ext.Graph.connectedComponents(pairs)
       val folds = docs.select(col("doc_id"))
         .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
