@@ -6444,12 +6444,14 @@ object SparkEntry {
     // GRAPH-ANN recall refinement (Similarity.nnDescentRound — NN-descent,
     // Dong et al. 2011): a TWO-TABLE LSH-seeded kNN graph (6 bits per
     // table; one table would be bucket-closed and unrepairable — see
-    // lshKnnGraph's scaladoc) refined by ONE neighbors-of-neighbors round,
-    // both stages recall-audited against the exact brute-force top-k the
-    // way q331 audits LSH bits. Every stage is a keyed equi-join (the NoN
-    // join fans out ≤ (2k)² per node); the only all-pairs form is the exact
-    // yardstick, the q28-licensed broadcast baseline. The measured permille
-    // gain of the refinement round is the pinned artifact.
+    // lshKnnGraph's scaladoc) refined by TWO successive
+    // neighbors-of-neighbors rounds, every stage recall-audited against the
+    // exact brute-force top-k the way q331 audits LSH bits — the
+    // convergence CURVE (seed → round 1 → round 2, diminishing gains) that
+    // tunes how many rounds a corpus index build buys. Every stage is a
+    // keyed equi-join (the NoN join fans out ≤ (2k)² per node); the only
+    // all-pairs form is the exact yardstick, the q28-licensed broadcast
+    // baseline.
     "q336_nn_descent" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val k = 5
@@ -6466,12 +6468,21 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       g0C.count()
       val g0 = s.createDataFrame(g0C.rdd, g0C.schema)
-      val g1 = S.nnDescentRound(g0, emb, k)
+      // round 2 consumes round 1 (and both feed the recall audit) — same
+      // persist + truncate discipline
+      val g1C = S.nnDescentRound(g0, emb, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      g1C.count()
+      val g1 = s.createDataFrame(g1C.rdd, g1C.schema)
+      val g2 = S.nnDescentRound(g1, emb, k)
         .select(col("query_id"), col("neighbor_id"))
       def hits(g: DataFrame, stage: String) =
         g.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
           .agg(count(lit(1)).as("n_hits")).withColumn("stage", lit(stage))
-      hits(g0, "lsh_init").unionByName(hits(g1, "nn_descent_1"))
+      hits(g0, "lsh_init")
+        .unionByName(hits(g1, "nn_descent_1"))
+        .unionByName(hits(g2, "nn_descent_2"))
         .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
         .select(col("stage"), col("n_hits"), col("n_exact"),
           expr("n_hits * 1000 DIV n_exact").as("recall_permille"))
@@ -6613,6 +6624,22 @@ object SparkEntry {
           |       CAST(SUM(3 * fast_cum - 2 * slow_cum) AS BIGINT) AS lead_cents_sum
           |FROM cum WHERE 5 * fast_cum > 2 * (fast_cum + slow_cum)
           |GROUP BY seg""".stripMargin)
+    },
+
+    // KEEP-FIRST substring dedup (Dedup.duplicateSubstringSpansKeepFirst) —
+    // q332's REMOVAL plan: per duplicated 30-char window the corpus-first
+    // occurrence survives, later occurrences merge into removal spans. Same
+    // single string-keyed exchange (occurrence rank rides the identical
+    // window spec). The corpus-level invariant — removal mass strictly
+    // under the audit's dup mass, first copies untouched — is pinned by
+    // hashing per-doc spans against the oracle's identical keep-first
+    // replay.
+    "q341_substring_dedup_keepfirst" -> { (s, dir) =>
+      Dedup.duplicateSubstringSpansKeepFirst(t(s, dir, "documents"), minLen = 30)
+        .groupBy(col("doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_end") - col("span_start") + 1L).as("removed_chars"),
+          sum(col("span_start")).as("start_checksum"))
     }
   )
 
@@ -12806,13 +12833,27 @@ object SparkEntry {
          |                      c.n) AS r
          |    FROM cand c JOIN base bq ON bq.vec_id = c.q
          |                JOIN base bn ON bn.vec_id = c.n) x WHERE r <= 5),
+         |und1 AS (SELECT q, n FROM g1 UNION SELECT n, q FROM g1),
+         |cand1 AS (SELECT q, n FROM und1
+         |          UNION SELECT x.q, y.n FROM und1 x JOIN und1 y ON x.n = y.q
+         |          WHERE x.q <> y.n),
+         |g2 AS (SELECT q, n FROM (
+         |    SELECT c.q, c.n,
+         |           ROW_NUMBER() OVER (PARTITION BY c.q
+         |             ORDER BY ROUND(list_cosine_similarity(bq.v, bn.v), 6) DESC,
+         |                      c.n) AS r
+         |    FROM cand1 c JOIN base bq ON bq.vec_id = c.q
+         |                 JOIN base bn ON bn.vec_id = c.n) x WHERE r <= 5),
          |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ek),
          |h AS (
          |  SELECT 'lsh_init' AS stage, CAST(COUNT(*) AS BIGINT) AS n_hits
          |  FROM g0 JOIN ek USING (q, n)
          |  UNION ALL
          |  SELECT 'nn_descent_1', CAST(COUNT(*) AS BIGINT)
-         |  FROM g1 JOIN ek USING (q, n))
+         |  FROM g1 JOIN ek USING (q, n)
+         |  UNION ALL
+         |  SELECT 'nn_descent_2', CAST(COUNT(*) AS BIGINT)
+         |  FROM g2 JOIN ek USING (q, n))
          |SELECT stage, n_hits, n_exact,
          |       CAST(n_hits * 1000 // n_exact AS BIGINT) AS recall_permille
          |FROM h, tot""".stripMargin,
@@ -12910,7 +12951,43 @@ object SparkEntry {
         |       MIN(month) AS first_ahead_month,
         |       CAST(SUM(3 * fast_cum - 2 * slow_cum) AS BIGINT) AS lead_cents_sum
         |FROM cum WHERE 5 * fast_cum > 2 * (fast_cum + slow_cum)
-        |GROUP BY seg""".stripMargin
+        |GROUP BY seg""".stripMargin,
+
+    // q332's replay with the keep-first rank: covered = occurrences ranked
+    // after the corpus-first (doc, pos) per window.
+    "q341_substring_dedup_keepfirst" ->
+      """WITH base AS (
+        |  SELECT doc_id AS doc, text AS t FROM documents
+        |  WHERE LENGTH(text) >= 30),
+        |p0 AS (
+        |  SELECT doc, t, unnest(generate_series(1, LENGTH(t) - 29)) AS i
+        |  FROM base),
+        |pos AS (
+        |  SELECT doc, CAST(i AS BIGINT) AS pos,
+        |         substr(t, CAST(i AS INT), 30) AS g
+        |  FROM p0),
+        |cov AS (
+        |  SELECT doc, pos FROM (
+        |    SELECT doc, pos,
+        |           ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc, pos) AS occ
+        |    FROM pos) x
+        |  WHERE occ > 1),
+        |lagd AS (
+        |  SELECT doc, pos,
+        |         LAG(pos) OVER (PARTITION BY doc ORDER BY pos) AS prev
+        |  FROM cov),
+        |isl AS (
+        |  SELECT doc, pos,
+        |         SUM(CASE WHEN prev IS NULL OR pos - prev > 30 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc ORDER BY pos) AS island
+        |  FROM lagd),
+        |spans AS (
+        |  SELECT doc, island, MIN(pos) AS s, MAX(pos) + 29 AS e
+        |  FROM isl GROUP BY doc, island)
+        |SELECT doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |       CAST(SUM(e - s + 1) AS BIGINT) AS removed_chars,
+        |       CAST(SUM(s) AS BIGINT) AS start_checksum
+        |FROM spans GROUP BY doc""".stripMargin
   )
 
   /** q331's oracle: the exact ground-truth pair count plus one bucketed

@@ -1093,14 +1093,7 @@ object Dedup {
                               textCol: String = "text",
                               minLen: Int = 30): DataFrame = {
     require(minLen >= 2, s"duplicateSubstringSpans: minLen must be >= 2, got $minLen")
-    val base = docs.select(col(idCol).as("doc"), col(textCol).as("__t"))
-      .where(length(col("__t")) >= minLen)
-    val pos = base
-      .select(col("doc"), col("__t"),
-        explode(expr(s"sequence(1L, CAST(length(__t) - ${minLen - 1} AS BIGINT))"))
-          .as("pos"))
-      .select(col("doc"), col("pos"),
-        expr(s"substring(__t, CAST(pos AS INT), $minLen)").as("g"))
+    val pos = positionedWindows(docs, idCol, textCol, minLen)
     // duplicate test as ONE count-over-window keyed by the window string:
     // a groupBy + join-back would shuffle the L-char keys TWICE (most
     // windows are unique, so map-side partial aggregation buys nothing);
@@ -1109,6 +1102,54 @@ object Dedup {
     val covered = pos
       .withColumn("__n", count(lit(1)).over(wg))
       .where(col("__n") >= 2L).select(col("doc"), col("pos"))
+    mergeSpans(covered, minLen)
+  }
+
+  /** KEEP-FIRST variant of [[duplicateSubstringSpans]] — the REMOVAL plan
+    * rather than the audit: per duplicated window, the globally FIRST
+    * occurrence (smallest `(doc, pos)`) survives and every LATER occurrence
+    * is marked for removal, so each repeated region keeps exactly one copy
+    * corpus-wide (the Lee et al. 2022 dedup action). Same single
+    * string-keyed exchange as the audit — occurrence rank is a row_number
+    * over the identical window spec, so keep-first costs nothing extra.
+    *
+    * Output: `(doc, span_start, span_end)` maximal REMOVAL spans. The
+    * removal mass is always ≤ the audit's span mass, and a doc whose
+    * duplicated content is the corpus-first copy loses nothing. */
+  def duplicateSubstringSpansKeepFirst(docs: DataFrame, idCol: String = "doc_id",
+                                       textCol: String = "text",
+                                       minLen: Int = 30): DataFrame = {
+    require(minLen >= 2,
+      s"duplicateSubstringSpansKeepFirst: minLen must be >= 2, got $minLen")
+    val pos = positionedWindows(docs, idCol, textCol, minLen)
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("doc"), col("pos"))
+    // occ > 1 alone IS the duplicate test: a unique window's only
+    // occurrence ranks 1 and never marks anything
+    val covered = pos
+      .withColumn("__occ", row_number().over(wg))
+      .where(col("__occ") > 1)
+      .select(col("doc"), col("pos"))
+    mergeSpans(covered, minLen)
+  }
+
+  /** All length-`minLen` character windows of every doc ≥ `minLen` chars:
+    * `(doc, pos, g)`, 1-based positions — the shared explode under the
+    * substring-dedup family. */
+  private def positionedWindows(docs: DataFrame, idCol: String,
+                                textCol: String, minLen: Int): DataFrame =
+    docs.select(col(idCol).as("doc"), col(textCol).as("__t"))
+      .where(length(col("__t")) >= minLen)
+      .select(col("doc"), col("__t"),
+        explode(expr(s"sequence(1L, CAST(length(__t) - ${minLen - 1} AS BIGINT))"))
+          .as("pos"))
+      .select(col("doc"), col("pos"),
+        expr(s"substring(__t, CAST(pos AS INT), $minLen)").as("g"))
+
+  /** Gaps-and-islands merge of covered `(doc, pos)` windows into maximal
+    * spans `(doc, span_start, span_end)` — islands split where the gap
+    * exceeds `minLen` (adjacent windows' char coverage is contiguous). */
+  private def mergeSpans(covered: DataFrame, minLen: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("pos"))
     covered

@@ -113,6 +113,38 @@ class Round12Spec extends SparkSpec {
     assert(engineCoveredChars(corpus, L) === naiveCoveredChars(corpus, L))
   }
 
+  test("duplicateSubstringSpansKeepFirst: first copy untouched, later copy removed; subset of the audit") {
+    val corpus = Seq(
+      (1L, "this exact document repeats verbatim in the corpus"),
+      (2L, "this exact document repeats verbatim in the corpus"),
+      (3L, "fresh text then this exact document repeats verbatim in the corpus too"))
+    val removal = ext.Dedup.duplicateSubstringSpansKeepFirst(
+        corpus.toDF("doc_id", "text"), minLen = 10)
+      .as[(Long, Long, Long)].collect()
+    // doc 1 holds the corpus-first occurrence of every shared window —
+    // nothing removed from it; docs 2 and 3 lose their copies
+    assert(!removal.exists(_._1 == 1L), s"first copy must survive: ${removal.toSeq}")
+    assert(removal.exists(_._1 == 2L) && removal.exists(_._1 == 3L))
+    // removal coverage ⊆ audit coverage, and strictly smaller (doc 1 freed)
+    def cover(rows: Array[(Long, Long, Long)]) =
+      rows.flatMap { case (d, a, b) => (a to b).map(d -> _) }.toSet
+    val audit = ext.Dedup.duplicateSubstringSpans(
+        corpus.toDF("doc_id", "text"), minLen = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(cover(removal).subsetOf(cover(audit)))
+    assert(cover(removal).size < cover(audit).size)
+    // naive independent recompute of the keep-first window rule
+    val L = 10
+    val windows = corpus.flatMap { case (id, t) =>
+      (0 to t.length - L).map(i => (id, i + 1L, t.substring(i, i + L))) }
+    val naive = windows.groupBy(_._3).values
+      .flatMap(_.sortBy(w => (w._1, w._2)).drop(1)) // all but the corpus-first
+      .map(w => (w._1, w._2)).toSet
+    val engineCovered = cover(removal)
+    val naiveCovered = naive.flatMap { case (d, p) => (p until p + L).map(d -> _) }
+    assert(engineCovered === naiveCovered)
+  }
+
   test("duplicateSubstringSpans: verbatim doc pair is one whole-doc span each; short docs skip") {
     val corpus = Seq(
       (1L, "this exact document repeats verbatim in the corpus"),
