@@ -3837,9 +3837,14 @@ object SparkEntry {
     // near-dup graph — integer-exact micro Q via per-cluster truncation.
     // The "is dedup one hairball or many tight clusters" gauge.
     "q220_modularity" -> { (s, dir) =>
-      val edges = Dedup.minhashNearDuplicatesPortable(
+      // edges feed the CC and the modularity scorer — persist + truncate
+      // once (the q321 discipline)
+      val edgesC = Dedup.minhashNearDuplicatesPortable(
           docsWithPlantedNearDups(s, dir), threshold = 0.5)
         .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      edgesC.count()
+      val edges = s.createDataFrame(edgesC.rdd, edgesC.schema)
       val labels = graft.ext.Graph.connectedComponents(edges)
         .withColumnRenamed("component", "label")
       graft.ext.Graph.modularityMicro(edges, labels,
@@ -6640,6 +6645,62 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_spans"),
           sum(col("span_end") - col("span_start") + 1L).as("removed_chars"),
           sum(col("span_start")).as("start_checksum"))
+    },
+
+    // N-GRAM repetition signals (TextAnalysis.ngramRepetitionStats) — the
+    // rest of the Gopher-rule curation family beside q-word repetitionStats:
+    // per doc, how much sits inside the most-repeated 2-/3-gram and how
+    // much n-gram mass is duplicated at all, with the published "top-2-gram
+    // fraction > 0.20 → drop" threshold evaluated as an EXACT integer flag
+    // (top2·2·5 > n_words). Word-count shuffle economics, no windows.
+    "q342_ngram_repetition" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val T = graft.ext.TextAnalysis
+      def renamed(n: Int) = T.ngramRepetitionStats(docs, n)
+        .select(col("doc_id"), col("n_ngrams").as(s"n_${n}grams"),
+          col("n_distinct_ngrams").as(s"nd$n"),
+          col("top_ngram_count").as(s"top_${n}gram_count"))
+      T.repetitionStats(docs)
+        .join(renamed(2), Seq("doc_id"))
+        .join(renamed(3), Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+          col("top_word_count"), col("top_2gram_count"),
+          (col("n_2grams") - col("nd2")).as("dup_2gram_mass"),
+          col("top_3gram_count"),
+          (col("n_3grams") - col("nd3")).as("dup_3gram_mass"),
+          (col("top_2gram_count") * 10L > col("n_words")).as("gopher_top2_flag"))
+    },
+
+    // ZIPF rank-frequency slope audit — the corpus-health fingerprint
+    // (natural text fits ln(freq) ≈ a − s·ln(rank) with s ≈ 1; synthetic /
+    // keyword-stuffed corpora bend the curve): OLS slope over the top-1000
+    // vocabulary in exact integer MILLIS (ROUND(1e3·ln) per term, the
+    // klDrift contract — millis, not micros, so n·Σxy stays in int64).
+    // Slope is NEGATIVE, and Spark DIV truncates toward zero while DuckDB
+    // // floors — so the one division is taken on the NEGATED (positive)
+    // numerator and the raw (num, den) ingredients ride along. Plan: one
+    // word-count aggregate, a TakeOrdered top-1000 (never a global sort),
+    // a rank window whose child is limit-bounded (maxRows ≤ 1000), one
+    // final aggregate.
+    "q343_zipf_slope" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val vocab = t(s, dir, "documents")
+        .select(explode(graft.ext.TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("w")).limit(1000)
+      vocab
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("freq"), asc("w"))))
+        .select(expr("CAST(ROUND(1000 * ln(rank)) AS BIGINT)").as("x"),
+          expr("CAST(ROUND(1000 * ln(freq)) AS BIGINT)").as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").as("n_ranked"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+          expr("(-(n * sxy - sx * sy)) * 1000 DIV (n * sxx - sx * sx)")
+            .as("zipf_slope_neg_milli"))
     }
   )
 
@@ -12987,7 +13048,72 @@ object SparkEntry {
         |SELECT doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
         |       CAST(SUM(e - s + 1) AS BIGINT) AS removed_chars,
         |       CAST(SUM(s) AS BIGINT) AS start_checksum
-        |FROM spans GROUP BY doc""".stripMargin
+        |FROM spans GROUP BY doc""".stripMargin,
+
+    // Word / 2-gram / 3-gram repetition masses replayed with the same
+    // tokenization; the Gopher flag is the same integer cross-multiply.
+    "q342_ngram_repetition" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        |  FROM documents),
+        |wc AS (SELECT doc_id, t, COUNT(*) AS c
+        |       FROM (SELECT doc_id, unnest(a) AS t FROM arrs) x GROUP BY 1, 2),
+        |w AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |             CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+        |             CAST(MAX(c) AS BIGINT) AS top_word_count
+        |      FROM wc GROUP BY 1),
+        |a2 AS (SELECT doc_id,
+        |              unnest([array_to_string(a[i:i+1], ' ')
+        |                      for i in range(1, len(a))]) AS g
+        |       FROM arrs),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM a2 GROUP BY 1, 2),
+        |s2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+        |              CAST(COUNT(*) AS BIGINT) AS nd2,
+        |              CAST(MAX(c) AS BIGINT) AS top_2gram_count
+        |       FROM c2 GROUP BY 1),
+        |a3 AS (SELECT doc_id,
+        |              unnest([array_to_string(a[i:i+2], ' ')
+        |                      for i in range(1, len(a) - 1)]) AS g
+        |       FROM arrs),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM a3 GROUP BY 1, 2),
+        |s3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_3grams,
+        |              CAST(COUNT(*) AS BIGINT) AS nd3,
+        |              CAST(MAX(c) AS BIGINT) AS top_3gram_count
+        |       FROM c3 GROUP BY 1)
+        |SELECT w.doc_id, n_words, n_distinct_words, top_word_count,
+        |       top_2gram_count,
+        |       CAST(n_2grams - nd2 AS BIGINT) AS dup_2gram_mass,
+        |       top_3gram_count,
+        |       CAST(n_3grams - nd3 AS BIGINT) AS dup_3gram_mass,
+        |       top_2gram_count * 10 > n_words AS gopher_top2_flag
+        |FROM w JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)""".stripMargin,
+
+    // Same ROUND(1e3·ln) term contract; the division only ever sees a
+    // positive numerator (truncate-vs-floor dialect trap avoided).
+    "q343_zipf_slope" ->
+      """WITH v AS (
+        |  SELECT t AS w, COUNT(*) AS freq
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |        FROM documents) x
+        |  GROUP BY 1),
+        |top AS (SELECT w, freq FROM v ORDER BY freq DESC, w LIMIT 1000),
+        |r AS (SELECT freq,
+        |             ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS rank
+        |      FROM top),
+        |m AS (SELECT CAST(ROUND(1000 * ln(rank)) AS BIGINT) AS x,
+        |             CAST(ROUND(1000 * ln(freq)) AS BIGINT) AS y
+        |      FROM r),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |             CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |             CAST(SUM(x * x) AS BIGINT) AS sxx
+        |      FROM m)
+        |SELECT n AS n_ranked,
+        |       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        |       CAST((-(n * sxy - sx * sy)) * 1000 // (n * sxx - sx * sx)
+        |            AS BIGINT) AS zipf_slope_neg_milli
+        |FROM a""".stripMargin
   )
 
   /** q331's oracle: the exact ground-truth pair count plus one bucketed

@@ -247,8 +247,29 @@ object TextAnalysis {
         count(lit(1)).as("n_distinct_words"),
         max(col("c")).as("top_word_count"))
 
-  /** Ordered word n-grams of `text`; a document shorter than `n` words
-    * yields no n-grams. Generalizes [[bigrams]]. */
+  /** Per-document n-GRAM repetition statistics — the rest of the
+    * Gopher-rule family ([[repetitionStats]] covers words): how much of the
+    * document sits inside its most-repeated word n-gram, and how much
+    * n-gram mass is duplicated at all. The published curation thresholds
+    * ("fraction of words in the top 2-gram > 0.20 → drop") evaluate
+    * EXACTLY in integers downstream: `top_count · n · 5 > n_words`.
+    *
+    * Output: `(idCol, n_ngrams, n_distinct_ngrams, top_ngram_count)`;
+    * duplicated n-gram mass = `n_ngrams − n_distinct_ngrams`. Same shape
+    * as the word variant: explode → (doc, gram) count → doc aggregate,
+    * map-side combinable, no windows. */
+  def ngramRepetitionStats(docs: DataFrame, n: Int,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"ngramRepetitionStats: n must be >= 2, got $n")
+    docs.select(col(idCol), explode(ngrams(lower(col(textCol)), n)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_ngrams"),
+        count(lit(1)).as("n_distinct_ngrams"),
+        max(col("c")).as("top_ngram_count"))
+  }
+
   /** Byte-pair-encoding merge learning — the tokenizer-training primitive —
     * run the way a distributed BPE trainer actually runs: NOT over the raw
     * character stream (that explodes 100 TB of text into 100 TB of pairs per
@@ -441,6 +462,8 @@ object TextAnalysis {
     .orderBy(desc("cnt"), asc("l"), asc("r"))
     .limit(1)
 
+  /** Ordered word n-grams of `text`; a document shorter than `n` words
+    * yields no n-grams. Generalizes [[bigrams]]. */
   def ngrams(text: Column, n: Int): Column = {
     require(n >= 1, "ngrams: n must be positive")
     val toks = tokens(text)
