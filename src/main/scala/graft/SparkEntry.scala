@@ -6334,9 +6334,11 @@ object SparkEntry {
     // corpus, reduced to per-doc removed-span mass. The one dedup family
     // MinHash/SimHash can't express: set-level dedup keeps one doc per
     // group; this strips the verbatim boilerplate repeating INSIDE otherwise
-    // distinct docs. Grouping key is the substring itself (no hash, no
-    // collision license); Round12Spec certifies span completeness against a
-    // naive all-substrings oracle.
+    // distinct docs. Since round 13 the corpus-wide exchange carries the
+    // 8-byte window HASH (shuffle diet); exactness is preserved by the
+    // string-equality verify pass over the candidate set — no collision
+    // license. Round12Spec certifies span completeness against a naive
+    // all-substrings oracle; Round13Spec guards the verify pass.
     "q332_substring_dedup" -> { (s, dir) =>
       Dedup.duplicateSubstringSpans(t(s, dir, "documents"), minLen = 30)
         .groupBy(col("doc").as("doc_id"))
@@ -6701,6 +6703,195 @@ object SparkEntry {
           (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
           expr("(-(n * sxy - sx * sy)) * 1000 DIV (n * sxx - sx * sx)")
             .as("zipf_slope_neg_milli"))
+    },
+
+    // AUDIO fingerprint near-dup — the last multimodal dedup modality
+    // (text MinHash q23, image aHash/dHash q333, audio this): real WAV
+    // payloads decode to PCM, MediaCodecs.audioHash64 reduces each clip to
+    // a 64-bit ENERGY-DELTA fingerprint (65 time-anchored 100-sample
+    // frames, bit i = E_{i+1} > E_i — dHash on the time axis), and the
+    // SHARED Hamming pigeonhole index joins them. Fixture: 48 synthetic
+    // clips with id-dependent pseudo-random PCM, plus for every 4th clip a
+    // perturbed copy — 2× GAIN (scales every frame energy by 4: zero bit
+    // flips by the relative-comparison argument), ±4 additive dither (flips
+    // only near-tie bits), and a 200+-sample TAIL CLIP (zero flips: frames
+    // are head-anchored fixed-width). All 12 planted copies recovered at
+    // the pinned threshold 7 with zero false positives (Round13Spec pins
+    // the distance bands). Integer-exact end to end — the oracle replays
+    // sample → frame energy → bits → Hamming bit-for-bit.
+    "q344_audio_fingerprint_neardup" -> { (s, _) =>
+      import s.implicits._
+      val clips = s.range(48).as[Long].flatMap { id =>
+        def base(i: Int): Long =
+          ((i.toLong * i * (3 + id % 5) + i.toLong * (7 + id % 11) + 13L * id)
+            % 20001L) - 10000L
+        val n = (6800 + (id % 7) * 20).toInt
+        val orig = (id, graft.ext.MediaCodecs.wavBytes(8000, 1,
+          Array.tabulate(n)(i => base(i).toShort)))
+        if (id % 4 == 0) {
+          val pert = Array.tabulate(6600) { i =>
+            (2L * base(i) + ((i * 7 + id) % 9L) - 4L).toShort
+          }
+          Seq(orig, (id + 1000L, graft.ext.MediaCodecs.wavBytes(8000, 1, pert)))
+        } else Seq(orig)
+      }
+      val sigs = clips.map { case (id, bytes) =>
+          (id, graft.ext.MediaCodecs.audioHash64(bytes).get)
+        }
+        .toDF("media_id", "afp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.hammingNearDuplicates(sigs, "media_id", "afp",
+          maxDistance = 7, bits = 64)
+        .withColumnRenamed("hamming", "afp_hamming")
+    },
+
+    // NN-DESCENT TO CONVERGENCE (Similarity.nnDescentConverge) — q336's
+    // fixed two rounds generalized to the production index-build loop:
+    // iterate until a round's NEW-edge rate falls under 10‰ (Dong et al.
+    // 2011's own δ termination — at build time there is no ground truth,
+    // but recall gains require changed edges) or maxRounds. Output is the
+    // per-round curve — edges, new edges, and the recall audit against the
+    // exact top-k yardstick (recall is provably MONOTONE across rounds:
+    // each round keeps the per-node top-k over a superset of the current
+    // neighbors — Round13Spec). The oracle replays every round AND the stop
+    // rule itself, so the emitted round set is hash-verified, not pinned.
+    "q345_nn_descent_convergence" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val k = 5
+      val S = graft.ext.Similarity
+      val stages = S.nnDescentConverge(emb, k, bits = 6,
+        salts = Seq(0L, 1L), maxRounds = 3, minNewPermille = 10L)
+      val exactC = S.knnJoin(emb, emb, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exactC.count()
+      val exact = s.createDataFrame(exactC.rdd, exactC.schema)
+      stages.map { st =>
+          st.graph.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(st.round).cast("long").as("round"),
+              lit(st.nEdges).as("n_edges"), lit(st.nNew).as("n_new_edges"),
+              col("n_hits"))
+        }.reduce(_ unionByName _)
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+        .select(col("round"), col("n_edges"), col("n_new_edges"),
+          col("n_hits"), col("n_exact"),
+          expr("n_hits * 1000 DIV n_exact").as("recall_permille"))
+    },
+
+    // STREAMING MEDALLION + LSH INDEX IN ONE PIPELINE (Dedup
+    // .streamingMedallionLshTick): the full production ingest tick — each
+    // AvailableNow micro-batch cleans (trim), VALIDATES (null id / short text →
+    // quarantined with Silver.errorString reasons, never silently dropped),
+    // writes silver, maintains the q173 dedup index, and emits completed
+    // near-dup pairs. The deltas carry PLANTED DIRT: every doc_id%5==0 delta
+    // is truncated under the 30-char floor and must reach silver as
+    // invalid but NEVER the index. Oracle: full-corpus MinHash replay over
+    // base ∪ CLEANED-VALID deltas, restricted to pairs touching a delta —
+    // tick scheduling can't move the answer (q335's argument), and an
+    // invalid doc leaking into the index would surface as an extra pair.
+    "q346_streaming_medallion_lsh" -> { (s, dir) =>
+      val root = tempDirCleanedOnExit("graft-smlsh-")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def strip = regexp_replace(col("text"), "^\\S+\\s*", "")
+      def dirty(c: Column) = when(col("doc_id") % 5 === 0,
+        substring(c, 1, 10)).otherwise(c)
+      val d1 = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("  "), dirty(strip)).as("text"))
+      val d2 = docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(dirty(strip), lit(" ")).as("text"))
+      d1.coalesce(1).write.mode("append").parquet(s"$root/landing")
+      d2.coalesce(1).write.mode("append").parquet(s"$root/landing")
+      Dedup.lshIndexBuild(docs, s"$root/idx", batch = 0)
+      val stream = s.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("text", "string"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/landing")
+      Dedup.streamingMedallionLshTick(stream, s"$root/silver", s"$root/idx",
+        s"$root/pairs", s"$root/ckpt", threshold = 0.5, minChars = 30)
+      s.read.parquet(s"$root/pairs")
+        .select(col("index_id"), col("delta_id"), col("jaccard"))
+    },
+
+    // TPC-DS Q23 SHAPE through the SQL frontend: frequent items (HAVING
+    // over a period-filtered join) ∩ best customers (spend > half the MAX
+    // customer spend — the scalar-subquery-threshold decorrelation corner:
+    // a global one-row aggregate gating a fact filter, integer
+    // cross-multiplied) feeding a late-period monthly rollup. Catalyst
+    // must decorrelate the max into a one-row broadcast and turn both IN
+    // filters into broadcast semi-joins (PlanSpec q347 audit).
+    "q347_tpcds_q23_shape" -> { (s, dir) =>
+      Seq("lineitem", "orders")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """WITH sale AS (
+          |  SELECT o_custkey AS cust, l_partkey AS part,
+          |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+          |         CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+          |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          |           AS cents
+          |  FROM lineitem_v JOIN orders_v ON l_orderkey = o_orderkey),
+          |freq_items AS (
+          |  SELECT part FROM sale WHERE yr <= 1996
+          |  GROUP BY part HAVING COUNT(*) >= 4),
+          |cust_spend AS (
+          |  SELECT cust, CAST(SUM(cents) AS BIGINT) AS spend
+          |  FROM sale GROUP BY cust),
+          |best_cust AS (
+          |  SELECT cust FROM cust_spend
+          |  WHERE spend * 2 > (SELECT MAX(spend) FROM cust_spend))
+          |SELECT yr, mo,
+          |       CAST(COUNT(*) AS BIGINT) AS n_sales,
+          |       CAST(SUM(cents) AS BIGINT) AS cents
+          |FROM sale
+          |WHERE yr >= 1997
+          |  AND part IN (SELECT part FROM freq_items)
+          |  AND cust IN (SELECT cust FROM best_cust)
+          |GROUP BY yr, mo""".stripMargin)
+    },
+
+    // TPC-DS Q78 SHAPE: the channel ANTI-JOIN chain — per channel, sales
+    // WITHOUT a matching return (returns = l_returnflag='R' rows keyed by
+    // (orderkey, linenumber); the NOT-EXISTS null-filtered anti-join DS
+    // runs against the returns tables), rolled to (customer, year) per
+    // channel and joined ACROSS channels to rank customers by their
+    // channel-mix ratio — integer cross-multiplied, no division.
+    "q348_tpcds_q78_shape" -> { (s, dir) =>
+      Seq("lineitem", "orders")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """WITH sale AS (
+          |  SELECT o_custkey AS cust, l_orderkey AS ok, l_linenumber AS ln,
+          |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+          |         CASE WHEN l_linenumber % 2 = 1 THEN 'air'
+          |              ELSE 'ground' END AS ch,
+          |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          |           AS cents
+          |  FROM lineitem_v JOIN orders_v ON l_orderkey = o_orderkey),
+          |ret AS (SELECT l_orderkey AS ok, l_linenumber AS ln
+          |        FROM lineitem_v WHERE l_returnflag = 'R'),
+          |kept AS (
+          |  SELECT * FROM sale s
+          |  WHERE NOT EXISTS (SELECT 1 FROM ret r
+          |                    WHERE r.ok = s.ok AND r.ln = s.ln)),
+          |air AS (SELECT cust, yr, CAST(COUNT(*) AS BIGINT) AS n_air,
+          |               CAST(SUM(cents) AS BIGINT) AS cents_air
+          |        FROM kept WHERE ch = 'air' GROUP BY cust, yr),
+          |grd AS (SELECT cust, yr, CAST(COUNT(*) AS BIGINT) AS n_grd,
+          |               CAST(SUM(cents) AS BIGINT) AS cents_grd
+          |        FROM kept WHERE ch = 'ground' GROUP BY cust, yr)
+          |SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_custs,
+          |       CAST(SUM(n_air) AS BIGINT) AS kept_air_sales,
+          |       CAST(SUM(n_grd) AS BIGINT) AS kept_ground_sales,
+          |       CAST(SUM(cents_air) AS BIGINT) AS cents_air,
+          |       CAST(SUM(cents_grd) AS BIGINT) AS cents_ground,
+          |       CAST(SUM(CASE WHEN cents_air * 1 > cents_grd * 2 THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS air_heavy_custs
+          |FROM air JOIN grd USING (cust, yr)
+          |GROUP BY yr""".stripMargin)
     }
   )
 
@@ -13113,8 +13304,203 @@ object SparkEntry {
         |       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
         |       CAST((-(n * sxy - sx * sy)) * 1000 // (n * sxx - sx * sx)
         |            AS BIGINT) AS zipf_slope_neg_milli
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // Sample → time-anchored frame energies → delta bits → Hamming pairs,
+    // replayed from the generator arithmetic (the WAV encode/decode is
+    // value-invisible — q222 proves the synth→encode→parse path
+    // integer-exact). Only the first 6500 samples feed the hash (65 fixed
+    // 100-sample frames) and every clip has ≥ 6500, so the replay generates
+    // exactly that prefix. Bit 63 via the two's-complement literal (q333's
+    // DuckDB shift-overflow workaround).
+    "q344_audio_fingerprint_neardup" ->
+      """WITH m AS (
+        |  SELECT id AS media_id, id AS src, 0 AS pert FROM range(48) t(id)
+        |  UNION ALL
+        |  SELECT id + 1000, id, 1 FROM range(48) t(id) WHERE id % 4 = 0),
+        |sm AS (SELECT media_id, src, pert, unnest(range(0, 6500)) AS i FROM m),
+        |sv AS (SELECT media_id, i // 100 AS f,
+        |         CASE WHEN pert = 1
+        |              THEN 2 * (((i*i*(3 + src % 5) + i*(7 + src % 11) + 13*src)
+        |                         % 20001) - 10000) + ((i * 7 + src) % 9) - 4
+        |              ELSE ((i*i*(3 + src % 5) + i*(7 + src % 11) + 13*src)
+        |                    % 20001) - 10000 END AS s
+        |       FROM sm),
+        |e AS (SELECT media_id, f, SUM(s * s) AS en FROM sv GROUP BY 1, 2),
+        |bits AS (SELECT l.media_id, l.f AS i
+        |         FROM e l JOIN e r ON l.media_id = r.media_id AND r.f = l.f + 1
+        |         WHERE r.en > l.en AND l.f < 64),
+        |h AS (SELECT m.media_id,
+        |        CAST(COALESCE(SUM(CASE WHEN b.i = 63
+        |                 THEN -9223372036854775807 - 1
+        |                 ELSE 1::BIGINT << CAST(b.i AS INT) END), 0) AS BIGINT)
+        |          AS afp
+        |      FROM m LEFT JOIN bits b USING (media_id) GROUP BY m.media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS afp_hamming
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 7""".stripMargin,
+
+    "q345_nn_descent_convergence" -> nnDescentConvergenceOracleSql(
+      maxRounds = 3, k = 5, minNewPermille = 10L),
+
+    // q335's oracle THROUGH the medallion cleaning: corpus = base docs ∪
+    // deltas that survive trim + the 30-char validity floor (the planted
+    // doc_id%5==0 truncations fail it and must not contribute pairs).
+    "q346_streaming_medallion_lsh" -> {
+      val corpusCte =
+        """raw_d AS (
+          |  SELECT doc_id + 100000 AS doc_id,
+          |         '  ' || CASE WHEN doc_id % 5 = 0
+          |              THEN SUBSTR(regexp_replace(text, '^\S+\s*', ''), 1, 10)
+          |              ELSE regexp_replace(text, '^\S+\s*', '') END AS text
+          |  FROM documents WHERE doc_id % 2 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 200000,
+          |         CASE WHEN doc_id % 5 = 0
+          |              THEN SUBSTR(regexp_replace(text, '^\S+\s*', ''), 1, 10)
+          |              ELSE regexp_replace(text, '^\S+\s*', '') END || ' '
+          |  FROM documents WHERE doc_id % 2 = 1),
+          |corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, TRIM(text) FROM raw_d
+          |  WHERE LENGTH(TRIM(text)) >= 30)""".stripMargin
+      s"""WITH ${minhashPairsCtesOver(corpusCte)}
+         |SELECT id_a AS index_id, id_b AS delta_id, jaccard
+         |FROM pairs WHERE id_b >= 100000 AND jaccard >= 0.5""".stripMargin
+    },
+
+    "q347_tpcds_q23_shape" ->
+      """WITH sale AS (
+        |  SELECT o_custkey AS cust, l_partkey AS part,
+        |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |         CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+        |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |           AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |freq_items AS (
+        |  SELECT part FROM sale WHERE yr <= 1996
+        |  GROUP BY part HAVING COUNT(*) >= 4),
+        |cust_spend AS (
+        |  SELECT cust, CAST(SUM(cents) AS BIGINT) AS spend
+        |  FROM sale GROUP BY cust),
+        |best_cust AS (
+        |  SELECT cust FROM cust_spend
+        |  WHERE spend * 2 > (SELECT MAX(spend) FROM cust_spend))
+        |SELECT yr, mo,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sales,
+        |       CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM sale
+        |WHERE yr >= 1997
+        |  AND part IN (SELECT part FROM freq_items)
+        |  AND cust IN (SELECT cust FROM best_cust)
+        |GROUP BY yr, mo""".stripMargin,
+
+    "q348_tpcds_q78_shape" ->
+      """WITH sale AS (
+        |  SELECT o_custkey AS cust, l_orderkey AS ok, l_linenumber AS ln,
+        |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |         CASE WHEN l_linenumber % 2 = 1 THEN 'air'
+        |              ELSE 'ground' END AS ch,
+        |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |           AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ret AS (SELECT l_orderkey AS ok, l_linenumber AS ln
+        |        FROM lineitem WHERE l_returnflag = 'R'),
+        |kept AS (
+        |  SELECT * FROM sale s
+        |  WHERE NOT EXISTS (SELECT 1 FROM ret r
+        |                    WHERE r.ok = s.ok AND r.ln = s.ln)),
+        |air AS (SELECT cust, yr, CAST(COUNT(*) AS BIGINT) AS n_air,
+        |               CAST(SUM(cents) AS BIGINT) AS cents_air
+        |        FROM kept WHERE ch = 'air' GROUP BY cust, yr),
+        |grd AS (SELECT cust, yr, CAST(COUNT(*) AS BIGINT) AS n_grd,
+        |               CAST(SUM(cents) AS BIGINT) AS cents_grd
+        |        FROM kept WHERE ch = 'ground' GROUP BY cust, yr)
+        |SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_custs,
+        |       CAST(SUM(n_air) AS BIGINT) AS kept_air_sales,
+        |       CAST(SUM(n_grd) AS BIGINT) AS kept_ground_sales,
+        |       CAST(SUM(cents_air) AS BIGINT) AS cents_air,
+        |       CAST(SUM(cents_grd) AS BIGINT) AS cents_ground,
+        |       CAST(SUM(CASE WHEN cents_air * 1 > cents_grd * 2 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS air_heavy_custs
+        |FROM air JOIN grd USING (cust, yr)
+        |GROUP BY yr""".stripMargin
   )
+
+  /** q345's oracle: the full NN-descent convergence replay — the q336 seed
+    * (two salted 6-bit LSH tables, exact rescoring, top-k), `maxRounds`
+    * NoN refinement rounds generated mechanically, per-round edge/new-edge
+    * stats via EXCEPT, and THE STOP RULE ITSELF (emit round r iff no
+    * earlier refinement round r' had n_new·1000 ≤ minNewPermille·n_edges) —
+    * so the emitted round set is hash-verified against the engine's
+    * early-stop loop, not pinned by hand. */
+  private def nnDescentConvergenceOracleSql(maxRounds: Int, k: Int,
+                                            minNewPermille: Long): String = {
+    val roundCtes = (0 until maxRounds).map { r =>
+      s"""und$r AS (SELECT q, n FROM g$r UNION SELECT n, q FROM g$r),
+         |cand${r + 1} AS (SELECT q, n FROM und$r
+         |    UNION SELECT x.q, y.n FROM und$r x JOIN und$r y ON x.n = y.q
+         |    WHERE x.q <> y.n),
+         |g${r + 1} AS (SELECT q, n FROM (
+         |    SELECT c.q, c.n,
+         |           ROW_NUMBER() OVER (PARTITION BY c.q
+         |             ORDER BY ROUND(list_cosine_similarity(bq.v, bn.v), 6) DESC,
+         |                      c.n) AS rk
+         |    FROM cand${r + 1} c JOIN base bq ON bq.vec_id = c.q
+         |                 JOIN base bn ON bn.vec_id = c.n) x WHERE rk <= $k)""".stripMargin
+    }.mkString(",\n")
+    val statRows = (s"SELECT 0 AS round, (SELECT COUNT(*) FROM g0) AS n_edges, " +
+      s"(SELECT COUNT(*) FROM g0) AS n_new") +:
+      (1 to maxRounds).map { r =>
+        s"""SELECT $r, (SELECT COUNT(*) FROM g$r),
+           |  (SELECT COUNT(*) FROM
+           |     (SELECT q, n FROM g$r EXCEPT SELECT q, n FROM g${r - 1}) d)""".stripMargin
+      }
+    val hitRows = (0 to maxRounds).map { r =>
+      s"SELECT $r AS round, COUNT(*) AS n_hits FROM g$r JOIN ek USING (q, n)"
+    }
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nb0 AS (SELECT vec_id, v, ${lshBucketSql("v", 6, 64, 0L)} AS b FROM base),
+       |nb1 AS (SELECT vec_id, v, ${lshBucketSql("v", 6, 64, 1L)} AS b FROM base),
+       |ek AS (SELECT q, n FROM (
+       |    SELECT a.vec_id AS q, b.vec_id AS n,
+       |           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+       |                      b.vec_id) AS rk
+       |    FROM base a JOIN base b ON a.vec_id <> b.vec_id) x WHERE rk <= $k),
+       |cand0 AS (
+       |    SELECT a.vec_id AS q, b.vec_id AS n,
+       |           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cs
+       |    FROM nb0 a JOIN nb0 b ON a.b = b.b AND a.vec_id <> b.vec_id
+       |    UNION
+       |    SELECT a.vec_id, b.vec_id,
+       |           ROUND(list_cosine_similarity(a.v, b.v), 6)
+       |    FROM nb1 a JOIN nb1 b ON a.b = b.b AND a.vec_id <> b.vec_id),
+       |g0 AS (SELECT q, n FROM (
+       |    SELECT q, n,
+       |           ROW_NUMBER() OVER (PARTITION BY q
+       |             ORDER BY cs DESC, n) AS rk
+       |    FROM cand0) x
+       |  WHERE rk <= $k),
+       |$roundCtes,
+       |stats AS (${statRows.mkString("\n  UNION ALL\n  ")}),
+       |emitted AS (
+       |  SELECT s.* FROM stats s WHERE NOT EXISTS (
+       |    SELECT 1 FROM stats p WHERE p.round >= 1 AND p.round < s.round
+       |      AND p.n_new * 1000 <= $minNewPermille * p.n_edges)),
+       |hits AS (${hitRows.mkString("\n  UNION ALL\n  ")}),
+       |tot AS (SELECT COUNT(*) AS n_exact FROM ek)
+       |SELECT CAST(e.round AS BIGINT) AS round,
+       |       CAST(e.n_edges AS BIGINT) AS n_edges,
+       |       CAST(e.n_new AS BIGINT) AS n_new_edges,
+       |       CAST(h.n_hits AS BIGINT) AS n_hits,
+       |       CAST(t.n_exact AS BIGINT) AS n_exact,
+       |       CAST(h.n_hits * 1000 // t.n_exact AS BIGINT) AS recall_permille
+       |FROM emitted e JOIN hits h USING (round), tot t""".stripMargin
+  }
 
   /** q331's oracle: the exact ground-truth pair count plus one bucketed
     * count per bits setting, each bucketing inlining the same plane

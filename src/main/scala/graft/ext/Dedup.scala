@@ -530,6 +530,57 @@ object Dedup {
     query.awaitTermination()
   }
 
+  /** The FULL production ingest tick in one `AvailableNow` pass: raw
+    * document stream → medallion clean/validate (the engine's silver
+    * discipline — [[graft.engine.Silver.errorString]] error accumulation,
+    * `is_valid` flag, quarantine rows KEPT with their reasons, never
+    * dropped silently) → silver parquet write → LSH dedup-index maintain →
+    * near-dup pair emit. Composes [[streamingLshMaintain]] with the
+    * bronze→silver drain ([[graft.engine.Incremental.drainBronzeToSilver]])
+    * so one micro-batch does clean → validate → index-maintain → pair-emit,
+    * instead of a silver stream and a separate index stream re-reading it.
+    *
+    * Validation: `idCol` non-null and trimmed `textCol` of at least
+    * `minChars` chars (shorter fragments carry too few shingles to sign —
+    * indexing them would emit noise pairs). Only VALID rows reach the
+    * index; every row (with `validation_errors`) reaches silver.
+    *
+    * Exactly-once across restarts, the [[streamingLshMaintain]] contract:
+    * all three writes of tick `n` — silver partition, index partitions,
+    * pairs partition — are keyed by the checkpointed batchId and
+    * mode-overwrite, so a replayed micro-batch overwrites its own partial
+    * output. Per-tick cost ∝ delta; state is the on-disk index. */
+  def streamingMedallionLshTick(docsStream: DataFrame, silverDir: String,
+                                indexDir: String, pairsDir: String,
+                                checkpointDir: String, threshold: Double,
+                                minChars: Int = 30, firstBatch: Int = 1,
+                                idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val query = docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val n = firstBatch + batchId.toInt
+          val errors = graft.engine.Silver.errorString(
+            required = Seq(idCol),
+            domainChecks = Seq(
+              (length(trim(col(textCol))) < minChars, s"SHORT_TEXT:$textCol")))
+          val silver = batch
+            .select(col(idCol), trim(col(textCol)).as(textCol))
+            .withColumn("validation_errors", errors)
+            .withColumn("is_valid", col("validation_errors") === "")
+          silver.write.mode("overwrite").parquet(s"$silverDir/batch=$n")
+          val valid = silver.where(col("is_valid"))
+            .select(col(idCol), col(textCol))
+          lshIndexProbeAppend(batch.sparkSession, indexDir, valid, n, threshold,
+              idCol, textCol)
+            .write.mode("overwrite").parquet(s"$pairsDir/batch=$n")
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   /** Recall/coverage audit of a candidate-pair scheme against a ground-truth
     * pair set — the EVALUATION harness for blocking parameter choices
     * (bands × rows, SimHash radius, prefix length): how many of the true
@@ -1068,23 +1119,44 @@ object Dedup {
     * length-L windows covering it is repeated — every length-≥L repeat is a
     * union of repeated length-L windows, and every repeated window IS a
     * length-L repeat. So corpus-wide duplicate detection reduces to an
-    * EXACT groupBy over the length-L windows (grouping key is the substring
-    * itself — no hashing, no collision license; Round12Spec certifies
-    * completeness against a naive all-substrings oracle), and maximal spans
+    * EXACT duplicate test over the length-L windows, and maximal spans
     * fall out of the gaps-and-islands merge over covered positions.
     *
-    * Stages, each shuffle keyed and bounded:
-    *   1. positions `1..len−L+1` exploded per doc, window = substring(t,i,L)
-    *      (generate+project fuse under whole-stage codegen — the full
-    *      window ARRAY is never materialized per doc);
-    *   2. duplicate windows: groupBy(window) HAVING count ≥ 2 — map-side
-    *      combinable; at 100 TB the key is an L-char string (shuffle ∝
-    *      corpus size × L — the price of exactness; pre-filter with a
-    *      Bloom/frequency sketch if that dominates);
-    *   3. covered positions: equi-join positions → duplicate windows;
-    *   4. maximal spans: per-DOC window (never global), islands split where
+    * The duplicate test runs in TWO passes so the full-corpus exchange never
+    * carries the window string (the round-13 shuffle diet):
+    *   1. positions `1..len−L+1` exploded per doc; the row shuffled for the
+    *      corpus-wide test is `(doc, pos, Md5Prefix60(window))` — a fixed
+    *      24-byte row keyed by the 8-byte hash, not the L-char string
+    *      (~46 bytes/row at L=30). The window string is computed and
+    *      consumed INSIDE the map stage (generate+project+hash fuse under
+    *      whole-stage codegen); it never reaches an exchange. Hash groups
+    *      with count ≥ 2 yield CANDIDATE positions — a superset of the true
+    *      duplicates (equal strings hash equal: zero false negatives).
+    *   2. exactness license: candidate positions are re-joined to their doc
+    *      texts (positions packed per doc — ONE row per doc crosses that
+    *      exchange, the text shuffled once, not once per window), the
+    *      window re-derived, and the final test is string equality among
+    *      candidates: count-over-window on the STRING key ≥ 2. A 60-bit
+    *      collision can only ADD candidates to pass 1; pass 2 discards
+    *      them, so the answer equals the all-string-keyed form exactly
+    *      (Round12Spec certifies completeness against a naive
+    *      all-substrings oracle). Pass 2's exchange is duplicate-mass
+    *      sized, not corpus sized.
+    *   3. maximal spans: per-DOC window (never global), islands split where
     *      the gap exceeds L (adjacent windows `pos₂ = pos₁ + L` merge —
     *      their char coverage is contiguous).
+    *
+    * Skew note (shared with the keep-first variant): an ULTRA-frequent
+    * window — license boilerplate, a repeated header, exactly the target
+    * corpus — funnels all its occurrences into ONE hash partition in pass 1
+    * and one string partition in pass 2, a single-task hotspot (the
+    * [[hammingNearDuplicates]] hub problem in window form). count() is
+    * cheap per row, so the hotspot is bandwidth-bound, not compute-bound;
+    * if one window approaches a task's row budget at 100 TB, pre-aggregate
+    * `groupBy(h).count` with a frequency sketch and divert the top keys to
+    * a dedicated pass. The keep-first path additionally SORTS inside the
+    * hot partition for its row_number; cap its per-window rank by diverting
+    * those keys before the rank if a corpus exhibits this.
     *
     * Output one row per maximal span: `(doc, span_start, span_end)`
     * (1-based, inclusive). Span mass per doc = Σ(span_end − span_start + 1).
@@ -1093,13 +1165,13 @@ object Dedup {
                               textCol: String = "text",
                               minLen: Int = 30): DataFrame = {
     require(minLen >= 2, s"duplicateSubstringSpans: minLen must be >= 2, got $minLen")
-    val pos = positionedWindows(docs, idCol, textCol, minLen)
+    val candG = verifiedCandidateWindows(docs, idCol, textCol, minLen)
     // duplicate test as ONE count-over-window keyed by the window string:
-    // a groupBy + join-back would shuffle the L-char keys TWICE (most
-    // windows are unique, so map-side partial aggregation buys nothing);
-    // the window form shuffles them once (measured 8.5s → ~3s at sf0.1)
+    // a groupBy + join-back would shuffle the keys TWICE (most windows are
+    // unique, so map-side partial aggregation buys nothing); the window
+    // form shuffles them once (measured 8.5s → ~3s at sf0.1)
     val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
-    val covered = pos
+    val covered = candG
       .withColumn("__n", count(lit(1)).over(wg))
       .where(col("__n") >= 2L).select(col("doc"), col("pos"))
     mergeSpans(covered, minLen)
@@ -1109,9 +1181,14 @@ object Dedup {
     * rather than the audit: per duplicated window, the globally FIRST
     * occurrence (smallest `(doc, pos)`) survives and every LATER occurrence
     * is marked for removal, so each repeated region keeps exactly one copy
-    * corpus-wide (the Lee et al. 2022 dedup action). Same single
-    * string-keyed exchange as the audit — occurrence rank is a row_number
-    * over the identical window spec, so keep-first costs nothing extra.
+    * corpus-wide (the Lee et al. 2022 dedup action). Same two-pass
+    * hash-then-verify exchange as the audit — occurrence rank is a
+    * row_number over the verified candidate set, keyed by the exact window
+    * string, so keep-first costs nothing extra. The rank is EXACT: the
+    * corpus-first occurrence of any duplicated string is itself a pass-1
+    * candidate (its hash group has ≥ 2 members), so rank 1 is always the
+    * true corpus-first copy, never a collision artifact. See the audit's
+    * skew note — the keep-first rank sorts inside a hub window's partition.
     *
     * Output: `(doc, span_start, span_end)` maximal REMOVAL spans. The
     * removal mass is always ≤ the audit's span mass, and a doc whose
@@ -1121,12 +1198,13 @@ object Dedup {
                                        minLen: Int = 30): DataFrame = {
     require(minLen >= 2,
       s"duplicateSubstringSpansKeepFirst: minLen must be >= 2, got $minLen")
-    val pos = positionedWindows(docs, idCol, textCol, minLen)
+    val candG = verifiedCandidateWindows(docs, idCol, textCol, minLen)
     val wg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g")).orderBy(col("doc"), col("pos"))
-    // occ > 1 alone IS the duplicate test: a unique window's only
-    // occurrence ranks 1 and never marks anything
-    val covered = pos
+    // occ > 1 alone IS the duplicate test: a string unique in the corpus
+    // (present among candidates only via a hash collision) ranks 1 at its
+    // only occurrence and never marks anything
+    val covered = candG
       .withColumn("__occ", row_number().over(wg))
       .where(col("__occ") > 1)
       .select(col("doc"), col("pos"))
@@ -1145,6 +1223,35 @@ object Dedup {
           .as("pos"))
       .select(col("doc"), col("pos"),
         expr(s"substring(__t, CAST(pos AS INT), $minLen)").as("g"))
+
+  /** Shared two-pass candidate machinery of the substring-dedup family:
+    * returns `(doc, pos, g)` for every window position whose 60-bit window
+    * hash occurs ≥ 2 times corpus-wide, with the window string `g`
+    * RE-DERIVED from the doc text for those positions only. Pass 1's
+    * corpus-wide exchange carries `(doc, pos, Md5Prefix60(g))` — 8-byte key,
+    * no string; pass 2 packs candidate positions per doc (one row per doc
+    * crosses the join exchange) and recomputes the substring beside the
+    * text. Callers apply the exact string-keyed duplicate test / rank on
+    * the result — a superset of the true duplicates, so the final
+    * string-equality test makes the whole pipeline collision-safe. */
+  private def verifiedCandidateWindows(docs: DataFrame, idCol: String,
+                                       textCol: String, minLen: Int): DataFrame = {
+    import graft.functions.HashFunctions.md5Prefix60
+    val hashed = positionedWindows(docs, idCol, textCol, minLen)
+      .select(col("doc"), col("pos"), md5Prefix60(col("g")).as("__h"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    val cand = hashed
+      .withColumn("__n", count(lit(1)).over(wh))
+      .where(col("__n") >= 2L)
+      .select(col("doc"), col("pos"))
+    val candByDoc = cand.groupBy(col("doc"))
+      .agg(collect_list(col("pos")).as("__ps"))
+    docs.select(col(idCol).as("doc"), col(textCol).as("__t"))
+      .join(candByDoc, Seq("doc"))
+      .select(col("doc"), col("__t"), explode(col("__ps")).as("pos"))
+      .select(col("doc"), col("pos"),
+        expr(s"substring(__t, CAST(pos AS INT), $minLen)").as("g"))
+  }
 
   /** Gaps-and-islands merge of covered `(doc, pos)` windows into maximal
     * spans `(doc, span_start, span_end)` — islands split where the gap

@@ -72,8 +72,12 @@ object Graph {
     // iteration (join + union + agg + action + codegen) per CC call; on
     // the overhead-bound small-graph regime (bench sf0.1) that is ~0.5s
     // per call across every CC consumer (q65/q220/q283/q321).
-    var labelsC = sym.groupBy(col("src").as("id"))
-      .agg(least(col("id"), min(col("dst"))).as("component"))
+    // (Reference the child column `src` inside agg, not the groupBy alias
+    // `id`: resolving the alias there depends on Spark's implicit
+    // lateral-column-alias resolution, off-by-default before 3.4.)
+    var labelsC = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("component"))
+      .select(col("src").as("id"), col("component"))
       .persist(level)
     labelsC.count()
     var labels = truncated(labelsC)

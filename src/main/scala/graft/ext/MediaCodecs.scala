@@ -387,6 +387,53 @@ object MediaCodecs {
     out
   }
 
+  /** 64-bit audio ENERGY-DELTA fingerprint — the WAV sibling of [[aHash64]]/
+    * [[dHash64]], completing the multimodal near-dup story (text MinHash ✓,
+    * image aHash/dHash ✓, audio this): decode 16-bit PCM, split the sample
+    * stream into 65 TIME-ANCHORED frames of FIXED width `frameWidth`
+    * (interleaved channels kept as-is — a stereo payload fingerprints its
+    * interleaved stream; mix upstream to compare across layouts), per-frame
+    * integer energy `E_f = Σ s²` (Long; safe while `frameWidth <
+    * 2³³/32768² ≈ 8.5·10⁶` samples), bit `i` set iff `E_{i+1} > E_i` — the
+    * dHash trick on the time axis.
+    *
+    * Robustness comes from the same relative-comparison argument as dHash:
+    * a uniform gain `s → g·s` scales every frame energy by `g²`, preserving
+    * every `>` comparison EXACTLY (no bit flips, including integer gains
+    * that don't clip); small additive dither moves each `E_f` by
+    * `O(2·dither·Σ|s| + frameWidth·dither²)`, flipping only bits whose
+    * energy gap is tighter than that; and because frames are anchored to
+    * the stream HEAD with fixed width (never length-relative), a tail clip
+    * that leaves `≥ 65·frameWidth` samples does not move a single frame
+    * boundary — fingerprint unchanged. (A HEAD clip misaligns every frame —
+    * real pipelines probe a few head offsets; out of scope here.) Pairs
+    * with the shared Hamming pigeonhole index
+    * ([[graft.ext.Dedup.hammingNearDuplicates]]) exactly like the image
+    * hashes. Integer-exact end to end, so an oracle replays
+    * sample → frame → energy → bits bit-for-bit. None on non-WAV bytes or
+    * payloads shorter than `(frames+1)·frameWidth` samples. */
+  def audioHash64(bytes: Array[Byte], frameWidth: Int = 100): Option[Long] =
+    parseWav(bytes).collect {
+      case w if w.samples.length >= 65 * frameWidth =>
+        val e = new Array[Long](65)
+        var f = 0
+        while (f < 65) {
+          var i = f * frameWidth
+          val end = i + frameWidth
+          var acc = 0L
+          while (i < end) {
+            val v = w.samples(i).toLong
+            acc += v * v
+            i += 1
+          }
+          e(f) = acc
+          f += 1
+        }
+        (0 until 64).foldLeft(0L) { (acc, i) =>
+          if (e(i + 1) > e(i)) acc | (1L << i) else acc
+        }
+    }
+
   /** Nearest-neighbor BMP thumbnail: pixel `(x, y)` of the `tw×th` output
     * samples source `(⌊x·w/tw⌋, ⌊y·h/th⌋)`; re-encoded as a real BMP via
     * [[bmpBytes]] so the output is itself a decodable payload. None on

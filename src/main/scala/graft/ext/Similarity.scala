@@ -246,6 +246,70 @@ object Similarity {
       k)
   }
 
+  /** One stage of [[nnDescentConverge]]'s output: the round index (0 = LSH
+    * seed), the materialized graph at that round, its edge count, and how
+    * many of its edges are NEW versus the previous round (round 0 reports
+    * all edges new). */
+  final case class NnDescentStage(round: Int, graph: DataFrame,
+                                  nEdges: Long, nNew: Long)
+
+  /** NN-DESCENT TO CONVERGENCE — the production index-build loop around
+    * [[nnDescentRound]]: seed with a multi-table [[lshKnnGraph]], then
+    * re-apply refinement rounds until the round's UPDATE RATE drops below
+    * `minNewPermille`/1000 of the graph's edges, or `maxRounds` is hit.
+    * The update count is Dong, Moses & Li 2011's own termination signal
+    * (their δ parameter): at index-BUILD time there is no ground truth to
+    * measure recall against, but every recall gain requires changed edges,
+    * so "almost no edges changed" bounds the remaining recall improvement —
+    * and because each round rescores candidates exactly and keeps the
+    * per-node top-k over a superset that includes the current neighbors,
+    * per-node neighbor quality only improves; recall versus the exact
+    * top-k is MONOTONE non-decreasing across rounds (anything that evicts
+    * an exact-top-k member outranks it in the same total order, hence is
+    * itself exact-top-k — Round13Spec proves both monotonicity and
+    * termination).
+    *
+    * Returns the full per-round curve, seed first — `nNew` per stage is the
+    * engineering artifact (the diminishing-returns curve that tells a
+    * corpus how many rounds its index build buys), and the last stage's
+    * graph is the built index. Each stage's graph is persisted and
+    * lineage-truncated (the q321/q336 discipline: the loop would otherwise
+    * stack an exponential plan), and the per-round driver-side scalars are
+    * two metadata-sized counts — nothing data-sized ever collects.
+    *
+    * Scale: inherits [[nnDescentRound]]'s shape — every stage is a keyed
+    * equi-join with fan-out ≤ (2k)² per node; the loop adds one anti-join
+    * per round (edge-list sized, k·n rows) for the update count. */
+  def nnDescentConverge(embeddings: DataFrame, k: Int, bits: Int = 6,
+                        dim: Int = 64, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        salts: Seq[Long] = Seq(0L, 1L), maxRounds: Int = 8,
+                        minNewPermille: Long = 10L): Seq[NnDescentStage] = {
+    require(maxRounds >= 0, s"nnDescentConverge: maxRounds must be >= 0, got $maxRounds")
+    require(minNewPermille >= 0 && minNewPermille <= 1000,
+      s"nnDescentConverge: minNewPermille must be in [0, 1000], got $minNewPermille")
+    val spark = embeddings.sparkSession
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def materialize(df: DataFrame): (DataFrame, Long) = {
+      val c = df.select(col("query_id"), col("neighbor_id")).persist(level)
+      val n = c.count()
+      (spark.createDataFrame(c.rdd, c.schema), n)
+    }
+    val (g0, n0) = materialize(lshKnnGraph(embeddings, k, bits, dim, idCol, vecCol, salts))
+    val stages = scala.collection.mutable.ArrayBuffer(NnDescentStage(0, g0, n0, n0))
+    var r = 1
+    var converged = false
+    while (!converged && r <= maxRounds) {
+      val prev = stages.last.graph
+      val (g, n) = materialize(nnDescentRound(prev, embeddings, k, idCol, vecCol))
+      val nNew = g.join(prev, Seq("query_id", "neighbor_id"), "left_anti").count()
+      stages += NnDescentStage(r, g, n, nNew)
+      converged = nNew * 1000L <= minNewPermille * n
+      r += 1
+    }
+    stages.toSeq
+  }
+
   /** Corpus/source similarity map from per-group centroid embeddings — the
     * mixture-design question "which sources cover the same embedding space"
     * answered without any vector-to-vector join: ONE pass over the data

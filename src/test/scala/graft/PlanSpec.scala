@@ -84,6 +84,34 @@ class PlanSpec extends SparkSpec {
       || p.contains("lvl"), s"rank window must partition by lvl:\n$p")
   }
 
+  test("q347 TPC-DS Q23 shape: IN filters become semi-joins and the max-spend gate is a subquery, never a cartesian") {
+    val p = planOf("q347_tpcds_q23_shape")
+    assert(p.contains("LeftSemi"), s"IN filters must plan as semi-joins:\n$p")
+    assert(p.toLowerCase.contains("subquery"),
+      s"the MAX(spend) threshold must decorrelate into a scalar subquery:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q348 TPC-DS Q78 shape: NOT EXISTS plans as an anti-join") {
+    val p = planOf("q348_tpcds_q78_shape")
+    assert(p.contains("LeftAnti"), s"the returns filter must be an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the anti-join must stay an equi-join:\n$p")
+  }
+
+  test("hub-basket cap (q242/q245 path) anti-joins a BROADCAST over-cap blacklist — no second wide exchange") {
+    import spark.implicits._
+    val baskets = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 13L))
+      .toDF("b", "i")
+    val p = graft.ext.Itemsets.cappedBasketItems(baskets, "b", "i", 1000L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"cap must be an anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the (normally empty) blacklist must broadcast, not shuffle the membership table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the probe side must not re-exchange on the basket key:\n$p")
+  }
+
   test("q64 as-of join plans as one windowed pass, not a nested loop") {
     val p = planOf("q64_asof_distributed")
     assert(p.contains("Window"), s"expected union-and-carry window:\n$p")

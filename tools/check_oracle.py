@@ -128,11 +128,22 @@ def self_test(con):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional: --json <path> writes the per-query status map as the round's
+    # committed correctness record (round-12 verdict item 1: the driver's
+    # CORRECTNESS_r12.json shipped as an empty {} and nothing noticed — the
+    # round close must produce its own full record and FAIL if it is empty).
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir, out_dir = argv[0], argv[1]
     # optional 3rd arg: comma-separated query names — check ONLY those
     # oracles (pairs with `graft.Verify <sf> <out> <names>` for iteration;
     # the full run still checks everything).
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    only = set(argv[2].split(",")) if len(argv) > 2 else None
+    record = {}
     con = duckdb.connect()
     self_test(con)
     for t in TABLES:
@@ -151,12 +162,14 @@ def main():
             otab = con.execute(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record[name] = {"status": "fail", "issue": f"oracle SQL error: {e}"[:300]}
             n_fail += 1
             continue
         try:
             stab = pq.read_table(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
+            record[name] = {"status": "fail", "issue": f"spark result unreadable: {e}"[:300]}
             n_fail += 1
             continue
         issues = schema_diff(name, stab.schema, otab.schema)
@@ -166,9 +179,12 @@ def main():
             print(f"FAIL {name}: rows={stab.num_rows}")
             for msg in issues[:6]:
                 print(f"   {msg}")
+            record[name] = {"status": "fail", "rows": stab.num_rows,
+                            "issue": issues[0][:300]}
             n_fail += 1
         else:
             print(f"OK   {name}: rows={stab.num_rows}, cols={sorted(stab.schema.names)}")
+            record[name] = {"status": "ok", "rows": stab.num_rows}
     # rows-only queries (no oracle)
     import os
     for name in sorted(os.listdir(out_dir)):
@@ -177,9 +193,23 @@ def main():
         try:
             n = len(pd.read_parquet(f"{out_dir}/{name}"))
             print(f"ROWS {name}: {n}")
+            record[name] = {"status": "rows_only", "rows": n}
         except Exception as e:
             print(f"FAIL {name}: unreadable: {e}")
+            record[name] = {"status": "fail", "issue": f"unreadable: {e}"[:300]}
             n_fail += 1
+    if json_out:
+        if not record:
+            print(f"FAIL: refusing to write an EMPTY correctness record to {json_out}")
+            sys.exit(2)
+        with open(json_out, "w") as f:
+            json.dump({"n_queries": len(record),
+                       "n_fail": n_fail,
+                       "all_ok": n_fail == 0,
+                       "sf_dir": sf_dir,
+                       "queries": record}, f, indent=0, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {json_out}: {len(record)} queries, {n_fail} failures")
     print(f"{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
     sys.exit(1 if n_fail else 0)
 
