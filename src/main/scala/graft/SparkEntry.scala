@@ -6892,6 +6892,125 @@ object SparkEntry {
           |            AS BIGINT) AS air_heavy_custs
           |FROM air JOIN grd USING (cust, yr)
           |GROUP BY yr""".stripMargin)
+    },
+
+    // VIDEO FRAME-HASH NEAR-DUP (MediaCodecs.videoHash64) — the last
+    // modality of the shared-index dedup story (text MinHash q23, image
+    // aHash/dHash q333, audio energy-delta q344, video this): real GVID
+    // container decode → head-anchored stride-2 frame sampling capped at 4
+    // frames (per-row cost bounded by the cap, never by video length) →
+    // per-frame aHash → per-bit strict-majority vote → the SAME Hamming
+    // pigeonhole join as every other modality. Planted copies: id%4==0 gets
+    // a +4-brightness re-encode with one sampled frame overlaid (majority
+    // absorbs the minority frame), id%6==0 gets a 2-frame TAIL CLIP that
+    // leaves the sampled index set {0,2,4,6} intact — fingerprint
+    // bit-identical by the head-anchor argument, so those pairs land at
+    // Hamming 0. The oracle replays pixel → luma → 8×8 grid → frame bit →
+    // majority → pack → pairwise Hamming integer-for-integer.
+    "q349_video_framehash_neardup" -> { (s, _) =>
+      import s.implicits._
+      val vids = s.range(48).as[Long].flatMap { id =>
+        val nf = (9 + id % 3).toInt
+        def base(f: Int)(x: Int, y: Int): (Int, Int, Int) = (
+          ((x * x * (3 + id % 7) + y * y * (5 + id % 11) + x * y * (1 + id % 13)
+            + 37 * id + 19 * f) % 256).toInt,
+          ((x * x * (2 + id % 5) + y * y * (7 + id % 3) + x * y * (2 + id % 11)
+            + 11 * id + 23 * f) % 256).toInt,
+          ((x * x * (1 + id % 9) + y * y * (4 + id % 13) + x * y * (3 + id % 7)
+            + 23 * id + 29 * f) % 256).toInt)
+        def frames(pert: Boolean) = (0 until nf).map { f =>
+          graft.ext.MediaCodecs.bmpBytes(16, 12, (x, y) => {
+            val (r, g, b) = base(f)(x, y)
+            if (pert && f == 2 && x < 2 && y < 2) (255, 255, 255)
+            else if (pert) (math.min(255, r + 4), math.min(255, g + 4),
+              math.min(255, b + 4))
+            else (r, g, b)
+          })
+        }
+        val M = graft.ext.MediaCodecs
+        Seq((id, M.videoBytes(frames(pert = false)))) ++
+          (if (id % 4 == 0) Seq((id + 1000L, M.videoBytes(frames(pert = true))))
+           else Nil) ++
+          (if (id % 6 == 0)
+             Seq((id + 2000L, M.videoBytes(frames(pert = false).dropRight(2))))
+           else Nil)
+      }
+      val sigs = vids.map { case (id, bytes) =>
+          (id, graft.ext.MediaCodecs.videoHash64(bytes, stride = 2,
+            maxSampled = 4).get)
+        }.toDF("media_id", "vfp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.hammingNearDuplicates(sigs, "media_id", "vfp",
+          maxDistance = 7, bits = 64)
+        .withColumnRenamed("hamming", "vfp_hamming")
+    },
+
+    // TPC-DS Q95 SHAPE: the repeated-correlated-membership stressor — an
+    // order qualifies iff (a) its lines come from MORE THAN ONE supplier
+    // (IN over a DISTINCT self-join of lineitem with itself on orderkey,
+    // suppliers unequal — Q95's ws_wh two-warehouse subquery) and (b) it
+    // has a returned line (correlated EXISTS — Q95's web_returns IN,
+    // deliberately written as EXISTS so BOTH decorrelation paths are
+    // exercised in one query). Both must plan as left-semi hash joins on
+    // the narrow orderkey, never a cartesian; the self-join's supp <> supp
+    // disequality rides the equi-join on ok as a residual condition.
+    "q350_tpcds_q95_shape" -> { (s, dir) =>
+      Seq("lineitem", "orders")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """WITH line AS (
+          |  SELECT l_orderkey AS ok, l_suppkey AS supp, l_returnflag AS rf,
+          |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          |           AS cents
+          |  FROM lineitem_v),
+          |multi_supp AS (
+          |  SELECT DISTINCT l1.ok
+          |  FROM line l1 JOIN line l2 ON l1.ok = l2.ok AND l1.supp <> l2.supp)
+          |SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+          |       CAST(COUNT(DISTINCT l.ok) AS BIGINT) AS n_orders,
+          |       CAST(SUM(l.cents) AS BIGINT) AS cents
+          |FROM line l JOIN orders_v o ON l.ok = o_orderkey
+          |WHERE l.ok IN (SELECT ok FROM multi_supp)
+          |  AND EXISTS (SELECT 1 FROM line r WHERE r.ok = l.ok AND r.rf = 'R')
+          |GROUP BY 1""".stripMargin)
+    },
+
+    // TPC-DS Q11/Q4 SHAPE: year-over-year growth compared ACROSS channels —
+    // ONE (customer, year, channel) spend CTE consumed FOUR times (store/web
+    // × 1994/1995), customers kept when web growth beats store growth with
+    // the ratio comparison INTEGER CROSS-MULTIPLIED (w2·s1 > s2·w1; the
+    // year-1 totals are gated > 0 so the inequality is division-free and
+    // sign-safe). Each consumer prunes its own (yr, ch) slice — predicate
+    // pushdown specializes the four copies; the 4-way join rides the cust
+    // key end to end.
+    "q351_tpcds_q11_shape" -> { (s, dir) =>
+      Seq("lineitem", "orders")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """WITH sale AS (
+          |  SELECT o_custkey AS cust,
+          |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+          |         CASE WHEN l_linenumber % 2 = 1 THEN 'store' ELSE 'web' END
+          |           AS ch,
+          |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          |           AS cents
+          |  FROM lineitem_v JOIN orders_v ON l_orderkey = o_orderkey
+          |  WHERE EXTRACT(YEAR FROM o_orderdate) IN (1994, 1995)),
+          |tot AS (SELECT cust, yr, ch, CAST(SUM(cents) AS BIGINT) AS cents
+          |        FROM sale GROUP BY cust, yr, ch)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n_custs,
+          |       CAST(SUM(w2.cents) AS BIGINT) AS web_y2_cents,
+          |       CAST(SUM(s2.cents) AS BIGINT) AS store_y2_cents
+          |FROM tot s1
+          |JOIN tot s2 ON s1.cust = s2.cust
+          |JOIN tot w1 ON s1.cust = w1.cust
+          |JOIN tot w2 ON s1.cust = w2.cust
+          |WHERE s1.yr = 1994 AND s1.ch = 'store'
+          |  AND s2.yr = 1995 AND s2.ch = 'store'
+          |  AND w1.yr = 1994 AND w1.ch = 'web'
+          |  AND w2.yr = 1995 AND w2.ch = 'web'
+          |  AND s1.cents > 0 AND w1.cents > 0
+          |  AND w2.cents * s1.cents > s2.cents * w1.cents""".stripMargin)
     }
   )
 
@@ -13426,7 +13545,106 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN cents_air * 1 > cents_grd * 2 THEN 1 ELSE 0 END)
         |            AS BIGINT) AS air_heavy_custs
         |FROM air JOIN grd USING (cust, yr)
-        |GROUP BY yr""".stripMargin
+        |GROUP BY yr""".stripMargin,
+
+    // Full integer replay of the video fingerprint: fixture pixels →
+    // BT.601 luma → 8×8 grid means (16×12 frames, so cx = x·8//16,
+    // cy = y·8//12) → per-frame aHash bit (64·cell > Σcells) → strict
+    // majority over the sampled frames {0,2,4,6} (2·cnt > 4) → 64-bit pack
+    // → pairwise Hamming ≤ 7. The tail-clipped copies (id%6==0, pert=0,
+    // same src) replay to the IDENTICAL fingerprint because only sampled
+    // frames enter — the head-anchor invariance the Scala side proves on
+    // actual shortened containers.
+    "q349_video_framehash_neardup" ->
+      """WITH m AS (
+        |  SELECT id AS media_id, id AS src, 0 AS pert FROM range(48) t(id)
+        |  UNION ALL
+        |  SELECT id + 1000, id, 1 FROM range(48) t(id) WHERE id % 4 = 0
+        |  UNION ALL
+        |  SELECT id + 2000, id, 0 FROM range(48) t(id) WHERE id % 6 = 0),
+        |fr AS (SELECT media_id, src, pert, unnest([0, 2, 4, 6]) AS f FROM m),
+        |p AS (SELECT media_id, src, pert, f, unnest(range(0, 192)) AS pp
+        |      FROM fr),
+        |px AS (SELECT media_id, src, pert, f, pp % 16 AS x, pp // 16 AS y
+        |       FROM p),
+        |lu AS (
+        |  SELECT media_id, f, x, y,
+        |    (299 * CASE WHEN pert = 1 AND f = 2 AND x < 2 AND y < 2 THEN 255
+        |         ELSE LEAST(255, (x*x*(3 + src % 7) + y*y*(5 + src % 11)
+        |                          + x*y*(1 + src % 13) + 37*src + 19*f) % 256
+        |                    + pert*4) END
+        |   + 587 * CASE WHEN pert = 1 AND f = 2 AND x < 2 AND y < 2 THEN 255
+        |         ELSE LEAST(255, (x*x*(2 + src % 5) + y*y*(7 + src % 3)
+        |                          + x*y*(2 + src % 11) + 11*src + 23*f) % 256
+        |                    + pert*4) END
+        |   + 114 * CASE WHEN pert = 1 AND f = 2 AND x < 2 AND y < 2 THEN 255
+        |         ELSE LEAST(255, (x*x*(1 + src % 9) + y*y*(4 + src % 13)
+        |                          + x*y*(3 + src % 7) + 23*src + 29*f) % 256
+        |                    + pert*4) END
+        |    ) // 1000 AS luma
+        |  FROM px),
+        |c AS (SELECT media_id, f, (y * 8) // 12 AS cy, (x * 8) // 16 AS cx,
+        |             SUM(luma) // COUNT(*) AS cell
+        |      FROM lu GROUP BY 1, 2, 3, 4),
+        |fb AS (SELECT c.media_id, c.f, c.cy * 8 + c.cx AS i
+        |       FROM c JOIN (SELECT media_id, f, SUM(cell) AS tot
+        |                    FROM c GROUP BY 1, 2) t USING (media_id, f)
+        |       WHERE 64 * c.cell > t.tot),
+        |mj AS (SELECT media_id, i FROM fb
+        |       GROUP BY media_id, i HAVING 2 * COUNT(*) > 4),
+        |h AS (SELECT m.media_id,
+        |        CAST(COALESCE(SUM(CASE WHEN mj.i = 63
+        |                 THEN -9223372036854775807 - 1
+        |                 ELSE 1::BIGINT << CAST(mj.i AS INT) END), 0) AS BIGINT)
+        |          AS vfp
+        |      FROM m LEFT JOIN mj USING (media_id) GROUP BY m.media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(bit_count(xor(a.vfp, b.vfp)) AS BIGINT) AS vfp_hamming
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.vfp, b.vfp)) <= 7""".stripMargin,
+
+    "q350_tpcds_q95_shape" ->
+      """WITH line AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS supp, l_returnflag AS rf,
+        |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |           AS cents
+        |  FROM lineitem),
+        |multi_supp AS (
+        |  SELECT DISTINCT l1.ok
+        |  FROM line l1 JOIN line l2 ON l1.ok = l2.ok AND l1.supp <> l2.supp)
+        |SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |       CAST(COUNT(DISTINCT l.ok) AS BIGINT) AS n_orders,
+        |       CAST(SUM(l.cents) AS BIGINT) AS cents
+        |FROM line l JOIN orders o ON l.ok = o_orderkey
+        |WHERE l.ok IN (SELECT ok FROM multi_supp)
+        |  AND EXISTS (SELECT 1 FROM line r WHERE r.ok = l.ok AND r.rf = 'R')
+        |GROUP BY 1""".stripMargin,
+
+    "q351_tpcds_q11_shape" ->
+      """WITH sale AS (
+        |  SELECT o_custkey AS cust,
+        |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |         CASE WHEN l_linenumber % 2 = 1 THEN 'store' ELSE 'web' END
+        |           AS ch,
+        |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |           AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE EXTRACT(YEAR FROM o_orderdate) IN (1994, 1995)),
+        |tot AS (SELECT cust, yr, ch, CAST(SUM(cents) AS BIGINT) AS cents
+        |        FROM sale GROUP BY cust, yr, ch)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_custs,
+        |       CAST(SUM(w2.cents) AS BIGINT) AS web_y2_cents,
+        |       CAST(SUM(s2.cents) AS BIGINT) AS store_y2_cents
+        |FROM tot s1
+        |JOIN tot s2 ON s1.cust = s2.cust
+        |JOIN tot w1 ON s1.cust = w1.cust
+        |JOIN tot w2 ON s1.cust = w2.cust
+        |WHERE s1.yr = 1994 AND s1.ch = 'store'
+        |  AND s2.yr = 1995 AND s2.ch = 'store'
+        |  AND w1.yr = 1994 AND w1.ch = 'web'
+        |  AND w2.yr = 1995 AND w2.ch = 'web'
+        |  AND s1.cents > 0 AND w1.cents > 0
+        |  AND w2.cents * s1.cents > s2.cents * w1.cents""".stripMargin
   )
 
   /** q345's oracle: the full NN-descent convergence replay — the q336 seed

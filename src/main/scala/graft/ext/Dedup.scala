@@ -1154,9 +1154,10 @@ object Dedup {
     * cheap per row, so the hotspot is bandwidth-bound, not compute-bound;
     * if one window approaches a task's row budget at 100 TB, pre-aggregate
     * `groupBy(h).count` with a frequency sketch and divert the top keys to
-    * a dedicated pass. The keep-first path additionally SORTS inside the
-    * hot partition for its row_number; cap its per-window rank by diverting
-    * those keys before the rank if a corpus exhibits this.
+    * a dedicated pass. The keep-first path used to additionally SORT inside
+    * the hot partition for a row_number; it now takes an unordered
+    * min(struct) over the same partition — O(m) in the hub window instead
+    * of m·log m, no secondary sort.
     *
     * Output one row per maximal span: `(doc, span_start, span_end)`
     * (1-based, inclusive). Span mass per doc = Σ(span_end − span_start + 1).
@@ -1182,13 +1183,14 @@ object Dedup {
     * occurrence (smallest `(doc, pos)`) survives and every LATER occurrence
     * is marked for removal, so each repeated region keeps exactly one copy
     * corpus-wide (the Lee et al. 2022 dedup action). Same two-pass
-    * hash-then-verify exchange as the audit — occurrence rank is a
-    * row_number over the verified candidate set, keyed by the exact window
-    * string, so keep-first costs nothing extra. The rank is EXACT: the
-    * corpus-first occurrence of any duplicated string is itself a pass-1
-    * candidate (its hash group has ≥ 2 members), so rank 1 is always the
-    * true corpus-first copy, never a collision artifact. See the audit's
-    * skew note — the keep-first rank sorts inside a hub window's partition.
+    * hash-then-verify exchange as the audit — the corpus-first occurrence
+    * is an unordered `min(struct(doc, pos))` window over the verified
+    * candidate set, keyed by the exact window string, so keep-first costs
+    * nothing extra (and no per-window sort — see the audit's skew note).
+    * The choice is EXACT: the corpus-first occurrence of any duplicated
+    * string is itself a pass-1 candidate (its hash group has ≥ 2 members),
+    * so the struct minimum is always the true corpus-first copy, never a
+    * collision artifact.
     *
     * Output: `(doc, span_start, span_end)` maximal REMOVAL spans. The
     * removal mass is always ≤ the audit's span mass, and a doc whose
@@ -1199,14 +1201,19 @@ object Dedup {
     require(minLen >= 2,
       s"duplicateSubstringSpansKeepFirst: minLen must be >= 2, got $minLen")
     val candG = verifiedCandidateWindows(docs, idCol, textCol, minLen)
-    val wg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g")).orderBy(col("doc"), col("pos"))
-    // occ > 1 alone IS the duplicate test: a string unique in the corpus
-    // (present among candidates only via a hash collision) ranks 1 at its
-    // only occurrence and never marks anything
+    // corpus-first occurrence as an UNORDERED min(struct) window rather
+    // than a row_number over ORDER BY (doc, pos): the answer is identical
+    // ((doc, pos) is unique, so rank 1 ⟺ equals the struct minimum), but
+    // the window needs no secondary sort — inside an ULTRA-frequent
+    // window's partition (license boilerplate; the hub-skew note above)
+    // that was an m·log m sort in one task, now a single O(m) min pass.
+    // "later than the minimum" alone IS the duplicate test: a string
+    // unique in the corpus (a candidate only via hash collision) equals
+    // its own minimum and never marks anything.
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
     val covered = candG
-      .withColumn("__occ", row_number().over(wg))
-      .where(col("__occ") > 1)
+      .withColumn("__first", min(struct(col("doc"), col("pos"))).over(wg))
+      .where(struct(col("doc"), col("pos")) =!= col("__first"))
       .select(col("doc"), col("pos"))
     mergeSpans(covered, minLen)
   }

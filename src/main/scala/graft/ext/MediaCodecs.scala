@@ -456,4 +456,85 @@ object MediaCodecs {
     Some(bmpBytes(tw, th, (x, y) =>
       rgbAt((x.toLong * width / tw).toInt, (y.toLong * height / th).toInt)))
   }
+
+  // -------------------------------------------------------------------------
+  // Video (GVID container: length-prefixed BMP frames)
+  // -------------------------------------------------------------------------
+
+  /** Minimal flat video container, the moving-picture sibling of the WAV/BMP
+    * codecs above: `"GVID"` magic, LE frame count, then per frame an LE byte
+    * length + the frame payload (a BMP from [[bmpBytes]]). Flat byte layout
+    * on purpose — like WAV and BMP it is exactly decodable in a few dozen
+    * dependency-free lines, so the video decode step is real, not a stub. */
+  def videoBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "videoBytes: a video needs at least one frame")
+    val buf = ByteBuffer
+      .allocate(8 + frames.iterator.map(f => 4 + f.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('G'.toByte).put('V'.toByte).put('I'.toByte).put('D'.toByte)
+    buf.putInt(frames.length)
+    frames.foreach { f => buf.putInt(f.length); buf.put(f) }
+    buf.array()
+  }
+
+  /** Strict GVID walk: magic + count, then length-prefixed frame payloads;
+    * None on bad magic, a truncated frame, or a count the byte budget cannot
+    * honor. Frames come back as raw payload bytes (decode each with the
+    * image codecs). */
+  def parseVideoFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+    if (bytes.length < 8 || bytes(0) != 'G' || bytes(1) != 'V' ||
+        bytes(2) != 'I' || bytes(3) != 'D') return None
+    val b = le(bytes)
+    val n = b.getInt(4)
+    if (n <= 0) return None
+    val out = new Array[Array[Byte]](n)
+    var off = 8; var i = 0
+    while (i < n) {
+      if (off + 4 > bytes.length) return None
+      val len = b.getInt(off); off += 4
+      if (len < 0 || off + len > bytes.length) return None
+      out(i) = java.util.Arrays.copyOfRange(bytes, off, off + len)
+      off += len; i += 1
+    }
+    Some(out)
+  }
+
+  /** 64-bit video fingerprint completing the multimodal near-dup story
+    * (text MinHash ✓, image aHash/dHash ✓, audio energy-delta ✓, video
+    * this): decode the GVID container, sample HEAD-ANCHORED frames
+    * `0, stride, 2·stride, …` capped at `maxSampled`, [[aHash64]] each
+    * sampled frame, and set bit `b` iff a STRICT MAJORITY of sampled frames
+    * set bit `b` (`2·cnt > n`; a tie leaves the bit clear — deterministic).
+    *
+    * Why this shape at 100 TB: the head-anchored cap bounds per-row decode
+    * cost by `maxSampled` frames regardless of video length (a 2-hour
+    * upload costs the same as a 10-second clip), and — the audio-hash
+    * argument on the frame axis — a TAIL clip that leaves the sampled
+    * index set intact does not move a single sampled frame, so the
+    * fingerprint is bit-identical. The majority vote absorbs a minority of
+    * re-encoded/edited frames (one overlaid frame among `n` flips only bits
+    * whose vote was within one of the threshold), and per-frame aHash
+    * absorbs uniform brightness shifts. Pairs with the shared Hamming
+    * pigeonhole index ([[graft.ext.Dedup.hammingNearDuplicates]]) like the
+    * image and audio hashes; integer-exact end to end so an oracle replays
+    * pixel → grid → frame-bit → majority → bits exactly. None on a non-GVID
+    * payload or if any sampled frame fails [[aHash64]]. */
+  def videoHash64(bytes: Array[Byte], stride: Int = 2,
+                  maxSampled: Int = 8): Option[Long] = {
+    require(stride >= 1, s"videoHash64: stride must be >= 1, got $stride")
+    require(maxSampled >= 1, s"videoHash64: maxSampled must be >= 1, got $maxSampled")
+    parseVideoFrames(bytes).flatMap { frames =>
+      val hashes = frames.indices.by(stride).take(maxSampled)
+        .map(i => aHash64(frames(i)))
+      if (hashes.isEmpty || hashes.exists(_.isEmpty)) None
+      else {
+        val hs = hashes.map(_.get)
+        val n = hs.length
+        Some((0 until 64).foldLeft(0L) { (acc, b) =>
+          val cnt = hs.count(h => ((h >>> b) & 1L) == 1L)
+          if (2 * cnt > n) acc | (1L << b) else acc
+        })
+      }
+    }
+  }
 }

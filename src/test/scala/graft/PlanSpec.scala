@@ -99,6 +99,19 @@ class PlanSpec extends SparkSpec {
       s"the anti-join must stay an equi-join:\n$p")
   }
 
+  test("q350 TPC-DS Q95 shape: IN and EXISTS both decorrelate to semi-joins on the orderkey") {
+    val p = planOf("q350_tpcds_q95_shape")
+    assert(p.contains("LeftSemi"), s"both membership tests must be semi-joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the supp <> supp disequality must ride the ok equi-join as a residual:\n$p")
+  }
+
+  test("q351 TPC-DS Q11 shape: the 4-way cust self-join stays equi, no cartesian") {
+    val p = planOf("q351_tpcds_q11_shape")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all four CTE consumers must join on cust:\n$p")
+  }
+
   test("hub-basket cap (q242/q245 path) anti-joins a BROADCAST over-cap blacklist — no second wide exchange") {
     import spark.implicits._
     val baskets = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 13L))

@@ -247,4 +247,84 @@ class Round13Spec extends SparkSpec {
       assert(counts(101L) === 1L && counts(201L) === 1L)
     }
   }
+
+  // ------------------------------------------- MediaCodecs video fingerprint
+
+  /** One 16×12 frame of the q349 generator (pert applies the +4 brightness
+    * re-encode plus the frame-2 white corner overlay). */
+  private def vidFrame(id: Long, f: Int, pert: Boolean): Array[Byte] =
+    MediaCodecs.bmpBytes(16, 12, (x, y) => {
+      val r = ((x * x * (3 + id % 7) + y * y * (5 + id % 11)
+        + x * y * (1 + id % 13) + 37 * id + 19 * f) % 256).toInt
+      val g = ((x * x * (2 + id % 5) + y * y * (7 + id % 3)
+        + x * y * (2 + id % 11) + 11 * id + 23 * f) % 256).toInt
+      val b = ((x * x * (1 + id % 9) + y * y * (4 + id % 13)
+        + x * y * (3 + id % 7) + 23 * id + 29 * f) % 256).toInt
+      if (pert && f == 2 && x < 2 && y < 2) (255, 255, 255)
+      else if (pert) (math.min(255, r + 4), math.min(255, g + 4),
+        math.min(255, b + 4))
+      else (r, g, b)
+    })
+
+  private def vid(id: Long, nf: Int, pert: Boolean = false): Array[Byte] =
+    MediaCodecs.videoBytes((0 until nf).map(f => vidFrame(id, f, pert)))
+
+  test("GVID container: round-trips frames; rejects bad magic and truncation") {
+    val frames = (0 until 3).map(f => vidFrame(7L, f, pert = false))
+    val bytes = MediaCodecs.videoBytes(frames)
+    val back = MediaCodecs.parseVideoFrames(bytes).get
+    assert(back.length === 3)
+    assert(back.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    assert(MediaCodecs.parseVideoFrames("XVID????".getBytes).isEmpty)
+    assert(MediaCodecs.parseVideoFrames(bytes.dropRight(5)).isEmpty,
+      "a truncated final frame must fail the strict walk, not decode partially")
+  }
+
+  test("videoHash64: tail clip leaving the sampled index set intact is invisible") {
+    val full = vid(11L, nf = 11)
+    val clipped = vid(11L, nf = 9) // drops frames 9,10; sampled set {0,2,4,6} intact
+    val h1 = MediaCodecs.videoHash64(full, stride = 2, maxSampled = 4).get
+    val h2 = MediaCodecs.videoHash64(clipped, stride = 2, maxSampled = 4).get
+    assert(h1 === h2, "head-anchored sampling: unsampled tail frames must not move a bit")
+  }
+
+  test("videoHash64: uniform unsaturated brightness shift flips zero bits") {
+    // every pixel +4 with no channel at 252+ → every luma +4 exactly, every
+    // grid cell +4 exactly, 64·(cell+4) > tot+256 ⟺ 64·cell > tot
+    def frame(f: Int, shift: Int) = MediaCodecs.bmpBytes(16, 12, (x, y) => {
+      val v = (x * 13 + y * 7 + f * 19) % 200
+      (v + shift, (v * 2) % 200 + shift, (v * 3) % 200 + shift)
+    })
+    val a = MediaCodecs.videoBytes((0 until 8).map(frame(_, 0)))
+    val b = MediaCodecs.videoBytes((0 until 8).map(frame(_, 4)))
+    assert(MediaCodecs.videoHash64(a).get === MediaCodecs.videoHash64(b).get)
+  }
+
+  test("videoHash64 through hammingNearDuplicates recovers every planted video pair") {
+    val vids = (0L until 48L).flatMap { id =>
+      val nf = (9 + id % 3).toInt
+      Seq((id, vid(id, nf))) ++
+        (if (id % 4 == 0) Seq((id + 1000L, vid(id, nf, pert = true))) else Nil) ++
+        (if (id % 6 == 0)
+           Seq((id + 2000L, MediaCodecs.videoBytes(
+             (0 until nf - 2).map(f => vidFrame(id, f, pert = false)))))
+         else Nil)
+    }
+    val sigs = vids.map { case (id, bytes) =>
+        (id, MediaCodecs.videoHash64(bytes, stride = 2, maxSampled = 4).get)
+      }.toDF("media_id", "vfp")
+    val pairs = Dedup.hammingNearDuplicates(sigs, "media_id", "vfp",
+        maxDistance = 7, bits = 64)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, d) => ((a, b), d) }.toMap
+    val wantPert = (0L until 48L by 4).map(id => (id, id + 1000L))
+    val wantClip = (0L until 48L by 6).map(id => (id, id + 2000L))
+    assert(wantPert.forall(pairs.contains),
+      s"all 12 perturbed copies must land within Hamming 7: ${wantPert.filterNot(pairs.contains)}")
+    assert(wantClip.forall(p => pairs.get(p).contains(0L)),
+      "tail-clipped copies must be bit-identical (Hamming 0)")
+    // every emitted pair shares a source video — no cross-content collisions
+    assert(pairs.keys.forall { case (a, b) => a % 1000 === b % 1000 },
+      s"unexpected cross-source pair among ${pairs.keys.filterNot { case (a, b) => a % 1000 == b % 1000 }}")
+  }
 }
