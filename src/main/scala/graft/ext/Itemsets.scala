@@ -39,23 +39,33 @@ object Itemsets {
     * whole: one 10⁴-item bot/aggregation basket would otherwise contribute
     * C(10⁴,2) ≈ 5·10⁷ pair rows (C(10⁴,3) ≈ 10¹¹ triples) on its own.
     *
-    * The guard is enforced as a BROADCAST ANTI-JOIN against the over-cap
-    * blacklist, not a join back to the (≈ all baskets) under-cap list: the
-    * blacklist is sized by the pathology it exists to catch — normally
-    * EMPTY, at worst a handful of bot baskets — so the probe side never
-    * re-exchanges on the basket key. The sizing groupBy itself is on the
-    * narrow key with map-side partial counts, and shares (ReusedExchange)
-    * the membership `distinct()`'s shuffle output with the probe side. A
-    * well-behaved corpus therefore pays the cap almost nothing, where the
-    * previous inner-join-back paid a second full-width exchange of the
-    * membership table unconditionally (q242 4.5s → 6.5s at sf0.1). */
+    * ONE exchange total, measured: every consumer of this function
+    * SELF-JOINS the result on the basket key, so the right currency is
+    * exchanges across the whole consumer pipeline, not this function alone.
+    * `repartition(b)` is the single wide exchange; `hashpartitioning(b)`
+    * satisfies the dedup's `ClusteredDistribution(b, i)` (same b ⇒ same
+    * partition ⇒ same (b,i) co-located), the cap window's partition-by-b,
+    * AND both sides of the downstream b-keyed self-joins — so dedup, cap,
+    * and pair/triple generation all run exchange-free on top of it. The
+    * two shapes this replaces both paid more, measured at sf0.1 on the
+    * q242 membership table (shuffle bytes written, environment-independent):
+    * distinct + count-over-window re-exchange 24.2 MB; distinct + broadcast
+    * anti-join blacklist 28.0 MB (the "normally empty blacklist" reasoning
+    * ignored that the probe and sizing sides each recompute the distinct
+    * exchange, and that consumers re-exchange by b anyway); this shape
+    * 18.0 MB — below even the uncapped form, because the explicit
+    * b-partitioning is reused where distinct's (b,i)-partitioning cannot be.
+    * Skew bound: a partition's surplus is the largest single basket
+    * (linear, 10⁴ rows for the pathological basket), never quadratic. */
   def cappedBasketItems(baskets: DataFrame, basketCol: String, itemCol: String,
                         maxBasketSize: Long): DataFrame = {
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
-    val raw = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
-    val overCap = raw.groupBy(col("b")).agg(count(lit(1)).as("__bs"))
-      .where(col("__bs") > maxBasketSize).select(col("b"))
-    raw.join(broadcast(overCap), Seq("b"), "left_anti")
+    val byB = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .repartition(col("b"))
+      .dropDuplicates("b", "i")
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+    byB.withColumn("__bs", count(lit(1)).over(wb))
+      .where(col("__bs") <= maxBasketSize).drop("__bs")
   }
 
   /** Co-occurrence pair counts `(p1 < p2, n)` over capped baskets — the
