@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query three times — a warm-up
@@ -37,6 +38,17 @@ import org.apache.spark.sql.SparkSession
   * ref/recorded/isolated side by side — no more manual judge reruns to tell
   * a contended close-window from a plan regression. The isolated rerun also
   * participates in the reported min.
+  *
+  * `shuffle_bytes` (round 13): per-query shuffle bytes WRITTEN, measured by
+  * a stage-completion listener over the first warm rep. Bytes are
+  * plan-deterministic — same code + same data ⇒ same bytes — so they are the
+  * regression currency that survives a contended box (round 13 hit a window
+  * where every wall-clock anchor ran 2.5× over reference; bytes didn't move).
+  * `shuffle_movers` compares against the open reference's `shuffle_bytes`
+  * (report-only, >1.15× AND >1 MB — no rerun needed, bytes don't flap).
+  * Listener events are async; the blocking per-query cache cleanup runs
+  * between the action and the snapshot, so bleed across queries is at most
+  * a straggler stage event and never systematic.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,11 +66,21 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
-    // One execution of `name`: returns elapsed seconds, or -1 on failure
-    // (recording the exception). Cache entries are dropped before moving on:
-    // each query is a standalone workload, and a persisted projection surviving
-    // into later queries only adds GC pressure there.
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Running total of shuffle bytes written across all stages; per-query
+    // deltas are snapshotted around each run (see scaladoc on bleed).
+    val shuffleWritten = new java.util.concurrent.atomic.LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleWritten.add(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    // One execution of `name`: returns (elapsed seconds, shuffle bytes
+    // written), or (-1, 0) on failure (recording the exception). Cache
+    // entries are dropped before moving on: each query is a standalone
+    // workload, and a persisted projection surviving into later queries only
+    // adds GC pressure there.
+    def runOnceB(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val b0 = shuffleWritten.sum()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -75,8 +97,10 @@ object Bench {
       // blocks (e.g. the connected-components rounds) survive it and would
       // hold storage memory into later queries' timings.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      if (ok) dt else -1.0
+      if (ok) (dt, shuffleWritten.sum() - b0) else (-1.0, 0L)
     }
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      runOnceB(name, fn)._1
 
     // Optional comma-separated name filter for targeted iteration
     // (SPARK_GRAFT_BENCH_ONLY=q111_change_feed,q127_pagerank); the driver
@@ -84,12 +108,17 @@ object Bench {
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
 
+    // Per-query shuffle bytes written (first warm rep; plan-deterministic).
+    val shuffleBytes = scala.collection.mutable.LinkedHashMap[String, Long]()
+
     // Stable name order (not Map hash order).
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val cold = runOnce(name, fn)
-      val twoReps = Seq(runOnce(name, fn), runOnce(name, fn))
+      val (rep1, rep1Bytes) = runOnceB(name, fn)
+      if (rep1 >= 0) shuffleBytes(name) = rep1Bytes
+      val twoReps = Seq(rep1, runOnce(name, fn))
       // Pollution guard: min-of-two doesn't defend against session-wide
       // contention hitting BOTH warm reps (round 9: q65 recorded 13.2s warm
       // vs 3.4s cold from exactly this). If the best warm rep is still >2×
@@ -119,14 +148,11 @@ object Bench {
     // also feeds the reported min (it is one more warm rep), so a purely
     // environmental spike self-corrects in `queries` too.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench/open.json")
-    val refWarm: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(refPath)), "UTF-8")
-        // minimal extraction of the "queries" object — the artifact is our
-        // own single-line JSON with flat string->number maps
-        val qsec = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
-        qsec.map(_.split(",").flatMap { kv =>
+    // minimal extraction of a flat string->number object from the artifact —
+    // our own single-line JSON
+    def refNumberMap(txt: String, key: String): Map[String, Double] =
+      (s""""$key":\\{([^}]*)\\}""").r.findFirstMatchIn(txt).map(_.group(1))
+        .map(_.split(",").flatMap { kv =>
           kv.split(":") match {
             case Array(k, v) =>
               try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
@@ -134,7 +160,12 @@ object Bench {
             case _ => None
           }
         }.toMap).getOrElse(Map.empty)
-      } catch { case _: Throwable => Map.empty }
+    val refTxt: String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(refPath)), "UTF-8")
+      catch { case _: Throwable => "" }
+    val refWarm: Map[String, Double] = refNumberMap(refTxt, "queries")
+    val refBytes: Map[String, Double] = refNumberMap(refTxt, "shuffle_bytes")
     // A mover must be BOTH relatively (>1.7× ref) and absolutely (>0.75s
     // over ref) inflated — sub-second rows flap across runs without meaning.
     // (Round 12 used >2× and q85/q214/q77 sat 1.5–1.9× inflated just under
@@ -186,7 +217,18 @@ object Bench {
     val moversJson = movers.map { case (name, ref, warm, iso) =>
       s""""$name":{"ref":$ref,"recorded":$warm,"isolated_rerun":$iso}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"cold":$cold,"warm_reps":$repsJson,"movers":$moversJson,"bench_ref":"${if (refWarm.nonEmpty) refPath else ""}","errors":$errJson,"sf":"$sfDir"}"""
+    // Byte movers are report-only: shuffle bytes are plan-deterministic, so
+    // any move past noise (>1.15× AND >1 MB) is a REAL plan change — no
+    // isolated rerun can explain it away, and none is attempted.
+    val shuffleMoversJson = shuffleBytes.toSeq.flatMap { case (name, b) =>
+      refBytes.get(name).collect {
+        case ref if ref > 0 && b > 1.15 * ref && b - ref > 1048576 =>
+          s""""$name":{"ref_bytes":${ref.toLong},"bytes":$b}"""
+      }
+    }.mkString("{", ",", "}")
+    val bytesJson = shuffleBytes
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"cold":$cold,"warm_reps":$repsJson,"movers":$moversJson,"shuffle_bytes":$bytesJson,"shuffle_movers":$shuffleMoversJson,"bench_ref":"${if (refWarm.nonEmpty) refPath else ""}","errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the tail of stdout (round 9 preserved per-query
     // numbers for just 40/208 queries) — persist the complete JSON to a
