@@ -36,4 +36,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // queries ballooning to 40s), and at local[32] even 24g showed late-run GC
   // coupling. The box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 351 queries' whole-stage-codegen classes overflow the default 240 MB JIT
+  // code cache late in a full-suite run; once it fills (flushing churn), C2
+  // stops keeping hot loops compiled and the FLOP-dense queries degrade
+  // 2.5-4x IN-SUITE while running at reference speed in a fresh JVM (round-13
+  // close: q218 17.6s in-suite vs 8.1s fresh, q28 2.2s vs 0.7s, q331 2.6s vs
+  // 1.9s — reproducible across two full runs, code ruled out by a same-window
+  // old-vs-new worktree A/B). Headroom restores in-suite = fresh-JVM.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -53,7 +53,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -228,7 +228,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val bytesJson = shuffleBytes
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"cold":$cold,"warm_reps":$repsJson,"movers":$moversJson,"shuffle_bytes":$bytesJson,"shuffle_movers":$shuffleMoversJson,"bench_ref":"${if (refWarm.nonEmpty) refPath else ""}","errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"cold":$cold,"warm_reps":$repsJson,"movers":$moversJson,"shuffle_bytes":$bytesJson,"shuffle_movers":$shuffleMoversJson,"bench_ref":"${if (refWarm.nonEmpty) refPath else ""}","errors":$errJson,"cpus":$cpus,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the tail of stdout (round 9 preserved per-query
     // numbers for just 40/208 queries) — persist the complete JSON to a
