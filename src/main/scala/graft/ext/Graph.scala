@@ -55,17 +55,23 @@ object Graph {
     // from RDD lineage if evicted) in a constant-size LogicalRDD plan.
     def truncated(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
-    val symC = edges.select(explode(array(
+    // dst-partitioned above the rebind (round 13): every round joins the
+    // labels on dst, so the ONE explicit exchange here (hashpartitioning(dst)
+    // also satisfies the (src,dst) dedup) replaces a per-round |E| exchange —
+    // rounds exchange only the node-sized label table. The rebind UNDER the
+    // repartition keeps the upstream plan (q65: the whole MinHash
+    // candidate+verify tree) out of every round's analysis, as before.
+    val symC = truncated(edges.select(explode(array(
         struct(col(idA).as("src"), col(idB).as("dst")),
         struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+      .repartition(col("dst")).dropDuplicates("src", "dst")
       .persist(level)
     // Materialize eagerly: folding the (possibly expensive) upstream build
     // into round 0's join job serializes cache construction behind the join's
     // stage scheduling — measured 5-10× slower than giving it its own job.
     symC.count()
-    val sym = truncated(symC)
+    val sym = symC
     // 1-hop init: label(id) = min(id, neighbors) — exactly what a first
     // loop round over identity labels would compute, but as ONE map-side
     // combinable aggregation instead of a join round. Saves one full
@@ -270,10 +276,17 @@ object Graph {
     def truncated(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
 
-    val eC = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().persist(level)
+    // One exchange by src (above a plan-truncating rebind of the upstream,
+    // so per-action analysis stays constant) serves the dedup
+    // (hashpartitioning(src) satisfies ClusteredDistribution(src,dst)), the
+    // outdeg aggregate, AND the rank-contribution join of EVERY iteration —
+    // the partitioning stays visible on the cache, so each round exchanges
+    // only the node-sized rank table, never the edges (q127: 59.8 → 29.2 MB
+    // measured, PERF.md round 13).
+    val eC = truncated(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+      .repartition(col("src")).dropDuplicates("src", "dst").persist(level)
     eC.count()
-    val e = truncated(eC)
+    val e = eC
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outd")).persist(level)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist(level)
@@ -319,10 +332,13 @@ object Graph {
     def truncated(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
 
-    val eC = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().persist(level)
+    // same src-partitioned cached edge table as pageRankIterations (rebind
+    // below the repartition): the per-iteration contribution join exchanges
+    // only the rank side
+    val eC = truncated(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+      .repartition(col("src")).dropDuplicates("src", "dst").persist(level)
     eC.count()
-    val e = truncated(eC)
+    val e = eC
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outd")).persist(level)
     val nodesF = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -375,10 +391,13 @@ object Graph {
     def truncated(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
 
-    val eC = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().persist(level)
+    // src-partitioned above the rebind (round 13, pageRankIterations'
+    // shape): the per-round src-keyed join exchanges only the small side,
+    // never the cached edge table.
+    val eC = truncated(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+      .repartition(col("src")).dropDuplicates("src", "dst").persist(level)
     eC.count()
-    val e = truncated(eC)
+    val e = eC
 
     var visitedC = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L)).persist(level)
@@ -427,10 +446,13 @@ object Graph {
     def truncated(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
 
-    val eC = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().persist(level)
+    // src-partitioned above the rebind (round 13, pageRankIterations'
+    // shape): the per-round src-keyed join exchanges only the small side,
+    // never the cached edge table.
+    val eC = truncated(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+      .repartition(col("src")).dropDuplicates("src", "dst").persist(level)
     eC.count()
-    val e = truncated(eC)
+    val e = eC
 
     var labeledC = seeds
       .select(col(nodeCol).as("node"), col(labelCol).cast("long").as("label"))
@@ -554,10 +576,19 @@ object Graph {
     def truncated(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
 
-    val eC = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("long").as("w")).persist(level)
+    // Truncate the (possibly huge) upstream plan FIRST, then pre-partition
+    // by the join key and cache the RESULTING DataFrame: the LogicalRDD
+    // rebind keeps per-action analysis cost constant, and because the
+    // repartition sits ABOVE the rebind the cache's outputPartitioning
+    // stays visible to Catalyst — so every round's frontier⋈edges join
+    // exchanges only the (small) frontier side. rounds×|E| shuffle becomes
+    // |E| once — the dominant byte cost of this operator at any scale
+    // (q242: 90.5 → 45.4 MB measured, PERF.md round 13).
+    val eC = truncated(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w")))
+      .repartition(col("src")).persist(level)
     eC.count()
-    val e = truncated(eC)
+    val e = eC
 
     var roundC = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L))
@@ -672,10 +703,14 @@ object Graph {
     val spark = edges.sparkSession
     def truncated(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
-    val eC = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().persist(level)
+    // src-partitioned above the rebind: the hub->authority join reuses it
+    // every round; the authority->hub join keys on dst and still exchanges
+    // the edge side — a dst-partitioned SECOND cached copy would remove
+    // that too at 2x memory (worth it at cluster scale; not at bench scale).
+    val eC = truncated(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+      .repartition(col("src")).dropDuplicates("src", "dst").persist(level)
     eC.count()
-    val e = truncated(eC)
+    val e = eC
     var hubs = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("h"))
     var auths: DataFrame = hubs // placeholder; iters >= 1 always overwrites
