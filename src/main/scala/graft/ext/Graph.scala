@@ -460,15 +460,22 @@ object Graph {
     labeledC.count()
     var labeled = truncated(labeledC)
     for (i <- 1 to iters) {
+      // The already-labeled anti-join runs AFTER the vote aggregates: votes
+      // for a labeled dst are computed and then discarded, which is
+      // semantically identical (labels only ever grow) but moves the
+      // anti-join from the EDGE-sized join output to the node-sized vote
+      // table — the per-round exchange drops from |E|+votes to the
+      // map-side-combined votes alone (measured at sf0.1: q148 34.1→?, see
+      // PERF.md).
       val adoptedC = e
         .join(labeled.select(col("node").as("src"), col("label")), "src")
-        .join(labeled.select(col("node").as("dst")), Seq("dst"), "left_anti")
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("votes"))
         // Majority label, ties to the SMALLEST label: argmax over
         // (votes, -label) — one aggregate, no rank window.
         .groupBy(col("dst"))
         .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("w"))
+        .join(labeled.select(col("node").as("dst")), Seq("dst"), "left_anti")
         .select(col("dst").as("node"), (-col("w.nl")).as("label"),
           lit(i.toLong).as("round"))
         .persist(level)
@@ -651,30 +658,40 @@ object Graph {
     def truncated(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
 
-    var liveC = edges.where(col(idA) =!= col(idB))
+    // src-partitioned ABOVE the rebind and re-established on every round's
+    // pruned survivor set (the round-13 graph-loop pattern): the per-round
+    // degree aggregate and the src-side semi-join then reuse the cached
+    // partitioning, so each round exchanges the live set ONCE (the dst-side
+    // semi) instead of three times. The dedup exchange below rides the same
+    // repartition.
+    var liveC = truncated(edges.where(col(idA) =!= col(idB))
       .select(explode(array(
         struct(col(idA).as("src"), col(idB).as("dst")),
         struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().persist(level)
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+      .repartition(col("src")).dropDuplicates("src", "dst").persist(level)
     liveC.count()
-    var live = truncated(liveC)
+    var live = liveC
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
       round += 1
       val strong = live.groupBy(col("src")).agg(count(lit(1)).as("n"))
         .where(col("n") >= k).select(col("src"))
-      val prunedC = live
+      val prunedC = truncated(live
         .join(strong, Seq("src"), "left_semi")
         .join(strong.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
+        .select(col("src"), col("dst")))
+        .repartition(col("src"))
         .persist(level)
       val before = liveC.count()
       val after = prunedC.count()
       liveC.unpersist(blocking = false)
       liveC = prunedC
-      live = truncated(prunedC)
+      // prunedC already carries the rebind BELOW its repartition — binding
+      // `live` straight to it keeps the partitioning visible next round
+      // (a second truncation here would blindfold it again).
+      live = prunedC
       converged = before == after
     }
     // the final live set stays persisted (the returned plan reads it);
