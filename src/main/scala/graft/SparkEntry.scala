@@ -7011,6 +7011,147 @@ object SparkEntry {
           |  AND w2.yr = 1995 AND w2.ch = 'web'
           |  AND s1.cents > 0 AND w1.cents > 0
           |  AND w2.cents * s1.cents > s2.cents * w1.cents""".stripMargin)
+    },
+
+    // INTEGER-EXACT Lloyd k-means (ext.Clustering.kmeansSummary): vectors
+    // micros-quantized up front, centroid update = sum DIV count, distance
+    // ties to the first minimum — every iteration replays bit-for-bit in the
+    // oracle's unrolled CTEs, so cluster SIZES and INERTIA hash-compare.
+    // (q36's float IVF trainer could only oracle an ANN recall CONTRACT —
+    // float means are association-order-dependent; this is the trainer an
+    // independent engine can certify.) k=8, 3 iterations.
+    "q352_kmeans_lloyd" -> ((s, dir) =>
+      graft.ext.Clustering.kmeansSummary(t(s, dir, "embeddings"), k = 8, iters = 3)),
+
+    // SemDeDup (Abbas et al. 2023): k-means clusters as the BLOCKING key,
+    // near-dup pruning only within each cluster — the published recipe for
+    // semantic dedup at corpus scale (q83's hyperplane-LSH blocking is the
+    // sibling path). Fixture = embeddings + the planted +0.01-shifted copies
+    // (q28's family); cosine gate cos ≥ 0.995 evaluated cross-multiplied in
+    // DECIMAL(38,0), keep rule = lowest id per cluster-local similar set.
+    "q353_semdedup" -> ((s, dir) =>
+      graft.ext.Clustering.semDedupSummary(embeddingsWithPlantedNearDups(s, dir),
+        k = 8, iters = 2, thresholdMicroSq = 990025L)),
+
+    // t-closeness audit (Li et al., ICDE 2007 — ext.Privacy.tClosenessAudit):
+    // the release-audit leg k-anonymity (q284) and l-diversity (q286) miss —
+    // a group whose sensitive DISTRIBUTION diverges from the population.
+    // QI = (nation, segment); sensitive = account-balance decile band;
+    // ordered EMD cross-multiplied to exact integers, t = 0.15.
+    "q354_t_closeness" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(
+        col("c_nationkey"), col("c_mktsegment"),
+        expr("(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000L) DIV 120000L")
+          .as("bal_band"))
+      graft.ext.Privacy.tClosenessAudit(c, Seq("c_nationkey", "c_mktsegment"),
+        "bal_band", bandDomain = (0L to 9L).toSeq, tPermille = 150L)
+    },
+
+    // TPC-DS Q47/Q57 SHAPE: monthly brand revenue vs the SAME brand-year's
+    // average — the classic "deviation from window average" decorrelation,
+    // with the avg comparison INTEGER CROSS-MULTIPLIED (|12·rev − ysum|·10 >
+    // ysum ⟺ |rev − avg| > avg/10) and lag/lead month revenue riding the
+    // same window pass; only full 12-month brand-years qualify.
+    "q355_tpcds_q47_shape" -> { (s, dir) =>
+      Seq("lineitem", "orders", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """WITH ms AS (
+          |  SELECT p_brand AS brand,
+          |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+          |         CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+          |         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+          |           AS BIGINT)) AS BIGINT) AS cents
+          |  FROM lineitem_v JOIN orders_v ON l_orderkey = o_orderkey
+          |                  JOIN part_v ON l_partkey = p_partkey
+          |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+          |  GROUP BY 1, 2, 3),
+          |w AS (
+          |  SELECT brand, yr, mo, cents,
+          |         CAST(SUM(cents) OVER (PARTITION BY brand, yr) AS BIGINT)
+          |           AS ysum,
+          |         CAST(COUNT(*) OVER (PARTITION BY brand, yr) AS BIGINT)
+          |           AS ymonths,
+          |         lag(cents) OVER (PARTITION BY brand, yr ORDER BY mo)
+          |           AS prev_cents,
+          |         lead(cents) OVER (PARTITION BY brand, yr ORDER BY mo)
+          |           AS next_cents
+          |  FROM ms)
+          |SELECT brand, yr, mo, cents, ysum, prev_cents, next_cents
+          |FROM w
+          |WHERE ymonths = 12 AND ABS(12 * cents - ysum) * 10 > ysum""".stripMargin)
+    },
+
+    // TPC-DS Q39 SHAPE (inventory volatility pairs): per (supplier, month)
+    // quantity stats; a month is volatile when cov > 0.5, gated DIVISION-FREE
+    // via 4·n·(n·Σq² − (Σq)²) > (n−1)·(Σq)² (cov > 0.5 ⟺ var > mean²/4 —
+    // Q39's cov > 1 never fires on uniform 1..50 quantities, cov ≈ 0.57 cap,
+    // so the threshold keeps the gate live while preserving the shape);
+    // consecutive volatile months self-join on (supplier, mo+1).
+    "q356_tpcds_q39_shape" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """WITH inv AS (
+          |  SELECT l_suppkey AS supp,
+          |         CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS mo,
+          |         CAST(COUNT(*) AS BIGINT) AS n,
+          |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+          |         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+          |           AS BIGINT) AS ss
+          |  FROM lineitem_v
+          |  WHERE EXTRACT(YEAR FROM l_shipdate) = 1996
+          |  GROUP BY 1, 2),
+          |flagged AS (
+          |  SELECT supp, mo, n, s,
+          |         CASE WHEN n > 1 AND 4 * n * (n * ss - s * s) > (n - 1) * s * s
+          |              THEN 1 ELSE 0 END AS hi
+          |  FROM inv)
+          |SELECT a.supp, a.mo AS mo1, b.mo AS mo2, a.n AS n1, a.s AS s1,
+          |       b.n AS n2, b.s AS s2
+          |FROM flagged a JOIN flagged b ON a.supp = b.supp AND b.mo = a.mo + 1
+          |WHERE a.hi = 1 AND b.hi = 1""".stripMargin)
+    },
+
+    // POSITIONAL PHRASE SEARCH over the inverted index: q132's posting lists
+    // carry only document ids — a phrase query needs POSITIONS. The scan
+    // keeps only the phrase's three words (posting-list pruning: the corpus
+    // never reaches the join), then the position-chain equi-joins
+    // (doc, pos)=(doc, pos−1)=(doc, pos−2) find every occurrence — the
+    // standard positional-index intersection, distributed as keyed joins.
+    // Overlapping occurrences count individually (the replace()-based
+    // containment trick undercounts them; positions don't).
+    "q357_phrase_match" -> { (s, dir) =>
+      val tok = t(s, dir, "documents").select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(lower(col("text")))).as(Seq("pos", "w")))
+      val p0 = tok.filter(col("w") === "big").select(col("doc_id"), col("pos"))
+      val p1 = tok.filter(col("w") === "order")
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      val p2 = tok.filter(col("w") === "scan")
+        .select(col("doc_id"), (col("pos") - 2).as("pos"))
+      p0.join(p1, Seq("doc_id", "pos")).join(p2, Seq("doc_id", "pos"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+    },
+
+    // TPC-DS Q88 SHAPE: eight (quantity-band × discount-band) counters from
+    // ONE scan — Q88 writes eight separate subqueries over the same fact
+    // table and cross-joins the eight 1-row results (8× the IO); conditional
+    // aggregation folds all eight into a single map-side-combined pass.
+    // Discount banded in exact cents (ROUND(d*100)), never a double compare.
+    "q358_tpcds_q88_shape" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT
+          |  CAST(SUM(CASE WHEN l_quantity <= 10 AND d <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+          |  CAST(SUM(CASE WHEN l_quantity <= 10 AND d > 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+          |  CAST(SUM(CASE WHEN l_quantity > 10 AND l_quantity <= 25 AND d <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+          |  CAST(SUM(CASE WHEN l_quantity > 10 AND l_quantity <= 25 AND d > 2 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+          |  CAST(SUM(CASE WHEN l_quantity > 25 AND l_quantity <= 40 AND d <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+          |  CAST(SUM(CASE WHEN l_quantity > 25 AND l_quantity <= 40 AND d > 2 THEN 1 ELSE 0 END) AS BIGINT) AS b6,
+          |  CAST(SUM(CASE WHEN l_quantity > 40 AND d <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS b7,
+          |  CAST(SUM(CASE WHEN l_quantity > 40 AND d > 2 THEN 1 ELSE 0 END) AS BIGINT) AS b8
+          |FROM (SELECT l_quantity, CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+          |      FROM lineitem_v WHERE l_returnflag IN ('R', 'A'))""".stripMargin)
     }
   )
 
@@ -13644,8 +13785,196 @@ object SparkEntry {
         |  AND w1.yr = 1994 AND w1.ch = 'web'
         |  AND w2.yr = 1995 AND w2.ch = 'web'
         |  AND s1.cents > 0 AND w1.cents > 0
-        |  AND w2.cents * s1.cents > s2.cents * w1.cents""".stripMargin
+        |  AND w2.cents * s1.cents > s2.cents * w1.cents""".stripMargin,
+
+    "q352_kmeans_lloyd" ->
+      s"""WITH q AS (SELECT vec_id AS vid,
+         |  list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000.0)) AS v
+         |  FROM embeddings),
+         |${kmeansCtesSql(8, 3, 64)},
+         |l1 AS (SELECT c.cid, CAST(SUM(CAST(abs(c.c[p.pos]) AS BIGINT)) AS BIGINT)
+         |         AS centroid_l1
+         |       FROM c3 c CROSS JOIN p GROUP BY c.cid)
+         |SELECT af.cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+         |       CAST(SUM(af.dist) AS BIGINT) AS inertia,
+         |       l1.centroid_l1,
+         |       CAST(SUM(af.vid) AS BIGINT) AS id_checksum
+         |FROM af JOIN l1 ON l1.cid = af.cid
+         |GROUP BY af.cid, l1.centroid_l1""".stripMargin,
+
+    "q353_semdedup" ->
+      s"""WITH raw AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS vid,
+         |  list_transform(e, x -> round(x * 1000000.0)) AS v FROM raw),
+         |${kmeansCtesSql(8, 2, 64)},
+         |nn AS (SELECT af.vid, af.cid, q.v,
+         |              CAST(list_dot_product(q.v, q.v) AS BIGINT) AS n2
+         |       FROM af JOIN q ON q.vid = af.vid),
+         |pr AS (SELECT DISTINCT a.cid, b.vid AS idb
+         |       FROM nn a JOIN nn b ON a.cid = b.cid AND a.vid < b.vid
+         |       WHERE list_dot_product(a.v, b.v) > 0
+         |         AND CAST(1000000 AS HUGEINT)
+         |               * CAST(CAST(list_dot_product(a.v, b.v) AS BIGINT) AS HUGEINT)
+         |               * CAST(CAST(list_dot_product(a.v, b.v) AS BIGINT) AS HUGEINT)
+         |             >= CAST(990025 AS HUGEINT)
+         |               * CAST(a.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT))
+         |SELECT n.cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+         |       CAST(SUM(CASE WHEN p.idb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dropped,
+         |       CAST(SUM(CASE WHEN p.idb IS NOT NULL THEN n.vid ELSE 0 END) AS BIGINT)
+         |         AS dropped_id_checksum
+         |FROM nn n LEFT JOIN pr p ON p.cid = n.cid AND p.idb = n.vid
+         |GROUP BY n.cid""".stripMargin,
+
+    "q354_t_closeness" ->
+      """WITH base AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 120000 AS band
+        |  FROM customer),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        |gb AS (SELECT band, COUNT(*) AS gc FROM base GROUP BY band),
+        |bands AS (SELECT CAST(i AS BIGINT) AS band FROM range(0, 10) t(i)),
+        |gcum AS (SELECT b.band, CAST(COALESCE(SUM(g2.gc), 0) AS BIGINT) AS cum_all
+        |         FROM bands b LEFT JOIN gb g2 ON g2.band <= b.band GROUP BY b.band),
+        |grp AS (SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_g
+        |        FROM base GROUP BY 1, 2),
+        |cnt AS (SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS c
+        |        FROM base GROUP BY 1, 2, 3),
+        |grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.n_g, b.band,
+        |                CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+        |         FROM grp g CROSS JOIN bands b
+        |         LEFT JOIN cnt c ON c.c_nationkey = g.c_nationkey
+        |           AND c.c_mktsegment = g.c_mktsegment AND c.band = b.band),
+        |cum AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |                                    ORDER BY band) AS BIGINT) AS cum_g
+        |        FROM grid)
+        |SELECT cum.c_nationkey, cum.c_mktsegment, cum.n_g,
+        |       CAST(SUM(ABS(cum.cum_g * t.n - gc2.cum_all * cum.n_g)) AS BIGINT)
+        |         AS emd_num,
+        |       CAST(cum.n_g * t.n * 9 AS BIGINT) AS emd_denom,
+        |       CAST(1000 * SUM(ABS(cum.cum_g * t.n - gc2.cum_all * cum.n_g))
+        |              > 150 * cum.n_g * t.n * 9 AS INT) AS t_violation
+        |FROM cum JOIN gcum gc2 ON gc2.band = cum.band CROSS JOIN tot t
+        |GROUP BY cum.c_nationkey, cum.c_mktsegment, cum.n_g, t.n""".stripMargin,
+
+    "q355_tpcds_q47_shape" ->
+      """WITH ms AS (
+        |  SELECT p_brand AS brand,
+        |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |         CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |           AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |                JOIN part ON l_partkey = p_partkey
+        |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+        |  GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT brand, yr, mo, cents,
+        |         CAST(SUM(cents) OVER (PARTITION BY brand, yr) AS BIGINT) AS ysum,
+        |         CAST(COUNT(*) OVER (PARTITION BY brand, yr) AS BIGINT) AS ymonths,
+        |         lag(cents) OVER (PARTITION BY brand, yr ORDER BY mo) AS prev_cents,
+        |         lead(cents) OVER (PARTITION BY brand, yr ORDER BY mo) AS next_cents
+        |  FROM ms)
+        |SELECT brand, yr, mo, cents, ysum, prev_cents, next_cents
+        |FROM w
+        |WHERE ymonths = 12 AND ABS(12 * cents - ysum) * 10 > ysum""".stripMargin,
+
+    "q356_tpcds_q39_shape" ->
+      """WITH inv AS (
+        |  SELECT l_suppkey AS supp,
+        |         CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS mo,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |           AS BIGINT) AS ss
+        |  FROM lineitem
+        |  WHERE EXTRACT(YEAR FROM l_shipdate) = 1996
+        |  GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT supp, mo, n, s,
+        |         CASE WHEN n > 1 AND 4 * n * (n * ss - s * s) > (n - 1) * s * s
+        |              THEN 1 ELSE 0 END AS hi
+        |  FROM inv)
+        |SELECT a.supp, a.mo AS mo1, b.mo AS mo2, a.n AS n1, a.s AS s1,
+        |       b.n AS n2, b.s AS s2
+        |FROM flagged a JOIN flagged b ON a.supp = b.supp AND b.mo = a.mo + 1
+        |WHERE a.hi = 1 AND b.hi = 1""".stripMargin,
+
+    "q357_phrase_match" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w,
+        |         CAST(unnest(range(0, array_length(
+        |           regexp_split_to_array(trim(lower(text)), '\s+')))) AS INT) AS pos
+        |  FROM documents)
+        |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |       CAST(MIN(a.pos) AS INT) AS first_pos
+        |FROM tok a
+        |JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.w = 'order'
+        |JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.w = 'scan'
+        |WHERE a.w = 'big'
+        |GROUP BY a.doc_id""".stripMargin,
+
+    "q358_tpcds_q88_shape" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN l_quantity <= 10 AND d <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |  CAST(SUM(CASE WHEN l_quantity <= 10 AND d > 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        |  CAST(SUM(CASE WHEN l_quantity > 10 AND l_quantity <= 25 AND d <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+        |  CAST(SUM(CASE WHEN l_quantity > 10 AND l_quantity <= 25 AND d > 2 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+        |  CAST(SUM(CASE WHEN l_quantity > 25 AND l_quantity <= 40 AND d <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+        |  CAST(SUM(CASE WHEN l_quantity > 25 AND l_quantity <= 40 AND d > 2 THEN 1 ELSE 0 END) AS BIGINT) AS b6,
+        |  CAST(SUM(CASE WHEN l_quantity > 40 AND d <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS b7,
+        |  CAST(SUM(CASE WHEN l_quantity > 40 AND d > 2 THEN 1 ELSE 0 END) AS BIGINT) AS b8
+        |FROM (SELECT l_quantity, CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+        |      FROM lineitem WHERE l_returnflag IN ('R', 'A')) x""".stripMargin
   )
+
+  /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —
+    * expects a CTE named `q` with `(vid, v)` (micros-quantized DOUBLE[] with
+    * integer values; all dot products stay < 2⁵³ so DOUBLE is exact), emits
+    * `p` (1-based positions), `c0..c<iters>` (centroid tables) and `af` (the
+    * final assignment with its integer squared distance). Tie-breaks and the
+    * truncating `//` division mirror the Spark side exactly (DuckDB `//` on
+    * BIGINT truncates toward zero like JVM `/` — probed, not assumed). */
+  private def kmeansCtesSql(k: Int, iters: Int, dim: Int): String = {
+    def distSql(vt: String, ct: String) =
+      s"list_dot_product($vt, $vt) - 2 * list_dot_product($vt, $ct) + list_dot_product($ct, $ct)"
+    val init =
+      s"""p AS (SELECT CAST(i AS INT) AS pos FROM range(1, ${dim + 1}) t(i)),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) AS INT) - 1 AS cid,
+         |              v AS c
+         |       FROM (SELECT vid, v FROM q ORDER BY vid LIMIT $k) s0)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+         |a$i AS (SELECT vid, v, cid FROM (
+         |    SELECT q.vid, q.v, c.cid,
+         |           row_number() OVER (PARTITION BY q.vid
+         |             ORDER BY ${distSql("q.v", "c.c")}, c.cid) AS rk
+         |    FROM q CROSS JOIN c${i - 1} c) x WHERE rk = 1),
+         |u$i AS (SELECT a.cid, p.pos, CAST(SUM(a.v[p.pos]) AS BIGINT) AS s,
+         |               CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM a$i a CROSS JOIN p GROUP BY a.cid, p.pos),
+         |c$i AS (SELECT c.cid,
+         |               list(CAST(COALESCE(u.s // u.n, c.c[p.pos]) AS DOUBLE)
+         |                 ORDER BY p.pos) AS c
+         |        FROM c${i - 1} c CROSS JOIN p
+         |        LEFT JOIN u$i u ON u.cid = c.cid AND u.pos = p.pos
+         |        GROUP BY c.cid)""".stripMargin
+    }.mkString
+    val af =
+      s""",
+         |af AS (SELECT vid, CAST(dist AS BIGINT) AS dist, cid FROM (
+         |    SELECT q.vid, q.v, c.cid, ${distSql("q.v", "c.c")} AS dist,
+         |           row_number() OVER (PARTITION BY q.vid
+         |             ORDER BY ${distSql("q.v", "c.c")}, c.cid) AS rk
+         |    FROM q CROSS JOIN c$iters c) x WHERE rk = 1)""".stripMargin
+    init + iterCtes + af
+  }
 
   /** q345's oracle: the full NN-descent convergence replay — the q336 seed
     * (two salted 6-bit LSH tables, exact rescoring, top-k), `maxRounds`

@@ -102,4 +102,84 @@ object Privacy {
         (col("n_true") + geo("p") - geo("n")).as("n_noisy"))
       .withColumn("abs_err", abs(col("n_noisy") - col("n_true")))
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007 — public
+    * literature) for an ORDERED sensitive attribute — the third leg of the
+    * release-audit family (k-anonymity q284 counts group sizes, l-diversity
+    * q286 counts distinct sensitive values; both pass on a group whose
+    * sensitive DISTRIBUTION still leaks, e.g. 95% of one nation's customers
+    * in the bottom balance band — exactly what t-closeness catches).
+    *
+    * Per QI group g: EMD(P_g, P_global) under the ordered-distance ground
+    * metric = `(1/(m−1)) · Σ_j |CumP_g(j) − CumP(j)|`. Never leaves
+    * integers: the comparison is cross-multiplied to
+    *
+    *   emd_num(g) = Σ_j |cum_g(j)·N − cum(j)·n_g|      (exact BIGINT)
+    *   violation ⟺ 1000·emd_num > t_permille·n_g·N·(m−1)
+    *
+    * Overflow bound: cum ≤ N, so each term ≤ N² and the sum ≤ m·N² — with
+    * 10 bands safe to N ≈ 3·10⁸ rows; lift to DECIMAL(38,0) past that (the
+    * spearman discipline).
+    *
+    * Scale: one groupBy to (QI, band) counts (map-side combinable), the
+    * m-band grid rebuilt per group from the `bandDomain` literal (missing
+    * bands MUST contribute zero mass to the cumsum — joining only observed
+    * bands understates EMD), per-group cumsum windows over m rows, and the
+    * band-level global distribution broadcast. No shuffle wider than the
+    * (QI, band) count table.
+    *
+    * Output: one row per QI group:
+    * `(qiCols…, n_g, emd_num, emd_denom, t_violation)` where
+    * `emd_denom = n_g·N·(m−1)` (the exact rational's denominator rides
+    * along so no engine divides). */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String], bandCol: String,
+                      bandDomain: Seq[Long], tPermille: Long): DataFrame = {
+    require(qiCols.nonEmpty, "Privacy.tClosenessAudit: need at least one QI column")
+    require(bandDomain.nonEmpty && bandDomain == bandDomain.sorted && bandDomain.distinct == bandDomain,
+      "Privacy.tClosenessAudit: bandDomain must be sorted distinct band ids")
+    require(tPermille >= 0 && tPermille <= 1000,
+      s"Privacy.tClosenessAudit: tPermille must be in [0, 1000], got $tPermille")
+    val m = bandDomain.size
+    val qi = qiCols.map(col)
+    val counts = df.groupBy(qi :+ col(bandCol).as("__band"): _*)
+      .agg(count(lit(1)).as("__c"))
+    // observed bands outside the declared domain would silently vanish from
+    // the grid join — fail loudly instead (the domain is part of the contract)
+    val domainLit = typedlit(bandDomain)
+    val checked = counts.withColumn("__c",
+      when(array_contains(domainLit, col("__band")), col("__c"))
+        .otherwise(raise_error(concat(
+          lit("Privacy.tClosenessAudit: band outside domain: "),
+          col("__band").cast("string")))))
+    val groups = checked.groupBy(qi: _*).agg(sum(col("__c")).as("n_g"))
+    val grid = groups
+      .select(qi :+ explode(domainLit).as("__band"): _*)
+      .join(checked, qiCols :+ "__band", "left")
+      .na.fill(0L, Seq("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(qi: _*).orderBy(col("__band"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // The global distribution is m rows — index metadata, collected like the
+    // BPE merge table; its running sum becomes a plan literal, so no global
+    // window ever appears in the distributed plan.
+    val globalBands = df.groupBy(col(bandCol).as("__band"))
+      .agg(count(lit(1)).as("__gc"))
+      .collect().map(r => r.getAs[Long]("__band") -> r.getAs[Long]("__gc")).toMap
+    val cumAll: Seq[Long] = bandDomain
+      .scanLeft(0L)((acc, b) => acc + globalBands.getOrElse(b, 0L)).tail
+    val nTotal = globalBands.values.sum
+    val cumAllCol = element_at(typedlit(cumAll),
+      (array_position(typedlit(bandDomain), col("__band"))).cast("int"))
+    grid
+      .withColumn("__cum_g", sum(col("__c")).over(wCum))
+      .withColumn("__cum_all", cumAllCol)
+      .join(groups, qiCols)
+      .groupBy(qi :+ col("n_g"): _*)
+      .agg(sum(abs(col("__cum_g") * lit(nTotal) - col("__cum_all") * col("n_g")))
+        .as("emd_num"))
+      .withColumn("emd_denom", col("n_g") * lit(nTotal) * lit((m - 1).toLong))
+      .withColumn("t_violation",
+        (lit(1000L) * col("emd_num") > lit(tPermille) * col("emd_denom"))
+          .cast("int"))
+  }
 }
