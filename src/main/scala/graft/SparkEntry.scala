@@ -7152,8 +7152,164 @@ object SparkEntry {
           |  CAST(SUM(CASE WHEN l_quantity > 40 AND d > 2 THEN 1 ELSE 0 END) AS BIGINT) AS b8
           |FROM (SELECT l_quantity, CAST(ROUND(l_discount * 100) AS BIGINT) AS d
           |      FROM lineitem_v WHERE l_returnflag IN ('R', 'A'))""".stripMargin)
+    },
+
+    // AUDIO VAD SEGMENTATION (MediaCodecs.frameEnergies + Multimodal
+    // .vadSpans) — the silence-trim / speech-span pass of an audio curation
+    // pipeline, completing the audio story begun by q222 (stats) and q344
+    // (near-dup): REAL WAV decode → integer per-frame Σv² energies →
+    // threshold → gaps-and-islands spans. 48 synthetic clips alternate
+    // 400-sample voiced blocks (|v| ≤ 1500, frame energy ≥ ~4M) with silent
+    // blocks (|v| ≤ 20, frame energy ≤ 40k) on an id-dependent phase;
+    // threshold 1M sits 4× above the worst voiced frame's floor and 25×
+    // above the loudest silence. The plan's only exchange is on the clip id
+    // (window + groupBy share it); the oracle replays sample → square →
+    // frame sum → threshold → island bit-for-bit.
+    "q359_audio_vad" -> { (s, _) =>
+      import s.implicits._
+      val clips = s.range(48).as[Long].map { id =>
+        val n = (4000 + (id % 5) * 400).toInt
+        val samples = Array.tabulate(n) { i =>
+          val voiced = (i / 400 + id) % 3 != 0
+          val v =
+            if (voiced) ((i.toLong * (7 + id % 11) + 13 * id) % 3001L) - 1500L
+            else ((i.toLong * (3 + id % 7) + 11 * id) % 41L) - 20L
+          v.toShort
+        }
+        (id, graft.ext.MediaCodecs.wavBytes(8000, 1, samples))
+      }
+      val energies = clips.map { case (id, bytes) =>
+          (id, graft.ext.MediaCodecs.frameEnergies(bytes, 100).get)
+        }.toDF("media_id", "energies")
+        .select(col("media_id"),
+          posexplode(col("energies")).as(Seq("frame", "energy")))
+      graft.ext.Multimodal.vadSpans(energies, "media_id", "frame", "energy",
+        thresholdEnergy = 1000000L)
+    },
+
+    // VIDEO SHOT-BOUNDARY SEGMENTATION (MediaCodecs.videoFrameHashes +
+    // Multimodal.shotSpans) — the scene-cut pass of a video curation
+    // pipeline, the per-frame sibling of q349's whole-clip fingerprint:
+    // REAL GVID decode → per-frame aHash64 → lag-Hamming boundary test →
+    // running-sum shot numbering → spans. 48 clips of 10–12 frames play
+    // 3 scenes of 4 identical frames each (within-scene Hamming 0; scene
+    // cuts move many grid cells at once); every 4th clip overlays a
+    // single all-white flash frame mid-scene, which must open and close
+    // its own 1-frame shot. lag + running sum + the span aggregate share
+    // ONE exchange on the clip id; the oracle replays pixel → luma → 8×8
+    // grid → bits → popcount → boundary → shot number exactly.
+    "q360_video_shot_segments" -> { (s, _) =>
+      import s.implicits._
+      val vids = s.range(48).as[Long].map { id =>
+        val nf = (10 + id % 3).toInt
+        val frames = (0 until nf).map { f =>
+          val sc = (f / 4).toLong
+          graft.ext.MediaCodecs.bmpBytes(16, 12, (x, y) =>
+            if (id % 4 == 0 && f == 5) (255, 255, 255)
+            else (
+              ((x * x * (3 + (id + sc) % 7) + y * y * (5 + (id + 2 * sc) % 11)
+                + x * y * (1 + (id + sc) % 13) + 37 * id + 101 * sc) % 256).toInt,
+              ((x * x * (2 + (id + 2 * sc) % 5) + y * y * (7 + (id + sc) % 3)
+                + x * y * (2 + (id + 2 * sc) % 11) + 11 * id + 53 * sc) % 256).toInt,
+              ((x * x * (1 + (id + sc) % 9) + y * y * (4 + (id + 2 * sc) % 13)
+                + x * y * (3 + (id + sc) % 7) + 23 * id + 29 * sc) % 256).toInt))
+        }
+        (id, graft.ext.MediaCodecs.videoBytes(frames))
+      }
+      val hashes = vids.map { case (id, bytes) =>
+          (id, graft.ext.MediaCodecs.videoFrameHashes(bytes).get)
+        }.toDF("media_id", "hashes")
+        .select(col("media_id"),
+          posexplode(col("hashes")).as(Seq("frame", "fhash")))
+      graft.ext.Multimodal.shotSpans(hashes, "media_id", "frame", "fhash",
+        maxDistance = 16)
+    },
+
+    // URL CANONICALIZATION DEDUP (TextAnalysis.canonicalUrl) — the first,
+    // cheapest dedup pass of a web-corpus pipeline: one page fetched under
+    // case-varied scheme/host, a default port, a trailing slash, shuffled
+    // query parameters, tracking params, or a fragment is ONE page, and the
+    // crawl frontier should learn that before fetching. 240 fixture URLs =
+    // 40 target pages × 6 variants; the canonical form is a pure-Column
+    // regexp + HOF pipeline (map-only, codegen'd, zero exchanges), and the
+    // dedup groups on the ASCII-bounded canonical string. The oracle
+    // replays every rule with the same RE2-safe regexes.
+    "q361_url_canonical_dedup" -> { (s, _) =>
+      val urls = s.range(240)
+        .select(col("id"), (col("id") % 40).as("g"),
+          (col("id") / 40).cast("long").as("v"))
+        .select(col("id"), expr(urlFixtureFromGv).as("url"))
+      urls
+        .select(col("id"),
+          graft.ext.TextAnalysis.canonicalUrl(col("url")).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_variants"), min(col("id")).as("keeper_id"))
+    },
+
+    // HTML → TEXT EXTRACTION (TextAnalysis.htmlToText) — the ingestion step
+    // between a raw crawl and every text-quality operator in this suite:
+    // script/style blocks dropped WITH contents (script bodies legitimately
+    // contain "<p>" string literals — the block strip must run before the
+    // generic tag strip), tags → single spaces (so adjacent block elements
+    // don't fuse words), the five core entities decoded (&amp; LAST, so
+    // &amp;lt; yields the literal &lt;), whitespace collapsed. Each
+    // documents row is wrapped in a deterministic HTML skeleton (title +
+    // style + a script whose body embeds tag-like literals and comparison
+    // operators); the emitted text, char counts, and the classic
+    // text-density permille signal are all oracle-replayed with the same
+    // RE2-safe regexes. Map-only, codegen'd, zero exchanges at any scale.
+    "q362_html_text_extract" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), expr(htmlFixtureSql).as("html"))
+      docs
+        .select(col("doc_id"), col("html"),
+          graft.ext.TextAnalysis.htmlToText(col("html")).as("text_extracted"))
+        .select(col("doc_id"), col("text_extracted"),
+          length(col("html")).cast("long").as("html_chars"),
+          length(col("text_extracted")).cast("long").as("text_chars"))
+        .withColumn("density_permille",
+          expr("1000 * text_chars div html_chars"))
     }
   )
+
+  /** q361's URL fixture: one expression over `(g, v)` — page group and
+    * variant — shared VERBATIM between the Spark plan and the DuckDB
+    * oracle, so the fixture itself can never diverge. Variant 0 is the
+    * canonical shape; 1 = uppercase scheme + default port, 2 = uppercase
+    * host, 3 = trailing slash, odd variants shuffle parameter order,
+    * 4 = tracking params appended, 5 = fragment appended. */
+  private[graft] val urlFixtureFromGv: String =
+    """concat(
+      |  CASE WHEN v = 1 THEN (CASE WHEN g % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END)
+      |       ELSE (CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END) END,
+      |  '://',
+      |  CASE WHEN v = 2 THEN concat('WWW.EX', CAST(g % 7 AS STRING), '.COM')
+      |       ELSE concat('www.ex', CAST(g % 7 AS STRING), '.com') END,
+      |  CASE WHEN v = 1 THEN (CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END)
+      |       ELSE '' END,
+      |  concat('/a/', CAST(g % 5 AS STRING)),
+      |  CASE WHEN v = 3 THEN '/' ELSE '' END,
+      |  CASE WHEN v % 2 = 0 THEN concat('?q=', CAST(g AS STRING), '&page=2')
+      |       ELSE concat('?page=2&q=', CAST(g AS STRING)) END,
+      |  CASE WHEN v = 4 THEN '&utm_source=feed&fbclid=1' ELSE '' END,
+      |  CASE WHEN v = 5 THEN '#sec' ELSE '' END)""".stripMargin
+
+  /** q362's HTML fixture: wraps each documents row in a deterministic HTML
+    * skeleton — shared VERBATIM between the Spark plan and the oracle. The
+    * script body deliberately embeds a "<p>" string literal and `<` / `>`
+    * comparison operators (the block strip must eat them); every third doc
+    * gets an entity-stress paragraph (`&amp;amp;` must decode to the
+    * literal `&amp;`, `&lt;tag&gt;` to the literal `<tag>`). */
+  private[graft] val htmlFixtureSql: String =
+    """concat(
+      |  '<html><head><title>Doc ', CAST(doc_id AS STRING), '</title>',
+      |  '<style>p { margin: 0; }</style>',
+      |  '<script>var s = "<p>hidden</p>"; if (1 < 2 && 2 > 1) { }</script>',
+      |  '</head><body><h1>Doc ', CAST(doc_id AS STRING), '</h1><p>', text, '</p>',
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN '<p>A &amp;amp; B &lt;tag&gt; &quot;q&#39;s&quot;</p>'
+      |       ELSE '' END,
+      |  '</body></html>')""".stripMargin
 
   /** Per-rater accuracies (permille) for q309's synthetic annotators —
     * shared verbatim with the oracle's CASE literal. */
@@ -13931,7 +14087,133 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN l_quantity > 40 AND d <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS b7,
         |  CAST(SUM(CASE WHEN l_quantity > 40 AND d > 2 THEN 1 ELSE 0 END) AS BIGINT) AS b8
         |FROM (SELECT l_quantity, CAST(ROUND(l_discount * 100) AS BIGINT) AS d
-        |      FROM lineitem WHERE l_returnflag IN ('R', 'A')) x""".stripMargin
+        |      FROM lineitem WHERE l_returnflag IN ('R', 'A')) x""".stripMargin,
+
+    // Full replay of the VAD pipeline: sample synth → square → frame-sum →
+    // threshold → gaps-and-islands. All-integer, so every span endpoint and
+    // energy is exact.
+    "q359_audio_vad" ->
+      """WITH m AS (SELECT id AS media_id, 4000 + (id % 5) * 400 AS n
+        |           FROM range(48) t(id)),
+        |sm AS (SELECT media_id, unnest(range(0, n)) AS i FROM m),
+        |sv AS (SELECT media_id, i // 100 AS f,
+        |         CASE WHEN ((i // 400) + media_id) % 3 <> 0
+        |              THEN ((i * (7 + media_id % 11) + 13 * media_id) % 3001) - 1500
+        |              ELSE ((i * (3 + media_id % 7) + 11 * media_id) % 41) - 20 END AS v
+        |       FROM sm),
+        |e AS (SELECT media_id, f, CAST(SUM(v * v) AS BIGINT) AS en
+        |      FROM sv GROUP BY 1, 2),
+        |a AS (SELECT media_id, f, en,
+        |        f - ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY f) AS grp
+        |      FROM e WHERE en > 1000000)
+        |SELECT media_id, MIN(f) AS span_start, MAX(f) AS span_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |       CAST(SUM(en) AS BIGINT) AS span_energy
+        |FROM a GROUP BY media_id, grp""".stripMargin,
+
+    // Full replay of the shot pipeline: pixel → BT.601 luma → 8×8 grid
+    // means → aHash bits per (clip, frame) → lag-Hamming boundary →
+    // running-sum shot number → spans. The bit construction mirrors
+    // q333's aHash CTE (64·cell > Σcells, bit 63 via the Long.MinValue
+    // literal).
+    "q360_video_shot_segments" ->
+      """WITH m AS (SELECT id AS media_id, 10 + id % 3 AS nf FROM range(48) t(id)),
+        |fr AS (SELECT media_id, unnest(range(0, nf)) AS f FROM m),
+        |px AS (SELECT media_id, f, f // 4 AS sc, unnest(range(0, 192)) AS pp
+        |       FROM fr),
+        |xy AS (SELECT media_id, f, sc, pp % 16 AS x, pp // 16 AS y FROM px),
+        |lu AS (SELECT media_id, f, x, y,
+        |        CASE WHEN media_id % 4 = 0 AND f = 5 THEN 255
+        |        ELSE (299 * ((x*x*(3 + (media_id + sc) % 7)
+        |                      + y*y*(5 + (media_id + 2*sc) % 11)
+        |                      + x*y*(1 + (media_id + sc) % 13)
+        |                      + 37*media_id + 101*sc) % 256)
+        |            + 587 * ((x*x*(2 + (media_id + 2*sc) % 5)
+        |                      + y*y*(7 + (media_id + sc) % 3)
+        |                      + x*y*(2 + (media_id + 2*sc) % 11)
+        |                      + 11*media_id + 53*sc) % 256)
+        |            + 114 * ((x*x*(1 + (media_id + sc) % 9)
+        |                      + y*y*(4 + (media_id + 2*sc) % 13)
+        |                      + x*y*(3 + (media_id + sc) % 7)
+        |                      + 23*media_id + 29*sc) % 256)) // 1000 END AS luma
+        |       FROM xy),
+        |ac AS (SELECT media_id, f, (y * 8) // 12 AS cy, (x * 8) // 16 AS cx,
+        |              SUM(luma) // COUNT(*) AS cell
+        |       FROM lu GROUP BY 1, 2, 3, 4),
+        |ah AS (SELECT a.media_id, a.f,
+        |          CAST(SUM(CASE WHEN 64 * a.cell > t.tot THEN
+        |               CASE WHEN a.cy * 8 + a.cx = 63
+        |                    THEN -9223372036854775807 - 1
+        |                    ELSE 1::BIGINT << CAST(a.cy * 8 + a.cx AS INT) END
+        |               ELSE 0 END) AS BIGINT) AS h
+        |       FROM ac a JOIN (SELECT media_id, f, SUM(cell) AS tot
+        |                       FROM ac GROUP BY 1, 2) t
+        |            ON a.media_id = t.media_id AND a.f = t.f
+        |       GROUP BY 1, 2),
+        |b AS (SELECT media_id, f,
+        |        CASE WHEN lag(h) OVER w IS NULL THEN 1
+        |             WHEN bit_count(xor(h, lag(h) OVER w)) > 16 THEN 1
+        |             ELSE 0 END AS bd
+        |      FROM ah WINDOW w AS (PARTITION BY media_id ORDER BY f)),
+        |sh AS (SELECT media_id, f,
+        |         SUM(bd) OVER (PARTITION BY media_id ORDER BY f) AS shot
+        |       FROM b)
+        |SELECT media_id, CAST(shot AS BIGINT) AS shot,
+        |       MIN(f) AS start_frame, MAX(f) AS end_frame,
+        |       CAST(COUNT(*) AS BIGINT) AS n_frames
+        |FROM sh GROUP BY media_id, shot""".stripMargin,
+
+    // Replays the fixture (the SAME shared expression text) and every
+    // canonicalization rule with RE2-safe regexes, then the group/keeper
+    // aggregate.
+    "q361_url_canonical_dedup" ->
+      s"""WITH u AS (SELECT id, id % 40 AS g, id // 40 AS v FROM range(240) t(id)),
+         |r AS (SELECT id, $urlFixtureFromGv AS url FROM u),
+         |c AS (SELECT id,
+         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+         |  coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '') AS rawpath,
+         |  coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS rawq
+         |  FROM r),
+         |c2 AS (SELECT id, scheme,
+         |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+         |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+         |       ELSE hostport END AS host,
+         |  CASE WHEN regexp_replace(rawpath, '/$$', '') = '' THEN '/'
+         |       ELSE regexp_replace(rawpath, '/$$', '') END AS path,
+         |  array_to_string(list_sort(list_filter(str_split(rawq, '&'),
+         |    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&') AS qs
+         |  FROM c),
+         |can AS (SELECT id, concat(scheme, '://', host, path,
+         |          CASE WHEN qs = '' THEN '' ELSE concat('?', qs) END) AS canonical_url
+         |        FROM c2)
+         |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+         |       MIN(id) AS keeper_id
+         |FROM can GROUP BY 1""".stripMargin,
+
+    // Replays the skeleton (the SAME shared expression text) and the exact
+    // regexp/replace chain: script/style blocks, tags, the five entities
+    // (&amp; last), whitespace collapse, then the char counts and the
+    // text-density permille.
+    "q362_html_text_extract" ->
+      s"""WITH h AS (SELECT doc_id, $htmlFixtureSql AS html FROM documents),
+         |x AS (SELECT doc_id, html,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+         |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+         |        '<[^>]+>', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS text_extracted
+         |  FROM h)
+         |SELECT doc_id, text_extracted,
+         |       CAST(length(html) AS BIGINT) AS html_chars,
+         |       CAST(length(text_extracted) AS BIGINT) AS text_chars,
+         |       (1000 * CAST(length(text_extracted) AS BIGINT))
+         |         // CAST(length(html) AS BIGINT) AS density_permille
+         |FROM x""".stripMargin
   )
 
   /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —

@@ -434,6 +434,54 @@ object MediaCodecs {
         }
     }
 
+  /** Integer per-frame energies of a WAV payload: frame `f` is the exact
+    * `Σ v²` over samples `[f·frameWidth, (f+1)·frameWidth)` (only FULL
+    * frames; a trailing partial frame is dropped so a value never depends
+    * on how much tail happened to remain). This is [[audioHash64]]'s energy
+    * stage exposed as data instead of folded into delta bits — the input to
+    * segmentation (voice-activity spans, silence trimming) where the hash's
+    * 65-frame head anchor would be wrong: segmentation must see EVERY frame.
+    *
+    * Why this shape at 100 TB: decode + energy is one linear pass per row
+    * with no per-row allocation beyond the output array (`len/frameWidth`
+    * longs — a 1-hour 8 kHz clip is 288k longs, ~2 MB, bounded and far below
+    * a decoded sample copy), and the downstream plan works on the exploded
+    * `(clip, frame, energy)` table whose windows partition by clip — one
+    * exchange keyed on the clip id, never on samples. Integer-exact so an
+    * oracle replays sample → square → frame sum bit-for-bit. None on a
+    * non-WAV payload. */
+  def frameEnergies(bytes: Array[Byte], frameWidth: Int = 100): Option[Array[Long]] = {
+    require(frameWidth >= 1, s"frameEnergies: frameWidth must be >= 1, got $frameWidth")
+    parseWav(bytes).map { w =>
+      val nf = w.samples.length / frameWidth
+      Array.tabulate(nf) { f =>
+        var i = f * frameWidth
+        val end = i + frameWidth
+        var acc = 0L
+        while (i < end) { val v = w.samples(i).toLong; acc += v * v; i += 1 }
+        acc
+      }
+    }
+  }
+
+  /** Per-frame [[aHash64]] of a GVID payload, in frame order — the input to
+    * shot-boundary detection, where [[videoHash64]]'s whole-clip majority
+    * vote is wrong by construction: a boundary IS a frame-to-frame change,
+    * so every frame's own hash must survive to the plan. None on a non-GVID
+    * payload or if any frame fails [[aHash64]] (a half-decoded hash array
+    * would silently shift every downstream frame index).
+    *
+    * Why this shape at 100 TB: per-row cost is one decode pass (frames ×
+    * pixels), output is `nFrames` longs — the exploded `(clip, frame,
+    * hash)` table carries 16 bytes a frame instead of the payload, and the
+    * boundary test is a `lag` window partitioned by clip: one exchange on
+    * the clip id, bounded per-clip state, no payload bytes ever shuffled. */
+  def videoFrameHashes(bytes: Array[Byte]): Option[Array[Long]] =
+    parseVideoFrames(bytes).flatMap { frames =>
+      val hs = frames.map(aHash64)
+      if (hs.exists(_.isEmpty)) None else Some(hs.map(_.get))
+    }
+
   /** Nearest-neighbor BMP thumbnail: pixel `(x, y)` of the `tw×th` output
     * samples source `(⌊x·w/tw⌋, ⌊y·h/th⌋)`; re-encoded as a real BMP via
     * [[bmpBytes]] so the output is itself a decodable payload. None on

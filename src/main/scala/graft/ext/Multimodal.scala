@@ -128,6 +128,78 @@ object Multimodal {
       round(h * scale).cast("int").as("target_height"))
   }
 
+  /** Voice-activity spans over a per-frame energy table — energy-threshold
+    * VAD, the canonical silence-trim / speech-segmentation pass of an audio
+    * curation pipeline (frames from [[MediaCodecs.frameEnergies]], exploded
+    * to one row per `(clip, frame, energy)`). A frame is ACTIVE iff
+    * `energy > thresholdEnergy`; maximal runs of consecutive active frames
+    * become spans via gaps-and-islands (`frame − row_number` over the
+    * active frames of a clip is constant exactly on a run). Output: one row
+    * per span — clip id, `span_start` / `span_end` (inclusive frame
+    * indices), `n_frames`, and the span's total `span_energy`.
+    *
+    * Why this shape at 100 TB: the ONLY exchange is the window/groupBy key
+    * — the clip id — so the pass scales with clips, not samples; per-clip
+    * window state is the clip's own active frames (bounded by clip length,
+    * independent of corpus size), and the integer threshold + integer
+    * energies make every span endpoint oracle-replayable. No payload bytes
+    * reach this plan — decode happened upstream and shipped 8 bytes a
+    * frame. */
+  def vadSpans(frameEnergies: DataFrame, idCol: String, frameCol: String,
+               energyCol: String, thresholdEnergy: Long): DataFrame = {
+    val active = frameEnergies
+      .where(col(energyCol) > thresholdEnergy)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(frameCol))
+    active
+      .withColumn("__grp", col(frameCol) - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(
+        min(col(frameCol)).cast("long").as("span_start"),
+        max(col(frameCol)).cast("long").as("span_end"),
+        count(lit(1)).as("n_frames"),
+        sum(col(energyCol)).as("span_energy"))
+      .drop("__grp")
+  }
+
+  /** Shot-boundary segmentation over a per-frame hash table (hashes from
+    * [[MediaCodecs.videoFrameHashes]], exploded to one row per `(clip,
+    * frame, hash)`): a boundary opens wherever the Hamming distance to the
+    * PREVIOUS frame's hash exceeds `maxDistance` (frame 0 always opens a
+    * shot), and `shot = Σ boundary` over the frame order numbers shots
+    * 1, 2, … per clip. Output: one row per shot — clip id, `shot`,
+    * `start_frame` / `end_frame` (inclusive), `n_frames`.
+    *
+    * Why this shape at 100 TB: `lag` + running sum + the span aggregate all
+    * share ONE window partitioning on the clip id, so the whole pass is a
+    * single exchange of 16-byte frame rows; per-clip state is one previous
+    * hash and a counter. The aHash behind the distance absorbs uniform
+    * brightness shifts, so re-graded scenes don't fragment; a hard cut
+    * moves many grid cells at once and lands far above any sensible
+    * threshold. Integer-exact end to end (pixel → grid → bits → popcount),
+    * so an oracle replays every boundary decision. */
+  def shotSpans(frameHashes: DataFrame, idCol: String, frameCol: String,
+                hashCol: String, maxDistance: Int): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 64,
+      s"shotSpans: maxDistance must be in [0, 64), got $maxDistance")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(frameCol))
+    val prev = lag(col(hashCol), 1).over(w)
+    val boundary = when(prev.isNull, lit(1L))
+      .when(bit_count(expr(s"$hashCol ^ __prev")) > maxDistance, lit(1L))
+      .otherwise(lit(0L))
+    frameHashes
+      .withColumn("__prev", prev)
+      .withColumn("__b", boundary)
+      .withColumn("shot", sum(col("__b")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("shot"))
+      .agg(
+        min(col(frameCol)).cast("long").as("start_frame"),
+        max(col(frameCol)).cast("long").as("end_frame"),
+        count(lit(1)).as("n_frames"))
+  }
+
   /** Build a small deterministic media table from strings (tests/demos). */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>

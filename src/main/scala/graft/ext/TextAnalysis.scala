@@ -662,6 +662,88 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum(col("cost_micros")).as("__sum"))
       .select(col(docIdCol), col("n_tokens"),
         expr("__sum DIV n_tokens").as("cost_micros"))
+  /** Tracking query parameters dropped by [[canonicalUrl]] — the standard
+    * click-attribution noise (UTM family, Facebook/Google click ids, bare
+    * `ref`) that makes one page surface as thousands of distinct URLs in a
+    * crawl. Matched against the full `key=value` pair. */
+  val trackingParamPattern = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+  /** URL canonicalization for crawl dedup — the FIRST dedup pass of every
+    * web-corpus pipeline (cheaper than any content hash: one page fetched
+    * under `?utm_source=x&b=2#frag` and `?b=2` is the same page, and the
+    * crawl frontier should learn that before fetching, not after). Rules,
+    * all standard: scheme and host lowercase; default port stripped (`:80`
+    * for http, `:443` for https); empty path → `/` and a trailing `/`
+    * trimmed from non-root paths; the fragment dropped (never sent to the
+    * server); query parameters with tracking keys
+    * ([[trackingParamPattern]]) dropped, the survivors SORTED (parameter
+    * order is almost never semantic) and re-joined; an emptied query loses
+    * its `?`.
+    *
+    * Pure `Column` composition — regexp extracts plus the `filter` /
+    * `array_sort` / `array_join` higher-order functions, all inside
+    * whole-stage codegen, zero UDFs — so at 100 TB this is a map-only pass
+    * with no exchange at all; the dedup that FOLLOWS it groups on an
+    * ASCII-bounded canonical string instead of the raw URL, and every rule
+    * is replayable in ANSI SQL (the oracle mirrors each step with the same
+    * regexes). Assumes an absolute `scheme://host…` URL (a crawl frontier's
+    * resolved form); relative URLs pass through the regexes as empty
+    * scheme/host and canonicalize to their own literal text shape, never to
+    * another page's key. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath =
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val trimmedPath = regexp_replace(rawPath, "/$", "")
+    val path = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
+    val rawQuery = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(rawQuery, "&"),
+      p => p =!= "" && !p.rlike(trackingParamPattern)))
+    val qs = array_join(kept, "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** HTML → text extraction, the web-corpus ingestion step between the raw
+    * crawl and every text-quality operator above: drop `<script>` /
+    * `<style>` blocks WITH their contents (code and CSS are not prose — and
+    * script bodies legitimately contain `"<p>"` string literals, which is
+    * why the block must go before the generic tag strip), replace remaining
+    * tags with a space (a space, not nothing: `a</p><p>b` must not fuse
+    * into `ab`), decode the five core entities (`&lt; &gt; &quot; &#39;`
+    * first, `&amp;` LAST so `&amp;lt;` correctly yields the literal
+    * `&lt;`), and collapse all whitespace runs to single spaces.
+    *
+    * Pure `Column` regexp chain (non-greedy block patterns under `(?s)`,
+    * no backreferences or lookaround, so the same patterns run identically
+    * on RE2-class engines — the oracle replays them verbatim): map-only,
+    * codegen'd, zero exchanges at any scale; downstream quality filters see
+    * prose whose length ratio vs the raw HTML (`text density`) is itself
+    * the classic boilerplate-page signal. */
+  def htmlToText(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val ent = functions_replace(
+      functions_replace(
+        functions_replace(
+          functions_replace(
+            functions_replace(noTags, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  private def functions_replace(c: Column, find: String, repl: String): Column =
+    org.apache.spark.sql.functions.replace(c, lit(find), lit(repl))
 }
 
 /** Word k-gram shingling shared by fingerprinting and MinHash dedup. */
@@ -682,4 +764,5 @@ object Shingles {
         i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
       .otherwise(array(trim(text)))
   }
+
 }

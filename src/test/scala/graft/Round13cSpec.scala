@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{MediaCodecs, Multimodal, TextAnalysis}
+
+/** Round-13c specs: audio VAD segmentation (q359), video shot-boundary
+  * segmentation (q360), URL canonicalization dedup (q361), and HTML → text
+  * extraction (q362). */
+class Round13cSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------------
+  // MediaCodecs.frameEnergies
+  // ---------------------------------------------------------------------
+
+  test("frameEnergies: exact Σv² per full frame, trailing partial dropped") {
+    // 7 samples, frameWidth 3 → frames [1,2,3], [4,5,6]; sample 7 dropped.
+    val wav = MediaCodecs.wavBytes(8000, 1, Array[Short](1, 2, 3, 4, 5, 6, 7))
+    val e = MediaCodecs.frameEnergies(wav, frameWidth = 3).get
+    assert(e.toSeq == Seq(1L + 4 + 9, 16L + 25 + 36))
+  }
+
+  test("frameEnergies: None on non-WAV bytes") {
+    assert(MediaCodecs.frameEnergies(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  // ---------------------------------------------------------------------
+  // Multimodal.vadSpans
+  // ---------------------------------------------------------------------
+
+  test("vadSpans: maximal runs of active frames, inclusive endpoints") {
+    // clip 1: active frames {1,2,3, 6, 8,9}; clip 2: all silent.
+    val frames = Seq(
+      (1L, 0, 5L), (1L, 1, 100L), (1L, 2, 200L), (1L, 3, 300L), (1L, 4, 5L),
+      (1L, 5, 5L), (1L, 6, 400L), (1L, 7, 5L), (1L, 8, 500L), (1L, 9, 600L),
+      (2L, 0, 5L), (2L, 1, 5L)
+    ).toDF("media_id", "frame", "energy")
+    val spans = Multimodal.vadSpans(frames, "media_id", "frame", "energy",
+        thresholdEnergy = 50L)
+      .orderBy("media_id", "span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq(
+      (1L, 1L, 3L, 3L, 600L),
+      (1L, 6L, 6L, 1L, 400L),
+      (1L, 8L, 9L, 2L, 1100L)))
+  }
+
+  test("q359 fixture: every clip alternates voiced/silent on the 4-frame grid") {
+    // Reproduce clip id=0's frames and check the span boundaries follow the
+    // 400-sample (4-frame) blocks: blocks with (blk + id) % 3 != 0 are voiced.
+    val id = 0L
+    val n = 4000
+    val samples = Array.tabulate(n) { i =>
+      val voiced = (i / 400 + id) % 3 != 0
+      val v =
+        if (voiced) ((i.toLong * (7 + id % 11) + 13 * id) % 3001L) - 1500L
+        else ((i.toLong * (3 + id % 7) + 11 * id) % 41L) - 20L
+      v.toShort
+    }
+    val e = MediaCodecs.frameEnergies(
+      MediaCodecs.wavBytes(8000, 1, samples), 100).get
+    assert(e.length == 40)
+    e.zipWithIndex.foreach { case (en, f) =>
+      val voiced = (f / 4) % 3 != 0
+      if (voiced) assert(en > 1000000L, s"frame $f should be loud, got $en")
+      else assert(en <= 40000L, s"frame $f should be quiet, got $en")
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // MediaCodecs.videoFrameHashes + Multimodal.shotSpans
+  // ---------------------------------------------------------------------
+
+  test("videoFrameHashes: per-frame aHash64 in frame order") {
+    def frame(seed: Int) = MediaCodecs.bmpBytes(16, 12, (x, y) =>
+      ((x * 7 + seed) % 256, (y * 11 + seed) % 256, (x * y + seed) % 256))
+    val vid = MediaCodecs.videoBytes(Seq(frame(0), frame(0), frame(90)))
+    val hs = MediaCodecs.videoFrameHashes(vid).get
+    assert(hs.length == 3)
+    assert(hs(0) == MediaCodecs.aHash64(frame(0)).get)
+    assert(hs(0) == hs(1))
+    assert(hs(2) == MediaCodecs.aHash64(frame(90)).get)
+  }
+
+  test("videoFrameHashes: None on non-GVID bytes") {
+    assert(MediaCodecs.videoFrameHashes("not a video".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("shotSpans: boundary iff Hamming > maxDistance; frame 0 opens shot 1") {
+    // hashes: 0, 0 (same shot), 0xFF (cut), 0xFF, 0xFE (1 bit — same shot)
+    val frames = Seq(
+      (1L, 0, 0L), (1L, 1, 0L), (1L, 2, 255L), (1L, 3, 255L), (1L, 4, 254L)
+    ).toDF("media_id", "frame", "fhash")
+    val shots = Multimodal.shotSpans(frames, "media_id", "frame", "fhash",
+        maxDistance = 3)
+      .orderBy("shot")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(shots == Seq(
+      (1L, 1L, 0L, 1L, 2L),
+      (1L, 2L, 2L, 4L, 3L)))
+  }
+
+  test("q360 fixture: scene cuts and the flash frame segment as designed") {
+    // Clip id=0 (a flash clip): scenes 0-3, 4-7, 8-9 with an all-white flash
+    // at frame 5 → expected shots: [0,3], [4,4], [5,5], [6,7], [8,9] —
+    // PROVIDED each cut clears the Hamming threshold; assert exactly the
+    // spans the real hashes produce, requiring within-scene stability.
+    val id = 0L
+    val nf = 10
+    val frames = (0 until nf).map { f =>
+      val sc = (f / 4).toLong
+      MediaCodecs.bmpBytes(16, 12, (x, y) =>
+        if (id % 4 == 0 && f == 5) (255, 255, 255)
+        else (
+          ((x * x * (3 + (id + sc) % 7) + y * y * (5 + (id + 2 * sc) % 11)
+            + x * y * (1 + (id + sc) % 13) + 37 * id + 101 * sc) % 256).toInt,
+          ((x * x * (2 + (id + 2 * sc) % 5) + y * y * (7 + (id + sc) % 3)
+            + x * y * (2 + (id + 2 * sc) % 11) + 11 * id + 53 * sc) % 256).toInt,
+          ((x * x * (1 + (id + sc) % 9) + y * y * (4 + (id + 2 * sc) % 13)
+            + x * y * (3 + (id + sc) % 7) + 23 * id + 29 * sc) % 256).toInt))
+    }
+    val hs = MediaCodecs.videoFrameHashes(MediaCodecs.videoBytes(frames)).get
+    // within-scene frames are bit-identical (excluding the flash)
+    assert(hs(0) == hs(1) && hs(1) == hs(2) && hs(2) == hs(3))
+    assert(hs(4) == hs(6) && hs(6) == hs(7))
+    assert(hs(8) == hs(9))
+    // scene cuts and the flash clear Hamming 16 for this clip
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(3), hs(4)) > 16)
+    assert(ham(hs(4), hs(5)) > 16)
+    assert(ham(hs(5), hs(6)) > 16)
+    assert(ham(hs(7), hs(8)) > 16)
+  }
+
+  // ---------------------------------------------------------------------
+  // TextAnalysis.canonicalUrl
+  // ---------------------------------------------------------------------
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(TextAnalysis.canonicalUrl(col("url")))
+      .as[String].collect().toSeq
+
+  test("canonicalUrl: case, default port, trailing slash, fragment, tracking") {
+    val variants = Seq(
+      "http://www.ex1.com/a/2?q=17&page=2",
+      "HTTP://www.ex1.com:80/a/2?q=17&page=2",
+      "http://WWW.EX1.COM/a/2?page=2&q=17",
+      "http://www.ex1.com/a/2/?q=17&page=2",
+      "http://www.ex1.com/a/2?q=17&page=2&utm_source=feed&fbclid=1",
+      "http://www.ex1.com/a/2?page=2&q=17#sec")
+    val cs = canon(variants: _*)
+    assert(cs.distinct == Seq("http://www.ex1.com/a/2?page=2&q=17"))
+  }
+
+  test("canonicalUrl: non-default port kept, https :443 stripped, empty path → /") {
+    assert(canon("https://Ex.com:443") == Seq("https://ex.com/"))
+    assert(canon("https://ex.com:8443/x") == Seq("https://ex.com:8443/x"))
+    assert(canon("http://ex.com:8080/") == Seq("http://ex.com:8080/"))
+  }
+
+  test("canonicalUrl: all params tracking → query dropped entirely") {
+    assert(canon("http://ex.com/p?utm_source=a&utm_medium=b&gclid=z&ref=h")
+      == Seq("http://ex.com/p"))
+  }
+
+  test("canonicalUrl: q361 collapses 240 variants to 40 pages, 6 each") {
+    val out = SparkEntry.queries("q361_url_canonical_dedup")(spark, "unused")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.length == 40)
+    assert(out.forall(_._2 == 6L))
+    // keeper is the variant-0 row: id = g (ids 0..39)
+    assert(out.map(_._3).sorted == (0L until 40L))
+  }
+
+  // ---------------------------------------------------------------------
+  // TextAnalysis.htmlToText
+  // ---------------------------------------------------------------------
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(TextAnalysis.htmlToText(col("h")))
+      .as[String].head()
+
+  test("htmlToText: script/style bodies dropped, tags spaced, entities decoded") {
+    val html = "<html><head><style>p{x:1}</style>" +
+      "<script>var s = \"<p>hidden</p>\"; if (1 < 2 && 2 > 1) {}</script>" +
+      "</head><body><h1>Title</h1><p>a</p><p>b</p></body></html>"
+    assert(extract(html) == "Title a b")
+  }
+
+  test("htmlToText: adjacent block elements do not fuse words") {
+    assert(extract("<p>end</p><p>start</p>") == "end start")
+  }
+
+  test("htmlToText: &amp; decodes LAST — &amp;lt; yields the literal &lt;") {
+    assert(extract("<p>A &amp;amp; B</p>") == "A &amp; B")
+    assert(extract("<p>&amp;lt;</p>") == "&lt;")
+    assert(extract("<p>&lt;tag&gt; &quot;q&#39;s&quot;</p>")
+      == "<tag> \"q's\"")
+  }
+
+  test("htmlToText: whitespace runs collapse, result trimmed") {
+    assert(extract("  <p>a\n\n b\tc </p>  ") == "a b c")
+  }
+}
