@@ -7269,6 +7269,73 @@ object SparkEntry {
           length(col("text_extracted")).cast("long").as("text_chars"))
         .withColumn("density_permille",
           expr("1000 * text_chars div html_chars"))
+    },
+
+    // CORPUS CURATION FUNNEL — the end-to-end pipeline shape every
+    // training-data team publishes as its ablation table (C4, Gopher,
+    // FineWeb): language-ID → minimum length → composite quality →
+    // Gopher top-2-gram repetition → exact dedup (md5 keep-first) →
+    // MinHash-LSH near-dedup (connected components, keep component min),
+    // each stage over the SURVIVORS of the previous, emitting one row per
+    // stage with (n_in, n_kept, n_dropped). The corpus plants both exact
+    // copies (id+200000) and drop-first-word near-dups (id+100000) so both
+    // dedup stages demonstrably fire. Every stage reuses an operator that
+    // is individually oracled (q22, q20, q21, q342, q08/q23, q24/q65);
+    // this query pins their COMPOSITION — the attrition a real pipeline
+    // reports. Scale: per-doc stages are map-only codegen; the dedup
+    // stages exchange on fingerprint / band key / component id exactly as
+    // their standalone forms do; survivors are persisted once per stage
+    // boundary so each filter runs once, and the funnel itself aggregates
+    // 7 one-row counts (the global window's child has maxRows = 7).
+    "q363_curation_funnel" -> { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val T = graft.ext.TextAnalysis
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = base
+        .unionByName(base.where(col("doc_id") % 3 === 0).select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s*", "").as("text")))
+        .unionByName(base.where(col("doc_id") % 5 === 0).select(
+          (col("doc_id") + 200000L).as("doc_id"), col("text")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val s1 = corpus.where(T.langId(col("text")) === "en")
+      val s2 = s1.where(T.tokenCount(col("text")) >= 20L)
+      val s3 = s2.where(T.qualityScore(col("text"), QualityStopwords) >= 0.5)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val rep = T.ngramRepetitionStats(s3, 2)
+        .select(col("doc_id"), col("top_ngram_count"))
+      val s4 = s3.join(rep, Seq("doc_id"), "left")
+        .where(coalesce(
+          col("top_ngram_count") * lit(10L) <= T.tokenCount(col("text")),
+          lit(true)))
+        .select(col("doc_id"), col("text"))
+      val fp = s4.withColumn("fp", md5(lower(trim(col("text")))))
+      val s5 = fp.join(
+          fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")),
+          Seq("fp", "doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pairs = Dedup.minhashNearDuplicatesPortable(s5, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val nonKeepers = graft.ext.Graph.connectedComponents(pairs)
+        .where(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val s6 = s5.join(nonKeepers, Seq("doc_id"), "left_anti")
+      val stages = Seq(
+        (0L, "all", corpus), (1L, "lang_en", s1), (2L, "min_length", s2),
+        (3L, "quality", s3), (4L, "repetition", s4),
+        (5L, "exact_dedup", s5), (6L, "near_dedup", s6))
+      val counts = stages.map { case (i, name, df) =>
+        df.agg(count(lit(1)).as("n_kept"))
+          .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+            col("n_kept"))
+      }.reduce(_.union(_))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage_idx"))
+      counts
+        .withColumn("n_in",
+          coalesce(lag(col("n_kept"), 1).over(w), col("n_kept")))
+        .select(col("stage_idx"), col("stage"), col("n_in"), col("n_kept"),
+          (col("n_in") - col("n_kept")).as("n_dropped"))
     }
   )
 
@@ -14213,7 +14280,86 @@ object SparkEntry {
          |       CAST(length(text_extracted) AS BIGINT) AS text_chars,
          |       (1000 * CAST(length(text_extracted) AS BIGINT))
          |         // CAST(length(html) AS BIGINT) AS density_permille
-         |FROM x""".stripMargin
+         |FROM x""".stripMargin,
+
+    // Replays the whole funnel: each stage's filter is the SAME fragment
+    // its standalone oracle uses (q22 lang hits, q21 quality, q342 top-2gram,
+    // q23 md5 fingerprints, q24/q65 portable MinHash + recursive-CTE
+    // components), chained over survivors, then the 7-row count table with
+    // the lag-window attrition columns.
+    "q363_curation_funnel" -> {
+      val prefix =
+        """d AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, regexp_replace(text, '^\S+\s*', '')
+          |  FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 5 = 0),
+          |tokt AS (SELECT doc_id, text,
+          |           regexp_split_to_array(trim(text), '\s+') AS toks FROM d),
+          |lh AS (SELECT doc_id, text, toks,
+          |  len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS h_en,
+          |  len(list_filter(toks, x -> x IN ('el','la','de','que','es'))) AS h_es,
+          |  len(list_filter(toks, x -> x IN ('le','la','et','est','une'))) AS h_fr,
+          |  len(list_filter(toks, x -> x IN ('der','die','und','ist','ein'))) AS h_de,
+          |  len(list_filter(toks, x -> x IN ('的','是','了','在','我'))) AS h_zh
+          |  FROM tokt),
+          |s1 AS (SELECT doc_id, text, toks FROM lh
+          |       WHERE h_en > 0 AND h_en = greatest(h_en, h_es, h_fr, h_de, h_zh)),
+          |s2 AS (SELECT * FROM s1 WHERE len(toks) >= 20),
+          |s3 AS (SELECT doc_id, text, toks FROM (
+          |        SELECT doc_id, text, toks,
+          |          ROUND((least(length(text) / 500.0, 1.0)
+          |            + least(CAST(len(list_filter(toks,
+          |                x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+          |              / len(toks) * 4.0, 1.0)
+          |            + greatest(0.0, 1.0
+          |              - CAST(length(text) - length(regexp_replace(text,
+          |                  '[[:punct:]]', '', 'g')) AS DOUBLE)
+          |                / length(text) * 5.0)) / 3.0, 6) AS quality
+          |        FROM s2) x WHERE quality >= 0.5),
+          |la AS (SELECT doc_id,
+          |         regexp_split_to_array(trim(lower(text)), '\s+') AS a FROM s3),
+          |a2 AS (SELECT doc_id,
+          |         unnest([array_to_string(a[i:i+1], ' ')
+          |                 for i in range(1, len(a))]) AS g FROM la),
+          |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM a2 GROUP BY 1, 2),
+          |t2 AS (SELECT doc_id, MAX(c) AS top2 FROM c2 GROUP BY 1),
+          |s4 AS (SELECT s3.doc_id, s3.text FROM s3 LEFT JOIN t2 USING (doc_id)
+          |       WHERE COALESCE(top2 * 10 <= len(toks), true)),
+          |fpt AS (SELECT doc_id, text, md5(lower(trim(text))) AS fp FROM s4),
+          |keepf AS (SELECT fp, MIN(doc_id) AS doc_id FROM fpt GROUP BY 1),
+          |s5 AS (SELECT f.doc_id, f.text FROM fpt f
+          |       JOIN keepf k ON f.fp = k.fp AND f.doc_id = k.doc_id),
+          |corpus AS (SELECT doc_id, text FROM s5)""".stripMargin
+      s"""WITH RECURSIVE ${minhashPairsCtesOver(prefix)},
+         |e AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+         |        UNION SELECT id_b, id_a FROM e),
+         |walk(id, lab) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, w.lab FROM walk w JOIN sym s ON w.id = s.src),
+         |labd AS (SELECT id, MIN(lab) AS component FROM walk GROUP BY id),
+         |s6 AS (SELECT doc_id FROM s5 WHERE doc_id NOT IN
+         |        (SELECT id FROM labd WHERE id <> component)),
+         |cnt AS (
+         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'all' AS stage,
+         |         (SELECT COUNT(*) FROM d) AS n_kept
+         |  UNION ALL SELECT 1, 'lang_en', (SELECT COUNT(*) FROM s1)
+         |  UNION ALL SELECT 2, 'min_length', (SELECT COUNT(*) FROM s2)
+         |  UNION ALL SELECT 3, 'quality', (SELECT COUNT(*) FROM s3)
+         |  UNION ALL SELECT 4, 'repetition', (SELECT COUNT(*) FROM s4)
+         |  UNION ALL SELECT 5, 'exact_dedup', (SELECT COUNT(*) FROM s5)
+         |  UNION ALL SELECT 6, 'near_dedup', (SELECT COUNT(*) FROM s6))
+         |SELECT stage_idx, stage,
+         |  COALESCE(lag(n_kept) OVER (ORDER BY stage_idx), n_kept) AS n_in,
+         |  n_kept,
+         |  COALESCE(lag(n_kept) OVER (ORDER BY stage_idx), n_kept) - n_kept
+         |    AS n_dropped
+         |FROM cnt""".stripMargin
+    }
   )
 
   /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —

@@ -202,4 +202,31 @@ class Round13cSpec extends SparkSpec {
   test("htmlToText: whitespace runs collapse, result trimmed") {
     assert(extract("  <p>a\n\n b\tc </p>  ") == "a b c")
   }
+
+  // ---------------------------------------------------------------------
+  // q363 curation funnel
+  // ---------------------------------------------------------------------
+
+  test("q363 funnel: counts are a consistent monotone attrition chain") {
+    val rows = SparkEntry.queries("q363_curation_funnel")(
+        spark, "/root/testdata/sf0.001")
+      .orderBy("stage_idx")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._2) == Seq("all", "lang_en", "min_length", "quality",
+      "repetition", "exact_dedup", "near_dedup"))
+    // chain: every stage's n_in equals the previous stage's n_kept,
+    // n_dropped = n_in - n_kept >= 0, and stage 0 drops nothing
+    rows.sliding(2).foreach { case Seq(prev, cur) =>
+      assert(cur._3 == prev._4, s"n_in of ${cur._2} != n_kept of ${prev._2}")
+    }
+    rows.foreach { r =>
+      assert(r._5 == r._3 - r._4 && r._5 >= 0, s"bad n_dropped in $r")
+    }
+    assert(rows.head._5 == 0L)
+    // the planted exact copies (id+200000, every 5th doc) guarantee the
+    // exact-dedup stage fires; the planted near-dups (id+100000, every 3rd
+    // doc) guarantee the near-dedup stage fires
+    assert(rows(5)._5 > 0L, "exact_dedup dropped nothing")
+    assert(rows(6)._5 > 0L, "near_dedup dropped nothing")
+  }
 }
