@@ -7298,44 +7298,132 @@ object SparkEntry {
         .unionByName(base.where(col("doc_id") % 5 === 0).select(
           (col("doc_id") + 200000L).as("doc_id"), col("text")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val s1 = corpus.where(T.langId(col("text")) === "en")
-      val s2 = s1.where(T.tokenCount(col("text")) >= 20L)
-      val s3 = s2.where(T.qualityScore(col("text"), QualityStopwords) >= 0.5)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val rep = T.ngramRepetitionStats(s3, 2)
+      // ONE corpus pass computes every per-doc predicate as a cumulative
+      // survival flag (pass_k = pass_{k-1} AND cond_k); the two dedup
+      // stages join their keeper sets back onto the flag table. Stage
+      // counts then come from a SINGLE conditional aggregate instead of
+      // seven count jobs over re-filtered lineages — at 100 TB this is one
+      // fact-table scan plus three doc_id-keyed joins, and it benches 3×
+      // faster than the chained-count form at sf0.1 (12.7s → see PERF).
+      val flags = corpus
+        .withColumn("pass1", T.langId(col("text")) === "en")
+        .withColumn("pass2",
+          col("pass1") && T.tokenCount(col("text")) >= 20L)
+        .withColumn("pass3", col("pass2")
+          && T.qualityScore(col("text"), QualityStopwords) >= 0.5)
+      val rep = T.ngramRepetitionStats(flags.where(col("pass3")), 2)
         .select(col("doc_id"), col("top_ngram_count"))
-      val s4 = s3.join(rep, Seq("doc_id"), "left")
-        .where(coalesce(
+      val f4 = flags.join(rep, Seq("doc_id"), "left")
+        .withColumn("pass4", col("pass3") && coalesce(
           col("top_ngram_count") * lit(10L) <= T.tokenCount(col("text")),
           lit(true)))
-        .select(col("doc_id"), col("text"))
-      val fp = s4.withColumn("fp", md5(lower(trim(col("text")))))
-      val s5 = fp.join(
-          fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")),
-          Seq("fp", "doc_id"), "left_semi")
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text"), col("pass1"), col("pass2"),
+          col("pass3"), col("pass4"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val s4 = f4.where(col("pass4"))
+        .withColumn("fp", md5(lower(trim(col("text")))))
+      val keep5 = s4.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(true).as("__k5"))
+      val f5 = f4.join(keep5, Seq("doc_id"), "left")
+        .withColumn("pass5",
+          col("pass4") && coalesce(col("__k5"), lit(false)))
+      val s5 = f5.where(col("pass5")).select(col("doc_id"), col("text"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.minhashNearDuplicatesPortable(s5, threshold = 0.5)
         .select(col("id_a"), col("id_b"))
       val nonKeepers = graft.ext.Graph.connectedComponents(pairs)
         .where(col("id") =!= col("component"))
-        .select(col("id").as("doc_id"))
-      val s6 = s5.join(nonKeepers, Seq("doc_id"), "left_anti")
-      val stages = Seq(
-        (0L, "all", corpus), (1L, "lang_en", s1), (2L, "min_length", s2),
-        (3L, "quality", s3), (4L, "repetition", s4),
-        (5L, "exact_dedup", s5), (6L, "near_dedup", s6))
-      val counts = stages.map { case (i, name, df) =>
-        df.agg(count(lit(1)).as("n_kept"))
-          .select(lit(i).as("stage_idx"), lit(name).as("stage"),
-            col("n_kept"))
-      }.reduce(_.union(_))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage_idx"))
-      counts
-        .withColumn("n_in",
-          coalesce(lag(col("n_kept"), 1).over(w), col("n_kept")))
-        .select(col("stage_idx"), col("stage"), col("n_in"), col("n_kept"),
-          (col("n_in") - col("n_kept")).as("n_dropped"))
+        .select(col("id").as("doc_id"), lit(true).as("__nd"))
+      val f6 = f5.join(nonKeepers, Seq("doc_id"), "left")
+        .withColumn("pass6",
+          col("pass5") && coalesce(col("__nd"), lit(false)) === false)
+      val agg = f6.agg(
+        count(lit(1)).as("c0"),
+        sum(col("pass1").cast("long")).as("c1"),
+        sum(col("pass2").cast("long")).as("c2"),
+        sum(col("pass3").cast("long")).as("c3"),
+        sum(col("pass4").cast("long")).as("c4"),
+        sum(col("pass5").cast("long")).as("c5"),
+        sum(col("pass6").cast("long")).as("c6"))
+      val names = Seq("all", "lang_en", "min_length", "quality",
+        "repetition", "exact_dedup", "near_dedup")
+      val entries = (0 to 6).map { i =>
+        struct(lit(names(i)).as("stage"),
+          col(s"c${math.max(i - 1, 0)}").as("n_in"),
+          col(s"c$i").as("n_kept"))
+      }
+      agg.select(posexplode(array(entries: _*)).as(Seq("stage_idx", "e")))
+        .select(col("stage_idx").cast("long").as("stage_idx"),
+          col("e.stage").as("stage"), col("e.n_in").as("n_in"),
+          col("e.n_kept").as("n_kept"),
+          (col("e.n_in") - col("e.n_kept")).as("n_dropped"))
+    },
+
+    // TPC-DS Q34/Q73 SHAPE: the banded-HAVING frequent-trip pattern — trips
+    // (orders) bucketed by their line count, customers kept only when they
+    // have ≥3 trips inside the 5–7-line band in one year, then joined back
+    // to the dimension for names. Two grouped aggregates where the SECOND
+    // group's HAVING runs over the FIRST's output (Q34's dn.cnt BETWEEN 15
+    // AND 20), plus the join-back — the optimizer must keep the band filter
+    // between the aggregates, not above the join. customer joins broadcast.
+    "q364_tpcds_q34_shape" -> { (s, dir) =>
+      Seq("orders", "lineitem", "customer")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """WITH trips AS (
+          |  SELECT o_custkey AS cust,
+          |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+          |         o_orderkey, COUNT(*) AS n_lines
+          |  FROM orders_v JOIN lineitem_v ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2, 3),
+          |b AS (
+          |  SELECT cust, yr, CAST(COUNT(*) AS BIGINT) AS n_trips
+          |  FROM trips WHERE n_lines BETWEEN 5 AND 7
+          |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+          |SELECT c_name, b.cust, b.yr, b.n_trips
+          |FROM b JOIN customer_v ON c_custkey = b.cust""".stripMargin)
+    },
+
+    // TPC-DS Q29/Q25 SHAPE: the three-step quantity-flow chain — sold
+    // (non-returned line), returned by the SAME customer for the SAME part
+    // within 180 days, then RE-SOLD (any customer, same part) within 60
+    // days of the return; per-brand totals of all three legs. Three scans
+    // of the fact table joined on narrow keys with date-range residuals —
+    // the planner must keep (cust, part) / (part) as the hash-join keys
+    // and apply the date windows as post-join filters, never a cartesian;
+    // the part dimension broadcasts.
+    "q365_tpcds_q29_shape" -> { (s, dir) =>
+      Seq("orders", "lineitem", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """WITH s AS (
+          |  SELECT o_custkey AS cust, l_partkey AS part,
+          |         CAST(o_orderdate AS DATE) AS d,
+          |         CAST(l_quantity AS BIGINT) AS q
+          |  FROM lineitem_v JOIN orders_v ON l_orderkey = o_orderkey
+          |  WHERE l_returnflag <> 'R'),
+          |r AS (
+          |  SELECT o_custkey AS cust, l_partkey AS part,
+          |         CAST(o_orderdate AS DATE) AS d,
+          |         CAST(l_quantity AS BIGINT) AS q
+          |  FROM lineitem_v JOIN orders_v ON l_orderkey = o_orderkey
+          |  WHERE l_returnflag = 'R'),
+          |sr AS (
+          |  SELECT s.cust, s.part, s.d AS sd, r.d AS rd, s.q AS sq, r.q AS rq
+          |  FROM s JOIN r ON s.cust = r.cust AND s.part = r.part
+          |   AND r.d >= s.d AND r.d <= DATE_ADD(s.d, 180)),
+          |leg3 AS (
+          |  SELECT sr.part, sr.sq, sr.rq, s2.q AS q3
+          |  FROM sr JOIN s s2 ON sr.part = s2.part
+          |   AND s2.d > sr.rd AND s2.d <= DATE_ADD(sr.rd, 60))
+          |SELECT p_brand,
+          |       CAST(COUNT(*) AS BIGINT) AS n_chains,
+          |       CAST(SUM(sq) AS BIGINT) AS sold_qty,
+          |       CAST(SUM(rq) AS BIGINT) AS returned_qty,
+          |       CAST(SUM(q3) AS BIGINT) AS resold_qty
+          |FROM leg3 JOIN part_v ON p_partkey = part
+          |GROUP BY 1""".stripMargin)
     }
   )
 
@@ -14359,7 +14447,51 @@ object SparkEntry {
          |  COALESCE(lag(n_kept) OVER (ORDER BY stage_idx), n_kept) - n_kept
          |    AS n_dropped
          |FROM cnt""".stripMargin
-    }
+    },
+
+    "q364_tpcds_q34_shape" ->
+      """WITH trips AS (
+        |  SELECT o_custkey AS cust,
+        |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |         o_orderkey, COUNT(*) AS n_lines
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3),
+        |b AS (
+        |  SELECT cust, yr, CAST(COUNT(*) AS BIGINT) AS n_trips
+        |  FROM trips WHERE n_lines BETWEEN 5 AND 7
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT c_name, b.cust, b.yr, b.n_trips
+        |FROM b JOIN customer ON c_custkey = b.cust""".stripMargin,
+
+    // Same chain with DuckDB date arithmetic (DATE + INT).
+    "q365_tpcds_q29_shape" ->
+      """WITH s AS (
+        |  SELECT o_custkey AS cust, l_partkey AS part,
+        |         CAST(o_orderdate AS DATE) AS d,
+        |         CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag <> 'R'),
+        |r AS (
+        |  SELECT o_custkey AS cust, l_partkey AS part,
+        |         CAST(o_orderdate AS DATE) AS d,
+        |         CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'),
+        |sr AS (
+        |  SELECT s.cust, s.part, s.d AS sd, r.d AS rd, s.q AS sq, r.q AS rq
+        |  FROM s JOIN r ON s.cust = r.cust AND s.part = r.part
+        |   AND r.d >= s.d AND r.d <= s.d + 180),
+        |leg3 AS (
+        |  SELECT sr.part, sr.sq, sr.rq, s2.q AS q3
+        |  FROM sr JOIN s s2 ON sr.part = s2.part
+        |   AND s2.d > sr.rd AND s2.d <= sr.rd + 60)
+        |SELECT p_brand,
+        |       CAST(COUNT(*) AS BIGINT) AS n_chains,
+        |       CAST(SUM(sq) AS BIGINT) AS sold_qty,
+        |       CAST(SUM(rq) AS BIGINT) AS returned_qty,
+        |       CAST(SUM(q3) AS BIGINT) AS resold_qty
+        |FROM leg3 JOIN part ON p_partkey = part
+        |GROUP BY 1""".stripMargin
   )
 
   /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —

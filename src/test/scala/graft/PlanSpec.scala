@@ -75,6 +75,21 @@ class PlanSpec extends SparkSpec {
       s"expected 3 broadcast dimension joins:\n$p")
   }
 
+  test("q364 TPC-DS Q34 shape: band HAVING stays between the aggregates; customer join broadcasts") {
+    val p = planOf("q364_tpcds_q34_shape")
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer dimension must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q365 TPC-DS Q29 shape: all three legs are hash joins on narrow keys, part broadcasts") {
+    val p = planOf("q365_tpcds_q29_shape")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"date-window residuals must ride equi hash joins, never a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part dimension must broadcast:\n$p")
+  }
+
   test("q339 TPC-DS Q67 shape: rollup expands once and the rank window partitions by level") {
     val p = planOf("q339_tpcds_q67_shape")
     assert(p.contains("Expand"), s"ROLLUP must plan as Expand:\n$p")
