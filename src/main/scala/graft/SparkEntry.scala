@@ -7424,6 +7424,60 @@ object SparkEntry {
           |       CAST(SUM(q3) AS BIGINT) AS resold_qty
           |FROM leg3 JOIN part_v ON p_partkey = part
           |GROUP BY 1""".stripMargin)
+    },
+
+    // TRANSCRIPT–VAD COVERAGE (q359's spans composed with transcript
+    // alignment) — the ASR-corpus quality gate: a transcript segment that
+    // claims speech over frames the energy VAD says are silent is mislabeled
+    // training data. Each q359 clip gets 4 equal transcript segments
+    // (nf divisible by 4 by construction); per segment, the voiced-frame
+    // mass is the summed INCLUSIVE overlap with the clip's VAD spans
+    // (least(end)−greatest(start)+1), and coverage_permille = 1000·voiced
+    // DIV seg_len. Plan: spans and segments join on the clip id (equi) with
+    // the overlap residual — per-clip fan-out is spans×4, bounded by clip
+    // length; a LEFT join keeps fully-silent segments at coverage 0. The
+    // oracle replays the full chain: synth → energies → threshold → islands
+    // → segment overlap → integer division.
+    "q366_transcript_vad_coverage" -> { (s, _) =>
+      import s.implicits._
+      val clips = s.range(48).as[Long].map { id =>
+        val n = (4000 + (id % 5) * 400).toInt
+        val samples = Array.tabulate(n) { i =>
+          val voiced = (i / 400 + id) % 3 != 0
+          val v =
+            if (voiced) ((i.toLong * (7 + id % 11) + 13 * id) % 3001L) - 1500L
+            else ((i.toLong * (3 + id % 7) + 11 * id) % 41L) - 20L
+          v.toShort
+        }
+        (id, graft.ext.MediaCodecs.wavBytes(8000, 1, samples))
+      }
+      val energies = clips.map { case (id, bytes) =>
+          (id, graft.ext.MediaCodecs.frameEnergies(bytes, 100).get)
+        }.toDF("media_id", "energies")
+        .select(col("media_id"),
+          posexplode(col("energies")).as(Seq("frame", "energy")))
+      val spans = graft.ext.Multimodal.vadSpans(energies, "media_id",
+        "frame", "energy", thresholdEnergy = 1000000L)
+      val segs = s.range(48).select(col("id").as("media_id"))
+        .withColumn("nf", lit(40L) + (col("media_id") % 5) * 4L)
+        .select(col("media_id"), col("nf"),
+          explode(sequence(lit(0L), lit(3L))).as("seg"))
+        .select(col("media_id"), col("seg"),
+          (col("seg") * col("nf") / lit(4L)).cast("long").as("seg_start"),
+          ((col("seg") + 1L) * col("nf") / lit(4L) - 1L).cast("long")
+            .as("seg_end"))
+      val overlap =
+        least(col("seg_end"), col("span_end")) -
+          greatest(col("seg_start"), col("span_start")) + lit(1L)
+      segs.join(spans,
+          segs("media_id") === spans("media_id")
+            && col("span_start") <= col("seg_end")
+            && col("span_end") >= col("seg_start"), "left")
+        .groupBy(segs("media_id"), col("seg"), col("seg_start"),
+          col("seg_end"))
+        .agg(coalesce(sum(overlap), lit(0L)).as("voiced_frames"))
+        .withColumn("coverage_permille",
+          expr("1000 * voiced_frames div (seg_end - seg_start + 1)"))
     }
   )
 
@@ -14491,7 +14545,43 @@ object SparkEntry {
         |       CAST(SUM(rq) AS BIGINT) AS returned_qty,
         |       CAST(SUM(q3) AS BIGINT) AS resold_qty
         |FROM leg3 JOIN part ON p_partkey = part
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // q359's VAD replay extended with the 4-segment transcript grid and the
+    // inclusive interval-overlap sum per segment.
+    "q366_transcript_vad_coverage" ->
+      """WITH m AS (SELECT id AS media_id, 4000 + (id % 5) * 400 AS n
+        |           FROM range(48) t(id)),
+        |sm AS (SELECT media_id, unnest(range(0, n)) AS i FROM m),
+        |sv AS (SELECT media_id, i // 100 AS f,
+        |         CASE WHEN ((i // 400) + media_id) % 3 <> 0
+        |              THEN ((i * (7 + media_id % 11) + 13 * media_id) % 3001) - 1500
+        |              ELSE ((i * (3 + media_id % 7) + 11 * media_id) % 41) - 20 END AS v
+        |       FROM sm),
+        |e AS (SELECT media_id, f, CAST(SUM(v * v) AS BIGINT) AS en
+        |      FROM sv GROUP BY 1, 2),
+        |act AS (SELECT media_id, f,
+        |          f - ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY f) AS grp
+        |        FROM e WHERE en > 1000000),
+        |sp AS (SELECT media_id, MIN(f) AS span_start, MAX(f) AS span_end
+        |       FROM act GROUP BY media_id, grp),
+        |sg AS (SELECT media_id, n // 100 AS nf, unnest(range(0, 4)) AS seg
+        |       FROM m),
+        |sg2 AS (SELECT media_id, seg, seg * nf // 4 AS seg_start,
+        |               (seg + 1) * nf // 4 - 1 AS seg_end FROM sg),
+        |cov AS (
+        |  SELECT g.media_id, g.seg, g.seg_start, g.seg_end,
+        |    CAST(COALESCE(SUM(least(g.seg_end, s.span_end)
+        |      - greatest(g.seg_start, s.span_start) + 1), 0) AS BIGINT)
+        |      AS voiced_frames
+        |  FROM sg2 g LEFT JOIN sp s
+        |    ON g.media_id = s.media_id
+        |   AND s.span_start <= g.seg_end AND s.span_end >= g.seg_start
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT media_id, seg, seg_start, seg_end, voiced_frames,
+        |       (1000 * voiced_frames) // (seg_end - seg_start + 1)
+        |         AS coverage_permille
+        |FROM cov""".stripMargin
   )
 
   /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —

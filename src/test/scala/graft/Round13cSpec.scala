@@ -229,4 +229,35 @@ class Round13cSpec extends SparkSpec {
     assert(rows(5)._5 > 0L, "exact_dedup dropped nothing")
     assert(rows(6)._5 > 0L, "near_dedup dropped nothing")
   }
+
+  test("canonicalUrl is idempotent: the canonical form is a fixed point") {
+    val parts = for {
+      scheme <- Seq("http", "HTTPS", "ftp")
+      host <- Seq("Ex.com", "ex.com:80", "ex.com:443", "ex.com:8080")
+      path <- Seq("", "/", "/a", "/a/b/")
+      q <- Seq("", "?b=2&a=1", "?utm_source=x", "?a=1&utm_medium=m&z=9")
+      frag <- Seq("", "#top")
+    } yield s"$scheme://$host$path$q$frag"
+    val df = parts.toDF("url")
+      .select(TextAnalysis.canonicalUrl(col("url")).as("c1"))
+      .select(col("c1"), TextAnalysis.canonicalUrl(col("c1")).as("c2"))
+    assert(df.where(col("c1") =!= col("c2")).count() == 0L,
+      "canonicalUrl must be idempotent on its own output")
+  }
+
+  test("q366: coverage bounded, silent segments 0, voiced mass consistent") {
+    val rows = SparkEntry.queries("q366_transcript_vad_coverage")(
+        spark, "unused")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.length == 48 * 4)
+    rows.foreach { case (_, _, s0, e0, vf, cp) =>
+      val len = e0 - s0 + 1
+      assert(vf >= 0L && vf <= len)
+      assert(cp == 1000L * vf / len)
+    }
+    // the fixture alternates voiced/silent 4-frame blocks, so every clip
+    // has BOTH partially-covered and fully-covered segments overall
+    assert(rows.exists(_._5 == 0L) || rows.exists(r => r._6 < 1000L))
+    assert(rows.exists(r => r._6 > 0L))
+  }
 }
