@@ -7478,6 +7478,21 @@ object SparkEntry {
         .agg(coalesce(sum(overlap), lit(0L)).as("voiced_frames"))
         .withColumn("coverage_permille",
           expr("1000 * voiced_frames div (seg_end - seg_start + 1)"))
+    },
+
+    // LOUVAIN MOVE PHASE (Graph.louvainMoveRound) — community DETECTION,
+    // where q220's modularityMicro only SCORES a given partition: one
+    // synchronized phase-1 sweep from singleton init over the supplier–part
+    // co-purchase graph (q127's edge set), gains compared in EXACT integers
+    // (2m·A_ij − k_i·k_j), smallest-degree neighbor wins, ties to the
+    // smaller id, stay on non-positive gain. Output is one row per
+    // resulting community with its exact Q·(2m)² contribution.
+    "q367_louvain_move" -> { (s, dir) =>
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("id_a"),
+          (col("l_partkey").cast("long") + 1000000L).as("id_b"))
+        .distinct()
+      graft.ext.Graph.louvainMoveRound(pairs)
     }
   )
 
@@ -14581,7 +14596,44 @@ object SparkEntry {
         |SELECT media_id, seg, seg_start, seg_end, voiced_frames,
         |       (1000 * voiced_frames) // (seg_end - seg_start + 1)
         |         AS coverage_permille
-        |FROM cov""".stripMargin
+        |FROM cov""".stripMargin,
+
+    // Full integer replay: degrees, the 2m scalar, per-node argmax by
+    // (gain DESC, neighbor ASC) as a ROW_NUMBER, the move rule, and the
+    // per-community Q·(2m)² terms.
+    "q367_louvain_move" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+        |                  CAST(l_partkey AS BIGINT) + 1000000 AS b
+        |           FROM lineitem),
+        |sym AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS k FROM sym GROUP BY 1),
+        |m2 AS (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM deg),
+        |cand AS (SELECT s.src, s.dst,
+        |           di.k * dj.k - (SELECT m2 FROM m2) AS neg
+        |         FROM sym s JOIN deg di ON di.src = s.src
+        |                    JOIN deg dj ON dj.src = s.dst),
+        |best AS (SELECT src, dst, neg FROM (
+        |           SELECT src, dst, neg,
+        |                  ROW_NUMBER() OVER (PARTITION BY src
+        |                    ORDER BY neg, dst) AS r
+        |           FROM cand) x WHERE r = 1),
+        |lab AS (SELECT src AS node,
+        |          CASE WHEN neg < 0 THEN dst ELSE src END AS community
+        |        FROM best),
+        |tot AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |               CAST(SUM(k) AS BIGINT) AS tot_degree
+        |        FROM lab JOIN deg ON deg.src = lab.node GROUP BY 1),
+        |itl AS (SELECT la.community,
+        |               CAST(COUNT(*) AS BIGINT) AS internal_edges
+        |        FROM e JOIN lab la ON la.node = e.a
+        |               JOIN lab lb ON lb.node = e.b
+        |        WHERE la.community = lb.community GROUP BY 1)
+        |SELECT t.community, t.n_members, t.tot_degree,
+        |       CAST(COALESCE(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+        |       2 * (SELECT m2 FROM m2) * COALESCE(i.internal_edges, 0)
+        |         - t.tot_degree * t.tot_degree AS q_contrib_scaled
+        |FROM tot t LEFT JOIN itl i USING (community)""".stripMargin
   )
 
   /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —

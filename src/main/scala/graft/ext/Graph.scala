@@ -746,4 +746,72 @@ object Graph {
     }
     auths.select(col("node"), col("a").as("auth_micros"))
   }
+
+  /** One SYNCHRONIZED Louvain move phase from singleton init (Blondel et
+    * al. 2008's phase-1 first sweep, the community-detection primitive the
+    * modularity SCORE ([[modularityMicro]]) only measures): with every node
+    * its own community, the modularity gain of node `i` adopting neighbor
+    * `j`'s community is `ΔQ ∝ 2m·A_ij − k_i·k_j` — for an unweighted edge,
+    * `2m − k_i·k_j`, EXACT in integers (the float ΔQ differs by the
+    * positive constant `1/(2m)²`, so every comparison is preserved). Each
+    * node moves to the neighbor with the maximal positive gain — i.e. the
+    * SMALLEST-degree neighbor with `k_i·k_j < 2m`, ties broken by the
+    * smaller neighbor id — or stays put. All decisions read the OLD labels
+    * (synchronized, deterministic; sequential Louvain is order-dependent,
+    * which no distributed oracle could replay).
+    *
+    * Returns one row per resulting community: `(community, n_members,
+    * tot_degree, internal_edges, q_contrib_scaled)` where
+    * `q_contrib_scaled = 4m·e_c − tot_c²` — the community's term of
+    * `Q·(2m)²` — so `Q = Σ q_contrib_scaled / (2m)²` exactly.
+    *
+    * Scale: one degree aggregate over the symmetrized edges, one edge-keyed
+    * join of the two endpoint degrees with the 1-row `2m` broadcast, one
+    * per-node argmax (`min(struct(-gain, dst))`, a map-side-combinable
+    * aggregate), and two label joins for the partition stats — every
+    * exchange is keyed on a node or edge endpoint, nothing is ever
+    * all-pairs, and per-node state is one (gain, neighbor) pair. Overflow:
+    * `2m·e_c` and `tot_c²` stay under 2⁶³ through ~2·10⁹ edges; past that,
+    * take the two products in DECIMAL(38,0) (same plan, declared
+    * precision). */
+  def louvainMoveRound(edges: DataFrame, idA: String = "id_a",
+                       idB: String = "id_b"): DataFrame = {
+    val e = edges
+      .select(least(col(idA), col(idB)).cast("long").as("a"),
+        greatest(col(idA), col(idB)).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("k"))
+    val m2 = deg.agg(sum(col("k")).as("m2")) // = 2m
+    val cand = sym
+      .join(deg.select(col("src"), col("k").as("ki")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("k").as("kj")), Seq("dst"))
+      .crossJoin(broadcast(m2))
+      .select(col("src"),
+        struct((col("ki") * col("kj") - col("m2")).as("negGain"),
+          col("dst")).as("cand"))
+    val labels = cand.groupBy(col("src")).agg(min(col("cand")).as("best"))
+      .select(col("src").as("node"),
+        when(col("best.negGain") < 0L, col("best.dst"))
+          .otherwise(col("src")).as("community"))
+    val tot = labels.join(deg.select(col("src").as("node"), col("k")),
+        Seq("node"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"), sum(col("k")).as("tot_degree"))
+    val internal = e
+      .join(labels.select(col("node").as("a"), col("community").as("ca")),
+        Seq("a"))
+      .join(labels.select(col("node").as("b"), col("community").as("cb")),
+        Seq("b"))
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    tot.join(internal, Seq("community"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("community"), col("n_members"), col("tot_degree"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        (lit(2L) * col("m2") * coalesce(col("internal_edges"), lit(0L))
+          - col("tot_degree") * col("tot_degree")).as("q_contrib_scaled"))
+  }
 }

@@ -260,4 +260,51 @@ class Round13cSpec extends SparkSpec {
     assert(rows.exists(_._5 == 0L) || rows.exists(r => r._6 < 1000L))
     assert(rows.exists(r => r._6 > 0L))
   }
+
+  // ---------------------------------------------------------------------
+  // Graph.louvainMoveRound (q367)
+  // ---------------------------------------------------------------------
+
+  test("louvainMoveRound: path graph 1-2-3 hand computation") {
+    // degrees k1=1 k2=2 k3=1, 2m=4; gains: 1→2 and 3→2 (4−2=2>0), node 2
+    // ties between 1 and 3 (both 4−2) → smaller id 1. Synchronized moves
+    // give communities {2:{1,3}} and {1:{2}}, no internal edges, each with
+    // q_contrib = 2·4·0 − 2² = −4.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = graft.ext.Graph.louvainMoveRound(edges)
+      .orderBy("community")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 2L, 0L, -4L),
+      (2L, 2L, 2L, 0L, -4L)))
+  }
+
+  test("louvainMoveRound: star K1,3 — leaves adopt the center, center swaps to leaf 1") {
+    // k0=3, leaves k=1, 2m=6: every leaf's best gain is 6−3=3>0 toward 0;
+    // the center ties across leaves (6−3) → leaf 1. Communities {0:{1,2,3}}
+    // (tot 3, no internal edges since 0 itself left) and {1:{0}} (tot 3).
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val out = graft.ext.Graph.louvainMoveRound(edges)
+      .orderBy("community")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 3L, 0L, -9L),
+      (1L, 1L, 3L, 0L, -9L)))
+  }
+
+  test("q367: partition invariants on the supplier-part graph") {
+    val out = SparkEntry.queries("q367_louvain_move")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val nNodes = out.map(_._2).sum
+    val totDeg = out.map(_._3).sum
+    val internal = out.map(_._4).sum
+    assert(totDeg % 2 == 0 && internal <= totDeg / 2,
+      "internal edges cannot exceed m")
+    assert(nNodes > 0 && out.forall(_._2 >= 1))
+    // q_contrib consistency: 2·(2m)·e_c − tot_c²
+    out.foreach { case (_, _, tot, e, q) =>
+      assert(q == 2L * totDeg * e - tot * tot)
+    }
+  }
 }
