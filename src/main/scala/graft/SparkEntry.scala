@@ -7493,6 +7493,20 @@ object SparkEntry {
           (col("l_partkey").cast("long") + 1000000L).as("id_b"))
         .distinct()
       graft.ext.Graph.louvainMoveRound(pairs)
+    },
+
+    // K-TRUSS (Graph.kTruss) — the edge-support peel beside q252's k-core:
+    // 3-truss of the hub-capped co-purchase graph, 3 bounded peel rounds
+    // (the kCore maxRounds contract; a converged graph makes extra rounds
+    // idempotent). Emits surviving edges with the support that justified
+    // survival; the oracle unrolls every round — adjacency, two-join
+    // triangle support, peel — and the final support join.
+    "q368_ktruss" -> { (s, dir) =>
+      val pairs = graft.ext.Itemsets
+        .pairCounts(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .where(col("n") >= 2)
+        .select(col("p1").as("id_a"), col("p2").as("id_b"))
+      graft.ext.Graph.kTruss(pairs, k = 3L, maxRounds = 3)
     }
   )
 
@@ -14633,7 +14647,50 @@ object SparkEntry {
         |       CAST(COALESCE(i.internal_edges, 0) AS BIGINT) AS internal_edges,
         |       2 * (SELECT m2 FROM m2) * COALESCE(i.internal_edges, 0)
         |         - t.tot_degree * t.tot_degree AS q_contrib_scaled
-        |FROM tot t LEFT JOIN itl i USING (community)""".stripMargin
+        |FROM tot t LEFT JOIN itl i USING (community)""".stripMargin,
+
+    // q252's hub-capped co-purchase prefix, then three unrolled
+    // support-peel rounds; the emitted support is the last round's
+    // (idempotent under early convergence — peeling a fixed point changes
+    // nothing, so the unrolled form equals the early-stopped loop).
+    "q368_ktruss" ->
+      """WITH it0 AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |it AS (
+        |  SELECT b, i FROM (
+        |    SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS __bs FROM it0)
+        |  WHERE __bs <= 1000),
+        |cop AS (
+        |  SELECT a.i AS p1, x.i AS p2
+        |  FROM it a JOIN it x ON a.b = x.b AND a.i < x.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |t0 AS (SELECT CAST(p1 AS BIGINT) AS a, CAST(p2 AS BIGINT) AS b
+        |       FROM cop),
+        |s0 AS (SELECT a AS u, b AS v FROM t0 UNION ALL SELECT b, a FROM t0),
+        |ws1 AS (SELECT t.a, t.b, CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+        |        FROM t0 t LEFT JOIN (
+        |          SELECT e.a, e.b, COUNT(*) AS c
+        |          FROM t0 e JOIN s0 x ON x.u = e.a
+        |                    JOIN s0 y ON y.u = e.b AND y.v = x.v
+        |          GROUP BY 1, 2) s ON t.a = s.a AND t.b = s.b),
+        |e1 AS (SELECT a, b FROM ws1 WHERE support >= 1),
+        |s1 AS (SELECT a AS u, b AS v FROM e1 UNION ALL SELECT b, a FROM e1),
+        |ws2 AS (SELECT t.a, t.b, CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+        |        FROM e1 t LEFT JOIN (
+        |          SELECT e.a, e.b, COUNT(*) AS c
+        |          FROM e1 e JOIN s1 x ON x.u = e.a
+        |                    JOIN s1 y ON y.u = e.b AND y.v = x.v
+        |          GROUP BY 1, 2) s ON t.a = s.a AND t.b = s.b),
+        |e2 AS (SELECT a, b FROM ws2 WHERE support >= 1),
+        |s2 AS (SELECT a AS u, b AS v FROM e2 UNION ALL SELECT b, a FROM e2),
+        |ws3 AS (SELECT t.a, t.b, CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+        |        FROM e2 t LEFT JOIN (
+        |          SELECT e.a, e.b, COUNT(*) AS c
+        |          FROM e2 e JOIN s2 x ON x.u = e.a
+        |                    JOIN s2 y ON y.u = e.b AND y.v = x.v
+        |          GROUP BY 1, 2) s ON t.a = s.a AND t.b = s.b)
+        |SELECT a AS id_a, b AS id_b, support
+        |FROM ws3 WHERE support >= 1""".stripMargin
   )
 
   /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —

@@ -774,6 +774,68 @@ object Graph {
     * `2m·e_c` and `tot_c²` stay under 2⁶³ through ~2·10⁹ edges; past that,
     * take the two products in DECIMAL(38,0) (same plan, declared
     * precision). */
+  /** Bounded k-truss peel ([[kCore]]'s edge-support sibling — Cohen 2008):
+    * repeatedly drop every edge lying on fewer than `k−2` triangles, the
+    * community primitive that is strictly stronger than k-core (every edge
+    * of a k-truss connects two (k−1)-core members, but not vice versa).
+    * Each round computes per-edge SUPPORT (common-neighbor count via two
+    * adjacency joins — the q94 triangle shape, never all-pairs) and peels;
+    * `maxRounds` bounds the rounds exactly like [[kCore]]'s contract (a
+    * converged graph makes further rounds idempotent no-ops). Returns the
+    * surviving edges with the support that justified their survival (the
+    * value measured in the LAST executed round).
+    *
+    * Scale: the round's exchanges are the symmetrized adjacency keyed on
+    * its endpoint (twice) and the (a,b) support aggregate — all edge-keyed;
+    * the live edge set is re-repartitioned on `a` above the plan-truncating
+    * rebind each round (the round-13 graph-loop pattern) so the per-round
+    * joins reuse the cached partitioning. Support counting fan-out is
+    * Σ_e min(deg(a), deg(b)) — cap hub degrees upstream (the q241/q252
+    * basket-cap discipline) exactly as any distributed truss
+    * decomposition must. */
+  def kTruss(edges: DataFrame, k: Long, maxRounds: Int,
+             idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    require(k >= 3 && maxRounds >= 1,
+      s"kTruss: need k >= 3, maxRounds >= 1; got $k, $maxRounds")
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+
+    var curC = truncated(edges.where(col(idA) =!= col(idB))
+      .select(least(col(idA), col(idB)).cast("long").as("a"),
+        greatest(col(idA), col(idB)).cast("long").as("b")))
+      .repartition(col("a")).dropDuplicates("a", "b").persist(level)
+    curC.count()
+    var cur = curC
+    var lastSup: DataFrame = null
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      round += 1
+      val sym = cur.select(col("a").as("u"), col("b").as("v"))
+        .union(cur.select(col("b").as("u"), col("a").as("v")))
+      val sup = cur
+        .join(sym.select(col("u").as("a"), col("v").as("c")), Seq("a"))
+        .join(sym.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      val withSup = cur.join(sup, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("support"), lit(0L)).as("support"))
+      lastSup = withSup
+      val prunedC = truncated(
+          withSup.where(col("support") >= k - 2).select(col("a"), col("b")))
+        .repartition(col("a")).persist(level)
+      val nAfter = prunedC.count()
+      val nBefore = cur.count()
+      cur.unpersist(blocking = false)
+      cur = prunedC
+      converged = nAfter == nBefore
+    }
+    cur.join(lastSup, Seq("a", "b"))
+      .select(col("a").as(idA), col("b").as(idB), col("support"))
+  }
+
   def louvainMoveRound(edges: DataFrame, idA: String = "id_a",
                        idB: String = "id_b"): DataFrame = {
     val e = edges
