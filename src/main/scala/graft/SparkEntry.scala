@@ -7507,6 +7507,22 @@ object SparkEntry {
         .where(col("n") >= 2)
         .select(col("p1").as("id_a"), col("p2").as("id_b"))
       graft.ext.Graph.kTruss(pairs, k = 3L, maxRounds = 3)
+    },
+
+    // MULTI-SWEEP LOUVAIN (Graph.louvainSweeps) — q367's singleton round
+    // iterated with the FULL removal+insertion gain over evolving labels:
+    // two synchronized sweeps over the hub-capped co-purchase graph, every
+    // gain compared as the exact integer 2m·(k_ic − k_ic_i) −
+    // k_i·(tot_c − tot_ci + k_i). The oracle unrolls both sweeps —
+    // community degrees, neighbor-community counts, per-node argmax with
+    // the (gain DESC, community ASC) order, the move rule — and the final
+    // partition summary.
+    "q369_louvain_sweeps" -> { (s, dir) =>
+      val pairs = graft.ext.Itemsets
+        .pairCounts(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .where(col("n") >= 2)
+        .select(col("p1").as("id_a"), col("p2").as("id_b"))
+      graft.ext.Graph.louvainSweeps(pairs, sweeps = 2)
     }
   )
 
@@ -14690,7 +14706,74 @@ object SparkEntry {
         |                    JOIN s2 y ON y.u = e.b AND y.v = x.v
         |          GROUP BY 1, 2) s ON t.a = s.a AND t.b = s.b)
         |SELECT a AS id_a, b AS id_b, support
-        |FROM ws3 WHERE support >= 1""".stripMargin
+        |FROM ws3 WHERE support >= 1""".stripMargin,
+
+    // Two unrolled synchronized sweeps with the full removal+insertion
+    // gain, then the partition summary — every block mirrors the Spark
+    // sweep's aggregates and the (gain, community) argmax order.
+    "q369_louvain_sweeps" -> {
+      def sweep(r: Int): String = {
+        val cur = s"lab$r"; val nxt = s"lab${r + 1}"
+        s"""tot$r AS (SELECT l.comm, CAST(SUM(d.k) AS BIGINT) AS tot
+           |          FROM $cur l JOIN deg d ON d.node = l.node GROUP BY 1),
+           |nc$r AS (SELECT s.src AS node, l.comm AS cd,
+           |                CAST(COUNT(*) AS BIGINT) AS kic
+           |         FROM sym s JOIN $cur l ON l.node = s.dst GROUP BY 1, 2),
+           |own$r AS (SELECT l.node, l.comm, d.k,
+           |                 COALESCE(n.kic, 0) AS kic_own, t.tot AS tot_i
+           |          FROM $cur l JOIN deg d ON d.node = l.node
+           |          JOIN tot$r t ON t.comm = l.comm
+           |          LEFT JOIN nc$r n ON n.node = l.node AND n.cd = l.comm),
+           |cand$r AS (SELECT o.node, n.cd,
+           |             o.k * (tc.tot - o.tot_i + o.k)
+           |               - (SELECT m2 FROM m2s) * (n.kic - o.kic_own) AS neg
+           |           FROM own$r o
+           |           JOIN nc$r n ON n.node = o.node AND n.cd <> o.comm
+           |           JOIN tot$r tc ON tc.comm = n.cd),
+           |best$r AS (SELECT node, cd, neg FROM (
+           |             SELECT node, cd, neg,
+           |                    ROW_NUMBER() OVER (PARTITION BY node
+           |                      ORDER BY neg, cd) AS rn
+           |             FROM cand$r) x WHERE rn = 1),
+           |$nxt AS (SELECT o.node,
+           |           CASE WHEN b.neg < 0 THEN b.cd ELSE o.comm END AS comm
+           |         FROM own$r o LEFT JOIN best$r b ON b.node = o.node)""".stripMargin
+      }
+      s"""WITH it0 AS (
+         |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         |it AS (
+         |  SELECT b, i FROM (
+         |    SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS __bs FROM it0)
+         |  WHERE __bs <= 1000),
+         |cop AS (
+         |  SELECT a.i AS p1, x.i AS p2
+         |  FROM it a JOIN it x ON a.b = x.b AND a.i < x.i
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |t0 AS (SELECT CAST(p1 AS BIGINT) AS a, CAST(p2 AS BIGINT) AS b
+         |       FROM cop),
+         |sym AS (SELECT a AS src, b AS dst FROM t0
+         |        UNION ALL SELECT b, a FROM t0),
+         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k
+         |        FROM sym GROUP BY 1),
+         |m2s AS (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM deg),
+         |lab0 AS (SELECT node, node AS comm FROM deg),
+         |${sweep(0)},
+         |${sweep(1)},
+         |tots AS (SELECT l.comm AS community,
+         |                CAST(COUNT(*) AS BIGINT) AS n_members,
+         |                CAST(SUM(d.k) AS BIGINT) AS tot_degree
+         |         FROM lab2 l JOIN deg d ON d.node = l.node GROUP BY 1),
+         |itl AS (SELECT la.comm AS community,
+         |               CAST(COUNT(*) AS BIGINT) AS internal_edges
+         |        FROM t0 e JOIN lab2 la ON la.node = e.a
+         |                  JOIN lab2 lb ON lb.node = e.b
+         |        WHERE la.comm = lb.comm GROUP BY 1)
+         |SELECT t.community, t.n_members, t.tot_degree,
+         |       CAST(COALESCE(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+         |       2 * (SELECT m2 FROM m2s) * COALESCE(i.internal_edges, 0)
+         |         - t.tot_degree * t.tot_degree AS q_contrib_scaled
+         |FROM tots t LEFT JOIN itl i USING (community)""".stripMargin
+    }
   )
 
   /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —

@@ -836,6 +836,107 @@ object Graph {
       .select(col("a").as(idA), col("b").as(idB), col("support"))
   }
 
+  /** Multi-sweep synchronized Louvain ([[louvainMoveRound]] generalized
+    * past singleton init): each sweep, every node weighs moving from its
+    * CURRENT community `c_i` to each neighbor community `c`, with the full
+    * removal+insertion modularity gain in exact integers:
+    * `ΔQ·(2m)² = 2m·(k_{i,c} − k_{i,c_i}) − k_i·(tot_c − tot_{c_i} + k_i)`
+    * where `k_{i,c}` counts i's neighbors labeled `c` and `tot_c` sums the
+    * degrees of c's members — at singleton init this collapses to
+    * [[louvainMoveRound]]'s `2m − k_i·k_j`. All decisions in a sweep read
+    * the previous sweep's labels (synchronized — the only order every
+    * engine replays identically); argmax ties break on the smaller
+    * community id; non-positive best gain stays. Returns the same
+    * per-community summary as [[louvainMoveRound]]: `(community,
+    * n_members, tot_degree, internal_edges, q_contrib_scaled)`.
+    *
+    * Scale per sweep: one (node, neighbor-community) aggregate over the
+    * symmetrized edges (map-side combinable; fan-in bounded by degree),
+    * one community-degree aggregate (node-sized), one per-node argmax —
+    * every exchange keyed on a node or community id. Labels persist
+    * across sweeps above the plan-truncating rebind (the graph-loop
+    * pattern), so sweep r exchanges node-sized state, not |E|. Same
+    * overflow bound as [[louvainMoveRound]]. */
+  def louvainSweeps(edges: DataFrame, sweeps: Int, idA: String = "id_a",
+                    idB: String = "id_b"): DataFrame = {
+    require(sweeps >= 1, s"louvainSweeps: sweeps must be >= 1, got $sweeps")
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+
+    val e = truncated(edges
+        .select(least(col(idA), col(idB)).cast("long").as("a"),
+          greatest(col(idA), col(idB)).cast("long").as("b"))
+        .where(col("a") =!= col("b")).distinct())
+      .repartition(col("a")).persist(level)
+    e.count()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).persist(level)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("k"))
+      .withColumnRenamed("src", "node").persist(level)
+    val m2 = deg.agg(sum(col("k")).as("m2")) // 2m, one row
+
+    var labels = truncated(deg.select(col("node"), col("node").as("comm")))
+      .repartition(col("node")).persist(level)
+    labels.count()
+    for (_ <- 1 to sweeps) {
+      val tot = labels.join(deg, Seq("node"))
+        .groupBy(col("comm")).agg(sum(col("k")).as("tot"))
+      val nc = sym
+        .join(labels.select(col("node").as("dst"), col("comm").as("cd")),
+          Seq("dst"))
+        .groupBy(col("src"), col("cd")).agg(count(lit(1)).as("kic"))
+      val own = labels.join(deg, Seq("node"))
+        .join(tot.withColumnRenamed("comm", "__c")
+          .withColumnRenamed("tot", "tot_i"), col("comm") === col("__c"))
+        .drop("__c")
+        .join(nc.select(col("src").as("node"), col("cd").as("comm"),
+          col("kic").as("kic_own")), Seq("node", "comm"), "left")
+        .select(col("node"), col("comm"), col("k"),
+          coalesce(col("kic_own"), lit(0L)).as("kic_own"), col("tot_i"))
+      val cand = own
+        .join(nc.select(col("src").as("node"), col("cd"), col("kic")),
+          Seq("node"))
+        .where(col("cd") =!= col("comm"))
+        .join(tot.select(col("comm").as("cd"), col("tot").as("tot_c")),
+          Seq("cd"))
+        .crossJoin(broadcast(m2))
+        .select(col("node"),
+          struct((col("k") * (col("tot_c") - col("tot_i") + col("k"))
+            - col("m2") * (col("kic") - col("kic_own"))).as("negGain"),
+            col("cd")).as("cand"))
+      val best = cand.groupBy(col("node")).agg(min(col("cand")).as("best"))
+      val next = truncated(labels.join(best, Seq("node"), "left")
+          .select(col("node"),
+            when(col("best").isNotNull && col("best.negGain") < 0L,
+              col("best.cd")).otherwise(col("comm")).as("comm")))
+        .repartition(col("node")).persist(level)
+      next.count()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    // same partition summary as louvainMoveRound
+    val tot = labels.join(deg, Seq("node"))
+      .groupBy(col("comm").as("community"))
+      .agg(count(lit(1)).as("n_members"), sum(col("k")).as("tot_degree"))
+    val internal = e
+      .join(labels.select(col("node").as("a"), col("comm").as("ca")),
+        Seq("a"))
+      .join(labels.select(col("node").as("b"), col("comm").as("cb")),
+        Seq("b"))
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    tot.join(internal, Seq("community"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("community"), col("n_members"), col("tot_degree"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        (lit(2L) * col("m2") * coalesce(col("internal_edges"), lit(0L))
+          - col("tot_degree") * col("tot_degree")).as("q_contrib_scaled"))
+  }
+
   def louvainMoveRound(edges: DataFrame, idA: String = "id_a",
                        idB: String = "id_b"): DataFrame = {
     val e = edges

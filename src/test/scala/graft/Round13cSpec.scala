@@ -344,4 +344,31 @@ class Round13cSpec extends SparkSpec {
     val nodes = out.flatMap(r => Seq(r._1, r._2)).toSet
     assert(out.forall(r => nodes(r._1) && nodes(r._2)))
   }
+
+  test("louvainSweeps: path 1-2-3 two synchronized sweeps hand computation") {
+    // Sweep 1 (singletons): 1→2, 2→1 (tie to smaller id), 3→2.
+    // Sweep 2 from {1:2, 2:1, 3:2}: node1 gains 4·1−1·(2−2+1)=3 toward
+    // comm 1; node2 gains 4·2−2·(2−2+2)=4 toward comm 2; node3 gains 3
+    // toward comm 1 — the known synchronized ping-pong. Final partition
+    // {1:{1,3}, 2:{2}}, no internal edges, q_contrib −4 each.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = graft.ext.Graph.louvainSweeps(edges, sweeps = 2)
+      .orderBy("community")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 0L, -4L),
+      (2L, 1L, 2L, 0L, -4L)))
+  }
+
+  test("louvainSweeps: sweep 1 equals louvainMoveRound's partition summary") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val a = graft.ext.Graph.louvainSweeps(edges, sweeps = 1)
+      .orderBy("community")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val b = graft.ext.Graph.louvainMoveRound(edges)
+      .orderBy("community")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(a == b, "singleton-init sweep must reduce to the move round")
+  }
 }
