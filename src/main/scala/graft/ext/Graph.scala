@@ -871,11 +871,17 @@ object Graph {
         .where(col("a") =!= col("b")).distinct())
       .repartition(col("a")).persist(level)
     e.count()
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
-      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    // src-partitioned for the one-time degree aggregate; the in-loop label
+    // lookup on dst costs no sym exchange because the node-sized label
+    // table BROADCASTS (measured: forcing a dst repartition instead added
+    // an exchange and won back nothing — the sweep's honest exchange is
+    // the map-side-combined (src, community) vote aggregate).
+    val sym = truncated(e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst"))))
       .repartition(col("src")).persist(level)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("k"))
       .withColumnRenamed("src", "node").persist(level)
+    deg.count()
     val m2 = deg.agg(sum(col("k")).as("m2")) // 2m, one row
 
     var labels = truncated(deg.select(col("node"), col("node").as("comm")))
