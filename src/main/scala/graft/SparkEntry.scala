@@ -7523,6 +7523,43 @@ object SparkEntry {
         .where(col("n") >= 2)
         .select(col("p1").as("id_a"), col("p2").as("id_b"))
       graft.ext.Graph.louvainSweeps(pairs, sweeps = 2)
+    },
+
+    // SENTENCE-BUDGETED CHUNKING (TextAnalysis.sentences + prefix-sum
+    // bucketing) — the RAG / context-window chunker: documents (given
+    // deterministic sentence punctuation every 5+doc_id%4 tokens) split on
+    // sentence boundaries, each sentence assigned to chunk
+    // floor(tokens_before / 24) — the prefix-sum form (a chunk may exceed
+    // the budget by at most one sentence, the documented contract; the
+    // greedy-reset form needs sequential state no engine replays).
+    // Per (doc, chunk): sentence span and token mass. ONE window + ONE
+    // aggregate, both partitioned by doc_id — a single exchange.
+    "q370_sentence_chunking" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val punct =
+        """array_join(transform(
+          |  sequence(0, CAST((size(split(trim(text), '\\s+')) - 1)
+          |                   DIV (5 + doc_id % 4) AS INT)),
+          |  j -> array_join(slice(split(trim(text), '\\s+'),
+          |         CAST(j * (5 + doc_id % 4) + 1 AS INT),
+          |         CAST(5 + doc_id % 4 AS INT)), ' ')), '. ') || '.'"""
+          .stripMargin
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), expr(punct).as("text"))
+      val sent = docs.select(col("doc_id"),
+          posexplode(graft.ext.TextAnalysis.sentences(col("text")))
+            .as(Seq("sent_idx", "sentence")))
+        .withColumn("n_tok",
+          size(split(col("sentence"), "\\s+")).cast("long"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("sent_idx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sent
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("chunk", expr("cum_before div 24"))
+        .groupBy(col("doc_id"), col("chunk"))
+        .agg(count(lit(1)).as("n_sentences"), sum(col("n_tok")).as("n_tokens"),
+          min(col("sent_idx")).cast("long").as("sent_from"),
+          max(col("sent_idx")).cast("long").as("sent_to"))
     }
   )
 
@@ -14773,7 +14810,45 @@ object SparkEntry {
          |       2 * (SELECT m2 FROM m2s) * COALESCE(i.internal_edges, 0)
          |         - t.tot_degree * t.tot_degree AS q_contrib_scaled
          |FROM tots t LEFT JOIN itl i USING (community)""".stripMargin
-    }
+    },
+
+    // Replays the punctuation fixture (slice/join groups of 5+doc_id%4
+    // tokens), the sentence split + trailing-punct strip, the
+    // 1-PRECEDING prefix sum, and the floor-division chunk assignment.
+    "q370_sentence_chunking" ->
+      """WITH tk AS (SELECT doc_id,
+        |              regexp_split_to_array(trim(text), '\s+') AS toks,
+        |              5 + doc_id % 4 AS k
+        |            FROM documents),
+        |pt AS (SELECT doc_id,
+        |         array_to_string([array_to_string(toks[j*k+1 : j*k+k], ' ')
+        |                          for j in range(0, (len(toks)-1)//k + 1)],
+        |                         '. ') || '.' AS text2
+        |       FROM tk),
+        |sl AS (SELECT doc_id,
+        |         list_filter(list_transform(
+        |           regexp_split_to_array(trim(text2), '[.!?]+\s+'),
+        |           x -> regexp_replace(x, '[.!?]+$', '')),
+        |           x -> x <> '') AS sents
+        |       FROM pt),
+        |se AS (SELECT doc_id, unnest(range(0, len(sents))) AS sent_idx,
+        |              sents FROM sl),
+        |st AS (SELECT doc_id, sent_idx,
+        |         CAST(len(regexp_split_to_array(
+        |           sents[CAST(sent_idx + 1 AS INT)], '\s+')) AS BIGINT)
+        |           AS n_tok
+        |       FROM se),
+        |cb AS (SELECT doc_id, sent_idx, n_tok,
+        |         COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id
+        |           ORDER BY sent_idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cum_before
+        |       FROM st)
+        |SELECT doc_id, CAST(cum_before // 24 AS BIGINT) AS chunk,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |       MIN(sent_idx) AS sent_from, MAX(sent_idx) AS sent_to
+        |FROM cb GROUP BY 1, 2""".stripMargin
   )
 
   /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —

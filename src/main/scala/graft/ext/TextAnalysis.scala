@@ -742,6 +742,20 @@ object TextAnalysis {
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
+  /** Sentence segmentation — the boundary every RAG / context-window
+    * chunker cuts on: split on terminal-punctuation runs followed by
+    * whitespace (`[.!?]+\\s+`), strip a trailing punctuation run from the
+    * final fragment, drop empties. Lookaround-free pattern, so Java regex
+    * and RE2 agree; pure HOF Column (map-only, codegen'd). Abbreviation
+    * handling is deliberately out of scope — the pattern is the portable,
+    * oracle-replayable contract, and a smarter splitter slots in behind
+    * the same Column signature. */
+  def sentences(text: Column): Column =
+    filter(
+      transform(split(trim(text), "[.!?]+\\s+"),
+        x => regexp_replace(x, "[.!?]+$", "")),
+      x => x =!= "")
+
   private def functions_replace(c: Column, find: String, repl: String): Column =
     org.apache.spark.sql.functions.replace(c, lit(find), lit(repl))
 }

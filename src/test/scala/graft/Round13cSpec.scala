@@ -371,4 +371,70 @@ class Round13cSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(a == b, "singleton-init sweep must reduce to the move round")
   }
+
+  test("vadSpans ≡ reference implementation on 30 pseudo-random clips") {
+    // LCG-generated energy tables; spans checked against a plain-Scala
+    // gaps-and-islands reference, clip by clip.
+    var seed = 12345L
+    def next(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L); (seed >>> 33) }
+    val frames = (0 until 30).flatMap { clip =>
+      val nf = 5 + (next() % 36).toInt
+      (0 until nf).map(f => (clip.toLong, f, next() % 1000L))
+    }
+    val thr = 500L
+    val got = Multimodal.vadSpans(frames.toDF("media_id", "frame", "energy"),
+        "media_id", "frame", "energy", thr)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val expected = frames.groupBy(_._1).flatMap { case (clip, rows) =>
+      val active = rows.sortBy(_._2).filter(_._3 > thr)
+      val runs = active.foldLeft(List.empty[List[(Long, Int, Long)]]) {
+        case (acc, r) => acc match {
+          case (h @ ((_, pf, _) :: _)) :: t if r._2 == pf + 1 => (r :: h) :: t
+          case _ => List(r) :: acc
+        }
+      }
+      runs.map { run =>
+        (clip, run.last._2.toLong, run.head._2.toLong, run.size.toLong,
+          run.map(_._3).sum)
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
+  // ---------------------------------------------------------------------
+  // TextAnalysis.sentences + q370 chunking
+  // ---------------------------------------------------------------------
+
+  test("sentences: terminal runs split, trailing punct stripped, empties dropped") {
+    val got = Seq("One two. Three four! Five?? Six.")
+      .toDF("t").select(TextAnalysis.sentences(col("t")))
+      .as[Seq[String]].head()
+    assert(got == Seq("One two", "Three four", "Five", "Six"))
+    val empty = Seq("").toDF("t").select(TextAnalysis.sentences(col("t")))
+      .as[Seq[String]].head()
+    assert(empty.isEmpty)
+    val noPunct = Seq("no punct here").toDF("t")
+      .select(TextAnalysis.sentences(col("t"))).as[Seq[String]].head()
+    assert(noPunct == Seq("no punct here"))
+  }
+
+  test("q370: chunks partition each doc's sentences in order, budget respected") {
+    val rows = SparkEntry.queries("q370_sentence_chunking")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    rows.groupBy(_._1).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk ids 0..n-1, sentence spans contiguous across chunks
+      assert(sorted.map(_._2) == (0L until sorted.size))
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b._5 == a._6 + 1)
+        case _ =>
+      }
+      // prefix-sum contract: every chunk except the last starts under the
+      // budget boundary and only the straddling sentence may overflow
+      sorted.init.foreach(c => assert(c._4 >= 1L))
+    }
+    // budget 24, max sentence 8 tokens: no chunk exceeds 24 + 8 - 1
+    assert(rows.forall(_._4 <= 31L))
+  }
 }
