@@ -7560,6 +7560,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sentences"), sum(col("n_tok")).as("n_tokens"),
           min(col("sent_idx")).cast("long").as("sent_from"),
           max(col("sent_idx")).cast("long").as("sent_to"))
+    },
+
+    // STREAMING CURATION FUNNEL (Dedup.streamingFunnelTick) — q363 as the
+    // production ingest loop: two landing ticks (evens, then odds + one
+    // exact copy family per tick), each AvailableNow micro-batch running
+    // language-ID → min-tokens → quality → exact dedup against the
+    // cross-tick fingerprint LEDGER (batch-id-keyed overwrite partitions,
+    // exactly-once). Tick 2's +300000 copies duplicate TICK-1 docs — only
+    // the ledger can drop them; its +400000 copies duplicate docs in the
+    // SAME tick — the within-batch min-id rule drops those. Ids arrive in
+    // keep-first order, so the summed per-tick counts equal the batch
+    // funnel the oracle replays.
+    "q371_streaming_funnel" -> { (s, dir) =>
+      val root = tempDirCleanedOnExit("graft-sfun-")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(s"$root/landing")
+      docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + 300000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 5).select(
+          (col("doc_id") + 400000L).as("doc_id"), col("text")))
+        .coalesce(1).write.mode("append").parquet(s"$root/landing")
+      val stream = s.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("text", "string"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/landing")
+      Dedup.streamingFunnelTick(stream, s"$root/ledger", s"$root/silver",
+        s"$root/counts", s"$root/ckpt", minTokens = 20L,
+        stopwords = QualityStopwords)
+      val tot = s.read.parquet(s"$root/counts")
+        .agg(sum(col("c0")).as("c0"), sum(col("c1")).as("c1"),
+          sum(col("c2")).as("c2"), sum(col("c3")).as("c3"),
+          sum(col("c4")).as("c4"))
+      val names = Seq("all", "lang_en", "min_length", "quality",
+        "exact_dedup")
+      val entries = (0 to 4).map { i =>
+        struct(lit(names(i)).as("stage"), col(s"c$i").as("n_kept"))
+      }
+      tot.select(posexplode(array(entries: _*)).as(Seq("stage_idx", "e")))
+        .select(col("stage_idx").cast("long").as("stage_idx"),
+          col("e.stage").as("stage"), col("e.n_kept").as("n_kept"))
     }
   )
 
@@ -14848,7 +14891,60 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_sentences,
         |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |       MIN(sent_idx) AS sent_from, MAX(sent_idx) AS sent_to
-        |FROM cb GROUP BY 1, 2""".stripMargin
+        |FROM cb GROUP BY 1, 2""".stripMargin,
+
+    // Batch replay of the two-tick union (ids arrive in keep-first order,
+    // so ledger-first == min-id): q363's stage fragments, then keep-first
+    // exact dedup, then the five summed counts as stage rows.
+    "q371_streaming_funnel" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000, text FROM documents WHERE doc_id % 10 = 5),
+        |tokt AS (SELECT doc_id, text,
+        |           regexp_split_to_array(trim(text), '\s+') AS toks FROM d),
+        |lh AS (SELECT doc_id, text, toks,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS h_en,
+        |  len(list_filter(toks, x -> x IN ('el','la','de','que','es'))) AS h_es,
+        |  len(list_filter(toks, x -> x IN ('le','la','et','est','une'))) AS h_fr,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','ist','ein'))) AS h_de,
+        |  len(list_filter(toks, x -> x IN ('的','是','了','在','我'))) AS h_zh
+        |  FROM tokt),
+        |f1 AS (SELECT doc_id, text, toks,
+        |         (h_en > 0 AND h_en = greatest(h_en, h_es, h_fr, h_de, h_zh))
+        |           AS pass1
+        |       FROM lh),
+        |f2 AS (SELECT *, pass1 AND len(toks) >= 20 AS pass2 FROM f1),
+        |f3 AS (SELECT doc_id, text, pass1, pass2, pass2 AND
+        |         ROUND((least(length(text) / 500.0, 1.0)
+        |           + least(CAST(len(list_filter(toks,
+        |               x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+        |             / len(toks) * 4.0, 1.0)
+        |           + greatest(0.0, 1.0
+        |             - CAST(length(text) - length(regexp_replace(text,
+        |                 '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |               / length(text) * 5.0)) / 3.0, 6) >= 0.5 AS pass3
+        |       FROM f2),
+        |fp AS (SELECT *, md5(lower(trim(text))) AS fp FROM f3),
+        |keepf AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp
+        |          WHERE pass3 GROUP BY 1),
+        |f4 AS (SELECT f.doc_id, f.pass1, f.pass2, f.pass3,
+        |         (f.pass3 AND k.doc_id IS NOT NULL) AS pass4
+        |       FROM fp f LEFT JOIN keepf k
+        |         ON f.fp = k.fp AND f.doc_id = k.doc_id),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+        |          CAST(SUM(CASE WHEN pass1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |          CAST(SUM(CASE WHEN pass2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |          CAST(SUM(CASE WHEN pass3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |          CAST(SUM(CASE WHEN pass4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+        |        FROM f4)
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'all' AS stage, c0 AS n_kept FROM tot
+        |UNION ALL SELECT 1, 'lang_en', c1 FROM tot
+        |UNION ALL SELECT 2, 'min_length', c2 FROM tot
+        |UNION ALL SELECT 3, 'quality', c3 FROM tot
+        |UNION ALL SELECT 4, 'exact_dedup', c4 FROM tot""".stripMargin
   )
 
   /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —

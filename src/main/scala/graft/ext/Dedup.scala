@@ -581,6 +581,85 @@ object Dedup {
     query.awaitTermination()
   }
 
+  /** Streaming curation-funnel tick — q363's batch funnel as the
+    * PRODUCTION ingest loop ([[streamingMedallionLshTick]]'s sibling with
+    * the quality stages and the exact-dedup LEDGER as the cross-tick
+    * state): per micro-batch, the stateless per-doc stages (language-ID,
+    * minimum tokens, composite quality) run as cumulative flags, then
+    * exact dedup keeps a doc iff its `md5(lower(trim(text)))` fingerprint
+    * (a) is the batch's MINIMAL-id holder and (b) has never been admitted
+    * by a PRIOR tick — the on-disk fingerprint ledger, read filtered to
+    * `batch < n` so a replayed micro-batch never sees its own partial
+    * write. All three writes of tick `n` (silver survivors, ledger
+    * fingerprints, stage counts) are batch-id-keyed overwrite partitions:
+    * exactly-once across restarts, the [[streamingLshMaintain]] contract.
+    *
+    * Scale: per-tick cost ∝ delta for every stage except the ledger
+    * anti-join, which is delta × ledger on the fingerprint key — the
+    * ledger is a fingerprint-only table (16 bytes a row), so at 100 TB it
+    * stays orders of magnitude under the corpus and the join broadcasts or
+    * buckets on `fp`. Summed across ticks the counts equal the batch
+    * funnel whenever ids arrive in keep-first order (min-id == first-seen
+    * — the oracle's replay condition). */
+  def streamingFunnelTick(docsStream: DataFrame, ledgerDir: String,
+                          silverDir: String, countsDir: String,
+                          checkpointDir: String, minTokens: Long,
+                          stopwords: Seq[String],
+                          idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val query = docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val n = batchId
+          val T = graft.ext.TextAnalysis
+          val flags = batch.select(col(idCol), col(textCol))
+            .withColumn("pass1", T.langId(col(textCol)) === "en")
+            .withColumn("pass2",
+              col("pass1") && T.tokenCount(col(textCol)) >= minTokens)
+            .withColumn("pass3", col("pass2")
+              && T.qualityScore(col(textCol), stopwords) >= 0.5)
+            .withColumn("fp", md5(lower(trim(col(textCol)))))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val prior =
+            try s.read.parquet(ledgerDir).where(col("batch") < lit(n))
+              .select(col("fp")).distinct()
+            catch {
+              case _: org.apache.spark.sql.AnalysisException =>
+                s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  new org.apache.spark.sql.types.StructType().add("fp", "string"))
+            }
+          val batchFirst = flags.where(col("pass3"))
+            .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+            .withColumn("__first", lit(true))
+          val f4 = flags
+            .join(batchFirst, Seq("fp", idCol), "left")
+            .join(prior.withColumn("__seen", lit(true)), Seq("fp"), "left")
+            .withColumn("pass4", col("pass3")
+              && coalesce(col("__first"), lit(false))
+              && col("__seen").isNull)
+          val kept = f4.where(col("pass4")).select(col(idCol), col(textCol),
+            col("fp"))
+          kept.select(col(idCol), col(textCol))
+            .write.mode("overwrite").parquet(s"$silverDir/batch=$n")
+          kept.select(col("fp")).distinct()
+            .write.mode("overwrite").parquet(s"$ledgerDir/batch=$n")
+          f4.agg(
+              count(lit(1)).as("c0"),
+              sum(col("pass1").cast("long")).as("c1"),
+              sum(col("pass2").cast("long")).as("c2"),
+              sum(col("pass3").cast("long")).as("c3"),
+              sum(col("pass4").cast("long")).as("c4"))
+            .write.mode("overwrite").parquet(s"$countsDir/batch=$n")
+          flags.unpersist(blocking = false)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   /** Recall/coverage audit of a candidate-pair scheme against a ground-truth
     * pair set — the EVALUATION harness for blocking parameter choices
     * (bands × rows, SimHash radius, prefix length): how many of the true

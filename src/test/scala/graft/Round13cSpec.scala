@@ -437,4 +437,39 @@ class Round13cSpec extends SparkSpec {
     // budget 24, max sentence 8 tokens: no chunk exceeds 24 + 8 - 1
     assert(rows.forall(_._4 <= 31L))
   }
+
+  test("q371 streaming funnel: summed ticks equal the batch funnel") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q371_streaming_funnel")(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    // batch recomputation over the same two-tick union corpus
+    val T = TextAnalysis
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs
+      .unionByName(docs.where(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 300000L).as("doc_id"), col("text")))
+      .unionByName(docs.where(col("doc_id") % 10 === 5).select(
+        (col("doc_id") + 400000L).as("doc_id"), col("text")))
+    val stop = Seq("the", "a", "of", "and", "is")
+    val flags = corpus
+      .withColumn("pass1", T.langId(col("text")) === "en")
+      .withColumn("pass2", col("pass1") && T.tokenCount(col("text")) >= 20L)
+      .withColumn("pass3",
+        col("pass2") && T.qualityScore(col("text"), stop) >= 0.5)
+      .withColumn("fp", md5(lower(trim(col("text")))))
+    val keep = flags.where(col("pass3")).groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).withColumn("__k", lit(true))
+    val f4 = flags.join(keep.select(col("doc_id"), col("__k")),
+        Seq("doc_id"), "left")
+      .withColumn("pass4", col("pass3") && coalesce(col("__k"), lit(false)))
+    val exp = f4.agg(count(lit(1)), sum(col("pass1").cast("long")),
+        sum(col("pass2").cast("long")), sum(col("pass3").cast("long")),
+        sum(col("pass4").cast("long")))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got.map(_._3) ==
+      Seq(exp._1, exp._2, exp._3, exp._4, exp._5))
+    // both dedup paths must have fired: plants guarantee drops
+    assert(exp._4 > exp._5, "exact-dedup stage dropped nothing")
+  }
 }
