@@ -7603,6 +7603,17 @@ object SparkEntry {
       tot.select(posexplode(array(entries: _*)).as(Seq("stage_idx", "e")))
         .select(col("stage_idx").cast("long").as("stage_idx"),
           col("e.stage").as("stage"), col("e.n_kept").as("n_kept"))
+    },
+
+    // MATRYOSHKA TRUNCATION AUDIT (Similarity.matryoshkaRecall) — before
+    // re-embedding a corpus at half dimension, measure what it costs:
+    // per sampled query (vec_id % 10 = 0), the overlap between the full
+    // 64-dim top-10 and the 32-prefix top-10, both rankings deterministic
+    // (ROUND(cos, 6) DESC, id). One pair pass, two codegen'd dots per
+    // pair, two query-partitioned rank windows.
+    "q372_matryoshka_recall" -> { (s, dir) =>
+      Similarity.matryoshkaRecall(t(s, dir, "embeddings"),
+        prefixDim = 32, k = 10, queryMod = 10)
     }
   )
 
@@ -14944,7 +14955,29 @@ object SparkEntry {
         |UNION ALL SELECT 1, 'lang_en', c1 FROM tot
         |UNION ALL SELECT 2, 'min_length', c2 FROM tot
         |UNION ALL SELECT 3, 'quality', c3 FROM tot
-        |UNION ALL SELECT 4, 'exact_dedup', c4 FROM tot""".stripMargin
+        |UNION ALL SELECT 4, 'exact_dedup', c4 FROM tot""".stripMargin,
+
+    // Same two rankings via list_cosine_similarity on the full and
+    // 1:32-sliced vectors, same rounding and tie-breaks, overlap counted.
+    "q372_matryoshka_recall" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings),
+        |q AS (SELECT id AS q, v AS qv FROM base WHERE id % 10 = 0),
+        |p AS (SELECT q.q, b.id,
+        |        ROUND(list_cosine_similarity(b.v, q.qv), 6) AS cf,
+        |        ROUND(list_cosine_similarity(b.v[1:32], q.qv[1:32]), 6) AS ct
+        |      FROM base b JOIN q ON b.id <> q.q),
+        |r AS (SELECT q, id,
+        |        ROW_NUMBER() OVER (PARTITION BY q ORDER BY cf DESC, id) AS rf,
+        |        ROW_NUMBER() OVER (PARTITION BY q ORDER BY ct DESC, id) AS rt
+        |      FROM p)
+        |SELECT q AS query_id,
+        |       CAST(SUM(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_hit,
+        |       CAST(1000 * SUM(CASE WHEN rf <= 10 AND rt <= 10 THEN 1
+        |                            ELSE 0 END) // 10 AS BIGINT)
+        |         AS recall_permille
+        |FROM r GROUP BY 1""".stripMargin
   )
 
   /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —

@@ -471,4 +471,45 @@ object Similarity {
     import spark.implicits._
     selected.toDF("step", "vec_id", "rel_micros", "mmr_micros")
   }
+
+  /** Matryoshka truncation audit (Kusupati et al. 2022's deployment
+    * question answered with data): if retrieval ran on only the FIRST
+    * `prefixDim` components — half the storage, half the dot-product cost
+    * — how much of each query's full-dimension top-`k` would survive? One
+    * pair pass computes BOTH cosines (full and prefix-sliced, rounded to
+    * 6dp with id tie-breaks — fully deterministic), two rank windows
+    * partitioned by the query id score them, and the overlap per query is
+    * the recall. Output: `(query_id, n_hit, recall_permille)`.
+    *
+    * Scale: the query set broadcasts (it is a sample — `queryMod` thins
+    * it); candidates stream once, each pair costing two codegen'd dots;
+    * the rank windows partition by query id with per-partition state
+    * bounded by the candidate count. This is the decision audit run
+    * BEFORE re-embedding a 100 TB corpus at a lower dimension. */
+  def matryoshkaRecall(embeddings: DataFrame, prefixDim: Int, k: Int,
+                       queryMod: Long, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(prefixDim >= 1 && k >= 1 && queryMod >= 1,
+      s"matryoshkaRecall: bad args ($prefixDim, $k, $queryMod)")
+    val base = embeddings
+      .select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+    val q = base.where(pmod(col("id"), lit(queryMod)) === 0)
+      .select(col("id").as("q"), col("v").as("qv"))
+    val pairs = base.join(broadcast(q), col("id") =!= col("q"))
+      .select(col("q"), col("id"),
+        round(cosine(col("v"), col("qv")), 6).as("cf"),
+        round(cosine(slice(col("v"), 1, prefixDim),
+          slice(col("qv"), 1, prefixDim)), 6).as("ct"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("cf").desc, col("id"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("ct").desc, col("id"))
+    pairs
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rt", row_number().over(wt))
+      .groupBy(col("q").as("query_id"))
+      .agg(sum(when(col("rf") <= k && col("rt") <= k, 1L).otherwise(0L))
+        .as("n_hit"))
+      .withColumn("recall_permille", expr(s"1000 * n_hit div $k"))
+  }
 }

@@ -472,4 +472,30 @@ class Round13cSpec extends SparkSpec {
     // both dedup paths must have fired: plants guarantee drops
     assert(exp._4 > exp._5, "exact-dedup stage dropped nothing")
   }
+
+  test("matryoshkaRecall: prefix-identical corpus gives full recall; zero prefix does not") {
+    // Deterministic fixture whose constant suffix keeps the prefix and
+    // full rankings aligned for every query's top-3 (verified, then
+    // pinned): truncation to 2 dims loses nothing here, so every sampled
+    // query must report n_hit = k and recall 1000.
+    val rows = (0 until 12).map { i =>
+      (i.toLong, scala.Seq(i.toFloat + 1f, 2f * i + 1f, 5f, 5f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity
+      .matryoshkaRecall(df, prefixDim = 2, k = 3, queryMod = 6)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._2 == 3L && r._3 == 1000L),
+      s"suffix-constant corpus must preserve the ranking: $out")
+  }
+
+  test("q372: recall bounded and keyed by the sampled queries") {
+    val out = SparkEntry.queries("q372_matryoshka_recall")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.forall(r => r._1 % 10 == 0))
+    assert(out.forall(r => r._2 >= 0L && r._2 <= 10L))
+    assert(out.forall(r => r._3 == 100L * r._2))
+  }
 }
