@@ -7614,6 +7614,16 @@ object SparkEntry {
     "q372_matryoshka_recall" -> { (s, dir) =>
       Similarity.matryoshkaRecall(t(s, dir, "embeddings"),
         prefixDim = 32, k = 10, queryMod = 10)
+    },
+
+    // LABEL-RETRIEVAL MRR / HIT@K (Similarity.labelMrr) — the kNN
+    // label-agreement probe of embedding quality: per sampled query, the
+    // rank of the first same-label neighbor under the deterministic cosine
+    // order, reciprocal rank in exact micros (1e6 DIV rank), and the
+    // top-10 hit flag. Label-less queries report NULL rank / 0 rr — they
+    // stay visible to downstream averages.
+    "q373_label_mrr" -> { (s, dir) =>
+      Similarity.labelMrr(t(s, dir, "embeddings"), k = 10, queryMod = 10)
     }
   )
 
@@ -14977,7 +14987,29 @@ object SparkEntry {
         |       CAST(1000 * SUM(CASE WHEN rf <= 10 AND rt <= 10 THEN 1
         |                            ELSE 0 END) // 10 AS BIGINT)
         |         AS recall_permille
-        |FROM r GROUP BY 1""".stripMargin
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // Same ranking, first same-label rank via MIN over a CASE, micros
+    // reciprocal by integer division, NULL-rank queries at rr 0 / hit 0.
+    "q373_label_mrr" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+        |                     CAST(label AS BIGINT) AS lab
+        |              FROM embeddings),
+        |q AS (SELECT id AS q, v AS qv, lab AS qlab FROM base
+        |      WHERE id % 10 = 0),
+        |r AS (SELECT q.q, q.qlab, b.id, b.lab,
+        |        ROW_NUMBER() OVER (PARTITION BY q.q
+        |          ORDER BY ROUND(list_cosine_similarity(b.v, q.qv), 6) DESC,
+        |                   b.id) AS rank
+        |      FROM base b JOIN q ON b.id <> q.q),
+        |f AS (SELECT q AS query_id,
+        |        MIN(CASE WHEN lab = qlab THEN rank END) AS first_rel_rank
+        |      FROM r GROUP BY 1)
+        |SELECT query_id, first_rel_rank,
+        |       COALESCE(1000000 // first_rel_rank, 0) AS rr_micros,
+        |       CASE WHEN COALESCE(first_rel_rank, 9223372036854775807) <= 10
+        |            THEN CAST(1 AS BIGINT) ELSE 0 END AS hit_at_10
+        |FROM f""".stripMargin
   )
 
   /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —

@@ -512,4 +512,42 @@ object Similarity {
         .as("n_hit"))
       .withColumn("recall_permille", expr(s"1000 * n_hit div $k"))
   }
+
+  /** Label-retrieval MRR / hit@k — the standard embedding-quality probe
+    * (kNN label agreement): per sampled query, rank every other vector by
+    * full cosine (ROUND 6dp, id tie-break — deterministic), find the FIRST
+    * neighbor sharing the query's `labelCol`, and report its rank, the
+    * reciprocal rank in exact micros (`1_000_000 DIV rank`), and whether a
+    * same-label neighbor landed in the top `k`. Queries with no same-label
+    * neighbor anywhere report rank NULL, rr 0, hit 0 — they count against
+    * the averages downstream, never silently drop.
+    *
+    * Scale: same shape as [[matryoshkaRecall]] — broadcast query sample,
+    * one candidate pass, one codegen'd dot per pair, one rank window per
+    * query partition; the first-relevant pick is a `min(struct(rank))`
+    * over same-label rows, map-side combinable. */
+  def labelMrr(embeddings: DataFrame, k: Int, queryMod: Long,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && queryMod >= 1, s"labelMrr: bad args ($k, $queryMod)")
+    val base = embeddings.select(col(idCol).as("id"),
+      toDoubleArray(col(vecCol)).as("v"), col(labelCol).cast("long").as("lab"))
+    val q = base.where(pmod(col("id"), lit(queryMod)) === 0)
+      .select(col("id").as("q"), col("v").as("qv"), col("lab").as("qlab"))
+    val ranked = base.join(broadcast(q), col("id") =!= col("q"))
+      .select(col("q"), col("qlab"), col("id"), col("lab"),
+        round(cosine(col("v"), col("qv")), 6).as("cs"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q")).orderBy(col("cs").desc, col("id"))))
+    ranked
+      .groupBy(col("q").as("query_id"))
+      .agg(min(when(col("lab") === col("qlab"), col("rank")))
+        .as("first_rel_rank"))
+      .select(col("query_id"), col("first_rel_rank").cast("long")
+          .as("first_rel_rank"),
+        coalesce(expr("1000000 div first_rel_rank"), lit(0L)).as("rr_micros"),
+        when(coalesce(col("first_rel_rank"), lit(Long.MaxValue)) <= k, 1L)
+          .otherwise(0L).as(s"hit_at_$k"))
+  }
 }

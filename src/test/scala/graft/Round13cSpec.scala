@@ -498,4 +498,29 @@ class Round13cSpec extends SparkSpec {
     assert(out.forall(r => r._2 >= 0L && r._2 <= 10L))
     assert(out.forall(r => r._3 == 100L * r._2))
   }
+
+  test("labelMrr: hand-built fixture ranks and reciprocal ranks") {
+    // query 0 (label 1): nearest is id 1 (label 2), then id 2 (label 1)
+    // → first_rel_rank 2, rr 500000, hit@1 = 0, hit@2 would be 1.
+    val rows = Seq(
+      (0L, Seq(1f, 0f), 1),
+      (1L, Seq(0.99f, 0.1f), 2),
+      (2L, Seq(0.9f, 0.3f), 1),
+      (3L, Seq(-1f, 0f), 3))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.ext.Similarity.labelMrr(df, k = 1, queryMod = 4)
+      .as[(Long, Option[Long], Long, Long)].collect().toSeq
+    assert(out == Seq((0L, Some(2L), 500000L, 0L)))
+  }
+
+  test("labelMrr: query with no same-label neighbor reports NULL rank, rr 0") {
+    val rows = Seq(
+      (0L, Seq(1f, 0f), 7),
+      (1L, Seq(0.5f, 0.5f), 2),
+      (2L, Seq(0.9f, 0.3f), 2))
+    val out = graft.ext.Similarity
+      .labelMrr(rows.toDF("vec_id", "embedding", "label"), k = 10, queryMod = 3)
+      .as[(Long, Option[Long], Long, Long)].collect().toSeq
+    assert(out == Seq((0L, None, 0L, 0L)))
+  }
 }
