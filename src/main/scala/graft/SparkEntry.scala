@@ -7624,6 +7624,16 @@ object SparkEntry {
     // stay visible to downstream averages.
     "q373_label_mrr" -> { (s, dir) =>
       Similarity.labelMrr(t(s, dir, "embeddings"), k = 10, queryMod = 10)
+    },
+
+    // HUBNESS AUDIT (Similarity.hubnessHistogram) — the k-occurrence
+    // distribution of the exact kNN graph over the sampled queries: a
+    // heavy right tail (hub vectors retrieved by many queries) is the
+    // classic high-dimensional failure that predicts poor ANN recall.
+    // Never-retrieved vectors land in the 0-occurrence row by subtraction.
+    "q374_hubness" -> { (s, dir) =>
+      Similarity.hubnessHistogram(t(s, dir, "embeddings"), k = 10,
+        queryMod = 10)
     }
   )
 
@@ -15009,7 +15019,29 @@ object SparkEntry {
         |       COALESCE(1000000 // first_rel_rank, 0) AS rr_micros,
         |       CASE WHEN COALESCE(first_rel_rank, 9223372036854775807) <= 10
         |            THEN CAST(1 AS BIGINT) ELSE 0 END AS hit_at_10
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // Same ranking; k-occurrence counts, histogram, and the subtraction
+    // 0-row.
+    "q374_hubness" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings),
+        |q AS (SELECT id AS q, v AS qv FROM base WHERE id % 10 = 0),
+        |r AS (SELECT q.q, b.id,
+        |        ROW_NUMBER() OVER (PARTITION BY q.q
+        |          ORDER BY ROUND(list_cosine_similarity(b.v, q.qv), 6) DESC,
+        |                   b.id) AS rank
+        |      FROM base b JOIN q ON b.id <> q.q),
+        |occ AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_occ
+        |        FROM r WHERE rank <= 10 GROUP BY 1),
+        |hist AS (SELECT n_occ AS n_k_occurrences,
+        |                CAST(COUNT(*) AS BIGINT) AS n_vectors
+        |         FROM occ GROUP BY 1),
+        |zero AS (SELECT CAST(0 AS BIGINT) AS n_k_occurrences,
+        |           (SELECT COUNT(*) FROM base)
+        |             - (SELECT COUNT(*) FROM occ) AS n_vectors)
+        |SELECT * FROM hist
+        |UNION ALL SELECT * FROM zero WHERE n_vectors > 0""".stripMargin
   )
 
   /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —

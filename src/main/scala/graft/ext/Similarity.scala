@@ -550,4 +550,44 @@ object Similarity {
         when(coalesce(col("first_rel_rank"), lit(Long.MaxValue)) <= k, 1L)
           .otherwise(0L).as(s"hit_at_$k"))
   }
+
+  /** Hubness audit (Radovanović et al. 2010) — the ANN-quality diagnostic
+    * high-dimensional corpora fail: how unevenly does "being someone's
+    * nearest neighbor" distribute? Build the exact k-NN lists over the
+    * sampled query set (same deterministic ranking as [[labelMrr]]), count
+    * each vector's k-OCCURRENCE (how many queries list it), and emit the
+    * occurrence histogram: `(n_k_occurrences, n_vectors)` — a heavy right
+    * tail (hubs) predicts poor ANN recall and skewed retrieval. Vectors
+    * never retrieved appear in the 0-occurrence row, computed from the
+    * corpus count minus the retrieved-distinct count, never by scanning.
+    *
+    * Scale: one pair pass over the broadcast query sample, the rank
+    * window, then two node-sized aggregates; the histogram is
+    * metadata-sized. */
+  def hubnessHistogram(embeddings: DataFrame, k: Int, queryMod: Long,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && queryMod >= 1,
+      s"hubnessHistogram: bad args ($k, $queryMod)")
+    val base = embeddings
+      .select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("v"))
+    val q = base.where(pmod(col("id"), lit(queryMod)) === 0)
+      .select(col("id").as("q"), col("v").as("qv"))
+    val topk = base.join(broadcast(q), col("id") =!= col("q"))
+      .select(col("q"), col("id"),
+        round(cosine(col("v"), col("qv")), 6).as("cs"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q")).orderBy(col("cs").desc, col("id"))))
+      .where(col("rank") <= k)
+    val occ = topk.groupBy(col("id")).agg(count(lit(1)).as("n_occ"))
+    val hist = occ.groupBy(col("n_occ").as("n_k_occurrences"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val zeroRow = base.agg(count(lit(1)).as("__n"))
+      .crossJoin(broadcast(occ.agg(count(lit(1)).as("__r"))))
+      .select(lit(0L).as("n_k_occurrences"),
+        (col("__n") - col("__r")).as("n_vectors"))
+      .where(col("n_vectors") > 0)
+    hist.unionByName(zeroRow)
+  }
 }

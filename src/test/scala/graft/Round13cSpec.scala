@@ -523,4 +523,15 @@ class Round13cSpec extends SparkSpec {
       .as[(Long, Option[Long], Long, Long)].collect().toSeq
     assert(out == Seq((0L, None, 0L, 0L)))
   }
+
+  test("hubnessHistogram: counts partition the corpus; mass equals k·|queries|") {
+    val out = SparkEntry.queries("q374_hubness")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect().toSeq
+    val n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    val nQ = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") % 10 === 0).count()
+    // histogram rows partition all vectors; total retrieved mass = 10·|Q|
+    assert(out.map(_._2).sum == n)
+    assert(out.map(r => r._1 * r._2).sum == 10L * nQ)
+  }
 }
