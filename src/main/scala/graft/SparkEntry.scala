@@ -7634,6 +7634,37 @@ object SparkEntry {
     "q374_hubness" -> { (s, dir) =>
       Similarity.hubnessHistogram(t(s, dir, "embeddings"), k = 10,
         queryMod = 10)
+    },
+
+    // TPC-DS Q54 SHAPE: the target-cohort forward-spend histogram — the
+    // cohort is defined by ONE month's purchases of a part type, the
+    // measure is the SAME customers' spend over the FOLLOWING quarter, and
+    // the answer is a revenue-band histogram (floor-division bands). The
+    // cohort IN-filter must decorrelate to a semi-join and the band is
+    // integer arithmetic end to end (cents, never floats).
+    "q375_tpcds_q54_shape" -> { (s, dir) =>
+      Seq("orders", "lineitem", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql(
+        """WITH target_cust AS (
+          |  SELECT DISTINCT o_custkey AS cust
+          |  FROM orders_v JOIN lineitem_v ON l_orderkey = o_orderkey
+          |                JOIN part_v ON p_partkey = l_partkey
+          |  WHERE p_type = 'PROMO'
+          |    AND CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) = 1995
+          |    AND CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) = 3),
+          |spend AS (
+          |  SELECT o_custkey AS cust,
+          |         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+          |             AS BIGINT)) AS cents
+          |  FROM orders_v JOIN lineitem_v ON l_orderkey = o_orderkey
+          |  WHERE o_custkey IN (SELECT cust FROM target_cust)
+          |    AND CAST(o_orderdate AS DATE) >= DATE '1995-04-01'
+          |    AND CAST(o_orderdate AS DATE) < DATE '1995-07-01'
+          |  GROUP BY 1)
+          |SELECT CAST(cents DIV 5000000 AS BIGINT) AS band,
+          |       CAST(COUNT(*) AS BIGINT) AS n_cust
+          |FROM spend GROUP BY 1""".stripMargin)
     }
   )
 
@@ -15041,7 +15072,28 @@ object SparkEntry {
         |           (SELECT COUNT(*) FROM base)
         |             - (SELECT COUNT(*) FROM occ) AS n_vectors)
         |SELECT * FROM hist
-        |UNION ALL SELECT * FROM zero WHERE n_vectors > 0""".stripMargin
+        |UNION ALL SELECT * FROM zero WHERE n_vectors > 0""".stripMargin,
+
+    "q375_tpcds_q54_shape" ->
+      """WITH target_cust AS (
+        |  SELECT DISTINCT o_custkey AS cust
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |              JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) = 1995
+        |    AND CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) = 3),
+        |spend AS (
+        |  SELECT o_custkey AS cust,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |             AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_custkey IN (SELECT cust FROM target_cust)
+        |    AND CAST(o_orderdate AS DATE) >= DATE '1995-04-01'
+        |    AND CAST(o_orderdate AS DATE) < DATE '1995-07-01'
+        |  GROUP BY 1)
+        |SELECT CAST(cents // 5000000 AS BIGINT) AS band,
+        |       CAST(COUNT(*) AS BIGINT) AS n_cust
+        |FROM spend GROUP BY 1""".stripMargin
   )
 
   /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —

@@ -90,6 +90,13 @@ class PlanSpec extends SparkSpec {
       s"part dimension must broadcast:\n$p")
   }
 
+  test("q375 TPC-DS Q54 shape: the cohort IN decorrelates to a semi-join, no cartesian") {
+    val p = planOf("q375_tpcds_q54_shape")
+    assert(p.contains("LeftSemi") || p.contains("left_semi"),
+      s"cohort IN must plan as a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("q339 TPC-DS Q67 shape: rollup expands once and the rank window partitions by level") {
     val p = planOf("q339_tpcds_q67_shape")
     assert(p.contains("Expand"), s"ROLLUP must plan as Expand:\n$p")
