@@ -7665,6 +7665,21 @@ object SparkEntry {
           |SELECT CAST(cents DIV 5000000 AS BIGINT) AS band,
           |       CAST(COUNT(*) AS BIGINT) AS n_cust
           |FROM spend GROUP BY 1""".stripMargin)
+    },
+
+    // DETERMINISTIC RANDOM WALKS (Graph.randomWalks) — the DeepWalk/
+    // node2vec input stage over the hub-capped co-purchase graph: 4 steps
+    // per start node, step t at node u taking neighbor index
+    // hash60("rw:<walk>:<t>:<u>") mod deg(u) over the id-ordered adjacency
+    // (the portable md5-60 family, replayed arithmetically by the oracle).
+    // Each step is one frontier-vs-adjacency equi-join, never a driver
+    // loop per walk.
+    "q376_random_walks" -> { (s, dir) =>
+      val pairs = graft.ext.Itemsets
+        .pairCounts(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .where(col("n") >= 2)
+        .select(col("p1").as("id_a"), col("p2").as("id_b"))
+      graft.ext.Graph.randomWalks(pairs, steps = 4, startMod = 50L)
     }
   )
 
@@ -15093,7 +15108,66 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT CAST(cents // 5000000 AS BIGINT) AS band,
         |       CAST(COUNT(*) AS BIGINT) AS n_cust
-        |FROM spend GROUP BY 1""".stripMargin
+        |FROM spend GROUP BY 1""".stripMargin,
+
+    // Adjacency with id-ordered idx, then four unrolled steps, each
+    // picking idx = md5-60 mod degree over the same strings the Spark
+    // plan hashes.
+    "q376_random_walks" ->
+      """WITH it0 AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |it AS (
+        |  SELECT b, i FROM (
+        |    SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS __bs FROM it0)
+        |  WHERE __bs <= 1000),
+        |cop AS (
+        |  SELECT a.i AS p1, x.i AS p2
+        |  FROM it a JOIN it x ON a.b = x.b AND a.i < x.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |t0 AS (SELECT CAST(p1 AS BIGINT) AS a, CAST(p2 AS BIGINT) AS b
+        |       FROM cop),
+        |sym AS (SELECT a AS src, b AS dst FROM t0
+        |        UNION ALL SELECT b, a FROM t0),
+        |adj AS (SELECT src, dst,
+        |          ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+        |        FROM sym),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM sym GROUP BY 1),
+        |w0 AS (SELECT src AS walk_id, src AS node FROM deg
+        |       WHERE src % 50 = 0),
+        |w1 AS (SELECT c.walk_id, a.dst AS node
+        |       FROM w0 c JOIN deg d ON d.src = c.node
+        |       JOIN adj a ON a.src = c.node
+        |        AND a.idx = CAST(concat('0x', substr(md5(
+        |              concat('rw:', CAST(c.walk_id AS STRING), ':1:',
+        |                     CAST(c.node AS STRING))), 1, 15)) AS BIGINT)
+        |            % d.deg),
+        |w2 AS (SELECT c.walk_id, a.dst AS node
+        |       FROM w1 c JOIN deg d ON d.src = c.node
+        |       JOIN adj a ON a.src = c.node
+        |        AND a.idx = CAST(concat('0x', substr(md5(
+        |              concat('rw:', CAST(c.walk_id AS STRING), ':2:',
+        |                     CAST(c.node AS STRING))), 1, 15)) AS BIGINT)
+        |            % d.deg),
+        |w3 AS (SELECT c.walk_id, a.dst AS node
+        |       FROM w2 c JOIN deg d ON d.src = c.node
+        |       JOIN adj a ON a.src = c.node
+        |        AND a.idx = CAST(concat('0x', substr(md5(
+        |              concat('rw:', CAST(c.walk_id AS STRING), ':3:',
+        |                     CAST(c.node AS STRING))), 1, 15)) AS BIGINT)
+        |            % d.deg),
+        |w4 AS (SELECT c.walk_id, a.dst AS node
+        |       FROM w3 c JOIN deg d ON d.src = c.node
+        |       JOIN adj a ON a.src = c.node
+        |        AND a.idx = CAST(concat('0x', substr(md5(
+        |              concat('rw:', CAST(c.walk_id AS STRING), ':4:',
+        |                     CAST(c.node AS STRING))), 1, 15)) AS BIGINT)
+        |            % d.deg)
+        |SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0
+        |UNION ALL SELECT walk_id, 1, node FROM w1
+        |UNION ALL SELECT walk_id, 2, node FROM w2
+        |UNION ALL SELECT walk_id, 3, node FROM w3
+        |UNION ALL SELECT walk_id, 4, node FROM w4""".stripMargin
   )
 
   /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —

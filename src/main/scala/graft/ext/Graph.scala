@@ -836,6 +836,61 @@ object Graph {
       .select(col("a").as(idA), col("b").as(idB), col("support"))
   }
 
+  /** Deterministic random-walk table (the DeepWalk/node2vec input stage):
+    * from every start node (`node % startMod = 0`), take `steps` steps
+    * where step `t` at node `u` picks neighbor index
+    * `hash60("rw:<walk>:<t>:<u>") mod deg(u)` over the id-ORDERED adjacency
+    * — the portable md5-60 family, so the "randomness" replays
+    * arithmetically in any engine (the same contract as the generators and
+    * MinHash seeds). Output: one row per visited position,
+    * `(walk_id, step, node)`, step 0 = the start node.
+    *
+    * Scale: the adjacency (with per-source `idx` rank and degree) is
+    * computed once and persisted partitioned by its source key; each step
+    * is ONE equi-join of the walk frontier (walk-count-sized, tiny vs |E|)
+    * against it on `(node, idx)` — never a per-walk driver loop, and the
+    * walk count scales with `startMod`, not the graph. This is how a
+    * 100 TB embedding pipeline materializes its corpus of walks. */
+  def randomWalks(edges: DataFrame, steps: Int, startMod: Long,
+                  idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    require(steps >= 1 && startMod >= 1,
+      s"randomWalks: bad args ($steps, $startMod)")
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+
+    val sym = truncated(edges.where(col(idA) =!= col(idB))
+      .select(explode(array(
+        struct(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst")),
+        struct(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct())
+      .repartition(col("src")).persist(level)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val adj = sym.withColumn("idx", row_number().over(w) - 1).persist(level)
+    adj.count()
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+
+    var cur = adj.select(col("src").as("node")).distinct()
+      .where(pmod(col("node"), lit(startMod)) === 0)
+      .select(col("node").as("walk_id"), col("node"))
+    var out = cur.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    for (t <- 1 to steps) {
+      val choice = pmod(graft.ext.PortableHash.hash60(
+        concat(lit("rw:"), col("walk_id").cast("string"), lit(s":$t:"),
+          col("node").cast("string"))), col("deg"))
+      cur = cur
+        .join(deg.withColumnRenamed("src", "node"), Seq("node"))
+        .withColumn("idx", choice)
+        .join(adj.withColumnRenamed("src", "node"), Seq("node", "idx"))
+        .select(col("walk_id"), col("dst").as("node"))
+      out = out.unionByName(
+        cur.select(col("walk_id"), lit(t.toLong).as("step"), col("node")))
+    }
+    out
+  }
+
   /** Multi-sweep synchronized Louvain ([[louvainMoveRound]] generalized
     * past singleton init): each sweep, every node weighs moving from its
     * CURRENT community `c_i` to each neighbor community `c`, with the full

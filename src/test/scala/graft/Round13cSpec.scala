@@ -534,4 +534,35 @@ class Round13cSpec extends SparkSpec {
     assert(out.map(_._2).sum == n)
     assert(out.map(r => r._1 * r._2).sum == 10L * nQ)
   }
+
+  // ---------------------------------------------------------------------
+  // Graph.randomWalks (q376)
+  // ---------------------------------------------------------------------
+
+  test("randomWalks: every step follows an edge; walks have full length") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val eSet = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val out = graft.ext.Graph.randomWalks(edges, steps = 3, startMod = 1L)
+      .as[(Long, Long, Long)].collect().toSeq
+    val byWalk = out.groupBy(_._1)
+    assert(byWalk.size == 5 && byWalk.values.forall(_.size == 4))
+    byWalk.foreach { case (w, rows) =>
+      val path = rows.sortBy(_._2).map(_._3)
+      assert(path.head == w, "step 0 is the start node")
+      path.sliding(2).foreach { case scala.Seq(u, v) =>
+        assert(eSet((u, v)), s"walk $w stepped off-graph: $u -> $v")
+      }
+    }
+  }
+
+  test("randomWalks: deterministic — two runs produce identical tables") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    def run() = graft.ext.Graph.randomWalks(edges, steps = 4, startMod = 1L)
+      .orderBy("walk_id", "step")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(run() == run())
+  }
 }
