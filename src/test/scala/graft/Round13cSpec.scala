@@ -565,4 +565,33 @@ class Round13cSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(run() == run())
   }
+
+  test("shotSpans ≡ reference implementation on 30 pseudo-random clips") {
+    var seed = 777L
+    def next(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L); (seed >>> 33) }
+    val frames = (0 until 30).flatMap { clip =>
+      val nf = 3 + (next() % 20).toInt
+      (0 until nf).map(f => (clip.toLong, f, next() % 256L))
+    }
+    val maxD = 3
+    val got = Multimodal.shotSpans(frames.toDF("media_id", "frame", "fhash"),
+        "media_id", "frame", "fhash", maxD)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val expected = frames.groupBy(_._1).flatMap { case (clip, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var shot = 0L
+      var prev: Option[Long] = None
+      val tagged = ordered.map { case (_, f, h) =>
+        val cut = prev.forall(p => java.lang.Long.bitCount(p ^ h) > maxD)
+        if (cut) shot += 1
+        prev = Some(h)
+        (shot, f)
+      }
+      tagged.groupBy(_._1).map { case (sh, fs) =>
+        (clip, sh, fs.map(_._2).min.toLong, fs.map(_._2).max.toLong,
+          fs.size.toLong)
+      }
+    }.toSet
+    assert(got == expected)
+  }
 }
