@@ -594,4 +594,77 @@ class Round13cSpec extends SparkSpec {
     }.toSet
     assert(got == expected)
   }
+
+  test("kTruss ≡ reference peeling on 20 pseudo-random graphs") {
+    var seed = 4242L
+    def next(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L); (seed >>> 33) }
+    (0 until 20).foreach { g =>
+      val n = 5 + (next() % 8).toInt
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if next() % 100 < 45
+      } yield (a.toLong, b.toLong)).distinct
+      if (edges.nonEmpty) {
+        val k = 3 + (next() % 2).toInt
+        val got = graft.ext.Graph
+          .kTruss(edges.toDF("id_a", "id_b"), k = k.toLong, maxRounds = 12)
+          .as[(Long, Long, Long)].collect().toSet
+        // reference: peel to fixed point, then report final support
+        var cur = edges.toSet
+        var changed = true
+        var sup = Map.empty[(Long, Long), Long]
+        while (changed) {
+          def support(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+            val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+              .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+            es.map { case (a, b) =>
+              (a, b) -> (adj(a) & adj(b)).size.toLong
+            }.toMap
+          }
+          sup = support(cur)
+          val nxt = cur.filter(e => sup(e) >= k - 2)
+          changed = nxt != cur
+          cur = nxt
+        }
+        val expected = cur.map(e => (e._1, e._2, sup(e)))
+        assert(got == expected, s"graph $g (n=$n, k=$k): $got vs $expected")
+      }
+    }
+  }
+
+  test("louvainMoveRound ≡ reference gains on 20 pseudo-random graphs") {
+    var seed = 99L
+    def next(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L); (seed >>> 33) }
+    (0 until 20).foreach { g =>
+      val n = 4 + (next() % 7).toInt
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if next() % 100 < 50
+      } yield (a.toLong, b.toLong)).distinct
+      if (edges.nonEmpty) {
+        val got = graft.ext.Graph.louvainMoveRound(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        // reference: singleton-init synchronized move, same tie-breaks
+        val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).sorted }
+        val deg = adj.map { case (u, vs) => u -> vs.size.toLong }
+        val m2 = deg.values.sum
+        val label = adj.keys.map { u =>
+          val cands = adj(u).map(v => (deg(u) * deg(v) - m2, v)).sorted
+          val (neg, v) = cands.head
+          u -> (if (neg < 0) v else u)
+        }.toMap
+        val comms = label.groupBy(_._2).map { case (c, ms) => c -> ms.keys.toSet }
+        val expected = comms.map { case (c, members) =>
+          val tot = members.toSeq.map(deg).sum
+          val internal = edges.count { case (a, b) =>
+            members(a) && members(b)
+          }.toLong
+          (c, members.size.toLong, tot, internal,
+            2L * m2 * internal - tot * tot)
+        }.toSet
+        assert(got == expected, s"graph $g (n=$n): $got vs $expected")
+      }
+    }
+  }
 }
