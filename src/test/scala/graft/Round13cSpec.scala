@@ -667,4 +667,30 @@ class Round13cSpec extends SparkSpec {
       }
     }
   }
+
+  test("prefix-sum chunk assignment ≡ reference on 200 pseudo-random docs") {
+    // the q370 bucket rule in isolation: chunk = floor(tokens_before / B)
+    var seed = 31337L
+    def next(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L); (seed >>> 33) }
+    val B = 24L
+    val sents = (0 until 200).flatMap { doc =>
+      val ns = 1 + (next() % 12).toInt
+      (0 until ns).map(i => (doc.toLong, i, 1L + next() % 9L))
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sent_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val got = sents.toDF("doc_id", "sent_idx", "n_tok")
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("chunk", expr(s"cum_before div $B"))
+      .select(col("doc_id"), col("sent_idx"), col("chunk"))
+      .as[(Long, Int, Long)].collect().toSet
+    val expected = sents.groupBy(_._1).flatMap { case (doc, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).map { case (_, i, t) =>
+        val c = cum / B; cum += t; (doc, i, c)
+      }
+    }.toSet
+    assert(got == expected)
+  }
 }
