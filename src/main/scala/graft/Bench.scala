@@ -228,7 +228,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val bytesJson = shuffleBytes
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"cold":$cold,"warm_reps":$repsJson,"movers":$moversJson,"shuffle_bytes":$bytesJson,"shuffle_movers":$shuffleMoversJson,"bench_ref":"${if (refWarm.nonEmpty) refPath else ""}","errors":$errJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    // Pin the commit the artifact measures (round-13 verdict item 7 —
+    // same discipline as the close record): best-effort, "" outside git.
+    val commit = try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0) out else ""
+    } catch { case _: Exception => "" }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"cold":$cold,"warm_reps":$repsJson,"movers":$moversJson,"shuffle_bytes":$bytesJson,"shuffle_movers":$shuffleMoversJson,"bench_ref":"${if (refWarm.nonEmpty) refPath else ""}","errors":$errJson,"cpus":$cpus,"commit":"$commit","sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the tail of stdout (round 9 preserved per-query
     // numbers for just 40/208 queries) — persist the complete JSON to a

@@ -747,33 +747,6 @@ object Graph {
     auths.select(col("node"), col("a").as("auth_micros"))
   }
 
-  /** One SYNCHRONIZED Louvain move phase from singleton init (Blondel et
-    * al. 2008's phase-1 first sweep, the community-detection primitive the
-    * modularity SCORE ([[modularityMicro]]) only measures): with every node
-    * its own community, the modularity gain of node `i` adopting neighbor
-    * `j`'s community is `ΔQ ∝ 2m·A_ij − k_i·k_j` — for an unweighted edge,
-    * `2m − k_i·k_j`, EXACT in integers (the float ΔQ differs by the
-    * positive constant `1/(2m)²`, so every comparison is preserved). Each
-    * node moves to the neighbor with the maximal positive gain — i.e. the
-    * SMALLEST-degree neighbor with `k_i·k_j < 2m`, ties broken by the
-    * smaller neighbor id — or stays put. All decisions read the OLD labels
-    * (synchronized, deterministic; sequential Louvain is order-dependent,
-    * which no distributed oracle could replay).
-    *
-    * Returns one row per resulting community: `(community, n_members,
-    * tot_degree, internal_edges, q_contrib_scaled)` where
-    * `q_contrib_scaled = 4m·e_c − tot_c²` — the community's term of
-    * `Q·(2m)²` — so `Q = Σ q_contrib_scaled / (2m)²` exactly.
-    *
-    * Scale: one degree aggregate over the symmetrized edges, one edge-keyed
-    * join of the two endpoint degrees with the 1-row `2m` broadcast, one
-    * per-node argmax (`min(struct(-gain, dst))`, a map-side-combinable
-    * aggregate), and two label joins for the partition stats — every
-    * exchange is keyed on a node or edge endpoint, nothing is ever
-    * all-pairs, and per-node state is one (gain, neighbor) pair. Overflow:
-    * `2m·e_c` and `tot_c²` stay under 2⁶³ through ~2·10⁹ edges; past that,
-    * take the two products in DECIMAL(38,0) (same plan, declared
-    * precision). */
   /** Bounded k-truss peel ([[kCore]]'s edge-support sibling — Cohen 2008):
     * repeatedly drop every edge lying on fewer than `k−2` triangles, the
     * community primitive that is strictly stronger than k-core (every edge
@@ -872,19 +845,31 @@ object Graph {
     adj.count()
     val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
 
-    var cur = adj.select(col("src").as("node")).distinct()
-      .where(pmod(col("node"), lit(startMod)) === 0)
-      .select(col("node").as("walk_id"), col("node"))
+    // Each step's frontier is rebound (plan-truncated) and persisted, so
+    // the step-t branch of the unioned output reads the cached frontier
+    // instead of replaying steps 1..t — without this the union is
+    // O(steps²) joins with a plan that deepens every step (the same
+    // graph-loop discipline as kTruss / louvainSweeps). Frontiers are
+    // walk-count-sized (tiny vs |E|), so keeping all `steps` of them
+    // cached until the output is consumed costs nodes/startMod × steps
+    // rows total.
+    var cur = truncated(adj.select(col("src").as("node")).distinct()
+        .where(pmod(col("node"), lit(startMod)) === 0)
+        .select(col("node").as("walk_id"), col("node")))
+      .persist(level)
+    cur.count()
     var out = cur.select(col("walk_id"), lit(0L).as("step"), col("node"))
     for (t <- 1 to steps) {
       val choice = pmod(graft.ext.PortableHash.hash60(
         concat(lit("rw:"), col("walk_id").cast("string"), lit(s":$t:"),
           col("node").cast("string"))), col("deg"))
-      cur = cur
-        .join(deg.withColumnRenamed("src", "node"), Seq("node"))
-        .withColumn("idx", choice)
-        .join(adj.withColumnRenamed("src", "node"), Seq("node", "idx"))
-        .select(col("walk_id"), col("dst").as("node"))
+      cur = truncated(cur
+          .join(deg.withColumnRenamed("src", "node"), Seq("node"))
+          .withColumn("idx", choice)
+          .join(adj.withColumnRenamed("src", "node"), Seq("node", "idx"))
+          .select(col("walk_id"), col("dst").as("node")))
+        .persist(level)
+      cur.count()
       out = out.unionByName(
         cur.select(col("walk_id"), lit(t.toLong).as("step"), col("node")))
     }
@@ -998,6 +983,33 @@ object Graph {
           - col("tot_degree") * col("tot_degree")).as("q_contrib_scaled"))
   }
 
+  /** One SYNCHRONIZED Louvain move phase from singleton init (Blondel et
+    * al. 2008's phase-1 first sweep, the community-detection primitive the
+    * modularity SCORE ([[modularityMicro]]) only measures): with every node
+    * its own community, the modularity gain of node `i` adopting neighbor
+    * `j`'s community is `ΔQ ∝ 2m·A_ij − k_i·k_j` — for an unweighted edge,
+    * `2m − k_i·k_j`, EXACT in integers (the float ΔQ differs by the
+    * positive constant `1/(2m)²`, so every comparison is preserved). Each
+    * node moves to the neighbor with the maximal positive gain — i.e. the
+    * SMALLEST-degree neighbor with `k_i·k_j < 2m`, ties broken by the
+    * smaller neighbor id — or stays put. All decisions read the OLD labels
+    * (synchronized, deterministic; sequential Louvain is order-dependent,
+    * which no distributed oracle could replay).
+    *
+    * Returns one row per resulting community: `(community, n_members,
+    * tot_degree, internal_edges, q_contrib_scaled)` where
+    * `q_contrib_scaled = 4m·e_c − tot_c²` — the community's term of
+    * `Q·(2m)²` — so `Q = Σ q_contrib_scaled / (2m)²` exactly.
+    *
+    * Scale: one degree aggregate over the symmetrized edges, one edge-keyed
+    * join of the two endpoint degrees with the 1-row `2m` broadcast, one
+    * per-node argmax (`min(struct(-gain, dst))`, a map-side-combinable
+    * aggregate), and two label joins for the partition stats — every
+    * exchange is keyed on a node or edge endpoint, nothing is ever
+    * all-pairs, and per-node state is one (gain, neighbor) pair. Overflow:
+    * `2m·e_c` and `tot_c²` stay under 2⁶³ through ~2·10⁹ edges; past that,
+    * take the two products in DECIMAL(38,0) (same plan, declared
+    * precision). */
   def louvainMoveRound(edges: DataFrame, idA: String = "id_a",
                        idB: String = "id_b"): DataFrame = {
     val e = edges

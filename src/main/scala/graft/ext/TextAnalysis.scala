@@ -687,9 +687,11 @@ object TextAnalysis {
     * ASCII-bounded canonical string instead of the raw URL, and every rule
     * is replayable in ANSI SQL (the oracle mirrors each step with the same
     * regexes). Assumes an absolute `scheme://host…` URL (a crawl frontier's
-    * resolved form); relative URLs pass through the regexes as empty
-    * scheme/host and canonicalize to their own literal text shape, never to
-    * another page's key. */
+    * resolved form); anything WITHOUT a `scheme://` prefix (a relative URL,
+    * a bare path) is returned UNCHANGED — without that guard every
+    * scheme-less input would extract empty scheme/host and collapse to
+    * `:///…`, silently merging distinct relative URLs under one dedup key.
+    * Relative URLs must be resolved against their base before this pass. */
   def canonicalUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
@@ -704,8 +706,9 @@ object TextAnalysis {
     val kept = array_sort(filter(split(rawQuery, "&"),
       p => p =!= "" && !p.rlike(trackingParamPattern)))
     val qs = array_join(kept, "&")
-    concat(scheme, lit("://"), host, path,
+    val canonical = concat(scheme, lit("://"), host, path,
       when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+    when(scheme === "", url).otherwise(canonical)
   }
 
   /** HTML → text extraction, the web-corpus ingestion step between the raw

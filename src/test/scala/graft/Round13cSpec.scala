@@ -164,6 +164,15 @@ class Round13cSpec extends SparkSpec {
       == Seq("http://ex.com/p"))
   }
 
+  test("canonicalUrl: scheme-less inputs pass through unchanged (no ':///' collision)") {
+    // Without the guard, every relative URL extracts empty scheme/host and
+    // collapses to ':///…' — 'foo.html' and 'bar.html' would silently merge
+    // under one dedup key (round-13 ADVICE item).
+    val rel = Seq("foo.html", "bar.html", "a.html?x=1", "b.html?x=1", "/abs/path")
+    assert(canon(rel: _*) == rel)
+    assert(canon(rel: _*).distinct.size == rel.size)
+  }
+
   test("canonicalUrl: q361 collapses 240 variants to 40 pages, 6 each") {
     val out = SparkEntry.queries("q361_url_canonical_dedup")(spark, "unused")
       .as[(String, Long, Long)].collect().toSeq
@@ -606,8 +615,13 @@ class Round13cSpec extends SparkSpec {
       } yield (a.toLong, b.toLong)).distinct
       if (edges.nonEmpty) {
         val k = 3 + (next() % 2).toInt
+        // maxRounds = |E| is a true upper bound on peel rounds (every
+        // non-final round removes at least one edge), so the engine always
+        // reaches the same fixed point the reference peels to — a constant
+        // bound could fall short on a worst-case cascade for some seed.
         val got = graft.ext.Graph
-          .kTruss(edges.toDF("id_a", "id_b"), k = k.toLong, maxRounds = 12)
+          .kTruss(edges.toDF("id_a", "id_b"), k = k.toLong,
+            maxRounds = edges.size)
           .as[(Long, Long, Long)].collect().toSet
         // reference: peel to fixed point, then report final support
         var cur = edges.toSet

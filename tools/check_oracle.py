@@ -202,11 +202,20 @@ def main():
         if not record:
             print(f"FAIL: refusing to write an EMPTY correctness record to {json_out}")
             sys.exit(2)
+        # Pin the commit the record certifies (round-13 verdict item 7):
+        # without it the artifact cannot prove it covers HEAD.
+        try:
+            import subprocess
+            commit = subprocess.check_output(
+                ["git", "rev-parse", "HEAD"], text=True).strip()
+        except Exception:
+            commit = None
         with open(json_out, "w") as f:
             json.dump({"n_queries": len(record),
                        "n_fail": n_fail,
                        "all_ok": n_fail == 0,
                        "sf_dir": sf_dir,
+                       "commit": commit,
                        "queries": record}, f, indent=0, sort_keys=True)
             f.write("\n")
         print(f"wrote {json_out}: {len(record)} queries, {n_fail} failures")

@@ -29,11 +29,15 @@ python3 tools/check_oracle.py "$SF_DIR" "$OUT_DIR" --json "$ART"
 # check_oracle exits nonzero on any failure and refuses an empty record;
 # belt-and-braces: assert the committed artifact is non-empty and all_ok.
 python3 - "$ART" <<'EOF'
-import json, sys
+import json, subprocess, sys
 rec = json.load(open(sys.argv[1]))
 assert rec.get("queries"), f"{sys.argv[1]} has an EMPTY query map"
 assert rec.get("all_ok") is True, f"{sys.argv[1]} has failures: n_fail={rec.get('n_fail')}"
-print(f"[round-close] {sys.argv[1]}: {rec['n_queries']} queries, all green")
+head = subprocess.check_output(["git", "rev-parse", "HEAD"], text=True).strip()
+assert rec.get("commit") == head, (
+    f"{sys.argv[1]} certifies commit {rec.get('commit')}, but HEAD is {head} — "
+    "re-run the close after the final code commit")
+print(f"[round-close] {sys.argv[1]}: {rec['n_queries']} queries, all green @ {head[:12]}")
 EOF
 
 echo "[round-close] OK — now: git add $ART && git commit"
