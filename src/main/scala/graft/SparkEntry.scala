@@ -7680,8 +7680,167 @@ object SparkEntry {
         .where(col("n") >= 2)
         .select(col("p1").as("id_a"), col("p2").as("id_b"))
       graft.ext.Graph.randomWalks(pairs, steps = 4, startMod = 50L)
+    },
+
+    // LEARNED QUALITY FILTER, TRAIN SIDE (Classify.naiveBayesModel) — the
+    // closed-form multinomial Naive Bayes every published curation pipeline
+    // (CCNet, FineWeb-Edu, fastText-style gates) uses where q363's stage 3
+    // has a stopword heuristic: training is two hash aggregations over the
+    // labeled fixture (spam-suffixed odd docs = 'bad'), and each model
+    // row's log-probability is quantized to integer micros the moment it is
+    // computed (ln once per (class, term) — model-constant, the BM25 idf
+    // discipline), so the oracle replays the model bit for bit.
+    "q377_nb_train" -> { (s, dir) =>
+      val (train, _) = nbCorpus(s, dir)
+      graft.ext.Classify.naiveBayesModel(train)
+    },
+
+    // LEARNED QUALITY FILTER, SCORE SIDE (Classify.naiveBayesPredict) —
+    // held-out prediction: train on the even (doc_id DIV 2) split, score
+    // the odd split. Scoring is explode → broadcast model join → one
+    // (doc, class)-keyed integer sum → a classes-bounded per-doc argmax
+    // window; integer sums commute, so the scores are partitioning- and
+    // engine-invariant (Round14Spec proves both, plus 100% held-out
+    // accuracy on the separable fixture).
+    "q378_nb_predict" -> { (s, dir) =>
+      val (train, test) = nbCorpus(s, dir)
+      graft.ext.Classify.naiveBayesPredict(train, test)
+        .join(test.select(col("doc_id"), col("label").as("true_label")),
+          "doc_id")
+        .select(col("doc_id"), col("true_label"), col("pred_label"),
+          col("score_micros"))
+    },
+
+    // CURATION FUNNEL WITH THE LEARNED QUALITY STAGE — q363's shape with
+    // the heuristic stage swapped for the trained classifier: the corpus
+    // plants spam-suffixed copies (+300000) and exact copies (+200000);
+    // the NB stage (trained on q377's split) drops every planted spam doc,
+    // then md5 keep-first drops the exact copies — each stage one row of
+    // (n_in, n_kept, n_dropped) attrition, from ONE conditional aggregate
+    // over cumulative survival flags (the q363 single-pass discipline).
+    "q379_funnel_nb" -> { (s, dir) =>
+      val (train, _) = nbCorpus(s, dir)
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = base
+        .unionByName(base.where(col("doc_id") % 4 === 1).select(
+          (col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(nbSpamSuffix)).as("text")))
+        .unionByName(base.where(col("doc_id") % 5 === 0).select(
+          (col("doc_id") + 200000L).as("doc_id"), col("text")))
+      val pred = graft.ext.Classify.naiveBayesPredict(train, corpus)
+      val flags = corpus.join(
+          pred.select(col("doc_id"), col("pred_label")), Seq("doc_id"), "left")
+        .withColumn("pass1", coalesce(col("pred_label") === "good", lit(false)))
+      val keep2 = flags.where(col("pass1"))
+        .withColumn("fp", md5(lower(trim(col("text")))))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(true).as("__k2"))
+      val f2 = flags.join(keep2, Seq("doc_id"), "left")
+        .withColumn("pass2", col("pass1") && coalesce(col("__k2"), lit(false)))
+      val agg = f2.agg(
+        count(lit(1)).as("c0"),
+        sum(col("pass1").cast("long")).as("c1"),
+        sum(col("pass2").cast("long")).as("c2"))
+      val names = Seq("all", "nb_quality", "exact_dedup")
+      val entries = (0 to 2).map { i =>
+        struct(lit(names(i)).as("stage"),
+          col(s"c${math.max(i - 1, 0)}").as("n_in"),
+          col(s"c$i").as("n_kept"))
+      }
+      agg.select(posexplode(array(entries: _*)).as(Seq("stage_idx", "e")))
+        .select(col("stage_idx").cast("long").as("stage_idx"),
+          col("e.stage").as("stage"), col("e.n_in").as("n_in"),
+          col("e.n_kept").as("n_kept"),
+          (col("e.n_in") - col("e.n_kept")).as("n_dropped"))
     }
   )
+
+  /** q377/q378's spam suffix — 12 tokens absent from the synthetic corpus
+    * vocabulary, so the planted 'bad' class is cleanly separable and the
+    * classifier's held-out accuracy is provable, not probabilistic. */
+  private[graft] val nbSpamSuffix: String =
+    " win free click buy win free click buy win free click buy"
+
+  /** q377/q378's labeled fixture: odd docs get the spam suffix and label
+    * 'bad', even docs stay 'good'; the train/test split is the parity of
+    * `doc_id DIV 2` so both classes land in both splits. Returns
+    * (train, test), each `(doc_id, label, text)`. */
+  private def nbCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val corpus = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 2 === 1, lit("bad")).otherwise(lit("good"))
+        .as("label"),
+      when(col("doc_id") % 2 === 1, concat(col("text"), lit(nbSpamSuffix)))
+        .otherwise(col("text")).as("text"))
+    (corpus.where(expr("doc_id div 2") % 2 === 0),
+     corpus.where(expr("doc_id div 2") % 2 === 1))
+  }
+
+  /** DuckDB replay of [[nbCorpus]] + the Naive Bayes training aggregates —
+    * shared by the q377/q378/q379 oracles. Emits CTEs `nbtrain`, `nbtest`,
+    * `cnt`, `tot`, `voc`, `model`, `classes`, `vocab`; every expression
+    * mirrors [[graft.ext.Classify]] token for token. */
+  private val nbModelCtes: String =
+    """nbcorpus AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 2 = 1 THEN 'bad' ELSE 'good' END AS label,
+      |         CASE WHEN doc_id % 2 = 1
+      |              THEN text || ' win free click buy win free click buy win free click buy'
+      |              ELSE text END AS text
+      |  FROM documents),
+      |nbtrain AS (SELECT * FROM nbcorpus WHERE (doc_id // 2) % 2 = 0),
+      |nbtest  AS (SELECT * FROM nbcorpus WHERE (doc_id // 2) % 2 = 1),
+      |nbtok AS (
+      |  SELECT label,
+      |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM nbtrain),
+      |cnt AS (SELECT label, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      |        FROM nbtok GROUP BY 1, 2),
+      |tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot
+      |        FROM cnt GROUP BY 1),
+      |voc AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM cnt),
+      |model AS (
+      |  SELECT c.label, c.term, c.cnt,
+      |         CAST(ROUND(1e6 * ln((c.cnt + 1) * 1e0 / (t.tot + voc.v)))
+      |              AS BIGINT) AS w_micros
+      |  FROM cnt c JOIN tot t ON t.label = c.label CROSS JOIN voc),
+      |nd AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |       FROM nbtrain GROUP BY 1),
+      |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nbtrain),
+      |classes AS (
+      |  SELECT nd.label,
+      |         CAST(ROUND(1e6 * ln(nd.n_docs * 1e0 / ntr.n)) AS BIGINT)
+      |           AS prior_micros,
+      |         CAST(ROUND(1e6 * ln(1e0 / (t.tot + voc.v))) AS BIGINT)
+      |           AS unseen_micros
+      |  FROM nd JOIN tot t ON t.label = nd.label CROSS JOIN voc CROSS JOIN ntr),
+      |vocab AS (SELECT DISTINCT term FROM cnt)""".stripMargin
+
+  /** DuckDB replay of [[graft.ext.Classify.naiveBayesPredict]] over a CTE
+    * named `toscore` with `(doc_id, text)` — emits `nbpred`
+    * `(doc_id, pred_label, score_micros)`. */
+  private val nbPredictCtes: String =
+    """stok AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM toscore),
+      |sv AS (SELECT s.doc_id, s.term
+      |       FROM stok s JOIN vocab v ON v.term = s.term),
+      |scored AS (
+      |  SELECT sv.doc_id, c.label, c.prior_micros,
+      |         CAST(SUM(COALESCE(m.w_micros, c.unseen_micros)) AS BIGINT)
+      |           AS ll
+      |  FROM sv CROSS JOIN classes c
+      |  LEFT JOIN model m ON m.term = sv.term AND m.label = c.label
+      |  GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT doc_id, label,
+      |         CAST(prior_micros + ll AS BIGINT) AS score_micros,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                            ORDER BY prior_micros + ll DESC, label)
+      |           AS rn
+      |  FROM scored),
+      |nbpred AS (SELECT doc_id, label AS pred_label, score_micros
+      |           FROM ranked WHERE rn = 1)""".stripMargin
 
   /** q361's URL fixture: one expression over `(g, v)` — page group and
     * variant — shared VERBATIM between the Spark plan and the DuckDB
@@ -15167,7 +15326,57 @@ object SparkEntry {
         |UNION ALL SELECT walk_id, 1, node FROM w1
         |UNION ALL SELECT walk_id, 2, node FROM w2
         |UNION ALL SELECT walk_id, 3, node FROM w3
-        |UNION ALL SELECT walk_id, 4, node FROM w4""".stripMargin
+        |UNION ALL SELECT walk_id, 4, node FROM w4""".stripMargin,
+
+    // Naive Bayes train: pure aggregates + the per-model-row quantized ln
+    // (same 6-dp-round libm discipline as q49/q126).
+    "q377_nb_train" ->
+      s"""WITH $nbModelCtes
+         |SELECT label, term, cnt, w_micros FROM model""".stripMargin,
+
+    "q378_nb_predict" ->
+      s"""WITH $nbModelCtes,
+         |toscore AS (SELECT doc_id, text FROM nbtest),
+         |$nbPredictCtes
+         |SELECT p.doc_id, t.label AS true_label, p.pred_label, p.score_micros
+         |FROM nbpred p JOIN nbtest t ON t.doc_id = p.doc_id""".stripMargin,
+
+    "q379_funnel_nb" ->
+      s"""WITH $nbModelCtes,
+         |fcorpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000,
+         |         text || ' win free click buy win free click buy win free click buy'
+         |  FROM documents WHERE doc_id % 4 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 5 = 0),
+         |toscore AS (SELECT doc_id, text FROM fcorpus),
+         |$nbPredictCtes,
+         |flags AS (
+         |  SELECT f.doc_id, f.text,
+         |         COALESCE(p.pred_label = 'good', FALSE) AS pass1
+         |  FROM fcorpus f LEFT JOIN nbpred p ON p.doc_id = f.doc_id),
+         |keep2 AS (
+         |  SELECT MIN(doc_id) AS doc_id
+         |  FROM flags WHERE pass1 GROUP BY md5(lower(trim(text)))),
+         |f2 AS (
+         |  SELECT f.doc_id, f.pass1,
+         |         f.pass1 AND k.doc_id IS NOT NULL AS pass2
+         |  FROM flags f LEFT JOIN keep2 k ON k.doc_id = f.doc_id),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+         |         CAST(SUM(CASE WHEN pass1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |         CAST(SUM(CASE WHEN pass2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM f2)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'all' AS stage,
+         |         c0 AS n_in, c0 AS n_kept, CAST(0 AS BIGINT) AS n_dropped
+         |  FROM agg
+         |  UNION ALL
+         |  SELECT 1, 'nb_quality', c0, c1, c0 - c1 FROM agg
+         |  UNION ALL
+         |  SELECT 2, 'exact_dedup', c1, c2, c1 - c2 FROM agg)""".stripMargin
   )
 
   /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —
