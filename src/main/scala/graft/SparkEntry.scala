@@ -7682,6 +7682,23 @@ object SparkEntry {
       graft.ext.Graph.randomWalks(pairs, steps = 4, startMod = 50L)
     },
 
+    // FULL MULTI-LEVEL LOUVAIN (Graph.louvainMultiLevel) — q369's move
+    // phase completed with Blondel phase 2: two guarded weighted sweeps,
+    // CONTRACT the partition into a weighted community graph (self-loops
+    // carry intra-community weight; 2m is invariant), two more sweeps on
+    // the coarser graph. Every sweep's proposal is accepted only if it
+    // strictly raises the exact integer Q·(2m)² (synchronized sweeps can
+    // oscillate; the guard makes per-level modularity non-decreasing by
+    // construction). The oracle unrolls both levels — weighted gains,
+    // guard CASEs, contraction — and replays the per-level summaries.
+    "q380_louvain_multilevel" -> { (s, dir) =>
+      val pairs = graft.ext.Itemsets
+        .pairCounts(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .where(col("n") >= 2)
+        .select(col("p1").as("id_a"), col("p2").as("id_b"))
+      graft.ext.Graph.louvainMultiLevel(pairs, sweepsPerLevel = 2, levels = 2)
+    },
+
     // LEARNED QUALITY FILTER, TRAIN SIDE (Classify.naiveBayesModel) — the
     // closed-form multinomial Naive Bayes every published curation pipeline
     // (CCNet, FineWeb-Edu, fastText-style gates) uses where q363's stage 3
@@ -15327,6 +15344,103 @@ object SparkEntry {
         |UNION ALL SELECT walk_id, 2, node FROM w2
         |UNION ALL SELECT walk_id, 3, node FROM w3
         |UNION ALL SELECT walk_id, 4, node FROM w4""".stripMargin,
+
+    // Both Louvain levels unrolled: weighted gains, the Q-monotone accept
+    // guard as scalar-subquery CASEs, the contraction, and the per-level
+    // summaries — all in exact integers.
+    "q380_louvain_multilevel" -> {
+      // Q·(2m)² of label table `lab` (columns node, <cm>) over weighted
+      // edges `wed` and degrees `deg` — a scalar expression.
+      def qExpr(lab: String, cm: String, wed: String, deg: String): String =
+        s"""CAST(2 * (SELECT m2 FROM m2s) *
+           |  (SELECT CAST(COALESCE(SUM(e.w), 0) AS BIGINT) FROM $wed e
+           |     JOIN $lab xla ON xla.node = e.a
+           |     JOIN $lab xlb ON xlb.node = e.b
+           |   WHERE e.a = e.b OR xla.$cm = xlb.$cm)
+           | - (SELECT CAST(SUM(tot * tot) AS BIGINT) FROM (
+           |      SELECT CAST(SUM(d.k) AS BIGINT) AS tot FROM $lab l
+           |      JOIN $deg d ON d.node = l.node GROUP BY l.$cm) tq)
+           | AS BIGINT)""".stripMargin
+      // one guarded weighted sweep: lab<lvl>_<r> -> lab<lvl>_<r+1>
+      def wsweep(lvl: Int, r: Int): String = {
+        val cur = s"lab${lvl}_$r"; val nxt = s"lab${lvl}_${r + 1}"
+        val (wed, sym, deg) = (s"wed$lvl", s"sym$lvl", s"deg$lvl")
+        s"""tot${lvl}_$r AS MATERIALIZED (SELECT l.comm, CAST(SUM(d.k) AS BIGINT) AS tot
+           |  FROM $cur l JOIN $deg d ON d.node = l.node GROUP BY 1),
+           |nc${lvl}_$r AS MATERIALIZED (SELECT s.src AS node, l.comm AS cd,
+           |    CAST(SUM(s.w) AS BIGINT) AS kic
+           |  FROM $sym s JOIN $cur l ON l.node = s.dst GROUP BY 1, 2),
+           |own${lvl}_$r AS MATERIALIZED (SELECT l.node, l.comm, d.k,
+           |    COALESCE(n.kic, 0) AS kic_own, t.tot AS tot_i
+           |  FROM $cur l JOIN $deg d ON d.node = l.node
+           |  JOIN tot${lvl}_$r t ON t.comm = l.comm
+           |  LEFT JOIN nc${lvl}_$r n ON n.node = l.node AND n.cd = l.comm),
+           |cand${lvl}_$r AS MATERIALIZED (SELECT o.node, n.cd,
+           |    o.k * (tc.tot - o.tot_i + o.k)
+           |      - (SELECT m2 FROM m2s) * (n.kic - o.kic_own) AS neg
+           |  FROM own${lvl}_$r o
+           |  JOIN nc${lvl}_$r n ON n.node = o.node AND n.cd < o.comm
+           |  JOIN tot${lvl}_$r tc ON tc.comm = n.cd),
+           |best${lvl}_$r AS MATERIALIZED (SELECT node, cd, neg FROM (
+           |    SELECT node, cd, neg, ROW_NUMBER() OVER (PARTITION BY node
+           |      ORDER BY neg, cd) AS rn FROM cand${lvl}_$r) x WHERE rn = 1),
+           |prop${lvl}_$r AS MATERIALIZED (SELECT o.node, o.comm,
+           |    CASE WHEN b.neg < 0 THEN b.cd ELSE o.comm END AS pcomm
+           |  FROM own${lvl}_$r o LEFT JOIN best${lvl}_$r b ON b.node = o.node),
+           |qo${lvl}_$r AS MATERIALIZED (SELECT ${qExpr(cur, "comm", wed, deg)} AS q),
+           |qn${lvl}_$r AS MATERIALIZED (SELECT ${qExpr(s"prop${lvl}_$r", "pcomm", wed, deg)} AS q),
+           |$nxt AS MATERIALIZED (SELECT node,
+           |    CASE WHEN (SELECT q FROM qn${lvl}_$r) > (SELECT q FROM qo${lvl}_$r)
+           |         THEN pcomm ELSE comm END AS comm
+           |  FROM prop${lvl}_$r)""".stripMargin
+      }
+      def lvlRow(lvl: Int, finalLab: String): String =
+        s"""lvl$lvl AS MATERIALIZED (SELECT CAST($lvl AS BIGINT) AS level,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $finalLab) AS n_nodes,
+           |  (SELECT CAST(COUNT(DISTINCT comm) AS BIGINT) FROM $finalLab)
+           |    AS n_communities,
+           |  (SELECT CAST(COALESCE(SUM(e.w), 0) AS BIGINT) FROM wed$lvl e
+           |     JOIN $finalLab la ON la.node = e.a
+           |     JOIN $finalLab lb ON lb.node = e.b
+           |   WHERE e.a = e.b OR la.comm = lb.comm) AS internal_weight,
+           |  ${qExpr(finalLab, "comm", s"wed$lvl", s"deg$lvl")} AS q_scaled)""".stripMargin
+      def lvlTables(lvl: Int): String =
+        s"""sym$lvl AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM wed$lvl WHERE a <> b
+           |  UNION ALL SELECT b, a, w FROM wed$lvl WHERE a <> b),
+           |deg$lvl AS MATERIALIZED (SELECT node, CAST(SUM(w) AS BIGINT) AS k FROM (
+           |    SELECT src AS node, w FROM sym$lvl
+           |    UNION ALL SELECT a, 2 * w FROM wed$lvl WHERE a = b) u
+           |  GROUP BY 1),
+           |lab${lvl}_0 AS MATERIALIZED (SELECT node, node AS comm FROM deg$lvl)""".stripMargin
+      s"""WITH it0 AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         |it AS MATERIALIZED (
+         |  SELECT b, i FROM (
+         |    SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS __bs FROM it0)
+         |  WHERE __bs <= 1000),
+         |cop AS MATERIALIZED (
+         |  SELECT a.i AS p1, x.i AS p2
+         |  FROM it a JOIN it x ON a.b = x.b AND a.i < x.i
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |wed1 AS MATERIALIZED (SELECT CAST(p1 AS BIGINT) AS a, CAST(p2 AS BIGINT) AS b,
+         |                CAST(1 AS BIGINT) AS w FROM cop),
+         |${lvlTables(1)},
+         |m2s AS MATERIALIZED (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM deg1),
+         |${wsweep(1, 0)},
+         |${wsweep(1, 1)},
+         |${lvlRow(1, "lab1_2")},
+         |wed2 AS MATERIALIZED (SELECT least(la.comm, lb.comm) AS a,
+         |                greatest(la.comm, lb.comm) AS b,
+         |                CAST(SUM(e.w) AS BIGINT) AS w
+         |  FROM wed1 e JOIN lab1_2 la ON la.node = e.a
+         |              JOIN lab1_2 lb ON lb.node = e.b
+         |  GROUP BY 1, 2),
+         |${lvlTables(2)},
+         |${wsweep(2, 0)},
+         |${wsweep(2, 1)},
+         |${lvlRow(2, "lab2_2")}
+         |SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2""".stripMargin
+    },
 
     // Naive Bayes train: pure aggregates + the per-model-row quantized ln
     // (same 6-dp-round libm discipline as q49/q126).

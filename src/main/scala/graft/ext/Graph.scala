@@ -983,6 +983,199 @@ object Graph {
           - col("tot_degree") * col("tot_degree")).as("q_contrib_scaled"))
   }
 
+  /** FULL multi-level Louvain (Blondel et al. 2008, both phases): each
+    * LEVEL runs `sweepsPerLevel` synchronized weighted move sweeps
+    * ([[louvainSweeps]]' gain rule generalized to edge weights and
+    * self-loops), then CONTRACTS the accepted partition into a weighted
+    * community graph — inter-community edge weights summed, intra-community
+    * weight (including prior self-loops) becoming the community's
+    * self-loop — and repeats on the coarser graph. Contraction preserves
+    * modularity EXACTLY (the contracted singletons partition has the same
+    * `Q·(2m)²` as the partition it came from, with the same global `2m`),
+    * which is what makes multi-level detection meaningful: each level can
+    * only refine the previous level's structure.
+    *
+    * Monotone guard: a synchronized sweep — unlike sequential Louvain —
+    * can OSCILLATE (two adjacent nodes adopting each other's communities
+    * simultaneously can lower Q), so every sweep's proposal is accepted
+    * only if it strictly raises the exact integer `Q·(2m)²`; otherwise the
+    * labels stand and further sweeps of the level are idempotent no-ops.
+    * This makes per-level modularity NON-DECREASING by construction
+    * (Round14bSpec asserts it), the property the sequential algorithm gets
+    * for free and a distributed synchronized variant must enforce.
+    *
+    * Weighted-graph conventions (adjacency-matrix form): `A_ij = w_ij` for
+    * `i ≠ j`, `A_ii = 2·w_self(i)`, so `k_i = Σ_j A_ij`, `2m = Σ_i k_i`
+    * (invariant across levels), gain of i moving `c_i → c` is
+    * `2m·(k_{i,c} − k_{i,c_i}) − k_i·(tot_c − tot_{c_i} + k_i)` with
+    * weighted `k_{i,c}` (self-loops excluded — they move with the node),
+    * and a community's modularity term is `2m·A_c − tot_c²` with
+    * `A_c = 2·(intra-community weight incl. self-loops)`.
+    *
+    * Returns one row per level, computed on the partition carried into
+    * contraction: `(level, n_nodes, n_communities, internal_weight,
+    * q_scaled)` where `q_scaled = Σ_c (2m·A_c − tot_c²) = Q·(2m)²`.
+    *
+    * Scale: every per-sweep exchange is the weighted (src, community) vote
+    * aggregate or a node-keyed join (the [[louvainSweeps]] shape); the
+    * guard's two Q values are 1-row aggregates broadcast into the accept
+    * CASE (no driver round-trip); contraction is ONE exchange keyed on the
+    * (comm_a, comm_b) pair; each level's graph is strictly no larger than
+    * the last and is persisted repartitioned on its source key above the
+    * plan-truncating rebind (the round-13 graph-loop discipline). */
+  def louvainMultiLevel(edges: DataFrame, sweepsPerLevel: Int, levels: Int,
+                        idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    require(sweepsPerLevel >= 1 && levels >= 1,
+      s"louvainMultiLevel: bad args ($sweepsPerLevel, $levels)")
+    val store = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+
+    var wedges = truncated(edges
+        .select(least(col(idA), col(idB)).cast("long").as("a"),
+          greatest(col(idA), col(idB)).cast("long").as("b"))
+        .where(col("a") =!= col("b")).distinct()
+        .select(col("a"), col("b"), lit(1L).as("w")))
+      .repartition(col("a")).persist(store)
+    wedges.count()
+
+    var out: Option[DataFrame] = None
+    for (lvl <- 1 to levels) {
+      val e = wedges.where(col("a") =!= col("b"))
+      val symW = e.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val deg = symW.select(col("src"), col("w"))
+        .unionByName(wedges.where(col("a") === col("b"))
+          .select(col("a").as("src"), (col("w") * 2L).as("w")))
+        .groupBy(col("src")).agg(sum(col("w")).as("k"))
+        .withColumnRenamed("src", "node").persist(store)
+      deg.count()
+      val m2 = deg.agg(sum(col("k")).as("m2")) // global 2m, level-invariant
+
+      // Q·(2m)² of a label table over this level's weighted graph — 1 row.
+      def qOf(lab: DataFrame): DataFrame = {
+        val la = lab.select(col("node").as("a"), col("comm").as("ca"))
+        val lb = lab.select(col("node").as("b"), col("comm").as("cb"))
+        val win = wedges.join(la, Seq("a")).join(lb, Seq("b"))
+          .where(col("a") === col("b") || col("ca") === col("cb"))
+          .agg(coalesce(sum(col("w")), lit(0L)).as("win"))
+        val tot2 = lab.join(deg, Seq("node"))
+          .groupBy(col("comm")).agg(sum(col("k")).as("tot"))
+          .agg(sum(col("tot") * col("tot")).as("tot2"))
+        win.crossJoin(tot2).crossJoin(m2)
+          .select((lit(2L) * col("m2") * col("win") - col("tot2")).as("q"))
+      }
+
+      var labels = truncated(deg.select(col("node"), col("node").as("comm")))
+        .repartition(col("node")).persist(store)
+      labels.count()
+      for (_ <- 1 to sweepsPerLevel) {
+        val tot = labels.join(deg, Seq("node"))
+          .groupBy(col("comm")).agg(sum(col("k")).as("tot"))
+        val nc = symW
+          .join(labels.select(col("node").as("dst"), col("comm").as("cd")),
+            Seq("dst"))
+          .groupBy(col("src"), col("cd")).agg(sum(col("w")).as("kic"))
+        val own = labels.join(deg, Seq("node"))
+          .join(tot.withColumnRenamed("comm", "__c")
+            .withColumnRenamed("tot", "tot_i"), col("comm") === col("__c"))
+          .drop("__c")
+          .join(nc.select(col("src").as("node"), col("cd").as("comm"),
+            col("kic").as("kic_own")), Seq("node", "comm"), "left")
+          .select(col("node"), col("comm"), col("k"),
+            coalesce(col("kic_own"), lit(0L)).as("kic_own"), col("tot_i"))
+        // min-label anchor convention: a node may only JOIN a community
+        // with a SMALLER id than its current one. The smallest node of any
+        // neighborhood is then a fixed anchor that never leaves, so a
+        // synchronized sweep produces real merges (i→anchor while the
+        // anchor stays) instead of label chases (i adopting the label of a
+        // j that simultaneously moved away — which leaves near-zero
+        // internal weight and stalls the guard).
+        val cand = own
+          .join(nc.select(col("src").as("node"), col("cd"), col("kic")),
+            Seq("node"))
+          .where(col("cd") < col("comm"))
+          .join(tot.select(col("comm").as("cd"), col("tot").as("tot_c")),
+            Seq("cd"))
+          .crossJoin(broadcast(m2))
+          .select(col("node"),
+            struct((col("k") * (col("tot_c") - col("tot_i") + col("k"))
+              - col("m2") * (col("kic") - col("kic_own"))).as("negGain"),
+              col("cd")).as("cand"))
+        val best = cand.groupBy(col("node")).agg(min(col("cand")).as("best"))
+        val proposed = labels.join(best, Seq("node"), "left")
+          .select(col("node"),
+            when(col("best").isNotNull && col("best.negGain") < 0L,
+              col("best.cd")).otherwise(col("comm")).as("pcomm"))
+        // monotone guard: accept the sweep only if it strictly raises Q
+        val qo = qOf(labels).withColumnRenamed("q", "q_old")
+        val qn = qOf(proposed.withColumnRenamed("pcomm", "comm"))
+          .withColumnRenamed("q", "q_new")
+        val next = truncated(labels
+            .join(proposed, Seq("node"))
+            .crossJoin(broadcast(qo)).crossJoin(broadcast(qn))
+            .select(col("node"),
+              when(col("q_new") > col("q_old"), col("pcomm"))
+                .otherwise(col("comm")).as("comm")))
+          .repartition(col("node")).persist(store)
+        next.count()
+        labels.unpersist(blocking = false)
+        labels = next
+      }
+
+      // per-level summary on the partition carried into contraction
+      val la = labels.select(col("node").as("a"), col("comm").as("ca"))
+      val lb = labels.select(col("node").as("b"), col("comm").as("cb"))
+      val win = wedges.join(la, Seq("a")).join(lb, Seq("b"))
+        .where(col("a") === col("b") || col("ca") === col("cb"))
+        .agg(coalesce(sum(col("w")), lit(0L)).as("internal_weight"))
+      val commStats = labels.join(deg, Seq("node"))
+        .groupBy(col("comm")).agg(sum(col("k")).as("tot"))
+        .agg(count(lit(1)).as("n_communities"),
+          sum(col("tot") * col("tot")).as("tot2"))
+      val nNodes = labels.agg(count(lit(1)).as("n_nodes"))
+      val row = truncated(nNodes.crossJoin(commStats).crossJoin(win)
+          .crossJoin(m2)
+          .select(lit(lvl.toLong).as("level"), col("n_nodes"),
+            col("n_communities"), col("internal_weight"),
+            (lit(2L) * col("m2") * col("internal_weight") - col("tot2"))
+              .as("q_scaled")))
+        .persist(store)
+      row.count()
+      out = Some(out.fold(row)(_.unionByName(row)))
+
+      // phase 2: contract the accepted partition into a weighted graph
+      if (lvl < levels) {
+        val contracted = truncated(louvainContract(wedges, labels))
+          .repartition(col("a")).persist(store)
+        contracted.count()
+        wedges.unpersist(blocking = false)
+        wedges = contracted
+      }
+    }
+    out.get
+  }
+
+  /** Blondel phase 2 in isolation: contract a weighted undirected edge
+    * table `(a, b, w)` (a ≤ b; a = b is a self-loop) under a label table
+    * `(node, comm)` into the community graph — inter-community weights
+    * summed, intra-community weight (including prior self-loops) becoming
+    * the community's self-loop. Modularity-preserving by construction.
+    *
+    * Scale: the node-sized label table broadcasts into the two endpoint
+    * lookups, so the ONLY exchange is the (comm_a, comm_b)-keyed weight
+    * aggregate (map-side combinable) — PlanSpec pins exactly that shape. */
+  def louvainContract(wedges: DataFrame, labels: DataFrame): DataFrame =
+    wedges
+      .join(broadcast(labels.select(col("node").as("a"), col("comm").as("ca"))),
+        Seq("a"))
+      .join(broadcast(labels.select(col("node").as("b"), col("comm").as("cb"))),
+        Seq("b"))
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+
   /** One SYNCHRONIZED Louvain move phase from singleton init (Blondel et
     * al. 2008's phase-1 first sweep, the community-detection primitive the
     * modularity SCORE ([[modularityMicro]]) only measures): with every node

@@ -749,4 +749,20 @@ class PlanSpec extends SparkSpec {
       v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
     }
   }
+
+  test("louvainContract: labels broadcast into both endpoint lookups, ONE (comm_a, comm_b) aggregate exchange") {
+    import spark.implicits._
+    val wed = Seq((0L, 1L, 1L), (0L, 2L, 1L), (1L, 2L, 1L), (2L, 10L, 1L),
+      (10L, 11L, 2L), (10L, 10L, 3L)).toDF("a", "b", "w")
+    val lab = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("node", "comm")
+    val p = graft.ext.Graph.louvainContract(wed, lab)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
+      s"node-sized label table must broadcast into both endpoint lookups:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a label lookup must never sort-merge the edge table:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"the only shuffle is the contracted-edge weight aggregate:\n$p")
+  }
 }
