@@ -7682,6 +7682,53 @@ object SparkEntry {
       graft.ext.Graph.randomWalks(pairs, steps = 4, startMod = 50L)
     },
 
+    // SHIFT-ROBUST AUDIO NEAR-DUP (MediaCodecs.audioHashProbes) — closes
+    // q344's documented blind spot: audioHash64's head-anchored frames make
+    // a prepended pad or head trim flip essentially every bit. Probes hash
+    // the 65-frame window at every head offset 0..4 frames, so a copy
+    // shifted by k·100 samples shares an EXACT probe alignment with its
+    // original (identical sample stream → Hamming 0, not merely small) —
+    // and the gain invariance composes (the prepended copy here is ALSO
+    // 2×-gained). Fixture: 48 clips; every 4th gets a 2-frame-prepended
+    // 2×-gain copy (+1000) and a 1-frame head-trimmed copy (+2000). All
+    // probe rows feed the SHARED Hamming pigeonhole index; the verify
+    // stage takes the MIN Hamming over probe pairs per clip pair. The
+    // oracle replays sample → prepend/trim → frame energy → probe bits →
+    // min-Hamming bit-for-bit.
+    "q381_audio_shift_robust" -> { (s, _) =>
+      import s.implicits._
+      val clips = s.range(48).as[Long].flatMap { id =>
+        def base(i: Int): Long =
+          ((i.toLong * i * (3 + id % 5) + i.toLong * (7 + id % 11) + 13L * id)
+            % 20001L) - 10000L
+        val n = (6800 + (id % 7) * 20).toInt
+        val orig = (id, graft.ext.MediaCodecs.wavBytes(8000, 1,
+          Array.tabulate(n)(i => base(i).toShort)))
+        if (id % 4 == 0) {
+          // +1000: 200 junk samples PREPENDED, then the 2×-gained stream
+          val padded = Array.tabulate(n + 200) { i =>
+            if (i < 200) (((i.toLong * 11 + id) % 2001L) - 1000L).toShort
+            else (2L * base(i - 200)).toShort
+          }
+          // +2000: first 100 samples TRIMMED
+          val trimmed = Array.tabulate(n - 100)(i => base(i + 100).toShort)
+          Seq(orig,
+            (id + 1000L, graft.ext.MediaCodecs.wavBytes(8000, 1, padded)),
+            (id + 2000L, graft.ext.MediaCodecs.wavBytes(8000, 1, trimmed)))
+        } else Seq(orig)
+      }
+      val sigs = clips.flatMap { case (id, bytes) =>
+          graft.ext.MediaCodecs.audioHashProbes(bytes).get
+            .map(h => (id, h))
+        }
+        .toDF("media_id", "ph")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.hammingNearDuplicates(sigs, "media_id", "ph",
+          maxDistance = 3, bits = 64)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(min(col("hamming")).as("min_hamming"))
+    },
+
     // FULL MULTI-LEVEL LOUVAIN (Graph.louvainMultiLevel) — q369's move
     // phase completed with Blondel phase 2: two guarded weighted sweeps,
     // CONTRACT the partition into a weighted community graph (self-loops
@@ -15344,6 +15391,61 @@ object SparkEntry {
         |UNION ALL SELECT walk_id, 2, node FROM w2
         |UNION ALL SELECT walk_id, 3, node FROM w3
         |UNION ALL SELECT walk_id, 4, node FROM w4""".stripMargin,
+
+    // Probe-aligned replay: per media the sample stream (with its prepend /
+    // trim / gain), full-frame energies, the probe windows that fit, each
+    // probe's 64 delta bits, and the min-Hamming pair verdicts.
+    "q381_audio_shift_robust" ->
+      """WITH m AS (
+        |  SELECT id AS media_id, id AS src, 0 AS kind,
+        |         6800 + (id % 7) * 20 AS n
+        |  FROM range(48) t(id)
+        |  UNION ALL
+        |  SELECT id + 1000, id, 1, 6800 + (id % 7) * 20 + 200
+        |  FROM range(48) t(id) WHERE id % 4 = 0
+        |  UNION ALL
+        |  SELECT id + 2000, id, 2, 6800 + (id % 7) * 20 - 100
+        |  FROM range(48) t(id) WHERE id % 4 = 0),
+        |sm AS (SELECT media_id, src, kind,
+        |              unnest(range(0, (n // 100) * 100)) AS i
+        |       FROM m),
+        |sv AS (SELECT media_id, i // 100 AS f,
+        |         CASE WHEN kind = 0
+        |              THEN ((i*i*(3 + src % 5) + i*(7 + src % 11) + 13*src)
+        |                    % 20001) - 10000
+        |              WHEN kind = 1 AND i < 200
+        |              THEN ((i * 11 + src) % 2001) - 1000
+        |              WHEN kind = 1
+        |              THEN 2 * ((((i-200)*(i-200)*(3 + src % 5)
+        |                          + (i-200)*(7 + src % 11) + 13*src)
+        |                         % 20001) - 10000)
+        |              ELSE (((i+100)*(i+100)*(3 + src % 5)
+        |                     + (i+100)*(7 + src % 11) + 13*src)
+        |                    % 20001) - 10000
+        |         END AS s
+        |       FROM sm),
+        |e AS (SELECT media_id, f, SUM(s * s) AS en FROM sv GROUP BY 1, 2),
+        |pr AS (SELECT media_id,
+        |              unnest(range(0, least(4, n // 100 - 65) + 1)) AS o
+        |       FROM m),
+        |bits AS (SELECT p.media_id, p.o, l.f - p.o AS i
+        |         FROM pr p JOIN e l ON l.media_id = p.media_id
+        |         JOIN e r ON r.media_id = p.media_id AND r.f = l.f + 1
+        |         WHERE l.f >= p.o AND l.f < p.o + 64 AND r.en > l.en),
+        |h AS (SELECT p.media_id, p.o,
+        |        CAST(COALESCE(SUM(CASE WHEN b.i = 63
+        |                 THEN -9223372036854775807 - 1
+        |                 ELSE 1::BIGINT << CAST(b.i AS INT) END), 0) AS BIGINT)
+        |          AS ph
+        |      FROM pr p LEFT JOIN bits b
+        |        ON b.media_id = p.media_id AND b.o = p.o
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |            CAST(MIN(bit_count(xor(a.ph, b.ph))) AS BIGINT)
+        |              AS min_hamming
+        |          FROM h a JOIN h b ON a.media_id < b.media_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, min_hamming FROM pairs WHERE min_hamming <= 3""".stripMargin,
 
     // Both Louvain levels unrolled: weighted gains, the Q-monotone accept
     // guard as scalar-subquery CASEs, the contraction, and the per-level

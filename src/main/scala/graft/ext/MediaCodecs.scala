@@ -434,6 +434,69 @@ object MediaCodecs {
         }
     }
 
+  /** SHIFT-ROBUST variant of [[audioHash64]]: the same energy-delta hash
+    * computed at every frame-granularity head offset `o = 0..probeFrames`
+    * (probe `o` hashes the 65 frames starting at frame `o`), returned in
+    * probe order. This closes [[audioHash64]]'s documented blind spot —
+    * its frames are head-anchored, so a PREPENDED pad or head trim (the
+    * most common real perturbation: intro padding, intro trim) flips
+    * essentially every bit. With probes, a clip shifted by `k·frameWidth`
+    * samples (k ≤ probeFrames) shares an EXACT probe alignment with its
+    * original — probe `k` of the padded copy reads the identical sample
+    * stream as probe 0 of the original, so the matched hash pair has
+    * Hamming distance 0, not merely "small". Gain/dither/tail-clip
+    * robustness is inherited per probe from [[audioHash64]]'s
+    * relative-comparison argument, and the properties COMPOSE (a padded
+    * AND gained copy still matches exactly).
+    *
+    * Honest bound: shifts that are NOT multiples of `frameWidth` misalign
+    * every frame against every probe — on noise-like signal a sub-frame
+    * shift of r samples moves each energy by ~r/frameWidth relative, so
+    * recovery degrades; the knob is a finer `frameWidth` (cost linear in
+    * probes·frames), the same trade every published audio-fingerprint
+    * system (Shazam-style landmark or Philips-style subband) makes at its
+    * own frame granularity.
+    *
+    * Scale: ONE energy pass over `65 + probeFrames` frames (energies are
+    * shared across probes, not recomputed), `probeFrames + 1` output longs
+    * per clip; downstream each probe row feeds the SAME Hamming pigeonhole
+    * index ([[graft.ext.Dedup.hammingNearDuplicates]]) — per-clip index
+    * fan-out is `probes × blocks`, bounded, and the verify stage takes the
+    * MIN Hamming over probe pairs per clip pair (a keyed aggregate).
+    * Probes that do not fit the payload (`(65+o)·frameWidth > samples`)
+    * are simply absent, so a head-trimmed (shorter) copy still aligns via
+    * the ORIGINAL's deeper probes. None on non-WAV bytes or payloads under
+    * 65 full frames. */
+  def audioHashProbes(bytes: Array[Byte], frameWidth: Int = 100,
+                      probeFrames: Int = 4): Option[Array[Long]] = {
+    require(frameWidth >= 1 && probeFrames >= 0,
+      s"audioHashProbes: bad args ($frameWidth, $probeFrames)")
+    parseWav(bytes).collect {
+      case w if w.samples.length >= 65 * frameWidth =>
+        val nf = w.samples.length / frameWidth
+        val maxProbe = math.min(probeFrames, nf - 65)
+        val e = new Array[Long](65 + maxProbe)
+        var f = 0
+        while (f < e.length) {
+          var i = f * frameWidth
+          val end = i + frameWidth
+          var acc = 0L
+          while (i < end) {
+            val v = w.samples(i).toLong
+            acc += v * v
+            i += 1
+          }
+          e(f) = acc
+          f += 1
+        }
+        Array.tabulate(maxProbe + 1) { o =>
+          (0 until 64).foldLeft(0L) { (acc, i) =>
+            if (e(o + i + 1) > e(o + i)) acc | (1L << i) else acc
+          }
+        }
+    }
+  }
+
   /** Integer per-frame energies of a WAV payload: frame `f` is the exact
     * `Σ v²` over samples `[f·frameWidth, (f+1)·frameWidth)` (only FULL
     * frames; a trailing partial frame is dropped so a value never depends
@@ -566,7 +629,20 @@ object MediaCodecs {
     * pigeonhole index ([[graft.ext.Dedup.hammingNearDuplicates]]) like the
     * image and audio hashes; integer-exact end to end so an oracle replays
     * pixel → grid → frame-bit → majority → bits exactly. None on a non-GVID
-    * payload or if any sampled frame fails [[aHash64]]. */
+    * payload or if any sampled frame fails [[aHash64]].
+    *
+    * Head-shift BOUND (the audio-probe analysis applied here): a PREPENDED
+    * or head-trimmed segment of `k` frames shifts the sampled index set, so
+    * up to `⌈k/stride⌉` of the `n ≤ maxSampled` per-frame hashes are
+    * replaced — a majority bit flips only if its vote margin was within
+    * `2·⌈k/stride⌉`, so the whole-clip Hamming distance is bounded by the
+    * number of near-tie bits, NOT by 64 (for a static-scene clip, most
+    * votes are unanimous and the distance stays ≪ the q349 threshold).
+    * When a corpus needs EXACT head-shift recovery instead of this bound,
+    * use the per-frame path — [[videoFrameHashes]] rows joined through the
+    * same pigeonhole index ([[graft.ext.Multimodal.shotSpans]]'s input) are
+    * alignment-free, the video analogue of [[audioHashProbes]] with one
+    * probe per frame. */
   def videoHash64(bytes: Array[Byte], stride: Int = 2,
                   maxSampled: Int = 8): Option[Long] = {
     require(stride >= 1, s"videoHash64: stride must be >= 1, got $stride")
