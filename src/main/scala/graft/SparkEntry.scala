@@ -7682,6 +7682,46 @@ object SparkEntry {
       graft.ext.Graph.randomWalks(pairs, steps = 4, startMod = 50L)
     },
 
+    // HUB-CAPPED KEEP-FIRST SUBSTRING DEDUP (Dedup
+    // .duplicateSubstringSpansKeepFirstCapped) — q341's removal plan with
+    // the documented boilerplate hotspot BUILT, not noted: a 39-char
+    // license suffix planted on every 3rd doc makes each of its 10 interior
+    // 30-char windows occur ~167 times; at cap 100 the per-hash count
+    // (groupBy — map-side combined, the hub never lands in one partition)
+    // finds them, a broadcast anti join diverts them, and the removal
+    // spans cover only the ORGANIC duplicates (occurrence counts ≤ 3 here)
+    // — conservative under-removal, with the dropped mass reported by the
+    // q383 audit. The oracle replays the md5-60 cap and the keep-first
+    // rank exactly.
+    "q382_substring_capped_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" LICENSE-BOILERPLATE-SHARED-ACROSS-DOC.")))
+          .otherwise(col("text")).as("text"))
+      Dedup.duplicateSubstringSpansKeepFirstCapped(docs, minLen = 30,
+          maxOccurrences = 100L)
+        .groupBy(col("doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_end") - col("span_start") + 1L).as("removed_chars"),
+          sum(col("span_start")).as("start_checksum"))
+    },
+
+    // THE CAP'S AUDIT ROW (Dedup.substringHubAudit) — the mass q382
+    // declines to process, reported instead of silently vanished: one row
+    // per over-cap window hash with its occurrence count (the 10 planted
+    // license windows at ~167 each). Map-side-combinable count on the
+    // portable md5-60 key, output hub-sized; the oracle replays each hash
+    // and count exactly.
+    "q383_substring_hub_audit" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" LICENSE-BOILERPLATE-SHARED-ACROSS-DOC.")))
+          .otherwise(col("text")).as("text"))
+      Dedup.substringHubAudit(docs, minLen = 30, maxOccurrences = 100L)
+    },
+
     // SHIFT-ROBUST AUDIO NEAR-DUP (MediaCodecs.audioHashProbes) — closes
     // q344's documented blind spot: audioHash64's head-anchored frames make
     // a prepended pad or head trim flip essentially every bit. Probes hash
@@ -15391,6 +15431,72 @@ object SparkEntry {
         |UNION ALL SELECT walk_id, 2, node FROM w2
         |UNION ALL SELECT walk_id, 3, node FROM w3
         |UNION ALL SELECT walk_id, 4, node FROM w4""".stripMargin,
+
+    // q341's keep-first replay over the hub corpus, with the md5-60
+    // hash-keyed cap applied before the string-keyed rank — mirrors the
+    // engine's groupBy-count + anti-join exactly.
+    "q382_substring_capped_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id AS doc,
+        |         text || CASE WHEN doc_id % 3 = 0
+        |           THEN ' LICENSE-BOILERPLATE-SHARED-ACROSS-DOC.' ELSE '' END
+        |           AS t
+        |  FROM documents),
+        |base30 AS (SELECT doc, t FROM base WHERE LENGTH(t) >= 30),
+        |p0 AS (
+        |  SELECT doc, t, unnest(generate_series(1, LENGTH(t) - 29)) AS i
+        |  FROM base30),
+        |pos AS (
+        |  SELECT doc, CAST(i AS BIGINT) AS pos,
+        |         substr(t, CAST(i AS INT), 30) AS g
+        |  FROM p0),
+        |hc AS (
+        |  SELECT CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h,
+        |         COUNT(*) AS n
+        |  FROM pos GROUP BY 1),
+        |posk AS (
+        |  SELECT p.doc, p.pos, p.g FROM pos p
+        |  WHERE CAST(concat('0x', substr(md5(p.g), 1, 15)) AS BIGINT) NOT IN
+        |        (SELECT h FROM hc WHERE n > 100)),
+        |cov AS (
+        |  SELECT doc, pos FROM (
+        |    SELECT doc, pos,
+        |           ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc, pos) AS occ
+        |    FROM posk) x
+        |  WHERE occ > 1),
+        |lagd AS (
+        |  SELECT doc, pos,
+        |         LAG(pos) OVER (PARTITION BY doc ORDER BY pos) AS prev
+        |  FROM cov),
+        |isl AS (
+        |  SELECT doc, pos,
+        |         SUM(CASE WHEN prev IS NULL OR pos - prev > 30 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc ORDER BY pos) AS island
+        |  FROM lagd),
+        |spans AS (
+        |  SELECT doc, island, MIN(pos) AS s, MAX(pos) + 29 AS e
+        |  FROM isl GROUP BY doc, island)
+        |SELECT doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |       CAST(SUM(e - s + 1) AS BIGINT) AS removed_chars,
+        |       CAST(SUM(s) AS BIGINT) AS start_checksum
+        |FROM spans GROUP BY doc""".stripMargin,
+
+    "q383_substring_hub_audit" ->
+      """WITH base AS (
+        |  SELECT doc_id AS doc,
+        |         text || CASE WHEN doc_id % 3 = 0
+        |           THEN ' LICENSE-BOILERPLATE-SHARED-ACROSS-DOC.' ELSE '' END
+        |           AS t
+        |  FROM documents),
+        |base30 AS (SELECT doc, t FROM base WHERE LENGTH(t) >= 30),
+        |p0 AS (
+        |  SELECT doc, t, unnest(generate_series(1, LENGTH(t) - 29)) AS i
+        |  FROM base30),
+        |pos AS (SELECT doc, substr(t, CAST(i AS INT), 30) AS g FROM p0)
+        |SELECT CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+        |         AS window_hash,
+        |       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM pos GROUP BY 1 HAVING COUNT(*) > 100""".stripMargin,
 
     // Probe-aligned replay: per media the sample stream (with its prepend /
     // trim / gain), full-frame energies, the probe windows that fit, each

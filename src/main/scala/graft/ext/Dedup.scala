@@ -1322,14 +1322,30 @@ object Dedup {
     * string-equality test makes the whole pipeline collision-safe. */
   private def verifiedCandidateWindows(docs: DataFrame, idCol: String,
                                        textCol: String, minLen: Int): DataFrame = {
-    import graft.functions.HashFunctions.md5Prefix60
-    val hashed = positionedWindows(docs, idCol, textCol, minLen)
-      .select(col("doc"), col("pos"), md5Prefix60(col("g")).as("__h"))
+    val hashed = hashedWindows(docs, idCol, textCol, minLen)
     val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
     val cand = hashed
       .withColumn("__n", count(lit(1)).over(wh))
       .where(col("__n") >= 2L)
       .select(col("doc"), col("pos"))
+    rederiveWindows(docs, idCol, textCol, minLen, cand)
+  }
+
+  /** Pass-1 hash rows of the substring family: `(doc, pos, __h)` with
+    * `__h = Md5Prefix60(window)` — the 24-byte row that is the ONLY thing
+    * the corpus-wide exchange ever carries. */
+  private def hashedWindows(docs: DataFrame, idCol: String,
+                            textCol: String, minLen: Int): DataFrame = {
+    import graft.functions.HashFunctions.md5Prefix60
+    positionedWindows(docs, idCol, textCol, minLen)
+      .select(col("doc"), col("pos"), md5Prefix60(col("g")).as("__h"))
+  }
+
+  /** Pass-2 string re-derivation: join candidate positions back to the doc
+    * texts (packed — ONE row per doc crosses the exchange) and recompute
+    * each window string beside its text. */
+  private def rederiveWindows(docs: DataFrame, idCol: String, textCol: String,
+                              minLen: Int, cand: DataFrame): DataFrame = {
     val candByDoc = cand.groupBy(col("doc"))
       .agg(collect_list(col("pos")).as("__ps"))
     docs.select(col(idCol).as("doc"), col(textCol).as("__t"))
@@ -1337,6 +1353,73 @@ object Dedup {
       .select(col("doc"), col("__t"), explode(col("__ps")).as("pos"))
       .select(col("doc"), col("pos"),
         expr(s"substring(__t, CAST(pos AS INT), $minLen)").as("g"))
+  }
+
+  /** HUB-CAPPED keep-first substring dedup — the skew note of
+    * [[duplicateSubstringSpans]] built instead of documented: an
+    * ultra-frequent window (license boilerplate, a repeated header) with
+    * 10⁹ occurrences would otherwise funnel every occurrence into ONE hash
+    * partition in pass 1 and one string partition in pass 2 — a single
+    * task owning the hub regardless of cluster size. Here the pass-1
+    * per-hash count comes from `groupBy(hash).count` (map-side combinable:
+    * each task contributes ONE partial row for the hub key, so the hub
+    * never lands in one partition even to be counted), over-cap hash keys
+    * — a tiny set, broadcast — are removed with a map-only anti join, and
+    * only then does the windowed duplicate test run. Over-cap windows are
+    * DROPPED from the removal plan (conservative: their occurrences are
+    * kept, never mis-removed) and reported via [[substringHubAudit]] so
+    * the dropped mass is visible, the [[hammingNearDuplicates]] /
+    * basket-cap discipline (count on the narrow key, divert over-cap,
+    * report).
+    *
+    * The cap key is the 60-bit HASH, not the string: the true hub is
+    * always caught (its hash group is at least as large as its string
+    * group), and a collision can only push an innocent window over the
+    * cap — dropping it is the same conservative under-removal, and the
+    * audit row makes it visible. Deterministic either way, so the oracle
+    * replays the cap exactly. `maxOccurrences` must be ≥ 2. */
+  def duplicateSubstringSpansKeepFirstCapped(docs: DataFrame,
+                                             idCol: String = "doc_id",
+                                             textCol: String = "text",
+                                             minLen: Int = 30,
+                                             maxOccurrences: Long = 100000L): DataFrame = {
+    require(minLen >= 2 && maxOccurrences >= 2L,
+      s"duplicateSubstringSpansKeepFirstCapped: bad args ($minLen, $maxOccurrences)")
+    val hashed = hashedWindows(docs, idCol, textCol, minLen)
+    val over = hashed.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > maxOccurrences)
+      .select(col("__h"))
+    val kept = hashed.join(broadcast(over), Seq("__h"), "left_anti")
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    val cand = kept
+      .withColumn("__n", count(lit(1)).over(wh))
+      .where(col("__n") >= 2L)
+      .select(col("doc"), col("pos"))
+    val candG = rederiveWindows(docs, idCol, textCol, minLen, cand)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val covered = candG
+      .withColumn("__first", min(struct(col("doc"), col("pos"))).over(wg))
+      .where(struct(col("doc"), col("pos")) =!= col("__first"))
+      .select(col("doc"), col("pos"))
+    mergeSpans(covered, minLen)
+  }
+
+  /** The cap's AUDIT side: one row per over-cap window hash —
+    * `(window_hash, n_occurrences)` — so the mass the capped dedup
+    * declines to process is reported, never silently vanished. Same
+    * map-side-combinable `groupBy(hash).count` as the cap itself; output
+    * is hub-count-sized (tiny by definition of "hub"). The 60-bit hash is
+    * the portable md5-60 family, so an oracle replays the audit rows
+    * exactly. */
+  def substringHubAudit(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", minLen: Int = 30,
+                        maxOccurrences: Long = 100000L): DataFrame = {
+    require(minLen >= 2 && maxOccurrences >= 2L,
+      s"substringHubAudit: bad args ($minLen, $maxOccurrences)")
+    hashedWindows(docs, idCol, textCol, minLen)
+      .groupBy(col("__h")).agg(count(lit(1)).as("n_occurrences"))
+      .where(col("n_occurrences") > maxOccurrences)
+      .select(col("__h").as("window_hash"), col("n_occurrences"))
   }
 
   /** Gaps-and-islands merge of covered `(doc, pos)` windows into maximal
