@@ -7682,6 +7682,23 @@ object SparkEntry {
       graft.ext.Graph.randomWalks(pairs, steps = 4, startMod = 50L)
     },
 
+    // SKIP-GRAM CO-OCCURRENCE + EXACT PMI (Graph.skipGramPmi) — the stage
+    // after q376 in the DeepWalk pipeline and the last SQL-expressible one
+    // (Levy & Goldberg 2014: SGNS factorizes exactly this PMI matrix, so
+    // the embedding pipeline ends here at the linear-algebra boundary).
+    // Window-2 (center, context) pairs by ONE walk-id-keyed self-join over
+    // the walk corpus, PMI as exact integer rationals (pmi_num/pmi_den,
+    // the q155 lift discipline — no logs, no division). The oracle replays
+    // the walks themselves (the q376 CTEs) and every count.
+    "q384_skipgram_pmi" -> { (s, dir) =>
+      val pairs = graft.ext.Itemsets
+        .pairCounts(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .where(col("n") >= 2)
+        .select(col("p1").as("id_a"), col("p2").as("id_b"))
+      val walks = graft.ext.Graph.randomWalks(pairs, steps = 4, startMod = 50L)
+      graft.ext.Graph.skipGramPmi(walks, window = 2)
+    },
+
     // HUB-CAPPED KEEP-FIRST SUBSTRING DEDUP (Dedup
     // .duplicateSubstringSpansKeepFirstCapped) — q341's removal plan with
     // the documented boilerplate hotspot BUILT, not noted: a 39-char
@@ -15377,60 +15394,31 @@ object SparkEntry {
     // picking idx = md5-60 mod degree over the same strings the Spark
     // plan hashes.
     "q376_random_walks" ->
-      """WITH it0 AS (
-        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
-        |it AS (
-        |  SELECT b, i FROM (
-        |    SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS __bs FROM it0)
-        |  WHERE __bs <= 1000),
-        |cop AS (
-        |  SELECT a.i AS p1, x.i AS p2
-        |  FROM it a JOIN it x ON a.b = x.b AND a.i < x.i
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |t0 AS (SELECT CAST(p1 AS BIGINT) AS a, CAST(p2 AS BIGINT) AS b
-        |       FROM cop),
-        |sym AS (SELECT a AS src, b AS dst FROM t0
-        |        UNION ALL SELECT b, a FROM t0),
-        |adj AS (SELECT src, dst,
-        |          ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
-        |        FROM sym),
-        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
-        |        FROM sym GROUP BY 1),
-        |w0 AS (SELECT src AS walk_id, src AS node FROM deg
-        |       WHERE src % 50 = 0),
-        |w1 AS (SELECT c.walk_id, a.dst AS node
-        |       FROM w0 c JOIN deg d ON d.src = c.node
-        |       JOIN adj a ON a.src = c.node
-        |        AND a.idx = CAST(concat('0x', substr(md5(
-        |              concat('rw:', CAST(c.walk_id AS STRING), ':1:',
-        |                     CAST(c.node AS STRING))), 1, 15)) AS BIGINT)
-        |            % d.deg),
-        |w2 AS (SELECT c.walk_id, a.dst AS node
-        |       FROM w1 c JOIN deg d ON d.src = c.node
-        |       JOIN adj a ON a.src = c.node
-        |        AND a.idx = CAST(concat('0x', substr(md5(
-        |              concat('rw:', CAST(c.walk_id AS STRING), ':2:',
-        |                     CAST(c.node AS STRING))), 1, 15)) AS BIGINT)
-        |            % d.deg),
-        |w3 AS (SELECT c.walk_id, a.dst AS node
-        |       FROM w2 c JOIN deg d ON d.src = c.node
-        |       JOIN adj a ON a.src = c.node
-        |        AND a.idx = CAST(concat('0x', substr(md5(
-        |              concat('rw:', CAST(c.walk_id AS STRING), ':3:',
-        |                     CAST(c.node AS STRING))), 1, 15)) AS BIGINT)
-        |            % d.deg),
-        |w4 AS (SELECT c.walk_id, a.dst AS node
-        |       FROM w3 c JOIN deg d ON d.src = c.node
-        |       JOIN adj a ON a.src = c.node
-        |        AND a.idx = CAST(concat('0x', substr(md5(
-        |              concat('rw:', CAST(c.walk_id AS STRING), ':4:',
-        |                     CAST(c.node AS STRING))), 1, 15)) AS BIGINT)
-        |            % d.deg)
-        |SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0
-        |UNION ALL SELECT walk_id, 1, node FROM w1
-        |UNION ALL SELECT walk_id, 2, node FROM w2
-        |UNION ALL SELECT walk_id, 3, node FROM w3
-        |UNION ALL SELECT walk_id, 4, node FROM w4""".stripMargin,
+      s"""WITH $randomWalkCtesSql
+         |SELECT walk_id, step, node FROM walks""".stripMargin,
+
+    // q376's walk corpus replayed, then the window-2 skip-gram self-join,
+    // the (center, context) counts, the marginals, and the exact
+    // lift-rational PMI columns.
+    "q384_skipgram_pmi" ->
+      s"""WITH $randomWalkCtesSql,
+         |sp AS (SELECT a.node AS center, b.node AS context
+         |       FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+         |        AND abs(a.step - b.step) BETWEEN 1 AND 2),
+         |pc AS (SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |       FROM sp GROUP BY 1, 2),
+         |mc AS (SELECT center, CAST(SUM(n_pairs) AS BIGINT) AS n_center
+         |       FROM pc GROUP BY 1),
+         |mx AS (SELECT context, CAST(SUM(n_pairs) AS BIGINT) AS n_context
+         |       FROM pc GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM pc)
+         |SELECT p.center, p.context, p.n_pairs, mc.n_center, mx.n_context,
+         |       nt.n_total,
+         |       CAST(p.n_pairs * nt.n_total AS BIGINT) AS pmi_num,
+         |       CAST(mc.n_center * mx.n_context AS BIGINT) AS pmi_den
+         |FROM pc p JOIN mc ON mc.center = p.center
+         |          JOIN mx ON mx.context = p.context
+         |          CROSS JOIN nt""".stripMargin,
 
     // q341's keep-first replay over the hub corpus, with the md5-60
     // hash-keyed cap applied before the string-keyed rank — mirrors the
@@ -15700,6 +15688,67 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 2, 'exact_dedup', c1, c2, c1 - c2 FROM agg)""".stripMargin
   )
+
+  /** DuckDB replay of q376's deterministic walk corpus (the hub-capped
+    * co-purchase graph, id-ordered adjacency, md5-60 next-hop, 4 unrolled
+    * steps) — shared by the q376 and q384 oracles. Emits the CTE `walks`
+    * with `(walk_id, step, node)`. */
+  private val randomWalkCtesSql: String =
+    """it0 AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |it AS (
+        |  SELECT b, i FROM (
+        |    SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS __bs FROM it0)
+        |  WHERE __bs <= 1000),
+        |cop AS (
+        |  SELECT a.i AS p1, x.i AS p2
+        |  FROM it a JOIN it x ON a.b = x.b AND a.i < x.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |t0 AS (SELECT CAST(p1 AS BIGINT) AS a, CAST(p2 AS BIGINT) AS b
+        |       FROM cop),
+        |sym AS (SELECT a AS src, b AS dst FROM t0
+        |        UNION ALL SELECT b, a FROM t0),
+        |adj AS (SELECT src, dst,
+        |          ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+        |        FROM sym),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM sym GROUP BY 1),
+        |w0 AS (SELECT src AS walk_id, src AS node FROM deg
+        |       WHERE src % 50 = 0),
+        |w1 AS (SELECT c.walk_id, a.dst AS node
+        |       FROM w0 c JOIN deg d ON d.src = c.node
+        |       JOIN adj a ON a.src = c.node
+        |        AND a.idx = CAST(concat('0x', substr(md5(
+        |              concat('rw:', CAST(c.walk_id AS STRING), ':1:',
+        |                     CAST(c.node AS STRING))), 1, 15)) AS BIGINT)
+        |            % d.deg),
+        |w2 AS (SELECT c.walk_id, a.dst AS node
+        |       FROM w1 c JOIN deg d ON d.src = c.node
+        |       JOIN adj a ON a.src = c.node
+        |        AND a.idx = CAST(concat('0x', substr(md5(
+        |              concat('rw:', CAST(c.walk_id AS STRING), ':2:',
+        |                     CAST(c.node AS STRING))), 1, 15)) AS BIGINT)
+        |            % d.deg),
+        |w3 AS (SELECT c.walk_id, a.dst AS node
+        |       FROM w2 c JOIN deg d ON d.src = c.node
+        |       JOIN adj a ON a.src = c.node
+        |        AND a.idx = CAST(concat('0x', substr(md5(
+        |              concat('rw:', CAST(c.walk_id AS STRING), ':3:',
+        |                     CAST(c.node AS STRING))), 1, 15)) AS BIGINT)
+        |            % d.deg),
+        |w4 AS (SELECT c.walk_id, a.dst AS node
+        |       FROM w3 c JOIN deg d ON d.src = c.node
+        |       JOIN adj a ON a.src = c.node
+        |        AND a.idx = CAST(concat('0x', substr(md5(
+        |              concat('rw:', CAST(c.walk_id AS STRING), ':4:',
+        |                     CAST(c.node AS STRING))), 1, 15)) AS BIGINT)
+        |            % d.deg),
+      |walks AS (
+      |  SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0
+      |  UNION ALL SELECT walk_id, 1, node FROM w1
+      |  UNION ALL SELECT walk_id, 2, node FROM w2
+      |  UNION ALL SELECT walk_id, 3, node FROM w3
+      |  UNION ALL SELECT walk_id, 4, node FROM w4)""".stripMargin
 
   /** The unrolled-CTE replay of [[graft.ext.Clustering.lloydTrainMicros]] —
     * expects a CTE named `q` with `(vid, v)` (micros-quantized DOUBLE[] with

@@ -876,6 +876,49 @@ object Graph {
     out
   }
 
+  /** Skip-gram co-occurrence counts + exact-PMI rationals over a walk
+    * corpus — the stage AFTER [[randomWalks]] in the DeepWalk/node2vec
+    * pipeline, and the last SQL-expressible one: Levy & Goldberg 2014
+    * showed skip-gram-with-negative-sampling factorizes exactly this
+    * (shifted) PMI matrix, so emitting it ends the pipeline at the
+    * linear-algebra boundary (the factorization itself is out of scope,
+    * stated).
+    *
+    * Pairs: every ordered (center, context) with `1 ≤ |Δstep| ≤ window`
+    * inside one walk (both directions, the standard skip-gram emission).
+    * PMI over the PAIR distribution in the q155 lift discipline — exact
+    * integer rationals, no logs, no division:
+    * `PMI(x,y) = ln(pmi_num / pmi_den)` with `pmi_num = n_pairs·n_total`,
+    * `pmi_den = n_center·n_context`; every comparison/threshold downstream
+    * cross-multiplies. Marginals are row/column sums of the pair table
+    * itself.
+    *
+    * Scale: ONE walk-id-keyed self-join over the walk table (walk corpus
+    * size = nodes/startMod × steps — tiny vs |E|; per-walk fan-out ≤
+    * steps·2·window), a map-side-combinable (center, context) count, two
+    * marginal aggregates keyed on pair-table columns, and a 1-row total
+    * broadcast. Overflow: products ≤ n_total² — lift to DECIMAL(38,0)
+    * past ~3·10⁹ pairs (declared precision, same plan). */
+  def skipGramPmi(walks: DataFrame, window: Int, walkCol: String = "walk_id",
+                  stepCol: String = "step", nodeCol: String = "node"): DataFrame = {
+    require(window >= 1, s"skipGramPmi: window must be >= 1, got $window")
+    val base = walks.select(col(walkCol).as("__w"), col(stepCol).as("__s"),
+      col(nodeCol).as("center"))
+    val ctx = walks.select(col(walkCol).as("__w"), col(stepCol).as("__s2"),
+      col(nodeCol).as("context"))
+    val pc = base.join(ctx, Seq("__w"))
+      .where(abs(col("__s2") - col("__s")).between(1, window))
+      .groupBy(col("center"), col("context")).agg(count(lit(1)).as("n_pairs"))
+    val mc = pc.groupBy(col("center")).agg(sum(col("n_pairs")).as("n_center"))
+    val mx = pc.groupBy(col("context")).agg(sum(col("n_pairs")).as("n_context"))
+    val nt = pc.agg(sum(col("n_pairs")).as("n_total"))
+    pc.join(mc, "center").join(mx, "context").crossJoin(broadcast(nt))
+      .select(col("center"), col("context"), col("n_pairs"), col("n_center"),
+        col("n_context"), col("n_total"),
+        (col("n_pairs") * col("n_total")).as("pmi_num"),
+        (col("n_center") * col("n_context")).as("pmi_den"))
+  }
+
   /** Multi-sweep synchronized Louvain ([[louvainMoveRound]] generalized
     * past singleton init): each sweep, every node weighs moving from its
     * CURRENT community `c_i` to each neighbor community `c`, with the full

@@ -76,6 +76,29 @@ class Round14bSpec extends SparkSpec {
     out
   }
 
+  test("skipGramPmi: hand-computed pairs, marginals, and PMI rationals on a 2-walk corpus") {
+    // walk 0: 1 2 3 ; walk 1: 2 3  — window 1 → ordered adjacent pairs:
+    // (1,2),(2,1),(2,3),(3,2) from walk 0; (2,3),(3,2) from walk 1.
+    val walks = Seq((0L, 0L, 1L), (0L, 1L, 2L), (0L, 2L, 3L),
+      (1L, 0L, 2L), (1L, 1L, 3L)).toDF("walk_id", "step", "node")
+    val rows = Graph.skipGramPmi(walks, window = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(rows.size == 4)
+    // n_total = 6; centers: 1→1, 2→3, 3→2; contexts mirror by symmetry
+    val (_, _, np, ncen, nctx, ntot, num, den) = rows((2L, 3L))
+    assert((np, ncen, nctx, ntot) == ((2L, 3L, 2L, 6L)))
+    assert(num == 2L * 6L && den == 3L * 2L)
+    assert(rows((1L, 2L))._3 == 1L && rows((1L, 2L))._4 == 1L)
+    // symmetry of the emission: (x,y) and (y,x) have equal n_pairs
+    assert(rows((2L, 3L))._3 == rows((3L, 2L))._3)
+    assert(rows((1L, 2L))._3 == rows((2L, 1L))._3)
+    // window 2 adds the distance-2 pairs: (1,3),(3,1) from walk 0
+    val w2 = Graph.skipGramPmi(walks, window = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(w2.length == 6 && w2.map(_._6).distinct.toSeq == Seq(8L))
+  }
+
   test("louvainMultiLevel ≡ plain-Scala reference on 15 pseudo-random graphs") {
     var seed = 1414L
     def next(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L); (seed >>> 33) }
