@@ -7699,6 +7699,56 @@ object SparkEntry {
       graft.ext.Graph.skipGramPmi(walks, window = 2)
     },
 
+    // STREAMING HEAVY HITTERS (HeavyHitters.streamingShardSummaries) — the
+    // batch Misra–Gries aggregator's unbounded-stream form: the documents
+    // stream (with two planted needles at ~14% and ~12.5% of the token
+    // stream — every organic token is under 3%) is sharded by token hash,
+    // flatMapGroupsWithState folds each micro-batch into the per-shard
+    // capacity-8 counter map, and the last tick's candidate union feeds the
+    // SAME exact recount as the batch path. The summary's residuals are
+    // order-dependent and never emitted as the answer — the pigeonhole
+    // superset guarantee is order-free, so the final exact output equals
+    // the one-shot batch query, which is what the oracle replays.
+    "q385_streaming_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val root = tempDirCleanedOnExit("graft-smg-")
+      val T = graft.ext.TextAnalysis
+      def planted(c: Column) =
+        when(col("doc_id") % 2 === 0,
+          concat(expr("repeat('needlea ', 20)"), c))
+          .otherwise(concat(expr("repeat('needleb ', 18)"), c))
+      val schema = t(s, dir, "documents").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val keys = stream
+        .select(explode(T.tokens(lower(planted(col("text"))))).as("k"))
+        .select(pmod(xxhash64(col("k")), lit(4L)).cast("int").as("shard"),
+          col("k"))
+        .as[(Int, String)]
+      val q = graft.ext.HeavyHitters.streamingShardSummaries(keys, capacity = 8)
+        .toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/cp")
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          b.write.mode("append").parquet(s"$root/ticks")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val ticks = s.read.parquet(s"$root/ticks")
+      val cands = ticks
+        .join(ticks.groupBy(col("shard")).agg(max(col("tick")).as("tick")),
+          Seq("shard", "tick"))
+        .select(col("key")).distinct().as[String].collect().toSeq
+      val keyed = t(s, dir, "documents")
+        .select(explode(T.tokens(lower(planted(col("text"))))).as("k"))
+      val n = keyed.agg(count(lit(1)).as("n"))
+      keyed.filter(col("k").isin(cands: _*))
+        .groupBy(col("k").as("key_out")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .filter(col("cnt") * 9L > col("n"))
+        .select(col("key_out"), col("cnt"))
+    },
+
     // HUB-CAPPED KEEP-FIRST SUBSTRING DEDUP (Dedup
     // .duplicateSubstringSpansKeepFirstCapped) — q341's removal plan with
     // the documented boilerplate hotspot BUILT, not noted: a 39-char
@@ -15419,6 +15469,23 @@ object SparkEntry {
          |FROM pc p JOIN mc ON mc.center = p.center
          |          JOIN mx ON mx.context = p.context
          |          CROSS JOIN nt""".stripMargin,
+
+    // The streaming candidates are a guaranteed superset, and the exact
+    // recount + threshold is plain SQL: tokens of the needle-planted
+    // corpus, counts, HAVING cnt·(capacity+1) > n.
+    "q385_streaming_heavy_hitters" ->
+      """WITH docs2 AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0
+        |           THEN repeat('needlea ', 20) || text
+        |           ELSE repeat('needleb ', 18) || text END AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS k
+        |  FROM docs2),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+        |SELECT k AS key_out, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM tok GROUP BY k
+        |HAVING CAST(COUNT(*) AS BIGINT) * 9 > (SELECT n FROM n)""".stripMargin,
 
     // q341's keep-first replay over the hub corpus, with the md5-60
     // hash-keyed cap applied before the string-keyed rank — mirrors the

@@ -81,6 +81,56 @@ object HeavyHitters {
     udaf(new MisraGriesAggregator(capacity),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
 
+  /** One emitted summary row of the STREAMING Misra–Gries state: after
+    * processing its `tick`-th micro-batch, shard `shard` holds `residual`
+    * for `key` (≤ capacity rows per (shard, tick)). */
+  case class MgTick(shard: Int, tick: Long, key: String, residual: Long)
+
+  /** Per-shard streaming state: ticks processed + the ≤ capacity counter
+    * map (public: the state encoder's generated code needs the accessors). */
+  case class MgState(tick: Long, counts: Map[String, Long])
+
+  /** STREAMING Misra–Gries — the unbounded-stream form of the batch
+    * aggregator above: keys arrive as a stream pre-sharded by
+    * `hash(key) % nShards`, and `flatMapGroupsWithState` keeps ONE
+    * capacity-bounded counter map per shard, folding each micro-batch's
+    * keys in with the exact same reduce step (increment / open / decrement-
+    * all) and emitting the shard's current summary rows after every batch.
+    *
+    * Candidate-superset guarantee, unchanged from batch: a key lives in
+    * exactly one shard, so a key with TRUE frequency > n/(capacity+1) of
+    * the whole stream has frequency > n_shard/(capacity+1) of its shard
+    * (n_shard ≤ n) and therefore still owns a counter after ANY tick
+    * sequence — the pigeonhole argument is arrival-order-free, which is
+    * precisely why the summary (whose residuals DO depend on order) is
+    * only ever a candidate generator. The exact answer comes from the same
+    * second recount pass as the batch path, so streaming ticks and the
+    * one-shot batch produce IDENTICAL final heavy-hitter sets
+    * (Round14eSpec proves it over a 3-tick replay).
+    *
+    * Scale: state is `nShards × capacity` counters TOTAL — bounded by
+    * configuration, not stream volume (the sessionizer's state discipline);
+    * each tick shuffles only the batch's (shard, key) rows on the shard
+    * key; emitted rows per tick are state-sized. `nShards` sets the
+    * stateful parallelism — one shard is one task's state. */
+  def streamingShardSummaries(keys: org.apache.spark.sql.Dataset[(Int, String)],
+                              capacity: Int): org.apache.spark.sql.Dataset[MgTick] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import keys.sparkSession.implicits._
+    require(capacity >= 1, s"streamingShardSummaries: capacity must be >= 1, got $capacity")
+    val agg = new MisraGriesAggregator(capacity)
+    keys.groupByKey(_._1)
+      .flatMapGroupsWithState[MgState, MgTick](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard, batch, state: org.apache.spark.sql.streaming.GroupState[MgState]) =>
+          val prev = state.getOption.getOrElse(MgState(0L, Map.empty))
+          val counts = batch.foldLeft(prev.counts)((m, r) => agg.reduce(m, r._2))
+          val tick = prev.tick + 1L
+          state.update(MgState(tick, counts))
+          counts.iterator.map { case (k, c) => MgTick(shard, tick, k, c) }
+      }
+  }
+
   /** Exact keys with frequency strictly above `n / (capacity + 1)` of the
     * non-null `key` stream, with their exact counts — `(key_out, cnt)` rows.
     *
