@@ -7699,6 +7699,25 @@ object SparkEntry {
       graft.ext.Graph.skipGramPmi(walks, window = 2)
     },
 
+    // STRONGLY CONNECTED COMPONENTS (Graph.stronglyConnectedComponents) —
+    // the directed sibling the CC family lacked: bounded forward-backward
+    // coloring (min-ancestor colors to a fixed point, pivot per class,
+    // backward same-color frontier = the SCC, emit + deactivate, recurse).
+    // Fixture with KNOWN components: 240 nodes in 40 six-node directed
+    // cycles, chained in pairs by one cross edge (condensation depth 2 —
+    // round 1 peels every chain-head cycle, round 2 the rest). The oracle
+    // is the closed form scc = id − id%6, so the engine's answer is graded
+    // against ground truth, not a replay; Round14fSpec adds the randomized
+    // Tarjan reference check.
+    "q386_scc" -> { (s, _) =>
+      val base = s.range(240).select(col("id").as("src"),
+        (col("id") - col("id") % 6 + (col("id") + 1) % 6).as("dst"))
+      val cross = s.range(240).where(col("id") % 12 === 0)
+        .select(col("id").as("src"), (col("id") + 6).as("dst"))
+      graft.ext.Graph.stronglyConnectedComponents(
+        base.unionByName(cross), maxRounds = 4, maxPropRounds = 20)
+    },
+
     // STREAMING HEAVY HITTERS (HeavyHitters.streamingShardSummaries) — the
     // batch Misra–Gries aggregator's unbounded-stream form: the documents
     // stream (with two planted needles at ~14% and ~12.5% of the token
@@ -15469,6 +15488,13 @@ object SparkEntry {
          |FROM pc p JOIN mc ON mc.center = p.center
          |          JOIN mx ON mx.context = p.context
          |          CROSS JOIN nt""".stripMargin,
+
+    // Ground truth, not a replay: the fixture's SCCs are its 6-node
+    // cycles by construction.
+    "q386_scc" ->
+      """SELECT CAST(id AS BIGINT) AS id,
+        |       CAST(id - id % 6 AS BIGINT) AS scc
+        |FROM range(240) t(id)""".stripMargin,
 
     // The streaming candidates are a guaranteed superset, and the exact
     // recount + threshold is plain SQL: tokens of the needle-planted

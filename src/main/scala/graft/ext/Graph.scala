@@ -876,6 +876,148 @@ object Graph {
     out
   }
 
+  /** Strongly connected components of a DIRECTED edge table — the directed
+    * sibling the CC family lacks, by bounded forward-backward COLORING
+    * (the Fleischer-et-al FB idea in the distributed min-label form of
+    * Orzan-style coloring; implemented from the published argument):
+    *
+    * each OUTER round over the still-active subgraph
+    *  1. colors every node with the smallest node id that can REACH it
+    *     (forward min-label propagation to a fixed point — bounded by
+    *     `maxPropRounds` with a convergence check);
+    *  2. every color class contains exactly one PIVOT (the node that is
+    *     its own color); the class's SCC is the set of members that reach
+    *     the pivot, found by BACKWARD frontier propagation restricted to
+    *     same-color edges. Correctness of the restriction: if c(n) = p and
+    *     n reaches p, every intermediate x on any n→p path satisfies
+    *     p→n→x and x→p, so x ∈ SCC(p) and c(x) = p — no qualifying path
+    *     ever leaves the color class. The pivot is provably the SCC's
+    *     MINIMUM member (a smaller member would be a smaller self-ancestor),
+    *     so the emitted `scc` label is canonical: min member id.
+    *  3. found SCCs (every class yields at least its pivot) are emitted
+    *     and deactivated; the next round recurses on the remainder —
+    *     outer progress ≥ 1 SCC per class per round, so `maxRounds` of
+    *     the condensation-DAG depth suffices.
+    *
+    * ALL color classes are processed simultaneously — the per-round work
+    * is whole-graph keyed joins (label lookup on src/dst, node-keyed
+    * aggregates), never per-pivot jobs; active edges/labels persist
+    * repartitioned above the plan-truncating rebind (the graph-loop
+    * discipline). Min-label propagation advances one edge per inner round,
+    * so inner rounds scale with the active subgraph's directed diameter —
+    * the same honest bound as the q133 BFS machinery; size `maxPropRounds`
+    * to the corpus. Output: `(id, scc)` for every endpoint node resolved
+    * within the bounds (unresolved actives are ABSENT, so an undersized
+    * bound surfaces as missing rows, never as a wrong label). */
+  def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int,
+                                  maxPropRounds: Int = 30,
+                                  srcCol: String = "src",
+                                  dstCol: String = "dst"): DataFrame = {
+    require(maxRounds >= 1 && maxPropRounds >= 1,
+      s"stronglyConnectedComponents: bad args ($maxRounds, $maxPropRounds)")
+    val store = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+
+    var e = truncated(edges
+        .select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .where(col("src") =!= col("dst")).distinct())
+      .repartition(col("src")).persist(store)
+    e.count()
+    var nodes = truncated(e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct())
+      .repartition(col("id")).persist(store)
+    var nActive = nodes.count()
+    var out: Option[DataFrame] = None
+    var round = 0
+    while (round < maxRounds && nActive > 0) {
+      round += 1
+      // 1. forward min-label coloring to a fixed point
+      var colors = truncated(nodes.select(col("id"), col("id").as("c")))
+        .repartition(col("id")).persist(store)
+      colors.count()
+      var changed = 1L
+      var p = 0
+      while (changed > 0 && p < maxPropRounds) {
+        p += 1
+        val viaIn = e
+          .join(colors.select(col("id").as("src"), col("c").as("cs")),
+            Seq("src"))
+          .groupBy(col("dst").as("id")).agg(min(col("cs")).as("cin"))
+        val stepped = truncated(colors.join(viaIn, Seq("id"), "left")
+            .select(col("id"), col("c").as("__old"),
+              least(col("c"), coalesce(col("cin"), col("c"))).as("c")))
+          .repartition(col("id")).persist(store)
+        changed = stepped.where(col("c") =!= col("__old")).count()
+        colors.unpersist(blocking = false)
+        colors = stepped.select(col("id"), col("c"))
+      }
+      // 2. backward frontier within color classes, from the pivots
+      val sameColorE = truncated(e
+          .join(colors.select(col("id").as("src"), col("c").as("cs")),
+            Seq("src"))
+          .join(colors.select(col("id").as("dst"), col("c").as("cd")),
+            Seq("dst"))
+          .where(col("cs") === col("cd"))
+          .select(col("src"), col("dst")))
+        .repartition(col("dst")).persist(store)
+      sameColorE.count()
+      var marked = truncated(colors.where(col("c") === col("id"))
+          .select(col("id")))
+        .repartition(col("id")).persist(store)
+      marked.count()
+      var frontier = marked
+      var b = 0
+      var frontierN = 1L
+      while (frontierN > 0 && b < maxPropRounds) {
+        b += 1
+        val nf = truncated(sameColorE
+            .join(frontier.select(col("id").as("dst")), Seq("dst"))
+            .select(col("src").as("id")).distinct()
+            .join(marked, Seq("id"), "left_anti"))
+          .repartition(col("id")).persist(store)
+        frontierN = nf.count()
+        if (frontierN > 0) {
+          val m2 = truncated(marked.unionByName(nf))
+            .repartition(col("id")).persist(store)
+          m2.count()
+          marked.unpersist(blocking = false)
+          marked = m2
+        }
+        frontier = nf
+      }
+      // 3. emit and deactivate
+      val found = truncated(marked.join(colors, Seq("id"))
+          .select(col("id"), col("c").as("scc")))
+        .persist(store)
+      found.count()
+      out = Some(out.fold(found: DataFrame)(_.unionByName(found)))
+      val nextNodes = truncated(
+          nodes.join(found.select(col("id")), Seq("id"), "left_anti"))
+        .repartition(col("id")).persist(store)
+      nActive = nextNodes.count()
+      nodes.unpersist(blocking = false)
+      nodes = nextNodes
+      val nextE = truncated(e
+          .join(found.select(col("id").as("src")), Seq("src"), "left_anti")
+          .join(found.select(col("id").as("dst")), Seq("dst"), "left_anti"))
+        .repartition(col("src")).persist(store)
+      nextE.count()
+      e.unpersist(blocking = false)
+      e = nextE
+    }
+    out.getOrElse(
+      e.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("scc",
+            org.apache.spark.sql.types.LongType, nullable = false)))))
+  }
+
   /** Skip-gram co-occurrence counts + exact-PMI rationals over a walk
     * corpus — the stage AFTER [[randomWalks]] in the DeepWalk/node2vec
     * pipeline, and the last SQL-expressible one: Levy & Goldberg 2014
