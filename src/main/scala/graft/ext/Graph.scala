@@ -1236,37 +1236,39 @@ object Graph {
         .groupBy(col("src")).agg(sum(col("w")).as("k"))
         .withColumnRenamed("src", "node").persist(store)
       deg.count()
-      val m2 = deg.agg(sum(col("k")).as("m2")) // global 2m, level-invariant
+      // level-constant scalars, collected once (1-row metadata license):
+      // 2m (level-invariant by contraction), the singleton-init Σtot², and
+      // the total self-loop weight
+      val degRow = deg.agg(sum(col("k")), sum(col("k") * col("k"))).head()
+      val m2Val = degRow.getLong(0)
+      val totSq0 = degRow.getLong(1)
+      val wselfVal = Option(wedges.where(col("a") === col("b"))
+        .agg(sum(col("w"))).head().get(0)).fold(0L)(_.asInstanceOf[Long])
 
-      // Q·(2m)² of a label table over this level's weighted graph — 1 row.
-      def qOf(lab: DataFrame): DataFrame = {
-        val la = lab.select(col("node").as("a"), col("comm").as("ca"))
-        val lb = lab.select(col("node").as("b"), col("comm").as("cb"))
-        val win = wedges.join(la, Seq("a")).join(lb, Seq("b"))
-          .where(col("a") === col("b") || col("ca") === col("cb"))
-          .agg(coalesce(sum(col("w")), lit(0L)).as("win"))
-        val tot2 = lab.join(deg, Seq("node"))
-          .groupBy(col("comm")).agg(sum(col("k")).as("tot"))
-          .agg(sum(col("tot") * col("tot")).as("tot2"))
-        win.crossJoin(tot2).crossJoin(m2)
-          .select((lit(2L) * col("m2") * col("win") - col("tot2")).as("q"))
-      }
+      def ncOf(lab: DataFrame): DataFrame = symW
+        .join(lab.select(col("node").as("dst"), col("comm").as("cd")),
+          Seq("dst"))
+        .groupBy(col("src"), col("cd")).agg(sum(col("w")).as("kic"))
 
       var labels = truncated(deg.select(col("node"), col("node").as("comm")))
         .repartition(col("node")).persist(store)
-      labels.count()
+      // (node, community) votes under the CURRENT labels — carried across
+      // sweeps (an accepted proposal's votes are next sweep's votes, so
+      // each sweep pays for ONE edge-sized aggregate, not three)
+      var ncCur = truncated(ncOf(labels)).repartition(col("src")).persist(store)
+      // Q·(2m)² of the CURRENT labels, carried as a scalar: at singleton
+      // init the intra weight is just the self-loops (no node shares its
+      // community), so q = 2m·2·w_self − Σk². Each accepted sweep replaces
+      // it with the proposal's q, so the guard never recomputes q_old.
+      var qCur = 2L * m2Val * wselfVal - totSq0
       for (_ <- 1 to sweepsPerLevel) {
         val tot = labels.join(deg, Seq("node"))
           .groupBy(col("comm")).agg(sum(col("k")).as("tot"))
-        val nc = symW
-          .join(labels.select(col("node").as("dst"), col("comm").as("cd")),
-            Seq("dst"))
-          .groupBy(col("src"), col("cd")).agg(sum(col("w")).as("kic"))
         val own = labels.join(deg, Seq("node"))
           .join(tot.withColumnRenamed("comm", "__c")
             .withColumnRenamed("tot", "tot_i"), col("comm") === col("__c"))
           .drop("__c")
-          .join(nc.select(col("src").as("node"), col("cd").as("comm"),
+          .join(ncCur.select(col("src").as("node"), col("cd").as("comm"),
             col("kic").as("kic_own")), Seq("node", "comm"), "left")
           .select(col("node"), col("comm"), col("k"),
             coalesce(col("kic_own"), lit(0L)).as("kic_own"), col("tot_i"))
@@ -1278,35 +1280,49 @@ object Graph {
         // j that simultaneously moved away — which leaves near-zero
         // internal weight and stalls the guard).
         val cand = own
-          .join(nc.select(col("src").as("node"), col("cd"), col("kic")),
+          .join(ncCur.select(col("src").as("node"), col("cd"), col("kic")),
             Seq("node"))
           .where(col("cd") < col("comm"))
           .join(tot.select(col("comm").as("cd"), col("tot").as("tot_c")),
             Seq("cd"))
-          .crossJoin(broadcast(m2))
           .select(col("node"),
             struct((col("k") * (col("tot_c") - col("tot_i") + col("k"))
-              - col("m2") * (col("kic") - col("kic_own"))).as("negGain"),
+              - lit(m2Val) * (col("kic") - col("kic_own"))).as("negGain"),
               col("cd")).as("cand"))
         val best = cand.groupBy(col("node")).agg(min(col("cand")).as("best"))
-        val proposed = labels.join(best, Seq("node"), "left")
-          .select(col("node"),
-            when(col("best").isNotNull && col("best.negGain") < 0L,
-              col("best.cd")).otherwise(col("comm")).as("pcomm"))
-        // monotone guard: accept the sweep only if it strictly raises Q
-        val qo = qOf(labels).withColumnRenamed("q", "q_old")
-        val qn = qOf(proposed.withColumnRenamed("pcomm", "comm"))
-          .withColumnRenamed("q", "q_new")
-        val next = truncated(labels
-            .join(proposed, Seq("node"))
-            .crossJoin(broadcast(qo)).crossJoin(broadcast(qn))
+        val proposed = truncated(labels.join(best, Seq("node"), "left")
             .select(col("node"),
-              when(col("q_new") > col("q_old"), col("pcomm"))
-                .otherwise(col("comm")).as("comm")))
+              when(col("best").isNotNull && col("best.negGain") < 0L,
+                col("best.cd")).otherwise(col("comm")).as("comm")))
           .repartition(col("node")).persist(store)
-        next.count()
-        labels.unpersist(blocking = false)
-        labels = next
+        val ncNew = truncated(ncOf(proposed))
+          .repartition(col("src")).persist(store)
+        // monotone guard, ONE job: Q·(2m)² without an edge pass — the
+        // intra-community weight is Σ_n k_{n,c_n}/2 + w_self (every
+        // same-community non-self edge lands in both endpoints'
+        // own-community vote), so the proposal's q reads its own vote
+        // table: one node-keyed join + two nested aggregates (measured:
+        // the two |E|-join q evaluations per sweep were q380's whole
+        // overhang — see PERF round 14). q_old is the carried scalar.
+        val statsNew = proposed.join(deg, Seq("node"))
+          .join(ncNew.select(col("src").as("node"), col("cd").as("comm"),
+            col("kic").as("kic_own")), Seq("node", "comm"), "left")
+          .groupBy(col("comm"))
+          .agg(sum(col("k")).as("tot"),
+            sum(coalesce(col("kic_own"), lit(0L))).as("kico"))
+          .agg(sum(col("tot") * col("tot")), sum(col("kico"))).head()
+        val qNew = 2L * m2Val * (statsNew.getLong(1) / 2L + wselfVal) -
+          statsNew.getLong(0)
+        if (qNew > qCur) {
+          labels.unpersist(blocking = false)
+          ncCur.unpersist(blocking = false)
+          labels = proposed
+          ncCur = ncNew
+          qCur = qNew
+        } else {
+          proposed.unpersist(blocking = false)
+          ncNew.unpersist(blocking = false)
+        }
       }
 
       // per-level summary on the partition carried into contraction
@@ -1321,10 +1337,9 @@ object Graph {
           sum(col("tot") * col("tot")).as("tot2"))
       val nNodes = labels.agg(count(lit(1)).as("n_nodes"))
       val row = truncated(nNodes.crossJoin(commStats).crossJoin(win)
-          .crossJoin(m2)
           .select(lit(lvl.toLong).as("level"), col("n_nodes"),
             col("n_communities"), col("internal_weight"),
-            (lit(2L) * col("m2") * col("internal_weight") - col("tot2"))
+            (lit(2L) * lit(m2Val) * col("internal_weight") - col("tot2"))
               .as("q_scaled")))
         .persist(store)
       row.count()
