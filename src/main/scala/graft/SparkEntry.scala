@@ -7718,6 +7718,56 @@ object SparkEntry {
         base.unionByName(cross), maxRounds = 4, maxPropRounds = 20)
     },
 
+    // SCC CONDENSATION DAG (q386's components summarized) — the artifact a
+    // pipeline actually consumes after SCC: one row per component with its
+    // size and its distinct out-/in-neighbor component counts. Component
+    // edges come from ONE broadcast label lookup per endpoint + a distinct
+    // on the (comp_a, comp_b) pair — the louvainContract shape. Oracle is
+    // the fixture's closed form: 6-node components, even-indexed blocks
+    // point at their odd successor.
+    "q387_scc_condensation" -> { (s, _) =>
+      val base = s.range(240).select(col("id").as("src"),
+        (col("id") - col("id") % 6 + (col("id") + 1) % 6).as("dst"))
+      val cross = s.range(240).where(col("id") % 12 === 0)
+        .select(col("id").as("src"), (col("id") + 6).as("dst"))
+      val edges = base.unionByName(cross)
+      val sccC = graft.ext.Graph.stronglyConnectedComponents(
+          edges, maxRounds = 4, maxPropRounds = 20)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sccC.count()
+      val scc = s.createDataFrame(sccC.rdd, sccC.schema)
+      val cedges = edges
+        .join(broadcast(scc.select(col("id").as("src"), col("scc").as("ca"))),
+          Seq("src"))
+        .join(broadcast(scc.select(col("id").as("dst"), col("scc").as("cb"))),
+          Seq("dst"))
+        .where(col("ca") =!= col("cb"))
+        .select(col("ca"), col("cb")).distinct()
+      val members = scc.groupBy(col("scc")).agg(count(lit(1)).as("n_members"))
+      val outs = cedges.groupBy(col("ca").as("scc"))
+        .agg(count(lit(1)).as("n_out"))
+      val ins = cedges.groupBy(col("cb").as("scc"))
+        .agg(count(lit(1)).as("n_in"))
+      members.join(outs, Seq("scc"), "left").join(ins, Seq("scc"), "left")
+        .select(col("scc"), col("n_members"),
+          coalesce(col("n_out"), lit(0L)).as("n_out"),
+          coalesce(col("n_in"), lit(0L)).as("n_in"))
+    },
+
+    // NB CONFUSION MATRIX (the evaluation artifact of q378): per
+    // (true_label, pred_label) cell the count and a doc-id checksum —
+    // one keyed aggregate over the held-out predictions. On the separable
+    // fixture the matrix is exactly diagonal, which the oracle replays
+    // rather than assumes.
+    "q388_nb_confusion" -> { (s, dir) =>
+      val (train, test) = nbCorpus(s, dir)
+      graft.ext.Classify.naiveBayesPredict(train, test)
+        .join(test.select(col("doc_id"), col("label").as("true_label")),
+          "doc_id")
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("doc_checksum"))
+    },
+
     // STREAMING HEAVY HITTERS (HeavyHitters.streamingShardSummaries) — the
     // batch Misra–Gries aggregator's unbounded-stream form: the documents
     // stream (with two planted needles at ~14% and ~12.5% of the token
@@ -15495,6 +15545,25 @@ object SparkEntry {
       """SELECT CAST(id AS BIGINT) AS id,
         |       CAST(id - id % 6 AS BIGINT) AS scc
         |FROM range(240) t(id)""".stripMargin,
+
+    // Closed form from the fixture: 40 six-node components; even block
+    // index → one out-edge to its odd successor, odd → one in-edge.
+    "q387_scc_condensation" ->
+      """SELECT CAST(b * 6 AS BIGINT) AS scc,
+        |       CAST(6 AS BIGINT) AS n_members,
+        |       CAST(CASE WHEN b % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_out,
+        |       CAST(CASE WHEN b % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_in
+        |FROM range(40) t(b)""".stripMargin,
+
+    "q388_nb_confusion" ->
+      s"""WITH $nbModelCtes,
+         |toscore AS (SELECT doc_id, text FROM nbtest),
+         |$nbPredictCtes
+         |SELECT t.label AS true_label, p.pred_label,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(p.doc_id) AS BIGINT) AS doc_checksum
+         |FROM nbpred p JOIN nbtest t ON t.doc_id = p.doc_id
+         |GROUP BY 1, 2""".stripMargin,
 
     // The streaming candidates are a guaranteed superset, and the exact
     // recount + threshold is plain SQL: tokens of the needle-planted

@@ -72,6 +72,14 @@ class Round14Spec extends SparkSpec {
     assert(out.map(_._2).toSet == Set("good", "bad"))
   }
 
+  test("q388 confusion matrix: exactly diagonal on the separable fixture") {
+    val cells = SparkEntry.queries("q388_nb_confusion")(spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long, Long)].collect()
+    assert(cells.length == 2, s"got ${cells.toSeq}")
+    assert(cells.forall(c => c._1 == c._2), "off-diagonal cells would mean misclassification")
+    assert(cells.map(_._3).sum == 250L)
+  }
+
   test("q379 funnel: NB stage drops exactly the planted spam, dedup exactly the copies") {
     val rows = SparkEntry.queries("q379_funnel_nb")(spark, "/root/testdata/sf0.001")
       .as[(Long, String, Long, Long, Long)].collect()

@@ -87,6 +87,18 @@ class Round14fSpec extends SparkSpec {
     }
   }
 
+  test("q387 condensation: 40 components of 6, even blocks point at their successor") {
+    val rows = SparkEntry.queries("q387_scc_condensation")(spark, "unused")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows.size == 40)
+    (0 until 40).foreach { b =>
+      val (_, m, out, in) = rows(b * 6L)
+      assert(m == 6L)
+      assert(out == (if (b % 2 == 0) 1L else 0L))
+      assert(in == (if (b % 2 == 1) 1L else 0L))
+    }
+  }
+
   test("q386: all 240 nodes resolved to their 6-node cycle") {
     val got = SparkEntry.queries("q386_scc")(spark, "unused")
       .as[(Long, Long)].collect().toMap
