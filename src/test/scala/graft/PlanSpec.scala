@@ -750,6 +750,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("skipGramPmi: walk-keyed equi self-join, map-side-combined pair counts, no cartesian") {
+    import spark.implicits._
+    val walks = Seq((0L, 0L, 1L), (0L, 1L, 2L), (0L, 2L, 3L),
+      (1L, 0L, 2L), (1L, 1L, 3L)).toDF("walk_id", "step", "node")
+    val p = graft.ext.Graph.skipGramPmi(walks, window = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"the pair join must stay equi on walk_id:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"pair counts must combine map-side before their exchange:\n$p")
+    // the only nested-loop join is the 1-row n_total broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("louvainContract: labels broadcast into both endpoint lookups, ONE (comm_a, comm_b) aggregate exchange") {
     import spark.implicits._
     val wed = Seq((0L, 1L, 1L), (0L, 2L, 1L), (1L, 2L, 1L), (2L, 10L, 1L),
