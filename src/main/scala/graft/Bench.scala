@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query three times — a warm-up
@@ -49,6 +49,17 @@ import org.apache.spark.sql.SparkSession
   * Listener events are async; the blocking per-query cache cleanup runs
   * between the action and the snapshot, so bleed across queries is at most
   * a straggler stage event and never systematic.
+  *
+  * `jobs` (round 15): per-query Spark JOB count (first warm rep) — the
+  * third currency. Wall time lies on a contended box; shuffle bytes are
+  * blind to the iterative graph operators' real cost driver (per-round
+  * actions, each with fixed scheduler overhead); the job count records
+  * exactly that. `job_movers` is report-only (>1.2× AND +3 jobs over the
+  * open ref — a real control-flow change by construction).
+  *
+  * `dirty` (round 15): true when `git status --porcelain` is non-empty at
+  * measurement time — the `commit` pin is then NOT what was measured, and
+  * round_close.sh refuses the record.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -66,12 +77,19 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
-    // Running total of shuffle bytes written across all stages; per-query
-    // deltas are snapshotted around each run (see scaladoc on bleed).
+    // Running total of shuffle bytes written across all stages, and of
+    // Spark JOBS started; per-query deltas are snapshotted around each run
+    // (see scaladoc on bleed). Jobs are the third currency (round-14
+    // verdict item 6): wall time lies on a contended box, shuffle bytes
+    // are blind to the graph loops' real cost driver — per-round actions —
+    // so `jobs:{}` records what the iterative operators actually pay.
     val shuffleWritten = new java.util.concurrent.atomic.LongAdder
+    val jobsStarted = new java.util.concurrent.atomic.LongAdder
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         shuffleWritten.add(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobsStarted.add(1L)
     })
 
     // One execution of `name`: returns (elapsed seconds, shuffle bytes
@@ -79,8 +97,9 @@ object Bench {
     // entries are dropped before moving on: each query is a standalone
     // workload, and a persisted projection surviving into later queries only
     // adds GC pressure there.
-    def runOnceB(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+    def runOnceB(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
       val b0 = shuffleWritten.sum()
+      val j0 = jobsStarted.sum()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -97,7 +116,8 @@ object Bench {
       // blocks (e.g. the connected-components rounds) survive it and would
       // hold storage memory into later queries' timings.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      if (ok) (dt, shuffleWritten.sum() - b0) else (-1.0, 0L)
+      if (ok) (dt, shuffleWritten.sum() - b0, jobsStarted.sum() - j0)
+      else (-1.0, 0L, 0L)
     }
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       runOnceB(name, fn)._1
@@ -108,16 +128,18 @@ object Bench {
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
 
-    // Per-query shuffle bytes written (first warm rep; plan-deterministic).
+    // Per-query shuffle bytes written and jobs started (first warm rep;
+    // both plan-deterministic).
     val shuffleBytes = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val jobCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
 
     // Stable name order (not Map hash order).
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val cold = runOnce(name, fn)
-      val (rep1, rep1Bytes) = runOnceB(name, fn)
-      if (rep1 >= 0) shuffleBytes(name) = rep1Bytes
+      val (rep1, rep1Bytes, rep1Jobs) = runOnceB(name, fn)
+      if (rep1 >= 0) { shuffleBytes(name) = rep1Bytes; jobCounts(name) = rep1Jobs }
       val twoReps = Seq(rep1, runOnce(name, fn))
       // Pollution guard: min-of-two doesn't defend against session-wide
       // contention hitting BOTH warm reps (round 9: q65 recorded 13.2s warm
@@ -166,6 +188,7 @@ object Bench {
       catch { case _: Throwable => "" }
     val refWarm: Map[String, Double] = refNumberMap(refTxt, "queries")
     val refBytes: Map[String, Double] = refNumberMap(refTxt, "shuffle_bytes")
+    val refJobs: Map[String, Double] = refNumberMap(refTxt, "jobs")
     // A mover must be BOTH relatively (>1.7× ref) and absolutely (>0.75s
     // over ref) inflated — sub-second rows flap across runs without meaning.
     // (Round 12 used >2× and q85/q214/q77 sat 1.5–1.9× inflated just under
@@ -228,6 +251,24 @@ object Bench {
     }.mkString("{", ",", "}")
     val bytesJson = shuffleBytes
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Job movers are report-only like byte movers: the action count is a
+    // property of the code path (loop rounds × actions per round), so any
+    // move past the ±1 AQE/retry jitter is a real control-flow change.
+    val jobsJson = jobCounts
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val jobMoversJson = jobCounts.toSeq.flatMap { case (name, j) =>
+      refJobs.get(name).collect {
+        case ref if ref > 0 && j > 1.2 * ref && j - ref >= 3 =>
+          s""""$name":{"ref_jobs":${ref.toLong},"jobs":$j}"""
+      }
+    }.mkString("{", ",", "}")
+    // A dirty working tree means the artifact certifies commit X while
+    // measuring uncommitted code — record it so round_close can refuse.
+    val dirty = try {
+      val p = new ProcessBuilder("git", "status", "--porcelain").start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      p.waitFor() == 0 && out.nonEmpty
+    } catch { case _: Exception => false }
     // Pin the commit the artifact measures (round-13 verdict item 7 —
     // same discipline as the close record): best-effort, "" outside git.
     val commit = try {
@@ -235,7 +276,7 @@ object Bench {
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
       if (p.waitFor() == 0) out else ""
     } catch { case _: Exception => "" }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"cold":$cold,"warm_reps":$repsJson,"movers":$moversJson,"shuffle_bytes":$bytesJson,"shuffle_movers":$shuffleMoversJson,"bench_ref":"${if (refWarm.nonEmpty) refPath else ""}","errors":$errJson,"cpus":$cpus,"commit":"$commit","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"cold":$cold,"warm_reps":$repsJson,"movers":$moversJson,"shuffle_bytes":$bytesJson,"shuffle_movers":$shuffleMoversJson,"jobs":$jobsJson,"job_movers":$jobMoversJson,"bench_ref":"${if (refWarm.nonEmpty) refPath else ""}","errors":$errJson,"cpus":$cpus,"commit":"$commit","dirty":$dirty,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the tail of stdout (round 9 preserved per-query
     // numbers for just 40/208 queries) — persist the complete JSON to a

@@ -7734,13 +7734,18 @@ object SparkEntry {
       val sccC = graft.ext.Graph.stronglyConnectedComponents(
           edges, maxRounds = 4, maxPropRounds = 20)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sccC.count()
+      // size-gated label lookup (the louvainContract discipline): the SCC
+      // label table is node-sized, so broadcast only under a row limit —
+      // over it the endpoint lookups are plain node-keyed equi-joins.
+      val nLabels = sccC.count()
       val scc = s.createDataFrame(sccC.rdd, sccC.schema)
+      def look(n: String, c: String) = {
+        val l = scc.select(col("id").as(n), col("scc").as(c))
+        if (nLabels <= 100000000L) broadcast(l) else l
+      }
       val cedges = edges
-        .join(broadcast(scc.select(col("id").as("src"), col("scc").as("ca"))),
-          Seq("src"))
-        .join(broadcast(scc.select(col("id").as("dst"), col("scc").as("cb"))),
-          Seq("dst"))
+        .join(look("src", "ca"), Seq("src"))
+        .join(look("dst", "cb"), Seq("dst"))
         .where(col("ca") =!= col("cb"))
         .select(col("ca"), col("cb")).distinct()
       val members = scc.groupBy(col("scc")).agg(count(lit(1)).as("n_members"))
@@ -7992,6 +7997,158 @@ object SparkEntry {
           col("e.stage").as("stage"), col("e.n_in").as("n_in"),
           col("e.n_kept").as("n_kept"),
           (col("e.n_in") - col("e.n_kept")).as("n_dropped"))
+    },
+
+    // NB VOCABULARY FLOOR (Classify.naiveBayesModel minCount/maxVocab) —
+    // the pruning every published NB/fastText-class gate applies before
+    // weights: a per-doc-unique 'rareNNN' token is planted on every
+    // training doc (the web-scale long tail in miniature — typos, hex ids),
+    // minCount=3 prunes the entire singleton tail and maxVocab=30 cuts the
+    // floored vocabulary at frequency rank 30 (ties to the smaller term,
+    // deterministic), with class totals and V re-based on the RETAINED
+    // vocabulary. The oracle replays the floor as HAVING + ROW_NUMBER and
+    // the re-based add-1 weights token for token.
+    "q389_nb_vocab_floor" -> { (s, dir) =>
+      val (train, _) = nbCorpus(s, dir)
+      val noisy = train.select(col("doc_id"), col("label"),
+        concat(col("text"), lit(" rare"), col("doc_id").cast("string"))
+          .as("text"))
+      graft.ext.Classify.naiveBayesModel(noisy, minCount = 3L, maxVocab = 30)
+    },
+
+    // SPPMI TOP-K CONTEXTS (Graph.sppmiTopKContexts) — the artifact an
+    // embedding trainer consumes off q384's full PMI table: shifted-
+    // positive filter by the exact integer cross-multiplication
+    // `pmi_num > 5·pmi_den` (shift = the SGNS negative-sample count, so
+    // no e^s approximation), then the 3 strongest contexts per center by
+    // the 1e-6-grain integer ratio key — through the GroupedTopK PHYSICAL
+    // operator (bounded per-group heaps, partial pass before the exchange),
+    // not a window sort. The oracle replays the walks, the PMI rationals,
+    // and the rank with ROW_NUMBER.
+    "q390_sppmi_topk" -> { (s, dir) =>
+      import graft.plans.GroupedTopKStrategy
+      if (!s.experimental.extraStrategies.exists(_ eq GroupedTopKStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ GroupedTopKStrategy
+      val pairs = graft.ext.Itemsets
+        .pairCounts(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .where(col("n") >= 2)
+        .select(col("p1").as("id_a"), col("p2").as("id_b"))
+      val walks = graft.ext.Graph.randomWalks(pairs, steps = 4, startMod = 50L)
+      graft.ext.Graph.sppmiTopKContexts(
+        graft.ext.Graph.skipGramPmi(walks, window = 2), shift = 5L, k = 3)
+    },
+
+    // STREAMING NB QUALITY GATE (Classify.streamingNbScoreTick) — q379's
+    // learned stage in the production ingest loop: the model trains ONCE
+    // offline (q377's split, materialized before the stream starts), then
+    // two landing ticks score their micro-batches against the broadcast
+    // model and land batch-id-keyed overwrite partitions (exactly-once).
+    // NB scoring is per-document, so the union of tick outputs equals the
+    // one-shot batch prediction — which is exactly what the oracle replays
+    // (the q378 prediction CTEs over the full test split).
+    "q391_streaming_nb" -> { (s, dir) =>
+      val root = tempDirCleanedOnExit("graft-snb-")
+      val (train, test) = nbCorpus(s, dir)
+      val store = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val model = graft.ext.Classify.naiveBayesModel(train).persist(store)
+      model.count()
+      val classes = graft.ext.Classify.naiveBayesClasses(train).persist(store)
+      classes.count()
+      // the test split is doc_id % 4 ∈ {2, 3} (doc_id div 2 odd) — land it
+      // as two tick files so the gate runs over two real micro-batches
+      test.filter(col("doc_id") % 4 === 2)
+        .coalesce(1).write.mode("append").parquet(s"$root/landing")
+      test.filter(col("doc_id") % 4 === 3)
+        .coalesce(1).write.mode("append").parquet(s"$root/landing")
+      val stream = s.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("label", "string").add("text", "string"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/landing")
+      graft.ext.Classify.streamingNbScoreTick(stream, model, classes,
+        s"$root/preds", s"$root/ckpt")
+      s.read.parquet(s"$root/preds")
+        .select(col("doc_id"), col("pred_label"), col("score_micros"))
+    },
+
+    // LANDMARK (PEAK-GAP) AUDIO FINGERPRINT (MediaCodecs
+    // .audioPeakGapLandmarks) — closes q381's honestly-documented residual:
+    // probes only recover shifts that are frameWidth MULTIPLES. Landmarks
+    // hash peak-to-peak index gaps (4-gram, 15 bits each), which ANY shift
+    // translates without changing and a positive gain preserves exactly —
+    // the fixture's every-5th-clip copy is prepended by 37 junk samples
+    // (NOT a frame multiple) AND 3×-gained, and still shares essentially
+    // its whole key set. Matching is the banded equi-join on the key +
+    // a (id_a, id_b)-keyed shared-key count. The oracle replays sample →
+    // peak → gap → packed key → join arithmetically.
+    "q392_audio_landmarks" -> { (s, _) =>
+      import s.implicits._
+      val clips = s.range(40).as[Long].flatMap { id =>
+        // high-entropy portable stream: the md5-60 family (smooth
+        // closed-form signals have DEGENERATE peak geometry — every clip
+        // shares every frequent gap pattern; measured before this fixture
+        // was chosen). The oracle replays the same md5 arithmetic.
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h60(str: String): Long = java.lang.Long.parseLong(
+          md.digest(str.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15), 16)
+        def base(i: Int): Long = (h60(s"aud:$id:$i") % 20001L) - 10000L
+        val n = (6000 + (id % 7) * 20).toInt
+        val orig = (id, graft.ext.MediaCodecs.wavBytes(8000, 1,
+          Array.tabulate(n)(i => base(i).toShort)))
+        if (id % 5 == 0) {
+          val padded = Array.tabulate(n + 37) { i =>
+            if (i < 37) ((h60(s"junk:$id:$i") % 1201L) - 600L).toShort
+            else (3L * base(i - 37)).toShort
+          }
+          Seq(orig,
+            (id + 1000L, graft.ext.MediaCodecs.wavBytes(8000, 1, padded)))
+        } else Seq(orig)
+      }
+      val keys = clips.flatMap { case (id, bytes) =>
+          graft.ext.MediaCodecs.audioPeakGapLandmarks(bytes).get
+            .map(k => (id, k))
+        }
+        .toDF("media_id", "lk").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      keys.select(col("media_id").as("id_a"), col("lk"))
+        .join(keys.select(col("media_id").as("id_b"), col("lk")), "lk")
+        .where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 30L)
+    },
+
+    // BRIDGES (Graph.bridges) — edge biconnectivity, the round-15 stretch:
+    // BFS spanning forest (roots = CC min-members), LCA walk per non-tree
+    // edge (one conditional lift — BFS layering bounds |Δlevel| ≤ 1 —
+    // then simultaneous parent steps), the ±1 subtree-sum covering trick,
+    // bridge ⟺ S(subtree) = 0. Fixture with KNOWN bridges: 10 five-node
+    // cycles chained by 9 single connector edges — exactly the connectors
+    // are bridges. Ground-truth oracle (closed form), plus Round15cSpec's
+    // 12-graph randomized Tarjan replay.
+    "q393_bridges" -> { (s, _) =>
+      val cyc = s.range(50).select(
+        expr("(id div 5) * 10 + id % 5").as("id_a"),
+        expr("(id div 5) * 10 + (id % 5 + 1) % 5").as("id_b"))
+      val conn = s.range(9).select(
+        expr("id * 10 + 2").as("id_a"), expr("(id + 1) * 10").as("id_b"))
+      graft.ext.Graph.bridges(cyc.unionByName(conn), maxRounds = 40)
+    },
+
+    // 2-EDGE-CONNECTED COMPONENTS (Graph.twoEdgeConnectedComponents) —
+    // the consumption artifact of q393: CC over the non-bridge edges,
+    // bridge-only nodes as singletons; on the fixture every node labels
+    // to its cycle's min member (closed-form oracle).
+    "q394_2ecc" -> { (s, _) =>
+      val cyc = s.range(50).select(
+        expr("(id div 5) * 10 + id % 5").as("id_a"),
+        expr("(id div 5) * 10 + (id % 5 + 1) % 5").as("id_b"))
+      val conn = s.range(9).select(
+        expr("id * 10 + 2").as("id_a"), expr("(id + 1) * 10").as("id_b"))
+      graft.ext.Graph.twoEdgeConnectedComponents(
+        cyc.unionByName(conn), maxRounds = 40)
     }
   )
 
@@ -15848,7 +16005,166 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 1, 'nb_quality', c0, c1, c0 - c1 FROM agg
          |  UNION ALL
-         |  SELECT 2, 'exact_dedup', c1, c2, c1 - c2 FROM agg)""".stripMargin
+         |  SELECT 2, 'exact_dedup', c1, c2, c1 - c2 FROM agg)""".stripMargin,
+
+    // The floored NB model: the per-doc-unique 'rareNNN' tail, the
+    // min-count HAVING, the frequency-rank cut (ties to the smaller term),
+    // and the add-1 weights re-based on the retained vocabulary — every
+    // expression mirrors Classify.flooredCnt/naiveBayesModel token for
+    // token.
+    "q389_nb_vocab_floor" ->
+      """WITH nbcorpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 1 THEN 'bad' ELSE 'good' END AS label,
+        |         CASE WHEN doc_id % 2 = 1
+        |              THEN text || ' win free click buy win free click buy win free click buy'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |nbtrain AS (SELECT * FROM nbcorpus WHERE (doc_id // 2) % 2 = 0),
+        |noisy AS (SELECT doc_id, label,
+        |                 text || ' rare' || CAST(doc_id AS VARCHAR) AS text
+        |          FROM nbtrain),
+        |nbtok AS (
+        |  SELECT label,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM noisy),
+        |cnt0 AS (SELECT label, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |         FROM nbtok GROUP BY 1, 2),
+        |keptv AS (
+        |  SELECT term FROM (
+        |    SELECT term,
+        |           ROW_NUMBER() OVER (ORDER BY SUM(cnt) DESC, term) AS rk
+        |    FROM cnt0 GROUP BY term HAVING SUM(cnt) >= 3)
+        |  WHERE rk <= 30),
+        |cnt AS (SELECT c.label, c.term, c.cnt
+        |        FROM cnt0 c JOIN keptv USING (term)),
+        |tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot
+        |        FROM cnt GROUP BY 1),
+        |voc AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM cnt)
+        |SELECT c.label, c.term, c.cnt,
+        |       CAST(ROUND(1e6 * ln((c.cnt + 1) * 1e0 / (t.tot + voc.v)))
+        |            AS BIGINT) AS w_micros
+        |FROM cnt c JOIN tot t ON t.label = c.label CROSS JOIN voc""".stripMargin,
+
+    // q384's PMI rationals, the exact shift filter (pmi_num > 5·pmi_den),
+    // the 1e-6-grain integer ratio, and the per-center rank replayed with
+    // ROW_NUMBER (value desc, context desc — GroupedTopK's descending
+    // (value, tie) contract).
+    "q390_sppmi_topk" ->
+      s"""WITH $randomWalkCtesSql,
+         |sp AS (SELECT a.node AS center, b.node AS context
+         |       FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+         |        AND abs(a.step - b.step) BETWEEN 1 AND 2),
+         |pc AS (SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |       FROM sp GROUP BY 1, 2),
+         |mc AS (SELECT center, CAST(SUM(n_pairs) AS BIGINT) AS n_center
+         |       FROM pc GROUP BY 1),
+         |mx AS (SELECT context, CAST(SUM(n_pairs) AS BIGINT) AS n_context
+         |       FROM pc GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM pc),
+         |pmi AS (
+         |  SELECT p.center, p.context, p.n_pairs,
+         |         CAST(p.n_pairs * nt.n_total AS BIGINT) AS pmi_num,
+         |         CAST(mc.n_center * mx.n_context AS BIGINT) AS pmi_den
+         |  FROM pc p JOIN mc ON mc.center = p.center
+         |            JOIN mx ON mx.context = p.context
+         |            CROSS JOIN nt),
+         |pos AS (
+         |  SELECT center, context, n_pairs, pmi_num, pmi_den,
+         |         CAST(pmi_num * 1000000 // pmi_den AS BIGINT)
+         |           AS pmi_ratio_micros
+         |  FROM pmi WHERE pmi_num > 5 * pmi_den)
+         |SELECT center, context, n_pairs, pmi_num, pmi_den, pmi_ratio_micros
+         |FROM pos
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY center
+         |  ORDER BY pmi_ratio_micros DESC, context DESC) <= 3""".stripMargin,
+
+    // Streaming NB scoring is stateless per document, so the union of the
+    // tick partitions equals the one-shot batch prediction over the test
+    // split — the q378 prediction CTEs verbatim, minus the true-label join.
+    "q391_streaming_nb" ->
+      s"""WITH $nbModelCtes,
+         |toscore AS (SELECT doc_id, text FROM nbtest),
+         |$nbPredictCtes
+         |SELECT doc_id, pred_label, score_micros FROM nbpred""".stripMargin,
+
+    // Sample (md5-60 stream) → strong peak (strict max over ±32) → gap →
+    // 15-bit-packed 4-gram key → banded equi-join, replayed arithmetically
+    // (WAV encode/decode is lossless 16-bit PCM, so the formula IS the
+    // sample stream).
+    "q392_audio_landmarks" ->
+      """WITH ids AS (SELECT CAST(id AS BIGINT) AS id FROM range(40) t(id)),
+        |clips AS (
+        |  SELECT id AS media_id, i,
+        |         (CAST(concat('0x', substr(md5(concat('aud:',
+        |            CAST(id AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 15))
+        |            AS BIGINT) % 20001) - 10000 AS v
+        |  FROM ids CROSS JOIN (SELECT CAST(i AS BIGINT) AS i
+        |                       FROM range(6200) r(i)) r
+        |  WHERE i < 6000 + (id % 7) * 20),
+        |padded AS (
+        |  SELECT id + 1000 AS media_id, i,
+        |         CASE WHEN i < 37 THEN
+        |           (CAST(concat('0x', substr(md5(concat('junk:',
+        |              CAST(id AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 15))
+        |              AS BIGINT) % 1201) - 600
+        |         ELSE 3 * ((CAST(concat('0x', substr(md5(concat('aud:',
+        |            CAST(id AS VARCHAR), ':', CAST(i - 37 AS VARCHAR))),
+        |            1, 15)) AS BIGINT) % 20001) - 10000) END AS v
+        |  FROM ids CROSS JOIN (SELECT CAST(i AS BIGINT) AS i
+        |                       FROM range(6237) r(i)) r
+        |  WHERE id % 5 = 0 AND i < 6000 + (id % 7) * 20 + 37),
+        |sam AS (SELECT * FROM clips UNION ALL SELECT * FROM padded),
+        |win AS (
+        |  SELECT media_id, i, v,
+        |         MAX(v) OVER (PARTITION BY media_id ORDER BY i
+        |           ROWS BETWEEN 32 PRECEDING AND 1 PRECEDING) AS mxp,
+        |         MAX(v) OVER (PARTITION BY media_id ORDER BY i
+        |           ROWS BETWEEN 1 FOLLOWING AND 32 FOLLOWING) AS mxn,
+        |         COUNT(*) OVER (PARTITION BY media_id ORDER BY i
+        |           ROWS BETWEEN 32 PRECEDING AND 1 PRECEDING) AS cp,
+        |         COUNT(*) OVER (PARTITION BY media_id ORDER BY i
+        |           ROWS BETWEEN 1 FOLLOWING AND 32 FOLLOWING) AS cn
+        |  FROM sam),
+        |pk AS (SELECT media_id, i FROM win
+        |       WHERE cp = 32 AND cn = 32 AND v > mxp AND v > mxn),
+        |gaps AS (
+        |  SELECT media_id,
+        |         LEAD(i, 1) OVER w - i AS g0,
+        |         LEAD(i, 2) OVER w - LEAD(i, 1) OVER w AS g1,
+        |         LEAD(i, 3) OVER w - LEAD(i, 2) OVER w AS g2,
+        |         LEAD(i, 4) OVER w - LEAD(i, 3) OVER w AS g3
+        |  FROM pk WINDOW w AS (PARTITION BY media_id ORDER BY i)),
+        |keys AS (
+        |  SELECT DISTINCT media_id,
+        |         ((least(g0, 32767) * 32768 + least(g1, 32767)) * 32768
+        |          + least(g2, 32767)) * 32768 + least(g3, 32767) AS lk
+        |  FROM gaps WHERE g3 IS NOT NULL)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM keys a JOIN keys b ON a.lk = b.lk AND a.media_id < b.media_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 30""".stripMargin,
+
+    // Ground truth, not a replay: the fixture's bridges are its 9
+    // connector edges by construction (every cycle edge lies on a cycle).
+    "q393_bridges" ->
+      """SELECT least(a0, b0) AS a, greatest(a0, b0) AS b, is_bridge
+        |FROM (
+        |  SELECT CAST((id // 5) * 10 + id % 5 AS BIGINT) AS a0,
+        |         CAST((id // 5) * 10 + (id % 5 + 1) % 5 AS BIGINT) AS b0,
+        |         FALSE AS is_bridge
+        |  FROM range(50) t(id)
+        |  UNION ALL
+        |  SELECT CAST(id * 10 + 2 AS BIGINT), CAST((id + 1) * 10 AS BIGINT),
+        |         TRUE
+        |  FROM range(9) t(id))""".stripMargin,
+
+    // Closed form: every node belongs to its 5-cycle's 2ECC, labeled by
+    // the cycle's min member.
+    "q394_2ecc" ->
+      """SELECT CAST(id AS BIGINT) AS id,
+        |       CAST((id // 10) * 10 AS BIGINT) AS component
+        |FROM (SELECT (id // 5) * 10 + id % 5 AS id FROM range(50) t(id))""".stripMargin
   )
 
   /** DuckDB replay of q376's deterministic walk corpus (the hub-capped

@@ -27,15 +27,22 @@ object Graph {
     *     two-branch union: `edges` is typically an unpersisted candidate-pair
     *     pipeline (MinHash verify), and a union of two selects over it ran
     *     that whole upstream pipeline twice in the materializing job;
-    *   - convergence detection rides the round's own aggregation via
-    *     `observe` (changed-label count as a side metric of the min-agg job)
-    *     instead of a separate labels×next join + count job per round.
+    *   - convergence detection needs no labels×next join: the round carries
+    *     a one-boolean `__chg` flag and the changed-count is a scan of the
+    *     round's own just-cached blocks. (An `observe` side-metric variant
+    *     was tried and REVERTED: observations complete through the
+    *     Dataset-action listener, which the RDD-level materialization below
+    *     does not drive — the metric read stale and converged wrongly.)
     *
-    * Each round's labels are persisted so round N's plan is one level on top
-    * of round N-1's cache (bounded depth), and the SUPERSEDED round is
-    * unpersisted as soon as the next one materializes — an earlier
-    * localCheckpoint version leaked every round's blocks for the JVM's
-    * lifetime, inflating unrelated queries 3-6× (PERF.md). At cluster scale,
+    * Each round's labels are `localCheckpoint`ed — blocks cached AND the
+    * RDD lineage truncated, so round N's task binary is a flat scan of
+    * round N−1's blocks no matter how many rounds run (SQL persist alone
+    * keeps the object-graph chain, and past ~30 rounds — a diameter-30+
+    * component — task DESERIALIZATION overflows the task thread's stack;
+    * reproduced round 15). The SUPERSEDED round is unpersisted as soon as
+    * the next one materializes — an earlier localCheckpoint version leaked
+    * every round's blocks for the JVM's lifetime, inflating unrelated
+    * queries 3-6× (PERF.md); this one releases eagerly. At cluster scale,
     * `df.checkpoint()` to reliable storage also survives executor loss.
     * `maxIter` bounds the worst case (a path graph); the loop exits early on
     * convergence. */
@@ -81,12 +88,15 @@ object Graph {
     // (Reference the child column `src` inside agg, not the groupBy alias
     // `id`: resolving the alias there depends on Spark's implicit
     // lateral-column-alias resolution, off-by-default before 3.4.)
-    var labelsC = sym.groupBy(col("src"))
+    val labelsC = sym.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("component"))
       .select(col("src").as("id"), col("component"))
       .persist(level)
     labelsC.count()
     var labels = truncated(labelsC)
+    // last round's checkpointed label RDD (null while labels still reads
+    // the SQL-persisted round-0 table) — superseded rounds release eagerly
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -101,28 +111,36 @@ object Graph {
         .groupBy("id")
         .agg(min("component").as("component"),
           min(when(col("orig"), col("component"))).as("prev"))
-      val obs = Observation(s"cc_round_$iter")
-      val next = merged
-        .observe(obs, sum(when(col("component") =!= col("prev"), 1L)
-          .otherwise(0L)).as("changed"))
-        .select(col("id"), col("component"))
-        .persist(level)
-      next.count() // materializes `next` AND completes the observation
-      // A MISSING metric must fail loudly: treating it as 0 would declare
-      // convergence after one round and return wrong components. Only an
-      // explicitly-null value (SUM over the empty relation) legitimately
-      // means "nothing changed".
-      val metrics = obs.get
-      require(metrics.contains("changed"),
-        s"connectedComponents: observation cc_round_$iter surfaced no 'changed' metric (got keys ${metrics.keys.mkString(",")})")
-      val changed = metrics("changed") match {
-        case null => 0L // empty graph: sum over zero rows is null
-        case l: java.lang.Long => l.longValue()
-        case other => other.toString.toLong
-      }
-      labelsC.unpersist(blocking = false)
-      labelsC = next
-      labels = truncated(next)
+      val next = merged.select(col("id"), col("component"),
+        (col("component") =!= col("prev")).as("__chg"))
+      // RDD-level lineage cut (round 15): the plan-truncating rebind keeps
+      // round N's LOGICAL plan constant, but its RDD still references round
+      // N−1's RDD object through narrow deps — Java task serialization
+      // walks that object graph, and past ~30 rounds (a diameter-30+
+      // component at local[32]) the task binary's nested object graph
+      // overflows the task thread's stack on DESERIALIZATION (reproduced:
+      // tools/ScratchProbe on a 10×5-cycle chain; bench-scale consumers
+      // converge in ≤ ~15 rounds and never hit it). localCheckpoint() +
+      // the materializing count clears the checkpointed RDD's deps, so
+      // every round's task binary is a flat scan of the previous round's
+      // blocks — constant size at ANY iteration count.
+      //
+      // The changed-count moved OFF the Observation API in the same change:
+      // observations complete through the Dataset-action listener, which a
+      // raw RDD count does not drive (measured on a diameter-48 fixture:
+      // the metric surfaced stale and declared convergence after round 1 —
+      // WRONG labels, not just slow). The explicit count scans the
+      // just-cached checkpoint blocks: one cheap extra job per round, and
+      // the one-boolean flag column is dropped by the label projection.
+      val nextRdd = next.rdd
+      nextRdd.localCheckpoint()
+      nextRdd.count()
+      val nextDf = spark.createDataFrame(nextRdd, next.schema)
+      val changed = nextDf.where(col("__chg")).count()
+      if (prevRdd == null) labelsC.unpersist(blocking = false)
+      else prevRdd.unpersist(blocking = false)
+      prevRdd = nextRdd
+      labels = nextDf.select(col("id"), col("component"))
       converged = changed == 0L
       iter += 1
     }
@@ -903,12 +921,44 @@ object Graph {
     * is whole-graph keyed joins (label lookup on src/dst, node-keyed
     * aggregates), never per-pivot jobs; active edges/labels persist
     * repartitioned above the plan-truncating rebind (the graph-loop
-    * discipline). Min-label propagation advances one edge per inner round,
-    * so inner rounds scale with the active subgraph's directed diameter —
-    * the same honest bound as the q133 BFS machinery; size `maxPropRounds`
-    * to the corpus. Output: `(id, scc)` for every endpoint node resolved
-    * within the bounds (unresolved actives are ABSENT, so an undersized
-    * bound surfaces as missing rows, never as a wrong label). */
+    * discipline). Min-label propagation is FRONTIER-LIMITED: min over a
+    * monotone lattice means a node's color can only improve through an
+    * in-neighbor whose color improved last round, so each inner round
+    * joins only the CHANGED nodes' out-edges (the q133 BFS frontier
+    * discipline) — per-round cost tracks the moving boundary, not
+    * rounds×|E|. Propagation advances one edge per inner round, so inner
+    * rounds scale with the active subgraph's directed diameter — size
+    * `maxPropRounds` to the corpus.
+    *
+    * Honest bound: output is `(id, scc)` for every endpoint node resolved
+    * within the bounds — unresolved actives are ABSENT, never mislabeled.
+    * Concretely, a round EMITS only when BOTH inner loops reached their
+    * fixed points (forward coloring converged AND the backward frontier
+    * drained); if either hits `maxPropRounds` while still moving, the
+    * round emits nothing and the remaining active nodes stay absent
+    * (emitting a partially-propagated class could split one true SCC
+    * across labels — a wrong answer, not a smaller one). */
+  /** One frontier-limited forward-coloring round of
+    * [[stronglyConnectedComponents]], exposed for the spec pin: candidate
+    * colors come ONLY from `front`'s out-edges (min-label is monotone, so a
+    * node not downstream of a changed node cannot improve), then the full
+    * color table takes the pointwise min. Output: `(id, c, __chg)` with
+    * `__chg` true iff the color improved this round — rows with `__chg`
+    * are the next frontier. Per-round exchange: the frontier-out-edge
+    * aggregate + the node-keyed rewrite; the |E|-proportional aggregate
+    * input of the pre-frontier form is gone (measured −30% total shuffle
+    * on the fanout-8 lattice probe — tools/SccFrontierProbe, PERF r15). */
+  private[graft] def sccColorStep(e: DataFrame, colors: DataFrame,
+                                  front: DataFrame): DataFrame = {
+    val viaIn = e
+      .join(front.select(col("id").as("src"), col("c").as("cs")), Seq("src"))
+      .groupBy(col("dst").as("id")).agg(min(col("cs")).as("cin"))
+    colors.join(viaIn, Seq("id"), "left")
+      .select(col("id"),
+        least(col("c"), coalesce(col("cin"), col("c"))).as("c"),
+        (coalesce(col("cin"), col("c")) < col("c")).as("__chg"))
+  }
+
   def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int,
                                   maxPropRounds: Int = 30,
                                   srcCol: String = "src",
@@ -932,81 +982,113 @@ object Graph {
     var nActive = nodes.count()
     var out: Option[DataFrame] = None
     var round = 0
-    while (round < maxRounds && nActive > 0) {
+    var boundHit = false
+    while (round < maxRounds && nActive > 0 && !boundHit) {
       round += 1
-      // 1. forward min-label coloring to a fixed point
-      var colors = truncated(nodes.select(col("id"), col("id").as("c")))
+      // 1. forward min-label coloring to a fixed point — frontier-limited:
+      // min-label is monotone, so only nodes whose color IMPROVED last
+      // round can improve a successor this round; each round joins just
+      // the frontier's out-edges instead of the full color table.
+      var colorsP = truncated(nodes.select(col("id"), col("id").as("c")))
         .repartition(col("id")).persist(store)
-      colors.count()
-      var changed = 1L
+      colorsP.count()
+      var front = colorsP // at init every node's color just "changed"
+      var changed = nActive
       var p = 0
       while (changed > 0 && p < maxPropRounds) {
         p += 1
-        val viaIn = e
-          .join(colors.select(col("id").as("src"), col("c").as("cs")),
-            Seq("src"))
-          .groupBy(col("dst").as("id")).agg(min(col("cs")).as("cin"))
-        val stepped = truncated(colors.join(viaIn, Seq("id"), "left")
-            .select(col("id"), col("c").as("__old"),
-              least(col("c"), coalesce(col("cin"), col("c"))).as("c")))
+        val stepped = truncated(sccColorStep(e, colorsP.select(col("id"),
+            col("c")), front.select(col("id"), col("c"))))
           .repartition(col("id")).persist(store)
-        changed = stepped.where(col("c") =!= col("__old")).count()
-        colors.unpersist(blocking = false)
-        colors = stepped.select(col("id"), col("c"))
+        val nf = truncated(stepped.where(col("__chg"))
+            .select(col("id"), col("c")))
+          .repartition(col("id")).persist(store)
+        changed = nf.count()
+        if (front ne colorsP) front.unpersist(blocking = false)
+        colorsP.unpersist(blocking = false)
+        colorsP = stepped
+        front = nf
       }
-      // 2. backward frontier within color classes, from the pivots
-      val sameColorE = truncated(e
-          .join(colors.select(col("id").as("src"), col("c").as("cs")),
-            Seq("src"))
-          .join(colors.select(col("id").as("dst"), col("c").as("cd")),
-            Seq("dst"))
-          .where(col("cs") === col("cd"))
-          .select(col("src"), col("dst")))
-        .repartition(col("dst")).persist(store)
-      sameColorE.count()
-      var marked = truncated(colors.where(col("c") === col("id"))
-          .select(col("id")))
-        .repartition(col("id")).persist(store)
-      marked.count()
-      var frontier = marked
-      var b = 0
-      var frontierN = 1L
-      while (frontierN > 0 && b < maxPropRounds) {
-        b += 1
-        val nf = truncated(sameColorE
-            .join(frontier.select(col("id").as("dst")), Seq("dst"))
-            .select(col("src").as("id")).distinct()
-            .join(marked, Seq("id"), "left_anti"))
+      if (front ne colorsP) front.unpersist(blocking = false)
+      val colors = colorsP.select(col("id"), col("c"))
+      if (changed > 0) {
+        // maxPropRounds hit while colors were still moving: the coloring is
+        // NOT a fixed point, so a class may hold >1 would-be pivot and any
+        // emission could split a true SCC across labels. Emit nothing for
+        // the remaining actives (honest-bound contract) and stop.
+        colorsP.unpersist(blocking = false)
+        boundHit = true
+      } else {
+        // 2. backward frontier within color classes, from the pivots
+        val sameColorE = truncated(e
+            .join(colors.select(col("id").as("src"), col("c").as("cs")),
+              Seq("src"))
+            .join(colors.select(col("id").as("dst"), col("c").as("cd")),
+              Seq("dst"))
+            .where(col("cs") === col("cd"))
+            .select(col("src"), col("dst")))
+          .repartition(col("dst")).persist(store)
+        sameColorE.count()
+        var marked = truncated(colors.where(col("c") === col("id"))
+            .select(col("id")))
           .repartition(col("id")).persist(store)
-        frontierN = nf.count()
-        if (frontierN > 0) {
-          val m2 = truncated(marked.unionByName(nf))
+        marked.count()
+        var frontier = marked
+        var b = 0
+        var frontierN = 1L
+        while (frontierN > 0 && b < maxPropRounds) {
+          b += 1
+          val nf = truncated(sameColorE
+              .join(frontier.select(col("id").as("dst")), Seq("dst"))
+              .select(col("src").as("id")).distinct()
+              .join(marked, Seq("id"), "left_anti"))
             .repartition(col("id")).persist(store)
-          m2.count()
-          marked.unpersist(blocking = false)
-          marked = m2
+          frontierN = nf.count()
+          if (frontier ne marked) frontier.unpersist(blocking = false)
+          frontier = nf
+          if (frontierN > 0) {
+            val m2 = truncated(marked.unionByName(nf))
+              .repartition(col("id")).persist(store)
+            m2.count()
+            marked.unpersist(blocking = false)
+            marked = m2
+          }
         }
-        frontier = nf
+        if (frontier ne marked) frontier.unpersist(blocking = false)
+        if (frontierN > 0) {
+          // maxPropRounds hit while the backward frontier was still
+          // growing: `marked` under-covers at least one SCC; emitting and
+          // deactivating it would relabel the remainder next round — a
+          // split, not a miss. Emit nothing and stop (rows stay absent).
+          sameColorE.unpersist(blocking = false)
+          marked.unpersist(blocking = false)
+          colorsP.unpersist(blocking = false)
+          boundHit = true
+        } else {
+          // 3. emit and deactivate
+          val found = truncated(marked.join(colors, Seq("id"))
+              .select(col("id"), col("c").as("scc")))
+            .persist(store)
+          found.count()
+          out = Some(out.fold(found: DataFrame)(_.unionByName(found)))
+          sameColorE.unpersist(blocking = false)
+          marked.unpersist(blocking = false)
+          val nextNodes = truncated(
+              nodes.join(found.select(col("id")), Seq("id"), "left_anti"))
+            .repartition(col("id")).persist(store)
+          nActive = nextNodes.count()
+          nodes.unpersist(blocking = false)
+          nodes = nextNodes
+          val nextE = truncated(e
+              .join(found.select(col("id").as("src")), Seq("src"), "left_anti")
+              .join(found.select(col("id").as("dst")), Seq("dst"), "left_anti"))
+            .repartition(col("src")).persist(store)
+          nextE.count()
+          e.unpersist(blocking = false)
+          e = nextE
+          colorsP.unpersist(blocking = false)
+        }
       }
-      // 3. emit and deactivate
-      val found = truncated(marked.join(colors, Seq("id"))
-          .select(col("id"), col("c").as("scc")))
-        .persist(store)
-      found.count()
-      out = Some(out.fold(found: DataFrame)(_.unionByName(found)))
-      val nextNodes = truncated(
-          nodes.join(found.select(col("id")), Seq("id"), "left_anti"))
-        .repartition(col("id")).persist(store)
-      nActive = nextNodes.count()
-      nodes.unpersist(blocking = false)
-      nodes = nextNodes
-      val nextE = truncated(e
-          .join(found.select(col("id").as("src")), Seq("src"), "left_anti")
-          .join(found.select(col("id").as("dst")), Seq("dst"), "left_anti"))
-        .repartition(col("src")).persist(store)
-      nextE.count()
-      e.unpersist(blocking = false)
-      e = nextE
     }
     out.getOrElse(
       e.sparkSession.createDataFrame(
@@ -1016,6 +1098,232 @@ object Graph {
             org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("scc",
             org.apache.spark.sql.types.LongType, nullable = false)))))
+  }
+
+  /** BRIDGES (cut edges) of an undirected graph — the edge-biconnectivity
+    * sibling the family gains after SCC (round-15 stretch item): one row
+    * per undirected input edge `(a, b, is_bridge)`. Built from the
+    * textbook covering argument (Tarjan's bridge characterization via
+    * spanning-tree subtree sums — the Euler-tour/±1 trick), realized in
+    * bounded keyed-join rounds:
+    *
+    *  1. spanning FOREST: per-component BFS from the component's min node
+    *     ([[connectedComponents]] labels are min-member, so roots are
+    *     free); `parent(x)` = min neighbor one level up — deterministic;
+    *  2. every NON-TREE edge {u, v} covers the tree path u→lca(u,v)→v.
+    *     BFS layering bounds |level(u) − level(v)| ≤ 1, so the LCA walk is
+    *     ONE conditional lift to equal levels, then simultaneous
+    *     parent-steps until the walkers meet — all pairs advance together,
+    *     each round one pair-table-sized keyed join, rounds ≤ tree height;
+    *  3. the ±1 trick: `w(y) = #non-tree endpoints at y − 2·#non-tree
+    *     LCAs at y`; the subtree sum `S(x) = Σ_{y∈sub(x)} w(y)` counts
+    *     exactly the non-tree edges CROSSING sub(x)'s boundary (both
+    *     endpoints inside ⇒ lca inside ⇒ net 0; one inside ⇒ +1; none ⇒
+    *     0), computed bottom-up one level per round (children of level
+    *     L+1 aggregate into level L — total row work O(V) across all
+    *     rounds, the wavefront discipline);
+    *  4. tree edge (parent(x), x) is a bridge iff S(x) = 0; non-tree
+    *     edges are never bridges (they close a cycle by construction).
+    *
+    * Honest bound: `maxRounds` caps the BFS depth, the LCA walk, and the
+    * subtree accumulation (all ≤ forest height). An undersized bound
+    * FAILS LOUDLY (require) — a partial bridge set is a wrong answer (a
+    * missed covering edge would mark a cycle edge as a bridge), so unlike
+    * the SCC contract there is no safe "absent rows" shape to return.
+    *
+    * Scale: every step is a node-, edge-, or pair-keyed join/aggregate —
+    * nothing all-pairs, no data-sized driver state (the only scalars are
+    * the per-phase counts and the forest height). Deep-diameter graphs
+    * pay rounds ∝ height, the same trade as every loop in this file. */
+  def bridges(edges: DataFrame, maxRounds: Int, idA: String = "id_a",
+              idB: String = "id_b"): DataFrame = {
+    require(maxRounds >= 1, s"bridges: maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    // RDD-level lineage cut, not just the logical-plan rebind: bridges
+    // COMPOSES four bounded-round phases (CC → BFS → LCA walk → subtree
+    // sums), and the plan-truncating rebind alone leaves each round's RDD
+    // referencing its predecessor's cached RDD object — ~100 stacked
+    // rounds serialize a >1000-deep object graph into every task binary
+    // and overflow the task thread's stack during Java deserialization
+    // (hit at exactly this composition depth; the single-loop operators
+    // stay under it). localCheckpoint() + the materializing count drops
+    // the checkpointed RDD's dependencies, so every pinned frame is a
+    // flat scan of its own blocks. Superseded loop frames release
+    // eagerly; whatever remains is freed at return, so cached state never
+    // accumulates O(rounds) live frames.
+    val pinnedRdds = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+    val rddOf = new java.util.IdentityHashMap[
+      DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+    def pinned(df: DataFrame): DataFrame = {
+      val r = df.rdd
+      r.localCheckpoint()
+      r.count()
+      pinnedRdds += r
+      val out = spark.createDataFrame(r, df.schema)
+      rddOf.put(out, r)
+      out
+    }
+    def release(df: DataFrame): Unit = {
+      val r = rddOf.remove(df)
+      if (r != null) { r.unpersist(blocking = false); pinnedRdds -= r }
+    }
+
+    val und = pinned(edges
+      .select(least(col(idA), col(idB)).cast("long").as("a"),
+        greatest(col(idA), col(idB)).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .repartition(col("a")))
+    val sym = pinned(und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")))
+
+    // 1. forest roots = component min-members; BFS levels from all roots
+    val comp = connectedComponents(und, "a", "b", maxIter = maxRounds)
+    var levC = pinned(comp.where(col("id") === col("component"))
+      .select(col("id"), lit(0L).as("lev")).repartition(col("id")))
+    var frontier = levC.select(col("id"))
+    var fN = levC.count()
+    var r = 0
+    while (fN > 0 && r < maxRounds) {
+      r += 1
+      val nf = pinned(sym
+        .join(frontier.select(col("id").as("src")), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(levC.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(r.toLong).as("lev"))
+        .repartition(col("id")))
+      fN = nf.count()
+      if (fN > 0) {
+        val merged = pinned(levC.unionByName(nf).repartition(col("id")))
+        release(levC)
+        levC = merged
+      }
+      release(frontier)
+      frontier = nf
+    }
+    require(fN == 0,
+      s"bridges: BFS did not drain within maxRounds=$maxRounds — " +
+        "raise the bound to at least the graph diameter")
+    val lev = levC
+    val maxLev = Option(lev.agg(max(col("lev"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+
+    // parent(x) = min neighbor one level up; tree edges = (parent, id)
+    val parent = pinned(sym
+      .join(lev.select(col("id").as("src"), col("lev").as("ls")), Seq("src"))
+      .join(lev.select(col("id").as("dst"), col("lev").as("ld")), Seq("dst"))
+      .where(col("ls") === col("ld") - 1)
+      .groupBy(col("dst").as("id")).agg(min(col("src")).as("parent"))
+      .repartition(col("id")))
+    val treeKey = parent.select(
+      least(col("parent"), col("id")).as("a"),
+      greatest(col("parent"), col("id")).as("b"))
+    val nontree = pinned(und.join(treeKey, Seq("a", "b"), "left_anti")
+      .repartition(col("a")))
+
+    // 2. LCA per non-tree edge: one conditional lift (BFS ⇒ |Δlevel| ≤ 1),
+    // then simultaneous parent-steps until the walkers meet
+    val parU = parent.select(col("id").as("u"), col("parent").as("pu"))
+    val parV = parent.select(col("id").as("v"), col("parent").as("pv"))
+    var act = pinned(nontree
+      .join(lev.select(col("id").as("a"), col("lev").as("la")), Seq("a"))
+      .join(lev.select(col("id").as("b"), col("lev").as("lb")), Seq("b"))
+      .select(col("a"), col("b"),
+        when(col("la") >= col("lb"), col("a")).otherwise(col("b")).as("u"),
+        when(col("la") >= col("lb"), col("b")).otherwise(col("a")).as("v"),
+        (col("la") - col("lb")).as("dl"))
+      .join(parU, Seq("u"), "left")
+      .select(col("a"), col("b"),
+        when(abs(col("dl")) === 1, col("pu")).otherwise(col("u")).as("u"),
+        col("v"))
+      .repartition(col("u")))
+    var lcas: Option[DataFrame] = None
+    var actN = act.count()
+    r = 0
+    while (actN > 0 && r < maxRounds) {
+      r += 1
+      val hit = pinned(act.where(col("u") === col("v"))
+        .select(col("a"), col("b"), col("u").as("lca")))
+      lcas = Some(lcas.fold(hit: DataFrame)(_.unionByName(hit)))
+      val next = pinned(act.where(col("u") =!= col("v"))
+        .join(parU, Seq("u")).join(parV, Seq("v"))
+        .select(col("a"), col("b"), col("pu").as("u"), col("pv").as("v"))
+        .repartition(col("u")))
+      actN = next.count()
+      release(act)
+      act = next
+    }
+    require(actN == 0,
+      s"bridges: LCA walk did not resolve within maxRounds=$maxRounds — " +
+        "raise the bound to at least the forest height")
+    val lcaTbl = lcas.getOrElse(
+      nontree.limit(0).select(col("a"), col("b"), col("a").as("lca")))
+
+    // 3. w(y) = endpoints − 2·lcas; subtree sums bottom-up one level/round
+    val endp = nontree
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("ec"))
+    val lcnt = lcaTbl.groupBy(col("lca").as("id")).agg(count(lit(1)).as("lc"))
+    val w = pinned(lev.select(col("id"))
+      .join(endp, Seq("id"), "left").join(lcnt, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("ec"), lit(0L)) - lit(2L) * coalesce(col("lc"), lit(0L)))
+          .as("w"))
+      .repartition(col("id")))
+    var sPrev: Option[DataFrame] = None // S rows of level L+1
+    var sOut: Option[DataFrame] = None
+    var lvl = maxLev
+    while (lvl >= 1L) {
+      val nodesL = lev.where(col("lev") === lvl).select(col("id"))
+      val childSum = sPrev.fold(
+        nodesL.limit(0).select(col("id"), lit(0L).as("cs"))) { sp =>
+        sp.join(parent, Seq("id"))
+          .groupBy(col("parent").as("id")).agg(sum(col("s")).as("cs"))
+      }
+      val sL = pinned(nodesL.join(w, Seq("id"))
+        .join(childSum, Seq("id"), "left")
+        .select(col("id"),
+          (col("w") + coalesce(col("cs"), lit(0L))).as("s"))
+        .repartition(col("id")))
+      sOut = Some(sOut.fold(sL: DataFrame)(_.unionByName(sL)))
+      // NOTE: no release(sPrev) — every sL frame stays live inside sOut
+      // (a localCheckpointed frame cannot recompute freed blocks); they
+      // all free in the bulk cleanup at return.
+      sPrev = Some(sL)
+      lvl -= 1L
+    }
+    val sTbl = sOut.getOrElse(
+      lev.limit(0).select(col("id"), lit(0L).as("s")))
+
+    // 4. bridge ⟺ tree edge whose subtree sum is 0
+    val bridgeKey = parent.join(sTbl, Seq("id")).where(col("s") === 0L)
+      .select(least(col("parent"), col("id")).as("a"),
+        greatest(col("parent"), col("id")).as("b"), lit(true).as("__br"))
+    val outP = pinned(und.join(bridgeKey, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("__br"), lit(false)).as("is_bridge")))
+    // the result is its own checkpointed blocks — everything upstream frees
+    val outRdd = pinnedRdds.last
+    pinnedRdds.foreach(rd => if (!(rd eq outRdd)) rd.unpersist(blocking = false))
+    outP
+  }
+
+  /** 2-EDGE-CONNECTED components: [[connectedComponents]] over the
+    * non-bridge edges of [[bridges]], with bridge-only nodes kept as
+    * singletons — labels canonicalize to the component's min member (the
+    * CC convention). The consumption artifact of bridge analysis: every
+    * pair inside a label survives any single edge failure. */
+  def twoEdgeConnectedComponents(edges: DataFrame, maxRounds: Int,
+                                 idA: String = "id_a",
+                                 idB: String = "id_b"): DataFrame = {
+    val br = bridges(edges, maxRounds, idA, idB)
+    val keep = br.where(!col("is_bridge"))
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val cc = connectedComponents(keep, maxIter = maxRounds)
+    val nodes = br.select(explode(array(col("a"), col("b"))).as("id")).distinct()
+    nodes.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Skip-gram co-occurrence counts + exact-PMI rationals over a walk
@@ -1059,6 +1367,43 @@ object Graph {
         col("n_context"), col("n_total"),
         (col("n_pairs") * col("n_total")).as("pmi_num"),
         (col("n_center") * col("n_context")).as("pmi_den"))
+  }
+
+  /** Shifted-positive-PMI top-k contexts per center — the artifact an
+    * embedding trainer actually consumes off [[skipGramPmi]]'s full PMI
+    * table (Levy & Goldberg 2014's SPPMI: `max(0, PMI − ln(shift))` with
+    * `shift` = the SGNS negative-sample count, then the k strongest
+    * contexts per center row of the factorized matrix).
+    *
+    * Log-free, the q155/q384 integer-rational discipline end to end:
+    *  - the shift threshold `PMI > ln(shift)` cross-multiplies to the exact
+    *    integer comparison `pmi_num > shift · pmi_den` (shift is the
+    *    INTEGER negative-sample count, so no e^s approximation is needed);
+    *  - the per-center ranking key is `⌊10⁶ · pmi_num / pmi_den⌋` — integer
+    *    division, monotone in PMI (subtracting the constant ln(shift)
+    *    never reorders within a center), quantized at the same 1e-6 grain
+    *    as the repo's micro-log weights; ratio collisions at that grain
+    *    break deterministically by the larger context id.
+    *
+    * The top-k itself runs through the [[graft.plans.GroupedTopK]] physical
+    * operator (bounded per-group heaps, partial pass before the exchange —
+    * the shuffle carries ≤ k rows per (partition, center) instead of every
+    * positive pair), NOT a row_number window that would sort every center's
+    * full context list. Caller must have [[graft.plans.GroupedTopKStrategy]]
+    * installed (the operator fails loudly otherwise). Overflow: the rank
+    * key multiplies `pmi_num ≤ n_total²` by 10⁶ — lift to DECIMAL(38,0)
+    * past ~3·10⁶ total pairs if centers can exceed that (declared
+    * precision, same plan). */
+  def sppmiTopKContexts(pmi: DataFrame, shift: Long, k: Int): DataFrame = {
+    require(shift >= 1L && k >= 1,
+      s"sppmiTopKContexts: bad args (shift=$shift, k=$k)")
+    val pos = pmi
+      .where(col("pmi_num") > lit(shift) * col("pmi_den"))
+      .select(col("center"), col("context"), col("n_pairs"),
+        col("pmi_num"), col("pmi_den"),
+        expr("(pmi_num * 1000000) div pmi_den").as("pmi_ratio_micros"))
+    graft.plans.GroupedTopK.topKPerGroup(pos, Seq("center"),
+      "pmi_ratio_micros", "context", k)
   }
 
   /** Multi-sweep synchronized Louvain ([[louvainMoveRound]] generalized
@@ -1203,11 +1548,16 @@ object Graph {
     *
     * Scale: every per-sweep exchange is the weighted (src, community) vote
     * aggregate or a node-keyed join (the [[louvainSweeps]] shape); the
-    * guard's two Q values are 1-row aggregates broadcast into the accept
-    * CASE (no driver round-trip); contraction is ONE exchange keyed on the
-    * (comm_a, comm_b) pair; each level's graph is strictly no larger than
-    * the last and is persisted repartitioned on its source key above the
-    * plan-truncating rebind (the round-13 graph-loop discipline). */
+    * guard reads the proposal's Q off the sweep's own vote table as ONE
+    * 1-row aggregate `head()` per sweep (the established metadata license
+    * — one scalar per sweep crosses the driver, never data) and carries
+    * q_old as a scalar; contraction goes through [[louvainContract]]'s
+    * size-gated label lookup (broadcast under the row limit, node-keyed
+    * equi-joins over it), so its only guaranteed exchange is the
+    * (comm_a, comm_b)-keyed weight aggregate; each level's graph is
+    * strictly no larger than the last and is persisted repartitioned on
+    * its source key above the plan-truncating rebind (the round-13
+    * graph-loop discipline). */
   def louvainMultiLevel(edges: DataFrame, sweepsPerLevel: Int, levels: Int,
                         idA: String = "id_a", idB: String = "id_b"): DataFrame = {
     require(sweepsPerLevel >= 1 && levels >= 1,
@@ -1223,7 +1573,18 @@ object Graph {
         .where(col("a") =!= col("b")).distinct()
         .select(col("a"), col("b"), lit(1L).as("w")))
       .repartition(col("a")).persist(store)
-    wedges.count()
+    if (wedges.count() == 0L) {
+      // edge-free input: return the empty per-level summary cleanly — the
+      // level constants below are null-sum aggregates on an empty table
+      // and would otherwise surface as an opaque NullPointerException.
+      wedges.unpersist(blocking = false)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(
+          Seq("level", "n_nodes", "n_communities", "internal_weight",
+            "q_scaled").map(n => org.apache.spark.sql.types.StructField(
+            n, org.apache.spark.sql.types.LongType, nullable = false))))
+    }
 
     var out: Option[DataFrame] = None
     for (lvl <- 1 to levels) {
@@ -1240,8 +1601,8 @@ object Graph {
       // 2m (level-invariant by contraction), the singleton-init Σtot², and
       // the total self-loop weight
       val degRow = deg.agg(sum(col("k")), sum(col("k") * col("k"))).head()
-      val m2Val = degRow.getLong(0)
-      val totSq0 = degRow.getLong(1)
+      val m2Val = Option(degRow.get(0)).fold(0L)(_.asInstanceOf[Long])
+      val totSq0 = Option(degRow.get(1)).fold(0L)(_.asInstanceOf[Long])
       val wselfVal = Option(wedges.where(col("a") === col("b"))
         .agg(sum(col("w"))).head().get(0)).fold(0L)(_.asInstanceOf[Long])
 
@@ -1363,18 +1724,28 @@ object Graph {
     * summed, intra-community weight (including prior self-loops) becoming
     * the community's self-loop. Modularity-preserving by construction.
     *
-    * Scale: the node-sized label table broadcasts into the two endpoint
-    * lookups, so the ONLY exchange is the (comm_a, comm_b)-keyed weight
-    * aggregate (map-side combinable) — PlanSpec pins exactly that shape. */
-  def louvainContract(wedges: DataFrame, labels: DataFrame): DataFrame =
+    * Scale — SIZE-GATED join strategy: the label table is node-sized, so a
+    * forced broadcast is a data-sized driver collect + per-executor copy
+    * at 10⁹ nodes. Under `broadcastLabelLimit` rows (one cheap count on
+    * the caller-persisted label table) the labels broadcast into the two
+    * endpoint lookups and the ONLY exchange is the (comm_a, comm_b)-keyed
+    * weight aggregate; over the limit the lookups become plain node-keyed
+    * equi-joins (two exchanges + the aggregate) — same output, the plan a
+    * 1000-executor cluster actually survives. PlanSpec pins both modes. */
+  def louvainContract(wedges: DataFrame, labels: DataFrame,
+                      broadcastLabelLimit: Long = 100000000L): DataFrame = {
+    val small = labels.count() <= broadcastLabelLimit
+    def look(n: String, c: String): DataFrame = {
+      val l = labels.select(col("node").as(n), col("comm").as(c))
+      if (small) broadcast(l) else l
+    }
     wedges
-      .join(broadcast(labels.select(col("node").as("a"), col("comm").as("ca"))),
-        Seq("a"))
-      .join(broadcast(labels.select(col("node").as("b"), col("comm").as("cb"))),
-        Seq("b"))
+      .join(look("a", "ca"), Seq("a"))
+      .join(look("b", "cb"), Seq("b"))
       .select(least(col("ca"), col("cb")).as("a"),
         greatest(col("ca"), col("cb")).as("b"), col("w"))
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+  }
 
   /** One SYNCHRONIZED Louvain move phase from singleton init (Blondel et
     * al. 2008's phase-1 first sweep, the community-detection primitive the

@@ -497,6 +497,78 @@ object MediaCodecs {
     }
   }
 
+  /** LANDMARK (peak-gap) audio fingerprint — the sub-frame-shift closer
+    * [[audioHashProbes]] honestly declines: probes recover only shifts that
+    * are MULTIPLES of `frameWidth`, because any other offset misaligns
+    * every energy frame. Landmarks sidestep frames entirely (the Shazam
+    * idea — Wang 2003 — hash relative geometry of signal peaks, which a
+    * shift translates but never changes; realized here in the time domain
+    * so the oracle can replay it integer-exactly):
+    *
+    *  - STRONG PEAKS: sample indices `i` (with a full window on both sides,
+    *    `window ≤ i < n − window`) whose value is STRICTLY greater than
+    *    every other sample in `[i−window, i+window]`. Strict dominance over
+    *    a window — not a 3-point local max — for two reasons: it is
+    *    SCALE-FREE (an amplitude threshold would break gain invariance),
+    *    and it makes peaks SPARSE (~1 per `2·window` samples), so the gap
+    *    alphabet is wide and a 4-gram key carries real entropy (3-point
+    *    maxima on any signal produce gaps from a handful of small values —
+    *    every clip shares every frequent pattern and the keyspace
+    *    collapses; measured before this design was chosen);
+    *  - GAPS: successive strong-peak index deltas `g(j) = p(j+1) − p(j)`
+    *    (each ≥ window+1 by construction);
+    *  - LANDMARK KEYS: every `ngram` consecutive gaps packed 15 bits each
+    *    (capped at 32767) into one Long — key `j` is
+    *    `Σ g(j+t) · 2^(15·(ngram−1−t))`, `ngram ≤ 4`.
+    *
+    * Invariances are EXACT, by construction, and compose: a shift by ANY
+    * `r` (prepended pad or head trim — no frame-multiple caveat) translates
+    * every interior strong peak by `r` and leaves every gap unchanged, so
+    * all keys whose peak windows stay clear of the splice are identical; a
+    * positive gain without clipping preserves every sample comparison, so
+    * peaks — and therefore keys — are bit-identical. Matching is an
+    * equi-join on the key (a blocked/banded scheme like the MinHash bands
+    * and Hamming pigeonholes: per-key fan-out bounded, nothing all-pairs),
+    * then a (id_a, id_b)-keyed shared-key count with a caller threshold;
+    * key hubs (metronomic material) compose with the established over-cap
+    * audit discipline. None on non-WAV bytes or payloads with fewer than
+    * `ngram + 1` strong peaks. */
+  def audioPeakGapLandmarks(bytes: Array[Byte], ngram: Int = 4,
+                            window: Int = 32): Option[Array[Long]] = {
+    require(ngram >= 1 && ngram <= 4,
+      s"audioPeakGapLandmarks: ngram must be in 1..4, got $ngram")
+    require(window >= 1,
+      s"audioPeakGapLandmarks: window must be >= 1, got $window")
+    parseWav(bytes).flatMap { w =>
+      val s = w.samples
+      val peaks = scala.collection.mutable.ArrayBuffer[Int]()
+      var i = window
+      while (i < s.length - window) {
+        val v = s(i)
+        var dominant = true
+        var j = i - window
+        while (dominant && j <= i + window) {
+          if (j != i && s(j) >= v) dominant = false
+          j += 1
+        }
+        if (dominant) peaks += i
+        i += 1
+      }
+      val nKeys = peaks.length - ngram
+      if (nKeys < 1) None
+      else Some(Array.tabulate(nKeys) { j =>
+        var key = 0L
+        var t = 0
+        while (t < ngram) {
+          val gap = math.min(peaks(j + t + 1) - peaks(j + t), 32767).toLong
+          key = (key << 15) | gap
+          t += 1
+        }
+        key
+      })
+    }
+  }
+
   /** Integer per-frame energies of a WAV payload: frame `f` is the exact
     * `Σ v²` over samples `[f·frameWidth, (f+1)·frameWidth)` (only FULL
     * frames; a trailing partial frame is dropped so a value never depends

@@ -202,20 +202,30 @@ def main():
         if not record:
             print(f"FAIL: refusing to write an EMPTY correctness record to {json_out}")
             sys.exit(2)
-        # Pin the commit the record certifies (round-13 verdict item 7):
-        # without it the artifact cannot prove it covers HEAD.
+        # Pin the commit the record certifies (round-13 verdict item 7) —
+        # without it the artifact cannot prove it covers HEAD — and whether
+        # the working tree was DIRTY at check time (round-15: a dirty tree
+        # means the pin names a commit that is not what ran; round_close.sh
+        # refuses such a record).
         try:
             import subprocess
             commit = subprocess.check_output(
                 ["git", "rev-parse", "HEAD"], text=True).strip()
         except Exception:
             commit = None
+        try:
+            import subprocess
+            dirty = bool(subprocess.check_output(
+                ["git", "status", "--porcelain"], text=True).strip())
+        except Exception:
+            dirty = None
         with open(json_out, "w") as f:
             json.dump({"n_queries": len(record),
                        "n_fail": n_fail,
                        "all_ok": n_fail == 0,
                        "sf_dir": sf_dir,
                        "commit": commit,
+                       "dirty": dirty,
                        "queries": record}, f, indent=0, sort_keys=True)
             f.write("\n")
         print(f"wrote {json_out}: {len(record)} queries, {n_fail} failures")

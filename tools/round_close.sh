@@ -14,6 +14,14 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 ROUND="${1:?usage: tools/round_close.sh <round-number> [sfDir]}"
+
+# Refuse a dirty working tree up front (round-15): the record pins HEAD,
+# and a dirty tree means HEAD is not what the dump would measure.
+if [[ -n "$(git status --porcelain)" ]]; then
+  echo "[round-close] REFUSING: working tree is dirty — commit first:" >&2
+  git status --porcelain >&2
+  exit 3
+fi
 SF_DIR="${2:-/root/testdata/sf0.01}"
 OUT_DIR="$(mktemp -d /tmp/verify_close_rXXXX)"
 ART_DIR="correctness"
@@ -37,6 +45,9 @@ head = subprocess.check_output(["git", "rev-parse", "HEAD"], text=True).strip()
 assert rec.get("commit") == head, (
     f"{sys.argv[1]} certifies commit {rec.get('commit')}, but HEAD is {head} — "
     "re-run the close after the final code commit")
+assert rec.get("dirty") is not True, (
+    f"{sys.argv[1]} was produced on a DIRTY tree — its commit pin is not "
+    "what was measured; commit and re-run")
 print(f"[round-close] {sys.argv[1]}: {rec['n_queries']} queries, all green @ {head[:12]}")
 EOF
 
