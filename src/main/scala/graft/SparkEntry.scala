@@ -8139,14 +8139,19 @@ object SparkEntry {
 
     // 2-EDGE-CONNECTED COMPONENTS (Graph.twoEdgeConnectedComponents) —
     // the consumption artifact of q393: CC over the non-bridge edges,
-    // bridge-only nodes as singletons; on the fixture every node labels
-    // to its cycle's min member (closed-form oracle).
+    // bridge-only nodes as singletons; every node labels to its cycle's
+    // min member (closed-form oracle). Fixture: the same 10 five-node
+    // cycles, but STAR-connected (cycle 0's node 2 feeds every other
+    // cycle) — diameter ~6 instead of q393's deliberately-deep ~30-level
+    // chain (the chain stays on q393 as the standing regression guard for
+    // the round-15 deep-iteration lineage fix; paying its ~110 loop
+    // rounds twice per bench run bought nothing).
     "q394_2ecc" -> { (s, _) =>
       val cyc = s.range(50).select(
         expr("(id div 5) * 10 + id % 5").as("id_a"),
         expr("(id div 5) * 10 + (id % 5 + 1) % 5").as("id_b"))
       val conn = s.range(9).select(
-        expr("id * 10 + 2").as("id_a"), expr("(id + 1) * 10").as("id_b"))
+        lit(2L).as("id_a"), expr("(id + 1) * 10").as("id_b"))
       graft.ext.Graph.twoEdgeConnectedComponents(
         cyc.unionByName(conn), maxRounds = 40)
     }
