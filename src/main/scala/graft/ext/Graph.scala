@@ -1000,16 +1000,17 @@ object Graph {
         val stepped = truncated(sccColorStep(e, colorsP.select(col("id"),
             col("c")), front.select(col("id"), col("c"))))
           .repartition(col("id")).persist(store)
-        val nf = truncated(stepped.where(col("__chg"))
-            .select(col("id"), col("c")))
-          .repartition(col("id")).persist(store)
-        changed = nf.count()
-        if (front ne colorsP) front.unpersist(blocking = false)
+        // ONE job per inner round: the changed-count materializes stepped,
+        // and the next frontier is a filter OVER stepped's cache (a second
+        // persisted frontier frame + its count doubled the per-round job
+        // bill for nothing — the frontier is read exactly once, by the
+        // next round's viaIn join). The frontier dies with its stepped
+        // frame's unpersist, so no separate bookkeeping.
+        changed = stepped.where(col("__chg")).count()
         colorsP.unpersist(blocking = false)
         colorsP = stepped
-        front = nf
+        front = stepped.where(col("__chg"))
       }
-      if (front ne colorsP) front.unpersist(blocking = false)
       val colors = colorsP.select(col("id"), col("c"))
       if (changed > 0) {
         // maxPropRounds hit while colors were still moving: the coloring is
