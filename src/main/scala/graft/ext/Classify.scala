@@ -63,8 +63,16 @@ object Classify {
     *
     * `minCount ≤ 1` with `maxVocab ≤ 0` short-circuits to the raw counts —
     * byte-identical plan to the unfloored path (no extra aggregate/join).
-    * The maxVocab rank is a global window over the FLOORED vocab table
-    * (vocab-sized by construction, the BPE-merge-table license). */
+    * The maxVocab rank runs through [[Rank.valueAtRanks]]'s distributed
+    * selection (range-partition on the frequency key, sort only the
+    * partition holding rank maxVocab), NOT a global `row_number` window:
+    * even the min-count-FLOORED vocab of a web corpus can pass 10⁸ terms,
+    * and the window funneled all of them through one reducer. The cut row
+    * is the `(term_total, term)` pair at frequency rank `maxVocab`
+    * (count desc, term asc — the same deterministic tie order as the
+    * window it replaces); keep = strictly more frequent, or tied on count
+    * with `term ≤ cut.term`. A NULL cut (vocab smaller than maxVocab)
+    * keeps everything. */
   private def flooredCnt(train: DataFrame, labelCol: String, textCol: String,
                          minCount: Long, maxVocab: Int): DataFrame = {
     val cnt = tokenized(train, Seq(labelCol), textCol)
@@ -76,10 +84,20 @@ object Classify {
         .where(col("term_total") >= minCount)
       val kept =
         if (maxVocab <= 0) termTot.select(col("term"))
-        else termTot
-          .withColumn("__rk", row_number().over(
-            Window.orderBy(col("term_total").desc, col("term"))))
-          .where(col("__rk") <= maxVocab).select(col("term"))
+        else {
+          val cut = Rank.valueAtRanks(
+            termTot.select(col("term"), col("term_total"),
+              (-col("term_total")).as("__negtt"),
+              struct(col("term_total"), col("term")).as("__cut")),
+            orderCols = Seq("__negtt", "term"), value = "__cut",
+            namedRanks = _ => Seq("cut" -> maxVocab.toLong))
+          termTot.crossJoin(broadcast(cut))
+            .where(col("cut").isNull
+              || col("term_total") > col("cut.term_total")
+              || (col("term_total") === col("cut.term_total")
+                && col("term") <= col("cut.term")))
+            .select(col("term"))
+        }
       cnt.join(kept, Seq("term"), "left_semi")
     }
   }

@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Default row gate for broadcasting a node-sized label table into an
+    * equi-join ([[louvainContract]], the SCC condensation lookup): 10⁷
+    * two-long rows ≈ 160 MB serialized — under Spark's 8 GB broadcast hard
+    * cap and a size a 1000-executor fleet replicates without driver
+    * distress. Above it the same lookups run as node-keyed shuffles (same
+    * output). Deliberately NOT 10⁸: a forced broadcast of 10⁸ rows fails
+    * on its own before any gate can help. */
+  val BroadcastLabelRowLimit: Long = 10000000L
+
   /** Hash-min label propagation: every vertex converges to the smallest
     * vertex id reachable from it. Returns (id, component).
     *
@@ -45,9 +54,24 @@ object Graph {
     * queries 3-6× (PERF.md); this one releases eagerly. At cluster scale,
     * `df.checkpoint()` to reliable storage also survives executor loss.
     * `maxIter` bounds the worst case (a path graph); the loop exits early on
-    * convergence. */
+    * convergence.
+    *
+    * `requireConverged = true` makes an exhausted `maxIter` FAIL LOUDLY
+    * instead of returning the still-moving labels. Callers that only
+    * TRANSITIVELY close candidate pairs tolerate an early cut (labels are
+    * a refinement — groups merge later ticks); callers that build
+    * structure ON the labels (bridges' spanning forest roots, 2ECC) must
+    * set it: unconverged labels mean several self-labeled roots inside one
+    * component, and everything downstream silently computes on a forest
+    * with the wrong root set (round-16 ADVICE item).
+    *
+    * Ownership: the returned frame reads this call's final-round
+    * localCheckpoint blocks, which the Dataset API cannot release — the
+    * caller owns them (Bench sweeps `getPersistentRDDs` between queries;
+    * bridges/2ECC diff-and-release around their inner calls). */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 20,
+                          requireConverged: Boolean = false): DataFrame = {
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = edges.sparkSession
     // Plan-truncating rebind. persist() short-circuits EXECUTION but leaves the
@@ -129,12 +153,13 @@ object Graph {
       // observations complete through the Dataset-action listener, which a
       // raw RDD count does not drive (measured on a diameter-48 fixture:
       // the metric surfaced stale and declared convergence after round 1 —
-      // WRONG labels, not just slow). The explicit count scans the
-      // just-cached checkpoint blocks: one cheap extra job per round, and
-      // the one-boolean flag column is dropped by the label projection.
+      // WRONG labels, not just slow). The changed-count is ALSO the
+      // materializing action (round 16): a filtered count over the
+      // checkpoint-marked RDD scans every partition, so the blocks land
+      // and the lineage cut finalizes in the same job — the separate
+      // rdd.count() was one redundant job per round in every CC consumer.
       val nextRdd = next.rdd
       nextRdd.localCheckpoint()
-      nextRdd.count()
       val nextDf = spark.createDataFrame(nextRdd, next.schema)
       val changed = nextDf.where(col("__chg")).count()
       if (prevRdd == null) labelsC.unpersist(blocking = false)
@@ -145,6 +170,10 @@ object Graph {
       iter += 1
     }
     symC.unpersist(blocking = false)
+    require(!requireConverged || converged,
+      s"connectedComponents: labels still changing after maxIter=$maxIter " +
+        "— raise the bound (bridges/2ECC callers: maxRounds) to at least " +
+        "the graph diameter")
     labels
   }
 
@@ -1126,36 +1155,70 @@ object Graph {
     *  4. tree edge (parent(x), x) is a bridge iff S(x) = 0; non-tree
     *     edges are never bridges (they close a cycle by construction).
     *
-    * Honest bound: `maxRounds` caps the BFS depth, the LCA walk, and the
-    * subtree accumulation (all ≤ forest height). An undersized bound
-    * FAILS LOUDLY (require) — a partial bridge set is a wrong answer (a
-    * missed covering edge would mark a cycle edge as a bridge), so unlike
+    * MULTIGRAPH semantics (round-16 item 5): duplicate undirected input
+    * edges are counted, not silently merged — a doubled edge is a
+    * 2-cycle, so it is NEVER a bridge, and the covering machinery gets
+    * that for free: each extra copy of a tree edge enters the walk as a
+    * weight-(mult−1) non-tree covering of its own 1-edge path, and
+    * non-tree multiplicities weight the endpoint/LCA counts. Output stays
+    * one row per DISTINCT undirected edge `(a, b, is_bridge)`.
+    *
+    * Honest bound: `maxRounds` caps the inner CC (which must CONVERGE —
+    * `requireConverged`, else several self-labeled roots inside one
+    * component would silently drop cross-tree coverings and mark cycle
+    * edges as bridges), the BFS depth, the LCA walk, and the subtree
+    * accumulation (all ≤ forest height). An undersized bound FAILS
+    * LOUDLY (require) — a partial bridge set is a wrong answer, so unlike
     * the SCC contract there is no safe "absent rows" shape to return.
+    *
+    * ONE job per loop round (round-16 item 1, the SCC 5c3be1e
+    * discipline): each BFS/LCA round pins a single stepped frame whose
+    * materializing action IS the progress count — the frontier (BFS) and
+    * the resolved rows (LCA) are filters over that frame's cache, never
+    * separately pinned. The LCA walk carries resolved pairs forward
+    * (row work O(pairs·rounds) instead of shrinking — pair rows are 5
+    * longs, and the per-round scheduler overhead this removes dominated
+    * by 3 orders of magnitude: q393 paid 808 jobs for 0.45 MB of total
+    * shuffle; tools/BridgesJobsProbe records the before/after).
     *
     * Scale: every step is a node-, edge-, or pair-keyed join/aggregate —
     * nothing all-pairs, no data-sized driver state (the only scalars are
     * the per-phase counts and the forest height). Deep-diameter graphs
     * pay rounds ∝ height, the same trade as every loop in this file. */
-  def bridges(edges: DataFrame, maxRounds: Int, idA: String = "id_a",
-              idB: String = "id_b"): DataFrame = {
-    require(maxRounds >= 1, s"bridges: maxRounds must be >= 1, got $maxRounds")
-    val spark = edges.sparkSession
-    // RDD-level lineage cut, not just the logical-plan rebind: bridges
-    // COMPOSES four bounded-round phases (CC → BFS → LCA walk → subtree
-    // sums), and the plan-truncating rebind alone leaves each round's RDD
-    // referencing its predecessor's cached RDD object — ~100 stacked
-    // rounds serialize a >1000-deep object graph into every task binary
-    // and overflow the task thread's stack during Java deserialization
-    // (hit at exactly this composition depth; the single-loop operators
-    // stay under it). localCheckpoint() + the materializing count drops
-    // the checkpointed RDD's dependencies, so every pinned frame is a
-    // flat scan of its own blocks. Superseded loop frames release
-    // eagerly; whatever remains is freed at return, so cached state never
-    // accumulates O(rounds) live frames.
+  /** Frame bookkeeping for the multi-phase forest operators (bridges,
+    * biconnectivity) — two persistence disciplines, used deliberately:
+    *
+    *  - RDD-level lineage cut ([[pinned]]/[[pinnedWhere]]): these operators
+    *    COMPOSE several bounded-round phases (CC → BFS → LCA walk →
+    *    aggregation), and the plan-truncating rebind alone leaves each
+    *    round's RDD referencing its predecessor's cached RDD object —
+    *    ~100 stacked rounds serialize a >1000-deep object graph into every
+    *    task binary and overflow the task thread's stack during Java
+    *    deserialization (hit at exactly this composition depth).
+    *    localCheckpoint() drops the checkpointed RDD's dependencies, so
+    *    every pinned frame is a flat scan of its own blocks. pinnedWhere
+    *    is the ONE-JOB-PER-ROUND primitive: no separate materializing
+    *    count — the returned (frame, n) comes from one filtered count
+    *    whose full-partition scan is itself the action that writes the
+    *    checkpoint blocks.
+    *  - SQL persist ([[keepSql]]) for loop INVARIANTS: an RDD-pinned frame
+    *    FORGETS its outputPartitioning, which made every BFS round
+    *    re-exchange the |E|-sized sym table — SQL cache advertises
+    *    hashpartitioning, so per-round joins against these exchange only
+    *    the node-/pair-sized moving side. Their plans sit above a pinned
+    *    frame's constant-size LogicalRDD, so lineage stays flat without
+    *    the RDD cut.
+    *
+    * Superseded loop frames release eagerly; everything else frees in
+    * [[finishKeeping]], so cached state never accumulates O(rounds) live
+    * frames past the call. */
+  private final class PinCtx(spark: org.apache.spark.sql.SparkSession) {
+    private val store = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pinnedRdds = scala.collection.mutable.ArrayBuffer[
       org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
-    val rddOf = new java.util.IdentityHashMap[
+    private val rddOf = new java.util.IdentityHashMap[
       DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+    private val sqlPinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def pinned(df: DataFrame): DataFrame = {
       val r = df.rdd
       r.localCheckpoint()
@@ -1165,53 +1228,99 @@ object Graph {
       rddOf.put(out, r)
       out
     }
+    def pinnedWhere(df: DataFrame,
+                    pred: org.apache.spark.sql.Column): (DataFrame, Long) = {
+      val r = df.rdd
+      r.localCheckpoint()
+      pinnedRdds += r
+      val out = spark.createDataFrame(r, df.schema)
+      rddOf.put(out, r)
+      (out, out.where(pred).count())
+    }
+    def keepSql(df: DataFrame): DataFrame = {
+      val p = df.persist(store)
+      p.count()
+      sqlPinned += p
+      p
+    }
     def release(df: DataFrame): Unit = {
       val r = rddOf.remove(df)
       if (r != null) { r.unpersist(blocking = false); pinnedRdds -= r }
     }
+    // blocks cached by an inner call (CC) that its Dataset handle cannot
+    // release: diff the persistent-RDD registry around it (round-16 ADVICE)
+    def releaseForeignSince(before: Set[Int]): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (rid, rr) =>
+        if (!before.contains(rid) && !pinnedRdds.exists(_.id == rid))
+          rr.unpersist(blocking = false)
+      }
+    // the result keeps its own checkpointed blocks — everything else frees
+    def finishKeeping(out: DataFrame): DataFrame = {
+      val keep = rddOf.get(out)
+      pinnedRdds.foreach(rd =>
+        if (!(rd eq keep)) rd.unpersist(blocking = false))
+      sqlPinned.foreach(_.unpersist(blocking = false))
+      out
+    }
+  }
 
-    val und = pinned(edges
+  /** The shared BFS spanning-forest phase of [[bridges]] and
+    * [[biconnectedLabels]]: distinct undirected edges with multiplicity,
+    * symmetrized adjacency, converged CC roots (min members), BFS levels
+    * (ONE pinned frame + one job per round — the frontier is the `__new`
+    * filter over the round's cache), min-neighbor parents, and the
+    * weighted covering instances (non-tree edges with full multiplicity +
+    * duplicated tree edges as weight-(mult−1) coverings of their own
+    * 1-edge path). */
+  private final case class Forest(und: DataFrame, sym: DataFrame,
+                                  lev: DataFrame, parent: DataFrame,
+                                  nontreeW: DataFrame, maxLev: Long)
+  private def bfsForest(ctx: PinCtx, edges: DataFrame, maxRounds: Int,
+                        idA: String, idB: String, op: String): Forest = {
+    require(maxRounds >= 1, s"$op: maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    val und = ctx.pinned(edges
       .select(least(col(idA), col(idB)).cast("long").as("a"),
         greatest(col(idA), col(idB)).cast("long").as("b"))
-      .where(col("a") =!= col("b")).distinct()
-      .repartition(col("a")))
-    val sym = pinned(und.select(col("a").as("src"), col("b").as("dst"))
+      .where(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("mult")))
+    val sym = ctx.keepSql(und.select(col("a").as("src"), col("b").as("dst"))
       .union(und.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src")))
 
-    // 1. forest roots = component min-members; BFS levels from all roots
-    val comp = connectedComponents(und, "a", "b", maxIter = maxRounds)
-    var levC = pinned(comp.where(col("id") === col("component"))
-      .select(col("id"), lit(0L).as("lev")).repartition(col("id")))
-    var frontier = levC.select(col("id"))
-    var fN = levC.count()
+    val preCc = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val comp = connectedComponents(und, "a", "b", maxIter = maxRounds,
+      requireConverged = true)
+    var (levN, fN) = ctx.pinnedWhere(comp.where(col("id") === col("component"))
+      .select(col("id"), lit(0L).as("lev"), lit(true).as("__new")),
+      col("__new"))
+    ctx.releaseForeignSince(preCc)
     var r = 0
     while (fN > 0 && r < maxRounds) {
       r += 1
-      val nf = pinned(sym
-        .join(frontier.select(col("id").as("src")), Seq("src"))
-        .select(col("dst").as("id")).distinct()
-        .join(levC.select(col("id")), Seq("id"), "left_anti")
-        .select(col("id"), lit(r.toLong).as("lev"))
-        .repartition(col("id")))
-      fN = nf.count()
-      if (fN > 0) {
-        val merged = pinned(levC.unionByName(nf).repartition(col("id")))
-        release(levC)
-        levC = merged
-      }
-      release(frontier)
-      frontier = nf
+      val grown = levN.select(col("id"), col("lev"), lit(false).as("__new"))
+        .unionByName(sym
+          .join(levN.where(col("__new")).select(col("id").as("src")),
+            Seq("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(levN.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id"), lit(r.toLong).as("lev"), lit(true).as("__new")))
+      val (g, n2) = ctx.pinnedWhere(grown, col("__new"))
+      ctx.release(levN)
+      levN = g
+      fN = n2
     }
     require(fN == 0,
-      s"bridges: BFS did not drain within maxRounds=$maxRounds — " +
+      s"$op: BFS did not drain within maxRounds=$maxRounds — " +
         "raise the bound to at least the graph diameter")
-    val lev = levC
+    val lev = ctx.keepSql(levN.select(col("id"), col("lev"))
+      .repartition(col("id")))
+    ctx.release(levN)
     val maxLev = Option(lev.agg(max(col("lev"))).head().get(0))
       .fold(0L)(_.asInstanceOf[Long])
 
     // parent(x) = min neighbor one level up; tree edges = (parent, id)
-    val parent = pinned(sym
+    val parent = ctx.keepSql(sym
       .join(lev.select(col("id").as("src"), col("lev").as("ls")), Seq("src"))
       .join(lev.select(col("id").as("dst"), col("lev").as("ld")), Seq("dst"))
       .where(col("ls") === col("ld") - 1)
@@ -1220,53 +1329,68 @@ object Graph {
     val treeKey = parent.select(
       least(col("parent"), col("id")).as("a"),
       greatest(col("parent"), col("id")).as("b"))
-    val nontree = pinned(und.join(treeKey, Seq("a", "b"), "left_anti")
-      .repartition(col("a")))
+    val nontreeW = ctx.keepSql(
+      und.join(treeKey, Seq("a", "b"), "left_anti")
+        .select(col("a"), col("b"), col("mult").as("w"))
+        .unionByName(und.join(treeKey, Seq("a", "b"), "left_semi")
+          .where(col("mult") >= 2L)
+          .select(col("a"), col("b"), (col("mult") - 1L).as("w")))
+        .repartition(col("a")))
+    Forest(und, sym, lev, parent, nontreeW, maxLev)
+  }
 
-    // 2. LCA per non-tree edge: one conditional lift (BFS ⇒ |Δlevel| ≤ 1),
-    // then simultaneous parent-steps until the walkers meet
+  def bridges(edges: DataFrame, maxRounds: Int, idA: String = "id_a",
+              idB: String = "id_b"): DataFrame = {
+    val ctx = new PinCtx(edges.sparkSession)
+    val f = bfsForest(ctx, edges, maxRounds, idA, idB, "bridges")
+    import f.{und, lev, parent, nontreeW}
+
+    // 2. LCA per covering edge: one conditional lift (BFS ⇒ |Δlevel| ≤ 1),
+    // then simultaneous parent-steps until the walkers meet. Resolved
+    // pairs (u = v = the LCA) carry forward through the rounds, so each
+    // round pins ONE stepped frame and the unresolved count is its
+    // materializing action; the final frame IS the LCA table. Inner
+    // parent joins cannot drop rows: CC converged (one root per
+    // component), so both walkers hold parents until they meet — at the
+    // root at the latest.
     val parU = parent.select(col("id").as("u"), col("parent").as("pu"))
     val parV = parent.select(col("id").as("v"), col("parent").as("pv"))
-    var act = pinned(nontree
+    var (act, actN) = ctx.pinnedWhere(nontreeW
       .join(lev.select(col("id").as("a"), col("lev").as("la")), Seq("a"))
       .join(lev.select(col("id").as("b"), col("lev").as("lb")), Seq("b"))
-      .select(col("a"), col("b"),
+      .select(col("a"), col("b"), col("w"),
         when(col("la") >= col("lb"), col("a")).otherwise(col("b")).as("u"),
         when(col("la") >= col("lb"), col("b")).otherwise(col("a")).as("v"),
         (col("la") - col("lb")).as("dl"))
       .join(parU, Seq("u"), "left")
-      .select(col("a"), col("b"),
+      .select(col("a"), col("b"), col("w"),
         when(abs(col("dl")) === 1, col("pu")).otherwise(col("u")).as("u"),
-        col("v"))
-      .repartition(col("u")))
-    var lcas: Option[DataFrame] = None
-    var actN = act.count()
-    r = 0
+        col("v")), col("u") =!= col("v"))
+    var r = 0
     while (actN > 0 && r < maxRounds) {
       r += 1
-      val hit = pinned(act.where(col("u") === col("v"))
-        .select(col("a"), col("b"), col("u").as("lca")))
-      lcas = Some(lcas.fold(hit: DataFrame)(_.unionByName(hit)))
-      val next = pinned(act.where(col("u") =!= col("v"))
-        .join(parU, Seq("u")).join(parV, Seq("v"))
-        .select(col("a"), col("b"), col("pu").as("u"), col("pv").as("v"))
-        .repartition(col("u")))
-      actN = next.count()
-      release(act)
-      act = next
+      val stepped = act.where(col("u") === col("v"))
+        .unionByName(act.where(col("u") =!= col("v"))
+          .join(parU, Seq("u")).join(parV, Seq("v"))
+          .select(col("a"), col("b"), col("w"),
+            col("pu").as("u"), col("pv").as("v")))
+      val (a2, n2) = ctx.pinnedWhere(stepped, col("u") =!= col("v"))
+      ctx.release(act)
+      act = a2
+      actN = n2
     }
     require(actN == 0,
       s"bridges: LCA walk did not resolve within maxRounds=$maxRounds — " +
         "raise the bound to at least the forest height")
-    val lcaTbl = lcas.getOrElse(
-      nontree.limit(0).select(col("a"), col("b"), col("a").as("lca")))
+    val lcaTbl = act.select(col("a"), col("b"), col("w"), col("u").as("lca"))
 
-    // 3. w(y) = endpoints − 2·lcas; subtree sums bottom-up one level/round
-    val endp = nontree
-      .select(explode(array(col("a"), col("b"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("ec"))
-    val lcnt = lcaTbl.groupBy(col("lca").as("id")).agg(count(lit(1)).as("lc"))
-    val w = pinned(lev.select(col("id"))
+    // 3. w(y) = Σ endpoint weights − 2·Σ lca weights; subtree sums
+    // bottom-up one level/round
+    val endp = nontreeW
+      .select(explode(array(col("a"), col("b"))).as("id"), col("w"))
+      .groupBy(col("id")).agg(sum(col("w")).as("ec"))
+    val lcnt = lcaTbl.groupBy(col("lca").as("id")).agg(sum(col("w")).as("lc"))
+    val w = ctx.keepSql(lev.select(col("id"))
       .join(endp, Seq("id"), "left").join(lcnt, Seq("id"), "left")
       .select(col("id"),
         (coalesce(col("ec"), lit(0L)) - lit(2L) * coalesce(col("lc"), lit(0L)))
@@ -1274,7 +1398,7 @@ object Graph {
       .repartition(col("id")))
     var sPrev: Option[DataFrame] = None // S rows of level L+1
     var sOut: Option[DataFrame] = None
-    var lvl = maxLev
+    var lvl = f.maxLev
     while (lvl >= 1L) {
       val nodesL = lev.where(col("lev") === lvl).select(col("id"))
       val childSum = sPrev.fold(
@@ -1282,11 +1406,10 @@ object Graph {
         sp.join(parent, Seq("id"))
           .groupBy(col("parent").as("id")).agg(sum(col("s")).as("cs"))
       }
-      val sL = pinned(nodesL.join(w, Seq("id"))
+      val sL = ctx.pinned(nodesL.join(w, Seq("id"))
         .join(childSum, Seq("id"), "left")
         .select(col("id"),
-          (col("w") + coalesce(col("cs"), lit(0L))).as("s"))
-        .repartition(col("id")))
+          (col("w") + coalesce(col("cs"), lit(0L))).as("s")))
       sOut = Some(sOut.fold(sL: DataFrame)(_.unionByName(sL)))
       // NOTE: no release(sPrev) — every sL frame stays live inside sOut
       // (a localCheckpointed frame cannot recompute freed blocks); they
@@ -1301,30 +1424,199 @@ object Graph {
     val bridgeKey = parent.join(sTbl, Seq("id")).where(col("s") === 0L)
       .select(least(col("parent"), col("id")).as("a"),
         greatest(col("parent"), col("id")).as("b"), lit(true).as("__br"))
-    val outP = pinned(und.join(bridgeKey, Seq("a", "b"), "left")
+    ctx.finishKeeping(ctx.pinned(und.join(bridgeKey, Seq("a", "b"), "left")
       .select(col("a"), col("b"),
-        coalesce(col("__br"), lit(false)).as("is_bridge")))
-    // the result is its own checkpointed blocks — everything upstream frees
-    val outRdd = pinnedRdds.last
-    pinnedRdds.foreach(rd => if (!(rd eq outRdd)) rd.unpersist(blocking = false))
-    outP
+        coalesce(col("__br"), lit(false)).as("is_bridge"))))
   }
 
   /** 2-EDGE-CONNECTED components: [[connectedComponents]] over the
     * non-bridge edges of [[bridges]], with bridge-only nodes kept as
     * singletons — labels canonicalize to the component's min member (the
     * CC convention). The consumption artifact of bridge analysis: every
-    * pair inside a label survives any single edge failure. */
+    * pair inside a label survives any single edge failure.
+    *
+    * The result is pinned to its own localCheckpoint blocks and EVERY
+    * cached block the composed inner calls created is released before
+    * returning (persistent-RDD registry diff) — outside Bench's global
+    * sweep, repeated calls previously accumulated the inner CC and
+    * bridges frames for the JVM lifetime (round-16 ADVICE). The returned
+    * frame's own blocks are caller-owned. */
   def twoEdgeConnectedComponents(edges: DataFrame, maxRounds: Int,
                                  idA: String = "id_a",
                                  idB: String = "id_b"): DataFrame = {
+    val spark = edges.sparkSession
+    val pre = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val br = bridges(edges, maxRounds, idA, idB)
     val keep = br.where(!col("is_bridge"))
       .select(col("a").as("id_a"), col("b").as("id_b"))
-    val cc = connectedComponents(keep, maxIter = maxRounds)
+    val cc = connectedComponents(keep, maxIter = maxRounds,
+      requireConverged = true)
     val nodes = br.select(explode(array(col("a"), col("b"))).as("id")).distinct()
-    nodes.join(cc, Seq("id"), "left")
+    val out = nodes.join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    val rdd = out.rdd
+    rdd.localCheckpoint()
+    rdd.count()
+    spark.sparkContext.getPersistentRDDs.foreach { case (rid, rr) =>
+      if (!pre.contains(rid) && rid != rdd.id) rr.unpersist(blocking = false)
+    }
+    spark.createDataFrame(rdd, out.schema)
+  }
+
+  /** BICONNECTED components (blocks) — the VERTEX-biconnectivity sibling
+    * of [[bridges]] (round-16 item 3): one row per distinct undirected
+    * edge `(a, b, block_a, block_b)`, where `(block_a, block_b)` is the
+    * lexicographically smallest EDGE of the block — the canonical
+    * representative that is unique by construction (a min-NODE label is
+    * not: blocks meeting at a cut vertex can share their smallest node —
+    * a star's blocks all contain the hub). Tarjan–Vishkin's reduction
+    * realized on the same BFS forest: blocks are the connected components
+    * of an AUXILIARY graph
+    * whose vertices are the tree edges (identified by their child node)
+    * and whose edges chain each fundamental cycle —
+    *
+    *  - the LCA walk of a covering edge {u₀, v₀} visits exactly the tree
+    *    edges of its fundamental cycle, so each walk round emits the
+    *    chain links `(u, parent-step u)` / `(v, parent-step v)` for pairs
+    *    that have not met (a walker that has met sits AT the lca, whose
+    *    tree edge is off the cycle — emitting only while `u ≠ v` is what
+    *    makes the links exactly the cycle's tree edges);
+    *  - the covering edge itself ties its two endpoint tree edges
+    *    `(u₀, v₀)` (emitted from the init frame; a doubled TREE edge
+    *    resolves at the lift and emits nothing — its 2-cycle contains no
+    *    other tree edge);
+    *  - two tree edges are in one block iff they connect through these
+    *    chains (Tarjan & Vishkin 1985: the same-block relation is the
+    *    transitive closure of sharing a fundamental cycle), so one
+    *    [[connectedComponents]] over the aux edges — `requireConverged`,
+    *    bound `4·maxRounds + 8` ≥ the chained-cycle aux diameter for
+    *    every non-pathological block shape; deeper chains fail LOUDLY
+    *    and want a larger `maxRounds`;
+    *  - a non-tree edge joins the block of its deeper endpoint's tree
+    *    edge (always on its cycle); an uncovered tree edge is its own
+    *    block (exactly the bridges).
+    *
+    * Multigraph semantics follow [[bridges]]: the output is per DISTINCT
+    * edge, and parallel copies belong to the block their single distinct
+    * edge is in.
+    *
+    * Scale: the walk is the [[bridges]] walk (one pinned frame + one job
+    * per round); aux edges total O(Σ cycle lengths) = the walk's own row
+    * work; every exchange is keyed on a node, pair, or aux vertex. Walk
+    * frames stay live until the aux CC consumes them (their filters ARE
+    * the aux edge set), then everything frees. */
+  def biconnectedLabels(edges: DataFrame, maxRounds: Int,
+                        idA: String = "id_a",
+                        idB: String = "id_b"): DataFrame = {
+    val spark = edges.sparkSession
+    val ctx = new PinCtx(spark)
+    val f = bfsForest(ctx, edges, maxRounds, idA, idB, "biconnectedLabels")
+    import f.{und, lev, parent, nontreeW}
+
+    val parU = parent.select(col("id").as("u"), col("parent").as("pu"))
+    val parV = parent.select(col("id").as("v"), col("parent").as("pv"))
+    // walk state (a, b, fu, fv, u, v): fu/fv are the nodes each walker
+    // stepped FROM this round (init: the original endpoints, u deeper —
+    // so init's link is the conditional lift and its tie is (fu, fv))
+    var (act, actN) = ctx.pinnedWhere(nontreeW
+      .join(lev.select(col("id").as("a"), col("lev").as("la")), Seq("a"))
+      .join(lev.select(col("id").as("b"), col("lev").as("lb")), Seq("b"))
+      .select(col("a"), col("b"),
+        when(col("la") >= col("lb"), col("a")).otherwise(col("b")).as("fu"),
+        when(col("la") >= col("lb"), col("b")).otherwise(col("a")).as("fv"),
+        (col("la") - col("lb")).as("dl"))
+      .join(parU.withColumnRenamed("u", "fu"), Seq("fu"), "left")
+      .select(col("a"), col("b"), col("fu"), col("fv"),
+        when(abs(col("dl")) === 1, col("pu")).otherwise(col("fu")).as("u"),
+        col("fv").as("v")), col("u") =!= col("v"))
+    def links(fr: DataFrame): DataFrame = fr
+      .where(col("u") =!= col("v"))
+      .select(explode(array(
+        struct(col("fu").as("x"), col("u").as("y")),
+        struct(col("fv").as("x"), col("v").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+      .where(col("x") =!= col("y"))
+    val init = act
+    var aux = init.where(col("u") =!= col("v"))
+      .select(col("fu").as("x"), col("fv").as("y"))
+      .unionByName(links(init))
+    var r = 0
+    while (actN > 0 && r < maxRounds) {
+      r += 1
+      val stepped = act.where(col("u") === col("v"))
+        .select(col("a"), col("b"), col("u").as("fu"), col("v").as("fv"),
+          col("u"), col("v"))
+        .unionByName(act.where(col("u") =!= col("v"))
+          .join(parU, Seq("u")).join(parV, Seq("v"))
+          .select(col("a"), col("b"), col("u").as("fu"), col("v").as("fv"),
+            col("pu").as("u"), col("pv").as("v")))
+      val (a2, n2) = ctx.pinnedWhere(stepped, col("u") =!= col("v"))
+      // no release(act): each frame's unresolved filter feeds the aux
+      // edge set below — all walk frames free together at the end
+      act = a2
+      actN = n2
+      aux = aux.unionByName(links(act))
+    }
+    require(actN == 0,
+      s"biconnectedLabels: LCA walk did not resolve within " +
+        s"maxRounds=$maxRounds — raise the bound to at least the forest " +
+        "height")
+
+    // blocks = CC over the aux edges; uncovered tree edges are singletons
+    val preCc = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val auxLab = ctx.pinned(connectedComponents(aux, "x", "y",
+      maxIter = 4 * maxRounds + 8, requireConverged = true))
+    ctx.releaseForeignSince(preCc)
+    val treeBlock = parent
+      .join(auxLab.select(col("id"), col("component").as("blk")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("blk"), col("id")).as("blk"))
+    val treeEdges = parent.join(treeBlock, Seq("id"))
+      .select(least(col("parent"), col("id")).as("a"),
+        greatest(col("parent"), col("id")).as("b"), col("blk"))
+    // non-tree edges: the deeper endpoint's tree edge is on the cycle
+    val treeKey = treeEdges.select(col("a"), col("b"))
+    val ntEdges = und.join(treeKey, Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"))
+      .join(init.select(col("a"), col("b"), col("fu").as("id")),
+        Seq("a", "b"))
+      .join(treeBlock, Seq("id"))
+      .select(col("a"), col("b"), col("blk"))
+    // canonical label = the block's lexicographically smallest edge
+    val all = treeEdges.unionByName(ntEdges)
+    val labelMin = all.groupBy(col("blk"))
+      .agg(min(struct(col("a"), col("b"))).as("be"))
+    ctx.finishKeeping(ctx.pinned(all.join(labelMin, Seq("blk"))
+      .select(col("a"), col("b"),
+        col("be.a").as("block_a"), col("be.b").as("block_b"))))
+  }
+
+  /** ARTICULATION points (cut vertices): `(id, is_articulation)` for every
+    * node with at least one edge — true iff the node lies in ≥ 2 blocks
+    * of [[biconnectedLabels]] (the textbook block-cut-tree
+    * characterization; tree-independent, so the BFS forest is fine where
+    * the DFS low-link test would not be). Cleanup contract as
+    * [[twoEdgeConnectedComponents]]: the result is pinned, every inner
+    * block frees, the returned frame's blocks are caller-owned. */
+  def articulationPoints(edges: DataFrame, maxRounds: Int,
+                         idA: String = "id_a",
+                         idB: String = "id_b"): DataFrame = {
+    val spark = edges.sparkSession
+    val pre = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val bl = biconnectedLabels(edges, maxRounds, idA, idB)
+    val out = bl
+      .select(explode(array(col("a"), col("b"))).as("id"),
+        col("block_a"), col("block_b"))
+      .distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("nb"))
+      .select(col("id"), (col("nb") >= 2L).as("is_articulation"))
+    val rdd = out.rdd
+    rdd.localCheckpoint()
+    rdd.count()
+    spark.sparkContext.getPersistentRDDs.foreach { case (rid, rr) =>
+      if (!pre.contains(rid) && rid != rdd.id) rr.unpersist(blocking = false)
+    }
+    spark.createDataFrame(rdd, out.schema)
   }
 
   /** Skip-gram co-occurrence counts + exact-PMI rationals over a walk
@@ -1392,17 +1684,25 @@ object Graph {
     * positive pair), NOT a row_number window that would sort every center's
     * full context list. Caller must have [[graft.plans.GroupedTopKStrategy]]
     * installed (the operator fails loudly otherwise). Overflow: the rank
-    * key multiplies `pmi_num ≤ n_total²` by 10⁶ — lift to DECIMAL(38,0)
-    * past ~3·10⁶ total pairs if centers can exceed that (declared
-    * precision, same plan). */
+    * key multiplies `pmi_num ≤ n_total²` by 10⁶ and the shift threshold
+    * multiplies `pmi_den` by `shift` — BOTH products are taken in
+    * DECIMAL(38,0) unconditionally (declared precision, same plan shape;
+    * the IntegralDivide result is back to LongType, so GroupedTopK's
+    * long-rank contract holds up to a quantized ratio of ~9.2·10¹² — i.e.
+    * n_total itself, not n_total², is the remaining bound). An earlier
+    * version documented "lift past ~3·10⁶ total pairs" in scaladoc and
+    * wrapped SILENTLY for callers who didn't — Round16Spec pins a fixture
+    * whose `pmi_num · 10⁶` exceeds Long.MaxValue. */
   def sppmiTopKContexts(pmi: DataFrame, shift: Long, k: Int): DataFrame = {
     require(shift >= 1L && k >= 1,
       s"sppmiTopKContexts: bad args (shift=$shift, k=$k)")
     val pos = pmi
-      .where(col("pmi_num") > lit(shift) * col("pmi_den"))
+      .where(col("pmi_num").cast("decimal(38,0)") >
+        lit(shift) * col("pmi_den").cast("decimal(38,0)"))
       .select(col("center"), col("context"), col("n_pairs"),
         col("pmi_num"), col("pmi_den"),
-        expr("(pmi_num * 1000000) div pmi_den").as("pmi_ratio_micros"))
+        expr("(CAST(pmi_num AS DECIMAL(38,0)) * 1000000) div pmi_den")
+          .as("pmi_ratio_micros"))
     graft.plans.GroupedTopK.topKPerGroup(pos, Seq("center"),
       "pmi_ratio_micros", "context", k)
   }
@@ -1732,9 +2032,13 @@ object Graph {
     * endpoint lookups and the ONLY exchange is the (comm_a, comm_b)-keyed
     * weight aggregate; over the limit the lookups become plain node-keyed
     * equi-joins (two exchanges + the aggregate) — same output, the plan a
-    * 1000-executor cluster actually survives. PlanSpec pins both modes. */
+    * 1000-executor cluster actually survives. PlanSpec pins both modes.
+    * The default is [[BroadcastLabelRowLimit]] — a row count a forced
+    * broadcast actually survives (an earlier 10⁸ default exceeded Spark's
+    * broadcast size limits long before the gate could route to the shuffle
+    * path, so the gate protected nobody at the default). */
   def louvainContract(wedges: DataFrame, labels: DataFrame,
-                      broadcastLabelLimit: Long = 100000000L): DataFrame = {
+                      broadcastLabelLimit: Long = BroadcastLabelRowLimit): DataFrame = {
     val small = labels.count() <= broadcastLabelLimit
     def look(n: String, c: String): DataFrame = {
       val l = labels.select(col("node").as(n), col("comm").as(c))

@@ -60,11 +60,7 @@ class PlanGuardSpec extends SparkSpec {
     "q244_isotonic_calibration" ->
       "prefix sums over the ≤100-row score-bucket grid — grid-sized, not observation-sized",
     "q329_cusum_changepoint" ->
-      "CUSUM prefix sum over the per-DAY revenue aggregate — calendar-sized, not order-sized",
-    "q389_nb_vocab_floor" ->
-      ("maxVocab frequency rank over the min-count-FLOORED vocab table — vocab-sized " +
-        "(the BPE-merge-table license; the floor bounds it before the window, and " +
-        "the model it feeds broadcasts, so an unbounded input would OOM loudly there first)"))
+      "CUSUM prefix sum over the per-DAY revenue aggregate — calendar-sized, not order-sized")
 
   /** A join side that is provably or assertedly small: plan-level `maxRows`
     * ≤ 100 (global aggregates, literal relations, limits), or an explicit

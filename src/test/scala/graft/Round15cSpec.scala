@@ -10,12 +10,18 @@ class Round15cSpec extends SparkSpec {
   import spark.implicits._
 
   /** Plain-Scala Tarjan bridge reference (DFS low-link, the textbook
-    * algorithm the distributed covering construction must agree with). */
+    * algorithm the distributed covering construction must agree with) —
+    * MULTIGRAPH-aware: a duplicated undirected edge is a 2-cycle and is
+    * never a bridge (the round-16 contract; randomized trials DO generate
+    * duplicate pairs). */
   private def tarjanBridges(n: Int, edges: Seq[(Long, Long)]): Set[(Long, Long)] = {
-    val adj = Array.fill(n)(List.empty[Int])
-    val und = edges.map { case (a, b) =>
-      (math.min(a, b).toInt, math.max(a, b).toInt) }.distinct
+    val keyed = edges.map { case (a, b) =>
+      (math.min(a, b).toInt, math.max(a, b).toInt) }
       .filter { case (a, b) => a != b }
+    val multi = keyed.groupBy(identity).collect {
+      case (k, v) if v.size >= 2 => (k._1.toLong, k._2.toLong) }.toSet
+    val adj = Array.fill(n)(List.empty[Int])
+    val und = keyed.distinct
     und.foreach { case (a, b) =>
       adj(a) = b :: adj(a); adj(b) = a :: adj(b)
     }
@@ -37,7 +43,7 @@ class Round15cSpec extends SparkSpec {
       }
     }
     (0 until n).foreach(u => if (disc(u) == -1 && adj(u).nonEmpty) dfs(u, (-1, -1)))
-    out.toSet
+    out.toSet -- multi
   }
 
   /** 10 five-node cycles chained by single connector edges — connectors
@@ -95,6 +101,20 @@ class Round15cSpec extends SparkSpec {
       Graph.bridges(path.toDF("id_a", "id_b"), maxRounds = 5).collect()
     }
     assert(ex.getMessage.contains("maxRounds"))
+  }
+
+  test("bridges: multigraph contract — a doubled edge is never a bridge") {
+    // path 1-2-3 with (2,3) doubled: (1,2) stays a bridge, (2,3) is a
+    // 2-cycle and must NOT be one; output stays one row per distinct edge
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L))
+    val out = Graph.bridges(edges.toDF("id_a", "id_b"), maxRounds = 10)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set((1L, 2L, true), (2L, 3L, false)), s"got $out")
+    // and 2ECC sees the doubled edge as 2-edge-connected
+    val ecc = Graph.twoEdgeConnectedComponents(
+        edges.toDF("id_a", "id_b"), maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(ecc == Map(1L -> 1L, 2L -> 2L, 3L -> 2L), s"got $ecc")
   }
 
   test("bridges: a tree is all bridges; a clique has none") {
