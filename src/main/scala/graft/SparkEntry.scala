@@ -7741,7 +7741,8 @@ object SparkEntry {
       val scc = s.createDataFrame(sccC.rdd, sccC.schema)
       def look(n: String, c: String) = {
         val l = scc.select(col("id").as(n), col("scc").as(c))
-        if (nLabels <= 100000000L) broadcast(l) else l
+        if (nLabels <= graft.ext.Graph.BroadcastLabelRowLimit) broadcast(l)
+        else l
       }
       val cedges = edges
         .join(look("src", "ca"), Seq("src"))
@@ -8154,6 +8155,102 @@ object SparkEntry {
         lit(2L).as("id_a"), expr("(id + 1) * 10").as("id_b"))
       graft.ext.Graph.twoEdgeConnectedComponents(
         cyc.unionByName(conn), maxRounds = 40)
+    },
+
+    // ARTICULATION POINTS (Graph.articulationPoints) — the VERTEX sibling
+    // of q393/q394 (round-16 item 3): a node cuts iff it lies in ≥ 2
+    // biconnected blocks (the block-cut-tree characterization —
+    // tree-independent, so the BFS forest works where DFS low-link would
+    // not). Fixture: the q393 cycle chain — every connector ENDPOINT is a
+    // cut vertex (both sides), nothing else is; ground-truth oracle
+    // (closed form), randomized Hopcroft–Tarjan replay in Round16bSpec.
+    "q395_articulation" -> { (s, _) =>
+      val cyc = s.range(50).select(
+        expr("(id div 5) * 10 + id % 5").as("id_a"),
+        expr("(id div 5) * 10 + (id % 5 + 1) % 5").as("id_b"))
+      val conn = s.range(9).select(
+        expr("id * 10 + 2").as("id_a"), expr("(id + 1) * 10").as("id_b"))
+      graft.ext.Graph.articulationPoints(cyc.unionByName(conn),
+        maxRounds = 40)
+    },
+
+    // BICONNECTED COMPONENTS (Graph.biconnectedLabels) — Tarjan–Vishkin's
+    // reduction on the q393 BFS forest: blocks = connected components of
+    // the auxiliary graph that chains each fundamental cycle's tree edges
+    // (emitted by the same one-job-per-round LCA walk), labeled by the
+    // block's lexicographically smallest edge. Fixture blocks: each
+    // 5-cycle (smallest edge (c·10, c·10+1)) plus each connector as its
+    // own 1-edge block. Ground-truth oracle (closed form).
+    "q396_bcc" -> { (s, _) =>
+      val cyc = s.range(50).select(
+        expr("(id div 5) * 10 + id % 5").as("id_a"),
+        expr("(id div 5) * 10 + (id % 5 + 1) % 5").as("id_b"))
+      val conn = s.range(9).select(
+        expr("id * 10 + 2").as("id_a"), expr("(id + 1) * 10").as("id_b"))
+      graft.ext.Graph.biconnectedLabels(cyc.unionByName(conn),
+        maxRounds = 40)
+    },
+
+    // COMPOSED STREAMING CURATION TICK (Dedup.streamingFunnelNbTick) —
+    // round-16 item 4: the q371 funnel with q391's learned NB stage
+    // INLINE as the final gate, one tick instead of two pipelines. The
+    // model trains ONCE offline (q377's split); two landing ticks run
+    // heuristic gates → exact-dedup ledger → NB gate; the second tick
+    // re-lands copies of the first tick's docs (+300000) to exercise the
+    // cross-tick ledger. The ledger records PASS4 fingerprints so summed
+    // ticks ≡ the one-shot batch replay — which is exactly what the
+    // oracle runs (q371's funnel CTEs + q378's prediction CTEs).
+    "q397_streaming_funnel_nb" -> { (s, dir) =>
+      val root = tempDirCleanedOnExit("graft-sfnb-")
+      val (train, test) = nbCorpus(s, dir)
+      val store = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val model = graft.ext.Classify.naiveBayesModel(train).persist(store)
+      model.count()
+      val classes = graft.ext.Classify.naiveBayesClasses(train).persist(store)
+      classes.count()
+      test.filter(col("doc_id") % 4 === 2).select(col("doc_id"), col("text"))
+        .coalesce(1).write.mode("append").parquet(s"$root/landing")
+      test.filter(col("doc_id") % 4 === 3).select(col("doc_id"), col("text"))
+        .unionByName(test.filter(col("doc_id") % 4 === 2).select(
+          (col("doc_id") + 300000L).as("doc_id"), col("text")))
+        .coalesce(1).write.mode("append").parquet(s"$root/landing")
+      val stream = s.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("text", "string"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/landing")
+      Dedup.streamingFunnelNbTick(stream, model, classes,
+        keepLabel = "good", s"$root/ledger", s"$root/silver",
+        s"$root/counts", s"$root/ckpt", minTokens = 20L,
+        stopwords = QualityStopwords)
+      val tot = s.read.parquet(s"$root/counts")
+        .agg(sum(col("c0")).as("c0"), sum(col("c1")).as("c1"),
+          sum(col("c2")).as("c2"), sum(col("c3")).as("c3"),
+          sum(col("c4")).as("c4"), sum(col("c5")).as("c5"))
+      val names = Seq("all", "lang_en", "min_length", "quality",
+        "exact_dedup", "nb_good")
+      val entries = (0 to 5).map { i =>
+        struct(lit(names(i)).as("stage"), col(s"c$i").as("n_kept"))
+      }
+      tot.select(posexplode(array(entries: _*)).as(Seq("stage_idx", "e")))
+        .select(col("stage_idx").cast("long").as("stage_idx"),
+          col("e.stage").as("stage"), col("e.n_kept").as("n_kept"))
+    },
+
+    // PACKED-SEQUENCE DEDUP (Dedup.packedSequenceDedup) — the round-16
+    // stretch: q69's bucketed running-total packing composed with q341's
+    // keep-first substring machinery AT SEQUENCE GRANULARITY — the dedup
+    // pass a pipeline runs on what the trainer actually consumes. Each
+    // bin's docs concatenate (id order, newline-joined) into one
+    // budget-bounded sequence row; per duplicated ≥30-char window the
+    // corpus-first (seq_id, pos) copy survives; later copies accumulate
+    // removal mass, thresholded to the per-sequence keep flag. The oracle
+    // replays packing, concat (string_agg ORDER BY), and the keep-first
+    // span merge verbatim.
+    "q398_packed_seq_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.packedSequenceDedup(docs, budget = 256, buckets = 8,
+        minLen = 30, maxDupPermille = 200L)
     }
   )
 
@@ -16169,7 +16266,148 @@ object SparkEntry {
     "q394_2ecc" ->
       """SELECT CAST(id AS BIGINT) AS id,
         |       CAST((id // 10) * 10 AS BIGINT) AS component
-        |FROM (SELECT (id // 5) * 10 + id % 5 AS id FROM range(50) t(id))""".stripMargin
+        |FROM (SELECT (id // 5) * 10 + id % 5 AS id FROM range(50) t(id))""".stripMargin,
+
+    // Ground truth: the connector endpoints (c·10+2 on the feeding side,
+    // (c+1)·10 on the fed side) are exactly the cut vertices.
+    "q395_articulation" ->
+      """SELECT CAST(id AS BIGINT) AS id,
+        |       ((id % 10 = 2 AND id < 90) OR (id % 10 = 0 AND id >= 10))
+        |         AS is_articulation
+        |FROM (SELECT (id // 5) * 10 + id % 5 AS id FROM range(50) t(id))""".stripMargin,
+
+    // Ground truth: each 5-cycle is one block labeled by its smallest
+    // edge (c·10, c·10+1); each connector is its own 1-edge block.
+    "q396_bcc" ->
+      """SELECT least(a0, b0) AS a, greatest(a0, b0) AS b, blk_a AS block_a,
+        |       blk_b AS block_b
+        |FROM (
+        |  SELECT CAST((id // 5) * 10 + id % 5 AS BIGINT) AS a0,
+        |         CAST((id // 5) * 10 + (id % 5 + 1) % 5 AS BIGINT) AS b0,
+        |         CAST((id // 5) * 10 AS BIGINT) AS blk_a,
+        |         CAST((id // 5) * 10 + 1 AS BIGINT) AS blk_b
+        |  FROM range(50) t(id)
+        |  UNION ALL
+        |  SELECT CAST(id * 10 + 2 AS BIGINT), CAST((id + 1) * 10 AS BIGINT),
+        |         CAST(id * 10 + 2 AS BIGINT), CAST((id + 1) * 10 AS BIGINT)
+        |  FROM range(9) t(id))""".stripMargin,
+
+    // One-shot batch replay of the composed tick: q371's funnel CTEs over
+    // the nbtest landing (with the +300000 cross-tick duplicates), then
+    // q378's NB prediction CTEs over the pass4 survivors as the final
+    // gate. The PASS4-fingerprint ledger is what makes summed ticks equal
+    // this batch replay.
+    "q397_streaming_funnel_nb" ->
+      s"""WITH $nbModelCtes,
+         |d AS (
+         |  SELECT doc_id, text FROM nbtest
+         |  UNION ALL
+         |  SELECT doc_id + 300000, text FROM nbtest WHERE doc_id % 4 = 2),
+         |tokt AS (SELECT doc_id, text,
+         |           regexp_split_to_array(trim(text), '\\s+') AS toks FROM d),
+         |lh AS (SELECT doc_id, text, toks,
+         |  len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS h_en,
+         |  len(list_filter(toks, x -> x IN ('el','la','de','que','es'))) AS h_es,
+         |  len(list_filter(toks, x -> x IN ('le','la','et','est','une'))) AS h_fr,
+         |  len(list_filter(toks, x -> x IN ('der','die','und','ist','ein'))) AS h_de,
+         |  len(list_filter(toks, x -> x IN ('的','是','了','在','我'))) AS h_zh
+         |  FROM tokt),
+         |f1 AS (SELECT doc_id, text, toks,
+         |         (h_en > 0 AND h_en = greatest(h_en, h_es, h_fr, h_de, h_zh))
+         |           AS pass1
+         |       FROM lh),
+         |f2 AS (SELECT *, pass1 AND len(toks) >= 20 AS pass2 FROM f1),
+         |f3 AS (SELECT doc_id, text, pass1, pass2, pass2 AND
+         |         ROUND((least(length(text) / 500.0, 1.0)
+         |           + least(CAST(len(list_filter(toks,
+         |               x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+         |             / len(toks) * 4.0, 1.0)
+         |           + greatest(0.0, 1.0
+         |             - CAST(length(text) - length(regexp_replace(text,
+         |                 '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |               / length(text) * 5.0)) / 3.0, 6) >= 0.5 AS pass3
+         |       FROM f2),
+         |fpd AS (SELECT *, md5(lower(trim(text))) AS fp FROM f3),
+         |keepf AS (SELECT fp, MIN(doc_id) AS doc_id FROM fpd
+         |          WHERE pass3 GROUP BY 1),
+         |f4 AS (SELECT f.doc_id, f.text, f.pass1, f.pass2, f.pass3,
+         |         (f.pass3 AND k.doc_id IS NOT NULL) AS pass4
+         |       FROM fpd f LEFT JOIN keepf k
+         |         ON f.fp = k.fp AND f.doc_id = k.doc_id),
+         |toscore AS (SELECT doc_id, text FROM f4 WHERE pass4),
+         |$nbPredictCtes,
+         |f5 AS (SELECT f4.doc_id, pass1, pass2, pass3, pass4,
+         |         (pass4 AND COALESCE(p.pred_label, '') = 'good') AS pass5
+         |       FROM f4 LEFT JOIN nbpred p USING (doc_id)),
+         |ftot AS (SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+         |          CAST(SUM(CASE WHEN pass1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |          CAST(SUM(CASE WHEN pass2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         |          CAST(SUM(CASE WHEN pass3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         |          CAST(SUM(CASE WHEN pass4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         |          CAST(SUM(CASE WHEN pass5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+         |        FROM f5)
+         |SELECT CAST(0 AS BIGINT) AS stage_idx, 'all' AS stage, c0 AS n_kept FROM ftot
+         |UNION ALL SELECT 1, 'lang_en', c1 FROM ftot
+         |UNION ALL SELECT 2, 'min_length', c2 FROM ftot
+         |UNION ALL SELECT 3, 'quality', c3 FROM ftot
+         |UNION ALL SELECT 4, 'exact_dedup', c4 FROM ftot
+         |UNION ALL SELECT 5, 'nb_good', c5 FROM tot""".stripMargin,
+
+    // q69's packing replay + string_agg(ORDER BY doc_id) concat + q341's
+    // keep-first span merge at sequence granularity (seq = bucket·2⁴⁰+bin).
+    "q398_packed_seq_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |         len(regexp_split_to_array(trim(text), '\\s+')) AS tokens,
+         |         ${h60Sql(s"'${graft.ext.Packing.PackSalt}' || ':' || CAST(doc_id AS VARCHAR)")} % 8 AS bucket
+         |  FROM documents),
+         |r AS (
+         |  SELECT bucket, doc_id, text, tokens,
+         |         SUM(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         |  FROM d),
+         |sq AS (
+         |  SELECT bucket, (running - tokens) // 256 AS bin,
+         |         string_agg(text, chr(10) ORDER BY doc_id) AS t
+         |  FROM r GROUP BY 1, 2),
+         |base AS (
+         |  SELECT CAST(bucket * 1099511627776 + bin AS BIGINT) AS seq,
+         |         bucket, bin, t
+         |  FROM sq),
+         |p0 AS (
+         |  SELECT seq, t, unnest(generate_series(1, LENGTH(t) - 29)) AS i
+         |  FROM base WHERE LENGTH(t) >= 30),
+         |pos AS (
+         |  SELECT seq, CAST(i AS BIGINT) AS pos,
+         |         substr(t, CAST(i AS INT), 30) AS g
+         |  FROM p0),
+         |cov AS (
+         |  SELECT seq, pos FROM (
+         |    SELECT seq, pos,
+         |           ROW_NUMBER() OVER (PARTITION BY g ORDER BY seq, pos) AS occ
+         |    FROM pos) x
+         |  WHERE occ > 1),
+         |lagd AS (
+         |  SELECT seq, pos,
+         |         LAG(pos) OVER (PARTITION BY seq ORDER BY pos) AS prev
+         |  FROM cov),
+         |isl AS (
+         |  SELECT seq, pos,
+         |         SUM(CASE WHEN prev IS NULL OR pos - prev > 30 THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY seq ORDER BY pos) AS island
+         |  FROM lagd),
+         |spans AS (
+         |  SELECT seq, island, MIN(pos) AS s, MAX(pos) + 29 AS e
+         |  FROM isl GROUP BY seq, island),
+         |mass AS (
+         |  SELECT seq, CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
+         |  FROM spans GROUP BY 1)
+         |SELECT b.bucket, CAST(b.bin AS BIGINT) AS bin,
+         |       CAST(LENGTH(b.t) AS BIGINT) AS seq_chars,
+         |       COALESCE(m.dup_chars, 0) AS dup_chars,
+         |       COALESCE(m.dup_chars, 0) * 1000 // LENGTH(b.t) AS dup_permille,
+         |       (COALESCE(m.dup_chars, 0) * 1000 // LENGTH(b.t)) <= 200 AS keep
+         |FROM base b LEFT JOIN mass m ON m.seq = b.seq""".stripMargin
   )
 
   /** DuckDB replay of q376's deterministic walk corpus (the hub-capped

@@ -660,6 +660,153 @@ object Dedup {
     query.awaitTermination()
   }
 
+  /** The COMPOSED production ingest tick (round-16 item 4):
+    * [[streamingFunnelTick]]'s heuristic gates + exact-dedup ledger with
+    * the LEARNED quality stage ([[graft.ext.Classify.naiveBayesScore]])
+    * inline as the final gate — one tick instead of two pipelines. Stage
+    * order is cheapest-first, the production rationale: per-doc flag
+    * arithmetic, then the ledger anti-join, then NB scoring over only the
+    * documents that survived everything else (scoring is the expensive
+    * stage — explode + model join). `pass5` keeps a document iff its NB
+    * argmax equals `keepLabel`; documents with NO in-vocabulary token
+    * have no score and FAIL the gate (deterministic, and the
+    * conservative choice for a quality filter).
+    *
+    * The fingerprint LEDGER records PASS4 (post-dedup, pre-NB)
+    * fingerprints: an NB-rejected document must still block future
+    * duplicates of itself, or summed ticks would double-count `pass4`
+    * relative to the one-shot batch replay (Round16cSpec pins the
+    * equivalence). All writes are batch-id-keyed overwrite partitions —
+    * exactly-once across restarts, the established tick contract.
+    * `model`/`classes` must be PRE-MATERIALIZED metadata-sized frames.
+    *
+    * Scale: the heuristic stages are per-doc column arithmetic; the
+    * ledger join is delta × fingerprint-table on `fp`; NB scoring is
+    * explode → broadcast model join → (doc, class) aggregate — nothing
+    * all-pairs, per-tick cost ∝ delta. */
+  def streamingFunnelNbTick(docsStream: DataFrame, model: DataFrame,
+                            classes: DataFrame, keepLabel: String,
+                            ledgerDir: String, silverDir: String,
+                            countsDir: String, checkpointDir: String,
+                            minTokens: Long, stopwords: Seq[String],
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): Unit = {
+    val query = docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val n = batchId
+          val T = graft.ext.TextAnalysis
+          val flags = batch.select(col(idCol), col(textCol))
+            .withColumn("pass1", T.langId(col(textCol)) === "en")
+            .withColumn("pass2",
+              col("pass1") && T.tokenCount(col(textCol)) >= minTokens)
+            .withColumn("pass3", col("pass2")
+              && T.qualityScore(col(textCol), stopwords) >= 0.5)
+            .withColumn("fp", md5(lower(trim(col(textCol)))))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val prior =
+            try s.read.parquet(ledgerDir).where(col("batch") < lit(n))
+              .select(col("fp")).distinct()
+            catch {
+              case _: org.apache.spark.sql.AnalysisException =>
+                s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  new org.apache.spark.sql.types.StructType().add("fp", "string"))
+            }
+          val batchFirst = flags.where(col("pass3"))
+            .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+            .withColumn("__first", lit(true))
+          val f4 = flags
+            .join(batchFirst, Seq("fp", idCol), "left")
+            .join(prior.withColumn("__seen", lit(true)), Seq("fp"), "left")
+            .withColumn("pass4", col("pass3")
+              && coalesce(col("__first"), lit(false))
+              && col("__seen").isNull)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val nbKeep = graft.ext.Classify.naiveBayesScore(model, classes,
+              f4.where(col("pass4")).select(col(idCol), col(textCol)),
+              idCol = idCol, textCol = textCol)
+            .where(col("pred_label") === keepLabel)
+            .select(col(idCol), lit(true).as("__nb"))
+          val f5 = f4.join(nbKeep, Seq(idCol), "left")
+            .withColumn("pass5",
+              col("pass4") && coalesce(col("__nb"), lit(false)))
+          f5.where(col("pass5")).select(col(idCol), col(textCol))
+            .write.mode("overwrite").parquet(s"$silverDir/batch=$n")
+          f4.where(col("pass4")).select(col("fp")).distinct()
+            .write.mode("overwrite").parquet(s"$ledgerDir/batch=$n")
+          f5.agg(
+              count(lit(1)).as("c0"),
+              sum(col("pass1").cast("long")).as("c1"),
+              sum(col("pass2").cast("long")).as("c2"),
+              sum(col("pass3").cast("long")).as("c3"),
+              sum(col("pass4").cast("long")).as("c4"),
+              sum(col("pass5").cast("long")).as("c5"))
+            .write.mode("overwrite").parquet(s"$countsDir/batch=$n")
+          f4.unpersist(blocking = false)
+          flags.unpersist(blocking = false)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** SEQUENCE-LEVEL dedup over PACKED training sequences (round-16
+    * stretch): the last dedup class the funnel doesn't exercise —
+    * duplication measured at the granularity the TRAINER actually
+    * consumes. [[graft.ext.Packing.packByBudget]] assigns documents to
+    * fixed-budget bins; each bin's documents concatenate (id order,
+    * newline-joined — so windows may legitimately span document
+    * boundaries: that IS the sequence the model sees) into one sequence
+    * row; [[duplicateSubstringSpansKeepFirst]] then runs at sequence
+    * granularity, so per sequence the corpus-first copy of every
+    * duplicated region survives and later copies accumulate REMOVAL
+    * mass. Output, one row per sequence:
+    * `(bucket, bin, seq_chars, dup_chars, dup_permille, keep)` with
+    * `dup_permille = dup_chars·1000 DIV seq_chars` and
+    * `keep = dup_permille ≤ maxDupPermille` — the drop decision a
+    * pipeline applies before shipping sequences to the trainer.
+    *
+    * Keep-first order is `(seq_id, pos)` with
+    * `seq_id = bucket·2⁴⁰ + bin` (requires `bin < 2⁴⁰` — at budget ≥ 256
+    * that is a 10²⁸-token corpus per bucket before it binds), so earlier
+    * buckets/bins win ties deterministically.
+    *
+    * Scale: sequence rows are BUDGET-BOUNDED by construction (a bin
+    * overflows its budget by at most one document), so the concat
+    * aggregate is safe at any corpus size; the window explode carries the
+    * same total char mass as the document-level q341 pass, with the same
+    * two-pass hash-then-verify exchange diet and hub-skew note. */
+  def packedSequenceDedup(docs: DataFrame, budget: Long, buckets: Int,
+                          minLen: Int, maxDupPermille: Long,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val packed = graft.ext.Packing.packByBudget(
+      docs.select(col(idCol), col(textCol)), col(idCol),
+      graft.ext.TextAnalysis.tokenCount(col(textCol)), budget, buckets)
+    val seqs = packed.groupBy(col("bucket"), col("bin"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(idCol), col(textCol)))),
+        x => x.getField(textCol)), "\n").as("seq_text"))
+      .select((col("bucket") * lit(1L << 40) + col("bin")).as("seq_id"),
+        col("bucket"), col("bin"), col("seq_text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mass = duplicateSubstringSpansKeepFirst(seqs, "seq_id", "seq_text",
+        minLen)
+      .groupBy(col("doc").as("seq_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1L).as("dup_chars"))
+    seqs.join(mass, Seq("seq_id"), "left")
+      .select(col("bucket"), col("bin"),
+        length(col("seq_text")).cast("long").as("seq_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .withColumn("dup_permille",
+        expr("dup_chars * 1000 DIV seq_chars"))
+      .withColumn("keep", col("dup_permille") <= maxDupPermille)
+  }
+
   /** Recall/coverage audit of a candidate-pair scheme against a ground-truth
     * pair set — the EVALUATION harness for blocking parameter choices
     * (bands × rows, SimHash radius, prefix length): how many of the true
