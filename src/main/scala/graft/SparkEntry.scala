@@ -16351,7 +16351,7 @@ object SparkEntry {
          |UNION ALL SELECT 2, 'min_length', c2 FROM ftot
          |UNION ALL SELECT 3, 'quality', c3 FROM ftot
          |UNION ALL SELECT 4, 'exact_dedup', c4 FROM ftot
-         |UNION ALL SELECT 5, 'nb_good', c5 FROM tot""".stripMargin,
+         |UNION ALL SELECT 5, 'nb_good', c5 FROM ftot""".stripMargin,
 
     // q69's packing replay + string_agg(ORDER BY doc_id) concat + q341's
     // keep-first span merge at sequence granularity (seq = bucket·2⁴⁰+bin).
