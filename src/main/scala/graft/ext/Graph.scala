@@ -140,25 +140,32 @@ object Graph {
       // POINTER JUMP (round 16): lab'(x) = min(hop(x), labels(hop(x))) —
       // one extra node-keyed lookup into the ALREADY-PINNED previous-round
       // label table (so the hop aggregate is not recomputed), turning the
-      // one-edge-per-round propagation into hop+jump with Fibonacci-like
-      // reach growth: rounds drop from O(diameter) to O(log diameter)
-      // (measured on the 10×5-cycle chain, diameter ~29: 29 → 7 rounds).
-      // Soundness: label values are node ids of the SAME component and
-      // labels(y) only ever holds component members ≥ the true min, so the
-      // jump preserves the invariant (monotone non-increasing, bounded by
-      // the component min); the fixpoint test is unchanged — at a fixpoint
-      // the jump adds nothing, and the emitted labels are the identical
-      // per-component min-member table. The lookup is keyed on the jump
-      // target (node-sized join, broadcast at small scale, hash at large),
-      // never |E|.
-      val next = merged
-        .join(labels.select(col("id").as("__jid"), col("component").as("__jc")),
-          col("component") === col("__jid"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("__jc"), col("component")))
-            .as("component"),
-          (least(col("component"), coalesce(col("__jc"), col("component")))
-            =!= col("prev")).as("__chg"))
+      // one-edge-per-round propagation into hop+jump with doubling reach:
+      // rounds drop from O(diameter) to O(log diameter) (measured on the
+      // 10×5-cycle chain, diameter ~29: 29 → 7 rounds). Soundness: label
+      // values are node ids of the SAME component and labels(y) only ever
+      // holds component members ≥ the true min, so the jump preserves the
+      // invariant (monotone non-increasing, bounded by the component min);
+      // the fixpoint test is unchanged — at a fixpoint the jump adds
+      // nothing, and the emitted labels are the identical per-component
+      // min-member table. The lookup is keyed on the jump target
+      // (node-sized join, broadcast at small scale, hash at large), never
+      // |E|. Jump only from round 3: the 1-hop init + two hop rounds
+      // already close diameter ≤ 3 (most bench consumers), so shallow
+      // graphs keep their round-15 plans and never pay the extra join;
+      // deep ones pick up the doubling two rounds late, still O(log d).
+      val next =
+        if (iter < 2) merged.select(col("id"), col("component"),
+          (col("component") =!= col("prev")).as("__chg"))
+        else merged
+          .join(labels.select(col("id").as("__jid"),
+            col("component").as("__jc")),
+            col("component") === col("__jid"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("__jc"), col("component")))
+              .as("component"),
+            (least(col("component"), coalesce(col("__jc"), col("component")))
+              =!= col("prev")).as("__chg"))
       // RDD-level lineage cut (round 15): the plan-truncating rebind keeps
       // round N's LOGICAL plan constant, but its RDD still references round
       // N−1's RDD object through narrow deps — Java task serialization
@@ -977,9 +984,12 @@ object Graph {
     * in-neighbor whose color improved last round, so each inner round
     * joins only the CHANGED nodes' out-edges (the q133 BFS frontier
     * discipline) — per-round cost tracks the moving boundary, not
-    * rounds×|E|. Propagation advances one edge per inner round, so inner
-    * rounds scale with the active subgraph's directed diameter — size
-    * `maxPropRounds` to the corpus.
+    * rounds×|E|. Since round 16 every hop is followed by a POINTER JUMP
+    * through the round's pinned label table (reach 2^p − 1 after p
+    * rounds), so inner rounds scale with the LOG of the active subgraph's
+    * directed diameter; `maxPropRounds` ≥ log₂(diameter) + slack
+    * suffices, and the backward phase runs the same jumped propagation
+    * over the reversed same-color edges.
     *
     * Honest bound: output is `(id, scc)` for every endpoint node resolved
     * within the bounds — unresolved actives are ABSENT, never mislabeled.
@@ -1036,34 +1046,59 @@ object Graph {
     var boundHit = false
     while (round < maxRounds && nActive > 0 && !boundHit) {
       round += 1
-      // 1. forward min-label coloring to a fixed point — frontier-limited:
-      // min-label is monotone, so only nodes whose color IMPROVED last
-      // round can improve a successor this round; each round joins just
-      // the frontier's out-edges instead of the full color table.
-      var colorsP = truncated(nodes.select(col("id"), col("id").as("c")))
-        .repartition(col("id")).persist(store)
-      colorsP.count()
-      var front = colorsP // at init every node's color just "changed"
-      var changed = nActive
-      var p = 0
-      while (changed > 0 && p < maxPropRounds) {
-        p += 1
-        val stepped = truncated(sccColorStep(e, colorsP.select(col("id"),
-            col("c")), front.select(col("id"), col("c"))))
-          .repartition(col("id")).persist(store)
-        // ONE job per inner round: the changed-count materializes stepped,
-        // and the next frontier is a filter OVER stepped's cache (a second
-        // persisted frontier frame + its count doubled the per-round job
-        // bill for nothing — the frontier is read exactly once, by the
-        // next round's viaIn join). The frontier dies with its stepped
-        // frame's unpersist, so no separate bookkeeping.
-        changed = stepped.where(col("__chg")).count()
-        colorsP.unpersist(blocking = false)
-        colorsP = stepped
-        front = stepped.where(col("__chg"))
+      // Shared inner loop (round 16): frontier-limited min-label propagation
+      // WITH POINTER JUMPING over an edge table — one [[sccColorStep]] hop
+      // (candidates from the changed nodes' out-edges only) followed by one
+      // node-keyed jump through the CURRENT pinned label table,
+      // lab'(x) = min(hop(x), lab(hop(x))). The jump is sound for directed
+      // reachability labels (lab(x) = y means y reaches x; lab(y) = z means
+      // z reaches y, hence z reaches x), labels stay monotone non-increasing
+      // and bounded by the true minimum, and the fixed point is unchanged —
+      // but reach now DOUBLES per round (2^p − 1 after p rounds), so inner
+      // rounds drop from O(directed diameter) to O(log diameter). ONE
+      // pinned frame + one changed-count job per round (the 5c3be1e
+      // discipline); the frontier is a filter over the round's cache.
+      // Returns the pinned label table and whether a fixed point was
+      // REACHED (changed == 0) — the honest-bound emission guard.
+      def jumpedPropagate(et: DataFrame, init: DataFrame,
+                          initChanged: Long): (DataFrame, Boolean) = {
+        var labP = truncated(init).repartition(col("id")).persist(store)
+        labP.count()
+        var front = labP // at init every node's label just "changed"
+        var changed = initChanged
+        var p = 0
+        while (changed > 0 && p < maxPropRounds) {
+          p += 1
+          val hopped = sccColorStep(et, labP.select(col("id"), col("c")),
+            front.select(col("id"), col("c")))
+          // Jump only from round 3: a shallow class (diameter ≤ 3 — the
+          // common case once the condensation peels) converges on the
+          // pure-hop path and never pays the extra join; a deep one picks
+          // up the doubling two rounds late, still O(log d) total.
+          val combined =
+            if (p < 3) hopped
+            else hopped
+              .join(labP.select(col("id").as("__jid"), col("c").as("__jc")),
+                col("c") === col("__jid"), "left")
+              .select(col("id"),
+                least(col("c"), coalesce(col("__jc"), col("c"))).as("c"),
+                (col("__chg")
+                  || coalesce(col("__jc"), col("c")) < col("c")).as("__chg"))
+          val stepped = truncated(combined)
+            .repartition(col("id")).persist(store)
+          changed = stepped.where(col("__chg")).count()
+          labP.unpersist(blocking = false)
+          labP = stepped
+          front = stepped.where(col("__chg"))
+        }
+        (labP, changed == 0L)
       }
+
+      // 1. forward min-label coloring to a fixed point
+      val (colorsP, fwdConverged) =
+        jumpedPropagate(e, nodes.select(col("id"), col("id").as("c")), nActive)
       val colors = colorsP.select(col("id"), col("c"))
-      if (changed > 0) {
+      if (!fwdConverged) {
         // maxPropRounds hit while colors were still moving: the coloring is
         // NOT a fixed point, so a class may hold >1 would-be pivot and any
         // emission could split a true SCC across labels. Emit nothing for
@@ -1071,60 +1106,48 @@ object Graph {
         colorsP.unpersist(blocking = false)
         boundHit = true
       } else {
-        // 2. backward frontier within color classes, from the pivots
+        // 2. backward reach within color classes — the SAME jumped
+        // propagation over the REVERSED same-color edges: bm(x) = the min
+        // id x REACHES via same-color edges (backward propagation along an
+        // edge src→dst hands dst's label to src, i.e. forward propagation
+        // on the reversed table). Same-color walks never leave the class,
+        // the class minimum is its pivot p, and every member id ≥ p, so
+        // x ∈ SCC(p) ⟺ x reaches p ⟺ bm(x) = p = c(x). Replaces the
+        // round-15 frontier-SET BFS (which paid O(class height) rounds and
+        // pinned TWO frames per round — the growing marked set and the
+        // frontier) with O(log height) rounds at one pinned frame each;
+        // the emitted member set is identical.
         val sameColorE = truncated(e
             .join(colors.select(col("id").as("src"), col("c").as("cs")),
               Seq("src"))
             .join(colors.select(col("id").as("dst"), col("c").as("cd")),
               Seq("dst"))
             .where(col("cs") === col("cd"))
-            .select(col("src"), col("dst")))
-          .repartition(col("dst")).persist(store)
+            .select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("src")).persist(store)
         sameColorE.count()
-        var marked = truncated(colors.where(col("c") === col("id"))
-            .select(col("id")))
-          .repartition(col("id")).persist(store)
-        marked.count()
-        var frontier = marked
-        var b = 0
-        var frontierN = 1L
-        while (frontierN > 0 && b < maxPropRounds) {
-          b += 1
-          val nf = truncated(sameColorE
-              .join(frontier.select(col("id").as("dst")), Seq("dst"))
-              .select(col("src").as("id")).distinct()
-              .join(marked, Seq("id"), "left_anti"))
-            .repartition(col("id")).persist(store)
-          frontierN = nf.count()
-          if (frontier ne marked) frontier.unpersist(blocking = false)
-          frontier = nf
-          if (frontierN > 0) {
-            val m2 = truncated(marked.unionByName(nf))
-              .repartition(col("id")).persist(store)
-            m2.count()
-            marked.unpersist(blocking = false)
-            marked = m2
-          }
-        }
-        if (frontier ne marked) frontier.unpersist(blocking = false)
-        if (frontierN > 0) {
-          // maxPropRounds hit while the backward frontier was still
-          // growing: `marked` under-covers at least one SCC; emitting and
-          // deactivating it would relabel the remainder next round — a
-          // split, not a miss. Emit nothing and stop (rows stay absent).
+        val (bmP, bwdConverged) = jumpedPropagate(sameColorE,
+          colors.select(col("id"), col("id").as("c")), nActive)
+        if (!bwdConverged) {
+          // maxPropRounds hit while backward labels were still moving:
+          // bm under-covers at least one SCC; emitting and deactivating it
+          // would relabel the remainder next round — a split, not a miss.
+          // Emit nothing and stop (rows stay absent).
           sameColorE.unpersist(blocking = false)
-          marked.unpersist(blocking = false)
+          bmP.unpersist(blocking = false)
           colorsP.unpersist(blocking = false)
           boundHit = true
         } else {
           // 3. emit and deactivate
-          val found = truncated(marked.join(colors, Seq("id"))
+          val found = truncated(bmP.select(col("id"), col("c").as("bm"))
+              .join(colors, Seq("id"))
+              .where(col("bm") === col("c"))
               .select(col("id"), col("c").as("scc")))
             .persist(store)
           found.count()
           out = Some(out.fold(found: DataFrame)(_.unionByName(found)))
           sameColorE.unpersist(blocking = false)
-          marked.unpersist(blocking = false)
+          bmP.unpersist(blocking = false)
           val nextNodes = truncated(
               nodes.join(found.select(col("id")), Seq("id"), "left_anti"))
             .repartition(col("id")).persist(store)
