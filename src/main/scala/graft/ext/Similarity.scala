@@ -113,20 +113,17 @@ object Similarity {
     * rounding + id tie-break. Output: (query_id, neighbor_id, rank, cos_sim). */
   def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = withNorm(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val c = withNorm(corpus, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("norm").as("cnorm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    q.repartition(queries.sparkSession.sparkContext.defaultParallelism)
-      .crossJoin(broadcast(c))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        pairCosine(col("qnorm"), col("cnorm"), col("qv"), col("cv")).as("cos_sim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    topKPerQuery(
+      q.repartition(queries.sparkSession.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(c))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          pairCosine(col("qnorm"), col("cnorm"), col("qv"), col("cv")).as("cos_sim")),
+      k)
   }
 
   /** LSH-bucketed near-dup pairs: equi-join on the bucket id, then exact cosine
@@ -175,13 +172,46 @@ object Similarity {
 
   /** Top-k rows per query_id by (cos_sim DESC, neighbor_id) — the shared
     * rank stage under the graph-ANN builders. Per-QUERY window, never
-    * global. */
+    * global.
+    *
+    * Round 16: the SELECTION runs through the [[graft.plans.GroupedTopK]]
+    * physical operator instead of a row_number window over every candidate
+    * — bounded per-group heaps, streamed once, with the PARTIAL pass before
+    * the exchange, so the shuffle carries ≤ k rows per (partition, query)
+    * and nothing ever sorts the full candidate list (knnJoin's |Q|·|C|
+    * cross product, the LSH bucket pairs, NN-descent's (2k)² fan-out). The
+    * long rank key is exact: cos_sim is 6-dp rounded by construction, so
+    * `round(cos_sim·10⁶)` is an order-preserving integer; ties break on
+    * the smaller neighbor_id (`-neighbor_id` under the operator's
+    * DESCENDING contract — the same total order as the window it
+    * replaces). The residual row_number window only ranks the ≤ k
+    * survivors per query (rank 1..k for the output column), over the hash
+    * partitioning the final GroupedTopK pass already established. Falls
+    * back to the plain window when neighbor_id is not LongType (the
+    * operator's key contract). */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    val nbLong = scored.schema.find(_.name == "neighbor_id")
+      .exists(_.dataType == org.apache.spark.sql.types.LongType)
+    if (!nbLong)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+    else {
+      val spark = scored.sparkSession
+      import graft.plans.GroupedTopKStrategy
+      if (!spark.experimental.extraStrategies.exists(_ eq GroupedTopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ GroupedTopKStrategy
+      val keyed = scored
+        .withColumn("__simk", round(col("cos_sim") * 1e6, 0).cast("long"))
+        .withColumn("__tie", -col("neighbor_id"))
+      graft.plans.GroupedTopK
+        .topKPerGroup(keyed, Seq("query_id"), "__simk", "__tie", k)
+        .drop("__simk", "__tie")
+        .withColumn("rank", row_number().over(w).cast("long"))
+    }
   }
 
   /** INITIAL approximate kNN graph from LSH buckets: candidates are
